@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver-provided testdata tables (TESTDATA.md).
+  *
+  * Each table is a single parquet file under `sfDir`. All engine queries go
+  * through these helpers so that column pruning / predicate pushdown reach
+  * the parquet scan uniformly.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def region(spark: SparkSession, d: String): DataFrame    = load(spark, d, "region")
+  def nation(spark: SparkSession, d: String): DataFrame    = load(spark, d, "nation")
+  def customer(spark: SparkSession, d: String): DataFrame  = load(spark, d, "customer")
+  def supplier(spark: SparkSession, d: String): DataFrame  = load(spark, d, "supplier")
+  def part(spark: SparkSession, d: String): DataFrame      = load(spark, d, "part")
+  def orders(spark: SparkSession, d: String): DataFrame    = load(spark, d, "orders")
+  def lineitem(spark: SparkSession, d: String): DataFrame  = load(spark, d, "lineitem")
+  /** events.parquet stores `ts` as parquet TIMESTAMP(NANOS), which Spark's
+    * reader only surfaces as a long (spark.sql.legacy.parquet.nanosAsLong).
+    * Normalize to a TimestampType column (microsecond precision) here so
+    * every query sees a real timestamp. Integer division keeps precision —
+    * epoch nanos (~1.7e18) exceed double's 2^53 mantissa.
+    */
+  def events(spark: SparkSession, d: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = load(spark, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw
+    }
+  }
+  def documents(spark: SparkSession, d: String): DataFrame = load(spark, d, "documents")
+  def embeddings(spark: SparkSession, d: String): DataFrame = load(spark, d, "embeddings")
+}

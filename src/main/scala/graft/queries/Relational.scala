@@ -1,0 +1,271 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Relational operator pack.
+  *
+  * Covers the reference's relational surface (SURVEY.md §2): scan/projection
+  * (S1/P1), union+distinct vocabulary build (A1/A2/U1, `utils.py:13-15`),
+  * broadcast dictionary-encode join (J1/A7, `utils.py:18-26`), anti-join
+  * membership rejection (J2/U2, `TransE.py:237-244` semantics), semi-join
+  * keep-known filter (P4, `test.py:7-11`), grouped + conditional aggregation
+  * (A3/A4, `test.py:16-23`), window ranking (W1, `test.py:51-52`), sort/top-k
+  * (O5) — each spelled against the driver testdata tables with a DuckDB
+  * oracle.
+  *
+  * Numeric discipline: double columns are cast to exact DECIMAL before
+  * arithmetic/aggregation so Spark and the DuckDB oracle agree bit-for-bit,
+  * then rounded and cast back to DOUBLE in both engines.
+  */
+object Relational {
+
+  /** Exact-decimal view of a double column (money-ish testdata values have
+    * <= 2 fractional digits, so DECIMAL(18,2) is lossless). */
+  private def dec(c: String) = col(c).cast("decimal(18,2)")
+
+  // ---------------------------------------------------------------- q1_agg
+  /** Grouped aggregation with map-side partial agg (SURVEY A3; TPC-H Q1
+    * shape). Plan: parquet scan (pruned to 6 cols) -> partial hash agg ->
+    * shuffle on 2 low-cardinality keys -> final agg. Scales: shuffle moves
+    * only |groups| * partitions rows. */
+  def q1Agg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(dec("l_quantity")).cast("double").as("sum_qty"),
+        sum(dec("l_extendedprice")).cast("double").as("sum_base_price"),
+        sum(dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount")))
+          .cast("double").as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  val q1Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+      |  COUNT(*) AS count_order
+      |FROM lineitem GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // ------------------------------------------------------ q2_union_distinct
+  /** Vocabulary build: union two key projections, dedup (SURVEY A1/A2/U1 —
+    * the `head.union(tail).distinct()` shape of `utils.py:13`). Plan: two
+    * pruned scans -> union -> partial distinct (map-side) -> shuffle ->
+    * final distinct. */
+  def q2UnionDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val a = Tables.orders(spark, dir).select(col("o_custkey").as("key"))
+    val b = Tables.customer(spark, dir).select(col("c_custkey").as("key"))
+    a.union(b).distinct().orderBy("key")
+  }
+
+  val q2Sql: String =
+    """SELECT key FROM (
+      |  SELECT o_custkey AS key FROM orders
+      |  UNION
+      |  SELECT c_custkey AS key FROM customer
+      |) ORDER BY key""".stripMargin
+
+  // ----------------------------------------------------- q3_broadcast_join
+  /** Star join: fact x two small dims, both broadcast (SURVEY J1 — the
+    * dictionary-encode join of `utils.py:26` spelled relationally).
+    * `broadcast()` hints guarantee BroadcastHashJoinExec: zero shuffle of
+    * the fact table at any scale as long as dims stay small. */
+  def q3BroadcastJoin(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val p  = Tables.part(spark, dir).select("p_partkey", "p_brand")
+    val s  = Tables.supplier(spark, dir).select("s_suppkey", "s_name")
+    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .join(broadcast(s), li("l_suppkey") === s("s_suppkey"))
+      .groupBy("p_brand")
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(dec("l_extendedprice")).cast("double").as("brand_revenue"))
+      .orderBy("p_brand")
+  }
+
+  val q3Sql: String =
+    """SELECT p_brand, COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS brand_revenue
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
+  // ----------------------------------------------------------- q4_anti_join
+  /** Left-anti join: customers with no completed ('F') order (SURVEY J2/U2 —
+    * the negative-sample rejection of `TransE.py:243` as a relational op).
+    * The filter is applied on the build side BEFORE the anti join, so it is
+    * pushed to the parquet scan; Catalyst picks a hash anti join. */
+  def q4AntiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderstatus") === "F")
+      .select(col("o_custkey"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  val q4Sql: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+      |ORDER BY c_custkey""".stripMargin
+
+  // ----------------------------------------------------------- q5_semi_join
+  /** Left-semi join: orders whose customer is in a segment (SURVEY P4 — the
+    * keep-known membership filter of `test.py:7-11`). */
+  def q5SemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"), "left_semi")
+      .select("o_orderkey", "o_custkey", "o_orderstatus")
+      .orderBy("o_orderkey")
+  }
+
+  val q5Sql: String =
+    """SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+      |WHERE EXISTS (SELECT 1 FROM customer
+      |              WHERE c_custkey = o_custkey AND c_mktsegment = 'BUILDING')
+      |ORDER BY o_orderkey""".stripMargin
+
+  // -------------------------------------------------------- q6_window_rank
+  /** Window ranking: top-3 orders per customer by price (SURVEY W1 — the
+    * link-prediction rank of `test.py:51-52` as a window function).
+    * row_number with a full tiebreak keeps it deterministic. */
+  def q6WindowRank(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("rn").cast("long").as("rn"))
+      .orderBy("o_custkey", "rn")
+  }
+
+  val q6Sql: String =
+    """SELECT o_custkey, o_orderkey, CAST(rn AS BIGINT) AS rn FROM (
+      |  SELECT o_custkey, o_orderkey,
+      |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      |  FROM orders)
+      |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin
+
+  // -------------------------------------------------- q7_conditional_ratio
+  /** Conditional aggregate ratio (SURVEY A4/P6 — the hits@10 `rank <= 10`
+    * ratio of `test.py:17-23`): share of small-quantity line items per
+    * return flag, as an exact ratio of counts. */
+  def q7ConditionalRatio(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        sum(when(col("l_quantity") <= 10, 1L).otherwise(0L)).as("n_small"),
+        count(lit(1)).as("n_total"))
+      .withColumn("small_ratio",
+        round(col("n_small").cast("decimal(18,2)") / col("n_total"), 6).cast("double"))
+      .orderBy("l_returnflag")
+
+  val q7Sql: String =
+    """SELECT l_returnflag,
+      |  SUM(CASE WHEN l_quantity <= 10 THEN 1 ELSE 0 END) AS n_small,
+      |  COUNT(*) AS n_total,
+      |  CAST(ROUND(CAST(SUM(CASE WHEN l_quantity <= 10 THEN 1 ELSE 0 END) AS DECIMAL(18,2)) / COUNT(*), 6) AS DOUBLE) AS small_ratio
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // -------------------------------------------------------- q8_dict_encode
+  /** Dense dictionary-id assignment (SURVEY A7 — `zipWithIndex` at
+    * `utils.py:18-19`): contiguous ids 0..n-1 over the distinct vocabulary,
+    * deterministic via sort order. row_number over a global sort is the
+    * relational spelling; ids MUST be dense (they index an embedding
+    * matrix), which rules out monotonically_increasing_id. */
+  def q8DictEncode(spark: SparkSession, dir: String): DataFrame = {
+    val vocab = Tables.customer(spark, dir).select(col("c_mktsegment").as("name")).distinct()
+    val ids = vocab.withColumn("id",
+      (row_number().over(Window.orderBy("name")) - 1).cast("long"))
+    val c = Tables.customer(spark, dir)
+    c.join(broadcast(ids), c("c_mktsegment") === ids("name"))
+      .groupBy("id", "name")
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy("id")
+  }
+
+  val q8Sql: String =
+    """SELECT id, name, COUNT(*) AS n_customers
+      |FROM customer
+      |JOIN (SELECT name, CAST(ROW_NUMBER() OVER (ORDER BY name) - 1 AS BIGINT) AS id
+      |      FROM (SELECT DISTINCT c_mktsegment AS name FROM customer)) d
+      |  ON c_mktsegment = d.name
+      |GROUP BY id, name ORDER BY id""".stripMargin
+
+  // -------------------------------------------------------------- q9_topk
+  /** Global top-k by sort (SURVEY O5 — argsort at `test.py:51`): Spark
+    * plans orderBy+limit as TakeOrderedAndProject (per-partition top-k +
+    * driver merge), no full sort shuffle — the scalable spelling. */
+  def q9TopK(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(10)
+      .select(col("o_orderkey"), col("o_custkey"),
+        dec("o_totalprice").cast("double").as("o_totalprice"))
+
+  val q9Sql: String =
+    """SELECT o_orderkey, o_custkey,
+      |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice
+      |FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin
+
+  // -------------------------------------------------------- q10_time_bucket
+  /** Event-time tumbling window aggregation over the events table (batch
+    * spelling of the Structured Streaming windowed agg; SURVEY §2.9 is
+    * net-new capability). Bucket exposed as epoch seconds so the oracle
+    * comparison is precision-agnostic. */
+  def q10TimeBucket(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(
+        window(col("ts"), "1 hour").getField("start").as("bucket_ts"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(dec("value")).cast("double").as("sum_value"))
+      .select(
+        unix_timestamp(col("bucket_ts")).as("bucket"),
+        col("event_type"), col("n_events"), col("sum_value"))
+      .orderBy("bucket", "event_type")
+
+  val q10Sql: String =
+    """SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS bucket,
+      |  event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin
+
+  /** Registry consumed by SparkEntry. */
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg"             -> (q1Agg _),
+    "q2_union_distinct"  -> (q2UnionDistinct _),
+    "q3_broadcast_join"  -> (q3BroadcastJoin _),
+    "q4_anti_join"       -> (q4AntiJoin _),
+    "q5_semi_join"       -> (q5SemiJoin _),
+    "q6_window_rank"     -> (q6WindowRank _),
+    "q7_conditional_ratio" -> (q7ConditionalRatio _),
+    "q8_dict_encode"     -> (q8DictEncode _),
+    "q9_topk"            -> (q9TopK _),
+    "q10_time_bucket"    -> (q10TimeBucket _))
+
+  val oracles: Map[String, String] = Map(
+    "q1_agg"             -> q1Sql,
+    "q2_union_distinct"  -> q2Sql,
+    "q3_broadcast_join"  -> q3Sql,
+    "q4_anti_join"       -> q4Sql,
+    "q5_semi_join"       -> q5Sql,
+    "q6_window_rank"     -> q6Sql,
+    "q7_conditional_ratio" -> q7Sql,
+    "q8_dict_encode"     -> q8Sql,
+    "q9_topk"            -> q9Sql,
+    "q10_time_bucket"    -> q10Sql)
+}

@@ -1,0 +1,55 @@
+package graft
+
+import graft.queries.Relational
+
+class RelationalSpec extends SparkSpec {
+
+  test("every relational query runs and returns rows on sf0.001") {
+    Relational.queries.foreach { case (name, fn) =>
+      val df = fn(spark, sf)
+      assert(df.count() > 0, s"$name returned no rows")
+    }
+  }
+
+  test("q1_agg: groups are the flag x status combinations") {
+    val rows = Relational.q1Agg(spark, sf).collect()
+    assert(rows.length >= 3 && rows.length <= 8)
+    val qty = rows.map(_.getAs[Double]("sum_qty")).sum
+    assert(qty > 0)
+  }
+
+  test("q2_union_distinct: keys are unique and sorted") {
+    val keys = Relational.q2UnionDistinct(spark, sf).collect().map(_.getLong(0))
+    assert(keys.distinct.length == keys.length)
+    assert(keys.sorted.sameElements(keys))
+  }
+
+  test("q4 anti join complements the F-status customer set") {
+    import org.apache.spark.sql.functions._
+    val noF = Relational.q4AntiJoin(spark, sf).count()
+    val nCust = Tables.customer(spark, sf).count()
+    val withF = Tables.orders(spark, sf)
+      .filter(col("o_orderstatus") === "F")
+      .select("o_custkey").distinct().count()
+    assert(noF == nCust - withF)
+  }
+
+  test("q6_window_rank: at most 3 per customer, rn in 1..3") {
+    val df = Relational.q6WindowRank(spark, sf)
+    import org.apache.spark.sql.functions._
+    val bad = df.groupBy("o_custkey").count().filter(col("count") > 3).count()
+    assert(bad == 0)
+    assert(df.filter(col("rn") < 1 || col("rn") > 3).count() == 0)
+  }
+
+  test("q8_dict_encode: ids dense 0..n-1") {
+    val ids = Relational.q8DictEncode(spark, sf).collect().map(_.getAs[Long]("id"))
+    assert(ids.sorted.sameElements(ids.indices.map(_.toLong)))
+  }
+
+  test("q9_topk: descending prices, 10 rows") {
+    val p = Relational.q9TopK(spark, sf).collect().map(_.getAs[Double]("o_totalprice"))
+    assert(p.length == 10)
+    assert(p.zip(p.tail).forall { case (a, b) => a >= b })
+  }
+}

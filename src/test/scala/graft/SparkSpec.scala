@@ -1,0 +1,23 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared session for all suites: one local JVM session, UTC, AQE on. */
+object TestSession {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  spark.sparkContext.setLogLevel("WARN")
+  val sf: String = "/root/testdata/sf0.001"
+}
+
+trait SparkSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSession.spark
+  val sf: String = TestSession.sf
+}
