@@ -1,0 +1,200 @@
+package graft.queries
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.transe._
+
+/** The TransE pipeline (the reference's whole surface, SURVEY §3) driven by
+  * a knowledge graph derived from the driver testdata star schema:
+  *
+  *   (c:custkey)  -in_nation->   (n:nationkey)
+  *   (s:suppkey)  -in_nation->   (n:nationkey)
+  *   (n:nationkey)-in_region->   (r:regionkey)
+  *   (o:orderkey) -placed_by->   (c:custkey)
+  *   (o:orderkey) -has_status->  (st:status)
+  *   (o:orderkey) -contains->    (p:partkey)     [distinct, from lineitem]
+  *   (p:partkey)  -supplied_by-> (s:suppkey)     [distinct, from lineitem]
+  *
+  * Train/test split: `placed_by` edges of orders with orderkey % 17 == 0
+  * are held out for link-prediction evaluation; every held-out order is
+  * still seen in training through its has_status/contains edges, matching
+  * the protocol's requirement that test entities exist in the train
+  * vocabulary (`test.py:45-46` skips the rest).
+  */
+object TransEQueries {
+
+  // ------------------------------------------------------------ kg_triples
+  /** KG construction: 7 projections + UNION ALL (+ DISTINCT on the two
+    * lineitem-derived edges). All relational — scans stay pruned to the
+    * 2 key columns per branch. */
+  def kgTriples(spark: SparkSession, dir: String): DataFrame = {
+    def s(c: org.apache.spark.sql.Column) = c.cast("string")
+    val customer = Tables.customer(spark, dir).select(
+      concat(lit("c:"), s(col("c_custkey"))).as("h"),
+      lit("in_nation").as("l"),
+      concat(lit("n:"), s(col("c_nationkey"))).as("t"))
+    val supplier = Tables.supplier(spark, dir).select(
+      concat(lit("s:"), s(col("s_suppkey"))).as("h"),
+      lit("in_nation").as("l"),
+      concat(lit("n:"), s(col("s_nationkey"))).as("t"))
+    val nation = Tables.nation(spark, dir).select(
+      concat(lit("n:"), s(col("n_nationkey"))).as("h"),
+      lit("in_region").as("l"),
+      concat(lit("r:"), s(col("n_regionkey"))).as("t"))
+    val placed = Tables.orders(spark, dir).select(
+      concat(lit("o:"), s(col("o_orderkey"))).as("h"),
+      lit("placed_by").as("l"),
+      concat(lit("c:"), s(col("o_custkey"))).as("t"))
+    val status = Tables.orders(spark, dir).select(
+      concat(lit("o:"), s(col("o_orderkey"))).as("h"),
+      lit("has_status").as("l"),
+      concat(lit("st:"), s(col("o_orderstatus"))).as("t"))
+    val contains = Tables.lineitem(spark, dir).select(
+      concat(lit("o:"), s(col("l_orderkey"))).as("h"),
+      lit("contains").as("l"),
+      concat(lit("p:"), s(col("l_partkey"))).as("t")).distinct()
+    val suppliedBy = Tables.lineitem(spark, dir).select(
+      concat(lit("p:"), s(col("l_partkey"))).as("h"),
+      lit("supplied_by").as("l"),
+      concat(lit("s:"), s(col("l_suppkey"))).as("t")).distinct()
+    customer.union(supplier).union(nation).union(placed).union(status)
+      .union(contains).union(suppliedBy)
+  }
+
+  def kgTriplesSorted(spark: SparkSession, dir: String): DataFrame =
+    kgTriples(spark, dir).orderBy("h", "l", "t")
+
+  private val kgSqlBody: String =
+    """SELECT 'c:' || CAST(c_custkey AS VARCHAR) AS h, 'in_nation' AS l, 'n:' || CAST(c_nationkey AS VARCHAR) AS t FROM customer
+      |UNION ALL SELECT 's:' || CAST(s_suppkey AS VARCHAR), 'in_nation', 'n:' || CAST(s_nationkey AS VARCHAR) FROM supplier
+      |UNION ALL SELECT 'n:' || CAST(n_nationkey AS VARCHAR), 'in_region', 'r:' || CAST(n_regionkey AS VARCHAR) FROM nation
+      |UNION ALL SELECT 'o:' || CAST(o_orderkey AS VARCHAR), 'placed_by', 'c:' || CAST(o_custkey AS VARCHAR) FROM orders
+      |UNION ALL SELECT 'o:' || CAST(o_orderkey AS VARCHAR), 'has_status', 'st:' || o_orderstatus FROM orders
+      |UNION ALL SELECT DISTINCT 'o:' || CAST(l_orderkey AS VARCHAR), 'contains', 'p:' || CAST(l_partkey AS VARCHAR) FROM lineitem
+      |UNION ALL SELECT DISTINCT 'p:' || CAST(l_partkey AS VARCHAR), 'supplied_by', 's:' || CAST(l_suppkey AS VARCHAR) FROM lineitem""".stripMargin
+
+  val kgTriplesSql: String =
+    s"SELECT h, l, t FROM (\n$kgSqlBody\n) ORDER BY h, l, t"
+
+  // ------------------------------------------------------------- kg_encode
+  /** Dictionary-encode the KG: shared entity dictionary over heads∪tails,
+    * dense deterministic ids (SURVEY J1/A1/A2/A7/A8). */
+  def kgEncode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val raw = kgTriples(spark, dir).as[RawTriple]
+    val (encoded, _, _) = DictionaryEncoder.encodeAll(raw)
+    encoded.select(
+      col("h").cast("long").as("h"),
+      col("l").cast("long").as("l"),
+      col("t").cast("long").as("t"))
+      .orderBy("h", "l", "t")
+  }
+
+  val kgEncodeSql: String =
+    s"""WITH triples AS (
+       |$kgSqlBody
+       |), ents AS (
+       |  SELECT name, CAST(ROW_NUMBER() OVER (ORDER BY name) - 1 AS BIGINT) AS id
+       |  FROM (SELECT DISTINCT name FROM (SELECT h AS name FROM triples UNION ALL SELECT t AS name FROM triples))
+       |), labs AS (
+       |  SELECT name, CAST(ROW_NUMBER() OVER (ORDER BY name) - 1 AS BIGINT) AS id
+       |  FROM (SELECT DISTINCT l AS name FROM triples)
+       |)
+       |SELECT eh.id AS h, ll.id AS l, et.id AS t
+       |FROM triples tr
+       |JOIN ents eh ON tr.h = eh.name
+       |JOIN labs ll ON tr.l = ll.name
+       |JOIN ents et ON tr.t = et.name
+       |ORDER BY h, l, t""".stripMargin
+
+  // ------------------------------------------- shared trained model cache
+  /** Evaluation params: small dim / few epochs so the verify gate stays
+    * fast while still showing loss decrease and better-than-random ranks. */
+  val evalParams: TransEParams = TransEParams(
+    epochs = 40, batches = 2, margin = 1.0f, lr = 0.05f, dim = 32,
+    distance = L1, seed = 42L)
+
+  final case class Fitted(
+      model: TransEModel,
+      trainer: TransETrainer,
+      nEntities: Int,
+      nLabels: Int,
+      nTrain: Long)
+
+  private val cache = TrieMap.empty[String, (Fitted, Dataset[Triple])]
+
+  /** Train once per sfDir and memoize (several queries + bench share it). */
+  def fitted(spark: SparkSession, dir: String): (Fitted, Dataset[Triple]) =
+    cache.getOrElseUpdate(dir, {
+      import spark.implicits._
+      val raw = kgTriples(spark, dir).as[RawTriple]
+      val (encodedAll, ents, labs) = DictionaryEncoder.encodeAll(raw)
+      val nEnt = ents.count().toInt
+      val nLab = labs.count().toInt
+
+      // Held-out edges: placed_by of orderkey % 17 == 0. Resolve the label
+      // id relationally, then split with a simple predicate on the raw KG
+      // BEFORE encoding? No — split on encoded ids to keep one dictionary.
+      val placedById = labs.filter(col("name") === "placed_by")
+        .select("id").as[Int].collect().head
+      val orderIds = ents
+        .filter(col("name").startsWith("o:"))
+        .filter(expr("CAST(substring(name, 3) AS LONG) % 17 = 0"))
+        .select("id").as[Int].collect().toSet
+      val orderIdsBc = spark.sparkContext.broadcast(orderIds)
+
+      val test = encodedAll
+        .filter(tr => tr.l == placedById && orderIdsBc.value.contains(tr.h))
+        .persist()
+      val train = encodedAll
+        .filter(tr => !(tr.l == placedById && orderIdsBc.value.contains(tr.h)))
+      val nTrainRows = train.count()
+
+      val trainer = new TransETrainer(evalParams)
+      val model = trainer.fit(train, nEnt, nLab)
+      (Fitted(model, trainer, nEnt, nLab, nTrainRows), test)
+    })
+
+  // ------------------------------------------------------------ transe_fit
+  /** Training health surface: per-epoch hinge loss + model shape. Not
+    * SQL-expressible (iterative SGD) -> rows-only oracle. */
+  def transeFit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (fit, _) = fitted(spark, dir)
+    fit.trainer.lossHistory.zipWithIndex.map { case (loss, ep) =>
+      (ep.toLong, loss, fit.nEntities.toLong, fit.nLabels.toLong, fit.nTrain)
+    }.toDF("epoch", "hinge_loss", "n_entities", "n_labels", "n_train")
+  }
+
+  // ----------------------------------------------------------- transe_eval
+  /** Link-prediction metrics on the held-out edges (reference `test.py`
+    * output: MeanRank + Hits@10). Rows-only oracle. */
+  def transeEval(spark: SparkSession, dir: String): DataFrame = {
+    val (fit, test) = fitted(spark, dir)
+    LinkPrediction.evaluate(test, fit.model, hitsK = 10)
+  }
+
+  // ----------------------------------------- transe_entity_embeddings
+  /** Trained entity embeddings as a relational surface (id, vec) — the
+    * reference's checkpoint (`utils.py:44-49`) as a queryable table.
+    * Rows-only oracle (values depend on partition-parallel SGD). */
+  def transeEmbeddings(spark: SparkSession, dir: String): DataFrame = {
+    val (fit, _) = fitted(spark, dir)
+    EmbeddingIO.toDF(spark, fit.model.entity)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "kg_triples" -> (kgTriplesSorted _),
+    "kg_encode"  -> (kgEncode _),
+    "transe_fit" -> (transeFit _),
+    "transe_eval" -> (transeEval _),
+    "transe_embeddings" -> (transeEmbeddings _))
+
+  val oracles: Map[String, String] = Map(
+    "kg_triples" -> kgTriplesSql,
+    "kg_encode"  -> kgEncodeSql)
+}

@@ -1,0 +1,74 @@
+package graft.transe
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dictionary build + encode, replacing the reference's `utils.load_dataset`
+  * (`utils.py:6-28`) with a Spark-first design that fixes its two structural
+  * issues (SURVEY §2.3 J4, §3.3):
+  *
+  *  - ONE shared dictionary is built and reused across train/test (the
+  *    reference builds independent dictionaries per file and bridges them
+  *    with an O(n) inverse scan per lookup, `utils.py:31-32`);
+  *  - the encode join broadcasts the dictionary explicitly instead of
+  *    shipping a closure-captured dict with every task (`utils.py:26`).
+  *
+  * Id assignment must be DENSE 0..n-1 (ids index the embedding matrix,
+  * `utils.py:18-19`) and deterministic. `monotonically_increasing_id` is
+  * neither; a global `row_number()` window funnels everything through one
+  * partition. `zipWithIndex` over a sorted RDD gives dense, deterministic
+  * ids with only the sort shuffle — each partition's offset is computed
+  * from partition sizes, no single-partition bottleneck (SURVEY §7.5-5).
+  */
+object DictionaryEncoder {
+
+  /** Distinct names -> dense ids, sorted by name for determinism.
+    * Returns DataFrame(name STRING, id INT). */
+  def buildDictionary(names: DataFrame): DataFrame = {
+    val spark = names.sparkSession
+    import spark.implicits._
+    names.select(col(names.columns.head).as("name"))
+      .distinct()
+      .orderBy("name")
+      .as[String]
+      .rdd
+      .zipWithIndex()
+      .map { case (n, i) => (n, i.toInt) }
+      .toDF("name", "id")
+  }
+
+  /** Entity dictionary = heads UNION tails, distinct (reference
+    * `utils.py:13`); label dictionary from the middle column. */
+  def buildDictionaries(raw: Dataset[RawTriple]): (DataFrame, DataFrame) = {
+    val heads = raw.select(col("h").as("name"))
+    val tails = raw.select(col("t").as("name"))
+    val entities = buildDictionary(heads.union(tails).toDF("name"))
+    val labels = buildDictionary(raw.select(col("l").as("name")))
+    (entities, labels)
+  }
+
+  /** Encode string triples to id triples via three broadcast hash joins
+    * (SURVEY J1). Dictionaries are small relative to the fact table
+    * (vocabulary vs occurrences), so Catalyst's BroadcastHashJoinExec keeps
+    * the triple set shuffle-free. Triples with names missing from the
+    * dictionaries are dropped (inner join) — the reference's skip-unknown
+    * behavior (`test.py:45-46`). */
+  def encode(raw: Dataset[RawTriple], entities: DataFrame, labels: DataFrame): Dataset[Triple] = {
+    val spark = raw.sparkSession
+    import spark.implicits._
+    val eH = entities.select(col("name").as("h_name"), col("id").as("h_id"))
+    val eT = entities.select(col("name").as("t_name"), col("id").as("t_id"))
+    val lL = labels.select(col("name").as("l_name"), col("id").as("l_id"))
+    raw.join(broadcast(eH), raw("h") === eH("h_name"))
+      .join(broadcast(lL), raw("l") === lL("l_name"))
+      .join(broadcast(eT), raw("t") === eT("t_name"))
+      .select(col("h_id").as("h"), col("l_id").as("l"), col("t_id").as("t"))
+      .as[Triple]
+  }
+
+  /** Convenience: dictionaries + encoded triples in one call. */
+  def encodeAll(raw: Dataset[RawTriple]): (Dataset[Triple], DataFrame, DataFrame) = {
+    val (ents, labs) = buildDictionaries(raw)
+    (encode(raw, ents, labs), ents, labs)
+  }
+}

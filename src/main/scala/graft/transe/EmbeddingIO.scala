@@ -1,0 +1,45 @@
+package graft.transe
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Embedding checkpointing (reference `utils.backup/restore`,
+  * `utils.py:44-59`, which pickles numpy matrices to driver-local disk).
+  * Engine format: Parquet `(id INT, vec ARRAY<FLOAT>)` — splittable,
+  * compressed, readable by any engine, and writable/readable distributed
+  * (FIXTURES.md §A.3). */
+object EmbeddingIO {
+
+  def toDF(spark: SparkSession, m: Array[Array[Float]]): DataFrame = {
+    import spark.implicits._
+    spark.sparkContext
+      .parallelize(m.zipWithIndex.map { case (v, i) => (i, v) }.toIndexedSeq)
+      .toDF("id", "vec")
+  }
+
+  def save(spark: SparkSession, m: Array[Array[Float]], path: String): Unit =
+    toDF(spark, m).write.mode("overwrite").parquet(path)
+
+  /** Load a checkpoint back into a dense driver matrix. Ids must be dense
+    * 0..n-1 (enforced — they index the matrix). */
+  def load(spark: SparkSession, path: String): Array[Array[Float]] = {
+    import spark.implicits._
+    val rows = spark.read.parquet(path)
+      .select("id", "vec").as[(Int, Array[Float])].collect()
+    val n = rows.length
+    val out = new Array[Array[Float]](n)
+    rows.foreach { case (id, v) =>
+      require(id >= 0 && id < n, s"non-dense embedding id $id (n=$n)")
+      out(id) = v
+    }
+    require(out.forall(_ != null), "missing embedding ids in checkpoint")
+    out
+  }
+
+  def saveModel(spark: SparkSession, model: TransEModel, dir: String): Unit = {
+    save(spark, model.entity, s"$dir/entity")
+    save(spark, model.label, s"$dir/label")
+  }
+
+  def loadModel(spark: SparkSession, dir: String, params: TransEParams): TransEModel =
+    TransEModel(load(spark, s"$dir/entity"), load(spark, s"$dir/label"), params)
+}

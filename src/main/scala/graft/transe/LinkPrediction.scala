@@ -1,0 +1,114 @@
+package graft.transe
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Link-prediction evaluation — the reference's `test.py` protocol ("raw"
+  * setting) re-expressed: for each test triple (h, l, t), rank the true
+  * head against all entities by d(e + l, t) and the true tail by
+  * d(h + l, e); report MeanRank and Hits@k over BOTH rank lists
+  * (`test.py:28-71`, `test.py:14-25`).
+  *
+  * Two deliberate upgrades over the reference:
+  *  - rank via a single O(n) strict-less count (+1, 1-based) instead of a
+  *    full O(n log n) argsort (`test.py:51,59`) — only the rank of one
+  *    element is consumed (SURVEY §2.5 note);
+  *  - the per-candidate inner loop hoists the invariant vector (l - t for
+  *    heads, h + l for tails) out of the scan, halving flops vs the
+  *    reference's whole-matrix `E + l - t` temporaries (`test.py:49-50`).
+  *
+  * Execution: broadcast matrices + `mapPartitions` — embarrassingly
+  * parallel over test triples, no shuffle; metrics are a Catalyst
+  * partial+final aggregate over the rank Dataset (SURVEY A3/A4).
+  */
+object LinkPrediction {
+
+  final case class Ranks(rank_head: Long, rank_tail: Long)
+
+  /** Per-triple head and tail ranks (1-based, optimistic tie-handling). */
+  def rankTriples(test: Dataset[Triple], model: TransEModel): Dataset[Ranks] = {
+    val spark = test.sparkSession
+    import spark.implicits._
+    val entBc = spark.sparkContext.broadcast(model.entity)
+    val labBc = spark.sparkContext.broadcast(model.label)
+    val distance = model.params.distance
+
+    test.mapPartitions { it =>
+      val ent = entBc.value
+      val lab = labBc.value
+      val n = ent.length
+      it.map { tr =>
+        val l = lab(tr.l)
+        val h = ent(tr.h)
+        val t = ent(tr.t)
+        val k = l.length
+
+        // head rank: d(e + l, t) vs true d(h + l, t); u = l - t invariant
+        val u = new Array[Float](k)
+        var i = 0
+        while (i < k) { u(i) = l(i) - t(i); i += 1 }
+        val dTrueHead = scoreWith(distance, h, u)
+        var less = 0L
+        var e = 0
+        while (e < n) {
+          if (scoreWith(distance, ent(e), u) < dTrueHead) less += 1
+          e += 1
+        }
+        val rankHead = less + 1
+
+        // tail rank: d(h + l, e) vs true; v = h + l invariant, score(-e + v)
+        val v = new Array[Float](k)
+        i = 0
+        while (i < k) { v(i) = h(i) + l(i); i += 1 }
+        val dTrueTail = scoreNeg(distance, t, v)
+        less = 0L
+        e = 0
+        while (e < n) {
+          if (scoreNeg(distance, ent(e), v) < dTrueTail) less += 1
+          e += 1
+        }
+        Ranks(rankHead, less + 1)
+      }
+    }
+  }
+
+  /** d over (x + u) for the head scan. */
+  private def scoreWith(d: Distance, x: Array[Float], u: Array[Float]): Double = {
+    var s = 0.0
+    var i = 0
+    d match {
+      case L1 =>
+        while (i < x.length) { s += math.abs(x(i) + u(i)).toDouble; i += 1 }
+      case L2Squared =>
+        while (i < x.length) { val z = x(i) + u(i); s += z.toDouble * z; i += 1 }
+    }
+    s
+  }
+
+  /** d over (v - x) for the tail scan. */
+  private def scoreNeg(d: Distance, x: Array[Float], v: Array[Float]): Double = {
+    var s = 0.0
+    var i = 0
+    d match {
+      case L1 =>
+        while (i < x.length) { s += math.abs(v(i) - x(i)).toDouble; i += 1 }
+      case L2Squared =>
+        while (i < x.length) { val z = v(i) - x(i); s += z.toDouble * z; i += 1 }
+    }
+    s
+  }
+
+  /** MeanRank + Hits@k over both rank lists (reference `test.py:14-25`),
+    * as one Catalyst aggregate. */
+  def evaluate(test: Dataset[Triple], model: TransEModel, hitsK: Int = 10): DataFrame = {
+    val spark = test.sparkSession
+    import spark.implicits._
+    val ranks = rankTriples(test, model)
+      .flatMap(r => Seq(r.rank_head, r.rank_tail))
+      .toDF("rank")
+    ranks.agg(
+      avg(col("rank")).as("mean_rank"),
+      avg(when(col("rank") <= hitsK, 1.0).otherwise(0.0)).as(s"hits_at_$hitsK"),
+      count(lit(1)).as("n_ranks"))
+  }
+}

@@ -1,0 +1,213 @@
+package graft.transe
+
+import java.util.SplittableRandom
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.util.DoubleAccumulator
+
+/** Membership test for negative-sample rejection (reference: broadcast dict
+  * used as a set, `utils.py:35-41` + `TransE.py:94-95,243`). */
+sealed trait TripleMembership extends Serializable {
+  def contains(h: Int, l: Int, t: Int): Boolean
+}
+
+/** Exact broadcast set — right up to ~10^8 triples of executor memory. */
+final class ExactMembership(set: java.util.HashSet[(Int, Int, Int)]) extends TripleMembership {
+  def contains(h: Int, l: Int, t: Int): Boolean = set.contains((h, l, t))
+}
+
+/** Bloom-filter membership (1% fpp) — the at-scale path: a false positive
+  * only causes a harmless extra redraw of the corrupted triple, so
+  * correctness is unaffected while memory drops ~50x vs the exact set. */
+final class BloomMembership(bloom: org.apache.spark.util.sketch.BloomFilter) extends TripleMembership {
+  def contains(h: Int, l: Int, t: Int): Boolean =
+    bloom.mightContainString(s"$h:$l:$t")
+}
+
+/** Distributed TransE trainer (Bordes et al., NeurIPS 2013), replacing the
+  * reference's `TransE.fit/_sgd` (`TransE.py:64-157`) with the Scala/MLlib
+  * idiom: data-parallel gradient computation via `mapPartitions` over the
+  * cached triple Dataset, parameters broadcast per batch, sparse per-
+  * partition deltas collected and merged on the driver (same shape as
+  * `ml.feature.Word2Vec`).
+  *
+  * Faithfully preserved reference semantics:
+  *  - Bernoulli batch sampling, fraction 1/batches (`TransE.py:120-122`);
+  *  - hinge check before any update (`TransE.py:276`);
+  *  - touched entity rows re-normalized after each update
+  *    (`TransE.py:214-217`); labels normalized once at init (`TransE.py:60`);
+  *  - per-partition write-combining of embedding rows (`TransE.py:179-206`);
+  *  - LAST-WRITER-WINS on cross-partition delta collisions — the reference's
+  *    stale-synchronous merge (`TransE.py:159-170`, SURVEY §7.5-2) — made
+  *    deterministic here by applying deltas in partition-index order;
+  *  - epoch loss via a DoubleAccumulator (`TransE.py:104,279`).
+  *
+  * Deliberate upgrades: seeded determinism end-to-end (SURVEY §7.5-3),
+  * a rejection cap (§7.5-4), float32 parameters, Bloom-filter membership
+  * option for at-scale rejection sets.
+  *
+  * Scale ceiling (documented, same as reference `README.md:30`): both
+  * matrices must fit on the driver and each executor — n*k*4 bytes; at
+  * k=50 that is ~5 GB per 25M entities. Beyond that the design moves to
+  * partitioned parameter storage (DataFrame(id, vec) co-partitioned with
+  * the triples on h/t) — out of reference parity scope.
+  */
+class TransETrainer(params: TransEParams) extends Serializable {
+
+  /** Per-epoch hinge loss trajectory of the last `fit` call. */
+  @volatile var lossHistory: Vector[Double] = Vector.empty
+
+  def fit(triples: Dataset[Triple], nEntities: Int, nLabels: Int): TransEModel = {
+    val spark = triples.sparkSession
+    val sc = spark.sparkContext
+    val p = params
+
+    val data = triples.persist()
+
+    val membership: TripleMembership =
+      if (p.exactMembership) {
+        val s = new java.util.HashSet[(Int, Int, Int)]()
+        data.collect().foreach(tr => s.add((tr.h, tr.l, tr.t)))
+        new ExactMembership(s)
+      } else {
+        val bloom = data.toDF().stat.bloomFilter(
+          org.apache.spark.sql.functions.concat_ws(":",
+            org.apache.spark.sql.functions.col("h"),
+            org.apache.spark.sql.functions.col("l"),
+            org.apache.spark.sql.functions.col("t")),
+          expectedNumItems = math.max(data.count(), 1L), fpp = 0.01)
+        new BloomMembership(bloom)
+      }
+    val membBc = sc.broadcast(membership)
+
+    val entity = Kernels.uniformInit(nEntities, p.dim, p.seed)
+    val label = Kernels.uniformInit(nLabels, p.dim, p.seed + 1)
+    Kernels.normalizeAll(label)
+    Kernels.normalizeAll(entity)
+
+    val lossAcc: DoubleAccumulator = sc.doubleAccumulator("transe_hinge_loss")
+    var history = Vector.empty[Double]
+
+    var epoch = 0
+    while (epoch < p.epochs) {
+      val epochStart = lossAcc.value
+      var batch = 0
+      while (batch < p.batches) {
+        // Parameter sync: fresh broadcast per batch, destroyed after the
+        // merge (reference TransE.py:116-117, 146-149 — 2*epochs*batches
+        // generations would otherwise accumulate on executors).
+        val entBc = sc.broadcast(entity)
+        val labBc = sc.broadcast(label)
+        val batchSeed = p.seed * 1000003L + epoch.toLong * p.batches + batch
+
+        val sampled = data.sample(withReplacement = false, 1.0 / p.batches, batchSeed)
+        val deltas = sampled.rdd.mapPartitionsWithIndex { (pid, it) =>
+          TransETrainer.partitionSgd(pid, it, entBc.value, labBc.value,
+            membBc.value, nEntities, p, batchSeed, lossAcc)
+        }.collect()
+
+        // Deterministic last-writer-wins: partition-index order.
+        java.util.Arrays.sort(deltas, Ordering.by((d: TransETrainer.Delta) => d.pid))
+        deltas.foreach { d =>
+          d.entityRows.foreach { case (id, v) => entity(id) = v }
+          d.labelRows.foreach { case (id, v) => label(id) = v }
+        }
+        entBc.destroy()
+        labBc.destroy()
+        batch += 1
+      }
+      history :+= (lossAcc.value - epochStart)
+      epoch += 1
+    }
+    lossHistory = history
+    membBc.destroy()
+    data.unpersist()
+    TransEModel(entity, label, params)
+  }
+}
+
+object TransETrainer {
+
+  /** One partition's sparse update (reference yields a dict pair per
+    * partition, `TransE.py:218`). */
+  final case class Delta(
+      pid: Int,
+      entityRows: Array[(Int, Array[Float])],
+      labelRows: Array[(Int, Array[Float])])
+
+  /** Executor-side SGD over one partition of the sampled batch — the
+    * reference's `corrupt_minimize` (`TransE.py:172-218`) re-expressed.
+    * Touched rows are copied once into local maps (write-combining) and
+    * emitted as the partition delta. */
+  private[transe] def partitionSgd(
+      pid: Int,
+      it: Iterator[Triple],
+      entGlobal: Array[Array[Float]],
+      labGlobal: Array[Array[Float]],
+      membership: TripleMembership,
+      nEntities: Int,
+      p: TransEParams,
+      batchSeed: Long,
+      lossAcc: DoubleAccumulator): Iterator[Delta] = {
+
+    // Deterministic per-task stream: seed mixes batch and partition
+    // (reference uses OS randomness, TransE.py:185 — SURVEY §7.5-3).
+    val rng = new SplittableRandom(batchSeed ^ (pid.toLong * 0x9E3779B97F4A7C15L))
+    val entLocal = new mutable.HashMap[Int, Array[Float]]()
+    val labLocal = new mutable.HashMap[Int, Array[Float]]()
+    def entRow(id: Int): Array[Float] = entLocal.getOrElseUpdate(id, entGlobal(id).clone())
+    def labRow(id: Int): Array[Float] = labLocal.getOrElseUpdate(id, labGlobal(id).clone())
+
+    var loss = 0.0
+    it.foreach { tr =>
+      // Corruption: flip head or tail p=0.5 (TransE.py:252), redraw while
+      // the corrupted triple is a real training triple (TransE.py:237-244),
+      // capped (SURVEY §7.5-4).
+      val corruptHead = rng.nextBoolean()
+      var candidate = rng.nextInt(nEntities)
+      var tries = 0
+      while (tries < p.rejectionCap &&
+        (if (corruptHead) membership.contains(candidate, tr.l, tr.t)
+         else membership.contains(tr.h, tr.l, candidate))) {
+        candidate = rng.nextInt(nEntities)
+        tries += 1
+      }
+      val nhId = if (corruptHead) candidate else tr.h
+      val ntId = if (corruptHead) tr.t else candidate
+
+      val h = entRow(tr.h)
+      val l = labRow(tr.l)
+      val t = entRow(tr.t)
+      val nh = entRow(nhId)
+      val nt = entRow(ntId)
+
+      val dPos = Kernels.dist(p.distance, h, l, t)
+      val dNeg = Kernels.dist(p.distance, nh, l, nt)
+      val viol = p.margin + dPos - dNeg
+      if (viol > 0) { // hinge activation (TransE.py:276)
+        loss += viol
+        // Gradients computed from pre-update values, then applied jointly;
+        // shared rows (l always; t or h on corruption overlap) accumulate
+        // both contributions, which is exact joint SGD on the hinge term.
+        val gPos = Kernels.gradient(p.distance, h, l, t)
+        val gNeg = Kernels.gradient(p.distance, nh, l, nt)
+        Kernels.axpyInPlace(p.lr, gPos, h)
+        Kernels.axpyInPlace(p.lr, gPos, l)
+        Kernels.axpyInPlace(-p.lr, gPos, t)
+        Kernels.axpyInPlace(-p.lr, gNeg, nh)
+        Kernels.axpyInPlace(-p.lr, gNeg, l)
+        Kernels.axpyInPlace(p.lr, gNeg, nt)
+        // Re-normalize touched ENTITY rows (TransE.py:214-217); labels are
+        // only normalized at init (TransE.py:60).
+        Kernels.normalizeInPlace(h)
+        Kernels.normalizeInPlace(t)
+        if (nhId != tr.h) Kernels.normalizeInPlace(nh)
+        if (ntId != tr.t) Kernels.normalizeInPlace(nt)
+      }
+    }
+    lossAcc.add(loss)
+    Iterator(Delta(pid, entLocal.toArray, labLocal.toArray))
+  }
+}

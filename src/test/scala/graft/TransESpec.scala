@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.TransEQueries
+import graft.transe._
+
+/** End-to-end TransE pipeline tests on sf0.001 (SURVEY §7.3's minimum
+  * slice): load → encode → train → evaluate, asserting loss decrease and
+  * better-than-random ranking. */
+class TransESpec extends SparkSpec {
+  import org.apache.spark.sql.Dataset
+
+  private def encoded: (Dataset[Triple], Int, Int) = {
+    import spark.implicits._
+    val raw = TransEQueries.kgTriples(spark, sf).as[RawTriple]
+    val (enc, ents, labs) = DictionaryEncoder.encodeAll(raw)
+    (enc, ents.count().toInt, labs.count().toInt)
+  }
+
+  test("dictionary encode: dense ids, same cardinality as raw") {
+    import spark.implicits._
+    val raw = TransEQueries.kgTriples(spark, sf).as[RawTriple]
+    val (enc, ents, labs) = DictionaryEncoder.encodeAll(raw)
+    assert(enc.count() == raw.count())
+    val ids = ents.select("id").as[Int].collect().sorted
+    assert(ids.toSeq == ids.indices.toSeq)
+    val lids = labs.select("id").as[Int].collect().sorted
+    assert(lids.toSeq == lids.indices.toSeq)
+  }
+
+  test("corruption never produces a training triple (exact membership)") {
+    val (enc, nEnt, nLab) = encoded
+    val params = TransEParams(epochs = 1, batches = 1, dim = 4, seed = 1)
+    val trainer = new TransETrainer(params)
+    // train one epoch — rejection is exercised inside; this test asserts
+    // the invariant indirectly via a direct membership check
+    val memb = {
+      val s = new java.util.HashSet[(Int, Int, Int)]()
+      enc.collect().foreach(tr => s.add((tr.h, tr.l, tr.t)))
+      new ExactMembership(s)
+    }
+    val rng = new java.util.SplittableRandom(99)
+    enc.take(200).foreach { tr =>
+      var cand = rng.nextInt(nEnt)
+      var tries = 0
+      while (tries < 100 && memb.contains(cand, tr.l, tr.t)) {
+        cand = rng.nextInt(nEnt); tries += 1
+      }
+      assert(!memb.contains(cand, tr.l, tr.t) || tries == 100)
+    }
+    assert(trainer.fit(enc, nEnt, nLab).nEntities == nEnt)
+  }
+
+  test("training decreases hinge loss (SURVEY §7.3)") {
+    val (enc, nEnt, nLab) = encoded
+    val params = TransEParams(epochs = 8, batches = 2, dim = 16,
+      lr = 0.02f, seed = 42)
+    val trainer = new TransETrainer(params)
+    val model = trainer.fit(enc, nEnt, nLab)
+    val hist = trainer.lossHistory
+    assert(hist.length == 8)
+    assert(hist.last < hist.head * 0.9,
+      s"loss did not decrease: ${hist.head} -> ${hist.last}")
+    // entity rows touched by training stay unit-norm
+    val norms = model.entity.map(Kernels.l2Norm)
+    assert(norms.forall(n => n < 1.0 + 1e-3))
+  }
+
+  test("same seed => identical loss trajectory (determinism upgrade)") {
+    val (enc, nEnt, nLab) = encoded
+    val params = TransEParams(epochs = 3, batches = 2, dim = 8, seed = 7)
+    val t1 = new TransETrainer(params)
+    val t2 = new TransETrainer(params)
+    t1.fit(enc, nEnt, nLab)
+    t2.fit(enc, nEnt, nLab)
+    assert(t1.lossHistory == t2.lossHistory)
+  }
+
+  test("link prediction beats random by a wide margin") {
+    val (fit, test) = TransEQueries.fitted(spark, sf)
+    val row = LinkPrediction.evaluate(test, fit.model).collect().head
+    val meanRank = row.getAs[Double]("mean_rank")
+    val nRanks = row.getAs[Long]("n_ranks")
+    assert(nRanks > 0)
+    // random guessing gives mean rank ~ nEntities/2
+    assert(meanRank < fit.nEntities / 4.0,
+      s"mean rank $meanRank not better than random (${fit.nEntities / 2.0})")
+  }
+
+  test("bloom membership trains equivalently (at-scale path)") {
+    val (enc, nEnt, nLab) = encoded
+    val params = TransEParams(epochs = 2, batches = 2, dim = 8, seed = 5,
+      exactMembership = false)
+    val trainer = new TransETrainer(params)
+    val model = trainer.fit(enc, nEnt, nLab)
+    assert(model.nEntities == nEnt && trainer.lossHistory.forall(_ >= 0))
+  }
+
+  test("embedding checkpoint round-trips through parquet (utils.py:44-59)") {
+    val m = Kernels.uniformInit(20, 8, seed = 3)
+    val dir = java.nio.file.Files.createTempDirectory("emb").toString
+    EmbeddingIO.save(spark, m, s"$dir/entity")
+    val back = EmbeddingIO.load(spark, s"$dir/entity")
+    assert(back.length == 20)
+    (0 until 20).foreach(i => assert(back(i).sameElements(m(i))))
+  }
+
+  test("TSV triple reader parses and drops malformed lines (utils.py:6)") {
+    val dir = java.nio.file.Files.createTempDirectory("tsv")
+    val f = dir.resolve("train.tsv")
+    java.nio.file.Files.writeString(f,
+      "a\tr1\tb\nb\tr1\tc\nmalformed_line\na\tr2\tc\n")
+    val ds = TripleReader.readTsv(spark, f.toString)
+    assert(ds.count() == 3)
+    assert(ds.collect().toSet ==
+      Set(RawTriple("a", "r1", "b"), RawTriple("b", "r1", "c"), RawTriple("a", "r2", "c")))
+  }
+}
