@@ -1,0 +1,50 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.Tables
+import graft.operators._
+
+/** Training-data-pipeline operator surface: dedup, text analysis,
+  * similarity search, multimodal — each driven by the `documents` /
+  * `embeddings` testdata tables, with DuckDB oracles wherever the
+  * operator is SQL-expressible and engine-stable (integer-derived
+  * outputs; see the operator scaladocs for the stability arguments). */
+object PipelineQueries {
+
+  private val annQueryIds: Seq[Long] = (0L until 20L)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- deduplication ---
+    "dedup_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
+    "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(Tables.documents(s, d))),
+    "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(Tables.documents(s, d))),
+    "dedup_simhash" -> ((s, d) => Dedup.simhashPairs(Tables.documents(s, d))),
+    // --- text analysis ---
+    "text_token_counts" -> ((s, d) => TextAnalysis.tokenCounts(Tables.documents(s, d))),
+    "text_quality" -> ((s, d) => TextAnalysis.qualityScore(Tables.documents(s, d))),
+    "text_lang_id" -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
+    "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(Tables.documents(s, d))),
+    "text_winnowing" -> ((s, d) => TextAnalysis.winnowingFingerprints(Tables.documents(s, d))),
+    // --- similarity search ---
+    "ann_topk" -> ((s, d) => SimilaritySearch.bruteForceTopK(Tables.embeddings(s, d), annQueryIds)),
+    "ann_near_dup" -> ((s, d) => SimilaritySearch.cosineNearDupExact(Tables.embeddings(s, d))),
+    "ann_lsh" -> ((s, d) => SimilaritySearch.randomHyperplaneAnn(Tables.embeddings(s, d))),
+    // --- multimodal ---
+    "mm_decode_features" -> ((s, d) => Multimodal.decodeFeatures(Multimodal.assetTable(Tables.documents(s, d)))),
+    "mm_frame_features" -> ((s, d) => Multimodal.sampleFrameFeatures(Multimodal.assetTable(Tables.documents(s, d)))),
+    "mm_feature_near_dup" -> ((s, d) => Multimodal.featureNearDup(Multimodal.assetTable(Tables.documents(s, d)))))
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" -> Dedup.exactSql,
+    "dedup_ngram_jaccard" -> Dedup.ngramJaccardSql(),
+    // minhash+LSH verifies candidates with exact Jaccard; at the measured
+    // testdata separation (planted pairs j>=0.87, recall >1-1e-6) its
+    // output equals the exact all-pairs result
+    "dedup_minhash_lsh" -> Dedup.ngramJaccardSql(),
+    "text_token_counts" -> TextAnalysis.tokenCountsSql,
+    "text_quality" -> TextAnalysis.qualityScoreSql,
+    "text_fingerprint" -> TextAnalysis.fingerprintSql,
+    "ann_topk" -> SimilaritySearch.bruteForceTopKSql(annQueryIds),
+    "ann_near_dup" -> SimilaritySearch.cosineNearDupExactSql())
+}

@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+import graft.queries.PipelineQueries
+
+class PipelineSpec extends SparkSpec {
+
+  private def docs = Tables.documents(spark, sf)
+  private def embs = Tables.embeddings(spark, sf)
+
+  test("every pipeline query runs and returns rows on sf0.001") {
+    PipelineQueries.queries.foreach { case (name, fn) =>
+      val df = fn(spark, sf)
+      assert(df.count() > 0, s"$name returned no rows")
+    }
+  }
+
+  test("dedup_exact: groups cover all docs; representative is min id") {
+    val out = Dedup.exact(docs).collect()
+    val totalCopies = out.map(_.getAs[Long]("n_copies")).sum
+    assert(totalCopies == docs.count())
+  }
+
+  test("minhash LSH finds the same pairs as exact n-gram Jaccard") {
+    val exact = Dedup.ngramJaccard(docs).select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLsh(docs).select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == exact, s"LSH ${lsh.size} pairs vs exact ${exact.size}")
+    assert(exact.nonEmpty, "no planted near-dup pairs found")
+  }
+
+  test("simhash: identical docs get identical signatures; pairs verified") {
+    val sig1 = Dedup.simhash64(Iterator("a", "b", "c"))
+    val sig2 = Dedup.simhash64(Iterator("a", "b", "c"))
+    assert(sig1 == sig2)
+    val pairs = Dedup.simhashPairs(docs).collect()
+    pairs.foreach(r => assert(r.getAs[Long]("hamming") <= 7))
+  }
+
+  test("simhash near-dups overlap heavily with jaccard near-dups") {
+    val jac = Dedup.ngramJaccard(docs, tau = 0.8).select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sim = Dedup.simhashPairs(docs, maxHamming = 7).select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // both detect the planted clones; simhash on distinct unigrams is
+    // blunter, so require majority overlap rather than equality
+    val overlap = (jac & sim).size.toDouble / math.max(jac.size, 1)
+    assert(overlap > 0.5, s"simhash found ${sim.size}, jaccard ${jac.size}, overlap $overlap")
+  }
+
+  test("ann_topk: ranks are 1..k per query, neighbors never queries") {
+    val out = SimilaritySearch.bruteForceTopK(embs, (0L until 20L), k = 10)
+    val rows = out.collect()
+    assert(rows.length == 20 * 10)
+    val byQuery = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(byQuery.size == 20)
+    byQuery.values.foreach { rs =>
+      assert(rs.map(_.getAs[Long]("rank")).sorted.sameElements(1L to 10L))
+      rs.foreach(r => assert(r.getAs[Long]("neighbor_id") >= 20L))
+    }
+  }
+
+  test("ann_topk agrees with a naive driver-side computation") {
+    import spark.implicits._
+    val all = embs.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().toMap
+    val out = SimilaritySearch.bruteForceTopK(embs, Seq(0L, 1L), k = 5).collect()
+    Seq(0L, 1L).foreach { q =>
+      val expected = all.filter { case (id, _) => id != 0L && id != 1L }
+        .map { case (id, v) => (id, transe.Kernels.cosine(all(q), v)) }
+        .toSeq.sortBy { case (id, s) => (-s, id) }.take(5).map(_._1)
+      val got = out.filter(_.getAs[Long]("query_id") == q)
+        .sortBy(_.getAs[Long]("rank")).map(_.getAs[Long]("neighbor_id")).toSeq
+      assert(got == expected, s"query $q: $got vs $expected")
+    }
+  }
+
+  test("lsh ann returns plausible neighbors (bucket-local)") {
+    val out = SimilaritySearch.randomHyperplaneAnn(embs, k = 3)
+    assert(out.count() > 0)
+    assert(out.filter(col("query_id") === col("neighbor_id")).count() == 0)
+  }
+
+  test("multimodal decode: deterministic, schema stable, no driver collect") {
+    val assets = Multimodal.assetTable(docs)
+    val f1 = Multimodal.decodeFeatures(assets).collect()
+    val f2 = Multimodal.decodeFeatures(assets).collect()
+    assert(f1.map(_.toString).toSeq == f2.map(_.toString).toSeq)
+    assert(f1.forall(_.getAs[Seq[Float]]("features").length == 8))
+    val frames = Multimodal.sampleFrameFeatures(assets).collect()
+    assert(frames.length > f1.length) // multiple frames per asset
+  }
+
+  test("text quality: ratios in [0,1], tokens positive") {
+    val q = TextAnalysis.qualityScore(docs).collect()
+    q.foreach { r =>
+      assert(r.getAs[Double]("stopword_ratio") >= 0.0)
+      assert(r.getAs[Double]("quality_score") >= 0.0 &&
+        r.getAs[Double]("quality_score") <= 1.0)
+      assert(r.getAs[Long]("n_words") > 0)
+    }
+  }
+
+  test("lang id detects en for english-stopword text") {
+    val out = TextAnalysis.langId(docs).collect()
+    val en = out.count(_.getAs[String]("detected_lang") == "en")
+    assert(en > out.length / 2, s"only $en/${out.length} detected en")
+  }
+
+  test("winnowing fingerprints: near-identical docs share fingerprints") {
+    val fps = TextAnalysis.winnowingFingerprints(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Seq[Long]]("fingerprints").toSet)
+      .toMap
+    // take a planted near-dup pair from jaccard and check sketch overlap
+    val pair = Dedup.ngramJaccard(docs, tau = 0.8).select("doc_a", "doc_b").head()
+    val (a, b) = (pair.getLong(0), pair.getLong(1))
+    val overlap = (fps(a) & fps(b)).size.toDouble / math.min(fps(a).size, fps(b).size)
+    assert(overlap > 0.5, s"winnowing overlap $overlap for near-dup pair ($a,$b)")
+  }
+}
