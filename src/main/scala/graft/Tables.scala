@@ -15,7 +15,8 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events") events(spark, sfDir)
+    else spark.read.parquet(s"$sfDir/$name.parquet")
 
   def region(spark: SparkSession, d: String): DataFrame    = load(spark, d, "region")
   def nation(spark: SparkSession, d: String): DataFrame    = load(spark, d, "nation")
@@ -32,7 +33,7 @@ object Tables {
     */
   def events(spark: SparkSession, d: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = load(spark, d, "events")
+    val raw = spark.read.parquet(s"$d/events.parquet")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))

@@ -114,9 +114,13 @@ object TransEQueries {
   // ------------------------------------------- shared trained model cache
   /** Evaluation params: small dim / few epochs so the verify gate stays
     * fast while still showing loss decrease and better-than-random ranks. */
+  /** Picked by sweep (tools/EvalSweep) on the testdata KG: L2^2 distance
+    * converges to tail MeanRank ~10x better than random in 30 epochs;
+    * head rank is inherently ~random for `placed_by` (every order of the
+    * customer fits the translation equally). */
   val evalParams: TransEParams = TransEParams(
-    epochs = 40, batches = 2, margin = 1.0f, lr = 0.05f, dim = 32,
-    distance = L1, seed = 42L)
+    epochs = 30, batches = 2, margin = 1.0f, lr = 0.05f, dim = 32,
+    distance = L2Squared, seed = 42L)
 
   final case class Fitted(
       model: TransEModel,

@@ -33,7 +33,12 @@ object LinkPrediction {
     val labBc = spark.sparkContext.broadcast(model.label)
     val distance = model.params.distance
 
-    test.mapPartitions { it =>
+    // The test set is tiny relative to the O(|test| * n * k) scoring work,
+    // and AQE happily coalesces it to one partition — which would serialize
+    // the whole scan. Spread the compute across the cluster explicitly.
+    val spread = test.repartition(spark.sparkContext.defaultParallelism)
+
+    spread.mapPartitions { it =>
       val ent = entBc.value
       val lab = labBc.value
       val n = ent.length
@@ -99,16 +104,16 @@ object LinkPrediction {
   }
 
   /** MeanRank + Hits@k over both rank lists (reference `test.py:14-25`),
-    * as one Catalyst aggregate. */
+    * plus the per-direction means, as one Catalyst aggregate. */
   def evaluate(test: Dataset[Triple], model: TransEModel, hitsK: Int = 10): DataFrame = {
-    val spark = test.sparkSession
-    import spark.implicits._
-    val ranks = rankTriples(test, model)
-      .flatMap(r => Seq(r.rank_head, r.rank_tail))
-      .toDF("rank")
+    val ranks = rankTriples(test, model).toDF()
     ranks.agg(
-      avg(col("rank")).as("mean_rank"),
-      avg(when(col("rank") <= hitsK, 1.0).otherwise(0.0)).as(s"hits_at_$hitsK"),
-      count(lit(1)).as("n_ranks"))
+      ((avg(col("rank_head")) + avg(col("rank_tail"))) / 2).as("mean_rank"),
+      avg(col("rank_head")).as("mean_rank_head"),
+      avg(col("rank_tail")).as("mean_rank_tail"),
+      ((avg(when(col("rank_head") <= hitsK, 1.0).otherwise(0.0)) +
+        avg(when(col("rank_tail") <= hitsK, 1.0).otherwise(0.0))) / 2)
+        .as(s"hits_at_$hitsK"),
+      (count(lit(1)) * 2).as("n_ranks"))
   }
 }

@@ -18,6 +18,25 @@ final class ExactMembership(set: java.util.HashSet[(Int, Int, Int)]) extends Tri
   def contains(h: Int, l: Int, t: Int): Boolean = set.contains((h, l, t))
 }
 
+/** Exact membership as a PACKED sorted Array[Long] + binary search:
+  * zero boxing, 8 bytes/triple broadcast payload, cache-friendly lookups.
+  * Usable when ids fit the bit budget (h,t < 2^27, l < 2^10 — far beyond
+  * the broadcast-matrix design ceiling anyway); the trainer falls back to
+  * the HashSet form otherwise. */
+final class PackedMembership(sorted: Array[Long]) extends TripleMembership {
+  def contains(h: Int, l: Int, t: Int): Boolean =
+    java.util.Arrays.binarySearch(sorted, PackedMembership.pack(h, l, t)) >= 0
+}
+
+object PackedMembership {
+  val EntityBits = 27
+  val LabelBits = 10
+  def fits(nEntities: Int, nLabels: Int): Boolean =
+    nEntities < (1 << EntityBits) && nLabels < (1 << LabelBits)
+  def pack(h: Int, l: Int, t: Int): Long =
+    (h.toLong << (EntityBits + LabelBits)) | (l.toLong << EntityBits) | t.toLong
+}
+
 /** Bloom-filter membership (1% fpp) — the at-scale path: a false positive
   * only causes a harmless extra redraw of the corrupted triple, so
   * correctness is unaffected while memory drops ~50x vs the exact set. */
@@ -64,15 +83,27 @@ class TransETrainer(params: TransEParams) extends Serializable {
     val sc = spark.sparkContext
     val p = params
 
-    val data = triples.persist()
+    // Materialize ONCE as a cached RDD of Triple objects: the SGD loop
+    // re-samples this 2 * epochs * batches times, and staying in the RDD
+    // API avoids re-running Catalyst analysis + whole-stage codegen
+    // compilation for a fresh sample plan every round (measured: the
+    // planning overhead dominated the loop at sf0.1).
+    val data = triples.rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val membership: TripleMembership =
-      if (p.exactMembership) {
+      if (p.exactMembership && PackedMembership.fits(nEntities, nLabels)) {
+        val packed = data
+          .map(tr => PackedMembership.pack(tr.h, tr.l, tr.t))
+          .collect()
+        java.util.Arrays.sort(packed)
+        new PackedMembership(packed)
+      } else if (p.exactMembership) {
         val s = new java.util.HashSet[(Int, Int, Int)]()
         data.collect().foreach(tr => s.add((tr.h, tr.l, tr.t)))
         new ExactMembership(s)
       } else {
-        val bloom = data.toDF().stat.bloomFilter(
+        val bloom = triples.toDF().stat.bloomFilter(
           org.apache.spark.sql.functions.concat_ws(":",
             org.apache.spark.sql.functions.col("h"),
             org.apache.spark.sql.functions.col("l"),
@@ -90,6 +121,10 @@ class TransETrainer(params: TransEParams) extends Serializable {
     val lossAcc: DoubleAccumulator = sc.doubleAccumulator("transe_hinge_loss")
     var history = Vector.empty[Double]
 
+    val profile = sys.env.contains("GRAFT_TRAIN_PROFILE")
+    var tBroadcast, tJob, tMerge, tDestroy = 0L
+    def tick(): Long = System.nanoTime()
+
     var epoch = 0
     while (epoch < p.epochs) {
       val epochStart = lossAcc.value
@@ -98,28 +133,39 @@ class TransETrainer(params: TransEParams) extends Serializable {
         // Parameter sync: fresh broadcast per batch, destroyed after the
         // merge (reference TransE.py:116-117, 146-149 — 2*epochs*batches
         // generations would otherwise accumulate on executors).
+        val t0 = tick()
         val entBc = sc.broadcast(entity)
         val labBc = sc.broadcast(label)
         val batchSeed = p.seed * 1000003L + epoch.toLong * p.batches + batch
+        val t1 = tick()
 
         val sampled = data.sample(withReplacement = false, 1.0 / p.batches, batchSeed)
-        val deltas = sampled.rdd.mapPartitionsWithIndex { (pid, it) =>
+        val deltas = sampled.mapPartitionsWithIndex { (pid, it) =>
           TransETrainer.partitionSgd(pid, it, entBc.value, labBc.value,
             membBc.value, nEntities, p, batchSeed, lossAcc)
         }.collect()
+        val t2 = tick()
 
         // Deterministic last-writer-wins: partition-index order.
         java.util.Arrays.sort(deltas, Ordering.by((d: TransETrainer.Delta) => d.pid))
         deltas.foreach { d =>
-          d.entityRows.foreach { case (id, v) => entity(id) = v }
-          d.labelRows.foreach { case (id, v) => label(id) = v }
+          d.applyTo(entity, label, p.dim)
         }
+        val t3 = tick()
         entBc.destroy()
         labBc.destroy()
+        val t4 = tick()
+        tBroadcast += t1 - t0; tJob += t2 - t1; tMerge += t3 - t2; tDestroy += t4 - t3
         batch += 1
       }
       history :+= (lossAcc.value - epochStart)
       epoch += 1
+    }
+    if (profile) {
+      System.err.println(
+        f"[train-profile] broadcast=${tBroadcast / 1e9}%.1fs job=${tJob / 1e9}%.1fs " +
+          f"merge=${tMerge / 1e9}%.1fs destroy=${tDestroy / 1e9}%.1fs " +
+          f"rounds=${p.epochs * p.batches}")
     }
     lossHistory = history
     membBc.destroy()
@@ -131,11 +177,48 @@ class TransETrainer(params: TransEParams) extends Serializable {
 object TransETrainer {
 
   /** One partition's sparse update (reference yields a dict pair per
-    * partition, `TransE.py:218`). */
+    * partition, `TransE.py:218`). Stored as FLAT primitive arrays —
+    * ids plus row-major values — so task-result serialization is a
+    * straight memcpy instead of per-row boxed tuples (this is the
+    * dominant per-round byte volume: up to |touched rows| * dim floats
+    * per partition). */
   final case class Delta(
       pid: Int,
-      entityRows: Array[(Int, Array[Float])],
-      labelRows: Array[(Int, Array[Float])])
+      entIds: Array[Int], entVals: Array[Float],
+      labIds: Array[Int], labVals: Array[Float]) {
+
+    def applyTo(entity: Array[Array[Float]], label: Array[Array[Float]], dim: Int): Unit = {
+      var i = 0
+      while (i < entIds.length) {
+        val row = new Array[Float](dim)
+        System.arraycopy(entVals, i * dim, row, 0, dim)
+        entity(entIds(i)) = row
+        i += 1
+      }
+      i = 0
+      while (i < labIds.length) {
+        val row = new Array[Float](dim)
+        System.arraycopy(labVals, i * dim, row, 0, dim)
+        label(labIds(i)) = row
+        i += 1
+      }
+    }
+  }
+
+  private def pack(m: mutable.HashMap[Int, Array[Float]], dim: Int): (Array[Int], Array[Float]) = {
+    val n = m.size
+    val ids = new Array[Int](n)
+    val vals = new Array[Float](n * dim)
+    var i = 0
+    val it = m.iterator
+    while (it.hasNext) {
+      val (id, v) = it.next()
+      ids(i) = id
+      System.arraycopy(v, 0, vals, i * dim, dim)
+      i += 1
+    }
+    (ids, vals)
+  }
 
   /** Executor-side SGD over one partition of the sampled batch — the
     * reference's `corrupt_minimize` (`TransE.py:172-218`) re-expressed.
@@ -155,10 +238,20 @@ object TransETrainer {
     // Deterministic per-task stream: seed mixes batch and partition
     // (reference uses OS randomness, TransE.py:185 — SURVEY §7.5-3).
     val rng = new SplittableRandom(batchSeed ^ (pid.toLong * 0x9E3779B97F4A7C15L))
+    // Write-combining with DIRTY-ONLY shipping: rows enter the local maps
+    // (and hence the emitted delta) only when actually updated. The
+    // reference also ships rows it merely READ (`TransE.py:191-206`),
+    // which lets an unchanged copy from a later partition stomp a real
+    // update under last-writer-wins — shipping only dirty rows is both
+    // cheaper (delta bytes track hinge violations, which decay as training
+    // converges) and strictly better merge semantics (documented deviation,
+    // SURVEY §7.5-2).
     val entLocal = new mutable.HashMap[Int, Array[Float]]()
     val labLocal = new mutable.HashMap[Int, Array[Float]]()
-    def entRow(id: Int): Array[Float] = entLocal.getOrElseUpdate(id, entGlobal(id).clone())
-    def labRow(id: Int): Array[Float] = labLocal.getOrElseUpdate(id, labGlobal(id).clone())
+    def entRead(id: Int): Array[Float] = entLocal.getOrElse(id, entGlobal(id))
+    def labRead(id: Int): Array[Float] = labLocal.getOrElse(id, labGlobal(id))
+    def entWrite(id: Int): Array[Float] = entLocal.getOrElseUpdate(id, entGlobal(id).clone())
+    def labWrite(id: Int): Array[Float] = labLocal.getOrElseUpdate(id, labGlobal(id).clone())
 
     var loss = 0.0
     it.foreach { tr =>
@@ -177,17 +270,16 @@ object TransETrainer {
       val nhId = if (corruptHead) candidate else tr.h
       val ntId = if (corruptHead) tr.t else candidate
 
-      val h = entRow(tr.h)
-      val l = labRow(tr.l)
-      val t = entRow(tr.t)
-      val nh = entRow(nhId)
-      val nt = entRow(ntId)
-
-      val dPos = Kernels.dist(p.distance, h, l, t)
-      val dNeg = Kernels.dist(p.distance, nh, l, nt)
+      val dPos = Kernels.dist(p.distance, entRead(tr.h), labRead(tr.l), entRead(tr.t))
+      val dNeg = Kernels.dist(p.distance, entRead(nhId), labRead(tr.l), entRead(ntId))
       val viol = p.margin + dPos - dNeg
       if (viol > 0) { // hinge activation (TransE.py:276)
         loss += viol
+        val h = entWrite(tr.h)
+        val l = labWrite(tr.l)
+        val t = entWrite(tr.t)
+        val nh = entWrite(nhId)
+        val nt = entWrite(ntId)
         // Gradients computed from pre-update values, then applied jointly;
         // shared rows (l always; t or h on corruption overlap) accumulate
         // both contributions, which is exact joint SGD on the hinge term.
@@ -208,6 +300,8 @@ object TransETrainer {
       }
     }
     lossAcc.add(loss)
-    Iterator(Delta(pid, entLocal.toArray, labLocal.toArray))
+    val (eIds, eVals) = pack(entLocal, p.dim)
+    val (lIds, lVals) = pack(labLocal, p.dim)
+    Iterator(Delta(pid, eIds, eVals, lIds, lVals))
   }
 }

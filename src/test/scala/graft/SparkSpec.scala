@@ -8,6 +8,7 @@ object TestSession {
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[8]")
     .appName("graft-test")
+    .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
     .config("spark.sql.shuffle.partitions", "8")
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.session.timeZone", "UTC")

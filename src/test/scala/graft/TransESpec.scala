@@ -81,11 +81,18 @@ class TransESpec extends SparkSpec {
     val (fit, test) = TransEQueries.fitted(spark, sf)
     val row = LinkPrediction.evaluate(test, fit.model).collect().head
     val meanRank = row.getAs[Double]("mean_rank")
+    val tailRank = row.getAs[Double]("mean_rank_tail")
     val nRanks = row.getAs[Long]("n_ranks")
     assert(nRanks > 0)
-    // random guessing gives mean rank ~ nEntities/2
-    assert(meanRank < fit.nEntities / 4.0,
-      s"mean rank $meanRank not better than random (${fit.nEntities / 2.0})")
+    val random = fit.nEntities / 2.0
+    // tail direction (predict the customer of a held-out order) is the
+    // learnable task — demand a wide margin there; head direction is
+    // inherently ~random for placed_by (any order of the customer fits),
+    // so the combined mean only needs to clearly beat random.
+    assert(tailRank < random / 4.0,
+      s"tail mean rank $tailRank not << random ($random)")
+    assert(meanRank < random * 0.8,
+      s"combined mean rank $meanRank not better than random ($random)")
   }
 
   test("bloom membership trains equivalently (at-scale path)") {
