@@ -1,0 +1,24 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.Tables
+import graft.streaming.EventStreams
+
+/** Streaming surface (net-new vs reference, SURVEY §2.9): each streaming
+  * query replays the static events table through a file-source stream and
+  * returns the completed sink; batch-equivalent DuckDB SQL oracles apply
+  * where the streaming answer is engine-stable. */
+object StreamingQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_windowed_counts" -> ((s, d) => EventStreams.windowedCounts(s, d)),
+    "stream_dedup" -> ((s, d) => EventStreams.streamingDedup(s, d)),
+    "stream_sessionize" -> ((s, d) => EventStreams.sessionize(s, d)),
+    "q11_sessionize" -> ((s, d) => EventStreams.sessionizeBatch(Tables.events(s, d))))
+
+  val oracles: Map[String, String] = Map(
+    "stream_windowed_counts" -> EventStreams.windowedCountsSql,
+    "stream_dedup" -> EventStreams.streamingDedupSql,
+    "q11_sessionize" -> EventStreams.sessionizeBatchSql())
+}
