@@ -138,10 +138,13 @@ object Dedup {
     // cached: read by the signature build AND twice by the verify joins;
     // left cached (LRU-evictable) because the returned plan is lazy
     val sh = shingles(docs, n).persist()
+    // hash the shingle STRING once, then derive the 64-member family by
+    // re-hashing the resulting long — 64x less string hashing per row
     val minAggs = (0 until numHashes).map { j =>
-      min(xxhash64(col("shingle"), lit(seed), lit(j))).as(s"m$j")
+      min(xxhash64(col("h0"), lit(seed), lit(j))).as(s"m$j")
     }
-    val sig = sh.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
+    val sig = sh.withColumn("h0", xxhash64(col("shingle")))
+      .groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
 
     val bandCols = (0 until bands).map { bIdx =>
       val cols = (0 until rowsPerBand)

@@ -66,9 +66,13 @@ object DictionaryEncoder {
       .as[Triple]
   }
 
-  /** Convenience: dictionaries + encoded triples in one call. */
+  /** Convenience: dictionaries + encoded triples in one call. The raw
+    * triple set is read by the entity dictionary (twice: heads + tails),
+    * the label dictionary, and the encode join — cache it once instead of
+    * recomputing its (possibly expensive) lineage four times. */
   def encodeAll(raw: Dataset[RawTriple]): (Dataset[Triple], DataFrame, DataFrame) = {
-    val (ents, labs) = buildDictionaries(raw)
-    (encode(raw, ents, labs), ents, labs)
+    val cached = raw.persist()
+    val (ents, labs) = buildDictionaries(cached)
+    (encode(cached, ents, labs), ents, labs)
   }
 }

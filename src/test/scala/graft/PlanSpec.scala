@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.{FormattedMode, SimpleMode}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+import graft.queries.Relational
+
+/** Physical-plan assertions: the optimizations the engine's scale story
+  * depends on must be visible in the plan, not assumed. A regression that
+  * turns a broadcast join into a sort-merge join or loses column pruning
+  * fails here even though results stay correct. */
+class PlanSpec extends SparkSpec {
+
+  /** Tree-only plan (each operator printed once — for counting). */
+  private def simplePlan(df: DataFrame): String =
+    df.queryExecution.explainString(SimpleMode)
+
+  /** Detailed plan (ReadSchema / PushedFilters / conditions). */
+  private def formattedPlan(df: DataFrame): String =
+    df.queryExecution.explainString(FormattedMode)
+
+  test("q1_agg: parquet scan prunes to exactly the 5 referenced columns") {
+    val p = formattedPlan(Relational.q1Agg(spark, sf))
+    val readSchema = "ReadSchema: struct<(.*?)>".r
+      .findFirstMatchIn(p).map(_.group(1)).getOrElse(fail("no ReadSchema"))
+    val cols = readSchema.split(",").map(_.split(":").head.trim).toSet
+    assert(cols == Set("l_quantity", "l_extendedprice", "l_discount",
+      "l_returnflag", "l_linestatus"), s"got: $cols")
+  }
+
+  test("q1_agg: partial (map-side) + final aggregation") {
+    val p = simplePlan(Relational.q1Agg(spark, sf))
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      "expected partial+final HashAggregate pair")
+  }
+
+  test("q3: star join broadcasts both dims, no sort-merge join") {
+    val p = simplePlan(Relational.q3BroadcastJoin(spark, sf))
+    assert("BroadcastHashJoin".r.findAllIn(p).length == 2, p)
+    assert(!p.contains("SortMergeJoin"), "dims must broadcast, not SMJ")
+  }
+
+  test("q5: semi join stays broadcast; segment filter pushed to scan") {
+    val p = formattedPlan(Relational.q5SemiJoin(spark, sf))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
+    assert(p.contains("EqualTo(c_mktsegment,BUILDING)"),
+      "segment predicate must reach the parquet scan")
+  }
+
+  test("q4: anti join planned as hash anti join with pushed status filter") {
+    val p = formattedPlan(Relational.q4AntiJoin(spark, sf))
+    assert(p.contains("LeftAnti"), p)
+    assert(p.contains("EqualTo(o_orderstatus,F)"),
+      "status predicate must reach the orders scan")
+  }
+
+  test("q9: global top-k avoids a full sort (TakeOrderedAndProject)") {
+    val p = simplePlan(Relational.q9TopK(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("ann_near_dup: native vector_cosine evaluated in the join condition") {
+    val df = graft.operators.SimilaritySearch.cosineNearDupExact(
+      Tables.embeddings(spark, sf))
+    val p = formattedPlan(df)
+    assert(p.contains("vector_cosine"), "custom expression must appear in plan")
+  }
+
+  test("vector expressions run inside whole-stage codegen in projections") {
+    val df = Tables.embeddings(spark, sf)
+      .select(VectorFunctions.cosine(spark, col("embedding"), col("embedding")).as("c"))
+    df.collect()
+    // the "*(n)" prefix marks operators fused into a WholeStageCodegen stage
+    assert("""\*\(\d+\) Project \[vector_cosine""".r
+      .findFirstIn(df.queryExecution.executedPlan.toString).isDefined,
+      "projection with vector_cosine must be codegen'd (expected *(n) prefix)")
+    // and the generated code must be the primitive loop, not eval fallback
+    assert(!formattedPlan(df).contains("CodegenFallback"))
+  }
+
+  test("dedup_exact: one shuffle for the agg + one for the output sort") {
+    val p = simplePlan(graft.operators.Dedup.exact(Tables.documents(spark, sf)))
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges <= 2, s"expected <=2 exchanges, got $exchanges:\n$p")
+  }
+
+  test("kg_triples: no shuffle except the two lineitem DISTINCTs") {
+    // sf0.01 rather than the shared sf0.001: other suites cache the
+    // sf0.001 KG (encodeAll), and the InMemoryRelation's embedded plan
+    // would double-count exchanges here
+    val p = simplePlan(graft.queries.TransEQueries.kgTriples(spark, "/root/testdata/sf0.01"))
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges <= 2, s"union of projections must not shuffle:\n$p")
+  }
+}
