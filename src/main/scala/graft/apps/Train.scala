@@ -1,0 +1,141 @@
+package graft.apps
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.rand
+
+import graft.transe._
+
+/** Training entry point — the engine's `example.py` (reference
+  * `example.py:14-40`): load TSV triples, dictionary-encode, train TransE,
+  * write the model + dictionaries as parquet.
+  *
+  * Usage (spark-submit or sbt runMain):
+  *   graft.apps.Train --train <triples.tsv> --out <modelDir>
+  *     [--epochs 1000] [--batches 2] [--margin 1.0] [--lr 0.01]
+  *     [--dim 50] [--distance L1|L2] [--seed 42]
+  *     [--checkpoint-every 50] [--warm-start <modelDir>]
+  */
+object Train {
+  def main(args: Array[String]): Unit = {
+    val opts = Args.parse(args)
+    val trainPath = opts.required("train")
+    val outDir = opts.required("out")
+    val params = TransEParams(
+      epochs = opts.int("epochs", 1000),
+      batches = opts.int("batches", 2),
+      margin = opts.float("margin", 1.0f),
+      lr = opts.float("lr", 0.01f),
+      dim = opts.int("dim", 50),
+      distance = if (opts.str("distance", "L1") == "L2") L2Squared else L1,
+      seed = opts.long("seed", 42L),
+      checkpointEvery = opts.int("checkpoint-every", 0),
+      checkpointDir = Some(s"$outDir/checkpoint"))
+
+    val (spark, owned) = Args.session()
+    import spark.implicits._
+
+    val raw = TripleReader.readTsv(spark, trainPath)
+    // O1 (reference TransE.py:88): randomize row->partition assignment once
+    // so partitions are balanced regardless of input file order
+    val shuffled = raw.orderBy(rand(params.seed)).as[RawTriple]
+    val (encoded, ents, labs) = DictionaryEncoder.encodeAll(shuffled)
+    val nEnt = ents.count().toInt
+    val nLab = labs.count().toInt
+
+    val warm = opts.get("warm-start").map(dir =>
+      EmbeddingIO.loadModel(spark, dir, params))
+
+    val trainer = new TransETrainer(params)
+    val t0 = System.nanoTime()
+    val model = trainer.fit(encoded, nEnt, nLab, warm)
+    val sec = (System.nanoTime() - t0) / 1e9
+
+    EmbeddingIO.saveModel(spark, model, outDir)
+    ents.write.mode("overwrite").parquet(s"$outDir/entity_dict")
+    labs.write.mode("overwrite").parquet(s"$outDir/label_dict")
+
+    println(f"[train] epochs=${params.epochs} nEntities=$nEnt nLabels=$nLab " +
+      f"totalSec=$sec%.1f epochSec=${sec / params.epochs}%.3f " +
+      s"lossFirst=${trainer.lossHistory.headOption.getOrElse(0.0)} " +
+      s"lossLast=${trainer.lossHistory.lastOption.getOrElse(0.0)}")
+    if (owned) spark.stop()
+  }
+}
+
+/** Evaluation entry point — the engine's `test.py` (reference
+  * `test.py:105-126`): load the model + dictionaries, encode the test TSV
+  * with the TRAINING dictionary (shared-dictionary fix, SURVEY J4), run
+  * link prediction, print MeanRank / Hits@10.
+  *
+  * Usage: graft.apps.Evaluate --test <triples.tsv> --model <modelDir>
+  *   [--hits-k 10]
+  */
+object Evaluate {
+  def main(args: Array[String]): Unit = {
+    val opts = Args.parse(args)
+    val testPath = opts.required("test")
+    val modelDir = opts.required("model")
+    val hitsK = opts.int("hits-k", 10)
+
+    val (spark, owned) = Args.session()
+    import spark.implicits._
+
+    val params = TransEParams() // distance only affects scoring; default L1
+    val model = EmbeddingIO.loadModel(spark, modelDir, params)
+    val ents = spark.read.parquet(s"$modelDir/entity_dict")
+    val labs = spark.read.parquet(s"$modelDir/label_dict")
+
+    val raw = TripleReader.readTsv(spark, testPath)
+    // inner-join encode drops test triples with unseen entities/labels —
+    // the reference's "raw" skip-unknown protocol (test.py:45-46)
+    val encoded = DictionaryEncoder.encode(raw, ents, labs)
+
+    val row = LinkPrediction.evaluate(encoded, model, hitsK).collect().head
+    println(f"[evaluate] n=${row.getAs[Long]("n_ranks")} " +
+      f"meanRank=${row.getAs[Double]("mean_rank")}%.2f " +
+      f"meanRankHead=${row.getAs[Double]("mean_rank_head")}%.2f " +
+      f"meanRankTail=${row.getAs[Double]("mean_rank_tail")}%.2f " +
+      f"hits@$hitsK=${row.getAs[Double](s"hits_at_$hitsK") * 100}%.2f%%")
+    if (owned) spark.stop()
+  }
+}
+
+/** Tiny flag parser + shared session builder for the apps. */
+private[apps] class Args(m: Map[String, String]) {
+  def get(k: String): Option[String] = m.get(k)
+  def required(k: String): String =
+    m.getOrElse(k, throw new IllegalArgumentException(s"missing --$k"))
+  def str(k: String, d: String): String = m.getOrElse(k, d)
+  def int(k: String, d: Int): Int = m.get(k).map(_.toInt).getOrElse(d)
+  def long(k: String, d: Long): Long = m.get(k).map(_.toLong).getOrElse(d)
+  def float(k: String, d: Float): Float = m.get(k).map(_.toFloat).getOrElse(d)
+}
+
+private[apps] object Args {
+  def parse(args: Array[String]): Args = {
+    val m = args.sliding(2, 2).collect {
+      case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
+    }.toMap
+    new Args(m)
+  }
+
+  /** Returns (session, ownedByUs): reuse an active session when embedded
+    * (tests, notebooks) and only stop sessions this app created. */
+  def session(): (SparkSession, Boolean) = {
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession) match {
+      case Some(s) => (s, false)
+      case None =>
+        val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+          Runtime.getRuntime.availableProcessors().toString)
+        val spark = SparkSession.builder()
+          .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
+          .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+          .config("spark.sql.shuffle.partitions", cpus)
+          .config("spark.sql.adaptive.enabled", "true")
+          .config("spark.ui.enabled", "false")
+          .getOrCreate()
+        spark.sparkContext.setLogLevel("WARN")
+        (spark, true)
+    }
+  }
+}

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.Tables
+import graft.operators.AsOfJoin
 import graft.streaming.EventStreams
 
 /** Streaming surface (net-new vs reference, SURVEY §2.9): each streaming
@@ -15,10 +16,12 @@ object StreamingQueries {
     "stream_windowed_counts" -> ((s, d) => EventStreams.windowedCounts(s, d)),
     "stream_dedup" -> ((s, d) => EventStreams.streamingDedup(s, d)),
     "stream_sessionize" -> ((s, d) => EventStreams.sessionize(s, d)),
-    "q11_sessionize" -> ((s, d) => EventStreams.sessionizeBatch(Tables.events(s, d))))
+    "q11_sessionize" -> ((s, d) => EventStreams.sessionizeBatch(Tables.events(s, d))),
+    "q12_asof_join" -> ((s, d) => AsOfJoin.errorToLastClick(Tables.events(s, d))))
 
   val oracles: Map[String, String] = Map(
     "stream_windowed_counts" -> EventStreams.windowedCountsSql,
     "stream_dedup" -> EventStreams.streamingDedupSql,
-    "q11_sessionize" -> EventStreams.sessionizeBatchSql())
+    "q11_sessionize" -> EventStreams.sessionizeBatchSql(),
+    "q12_asof_join" -> AsOfJoin.errorToLastClickSql)
 }

@@ -78,10 +78,20 @@ class TransETrainer(params: TransEParams) extends Serializable {
   /** Per-epoch hinge loss trajectory of the last `fit` call. */
   @volatile var lossHistory: Vector[Double] = Vector.empty
 
-  def fit(triples: Dataset[Triple], nEntities: Int, nLabels: Int): TransEModel = {
+  def fit(triples: Dataset[Triple], nEntities: Int, nLabels: Int): TransEModel =
+    fit(triples, nEntities, nLabels, warmStart = None)
+
+  /** @param warmStart resume from a previous model's matrices (reference
+    *                  `TransE.py:28-29,73-76`: restore-then-continue). */
+  def fit(triples: Dataset[Triple], nEntities: Int, nLabels: Int,
+      warmStart: Option[TransEModel]): TransEModel = {
     val spark = triples.sparkSession
     val sc = spark.sparkContext
     val p = params
+    warmStart.foreach { m =>
+      require(m.nEntities == nEntities && m.nLabels == nLabels,
+        s"warm-start shape (${m.nEntities},${m.nLabels}) != (${nEntities},${nLabels})")
+    }
 
     // Materialize ONCE as a cached RDD of Triple objects: the SGD loop
     // re-samples this 2 * epochs * batches times, and staying in the RDD
@@ -113,10 +123,16 @@ class TransETrainer(params: TransEParams) extends Serializable {
       }
     val membBc = sc.broadcast(membership)
 
-    val entity = Kernels.uniformInit(nEntities, p.dim, p.seed)
-    val label = Kernels.uniformInit(nLabels, p.dim, p.seed + 1)
-    Kernels.normalizeAll(label)
-    Kernels.normalizeAll(entity)
+    val (entity, label) = warmStart match {
+      case Some(m) =>
+        (m.entity.map(_.clone()), m.label.map(_.clone()))
+      case None =>
+        val e = Kernels.uniformInit(nEntities, p.dim, p.seed)
+        val l = Kernels.uniformInit(nLabels, p.dim, p.seed + 1)
+        Kernels.normalizeAll(l)
+        Kernels.normalizeAll(e)
+        (e, l)
+    }
 
     val lossAcc: DoubleAccumulator = sc.doubleAccumulator("transe_hinge_loss")
     var history = Vector.empty[Double]
@@ -160,6 +176,12 @@ class TransETrainer(params: TransEParams) extends Serializable {
       }
       history :+= (lossAcc.value - epochStart)
       epoch += 1
+      // periodic checkpoint (reference: every 50 epochs, TransE.py:108-111)
+      if (p.checkpointEvery > 0 && epoch % p.checkpointEvery == 0) {
+        p.checkpointDir.foreach { dir =>
+          EmbeddingIO.saveModel(spark, TransEModel(entity, label, p), dir)
+        }
+      }
     }
     if (profile) {
       System.err.println(

@@ -37,6 +37,10 @@ case object L2Squared extends Distance
   *                        rejection; false = Bloom filter (1% fpp), the
   *                        100TB-scale path where the exact set no longer
   *                        fits in executor memory
+  * @param checkpointEvery write a parquet checkpoint of both matrices
+  *                        every N epochs (reference: pickle every 50,
+  *                        `TransE.py:108-111`); 0 disables
+  * @param checkpointDir   where periodic checkpoints go (entity/ + label/)
   */
 case class TransEParams(
     epochs: Int = 100,
@@ -47,7 +51,9 @@ case class TransEParams(
     distance: Distance = L1,
     seed: Long = 42L,
     rejectionCap: Int = 100,
-    exactMembership: Boolean = true)
+    exactMembership: Boolean = true,
+    checkpointEvery: Int = 0,
+    checkpointDir: Option[String] = None)
 
 /** Trained model: driver-held dense matrices, row = id.
   * (reference: `Embedding.py:7-11` — numpy (n, k) float64; float32 here

@@ -1,0 +1,98 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.AsOfJoin
+import graft.transe._
+
+class AppsSpec extends SparkSpec {
+
+  /** Tiny deterministic KG TSV: two relation types over 12 entities. */
+  private def writeTsv(): (String, String) = {
+    val dir = Files.createTempDirectory("kg")
+    val rng = new java.util.SplittableRandom(7)
+    val lines = (0 until 200).map { _ =>
+      val a = s"e${rng.nextInt(12)}"
+      val b = s"e${rng.nextInt(12)}"
+      val r = s"r${rng.nextInt(2)}"
+      s"$a\t$r\t$b"
+    }
+    val train = dir.resolve("train.tsv")
+    val test = dir.resolve("test.tsv")
+    Files.writeString(train, lines.take(180).distinct.mkString("\n"))
+    Files.writeString(test, lines.drop(180).distinct.mkString("\n"))
+    (train.toString, test.toString)
+  }
+
+  test("Train app end-to-end: TSV -> model dir with dicts + checkpoint") {
+    val (trainTsv, _) = writeTsv()
+    val out = Files.createTempDirectory("model").toString
+    graft.apps.Train.main(Array(
+      "--train", trainTsv, "--out", out,
+      "--epochs", "4", "--batches", "2", "--dim", "8",
+      "--checkpoint-every", "2"))
+    assert(Files.exists(java.nio.file.Paths.get(s"$out/entity/_SUCCESS".replace("/_SUCCESS", ""))))
+    val ent = EmbeddingIO.load(spark, s"$out/entity")
+    val dict = spark.read.parquet(s"$out/entity_dict")
+    assert(ent.length == dict.count())
+    assert(Files.exists(java.nio.file.Paths.get(s"$out/checkpoint")))
+  }
+
+  test("Evaluate app runs against a trained model") {
+    val (trainTsv, testTsv) = writeTsv()
+    val out = Files.createTempDirectory("model").toString
+    graft.apps.Train.main(Array(
+      "--train", trainTsv, "--out", out, "--epochs", "3", "--dim", "8"))
+    // should not throw; prints metrics
+    graft.apps.Evaluate.main(Array("--test", testTsv, "--model", out))
+  }
+
+  test("warm start resumes from a checkpoint with matching shapes") {
+    import spark.implicits._
+    val triples = (0 until 50).map(i => Triple(i % 10, i % 2, (i + 3) % 10)).toDS()
+    val p = TransEParams(epochs = 2, batches = 1, dim = 4, seed = 1)
+    val t1 = new TransETrainer(p)
+    val m1 = t1.fit(triples, 10, 2)
+    val t2 = new TransETrainer(p)
+    val m2 = t2.fit(triples, 10, 2, Some(m1))
+    // warm-started model must differ from the cold init trajectory start
+    assert(!m2.entity(0).sameElements(Kernels.uniformInit(10, 4, 1)(0)))
+    // and shape mismatch must fail fast
+    intercept[IllegalArgumentException] {
+      new TransETrainer(p).fit(triples, 11, 2, Some(m1))
+    }
+  }
+
+  test("as-of join matches a hand-computed per-user trace") {
+    import spark.implicits._
+    val events = Seq(
+      // user 1: click(10), error(15), click(20), error(25)
+      (1L, 1L, "click", 10L), (2L, 1L, "error", 15L),
+      (3L, 1L, "click", 20L), (4L, 1L, "error", 25L),
+      // user 2: error before any click -> null match
+      (5L, 2L, "error", 5L), (6L, 2L, "click", 8L), (7L, 2L, "error", 9L))
+      .toDF("event_id", "user_id", "event_type", "sec")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val out = AsOfJoin.errorToLastClick(events).collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq
+    assert(out == Seq(
+      (2L, 1L, 5L),   // error@15 -> click@10
+      (4L, 3L, 5L),   // error@25 -> click@20
+      (5L, -1L, -1L), // no prior click
+      (7L, 6L, 1L)))  // error@9 -> click@8
+  }
+
+  test("as-of join at same timestamp matches the simultaneous right row") {
+    import spark.implicits._
+    val events = Seq(
+      (1L, 1L, "click", 10L), (2L, 1L, "error", 10L))
+      .toDF("event_id", "user_id", "event_type", "sec")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val out = AsOfJoin.errorToLastClick(events).collect()
+    assert(out.length == 1 && out.head.getLong(1) == 1L && out.head.getLong(2) == 0L)
+  }
+}
