@@ -23,6 +23,23 @@ object Bench {
     // warmup: touch every table + exercise codegen once
     Tables.names.foreach(n => Tables.load(spark, sfDir, n).count())
 
+    // Reference-comparable epoch time FIRST (BASELINE.md: 13.50 s/epoch at
+    // k=50, n_batches=2, L1 on 272k triples / 1 worker): measured before
+    // the query sweep so host-throttling of long runs doesn't skew the
+    // headline metric. 3 epochs at the reference hyperparameters.
+    val epochSec = try {
+      import spark.implicits._
+      val raw = graft.queries.TransEQueries.kgTriples(spark, sfDir)
+        .as[graft.transe.RawTriple]
+      val (enc, ents, labs) = graft.transe.DictionaryEncoder.encodeAll(raw)
+      val (nEnt, nLab) = (ents.count().toInt, labs.count().toInt)
+      val p = graft.transe.TransEParams(epochs = 3, batches = 2,
+        margin = 1.0f, lr = 0.01f, dim = 50, distance = graft.transe.L1)
+      val t0 = System.nanoTime()
+      new graft.transe.TransETrainer(p).fit(enc, nEnt, nLab)
+      (System.nanoTime() - t0) / 1e9 / p.epochs
+    } catch { case _: Throwable => -1.0 }
+
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch {
@@ -30,7 +47,8 @@ object Bench {
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = (results :+ ("transe_epoch_sec" -> epochSec))
+      .map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")

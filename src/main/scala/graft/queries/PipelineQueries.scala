@@ -30,6 +30,7 @@ object PipelineQueries {
     "ann_topk" -> ((s, d) => SimilaritySearch.bruteForceTopK(Tables.embeddings(s, d), annQueryIds)),
     "ann_near_dup" -> ((s, d) => SimilaritySearch.cosineNearDupExact(Tables.embeddings(s, d))),
     "ann_lsh" -> ((s, d) => SimilaritySearch.randomHyperplaneAnn(Tables.embeddings(s, d))),
+    "ann_ivf" -> ((s, d) => IvfAnn.topK(Tables.embeddings(s, d))),
     // --- multimodal ---
     "mm_decode_features" -> ((s, d) => Multimodal.decodeFeatures(Multimodal.assetTable(Tables.documents(s, d)))),
     "mm_frame_features" -> ((s, d) => Multimodal.sampleFrameFeatures(Multimodal.assetTable(Tables.documents(s, d)))),

