@@ -28,11 +28,8 @@ object Bench {
     // the query sweep so host-throttling of long runs doesn't skew the
     // headline metric. 3 epochs at the reference hyperparameters.
     val epochSec = try {
-      import spark.implicits._
-      val raw = graft.queries.TransEQueries.kgTriples(spark, sfDir)
-        .as[graft.transe.RawTriple]
-      val (enc, ents, labs) = graft.transe.DictionaryEncoder.encodeAll(raw)
-      val (nEnt, nLab) = (ents.count().toInt, labs.count().toInt)
+      val (enc, _, _, nEnt, nLab) =
+        graft.queries.TransEQueries.encodedKg(spark, sfDir)
       val p = graft.transe.TransEParams(epochs = 3, batches = 2,
         margin = 1.0f, lr = 0.01f, dim = 50, distance = graft.transe.L1)
       val t0 = System.nanoTime()

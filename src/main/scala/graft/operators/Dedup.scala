@@ -240,19 +240,27 @@ object Dedup {
       .toDF("doc_id", "simhash")
   }
 
-  /** SimHash near-dup pairs: band the 64-bit signature into 8 x 8-bit
-    * keys — by pigeonhole any pair within Hamming distance 7 shares at
-    * least one untouched band, so candidate generation is EXACT for
-    * d <= maxHamming = 7 (web-page simhash uses 4 x 16 / d <= 3; these
-    * documents are shorter and noisier, so the radius is wider) — then
-    * bucket-join and verify exact Hamming. */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 7): DataFrame = {
+  /** SimHash near-dup pairs via block-PAIR keys (Manku et al.'s simhash
+    * blocking): split the 64-bit signature into 8 blocks of 8 bits; a
+    * candidate key is the concatenation of two blocks — C(8,2) = 28 keys
+    * of 16 bits each. Pigeonhole: d <= 6 errors touch at most 6 blocks,
+    * leaving an untouched PAIR, so candidate generation is EXACT for
+    * maxHamming <= 6. Single 8-bit blocks would be exact to d <= 7 but
+    * have only 256 distinct values — every bucket holds |corpus|/256
+    * docs and candidates grow quadratically; 16-bit pair keys keep
+    * buckets selective at scale. Candidates are verified with exact
+    * Hamming anyway. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 6): DataFrame = {
+    require(maxHamming <= 6, "block-pair keys are exact only to Hamming 6")
     val sig = simhashSignatures(docs)
+    val pairKeys = for (i <- 0 until 8; j <- (i + 1) until 8) yield {
+      val bi = shiftrightunsigned(col("simhash"), i * 8).bitwiseAND(lit(0xFFL))
+      val bj = shiftrightunsigned(col("simhash"), j * 8).bitwiseAND(lit(0xFFL))
+      shiftleft(bi, 8).bitwiseOR(bj)
+    }
     val banded = sig.select(
       col("doc_id"), col("simhash"),
-      posexplode(array((0 until 8).map(b =>
-        shiftrightunsigned(col("simhash"), b * 8).bitwiseAND(lit(0xFFL))): _*))
-        .as(Seq("band_idx", "band_bits")))
+      posexplode(array(pairKeys: _*)).as(Seq("band_idx", "band_bits")))
     val l = banded.select(col("doc_id").as("doc_a"), col("simhash").as("sig_a"),
       col("band_idx"), col("band_bits"))
     val r = banded.select(col("doc_id").as("doc_b"), col("simhash").as("sig_b"),

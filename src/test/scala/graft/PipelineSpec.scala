@@ -37,13 +37,13 @@ class PipelineSpec extends SparkSpec {
     val sig2 = Dedup.simhash64(Iterator("a", "b", "c"))
     assert(sig1 == sig2)
     val pairs = Dedup.simhashPairs(docs).collect()
-    pairs.foreach(r => assert(r.getAs[Long]("hamming") <= 7))
+    pairs.foreach(r => assert(r.getAs[Long]("hamming") <= 6))
   }
 
   test("simhash near-dups overlap heavily with jaccard near-dups") {
     val jac = Dedup.ngramJaccard(docs, tau = 0.8).select("doc_a", "doc_b")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val sim = Dedup.simhashPairs(docs, maxHamming = 7).select("doc_a", "doc_b")
+    val sim = Dedup.simhashPairs(docs, maxHamming = 6).select("doc_a", "doc_b")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     // both detect the planted clones; simhash on distinct unigrams is
     // blunter, so require majority overlap rather than equality
