@@ -162,18 +162,19 @@ class TransETrainer(params: TransEParams) extends Serializable {
       val epochStart = lossAcc.value
       var batch = 0
       while (batch < p.batches) {
-        // Parameter sync: fresh broadcast per batch, destroyed after the
-        // merge (reference TransE.py:116-117, 146-149 — 2*epochs*batches
+        // Parameter sync: ONE fresh broadcast per batch bundling both
+        // matrices (the reference broadcasts two, TransE.py:116-117),
+        // destroyed after the merge (TransE.py:146-149 — epochs*batches
         // generations would otherwise accumulate on executors).
         val t0 = tick()
-        val entBc = sc.broadcast(entity)
-        val labBc = sc.broadcast(label)
+        val modelBc = sc.broadcast((entity, label))
         val batchSeed = p.seed * 1000003L + epoch.toLong * p.batches + batch
         val t1 = tick()
 
         val sampled = data.sample(withReplacement = false, 1.0 / p.batches, batchSeed)
         val deltas = sampled.mapPartitionsWithIndex { (pid, it) =>
-          TransETrainer.partitionSgd(pid, it, entBc.value, labBc.value,
+          val (ent, lab) = modelBc.value
+          TransETrainer.partitionSgd(pid, it, ent, lab,
             membBc.value, nEntities, p, batchSeed, lossAcc)
         }.collect()
         val t2 = tick()
@@ -184,8 +185,7 @@ class TransETrainer(params: TransEParams) extends Serializable {
           d.applyTo(entity, label, p.dim)
         }
         val t3 = tick()
-        entBc.destroy()
-        labBc.destroy()
+        modelBc.destroy()
         val t4 = tick()
         tBroadcast += t1 - t0; tJob += t2 - t1; tMerge += t3 - t2; tDestroy += t4 - t3
         batch += 1
