@@ -244,6 +244,47 @@ object Relational {
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin
 
+  // ------------------------------------------------------------ q13_rollup
+  /** ROLLUP aggregation (SURVEY §2.11 lists grouping sets as absent from
+    * the reference — included here because Spark SQL provides it and an
+    * engine user expects it): revenue by (returnflag, linestatus) with
+    * subtotals and grand total. grouping_id disambiguates NULL-as-subtotal
+    * from NULL data in both engines. */
+  def q13Rollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(dec("l_extendedprice")).cast("double").as("revenue"),
+        grouping_id().cast("long").as("gid"))
+      .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  val q13Sql: String =
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+      |FROM lineitem
+      |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
+  // ------------------------------------------------------------ q14_except
+  /** EXCEPT set operator (SURVEY §2.11: absent from the reference; free
+    * from Spark SQL): customer keys that ordered in 'O' status but never
+    * in 'F'. */
+  def q14Except(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val open = o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+    val done = o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+    open.except(done).orderBy("o_custkey")
+  }
+
+  val q14Sql: String =
+    """SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      |EXCEPT
+      |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      |ORDER BY o_custkey""".stripMargin
+
   /** Registry consumed by SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg"             -> (q1Agg _),
@@ -255,7 +296,9 @@ object Relational {
     "q7_conditional_ratio" -> (q7ConditionalRatio _),
     "q8_dict_encode"     -> (q8DictEncode _),
     "q9_topk"            -> (q9TopK _),
-    "q10_time_bucket"    -> (q10TimeBucket _))
+    "q10_time_bucket"    -> (q10TimeBucket _),
+    "q13_rollup"         -> (q13Rollup _),
+    "q14_except"         -> (q14Except _))
 
   val oracles: Map[String, String] = Map(
     "q1_agg"             -> q1Sql,
@@ -267,5 +310,7 @@ object Relational {
     "q7_conditional_ratio" -> q7Sql,
     "q8_dict_encode"     -> q8Sql,
     "q9_topk"            -> q9Sql,
-    "q10_time_bucket"    -> q10Sql)
+    "q10_time_bucket"    -> q10Sql,
+    "q13_rollup"         -> q13Sql,
+    "q14_except"         -> q14Sql)
 }
