@@ -190,23 +190,23 @@ object Dedup {
   }
 
   // ------------------------------------------------------------- SimHash
-  /** 64-bit FNV-1a — self-contained, stable across JVMs (used for SimHash
-    * term hashing; executors must agree bit-for-bit). */
-  def fnv1a64(s: String): Long = {
-    var h = 0xcbf29ce484222325L
+  /** 64-bit term hash = first 8 md5 bytes (big-endian, signed). Stable
+    * across JVMs AND replayable in DuckDB SQL ([[OracleSql.hex64Signed]]),
+    * which is what lets simhashPairs carry a full value-hash oracle. */
+  def md5Hash64(md: java.security.MessageDigest, s: String): Long = {
+    md.reset()
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var h = 0L
     var i = 0
-    while (i < s.length) {
-      h ^= s.charAt(i).toLong
-      h *= 0x100000001b3L
-      i += 1
-    }
+    while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
     h
   }
 
   def simhash64(terms: Iterator[String]): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
     val acc = new Array[Int](64)
     terms.foreach { term =>
-      val h = fnv1a64(term)
+      val h = md5Hash64(md, term)
       var bit = 0
       while (bit < 64) {
         if (((h >>> bit) & 1L) == 1L) acc(bit) += 1 else acc(bit) -= 1
@@ -273,5 +273,37 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming").cast("long").as("hamming"))
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** DuckDB oracle for simhashPairs: replays the md5-term simhash
+    * signature in SQL, then checks ALL pairs with exact Hamming — valid
+    * because block-pair banding is candidate-EXACT for Hamming <= 6
+    * (pigeonhole, see simhashPairs), so banded Spark output == all-pairs
+    * SQL output. */
+  def simhashPairsSql(n: Int = 5, maxHamming: Int = 6): String = {
+    val h64 = OracleSql.hex64Signed("md5(gram)")
+    s"""WITH words AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+       |grams AS (
+       |  SELECT DISTINCT doc_id, array_to_string(w[i:i+${n - 1}], ' ') AS gram
+       |  FROM (SELECT doc_id, w, unnest(range(1, greatest(len(w)-${n - 1},1)+1)) AS i FROM words)
+       |),
+       |ghash AS (SELECT doc_id, $h64 AS h FROM grams),
+       |bits AS (
+       |  SELECT doc_id, b, SUM(CASE WHEN (h >> CAST(b AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+       |  FROM ghash CROSS JOIN (SELECT unnest(range(0,64)) AS b)
+       |  GROUP BY doc_id, b
+       |),
+       |sig AS (
+       |  SELECT doc_id, CAST(SUM(CASE
+       |      WHEN acc <= 0 THEN 0
+       |      WHEN b = 63 THEN -9223372036854775808
+       |      ELSE (CAST(1 AS BIGINT) << CAST(b AS INTEGER)) END) AS BIGINT) AS sig
+       |  FROM bits GROUP BY doc_id
+       |)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |       CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+       |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sig, b.sig)) <= $maxHamming
+       |ORDER BY doc_a, doc_b""".stripMargin
   }
 }

@@ -1,5 +1,8 @@
 package graft.operators
 
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -10,14 +13,20 @@ import org.apache.spark.sql.functions._
   * The Spark side is real — schema, partitioning, batch shape, feature
   * extraction contract; the codec itself is a STUB (no image/audio
   * libraries in this container): `StubCodec.decode` derives deterministic
-  * fake dimensions/features from the bytes. Swapping in a real decoder
-  * (JPEG/PNG/ffmpeg) changes ONLY the codec object — the operator
+  * fake dimensions/features from md5 of the bytes. Swapping in a real
+  * decoder (JPEG/PNG/ffmpeg) changes ONLY the codec object — the operator
   * signatures, schemas, and execution shape stay identical.
+  *
+  * The md5 basis is deliberate: DuckDB can replay the whole pseudo-decode
+  * in SQL (see [[OracleSql]]), so both mm_* queries carry full value-hash
+  * oracles — the plumbing is verified end-to-end even though the codec is
+  * fake.
   *
   * Scale notes:
   *  - media bytes ride in parquet binary columns; the decode is a narrow
-  *    `mapPartitions` (no shuffle), so throughput scales with executors
-  *    and decode cost dominates — exactly the regime a real pipeline has;
+  *    `mapPartitions` (no shuffle) reusing one digest/codec instance per
+  *    partition, so throughput scales with executors and decode cost
+  *    dominates — exactly the regime a real pipeline has;
   *  - `spark.sql.files.maxPartitionBytes` is the knob that sizes decode
   *    tasks when media blobs make rows heavy; the operators never collect
   *    media to the driver.
@@ -25,28 +34,41 @@ import org.apache.spark.sql.functions._
 object Multimodal {
 
   /** ======= STUB: deterministic fake codec (clearly marked) =======
-    * Derives pseudo-metadata and a feature vector from the raw bytes.
-    * A real implementation would decode the container format here. */
+    * Derives pseudo-metadata and a feature vector from md5 of the raw
+    * bytes. A real implementation would decode the container format here. */
   object StubCodec {
-    def decode(bytes: Array[Byte]): (Int, Int, Int, Array[Float]) = {
-      // NOT a real decoder: dimensions/features are a deterministic
-      // function of the bytes so tests are stable and plumbing is real.
-      var h = 0xcbf29ce484222325L
-      var i = 0
-      while (i < bytes.length) { h ^= bytes(i); h *= 0x100000001b3L; i += 1 }
-      val width = 64 + (math.abs(h % 1024)).toInt
-      val height = 64 + (math.abs((h >>> 16) % 1024)).toInt
-      val channels = 1 + (math.abs((h >>> 32) % 4)).toInt
-      val features = Array.tabulate(8) { j =>
-        (((h >>> (8 * (j % 8))) & 0xFF).toFloat / 255.0f)
-      }
+    private val hexChars = "0123456789abcdef".toCharArray
+
+    def md5Hex(md: MessageDigest, bytes: Array[Byte]): String = {
+      md.reset()
+      val d = md.digest(bytes)
+      val sb = new java.lang.StringBuilder(32)
+      d.foreach { b => sb.append(hexChars((b >> 4) & 0xf)).append(hexChars(b & 0xf)) }
+      sb.toString
+    }
+
+    private def hexInt(hex: String, from: Int, len: Int): Int =
+      Integer.parseInt(hex.substring(from, from + len), 16)
+
+    /** NOT a real decoder: dimensions/features are a deterministic
+      * function of md5(bytes) so tests are stable, the plumbing is real,
+      * and DuckDB can replay it. Features are byte-values/255.0 — exact
+      * IEEE doubles, identical in any engine. */
+    def decode(md: MessageDigest, bytes: Array[Byte]): (Int, Int, Int, Array[Double]) = {
+      val hex = md5Hex(md, bytes)
+      val width = 64 + hexInt(hex, 0, 3) % 1024
+      val height = 64 + hexInt(hex, 3, 3) % 1024
+      val channels = 1 + hexInt(hex, 6, 1) % 4
+      val features = Array.tabulate(8)(j => hexInt(hex, 16 + 2 * j, 2) / 255.0)
       (width, height, channels, features)
     }
 
-    /** Fake frame sampler: fixed-size byte windows stand in for frames. */
-    def sampleFrames(bytes: Array[Byte], frameBytes: Int, everyN: Int): Seq[Array[Byte]] =
-      bytes.grouped(frameBytes).zipWithIndex
-        .collect { case (chunk, idx) if idx % everyN == 0 => chunk }
+    /** Fake frame sampler: fixed-size character windows stand in for
+      * frames (the testdata corpus is ASCII, so chars == bytes; a real
+      * codec would window bytes/containers). */
+    def sampleFrames(text: String, frameChars: Int, everyN: Int): Seq[(Long, String)] =
+      text.grouped(frameChars).zipWithIndex
+        .collect { case (chunk, idx) if idx % everyN == 0 => ((idx / everyN).toLong, chunk) }
         .toSeq
   }
 
@@ -62,51 +84,95 @@ object Multimodal {
         col("n_chars").as("declared_size"),
         lit("image/stub").as("media_type")).as("meta"))
 
-  /** Decode + featurize: batched per-partition map over binary media.
-    * Output schema is the real one a downstream trainer would consume:
-    * (asset_id, width, height, channels, n_bytes, features ARRAY<FLOAT>).
-    */
+  private val featCols = (0 until 8).map(j => s"f$j")
+
+  /** Decode + featurize: batched per-partition map over binary media,
+    * one codec (digest) instance reused per partition. Output schema is
+    * scalar-flat so the oracle harness can hash it:
+    * (asset_id, width, height, channels, n_bytes, f0..f7 DOUBLE). */
   def decodeFeatures(assets: DataFrame): DataFrame = {
     val spark = assets.sparkSession
     import spark.implicits._
     assets.select(col("asset_id"), col("media")).as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        // batch loop: a real codec would reuse native buffers across the
-        // partition — the iterator shape already supports that
+        val md = MessageDigest.getInstance("MD5") // reused across the batch
         it.map { case (id, bytes) =>
-          val (w, h, c, feat) = StubCodec.decode(bytes)
-          (id, w, h, c, bytes.length.toLong, feat)
+          val (w, h, c, f) = StubCodec.decode(md, bytes)
+          (id, w.toLong, h.toLong, c.toLong, bytes.length.toLong,
+            f(0), f(1), f(2), f(3), f(4), f(5), f(6), f(7))
         }
       }
-      .toDF("asset_id", "width", "height", "channels", "n_bytes", "features")
+      .toDF(Seq("asset_id", "width", "height", "channels", "n_bytes") ++ featCols: _*)
       .orderBy("asset_id")
   }
 
+  /** DuckDB replay of decodeFeatures over the documents table. */
+  def decodeFeaturesSql: String = {
+    def hv(pos: Int, len: Int) = OracleSql.hexVal("hex", pos, len)
+    val fs = (0 until 8)
+      .map(j => s"CAST(${hv(17 + 2 * j, 2)} AS DOUBLE)/255.0 AS f$j").mkString(", ")
+    s"""WITH h AS (SELECT doc_id AS asset_id, md5(text) AS hex,
+       |                  octet_length(CAST(text AS BLOB)) AS n_bytes FROM documents)
+       |SELECT asset_id, 64 + ${hv(1, 3)} % 1024 AS width,
+       |       64 + ${hv(4, 3)} % 1024 AS height,
+       |       1 + ${hv(7, 1)} % 4 AS channels, n_bytes, $fs
+       |FROM h ORDER BY asset_id""".stripMargin
+  }
+
   /** Frame sampling for video-like media: explode sampled frames with
-    * per-frame features; one row per (asset, frame). */
-  def sampleFrameFeatures(assets: DataFrame, frameBytes: Int = 64,
+    * per-frame features; one row per (asset, frame). Same flat scalar
+    * schema discipline as decodeFeatures. */
+  def sampleFrameFeatures(assets: DataFrame, frameChars: Int = 64,
       everyN: Int = 2): DataFrame = {
     val spark = assets.sparkSession
     import spark.implicits._
     assets.select(col("asset_id"), col("media")).as[(Long, Array[Byte])]
-      .flatMap { case (id, bytes) =>
-        StubCodec.sampleFrames(bytes, frameBytes, everyN).zipWithIndex.map {
-          case (frame, idx) =>
-            val (w, h, _, feat) = StubCodec.decode(frame)
-            (id, idx.toLong, w, h, frame.length.toLong, feat)
+      .mapPartitions { it =>
+        val md = MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, bytes) =>
+          val text = new String(bytes, StandardCharsets.UTF_8)
+          StubCodec.sampleFrames(text, frameChars, everyN).map { case (idx, frame) =>
+            val fb = frame.getBytes(StandardCharsets.UTF_8)
+            val (w, h, _, f) = StubCodec.decode(md, fb)
+            (id, idx, w.toLong, h.toLong, frame.length.toLong,
+              f(0), f(1), f(2), f(3), f(4), f(5), f(6), f(7))
+          }
         }
       }
-      .toDF("asset_id", "frame_idx", "width", "height", "frame_bytes", "features")
+      .toDF(Seq("asset_id", "frame_idx", "width", "height", "frame_chars") ++ featCols: _*)
       .orderBy("asset_id", "frame_idx")
   }
+
+  /** DuckDB replay of sampleFrameFeatures over the documents table. */
+  def sampleFrameFeaturesSql(frameChars: Int = 64, everyN: Int = 2): String = {
+    def hv(pos: Int, len: Int) = OracleSql.hexVal("hex", pos, len)
+    val fs = (0 until 8)
+      .map(j => s"CAST(${hv(17 + 2 * j, 2)} AS DOUBLE)/255.0 AS f$j").mkString(", ")
+    s"""WITH chunks AS (
+       |  SELECT doc_id AS asset_id, i // $everyN AS frame_idx,
+       |         substr(text, CAST(i*$frameChars+1 AS INTEGER), $frameChars) AS frame
+       |  FROM (SELECT doc_id, text,
+       |          unnest(range(0, CAST(ceil(length(text)/$frameChars.0) AS BIGINT))) AS i
+       |        FROM documents)
+       |  WHERE i % $everyN = 0
+       |), h AS (SELECT asset_id, frame_idx, md5(frame) AS hex,
+       |                CAST(length(frame) AS BIGINT) AS frame_chars FROM chunks)
+       |SELECT asset_id, frame_idx, 64 + ${hv(1, 3)} % 1024 AS width,
+       |       64 + ${hv(4, 3)} % 1024 AS height, frame_chars, $fs
+       |FROM h ORDER BY asset_id, frame_idx""".stripMargin
+  }
+
+  /** Decoded features as an `ARRAY<FLOAT>` embedding column — the typed
+    * handoff from the multimodal path into the ANN operators. */
+  def featureEmbeddings(assets: DataFrame): DataFrame =
+    decodeFeatures(assets).select(
+      col("asset_id").as("vec_id"),
+      array(featCols.map(c => col(c).cast("float")): _*).as("embedding"))
 
   /** Embedding-similarity over decoded features: joins the multimodal
     * path into the ANN operators (features -> near-dup), proving the
     * column flows end-to-end. */
-  def featureNearDup(assets: DataFrame, tau: Double = 0.99): DataFrame = {
-    val feats = decodeFeatures(assets)
-      .select(col("asset_id").as("vec_id"), col("features").as("embedding"))
-    SimilaritySearch.cosineNearDupExact(feats, tau)
+  def featureNearDup(assets: DataFrame, tau: Double = 0.99): DataFrame =
+    SimilaritySearch.cosineNearDupExact(featureEmbeddings(assets), tau)
       .select(col("vec_a").as("asset_a"), col("vec_b").as("asset_b"))
-  }
 }

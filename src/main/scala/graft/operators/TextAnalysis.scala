@@ -95,25 +95,51 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "des", "que", "pour"),
     "es" -> Seq("el", "la", "los", "las", "es", "un", "una", "que", "por", "con"))
 
-  /** Heuristic language ID: marker-word hit ratio per language, argmax
-    * (ties -> "und" = undetermined, like CLD). Narrow map, no shuffle;
-    * rows-only oracle (the heuristic is engine-specific by design). */
+  /** Heuristic language ID: marker-word hit count per language, argmax
+    * with a DETERMINISTIC tie-break (alphabetically first language among
+    * the maxima; zero hits -> "und", like CLD). Fully relational — a
+    * narrow codegen'd map, no shuffle — and engine-stable: the argmax is
+    * over integer counts (the shared denominator cancels), so the DuckDB
+    * oracle replays it exactly. */
   def langId(docs: DataFrame): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val markers = langMarkers.map { case (k, v) => (k, v.toSet) }
-    docs.select(col("doc_id"), col("text"), col("lang")).as[(Long, String, String)]
-      .map { case (id, text, declared) =>
-        val words = text.trim.toLowerCase.split("\\s+")
-        val scores = markers.map { case (lang, set) =>
-          (lang, words.count(set.contains).toDouble / math.max(words.length, 1))
-        }
-        val (best, bestScore) = scores.maxBy(_._2)
-        val detected = if (bestScore > 0.0) best else "und"
-        (id, detected, declared, detected == declared)
-      }
-      .toDF("doc_id", "detected_lang", "declared_lang", "agrees")
+    val words = split(trim(lower(col("text"))), "\\s+")
+    def cnt(markers: Seq[String]) = {
+      val arr = array(markers.map(lit): _*)
+      size(filter(words, w => array_contains(arr, w)))
+    }
+    val langs = langMarkers.keys.toSeq.sorted // de, en, es, fr
+    val counted = docs.select(
+      Seq(col("doc_id"), col("lang")) ++
+        langs.map(l => cnt(langMarkers(l)).as(s"n_$l")): _*)
+    val m = greatest(langs.map(l => col(s"n_$l")): _*)
+    val detected = langs
+      .foldLeft(when(m === 0, "und")) { (acc, l) => acc.when(col(s"n_$l") === m, l) }
+      .otherwise(langs.last)
+    counted.select(
+      col("doc_id"),
+      detected.as("detected_lang"),
+      col("lang").as("declared_lang"),
+      (detected === col("lang")).as("agrees"))
       .orderBy("doc_id")
+  }
+
+  val langIdSql: String = {
+    val langs = langMarkers.keys.toSeq.sorted
+    def lst(l: Seq[String]) = l.map(s => s"'$s'").mkString("[", ", ", "]")
+    val cnts = langs.map { l =>
+      s"len(list_filter(string_split_regex(trim(lower(text)),'\\s+'), " +
+        s"w -> list_contains(${lst(langMarkers(l))}, w))) AS n_$l"
+    }.mkString(",\n  ")
+    val m = langs.map(l => s"n_$l").mkString("greatest(", ",", ")")
+    val det = "CASE WHEN " + m + " = 0 THEN 'und' " +
+      langs.init.map(l => s"WHEN n_$l = $m THEN '$l'").mkString(" ") +
+      s" ELSE '${langs.last}' END"
+    s"""WITH c AS (SELECT doc_id, lang,
+       |  $cnts
+       |FROM documents)
+       |SELECT doc_id, $det AS detected_lang, lang AS declared_lang,
+       |  ($det) = lang AS agrees
+       |FROM c ORDER BY doc_id""".stripMargin
   }
 
   // ------------------------------------------------------- fingerprints
@@ -131,24 +157,43 @@ object TextAnalysis {
       |  md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint
       |FROM documents ORDER BY doc_id""".stripMargin
 
-  /** Winnowing-style robust fingerprint: rolling-hash every word k-gram,
-    * keep the minimum hash in each sliding window of w hashes (Schleimer
-    * et al.'s winnowing) — a compact sketch robust to local edits.
-    * Rows-only oracle (hash-function specific). */
+  /** Winnowing robust fingerprint (Schleimer et al.): hash every word
+    * k-gram, keep the minimum hash in each sliding window of w hashes —
+    * a compact sketch robust to local edits. Fully relational (array
+    * higher-order functions inside whole-stage codegen, no shuffle) and
+    * exploded to scalar (doc_id, fingerprint) rows so the oracle harness
+    * can hash the output. The gram hash is the first 32 bits of md5, which
+    * DuckDB replays exactly (see [[OracleSql]]). */
   def winnowingFingerprints(docs: DataFrame, k: Int = 5, w: Int = 4): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    docs.select(col("doc_id"), col("text")).as[(Long, String)]
-      .map { case (id, text) =>
-        val words = text.trim.split("\\s+")
-        val grams = (0 to math.max(words.length - k, 0))
-          .map(i => words.slice(i, i + k).mkString(" "))
-        val hashes = grams.map(Dedup.fnv1a64)
-        val picks = if (hashes.length <= w) Set(hashes.min)
-        else hashes.sliding(w).map(_.min).toSet
-        (id, picks.toArray.sorted)
-      }
-      .toDF("doc_id", "fingerprints")
-      .orderBy("doc_id")
+    val words = split(trim(col("text")), "\\s+")
+    val grams = transform(
+      sequence(lit(0), greatest(size(words) - k, lit(0))),
+      i => concat_ws(" ", slice(words, i + 1, lit(k))))
+    val hashes = transform(grams, g =>
+      conv(substring(md5(g.cast("binary")), 1, 8), 16, 10).cast("long"))
+    val picks = when(size(hashes) <= w, array(array_min(hashes)))
+      .otherwise(array_distinct(transform(
+        sequence(lit(1), size(hashes) - (w - 1)),
+        j => array_min(slice(hashes, j, lit(w))))))
+    docs.select(col("doc_id"), explode(picks).as("fingerprint"))
+      .orderBy("doc_id", "fingerprint")
+  }
+
+  def winnowingSql(k: Int = 5, w: Int = 4): String = {
+    val h = OracleSql.hexVal("md5(gram)", 1, 8)
+    s"""WITH words AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+       |grams AS (
+       |  SELECT doc_id, i, array_to_string(w[i:i+${k - 1}], ' ') AS gram
+       |  FROM (SELECT doc_id, w, unnest(range(1, greatest(len(w)-${k - 1},1)+1)) AS i FROM words)
+       |),
+       |hashes AS (SELECT doc_id, i, $h AS h FROM grams),
+       |seq AS (SELECT doc_id, list(h ORDER BY i) AS hs FROM hashes GROUP BY doc_id)
+       |SELECT doc_id, CAST(unnest(fps) AS BIGINT) AS fingerprint FROM (
+       |  SELECT doc_id,
+       |    CASE WHEN len(hs) <= $w THEN [list_min(hs)]
+       |         ELSE list_distinct(list_transform(range(1, len(hs)-${w - 2}), j -> list_min(hs[j:j+${w - 1}])))
+       |    END AS fps
+       |  FROM seq)
+       |ORDER BY doc_id, fingerprint""".stripMargin
   }
 }

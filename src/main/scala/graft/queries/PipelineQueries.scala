@@ -43,9 +43,16 @@ object PipelineQueries {
     // testdata separation (planted pairs j>=0.87, recall >1-1e-6) its
     // output equals the exact all-pairs result
     "dedup_minhash_lsh" -> Dedup.ngramJaccardSql(),
+    // simhash banding is candidate-exact for Hamming<=6, so the all-pairs
+    // SQL replay of the md5-term simhash is a full value oracle
+    "dedup_simhash" -> Dedup.simhashPairsSql(),
     "text_token_counts" -> TextAnalysis.tokenCountsSql,
     "text_quality" -> TextAnalysis.qualityScoreSql,
+    "text_lang_id" -> TextAnalysis.langIdSql,
     "text_fingerprint" -> TextAnalysis.fingerprintSql,
+    "text_winnowing" -> TextAnalysis.winnowingSql(),
     "ann_topk" -> SimilaritySearch.bruteForceTopKSql(annQueryIds),
-    "ann_near_dup" -> SimilaritySearch.cosineNearDupExactSql())
+    "ann_near_dup" -> SimilaritySearch.cosineNearDupExactSql(),
+    "mm_decode_features" -> Multimodal.decodeFeaturesSql,
+    "mm_frame_features" -> Multimodal.sampleFrameFeaturesSql())
 }

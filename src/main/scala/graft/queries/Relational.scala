@@ -168,27 +168,34 @@ object Relational {
       .agg(
         sum(when(col("l_quantity") <= 10, 1L).otherwise(0L)).as("n_small"),
         count(lit(1)).as("n_total"))
-      .withColumn("small_ratio",
-        round(col("n_small").cast("decimal(18,2)") / col("n_total"), 6).cast("double"))
+      // parts-per-million in INTEGER space: n_small*1e6 and n_total are both
+      // < 2^53, so the IEEE division and floor are bit-identical across
+      // engines (decimal division scale/rounding is NOT — round 1's only
+      // hash mismatch)
+      .withColumn("small_ratio_ppm",
+        floor(col("n_small") * lit(1000000L) / col("n_total")).cast("long"))
       .orderBy("l_returnflag")
 
   val q7Sql: String =
     """SELECT l_returnflag,
       |  SUM(CASE WHEN l_quantity <= 10 THEN 1 ELSE 0 END) AS n_small,
       |  COUNT(*) AS n_total,
-      |  CAST(ROUND(CAST(SUM(CASE WHEN l_quantity <= 10 THEN 1 ELSE 0 END) AS DECIMAL(18,2)) / COUNT(*), 6) AS DOUBLE) AS small_ratio
+      |  CAST(FLOOR(SUM(CASE WHEN l_quantity <= 10 THEN 1 ELSE 0 END) * 1000000 / COUNT(*)) AS BIGINT) AS small_ratio_ppm
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   // -------------------------------------------------------- q8_dict_encode
   /** Dense dictionary-id assignment (SURVEY A7 — `zipWithIndex` at
     * `utils.py:18-19`): contiguous ids 0..n-1 over the distinct vocabulary,
-    * deterministic via sort order. row_number over a global sort is the
-    * relational spelling; ids MUST be dense (they index an embedding
-    * matrix), which rules out monotonically_increasing_id. */
+    * deterministic via sort order. Uses DictionaryEncoder.buildDictionary
+    * (sorted zipWithIndex): dense + deterministic with only the sort
+    * shuffle — a global `row_number()` window would funnel the whole
+    * vocabulary through ONE task, the exact trap DictionaryEncoder's
+    * scaladoc names. Ids MUST be dense (they index an embedding matrix),
+    * which rules out monotonically_increasing_id. */
   def q8DictEncode(spark: SparkSession, dir: String): DataFrame = {
-    val vocab = Tables.customer(spark, dir).select(col("c_mktsegment").as("name")).distinct()
-    val ids = vocab.withColumn("id",
-      (row_number().over(Window.orderBy("name")) - 1).cast("long"))
+    val vocab = Tables.customer(spark, dir).select(col("c_mktsegment").as("name"))
+    val ids = graft.transe.DictionaryEncoder.buildDictionary(vocab)
+      .select(col("name"), col("id").cast("long").as("id"))
     val c = Tables.customer(spark, dir)
     c.join(broadcast(ids), c("c_mktsegment") === ids("name"))
       .groupBy("id", "name")

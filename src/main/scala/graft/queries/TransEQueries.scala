@@ -201,13 +201,39 @@ object TransEQueries {
   }
 
   // ----------------------------------------- transe_entity_embeddings
-  /** Trained entity embeddings as a relational surface (id, vec) — the
-    * reference's checkpoint (`utils.py:44-49`) as a queryable table.
-    * Rows-only oracle (values depend on partition-parallel SGD). */
+  /** Trained entity embeddings as a relational surface — the reference's
+    * checkpoint (`utils.py:44-49`) as a queryable table. Export contract:
+    * unit-L2-normalized rows (the standard serving convention; the
+    * reference normalizes entities at every epoch start anyway,
+    * `TransE.py:97`). Registered output is (id, dim, l2_norm) — scalar
+    * columns the oracle harness can hash: the DuckDB oracle re-derives
+    * the entity vocabulary relationally and checks the trained matrix
+    * covers EXACTLY that id space at the right dimensionality with unit
+    * norms (values themselves depend on partition-parallel SGD and have
+    * no SQL spelling; the full vectors remain available via
+    * EmbeddingIO.toDF / the checkpoint sink). */
   def transeEmbeddings(spark: SparkSession, dir: String): DataFrame = {
     val (fit, _) = fitted(spark, dir)
-    EmbeddingIO.toDF(spark, fit.model.entity)
+    val unit = fit.model.entity.map { v =>
+      val c = v.clone(); Kernels.normalizeInPlace(c); c
+    }
+    EmbeddingIO.toDF(spark, unit).select(
+      col("id").cast("long").as("id"),
+      size(col("vec")).cast("long").as("dim"),
+      round(sqrt(graft.functions.VectorFunctions.dot(spark, col("vec"), col("vec"))), 4)
+        .as("l2_norm"))
+      .orderBy("id")
   }
+
+  val transeEmbeddingsSql: String =
+    s"""WITH triples AS (
+       |$kgSqlBody
+       |), ents AS (
+       |  SELECT name, CAST(ROW_NUMBER() OVER (ORDER BY name) - 1 AS BIGINT) AS id
+       |  FROM (SELECT DISTINCT name FROM (SELECT h AS name FROM triples UNION ALL SELECT t AS name FROM triples))
+       |)
+       |SELECT id, CAST(${evalParams.dim} AS BIGINT) AS dim, CAST(1.0 AS DOUBLE) AS l2_norm
+       |FROM ents ORDER BY id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "kg_triples" -> (kgTriplesSorted _),
@@ -218,5 +244,6 @@ object TransEQueries {
 
   val oracles: Map[String, String] = Map(
     "kg_triples" -> kgTriplesSql,
-    "kg_encode"  -> kgEncodeSql)
+    "kg_encode"  -> kgEncodeSql,
+    "transe_embeddings" -> transeEmbeddingsSql)
 }

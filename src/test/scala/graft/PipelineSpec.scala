@@ -109,7 +109,13 @@ class PipelineSpec extends SparkSpec {
     val f1 = Multimodal.decodeFeatures(assets).collect()
     val f2 = Multimodal.decodeFeatures(assets).collect()
     assert(f1.map(_.toString).toSeq == f2.map(_.toString).toSeq)
-    assert(f1.forall(_.getAs[Seq[Float]]("features").length == 8))
+    f1.foreach { r =>
+      (0 until 8).foreach { j =>
+        val v = r.getAs[Double](s"f$j")
+        assert(v >= 0.0 && v <= 1.0, s"feature f$j out of range: $v")
+      }
+      assert(r.getAs[Long]("width") >= 64 && r.getAs[Long]("width") < 1088)
+    }
     val frames = Multimodal.sampleFrameFeatures(assets).collect()
     assert(frames.length > f1.length) // multiple frames per asset
   }
@@ -132,8 +138,8 @@ class PipelineSpec extends SparkSpec {
 
   test("winnowing fingerprints: near-identical docs share fingerprints") {
     val fps = TextAnalysis.winnowingFingerprints(docs).collect()
-      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Seq[Long]]("fingerprints").toSet)
-      .toMap
+      .groupBy(_.getAs[Long]("doc_id"))
+      .map { case (id, rs) => id -> rs.map(_.getAs[Long]("fingerprint")).toSet }
     // take a planted near-dup pair from jaccard and check sketch overlap
     val pair = Dedup.ngramJaccard(docs, tau = 0.8).select("doc_a", "doc_b").head()
     val (a, b) = (pair.getLong(0), pair.getLong(1))

@@ -56,6 +56,14 @@ class PlanSpec extends SparkSpec {
       "status predicate must reach the orders scan")
   }
 
+  test("q8: dense id assignment has no single-partition exchange") {
+    // the global-window spelling (row_number over Window.orderBy) funnels
+    // the whole vocabulary through ONE task; the zipWithIndex spelling
+    // must not produce an Exchange SinglePartition anywhere
+    val p = simplePlan(Relational.q8DictEncode(spark, sf))
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
+
   test("q9: global top-k avoids a full sort (TakeOrderedAndProject)") {
     val p = simplePlan(Relational.q9TopK(spark, sf))
     assert(p.contains("TakeOrderedAndProject"), p)
