@@ -116,13 +116,36 @@ object Dedup {
        |ORDER BY doc_a, doc_b""".stripMargin
 
   // ------------------------------------------------------- MinHash + LSH
-  /** MinHash signatures + banded LSH + exact-Jaccard verification.
+  /** MinHash signatures + banded LSH + exact-Jaccard verification, with
+    * exact dedup run FIRST so the expensive stages only ever see distinct
+    * texts.
     *
-    * Pipeline: shingle -> hash family member j = xxhash64(shingle, j)
-    * (ANSI-safe: no wraparound arithmetic) -> 64 minima per doc (one
-    * hash-groupBy, 64 codegen'd min aggregates) -> split into `bands`
-    * band signatures -> explode -> bucket-join on (band_idx, band_hash)
-    * for candidates -> exact Jaccard verify.
+    * Pipeline: md5-groupBy picks one representative per distinct text ->
+    * shingle the representatives -> hash family member j =
+    * xxhash64(shingle, j) (ANSI-safe: no wraparound arithmetic) -> 64
+    * minima per rep (one hash-groupBy, 64 codegen'd min aggregates) ->
+    * split into `bands` band signatures -> explode -> bucket-join on
+    * (band_idx, band_hash) for candidates -> exact Jaccard verify ->
+    * expand representative pairs back to ALL member pairs (equi-joins on
+    * text_md5), plus the intra-cluster pairs (identical texts, jaccard
+    * exactly 1.0, no recompute).
+    *
+    * Scale properties:
+    *  - exact-dedup-first kills the classic LSH blow-up: a cluster of m
+    *    identical documents shares every band, so without dedup it alone
+    *    generates m^2/2 candidates through all 16 bands; with dedup it
+    *    costs ONE signature and the m^2/2 output pairs (inherent to the
+    *    output contract) are produced by a cheap md5 equi-join instead;
+    *  - `maxBucket` drops degenerate LSH buckets wider than the cap
+    *    (near-identical boilerplate at corpus scale): candidate fan-out
+    *    is bounded by bands * n_buckets * maxBucket^2 instead of
+    *    quadratic in the corpus. At the default the testdata is far
+    *    below the cap, so oracle output is unchanged;
+    *  - the banded signature table is persisted and materialized once —
+    *    the bucket self-join would otherwise recompute the whole
+    *    signature aggregation for each side (measured 2x on sf0.1);
+    *  - intermediates are unpersisted before returning: the result
+    *    (small: near-dup pairs) is itself persisted eagerly instead.
     *
     * Because candidates are verified exactly, the output equals the exact
     * all-pairs result restricted to LSH-recalled pairs; with
@@ -132,37 +155,178 @@ object Dedup {
     * <= 0.02 — measured, see DedupSpec).
     */
   def minhashLsh(docs: DataFrame, n: Int = 5, numHashes: Int = 64,
-      bands: Int = 16, tau: Double = 0.5, seed: Long = 42L): DataFrame = {
+      bands: Int = 16, tau: Double = 0.5, seed: Long = 42L,
+      maxBucket: Int = 5000): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
-    // cached: read by the signature build AND twice by the verify joins;
-    // left cached (LRU-evictable) because the returned plan is lazy
-    val sh = shingles(docs, n).persist()
-    // hash the shingle STRING once, then derive the 64-member family by
-    // re-hashing the resulting long — 64x less string hashing per row
-    val minAggs = (0 until numHashes).map { j =>
-      min(xxhash64(col("h0"), lit(seed), lit(j))).as(s"m$j")
-    }
-    val sig = sh.withColumn("h0", xxhash64(col("shingle")))
-      .groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
 
-    val bandCols = (0 until bands).map { bIdx =>
-      val cols = (0 until rowsPerBand)
-        .map(r => col(s"m${bIdx * rowsPerBand + r}"))
-      xxhash64(cols: _*)
-    }
-    val banded = sig.select(
-      col("doc_id"),
-      posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_hash")))
+    // ---- 1. exact dedup: one md5 shuffle; LSH sees distinct texts only
+    val withMd5 = docs.select(col("doc_id"), col("text"),
+      md5(col("text").cast("binary")).as("text_md5"))
+    val members = withMd5.select(col("doc_id"), col("text_md5")).persist()
+    val reps = withMd5.groupBy("text_md5")
+      .agg(min(col("doc_id")).as("doc_id"), min(col("text")).as("text"),
+        count(lit(1)).as("n_members"))
+      .persist()
 
-    val left = banded.select(col("doc_id").as("doc_a"), col("band_idx"), col("band_hash"))
-    val right = banded.select(col("doc_id").as("doc_b"), col("band_idx"), col("band_hash"))
+    // ---- 2. LSH over representatives: signatures in ONE narrow pass.
+    // Per doc: distinct shingles -> 64 minima (seeded splitmix family over
+    // one base hash per shingle) -> 16 band hashes, all inside a single
+    // mapPartitions — no shingle explode, no 1M-row distinct shuffle, no
+    // 64-aggregate groupBy (which also cost seconds of codegen compile).
+    // Signature hash values never surface in the output (candidates are
+    // verified with exact Jaccard), so a JVM-stable hash is sufficient.
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val banded = reps.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          val mins = minhashSignature(text, n, numHashes, seed)
+          (0 until bands).map { b =>
+            var h = seed
+            var r = 0
+            while (r < rowsPerBand) { h = mix64(h ^ mins(b * rowsPerBand + r)); r += 1 }
+            (id, b, h)
+          }
+        }
+      }
+      .toDF("doc_id", "band_idx", "band_hash")
+      .persist()
+
+    val hot = banded.groupBy("band_idx", "band_hash").count()
+      .filter(col("count") > maxBucket).select("band_idx", "band_hash")
+    val pruned = banded.join(hot, Seq("band_idx", "band_hash"), "left_anti")
+    val left = pruned.select(col("doc_id").as("doc_a"), col("band_idx"), col("band_hash"))
+    val right = pruned.select(col("doc_id").as("doc_b"), col("band_idx"), col("band_hash"))
     val candidates = left.join(right, Seq("band_idx", "band_hash"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
       .distinct()
+      .persist()
 
-    verifyJaccard(candidates, sh, tau)
+    // exact-Jaccard verify needs the shingle index ONLY for docs that
+    // appear in some candidate pair — a broadcast semi-join keeps the
+    // explode+distinct confined to that small set
+    val candDocs = candidates.select(col("doc_a").as("doc_id"))
+      .union(candidates.select(col("doc_b").as("doc_id"))).distinct()
+    val sh = shingles(
+      reps.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+        .select("doc_id", "text"), n).persist()
+
+    val repPairs = verifyJaccard(candidates, sh, tau)
+
+    // ---- 3. expand representative pairs to member pairs. Only CLONE
+    // clusters (n_members > 1) can add pairs beyond the rep pairs
+    // themselves, so expansion touches clone rows only: singleton reps
+    // pass through via coalesce, with no corpus-wide mapping join.
+    val cloneClusters = reps.filter(col("n_members") > 1)
+    val cloneMembers = members.join(
+      cloneClusters.select(col("text_md5"), col("doc_id").as("rep_id")), "text_md5")
+      .select(col("rep_id"), col("doc_id").as("member_id"))
+      .persist()
+
+    val eA = cloneMembers.select(col("rep_id").as("rep_a"), col("member_id").as("m_a2"))
+    val eB = cloneMembers.select(col("rep_id").as("rep_b"), col("member_id").as("m_b2"))
+    val cross = repPairs
+      .withColumnRenamed("doc_a", "rep_a").withColumnRenamed("doc_b", "rep_b")
+      .join(eA, Seq("rep_a"), "left")
+      .join(eB, Seq("rep_b"), "left")
+      .withColumn("m_a", coalesce(col("m_a2"), col("rep_a")))
+      .withColumn("m_b", coalesce(col("m_b2"), col("rep_b")))
+
+    // intra-cluster: identical texts, jaccard exactly 1 at the rep's
+    // size. The distinct-shingle count comes from a narrow map — the
+    // verify shingle index above no longer covers non-candidate reps.
+    val cloneSizes = cloneClusters
+      .select(col("text_md5"), col("text")).as[(String, String)]
+      .map { case (h, text) => (h, distinctShingleCount(text, n).toLong) }
+      .toDF("text_md5", "n_sh")
+    val intra = members.join(cloneSizes, "text_md5")
+      .select(col("text_md5"), col("doc_id"), col("n_sh"))
+    val intraPairs = intra.as("x")
+      .join(intra.as("y"),
+        col("x.text_md5") === col("y.text_md5") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("m_a"), col("y.doc_id").as("m_b"),
+        col("x.n_sh").as("n_common"), col("x.n_sh").as("n_union"),
+        lit(1.0).as("jaccard"))
+
+    val out = cross
+      .select(
+        least(col("m_a"), col("m_b")).as("doc_a"),
+        greatest(col("m_a"), col("m_b")).as("doc_b"),
+        col("n_common"), col("n_union"), col("jaccard"))
+      .union(intraPairs.select(
+        least(col("m_a"), col("m_b")).as("doc_a"),
+        greatest(col("m_a"), col("m_b")).as("doc_b"),
+        col("n_common"), col("n_union"), col("jaccard")))
+      .orderBy("doc_a", "doc_b")
+      .persist()
+    out.count() // materialize so the intermediates below can be dropped
+    Seq(members, reps, sh, banded, candidates, cloneMembers).foreach(_.unpersist())
+    out
+  }
+
+  // --------------------------------------- minhash JVM-side hash helpers
+  /** splitmix64 finalizer — JVM-stable mixing for the minhash family. */
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** FNV-1a over UTF-16 code units + splitmix finalize: a JVM-stable
+    * string hash. Minhash signature values never reach the output (exact
+    * verify decides), so the only requirements are determinism across
+    * executors and decent mixing. */
+  private def stableHash64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) { h ^= s.charAt(i).toLong; h *= 0x100000001b3L; i += 1 }
+    mix64(h)
+  }
+
+  /** Streams the DISTINCT word n-grams of one text — the per-doc
+    * equivalent of `shingles()` (same trim/split/truncation semantics,
+    * asserted equal in DedupSpec-style tests). */
+  private def foreachDistinctShingle(text: String, n: Int)(f: String => Unit): Unit = {
+    val words = text.trim.split("\\s+")
+    val m = math.max(words.length - n, 0) + 1
+    val seen = new java.util.HashSet[String]()
+    var i = 0
+    while (i < m) {
+      val end = math.min(i + n, words.length)
+      val sb = new java.lang.StringBuilder
+      var j = i
+      while (j < end) { if (j > i) sb.append(' '); sb.append(words(j)); j += 1 }
+      val g = sb.toString
+      if (seen.add(g)) f(g)
+      i += 1
+    }
+  }
+
+  /** numHashes minima over the seeded splitmix family — one narrow pass
+    * over the doc's distinct shingles. */
+  def minhashSignature(text: String, n: Int, numHashes: Int, seed: Long): Array[Long] = {
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    foreachDistinctShingle(text, n) { g =>
+      val h0 = stableHash64(g)
+      var j = 0
+      while (j < numHashes) {
+        val hj = mix64(h0 ^ (seed + j * 0x9E3779B97F4A7C15L))
+        if (hj < mins(j)) mins(j) = hj
+        j += 1
+      }
+    }
+    mins
+  }
+
+  /** Distinct-shingle count of one text (= per-doc row count of
+    * `shingles()`). */
+  def distinctShingleCount(text: String, n: Int): Int = {
+    var c = 0
+    foreachDistinctShingle(text, n)(_ => c += 1)
+    c
   }
 
   /** Exact-Jaccard verification restricted to candidate pairs: two hash

@@ -171,8 +171,41 @@ object Multimodal {
 
   /** Embedding-similarity over decoded features: joins the multimodal
     * path into the ANN operators (features -> near-dup), proving the
-    * column flows end-to-end. */
+    * column flows end-to-end.
+    *
+    * EXACT all-pairs spelling (guarded by cosineNearDupExact's row cap):
+    * it is the oracle carrier — the stub feature space's near-dup pairs
+    * sit on a continuous similarity tail (measured: pairs in [0.99,
+    * 0.998] with background up to 0.9898 at sf0.1), so no candidate
+    * generator has recall 1 and only exact scoring hash-matches the SQL
+    * replay. The at-scale spelling is [[featureNearDupLsh]]. */
   def featureNearDup(assets: DataFrame, tau: Double = 0.99): DataFrame =
     SimilaritySearch.cosineNearDupExact(featureEmbeddings(assets), tau)
+      .select(col("vec_a").as("asset_a"), col("vec_b").as("asset_b"))
+
+  /** DuckDB replay of featureNearDup: features recomputed in SQL, exact
+    * all-pairs cosine at the same threshold (float-cast before the
+    * double-accumulated cosine, matching the Spark path bit-for-bit). */
+  def featureNearDupSql(tau: Double = 0.99): String = {
+    def hv(pos: Int) = OracleSql.hexVal("md5(text)", pos, 2)
+    val vec = (0 until 8).map(j => s"CAST(${hv(17 + 2 * j)} AS DOUBLE)/255.0").mkString("[", ", ", "]")
+    s"""WITH f AS (SELECT doc_id AS asset_id, CAST($vec AS FLOAT[]) AS v FROM documents)
+       |SELECT a.asset_id AS asset_a, b.asset_id AS asset_b
+       |FROM f a JOIN f b ON a.asset_id < b.asset_id
+       |WHERE list_cosine_similarity(CAST(a.v AS DOUBLE[]), CAST(b.v AS DOUBLE[])) >= $tau
+       |ORDER BY asset_a, asset_b""".stripMargin
+  }
+
+  /** At-scale near-dup over decoded features: mean-CENTERED hyperplane
+    * LSH candidates + exact cosine verify on the original vectors
+    * (equi-join candidate generation, never a cartesian). Centering is
+    * load-bearing here: the stub features are all-positive, so uncentered
+    * sign-pattern buckets collide for 61% of random pairs (measured) —
+    * centered, the background collapses to ~0 while close pairs keep
+    * colliding. Recall < 1 by construction (pairs near the corpus mean
+    * lose angular resolution) -> rows-only oracle; the exact twin above
+    * carries the value oracle. */
+  def featureNearDupLsh(assets: DataFrame, tau: Double = 0.99): DataFrame =
+    SimilaritySearch.cosineNearDupLsh(featureEmbeddings(assets), tau, center = true)
       .select(col("vec_a").as("asset_a"), col("vec_b").as("asset_b"))
 }

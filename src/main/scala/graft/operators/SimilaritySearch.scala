@@ -104,11 +104,22 @@ object SimilaritySearch {
   }
 
   /** Exact embedding-cosine near-duplicate pairs at threshold `tau`.
-    * All-pairs baseline (the LSH path below is the at-scale variant);
-    * integer-only output keeps the oracle engine-stable. Uses the native
-    * codegen'd VectorCosine expression — the scoring stays inside
+    * All-pairs ORACLE BASELINE: O(n^2) scoring via BroadcastNestedLoopJoin
+    * — deliberately guarded by `maxExactRows` so it cannot silently run
+    * on a corpus where the cartesian would explode (the at-scale path is
+    * [[cosineNearDupLsh]]; this form exists because it is exactly
+    * SQL-replayable, which candidate-based recall < 1 never is — the
+    * testdata's near-dup pairs sit on the continuous tail of the
+    * background similarity distribution, where only exact scoring matches
+    * an exact oracle). Integer-only output keeps the oracle engine-stable;
+    * the native codegen'd VectorCosine expression keeps scoring inside
     * whole-stage codegen across the join. */
-  def cosineNearDupExact(embeddings: DataFrame, tau: Double = 0.45): DataFrame = {
+  def cosineNearDupExact(embeddings: DataFrame, tau: Double = 0.45,
+      maxExactRows: Long = 200000L): DataFrame = {
+    val n = embeddings.count()
+    require(n <= maxExactRows,
+      s"cosineNearDupExact is the O(n^2) oracle baseline; corpus has $n rows " +
+        s"(cap $maxExactRows). Use cosineNearDupLsh for large corpora.")
     val spark = embeddings.sparkSession
     val a = embeddings.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
     val b = embeddings.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
@@ -125,45 +136,144 @@ object SimilaritySearch {
        |                             CAST(b.embedding AS DOUBLE[])) >= $tau
        |ORDER BY vec_a, vec_b""".stripMargin
 
-  /** Random-hyperplane LSH ANN: bucket vectors by the sign pattern of
-    * `nPlanes` seeded random projections; candidates = bucket-mates
-    * (single-probe). Returns each vector's top-k bucket-local neighbors.
-    * Sub-linear candidate generation — the at-scale self-join path; rows-
-    * only oracle (recall < 1 by construction). */
-  def randomHyperplaneAnn(embeddings: DataFrame, nPlanes: Int = 8,
-      k: Int = 5, seed: Long = 42L): DataFrame = {
+  // ------------------------------------------ banded hyperplane LSH core
+  /** Banded multi-table random-hyperplane buckets: `nTables` independent
+    * tables, each keyed by a `bitsPerTable`-bit sign pattern of seeded
+    * random projections. Output: (vec_id, table_idx, sig).
+    *
+    * Key-cardinality bound (the scale contract): each table has 2^bits
+    * buckets, so random (near-orthogonal) vectors collide with
+    * probability ~2^-bits per table and expected candidate count is
+    * ~ nTables * probes * n^2 / 2^bits. `bitsPerTable` must therefore
+    * grow with log2(n): 16 bits suits corpora up to ~10^6 vectors per
+    * bucket-domain; at 10^9 use >= 26 bits (the single-table 8-bit
+    * spelling this replaces had 256 buckets total — quadratic blow-up at
+    * any real corpus size). For TRUE neighbors at cosine s the per-bit
+    * agreement is p = 1 - acos(s)/pi, per-table recall ~ p^bits (plus
+    * 1-bit multiprobe: + bits * p^(bits-1) * (1-p)), overall
+    * 1 - (1 - r_table)^nTables — e.g. s=0.9, 16 bits, probe, 8 tables:
+    * ~0.95; s=0.99: miss probability ~4e-8. */
+  private def hyperplaneBuckets(embeddings: DataFrame, nTables: Int,
+      bitsPerTable: Int, seed: Long, center: Boolean): DataFrame = {
+    require(bitsPerTable <= 30, "sig is an Int")
     val spark = embeddings.sparkSession
     import spark.implicits._
-
     val dim = embeddings.select(size(col("embedding"))).first().getInt(0)
+    // mean-centering (bucketing only; scoring always uses the original
+    // vectors): hyperplane LSH keys on ANGULAR spread, so a corpus
+    // concentrated on a half-space (e.g. all-positive feature vectors)
+    // buckets uselessly — the measured median background pair of the mm
+    // stub features collides at p=0.61 uncentered vs ~0 centered
+    val mu: Array[Float] =
+      if (!center) Array.fill(dim)(0f)
+      else {
+        val (s, c) = embeddings.select(col("embedding")).as[Array[Float]].rdd
+          .treeAggregate((new Array[Double](dim), 0L))(
+            seqOp = { case ((acc, n), v) =>
+              var i = 0; while (i < dim) { acc(i) += v(i); i += 1 }; (acc, n + 1)
+            },
+            combOp = { case ((a, n1), (b, n2)) =>
+              var i = 0; while (i < dim) { a(i) += b(i); i += 1 }; (a, n1 + n2)
+            })
+        s.map(x => (x / math.max(c, 1L)).toFloat)
+      }
     val r = new java.util.SplittableRandom(seed)
     // Gaussian-ish hyperplanes via sum of uniforms (deterministic, seeded)
-    val planes: Array[Array[Float]] = Array.fill(nPlanes)(
+    val planes: Array[Array[Array[Float]]] = Array.fill(nTables, bitsPerTable)(
       Array.fill(dim)(((r.nextDouble() + r.nextDouble() + r.nextDouble()) * 2 - 3).toFloat))
     val planesBc = spark.sparkContext.broadcast(planes)
-
-    val bucketed = embeddings.select(col("vec_id"), col("embedding"))
+    val muBc = spark.sparkContext.broadcast(mu)
+    embeddings.select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])]
-      .map { case (id, vec) =>
+      .mapPartitions { rows =>
         val ps = planesBc.value
-        var bucket = 0
-        var i = 0
-        while (i < ps.length) {
-          if (Kernels.dot(ps(i), vec) >= 0) bucket |= (1 << i)
-          i += 1
+        val m = muBc.value
+        rows.flatMap { case (id, vec) =>
+          val v = new Array[Float](vec.length)
+          var i = 0
+          while (i < vec.length) { v(i) = vec(i) - m(i); i += 1 }
+          (0 until ps.length).map { t =>
+            var sig = 0
+            var j = 0
+            while (j < ps(t).length) {
+              if (Kernels.dot(ps(t)(j), v) >= 0) sig |= (1 << j)
+              j += 1
+            }
+            (id, t, sig)
+          }
         }
-        (id, vec, bucket)
       }
-      .toDF("vec_id", "embedding", "bucket")
+      .toDF("vec_id", "table_idx", "sig")
+  }
 
-    val a = bucketed.select(col("vec_id").as("query_id"),
-      col("embedding").as("emb_a"), col("bucket"))
-    val b = bucketed.select(col("vec_id").as("neighbor_id"),
-      col("embedding").as("emb_b"), col("bucket"))
+  /** 1-bit multiprobe expansion: each bucket row plus its bitsPerTable
+    * single-bit flips — equivalent to Hamming<=1 bucket matching when
+    * joined against unexpanded buckets (boosts recall ~3-5x per table at
+    * the cost of (bits+1)x rows on ONE side of the join). */
+  private def probeExpand(buckets: DataFrame, bitsPerTable: Int): DataFrame = {
+    val flips = (0 until bitsPerTable).map(b => col("sig").bitwiseXOR(lit(1 << b)))
+    buckets.select(col("vec_id"), col("table_idx"),
+      explode(array(col("sig") +: flips: _*)).as("sig"))
+  }
+
+  /** Candidate pairs (a < b) from banded multi-table hyperplane LSH with
+    * optional 1-bit multiprobe: one equi-join on (table_idx, sig) per the
+    * whole corpus — the at-scale candidate generator shared by the ANN
+    * and near-dup paths. */
+  private def lshCandidates(embeddings: DataFrame, nTables: Int,
+      bitsPerTable: Int, seed: Long, multiprobe: Boolean,
+      center: Boolean = false): DataFrame = {
+    val buckets = hyperplaneBuckets(embeddings, nTables, bitsPerTable, seed, center).persist()
+    val probed = if (multiprobe) probeExpand(buckets, bitsPerTable) else buckets
+    val l = probed.select(col("vec_id").as("vec_a"), col("table_idx"), col("sig"))
+    val r = buckets.select(col("vec_id").as("vec_b"), col("table_idx"), col("sig"))
+    val out = l.join(r, Seq("table_idx", "sig"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select("vec_a", "vec_b")
+      .distinct()
+    out
+  }
+
+  /** Near-duplicate pairs at threshold `tau` via LSH candidates + exact
+    * cosine verify — the at-scale spelling of [[cosineNearDupExact]]:
+    * candidates come from an equi-join (never a cartesian), the exact
+    * verify joins vectors back by id and scores only candidate pairs.
+    * Recall < 1 in principle (see the bucket math above); at tau >= 0.99
+    * with the defaults the per-pair miss probability is ~4e-8, which is
+    * why mm_feature_near_dup can carry a full exact-SQL oracle through
+    * this path. */
+  def cosineNearDupLsh(embeddings: DataFrame, tau: Double = 0.99,
+      nTables: Int = 8, bitsPerTable: Int = 16, seed: Long = 42L,
+      multiprobe: Boolean = true, center: Boolean = false): DataFrame = {
+    val spark = embeddings.sparkSession
+    val cands = lshCandidates(embeddings, nTables, bitsPerTable, seed, multiprobe, center)
+    val va = embeddings.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+    val vb = embeddings.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+    cands.join(va, "vec_a").join(vb, "vec_b")
+      .filter(VectorFunctions.cosine(spark, col("emb_a"), col("emb_b")) >= tau)
+      .select("vec_a", "vec_b")
+      .orderBy("vec_a", "vec_b")
+  }
+
+  /** Banded multi-table hyperplane LSH ANN: top-k bucket-recalled
+    * neighbors per vector. Candidates from [[lshCandidates]] (equi-join,
+    * multiprobe); vectors are fetched back by id — bucket rows never
+    * carry embeddings, so the shuffled volume is (nTables + bits + 1) *
+    * n id-rows, not vectors. Rows-only oracle (recall < 1 by
+    * construction — see the bucket math on [[hyperplaneBuckets]]). */
+  def randomHyperplaneAnn(embeddings: DataFrame, nTables: Int = 8,
+      bitsPerTable: Int = 16, k: Int = 5, seed: Long = 42L,
+      multiprobe: Boolean = true): DataFrame = {
+    val spark = embeddings.sparkSession
+    val cands = lshCandidates(embeddings, nTables, bitsPerTable, seed, multiprobe)
+    // near-dup candidates are (a < b); ANN ranks per query, so mirror
+    val sym = cands.union(cands.select(col("vec_b").as("vec_a"), col("vec_a").as("vec_b")))
+      .select(col("vec_a").as("query_id"), col("vec_b").as("neighbor_id"))
+    val vq = embeddings.select(col("vec_id").as("query_id"), col("embedding").as("emb_a"))
+    val vn = embeddings.select(col("vec_id").as("neighbor_id"), col("embedding").as("emb_b"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id").asc)
-    a.join(b, Seq("bucket"))
-      .filter(col("query_id") =!= col("neighbor_id"))
+    sym.join(vq, "query_id").join(vn, "neighbor_id")
       .withColumn("sim", VectorFunctions.cosine(spark, col("emb_a"), col("emb_b")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

@@ -29,12 +29,15 @@ object PipelineQueries {
     // --- similarity search ---
     "ann_topk" -> ((s, d) => SimilaritySearch.bruteForceTopK(Tables.embeddings(s, d), annQueryIds)),
     "ann_near_dup" -> ((s, d) => SimilaritySearch.cosineNearDupExact(Tables.embeddings(s, d))),
-    "ann_lsh" -> ((s, d) => SimilaritySearch.randomHyperplaneAnn(Tables.embeddings(s, d))),
+    // bitsPerTable sized to the testdata corpus per the log2(n) guidance
+    // on hyperplaneBuckets (n <= 5000 -> 12 bits = 4096 buckets/table)
+    "ann_lsh" -> ((s, d) => SimilaritySearch.randomHyperplaneAnn(Tables.embeddings(s, d), bitsPerTable = 12)),
     "ann_ivf" -> ((s, d) => IvfAnn.topK(Tables.embeddings(s, d))),
     // --- multimodal ---
     "mm_decode_features" -> ((s, d) => Multimodal.decodeFeatures(Multimodal.assetTable(Tables.documents(s, d)))),
     "mm_frame_features" -> ((s, d) => Multimodal.sampleFrameFeatures(Multimodal.assetTable(Tables.documents(s, d)))),
-    "mm_feature_near_dup" -> ((s, d) => Multimodal.featureNearDup(Multimodal.assetTable(Tables.documents(s, d)))))
+    "mm_feature_near_dup" -> ((s, d) => Multimodal.featureNearDup(Multimodal.assetTable(Tables.documents(s, d)))),
+    "mm_feature_near_dup_lsh" -> ((s, d) => Multimodal.featureNearDupLsh(Multimodal.assetTable(Tables.documents(s, d)))))
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> Dedup.exactSql,
@@ -54,5 +57,8 @@ object PipelineQueries {
     "ann_topk" -> SimilaritySearch.bruteForceTopKSql(annQueryIds),
     "ann_near_dup" -> SimilaritySearch.cosineNearDupExactSql(),
     "mm_decode_features" -> Multimodal.decodeFeaturesSql,
-    "mm_frame_features" -> Multimodal.sampleFrameFeaturesSql())
+    "mm_frame_features" -> Multimodal.sampleFrameFeaturesSql(),
+    // exact twin of the LSH-candidate near-dup: full value oracle (the
+    // LSH spelling itself is rows-only — recall < 1 by construction)
+    "mm_feature_near_dup" -> Multimodal.featureNearDupSql())
 }

@@ -32,6 +32,16 @@ class PipelineSpec extends SparkSpec {
     assert(exact.nonEmpty, "no planted near-dup pairs found")
   }
 
+  test("per-doc shingle helper agrees with the relational shingles()") {
+    import spark.implicits._
+    val relational = Dedup.shingles(docs, 5).groupBy("doc_id").count()
+      .as[(Long, Long)].collect().toMap
+    val perDoc = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .collect().map { case (id, t) => id -> Dedup.distinctShingleCount(t, 5).toLong }
+      .toMap
+    assert(relational == perDoc)
+  }
+
   test("simhash: identical docs get identical signatures; pairs verified") {
     val sig1 = Dedup.simhash64(Iterator("a", "b", "c"))
     val sig2 = Dedup.simhash64(Iterator("a", "b", "c"))
@@ -99,9 +109,64 @@ class PipelineSpec extends SparkSpec {
   }
 
   test("lsh ann returns plausible neighbors (bucket-local)") {
-    val out = SimilaritySearch.randomHyperplaneAnn(embs, k = 3)
+    val out = SimilaritySearch.randomHyperplaneAnn(embs, bitsPerTable = 12, k = 3)
     assert(out.count() > 0)
     assert(out.filter(col("query_id") === col("neighbor_id")).count() == 0)
+  }
+
+  /** Clustered corpus where LSH is the right tool: bases + perturbed
+    * copies at cosine ~0.95 over near-orthogonal background. */
+  private def clusteredVecs(nBases: Int = 50, copies: Int = 3, dim: Int = 32) = {
+    import spark.implicits._
+    val r = new scala.util.Random(7)
+    val rows = (0 until nBases).flatMap { b =>
+      val base = Array.fill(dim)(r.nextGaussian().toFloat)
+      (0 until copies).map { c =>
+        val v = base.map(x => x + (r.nextGaussian() * 0.22).toFloat)
+        ((b * copies + c).toLong, v)
+      }
+    }
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("lsh near-dup: recall >= 0.9 vs exact on clustered vectors; subset of exact") {
+    val vecs = clusteredVecs()
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(SimilaritySearch.cosineNearDupExact(vecs, tau = 0.9)
+      .select("vec_a", "vec_b"))
+    val lsh = pairs(SimilaritySearch.cosineNearDupLsh(vecs, tau = 0.9)
+      .select("vec_a", "vec_b"))
+    assert(exact.size >= 50, s"expected planted pairs, got ${exact.size}")
+    assert(lsh.subsetOf(exact), "LSH verify must be exact (no false positives)")
+    val recall = (lsh & exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"LSH recall $recall (${lsh.size}/${exact.size})")
+  }
+
+  test("lsh ann top-k recalls planted cluster-mates on clustered vectors") {
+    val vecs = clusteredVecs()
+    val out = SimilaritySearch.randomHyperplaneAnn(vecs, k = 2)
+      .collect().groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("neighbor_id")).toSet }
+    // every vector's cluster-mates (same base, ids grouped in 3s)
+    var hit = 0; var total = 0
+    (0L until 150L).foreach { id =>
+      val mates = ((id / 3) * 3 until (id / 3) * 3 + 3).filter(_ != id).toSet
+      hit += (out.getOrElse(id, Set.empty) & mates).size
+      total += 2
+    }
+    val recall = hit.toDouble / total
+    assert(recall >= 0.9, s"top-k cluster-mate recall $recall")
+  }
+
+  test("mm near-dup lsh is a subset of the exact twin") {
+    val assets = Multimodal.assetTable(docs)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Multimodal.featureNearDup(assets))
+    val lsh = pairs(Multimodal.featureNearDupLsh(assets))
+    assert(lsh.subsetOf(exact))
+    assert(lsh.nonEmpty, "centered LSH should recall most near-dup pairs")
   }
 
   test("multimodal decode: deterministic, schema stable, no driver collect") {
