@@ -14,6 +14,7 @@ import graft.transe._
   *     [--epochs 1000] [--batches 2] [--margin 1.0] [--lr 0.01]
   *     [--dim 50] [--distance L1|L2] [--seed 42]
   *     [--checkpoint-every 50] [--warm-start <modelDir>]
+  *     [--warm-start-epoch <n>]   # restore <modelDir>/checkpoint/epoch=<n>
   */
 object Train {
   def main(args: Array[String]): Unit = {
@@ -42,8 +43,13 @@ object Train {
     val nEnt = ents.count().toInt
     val nLab = labs.count().toInt
 
-    val warm = opts.get("warm-start").map(dir =>
-      EmbeddingIO.loadModel(spark, dir, params))
+    // --warm-start takes a model root (final matrices) or, with
+    // --warm-start-epoch n, a specific versioned checkpoint epoch
+    val warm = opts.get("warm-start").map { dir =>
+      val src = opts.get("warm-start-epoch")
+        .map(n => s"$dir/checkpoint/epoch=$n").getOrElse(dir)
+      EmbeddingIO.loadModel(spark, src, params)
+    }
 
     val trainer = new TransETrainer(params)
     val t0 = System.nanoTime()
@@ -68,7 +74,12 @@ object Train {
   * link prediction, print MeanRank / Hits@10.
   *
   * Usage: graft.apps.Evaluate --test <triples.tsv> --model <modelDir>
-  *   [--hits-k 10]
+  *   [--hits-k 10] [--distance L1|L2]
+  *
+  * Scoring distance resolution: --distance flag > hyperparameters
+  * persisted with the checkpoint (saveModel writes them) > L1 default —
+  * an L2-trained model is never silently ranked with L1 unless the
+  * checkpoint predates params persistence AND no flag is given.
   */
 object Evaluate {
   def main(args: Array[String]): Unit = {
@@ -80,7 +91,13 @@ object Evaluate {
     val (spark, owned) = Args.session()
     import spark.implicits._
 
-    val params = TransEParams() // distance only affects scoring; default L1
+    val persisted = EmbeddingIO.loadParams(spark, modelDir)
+    val params = opts.get("distance") match {
+      case Some(d) =>
+        persisted.getOrElse(TransEParams())
+          .copy(distance = if (d == "L2") L2Squared else L1)
+      case None => persisted.getOrElse(TransEParams())
+    }
     val model = EmbeddingIO.loadModel(spark, modelDir, params)
     val ents = spark.read.parquet(s"$modelDir/entity_dict")
     val labs = spark.read.parquet(s"$modelDir/label_dict")

@@ -45,7 +45,11 @@ abstract class VectorBinaryExpression extends BinaryExpression {
     evalVectors(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) => loopCode(a, b, ev.value.toString))
+    // braces give the emitted locals (n, s, i, ...) their own scope: with
+    // non-nullable inputs nullSafeCodeGen pastes the snippet unwrapped, so
+    // two vector expressions in one codegen scope would otherwise declare
+    // duplicate locals and fail Janino, dropping to interpreted fallback
+    nullSafeCodeGen(ctx, ev, (a, b) => s"{\n${loopCode(a, b, ev.value.toString)}\n}")
 }
 
 case class VectorDot(left: Expression, right: Expression) extends VectorBinaryExpression {

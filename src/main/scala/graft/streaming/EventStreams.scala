@@ -51,12 +51,24 @@ object EventStreams {
 
   private def stagedDir(sfDir: String): String = {
     import java.nio.file.{Files, Paths}
-    val key = Integer.toHexString(sfDir.hashCode)
+    val target = Paths.get(sfDir, "events.parquet").toAbsolutePath.normalize
+    // collision-free key (SHA-256 of the absolute path — String.hashCode
+    // can collide across sfDirs, silently reusing the wrong symlink)
+    val key = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(target.toString.getBytes("UTF-8"))
+      .take(8).map("%02x".format(_)).mkString
     val dir = Paths.get(sys.props("java.io.tmpdir"), s"graft_events_$key")
     val link = dir.resolve("events.parquet")
-    if (!Files.exists(link)) {
-      Files.createDirectories(dir)
-      Files.createSymbolicLink(link, Paths.get(sfDir, "events.parquet"))
+    Files.createDirectories(dir)
+    // verify an existing link still points at the requested file; recreate
+    // stale links from deleted/replaced prior targets
+    if (Files.isSymbolicLink(link)) {
+      if (Files.readSymbolicLink(link) != target) {
+        Files.delete(link)
+        Files.createSymbolicLink(link, target)
+      }
+    } else if (!Files.exists(link)) {
+      Files.createSymbolicLink(link, target)
     }
     dir.toString
   }

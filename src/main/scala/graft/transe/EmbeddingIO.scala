@@ -38,7 +38,32 @@ object EmbeddingIO {
   def saveModel(spark: SparkSession, model: TransEModel, dir: String): Unit = {
     save(spark, model.entity, s"$dir/entity")
     save(spark, model.label, s"$dir/label")
+    saveParams(spark, model.params, dir)
   }
+
+  /** Persist the scoring-relevant hyperparameters with the matrices. The
+    * reference's pickle checkpoints carry only matrices, which silently
+    * ranks an L2-trained model with L1 on restore; recording `distance`
+    * (and dim/margin/lr/seed for provenance) closes that trap. */
+  def saveParams(spark: SparkSession, p: TransEParams, dir: String): Unit = {
+    import spark.implicits._
+    Seq((p.dim, if (p.distance == L2Squared) "L2" else "L1",
+      p.margin, p.lr, p.seed))
+      .toDF("dim", "distance", "margin", "lr", "seed")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/params")
+  }
+
+  /** Load persisted hyperparameters; None for pre-versioning checkpoints. */
+  def loadParams(spark: SparkSession, dir: String): Option[TransEParams] =
+    try {
+      val r = spark.read.parquet(s"$dir/params").collect().head
+      Some(TransEParams(
+        dim = r.getAs[Int]("dim"),
+        distance = if (r.getAs[String]("distance") == "L2") L2Squared else L1,
+        margin = r.getAs[Float]("margin"),
+        lr = r.getAs[Float]("lr"),
+        seed = r.getAs[Long]("seed")))
+    } catch { case _: Exception => None }
 
   def loadModel(spark: SparkSession, dir: String, params: TransEParams): TransEModel =
     TransEModel(load(spark, s"$dir/entity"), load(spark, s"$dir/label"), params)

@@ -141,7 +141,12 @@ class TransETrainer(params: TransEParams) extends Serializable {
 
     val (entity, label) = warmStart match {
       case Some(m) =>
-        (m.entity.map(_.clone()), m.label.map(_.clone()))
+        val e = m.entity.map(_.clone())
+        // the reference normalizes entities at every epoch start INCLUDING
+        // the restore-then-continue path (TransE.py:97); labels are only
+        // normalized at init
+        Kernels.normalizeAll(e)
+        (e, m.label.map(_.clone()))
       case None =>
         val e = Kernels.uniformInit(nEntities, p.dim, p.seed)
         val l = Kernels.uniformInit(nLabels, p.dim, p.seed + 1)
@@ -192,10 +197,13 @@ class TransETrainer(params: TransEParams) extends Serializable {
       }
       history :+= (lossAcc.value - epochStart)
       epoch += 1
-      // periodic checkpoint (reference: every 50 epochs, TransE.py:108-111)
+      // periodic VERSIONED checkpoint (reference writes per-epoch files
+      // entity_embedding_<id>.pkl, utils.py:44-49 / TransE.py:108-111):
+      // every checkpointed epoch is restorable from $dir/epoch=<n>
       if (p.checkpointEvery > 0 && epoch % p.checkpointEvery == 0) {
         p.checkpointDir.foreach { dir =>
-          EmbeddingIO.saveModel(spark, TransEModel(entity, label, p), dir)
+          EmbeddingIO.saveModel(spark, TransEModel(entity, label, p),
+            s"$dir/epoch=$epoch")
         }
       }
     }

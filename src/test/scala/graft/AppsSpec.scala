@@ -40,6 +40,35 @@ class AppsSpec extends SparkSpec {
     assert(Files.exists(java.nio.file.Paths.get(s"$out/checkpoint")))
   }
 
+  test("versioned checkpoints: every epoch restorable; params persisted") {
+    val (trainTsv, _) = writeTsv()
+    val out = Files.createTempDirectory("model").toString
+    graft.apps.Train.main(Array(
+      "--train", trainTsv, "--out", out,
+      "--epochs", "3", "--batches", "1", "--dim", "8", "--distance", "L2",
+      "--checkpoint-every", "1"))
+    // each checkpointed epoch has its own restorable dir
+    (1 to 3).foreach { n =>
+      val ep = s"$out/checkpoint/epoch=$n"
+      assert(Files.exists(java.nio.file.Paths.get(ep)), s"missing $ep")
+      assert(EmbeddingIO.load(spark, s"$ep/entity").nonEmpty)
+    }
+    // distinct epochs hold distinct matrices (training moved between them)
+    val e1 = EmbeddingIO.load(spark, s"$out/checkpoint/epoch=1/entity")
+    val e3 = EmbeddingIO.load(spark, s"$out/checkpoint/epoch=3/entity")
+    assert(!e1.zip(e3).forall { case (a, b) => a.sameElements(b) })
+    // persisted hyperparameters round-trip (Evaluate resolves L2 from them)
+    val p = EmbeddingIO.loadParams(spark, out)
+    assert(p.isDefined && p.get.distance == L2Squared && p.get.dim == 8)
+    // a MID-training epoch (not just the last) warm-starts a new run
+    val out2 = Files.createTempDirectory("model").toString
+    graft.apps.Train.main(Array(
+      "--train", trainTsv, "--out", out2,
+      "--epochs", "1", "--batches", "1", "--dim", "8",
+      "--warm-start", out, "--warm-start-epoch", "2"))
+    assert(EmbeddingIO.load(spark, s"$out2/entity").nonEmpty)
+  }
+
   test("Evaluate app runs against a trained model") {
     val (trainTsv, testTsv) = writeTsv()
     val out = Files.createTempDirectory("model").toString

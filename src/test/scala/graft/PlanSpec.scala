@@ -88,6 +88,22 @@ class PlanSpec extends SparkSpec {
     assert(!formattedPlan(df).contains("CodegenFallback"))
   }
 
+  test("multiple vector expressions in ONE codegen scope compile (no fallback)") {
+    // regression: the emitted loop locals (n, s, i, ...) must be scoped —
+    // with non-nullable inputs, two expressions in one consume function
+    // would otherwise declare duplicates and Janino would reject the stage
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val e = col("embedding")
+      val df = Tables.embeddings(spark, sf).select(
+        VectorFunctions.cosine(spark, e, e).as("c"),
+        VectorFunctions.dot(spark, e, e).as("d"),
+        VectorFunctions.l2sq(spark, e, e).as("l2"),
+        VectorFunctions.l1(spark, e, e).as("l1"))
+      assert(df.collect().nonEmpty)
+    } finally spark.conf.set("spark.sql.codegen.fallback", "true")
+  }
+
   test("dedup_exact: one shuffle for the agg + one for the output sort") {
     val p = simplePlan(graft.operators.Dedup.exact(Tables.documents(spark, sf)))
     val exchanges = "Exchange".r.findAllIn(p).length
