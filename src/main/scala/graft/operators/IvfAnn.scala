@@ -101,7 +101,7 @@ object IvfAnn {
         val cs = bc.value
         // probe cells by centroid distance to the query vector
         val order = cs.indices
-          .map(c => (c, Kernels.distL2Sq(cs(c), zeroOf(v), v)))
+          .map(c => (c, Kernels.distL2Sq(cs(c), v)))
           .sortBy(_._2).take(nProbe)
         order.map { case (cell, _) => (id, v, cell) }
       }
@@ -109,7 +109,7 @@ object IvfAnn {
 
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id").asc)
-    probes.join(assigned.select(col("vec_id").as("neighbor_id"),
+    val out = probes.join(assigned.select(col("vec_id").as("neighbor_id"),
         col("embedding").as("n_emb"), col("cell")), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", graft.functions.VectorFunctions.cosine(spark,
@@ -119,7 +119,9 @@ object IvfAnn {
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col("neighbor_id"), round(col("sim"), 6).as("sim"))
       .orderBy("query_id", "rank")
+      .persist()
+    out.count() // materialize, then drop the cell-assignment cache
+    assigned.unpersist()
+    out
   }
-
-  private def zeroOf(v: Array[Float]): Array[Float] = new Array[Float](v.length)
 }

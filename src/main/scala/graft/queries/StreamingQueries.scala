@@ -22,6 +22,9 @@ object StreamingQueries {
   val oracles: Map[String, String] = Map(
     "stream_windowed_counts" -> EventStreams.windowedCountsSql,
     "stream_dedup" -> EventStreams.streamingDedupSql,
+    // the watermark sentinel flushes every final session, so the stream
+    // equals the batch gaps-and-islands answer and shares its oracle
+    "stream_sessionize" -> EventStreams.sessionizeBatchSql(),
     "q11_sessionize" -> EventStreams.sessionizeBatchSql(),
     "q12_asof_join" -> AsOfJoin.errorToLastClickSql)
 }

@@ -40,23 +40,36 @@ object EventStreams {
     * streaming semantics on deterministic input). The file source needs a
     * DIRECTORY; the testdata is a single read-only file, so stage a temp
     * dir with a symlink (no data copy). */
-  def readEventStream(spark: SparkSession, sfDir: String): DataFrame = {
+  def readEventStream(spark: SparkSession, sfDir: String,
+      sentinelGapMs: Option[Long] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val streamDir = stagedDir(sfDir)
-    spark.readStream
+    val streamDir = stagedDir(spark, sfDir, sentinelGapMs)
+    val reader = spark.readStream
       .schema(rawSchema)
-      .parquet(streamDir)
+      // one file per micro-batch so a staged sentinel file lands AFTER
+      // the data batch and advances the watermark past it
+      .option("maxFilesPerTrigger", "1")
+    reader.parquet(streamDir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
-  private def stagedDir(sfDir: String): String = {
+  /** Stage a temp directory for the file source. With `sentinelGapMs`
+    * set, additionally writes a one-row far-future sentinel file (user_id
+    * -1, ts = max(ts) + gap + 1s): once that batch is processed the
+    * event-time watermark passes EVERY real session's timeout, so
+    * stateful operators flush all final state — on static input the
+    * stream then equals the batch answer exactly instead of a
+    * watermark-governed subset. Callers filter user_id >= 0. */
+  private def stagedDir(spark: SparkSession, sfDir: String,
+      sentinelGapMs: Option[Long]): String = {
     import java.nio.file.{Files, Paths}
     val target = Paths.get(sfDir, "events.parquet").toAbsolutePath.normalize
     // collision-free key (SHA-256 of the absolute path — String.hashCode
     // can collide across sfDirs, silently reusing the wrong symlink)
+    val suffix = sentinelGapMs.map(g => s"_s$g").getOrElse("")
     val key = java.security.MessageDigest.getInstance("SHA-256")
       .digest(target.toString.getBytes("UTF-8"))
-      .take(8).map("%02x".format(_)).mkString
+      .take(8).map("%02x".format(_)).mkString + suffix
     val dir = Paths.get(sys.props("java.io.tmpdir"), s"graft_events_$key")
     val link = dir.resolve("events.parquet")
     Files.createDirectories(dir)
@@ -69,6 +82,33 @@ object EventStreams {
       }
     } else if (!Files.exists(link)) {
       Files.createSymbolicLink(link, target)
+    }
+    sentinelGapMs.foreach { gapMs =>
+      // TWO sentinel files, one batch each (maxFilesPerTrigger=1): the
+      // watermark a batch observes comes from the PREVIOUS batch, so the
+      // second sentinel batch is what processes timeouts under the first
+      // sentinel's watermark (> every real session timeout). Relying on a
+      // trailing no-data micro-batch instead is racy with
+      // processAllAvailable (measured: the very last session stayed
+      // unflushed).
+      if (!Files.exists(dir.resolve("zz_sentinel2.parquet"))) {
+        import spark.implicits._
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val maxTsNanos = spark.read.schema(rawSchema).parquet(target.toString)
+          .agg(max(col("ts"))).head().getLong(0)
+        (1 to 2).foreach { k =>
+          val sentinel = dir.resolve(s"zz_sentinel$k.parquet")
+          val sentinelTs = maxTsNanos + k * (gapMs + 1000L) * 1000000L
+          val tmp = Files.createTempDirectory("graft_sentinel")
+          Seq((-k.toLong, sentinelTs, -1L, "__sentinel__", 0.0, ""))
+            .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+            .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          val part = Files.list(tmp).filter(_.toString.endsWith(".parquet"))
+            .findFirst().get()
+          Files.move(part, sentinel,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        }
+      }
     }
     dir.toString
   }
@@ -85,6 +125,12 @@ object EventStreams {
       .start()
     try {
       q.processAllAvailable()
+      if (sys.env.contains("GRAFT_STREAM_DEBUG")) {
+        q.recentProgress.foreach { p =>
+          System.err.println(s"[stream-debug] batch=${p.batchId} rows=${p.numInputRows} " +
+            s"watermark=${p.eventTime.get("watermark")} max=${p.eventTime.get("max")}")
+        }
+      }
     } finally {
       q.stop()
     }
@@ -135,14 +181,19 @@ object EventStreams {
 
   // -------------------------------------------------------- sessionization
   final case class Event(user_id: Long, ts: java.sql.Timestamp, value: Double)
-  final case class SessionState(start: Long, last: Long, n: Int, sum: Double)
+  final case class SessionState(start: Long, last: Long, n: Int, cents: Long)
   final case class Session(user_id: Long, session_start: Long, session_end: Long,
       n_events: Long, sum_value: Double)
 
   /** Stateful sessionization via flatMapGroupsWithState: per-user sessions
     * closed after `gapMinutes` of event-time silence. Sessions are emitted
-    * when the gap is observed in-stream; the final open session per user
-    * is emitted on event-time timeout once the watermark passes it.
+    * when the gap is observed in-stream; final open sessions are emitted
+    * on event-time timeout — the staged far-future sentinel (see
+    * stagedDir) pushes the watermark past every real timeout, so on the
+    * static replay the output equals the batch gaps-and-islands answer
+    * EXACTLY and shares its DuckDB oracle. Value sums are accumulated in
+    * integer cents (the testdata values have 2 decimals), matching the
+    * oracle's DECIMAL(18,2) sum bit-for-bit after the final /100.0.
     * (SURVEY §2.10's mapPartitions trainer is the reference's only custom
     * state — this is the Structured Streaming shape of keyed state.) */
   def sessionize(spark: SparkSession, sfDir: String, gapMinutes: Int = 30): DataFrame = {
@@ -154,19 +205,27 @@ object EventStreams {
       val out = scala.collection.mutable.ArrayBuffer.empty[Session]
       if (state.hasTimedOut) {
         val s = state.get
-        out += Session(userId, s.start / 1000, s.last / 1000, s.n, s.sum)
+        out += Session(userId, s.start / 1000, s.last / 1000, s.n, s.cents / 100.0)
         state.remove()
+      } else if (userId < 0) {
+        // sentinel group: advances the watermark, never holds state.
+        // MUST be dropped here in the typed function, not with a
+        // relational filter — a filter on user_id would be pushed down to
+        // the parquet scan and row-group-prune the sentinel FILES, so the
+        // watermark operator would never see their event times (measured:
+        // sentinel batches arrived with 0 rows)
       } else {
         val sorted = events.toArray.sortBy(_.ts.getTime)
         var cur = state.getOption.orNull
         sorted.foreach { e =>
           val t = e.ts.getTime
-          if (cur == null) cur = SessionState(t, t, 1, e.value)
+          val c = math.round(e.value * 100)
+          if (cur == null) cur = SessionState(t, t, 1, c)
           else if (t - cur.last > gapMs) {
-            out += Session(userId, cur.start / 1000, cur.last / 1000, cur.n, cur.sum)
-            cur = SessionState(t, t, 1, e.value)
+            out += Session(userId, cur.start / 1000, cur.last / 1000, cur.n, cur.cents / 100.0)
+            cur = SessionState(t, t, 1, c)
           } else {
-            cur = SessionState(cur.start, t, cur.n + 1, cur.sum + e.value)
+            cur = SessionState(cur.start, t, cur.n + 1, cur.cents + c)
           }
         }
         if (cur != null) {
@@ -177,7 +236,7 @@ object EventStreams {
       out.iterator
     }
 
-    val sessions = readEventStream(spark, sfDir)
+    val sessions = readEventStream(spark, sfDir, sentinelGapMs = Some(gapMs))
       .select(col("user_id"), col("ts"), col("value"))
       .withWatermark("ts", "0 seconds")
       .as[Event]

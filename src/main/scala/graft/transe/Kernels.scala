@@ -60,6 +60,14 @@ object Kernels {
     s
   }
 
+  /** Two-arg squared L2 (no translation vector) — used by the ANN/IVF
+    * operators; avoids allocating a zero vector per call. */
+  def distL2Sq(a: Array[Float], b: Array[Float]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { val d = a(i) - b(i); s += d.toDouble * d; i += 1 }
+    s
+  }
+
   def dist(d: Distance, h: Array[Float], l: Array[Float], t: Array[Float]): Double =
     d match {
       case L1        => distL1(h, l, t)

@@ -21,21 +21,17 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
-  test("streaming sessions are a prefix-subset of batch sessions") {
-    val streamed = EventStreams.sessionize(spark, sf)
-      .select("user_id", "session_start", "n_events").collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-    val batch = EventStreams.sessionizeBatch(Tables.events(spark, sf))
-      .select("user_id", "session_start", "n_events").collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+  test("streaming sessions EQUAL batch sessions (sentinel flushes final state)") {
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select("user_id", "session_start", "session_end", "n_events", "sum_value")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toSet
+    val streamed = key(EventStreams.sessionize(spark, sf))
+    val batch = key(EventStreams.sessionizeBatch(Tables.events(spark, sf)))
     assert(streamed.nonEmpty, "no sessions emitted by the stream")
-    // the stream can only withhold per-user final sessions still in state
-    // when the watermark stops advancing; everything emitted must be a
-    // real batch session
-    val missing = streamed -- batch
-    assert(missing.isEmpty, s"streamed sessions not in batch: ${missing.take(5)}")
-    assert(streamed.size >= batch.size / 2,
-      s"stream emitted only ${streamed.size} of ${batch.size} sessions")
+    assert(streamed == batch,
+      s"stream != batch: missing=${(batch -- streamed).take(3)} extra=${(streamed -- batch).take(3)}")
   }
 
   test("batch sessionization: gaps respected, events conserved") {
