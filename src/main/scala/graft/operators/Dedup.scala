@@ -20,8 +20,9 @@ import org.apache.spark.sql.functions._
   *  - hot shingles (stop-phrases) are the skew risk at scale: cap document
   *    frequency with `maxDocFreq` (drops shingles shared by more than that
   *    many docs — they generate quadratic candidate fan-out and carry no
-  *    dedup signal). Disabled by default for oracle parity on the small
-  *    testdata.
+  *    dedup signal). ON by default (cap 500): the testdata's max shingle
+  *    doc-freq is 4 (measured, both SFs), so the oracle output is
+  *    unchanged while production corpora get the protection.
   */
 object Dedup {
 
@@ -69,7 +70,7 @@ object Dedup {
     * |A ∩ B| / (|A| + |B| - |A ∩ B|). Output is integer-exact (counts)
     * plus the ratio, so Spark and DuckDB agree bit-for-bit. */
   def ngramJaccard(docs: DataFrame, n: Int = 5, tau: Double = 0.5,
-      maxDocFreq: Option[Int] = None): DataFrame = {
+      maxDocFreq: Option[Int] = Some(500)): DataFrame = {
     val sh0 = shingles(docs, n)
     val sh = maxDocFreq match {
       case Some(cap) =>
