@@ -104,6 +104,21 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.codegen.fallback", "true")
   }
 
+  test("LSH near-dup candidates come from an equi-join, never a cartesian") {
+    val df = graft.operators.SimilaritySearch.cosineNearDupLsh(
+      Tables.embeddings(spark, sf), tau = 0.9)
+    val p = simplePlan(df)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"candidate generation must be an equi-join:\n$p")
+  }
+
+  test("banded hyperplane ANN: equi-join candidates, vectors fetched by id") {
+    val df = graft.operators.SimilaritySearch.randomHyperplaneAnn(
+      Tables.embeddings(spark, sf), bitsPerTable = 12, k = 3)
+    val p = simplePlan(df)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("dedup_exact: one shuffle for the agg + one for the output sort") {
     val p = simplePlan(graft.operators.Dedup.exact(Tables.documents(spark, sf)))
     val exchanges = "Exchange".r.findAllIn(p).length
