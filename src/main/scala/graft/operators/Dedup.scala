@@ -64,37 +64,122 @@ object Dedup {
        |FROM (SELECT doc_id, w, unnest(range(1, greatest(len(w) - ${n - 1}, 1) + 1)) AS i
        |      FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents))""".stripMargin
 
+  // ----------------------------------------- shared dedup-first machinery
+  /** md5 clone clusters, shared by the Jaccard operators: members maps
+    * every doc to its content hash; reps keep one representative (min
+    * doc_id) per DISTINCT text with the cluster size. Both persisted —
+    * released by [[expandPairs]]. */
+  private def dedupClusters(docs: DataFrame): (DataFrame, DataFrame) = {
+    val withMd5 = docs.select(col("doc_id"), col("text"),
+      md5(col("text").cast("binary")).as("text_md5"))
+    val members = withMd5.select(col("doc_id"), col("text_md5")).persist()
+    val reps = withMd5.groupBy("text_md5")
+      .agg(min(col("doc_id")).as("doc_id"), min(col("text")).as("text"),
+        count(lit(1)).as("n_members"))
+      .persist()
+    (members, reps)
+  }
+
+  /** Expand representative pairs (doc_a, doc_b, n_common, n_union,
+    * jaccard) to ALL member pairs, plus the intra-cluster pairs
+    * (identical texts, jaccard exactly 1.0 at the rep's distinct-shingle
+    * size — no recompute). Only CLONE clusters (n_members > 1) can add
+    * pairs beyond the rep pairs themselves, so expansion touches clone
+    * rows only; singleton reps pass through via coalesce with no
+    * corpus-wide mapping join. The result is materialized eagerly so the
+    * persisted intermediates (members, reps, and the caller's extras)
+    * can be released. */
+  private def expandPairs(repPairs: DataFrame, members: DataFrame,
+      reps: DataFrame, n: Int, alsoUnpersist: Seq[DataFrame]): DataFrame = {
+    val spark = repPairs.sparkSession
+    import spark.implicits._
+    val cloneClusters = reps.filter(col("n_members") > 1)
+    val cloneMembers = members.join(
+      cloneClusters.select(col("text_md5"), col("doc_id").as("rep_id")), "text_md5")
+      .select(col("rep_id"), col("doc_id").as("member_id"))
+      .persist()
+
+    val eA = cloneMembers.select(col("rep_id").as("rep_a"), col("member_id").as("m_a2"))
+    val eB = cloneMembers.select(col("rep_id").as("rep_b"), col("member_id").as("m_b2"))
+    val cross = repPairs
+      .withColumnRenamed("doc_a", "rep_a").withColumnRenamed("doc_b", "rep_b")
+      .join(eA, Seq("rep_a"), "left")
+      .join(eB, Seq("rep_b"), "left")
+      .withColumn("m_a", coalesce(col("m_a2"), col("rep_a")))
+      .withColumn("m_b", coalesce(col("m_b2"), col("rep_b")))
+
+    val cloneSizes = cloneClusters
+      .select(col("text_md5"), col("text")).as[(String, String)]
+      .map { case (h, text) => (h, distinctShingleCount(text, n).toLong) }
+      .toDF("text_md5", "n_sh")
+    val intra = members.join(cloneSizes, "text_md5")
+      .select(col("text_md5"), col("doc_id"), col("n_sh"))
+    val intraPairs = intra.as("x")
+      .join(intra.as("y"),
+        col("x.text_md5") === col("y.text_md5") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("m_a"), col("y.doc_id").as("m_b"),
+        col("x.n_sh").as("n_common"), col("x.n_sh").as("n_union"),
+        lit(1.0).as("jaccard"))
+
+    val out = cross
+      .select(
+        least(col("m_a"), col("m_b")).as("doc_a"),
+        greatest(col("m_a"), col("m_b")).as("doc_b"),
+        col("n_common"), col("n_union"), col("jaccard"))
+      .union(intraPairs.select(
+        least(col("m_a"), col("m_b")).as("doc_a"),
+        greatest(col("m_a"), col("m_b")).as("doc_b"),
+        col("n_common"), col("n_union"), col("jaccard")))
+      .orderBy("doc_a", "doc_b")
+      .persist()
+    out.count() // materialize so the intermediates below can be dropped
+    (Seq(members, reps, cloneMembers) ++ alsoUnpersist).foreach(_.unpersist())
+    out
+  }
+
   // -------------------------------------------------- n-gram Jaccard join
-  /** All-pairs n-gram Jaccard >= tau via inverted-index join: shingle ->
-    * docs, self-join on shingle, count shared shingles per pair, then
-    * |A ∩ B| / (|A| + |B| - |A ∩ B|). Output is integer-exact (counts)
-    * plus the ratio, so Spark and DuckDB agree bit-for-bit. */
+  /** All-pairs n-gram Jaccard >= tau via inverted-index join over the
+    * DISTINCT texts (exact dedup first, like minhashLsh — clone clusters
+    * cost one representative each; their pairs come from the md5
+    * equi-join in [[expandPairs]]): shingle -> docs, self-join on the
+    * shingle HASH (xxhash64 longs shuffle ~5x less than shingle
+    * strings; a 64-bit collision would merge two shingles with
+    * probability ~n_shingles^2/2^65 — negligible), count shared shingles
+    * per pair, then |A ∩ B| / (|A| + |B| - |A ∩ B|). Output is
+    * integer-exact (counts) plus the ratio, so Spark and DuckDB agree
+    * bit-for-bit. */
   def ngramJaccard(docs: DataFrame, n: Int = 5, tau: Double = 0.5,
       maxDocFreq: Option[Int] = Some(500)): DataFrame = {
-    val sh0 = shingles(docs, n)
-    val sh = maxDocFreq match {
+    val (members, reps) = dedupClusters(docs)
+    // persisted: read by the cap stats, BOTH sides of the self-join, and
+    // the sizes agg — without the cache the shingle explode + distinct
+    // recomputes ~5x (measured: dominated the operator)
+    val sh0 = shingles(reps.select("doc_id", "text"), n)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("sh"))
+      .persist()
+    val sh = (maxDocFreq match {
       case Some(cap) =>
-        val hot = sh0.groupBy("shingle").count().filter(col("count") > cap)
-          .select("shingle")
-        sh0.join(hot, Seq("shingle"), "left_anti")
+        val hot = sh0.groupBy("sh").count().filter(col("count") > cap)
+          .select("sh")
+        sh0.join(hot, Seq("sh"), "left_anti")
       case None => sh0
-    }
+    }).persist()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
-    val b = sh.select(col("doc_id").as("doc_b"), col("shingle"))
-    val inter = a.join(b, Seq("shingle"))
+    val a = sh.select(col("doc_id").as("doc_a"), col("sh"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("sh"))
+    val inter = a.join(b, Seq("sh"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("n_common"))
     val sa = sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a"))
     val sb = sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b"))
-    inter.join(sa, "doc_a").join(sb, "doc_b")
+    val repPairs = inter.join(sa, "doc_a").join(sb, "doc_b")
       .withColumn("n_union", col("n_a") + col("n_b") - col("n_common"))
       .withColumn("jaccard",
         round(col("n_common").cast("double") / col("n_union"), 6))
       .filter(col("jaccard") >= tau)
       .select("doc_a", "doc_b", "n_common", "n_union", "jaccard")
-      .orderBy("doc_a", "doc_b")
+    expandPairs(repPairs, members, reps, n, Seq(sh0, sh))
   }
 
   def ngramJaccardSql(n: Int = 5, tau: Double = 0.5): String =
@@ -162,13 +247,7 @@ object Dedup {
     val rowsPerBand = numHashes / bands
 
     // ---- 1. exact dedup: one md5 shuffle; LSH sees distinct texts only
-    val withMd5 = docs.select(col("doc_id"), col("text"),
-      md5(col("text").cast("binary")).as("text_md5"))
-    val members = withMd5.select(col("doc_id"), col("text_md5")).persist()
-    val reps = withMd5.groupBy("text_md5")
-      .agg(min(col("doc_id")).as("doc_id"), min(col("text")).as("text"),
-        count(lit(1)).as("n_members"))
-      .persist()
+    val (members, reps) = dedupClusters(docs)
 
     // ---- 2. LSH over representatives: signatures in ONE narrow pass.
     // Per doc: distinct shingles -> 64 minima (seeded splitmix family over
@@ -216,55 +295,9 @@ object Dedup {
 
     val repPairs = verifyJaccard(candidates, sh, tau)
 
-    // ---- 3. expand representative pairs to member pairs. Only CLONE
-    // clusters (n_members > 1) can add pairs beyond the rep pairs
-    // themselves, so expansion touches clone rows only: singleton reps
-    // pass through via coalesce, with no corpus-wide mapping join.
-    val cloneClusters = reps.filter(col("n_members") > 1)
-    val cloneMembers = members.join(
-      cloneClusters.select(col("text_md5"), col("doc_id").as("rep_id")), "text_md5")
-      .select(col("rep_id"), col("doc_id").as("member_id"))
-      .persist()
-
-    val eA = cloneMembers.select(col("rep_id").as("rep_a"), col("member_id").as("m_a2"))
-    val eB = cloneMembers.select(col("rep_id").as("rep_b"), col("member_id").as("m_b2"))
-    val cross = repPairs
-      .withColumnRenamed("doc_a", "rep_a").withColumnRenamed("doc_b", "rep_b")
-      .join(eA, Seq("rep_a"), "left")
-      .join(eB, Seq("rep_b"), "left")
-      .withColumn("m_a", coalesce(col("m_a2"), col("rep_a")))
-      .withColumn("m_b", coalesce(col("m_b2"), col("rep_b")))
-
-    // intra-cluster: identical texts, jaccard exactly 1 at the rep's
-    // size. The distinct-shingle count comes from a narrow map — the
-    // verify shingle index above no longer covers non-candidate reps.
-    val cloneSizes = cloneClusters
-      .select(col("text_md5"), col("text")).as[(String, String)]
-      .map { case (h, text) => (h, distinctShingleCount(text, n).toLong) }
-      .toDF("text_md5", "n_sh")
-    val intra = members.join(cloneSizes, "text_md5")
-      .select(col("text_md5"), col("doc_id"), col("n_sh"))
-    val intraPairs = intra.as("x")
-      .join(intra.as("y"),
-        col("x.text_md5") === col("y.text_md5") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("m_a"), col("y.doc_id").as("m_b"),
-        col("x.n_sh").as("n_common"), col("x.n_sh").as("n_union"),
-        lit(1.0).as("jaccard"))
-
-    val out = cross
-      .select(
-        least(col("m_a"), col("m_b")).as("doc_a"),
-        greatest(col("m_a"), col("m_b")).as("doc_b"),
-        col("n_common"), col("n_union"), col("jaccard"))
-      .union(intraPairs.select(
-        least(col("m_a"), col("m_b")).as("doc_a"),
-        greatest(col("m_a"), col("m_b")).as("doc_b"),
-        col("n_common"), col("n_union"), col("jaccard")))
-      .orderBy("doc_a", "doc_b")
-      .persist()
-    out.count() // materialize so the intermediates below can be dropped
-    Seq(members, reps, sh, banded, candidates, cloneMembers).foreach(_.unpersist())
-    out
+    // ---- 3. expand representative pairs to member pairs (shared helper;
+    // eagerly materializes and releases every persisted intermediate)
+    expandPairs(repPairs, members, reps, n, Seq(sh, banded, candidates))
   }
 
   // --------------------------------------- minhash JVM-side hash helpers
