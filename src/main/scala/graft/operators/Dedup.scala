@@ -153,9 +153,16 @@ object Dedup {
     val (members, reps) = dedupClusters(docs)
     // persisted: read by the cap stats, BOTH sides of the self-join, and
     // the sizes agg — without the cache the shingle explode + distinct
-    // recomputes ~5x (measured: dominated the operator)
-    val sh0 = shingles(reps.select("doc_id", "text"), n)
+    // recomputes ~5x (measured: dominated the operator). Hashing BEFORE
+    // the distinct keeps every shuffle in this operator on longs.
+    val words = split(trim(col("text")), "\\s+")
+    val sh0 = reps.select(
+      col("doc_id"),
+      explode(transform(
+        sequence(lit(0), greatest(size(words) - n, lit(0))),
+        i => concat_ws(" ", slice(words, i + 1, lit(n))))).as("shingle"))
       .select(col("doc_id"), xxhash64(col("shingle")).as("sh"))
+      .distinct()
       .persist()
     val sh = (maxDocFreq match {
       case Some(cap) =>
