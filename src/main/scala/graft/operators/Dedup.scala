@@ -88,7 +88,14 @@ object Dedup {
     * rows only; singleton reps pass through via coalesce with no
     * corpus-wide mapping join. The result is materialized eagerly so the
     * persisted intermediates (members, reps, and the caller's extras)
-    * can be released. */
+    * can be released.
+    *
+    * Count caveat: intra-cluster rows report UNCAPPED distinct-shingle
+    * counts (identical texts are jaccard 1.0 under any cap); if a
+    * caller's maxDocFreq cap actually binds, cross-cluster counts use
+    * the capped universe — the pair SET is unaffected, only the count
+    * columns mix definitions, and only on corpora where the cap fires
+    * (the oracle corpora are far below it). */
   private def expandPairs(repPairs: DataFrame, members: DataFrame,
       reps: DataFrame, n: Int, alsoUnpersist: Seq[DataFrame]): DataFrame = {
     val spark = repPairs.sparkSession
@@ -327,11 +334,23 @@ object Dedup {
     mix64(h)
   }
 
+  /** Space-only trim matching Spark's `trim()` and DuckDB's `trim()`.
+    * `String.trim` strips every char <= 0x20 (tabs, newlines) — a doc
+    * starting with "\t" would shingle differently in the JVM helpers than
+    * in the relational/SQL paths they must agree with bit-for-bit. */
+  private[operators] def trimSpaces(s: String): String = {
+    var b = 0
+    var e = s.length
+    while (b < e && s.charAt(b) == ' ') b += 1
+    while (e > b && s.charAt(e - 1) == ' ') e -= 1
+    if (b == 0 && e == s.length) s else s.substring(b, e)
+  }
+
   /** Streams the DISTINCT word n-grams of one text — the per-doc
     * equivalent of `shingles()` (same trim/split/truncation semantics,
     * asserted equal in DedupSpec-style tests). */
   private def foreachDistinctShingle(text: String, n: Int)(f: String => Unit): Unit = {
-    val words = text.trim.split("\\s+")
+    val words = trimSpaces(text).split("\\s+", -1)
     val m = math.max(words.length - n, 0) + 1
     val seen = new java.util.HashSet[String]()
     var i = 0
@@ -437,7 +456,9 @@ object Dedup {
     import spark.implicits._
     docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, text) =>
-        val words = text.trim.split("\\s+")
+        // trimSpaces, not String.trim: must shingle identically to the
+        // SQL replay (simhashPairsSql trims spaces only)
+        val words = trimSpaces(text).split("\\s+", -1)
         val grams = (0 to math.max(words.length - n, 0)).iterator
           .map(i => words.slice(i, i + n).mkString(" "))
         (id, simhash64(grams.distinct))

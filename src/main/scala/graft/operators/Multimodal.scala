@@ -179,9 +179,14 @@ object Multimodal {
     * 0.998] with background up to 0.9898 at sf0.1), so no candidate
     * generator has recall 1 and only exact scoring hash-matches the SQL
     * replay. The at-scale spelling is [[featureNearDupLsh]]. */
-  def featureNearDup(assets: DataFrame, tau: Double = 0.99): DataFrame =
-    SimilaritySearch.cosineNearDupExact(featureEmbeddings(assets), tau)
+  def featureNearDup(assets: DataFrame, tau: Double = 0.99): DataFrame = {
+    // persisted: the guard count plus both sides of the pair join would
+    // otherwise re-run the full decode (the dominant cost) 3x; left to
+    // LRU (small: n x 8 floats)
+    val feats = featureEmbeddings(assets).persist()
+    SimilaritySearch.cosineNearDupExact(feats, tau)
       .select(col("vec_a").as("asset_a"), col("vec_b").as("asset_b"))
+  }
 
   /** DuckDB replay of featureNearDup: features recomputed in SQL, exact
     * all-pairs cosine at the same threshold (float-cast before the
@@ -205,7 +210,12 @@ object Multimodal {
     * colliding. Recall < 1 by construction (pairs near the corpus mean
     * lose angular resolution) -> rows-only oracle; the exact twin above
     * carries the value oracle. */
-  def featureNearDupLsh(assets: DataFrame, tau: Double = 0.99): DataFrame =
-    SimilaritySearch.cosineNearDupLsh(featureEmbeddings(assets), tau, center = true)
+  def featureNearDupLsh(assets: DataFrame, tau: Double = 0.99): DataFrame = {
+    // persisted: dim lookup, centering mean, bucket build, and both
+    // verify join sides all read the decoded features — uncached that is
+    // ~5 full decode passes; left to LRU (small: n x 8 floats)
+    val feats = featureEmbeddings(assets).persist()
+    SimilaritySearch.cosineNearDupLsh(feats, tau, center = true)
       .select(col("vec_a").as("asset_a"), col("vec_b").as("asset_b"))
+  }
 }

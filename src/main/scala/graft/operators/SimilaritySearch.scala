@@ -116,10 +116,13 @@ object SimilaritySearch {
     * whole-stage codegen across the join. */
   def cosineNearDupExact(embeddings: DataFrame, tau: Double = 0.45,
       maxExactRows: Long = 200000L): DataFrame = {
-    val n = embeddings.count()
-    require(n <= maxExactRows,
-      s"cosineNearDupExact is the O(n^2) oracle baseline; corpus has $n rows " +
-        s"(cap $maxExactRows). Use cosineNearDupLsh for large corpora.")
+    // limit-bounded guard: scans at most cap+1 rows, so the guard's own
+    // cost is bounded by the cap rather than the corpus (callers with an
+    // expensive lineage should persist their input — see featureNearDup)
+    val over = embeddings.limit((maxExactRows + 1).toInt).count() > maxExactRows
+    require(!over,
+      s"cosineNearDupExact is the O(n^2) oracle baseline; corpus exceeds " +
+        s"$maxExactRows rows. Use cosineNearDupLsh for large corpora.")
     val spark = embeddings.sparkSession
     val a = embeddings.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
     val b = embeddings.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
@@ -223,6 +226,9 @@ object SimilaritySearch {
   private def lshCandidates(embeddings: DataFrame, nTables: Int,
       bitsPerTable: Int, seed: Long, multiprobe: Boolean,
       center: Boolean = false): DataFrame = {
+    // persisted (read by both join sides); intentionally left to LRU —
+    // id+int rows only, and eager unpersist would require materializing
+    // the result here, hiding the candidate join from plan assertions
     val buckets = hyperplaneBuckets(embeddings, nTables, bitsPerTable, seed, center).persist()
     val probed = if (multiprobe) probeExpand(buckets, bitsPerTable) else buckets
     val l = probed.select(col("vec_id").as("vec_a"), col("table_idx"), col("sig"))

@@ -91,11 +91,19 @@ object EventStreams {
       // trailing no-data micro-batch instead is racy with
       // processAllAvailable (measured: the very last session stayed
       // unflushed).
-      if (!Files.exists(dir.resolve("zz_sentinel2.parquet"))) {
-        import spark.implicits._
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        val maxTsNanos = spark.read.schema(rawSchema).parquet(target.toString)
-          .agg(max(col("ts"))).head().getLong(0)
+      import spark.implicits._
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val maxTsNanos = spark.read.schema(rawSchema).parquet(target.toString)
+        .agg(max(col("ts"))).head().getLong(0)
+      // sentinels are valid only for the CURRENT content's max(ts): a
+      // regenerated target file with later timestamps would reuse stale
+      // sentinels that no longer outrun the final sessions' timeouts —
+      // key the cache on the observed max, not just file existence
+      val marker = dir.resolve("_graft_sentinel_maxts")
+      val fresh = Files.exists(marker) &&
+        Files.readString(marker).trim == maxTsNanos.toString &&
+        Files.exists(dir.resolve("zz_sentinel2.parquet"))
+      if (!fresh) {
         (1 to 2).foreach { k =>
           val sentinel = dir.resolve(s"zz_sentinel$k.parquet")
           val sentinelTs = maxTsNanos + k * (gapMs + 1000L) * 1000000L
@@ -108,6 +116,7 @@ object EventStreams {
           Files.move(part, sentinel,
             java.nio.file.StandardCopyOption.REPLACE_EXISTING)
         }
+        Files.writeString(marker, maxTsNanos.toString)
       }
     }
     dir.toString
@@ -199,13 +208,14 @@ object EventStreams {
   def sessionize(spark: SparkSession, sfDir: String, gapMinutes: Int = 30): DataFrame = {
     import spark.implicits._
     val gapMs = gapMinutes * 60L * 1000L
+    val gapSec = gapMinutes * 60L
 
     def update(userId: Long, events: Iterator[Event],
         state: GroupState[SessionState]): Iterator[Session] = {
       val out = scala.collection.mutable.ArrayBuffer.empty[Session]
       if (state.hasTimedOut) {
         val s = state.get
-        out += Session(userId, s.start / 1000, s.last / 1000, s.n, s.cents / 100.0)
+        out += Session(userId, s.start, s.last, s.n, s.cents / 100.0)
         state.remove()
       } else if (userId < 0) {
         // sentinel group: advances the watermark, never holds state.
@@ -215,14 +225,19 @@ object EventStreams {
         // watermark operator would never see their event times (measured:
         // sentinel batches arrived with 0 rows)
       } else {
+        // floor to WHOLE SECONDS before gap comparison: the batch/oracle
+        // spelling flags gaps on floor(epoch(ts)) diffs, so a
+        // millisecond-precision comparison here would split boundary gaps
+        // (actual gap in (gapSec, gapSec+1) seconds) differently than the
+        // oracle this stream claims to equal
         val sorted = events.toArray.sortBy(_.ts.getTime)
         var cur = state.getOption.orNull
         sorted.foreach { e =>
-          val t = e.ts.getTime
+          val t = e.ts.getTime / 1000
           val c = math.round(e.value * 100)
           if (cur == null) cur = SessionState(t, t, 1, c)
-          else if (t - cur.last > gapMs) {
-            out += Session(userId, cur.start / 1000, cur.last / 1000, cur.n, cur.cents / 100.0)
+          else if (t - cur.last > gapSec) {
+            out += Session(userId, cur.start, cur.last, cur.n, cur.cents / 100.0)
             cur = SessionState(t, t, 1, c)
           } else {
             cur = SessionState(cur.start, t, cur.n + 1, cur.cents + c)
@@ -230,7 +245,10 @@ object EventStreams {
         }
         if (cur != null) {
           state.update(cur)
-          state.setTimeoutTimestamp(cur.last + gapMs)
+          // timeout in ms from the floored-second session end; may fire up
+          // to 999 ms before last+gapMs — any event that close to the
+          // boundary would be late under the 0-second watermark anyway
+          state.setTimeoutTimestamp((cur.last + gapSec) * 1000)
         }
       }
       out.iterator

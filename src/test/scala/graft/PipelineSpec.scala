@@ -34,12 +34,22 @@ class PipelineSpec extends SparkSpec {
 
   test("per-doc shingle helper agrees with the relational shingles()") {
     import spark.implicits._
-    val relational = Dedup.shingles(docs, 5).groupBy("doc_id").count()
-      .as[(Long, Long)].collect().toMap
-    val perDoc = docs.select(col("doc_id"), col("text")).as[(Long, String)]
-      .collect().map { case (id, t) => id -> Dedup.distinctShingleCount(t, 5).toLong }
-      .toMap
-    assert(relational == perDoc)
+    def compare(df: org.apache.spark.sql.DataFrame): Unit = {
+      val relational = Dedup.shingles(df, 5).groupBy("doc_id").count()
+        .as[(Long, Long)].collect().toMap
+      val perDoc = df.select(col("doc_id"), col("text")).as[(Long, String)]
+        .collect().map { case (id, t) => id -> Dedup.distinctShingleCount(t, 5).toLong }
+        .toMap
+      assert(relational == perDoc)
+    }
+    compare(docs)
+    // non-space whitespace: Spark/DuckDB trim() strip spaces ONLY, so the
+    // JVM helper must not use String.trim (which also strips \t and \n)
+    compare(Seq(
+      (1L, "\tfoo bar baz qux quux corge"),
+      (2L, "  doubly  spaced   words in here  "),
+      (3L, "\nnewline start words in this doc"),
+      (4L, "trailing tab words in this doc\t")).toDF("doc_id", "text"))
   }
 
   test("simhash: identical docs get identical signatures; pairs verified") {
