@@ -73,6 +73,10 @@ object DictionaryEncoder {
   def encodeAll(raw: Dataset[RawTriple]): (Dataset[Triple], DataFrame, DataFrame) = {
     val cached = raw.persist()
     val (ents, labs) = buildDictionaries(cached)
-    (encode(cached, ents, labs), ents, labs)
+    // dictionaries persist too: each is consumed several times downstream
+    // (two broadcast sides of the encode join, count(), dict parquet
+    // writes) and the distinct+sort+zipWithIndex lineage is expensive to
+    // re-run per consumer
+    (encode(cached, ents.persist(), labs.persist()), ents, labs)
   }
 }

@@ -53,7 +53,11 @@ object EmbeddingIO {
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/params")
   }
 
-  /** Load persisted hyperparameters; None for pre-versioning checkpoints. */
+  /** Load persisted hyperparameters; None ONLY for pre-versioning
+    * checkpoints (no params directory). A params file that exists but
+    * cannot be read/decoded THROWS — silently falling back to the L1
+    * default would reopen the exact wrong-distance trap this file
+    * exists to close. */
   def loadParams(spark: SparkSession, dir: String): Option[TransEParams] =
     try {
       val r = spark.read.parquet(s"$dir/params").collect().head
@@ -63,7 +67,9 @@ object EmbeddingIO {
         margin = r.getAs[Float]("margin"),
         lr = r.getAs[Float]("lr"),
         seed = r.getAs[Long]("seed")))
-    } catch { case _: Exception => None }
+    } catch {
+      case _: org.apache.spark.sql.AnalysisException => None // path absent
+    }
 
   def loadModel(spark: SparkSession, dir: String, params: TransEParams): TransEModel =
     TransEModel(load(spark, s"$dir/entity"), load(spark, s"$dir/label"), params)

@@ -5,7 +5,6 @@ import java.util.SplittableRandom
 import scala.collection.mutable
 
 import org.apache.spark.sql.Dataset
-import org.apache.spark.util.DoubleAccumulator
 
 /** Membership test for negative-sample rejection (reference: broadcast dict
   * used as a set, `utils.py:35-41` + `TransE.py:94-95,243`). */
@@ -91,6 +90,12 @@ class TransETrainer(params: TransEParams) extends Serializable {
     warmStart.foreach { m =>
       require(m.nEntities == nEntities && m.nLabels == nLabels,
         s"warm-start shape (${m.nEntities},${m.nLabels}) != (${nEntities},${nLabels})")
+      // dim must match too: the delta pack/apply path reads exactly p.dim
+      // floats per row — a wider checkpoint would silently truncate every
+      // update and leave components beyond p.dim stale
+      require(m.entity.headOption.forall(_.length == p.dim) &&
+        m.label.headOption.forall(_.length == p.dim),
+        s"warm-start dim ${m.entity.headOption.map(_.length).getOrElse(0)} != ${p.dim}")
     }
 
     // Materialize ONCE as a cached RDD of Triple objects: the SGD loop
@@ -110,12 +115,29 @@ class TransETrainer(params: TransEParams) extends Serializable {
     // rounds are dominated by per-partition hot-row delta duplication and
     // task overhead. ~200k triples/partition, clamped to [2, 16]
     // (GRAFT_TRAIN_PARTS overrides for experiments).
+    // ONE pass over the input lineage: persist at the incoming layout,
+    // count (fills the cache + sizes partitions), then re-lay-out from
+    // the cache. Previously the lineage ran up to 3x at startup
+    // (sizing count, cache fill, bloom build over the uncached Dataset).
     val rawRdd = triples.rdd
-    val targetParts = sys.env.get("GRAFT_TRAIN_PARTS").map(_.toInt).getOrElse(
-      math.max(2, math.min(16, (triples.count() / 200000L).toInt + 1)))
-    val data = (if (rawRdd.getNumPartitions > targetParts)
-      rawRdd.coalesce(targetParts) else rawRdd)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nTriples = rawRdd.count()
+    val targetParts = sys.env.get("GRAFT_TRAIN_PARTS").map(_.toInt).getOrElse(
+      math.max(2, math.min(16, (nTriples / 200000L).toInt + 1)))
+    val data =
+      if (rawRdd.getNumPartitions == targetParts) rawRdd
+      else {
+        // coalesce DOWN for delta volume; repartition UP when the input
+        // arrives under-partitioned (single gzip file, upstream
+        // coalesce(1)) — otherwise every SGD round serializes on one task
+        val relaid = (if (rawRdd.getNumPartitions > targetParts)
+          rawRdd.coalesce(targetParts)
+        else rawRdd.repartition(targetParts))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        relaid.count() // materialize from the parent cache, then drop it
+        rawRdd.unpersist()
+        relaid
+      }
 
     val membership: TripleMembership =
       if (p.exactMembership && PackedMembership.fits(nEntities, nLabels)) {
@@ -129,12 +151,13 @@ class TransETrainer(params: TransEParams) extends Serializable {
         data.collect().foreach(tr => s.add((tr.h, tr.l, tr.t)))
         new ExactMembership(s)
       } else {
-        val bloom = triples.toDF().stat.bloomFilter(
+        // built from the CACHED rdd, not the original Dataset lineage
+        val bloom = spark.createDataFrame(data).stat.bloomFilter(
           org.apache.spark.sql.functions.concat_ws(":",
             org.apache.spark.sql.functions.col("h"),
             org.apache.spark.sql.functions.col("l"),
             org.apache.spark.sql.functions.col("t")),
-          expectedNumItems = math.max(data.count(), 1L), fpp = 0.01)
+          expectedNumItems = math.max(nTriples, 1L), fpp = 0.01)
         new BloomMembership(bloom)
       }
     val membBc = sc.broadcast(membership)
@@ -155,7 +178,6 @@ class TransETrainer(params: TransEParams) extends Serializable {
         (e, l)
     }
 
-    val lossAcc: DoubleAccumulator = sc.doubleAccumulator("transe_hinge_loss")
     var history = Vector.empty[Double]
 
     val profile = sys.env.contains("GRAFT_TRAIN_PROFILE")
@@ -164,7 +186,11 @@ class TransETrainer(params: TransEParams) extends Serializable {
 
     var epoch = 0
     while (epoch < p.epochs) {
-      val epochStart = lossAcc.value
+      // loss rides in the COLLECTED deltas, not an accumulator: updates
+      // from transformations are re-applied on task retry / speculative
+      // execution, which would inflate the metric nondeterministically on
+      // a real cluster; collect() results are exactly-once
+      var epochLoss = 0.0
       var batch = 0
       while (batch < p.batches) {
         // Parameter sync: ONE fresh broadcast per batch bundling both
@@ -180,13 +206,14 @@ class TransETrainer(params: TransEParams) extends Serializable {
         val deltas = sampled.mapPartitionsWithIndex { (pid, it) =>
           val (ent, lab) = modelBc.value
           TransETrainer.partitionSgd(pid, it, ent, lab,
-            membBc.value, nEntities, p, batchSeed, lossAcc)
+            membBc.value, nEntities, p, batchSeed)
         }.collect()
         val t2 = tick()
 
         // Deterministic last-writer-wins: partition-index order.
         java.util.Arrays.sort(deltas, Ordering.by((d: TransETrainer.Delta) => d.pid))
         deltas.foreach { d =>
+          epochLoss += d.loss
           d.applyTo(entity, label, p.dim)
         }
         val t3 = tick()
@@ -195,7 +222,7 @@ class TransETrainer(params: TransEParams) extends Serializable {
         tBroadcast += t1 - t0; tJob += t2 - t1; tMerge += t3 - t2; tDestroy += t4 - t3
         batch += 1
       }
-      history :+= (lossAcc.value - epochStart)
+      history :+= epochLoss
       epoch += 1
       // periodic VERSIONED checkpoint (reference writes per-epoch files
       // entity_embedding_<id>.pkl, utils.py:44-49 / TransE.py:108-111):
@@ -231,7 +258,8 @@ object TransETrainer {
   final case class Delta(
       pid: Int,
       entIds: Array[Int], entVals: Array[Float],
-      labIds: Array[Int], labVals: Array[Float]) {
+      labIds: Array[Int], labVals: Array[Float],
+      loss: Double) {
 
     /** In-place overwrite of the driver matrices (no per-row allocation —
       * safe: the previous round's broadcast is never read again once its
@@ -277,8 +305,7 @@ object TransETrainer {
       membership: TripleMembership,
       nEntities: Int,
       p: TransEParams,
-      batchSeed: Long,
-      lossAcc: DoubleAccumulator): Iterator[Delta] = {
+      batchSeed: Long): Iterator[Delta] = {
 
     // Deterministic per-task stream: seed mixes batch and partition
     // (reference uses OS randomness, TransE.py:185 — SURVEY §7.5-3).
@@ -344,9 +371,8 @@ object TransETrainer {
         if (ntId != tr.t) Kernels.normalizeInPlace(nt)
       }
     }
-    lossAcc.add(loss)
     val (eIds, eVals) = pack(entLocal, p.dim)
     val (lIds, lVals) = pack(labLocal, p.dim)
-    Iterator(Delta(pid, eIds, eVals, lIds, lVals))
+    Iterator(Delta(pid, eIds, eVals, lIds, lVals, loss))
   }
 }

@@ -23,6 +23,12 @@ object TripleReader {
       .option("sep", "\t")
       .option("header", "false")
       .option("mode", "DROPMALFORMED")
+      // pure split-on-tab parity with the reference: default CSV quote
+      // ('"') and escape ('\') handling would strip quotes from values
+      // like "1984" and merge tab-containing quoted fields — silent
+      // dictionary corruption, not malformed-row dropping
+      .option("quote", "")
+      .option("escape", "")
       .schema(schema)
       .csv(path)
       .na.drop()

@@ -92,6 +92,10 @@ class AppsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       new TransETrainer(p).fit(triples, 11, 2, Some(m1))
     }
+    // dim mismatch too: the delta pack/apply path would silently truncate
+    intercept[IllegalArgumentException] {
+      new TransETrainer(p.copy(dim = 8)).fit(triples, 10, 2, Some(m1))
+    }
   }
 
   test("as-of join matches a hand-computed per-user trace") {
