@@ -56,14 +56,6 @@ object Dedup {
       .distinct()
   }
 
-  /** DuckDB spelling of the same shingle expansion (shared by oracles).
-    * Scalar `range` + `unnest` — DuckDB 1.0's range table function does
-    * not support lateral column parameters. */
-  private def shinglesSql(n: Int): String =
-    s"""SELECT DISTINCT doc_id, array_to_string(w[i:i+${n - 1}], ' ') AS shingle
-       |FROM (SELECT doc_id, w, unnest(range(1, greatest(len(w) - ${n - 1}, 1) + 1)) AS i
-       |      FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents))""".stripMargin
-
   // ----------------------------------------- shared dedup-first machinery
   /** md5 clone clusters, shared by the Jaccard operators: members maps
     * every doc to its content hash; reps keep one representative (min
@@ -196,24 +188,61 @@ object Dedup {
     expandPairs(repPairs, members, reps, n, Seq(sh0, sh))
   }
 
-  def ngramJaccardSql(n: Int = 5, tau: Double = 0.5): String =
-    s"""WITH sh AS (
-       |${shinglesSql(n)}
+  /** Full replay of the dedup-first ngramJaccard pipeline, INCLUDING the
+    * maxDocFreq cap — exact dedup over distinct texts, hot-shingle drop
+    * (doc-frequency counted over REPRESENTATIVES, matching the Spark
+    * side), inverted-index Jaccard over reps, then expansion to member
+    * pairs plus intra-cluster pairs (uncapped sizes, see expandPairs).
+    * Validated identical to the direct uncapped all-docs spelling on the
+    * testdata (where neither the cap nor clone expansion changes
+    * anything). */
+  def ngramJaccardSql(n: Int = 5, tau: Double = 0.5,
+      maxDocFreq: Option[Int] = Some(500)): String = {
+    val capFilter = maxDocFreq.map(c => s"WHERE df <= $c").getOrElse("")
+    s"""WITH reps AS (SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text),
+       |members AS (SELECT d.doc_id AS member_id, r.doc_id AS rep_id
+       |            FROM documents d JOIN reps r ON d.text = r.text),
+       |sh0 AS (
+       |  SELECT DISTINCT doc_id, array_to_string(w[i:i+${n - 1}], ' ') AS shingle
+       |  FROM (SELECT doc_id, w, unnest(range(1, greatest(len(w) - ${n - 1}, 1) + 1)) AS i
+       |        FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM reps))
+       |), sh AS (
+       |  SELECT doc_id, shingle FROM (
+       |    SELECT doc_id, shingle, COUNT(*) OVER (PARTITION BY shingle) AS df FROM sh0)
+       |  $capFilter
        |), sizes AS (
        |  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+       |), sizes0 AS (
+       |  SELECT doc_id, COUNT(*) AS n_sh FROM sh0 GROUP BY doc_id
        |), inter AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2
+       |), rep_pairs AS (
+       |  SELECT doc_a, doc_b, n_common,
+       |    sa.n_sh + sb.n_sh - n_common AS n_union,
+       |    ROUND(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+       |  FROM inter
+       |  JOIN sizes sa ON doc_a = sa.doc_id
+       |  JOIN sizes sb ON doc_b = sb.doc_id
+       |  WHERE ROUND(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 6) >= $tau
+       |), cross_pairs AS (
+       |  SELECT least(ma.member_id, mb.member_id) AS doc_a,
+       |         greatest(ma.member_id, mb.member_id) AS doc_b,
+       |         p.n_common, p.n_union, p.jaccard
+       |  FROM rep_pairs p
+       |  JOIN members ma ON p.doc_a = ma.rep_id
+       |  JOIN members mb ON p.doc_b = mb.rep_id
+       |), intra_pairs AS (
+       |  SELECT x.member_id AS doc_a, y.member_id AS doc_b,
+       |         s.n_sh AS n_common, s.n_sh AS n_union, 1.0 AS jaccard
+       |  FROM members x
+       |  JOIN members y ON x.rep_id = y.rep_id AND x.member_id < y.member_id
+       |  JOIN sizes0 s ON s.doc_id = x.rep_id
        |)
-       |SELECT doc_a, doc_b, n_common,
-       |  sa.n_sh + sb.n_sh - n_common AS n_union,
-       |  ROUND(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
-       |FROM inter
-       |JOIN sizes sa ON doc_a = sa.doc_id
-       |JOIN sizes sb ON doc_b = sb.doc_id
-       |WHERE ROUND(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 6) >= $tau
+       |SELECT * FROM cross_pairs UNION ALL SELECT * FROM intra_pairs
        |ORDER BY doc_a, doc_b""".stripMargin
+  }
 
   // ------------------------------------------------------- MinHash + LSH
   /** MinHash signatures + banded LSH + exact-Jaccard verification, with

@@ -44,8 +44,9 @@ object PipelineQueries {
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardSql(),
     // minhash+LSH verifies candidates with exact Jaccard; at the measured
     // testdata separation (planted pairs j>=0.87, recall >1-1e-6) its
-    // output equals the exact all-pairs result
-    "dedup_minhash_lsh" -> Dedup.ngramJaccardSql(),
+    // output equals the exact all-pairs result — the UNCAPPED spelling
+    // (minhash does not hot-shingle-cap its verify)
+    "dedup_minhash_lsh" -> Dedup.ngramJaccardSql(maxDocFreq = None),
     // simhash banding is candidate-exact for Hamming<=6, so the all-pairs
     // SQL replay of the md5-term simhash is a full value oracle
     "dedup_simhash" -> Dedup.simhashPairsSql(),

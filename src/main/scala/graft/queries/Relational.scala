@@ -206,7 +206,7 @@ object Relational {
   val q8Sql: String =
     """SELECT id, name, COUNT(*) AS n_customers
       |FROM customer
-      |JOIN (SELECT name, CAST(ROW_NUMBER() OVER (ORDER BY name) - 1 AS BIGINT) AS id
+      |JOIN (SELECT name, CAST(ROW_NUMBER() OVER (ORDER BY name NULLS FIRST) - 1 AS BIGINT) AS id
       |      FROM (SELECT DISTINCT c_mktsegment AS name FROM customer)) d
       |  ON c_mktsegment = d.name
       |GROUP BY id, name ORDER BY id""".stripMargin

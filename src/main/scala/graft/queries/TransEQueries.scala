@@ -96,10 +96,10 @@ object TransEQueries {
     s"""WITH triples AS (
        |$kgSqlBody
        |), ents AS (
-       |  SELECT name, CAST(ROW_NUMBER() OVER (ORDER BY name) - 1 AS BIGINT) AS id
+       |  SELECT name, CAST(ROW_NUMBER() OVER (ORDER BY name NULLS FIRST) - 1 AS BIGINT) AS id
        |  FROM (SELECT DISTINCT name FROM (SELECT h AS name FROM triples UNION ALL SELECT t AS name FROM triples))
        |), labs AS (
-       |  SELECT name, CAST(ROW_NUMBER() OVER (ORDER BY name) - 1 AS BIGINT) AS id
+       |  SELECT name, CAST(ROW_NUMBER() OVER (ORDER BY name NULLS FIRST) - 1 AS BIGINT) AS id
        |  FROM (SELECT DISTINCT l AS name FROM triples)
        |)
        |SELECT eh.id AS h, ll.id AS l, et.id AS t
@@ -141,20 +141,32 @@ object TransEQueries {
 
   /** Encode once per sfDir and memoize — kg_encode, fitted() and the
     * bench epoch metric all need the same encoded KG; the encoded Dataset
-    * is persisted so downstream consumers don't recompute the lineage. */
+    * is persisted so downstream consumers don't recompute the lineage.
+    * (encodeAll persists the dictionaries itself.) A cached entry is only
+    * reused if its owning SparkContext is still alive — the key is the
+    * sfDir, so a stopped-and-recreated session must recompute rather
+    * than return Datasets bound to a dead context. */
   def encodedKg(spark: SparkSession, dir: String): (Dataset[Triple],
       org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame, Int, Int) =
-    encodeCache.getOrElseUpdate(dir, {
-      import spark.implicits._
-      val raw = kgTriples(spark, dir).as[RawTriple]
-      val (enc, ents, labs) = DictionaryEncoder.encodeAll(raw)
-      val encP = enc.persist()
-      (encP, ents.persist(), labs.persist(), ents.count().toInt, labs.count().toInt)
-    })
+    encodeCache.get(dir)
+      .filter(!_._1.sparkSession.sparkContext.isStopped)
+      .getOrElse {
+        import spark.implicits._
+        val raw = kgTriples(spark, dir).as[RawTriple]
+        val (enc, ents, labs) = DictionaryEncoder.encodeAll(raw)
+        val v = (enc.persist(), ents, labs, ents.count().toInt, labs.count().toInt)
+        encodeCache.put(dir, v)
+        v
+      }
 
-  /** Train once per sfDir and memoize (several queries + bench share it). */
+  /** Train once per sfDir and memoize (several queries + bench share it);
+    * same liveness guard as encodedKg. */
   def fitted(spark: SparkSession, dir: String): (Fitted, Dataset[Triple]) =
-    cache.getOrElseUpdate(dir, {
+    cache.get(dir)
+      .filter(!_._2.sparkSession.sparkContext.isStopped)
+      .getOrElse(fitAndCache(spark, dir))
+
+  private def fitAndCache(spark: SparkSession, dir: String): (Fitted, Dataset[Triple]) = {
       import spark.implicits._
       val (encodedAll, ents, labs, nEnt, nLab) = encodedKg(spark, dir)
 
@@ -163,9 +175,12 @@ object TransEQueries {
       // BEFORE encoding? No — split on encoded ids to keep one dictionary.
       val placedById = labs.filter(col("name") === "placed_by")
         .select("id").as[Int].collect().head
+      // try_cast, not CAST: Spark does not guarantee filter-conjunct
+      // evaluation order, so under ANSI mode a plain CAST could see a
+      // non-numeric suffix (e.g. 'st:F') before the startsWith guard runs
       val orderIds = ents
         .filter(col("name").startsWith("o:"))
-        .filter(expr("CAST(substring(name, 3) AS LONG) % 17 = 0"))
+        .filter(expr("try_cast(substring(name, 3) AS LONG) % 17 = 0"))
         .select("id").as[Int].collect().toSet
       val orderIdsBc = spark.sparkContext.broadcast(orderIds)
 
@@ -178,8 +193,10 @@ object TransEQueries {
 
       val trainer = new TransETrainer(paramsFor(dir))
       val model = trainer.fit(train, nEnt, nLab)
-      (Fitted(model, trainer, nEnt, nLab, nTrainRows), test)
-    })
+      val v = (Fitted(model, trainer, nEnt, nLab, nTrainRows), test)
+      cache.put(dir, v)
+      v
+  }
 
   // ------------------------------------------------------------ transe_fit
   /** Training health surface: per-epoch hinge loss + model shape. Not
@@ -229,7 +246,7 @@ object TransEQueries {
     s"""WITH triples AS (
        |$kgSqlBody
        |), ents AS (
-       |  SELECT name, CAST(ROW_NUMBER() OVER (ORDER BY name) - 1 AS BIGINT) AS id
+       |  SELECT name, CAST(ROW_NUMBER() OVER (ORDER BY name NULLS FIRST) - 1 AS BIGINT) AS id
        |  FROM (SELECT DISTINCT name FROM (SELECT h AS name FROM triples UNION ALL SELECT t AS name FROM triples))
        |)
        |SELECT id, CAST(${evalParams.dim} AS BIGINT) AS dim, CAST(1.0 AS DOUBLE) AS l2_norm
