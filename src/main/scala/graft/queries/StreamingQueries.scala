@@ -16,6 +16,7 @@ object StreamingQueries {
     "stream_windowed_counts" -> ((s, d) => EventStreams.windowedCounts(s, d)),
     "stream_dedup" -> ((s, d) => EventStreams.streamingDedup(s, d)),
     "stream_sessionize" -> ((s, d) => EventStreams.sessionize(s, d)),
+    "stream_asof" -> ((s, d) => EventStreams.streamingAsOf(s, d)),
     "q11_sessionize" -> ((s, d) => EventStreams.sessionizeBatch(Tables.events(s, d))),
     "q12_asof_join" -> ((s, d) => AsOfJoin.errorToLastClick(Tables.events(s, d))))
 
@@ -25,6 +26,9 @@ object StreamingQueries {
     // the watermark sentinel flushes every final session, so the stream
     // equals the batch gaps-and-islands answer and shares its oracle
     "stream_sessionize" -> EventStreams.sessionizeBatchSql(),
+    // matches emit inline from keyed state, so the stream equals the
+    // batch as-of exactly and shares its oracle
+    "stream_asof" -> AsOfJoin.errorToLastClickSql,
     "q11_sessionize" -> EventStreams.sessionizeBatchSql(),
     "q12_asof_join" -> AsOfJoin.errorToLastClickSql)
 }

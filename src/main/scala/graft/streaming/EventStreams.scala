@@ -265,6 +265,57 @@ object EventStreams {
       .orderBy("user_id", "session_start")
   }
 
+  // ------------------------------------------------------ streaming as-of
+  final case class TypedEvent(event_id: Long, user_id: Long,
+      ts: java.sql.Timestamp, event_type: String)
+  final case class ClickState(clickId: Long, clickSec: Long)
+  final case class AsOfMatch(event_id: Long, matched_click: Option[Long],
+      gap_sec: Option[Long])
+
+  /** Streaming as-of join: each 'error' event matched to the same user's
+    * most recent prior-or-simultaneous 'click', kept as keyed streaming
+    * state (ONE tiny ClickState per user — the classic enrichment-state
+    * shape). This is the stream spelling of `operators/AsOfJoin`
+    * (q12_asof_join) and shares its DuckDB ASOF LEFT JOIN oracle: matches
+    * emit inline, so no timeout flush and no watermark sentinel are
+    * needed. Event comparison uses MICROsecond precision like the batch
+    * sort — `Timestamp.getTime` alone truncates to milliseconds and could
+    * order a microseconds-later click before an error. */
+  def streamingAsOf(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    def micros(t: java.sql.Timestamp): Long =
+      math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
+    def update(userId: Long, events: Iterator[TypedEvent],
+        state: GroupState[ClickState]): Iterator[AsOfMatch] = {
+      // clicks sort BEFORE errors at equal timestamps: the batch as-of
+      // matches a simultaneous click (right-before-left tie order)
+      val sorted = events.toArray.sortBy(e =>
+        (micros(e.ts), if (e.event_type == "click") 0 else 1, e.event_id))
+      val out = scala.collection.mutable.ArrayBuffer.empty[AsOfMatch]
+      var cur = state.getOption.orNull
+      sorted.foreach { e =>
+        if (e.event_type == "click") {
+          cur = ClickState(e.event_id, math.floorDiv(micros(e.ts), 1000000L))
+        } else if (e.event_type == "error") {
+          out += (if (cur == null) AsOfMatch(e.event_id, None, None)
+          else AsOfMatch(e.event_id, Some(cur.clickId),
+            Some(math.floorDiv(micros(e.ts), 1000000L) - cur.clickSec)))
+        }
+      }
+      if (cur != null) state.update(cur)
+      out.iterator
+    }
+
+    val matches = readEventStream(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+      .as[TypedEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(update)
+    runToCompletion(matches.toDF(), OutputMode.Append())
+      .orderBy("event_id")
+  }
+
   // ------------------------------------------- batch sessionization (oracle)
   /** Batch gaps-and-islands sessionization — the relational spelling of
     * `sessionize`, fully SQL-expressible, used as its own oracled query:

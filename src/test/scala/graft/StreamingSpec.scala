@@ -34,6 +34,20 @@ class StreamingSpec extends SparkSpec {
       s"stream != batch: missing=${(batch -- streamed).take(3)} extra=${(streamed -- batch).take(3)}")
   }
 
+  test("streaming as-of EQUALS the batch as-of join") {
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select("event_id", "matched_click", "gap_sec").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))
+      .toSet
+    val streamed = key(EventStreams.streamingAsOf(spark, sf))
+    val batch = key(graft.operators.AsOfJoin.errorToLastClick(Tables.events(spark, sf)))
+    assert(streamed.nonEmpty)
+    assert(streamed == batch,
+      s"missing=${(batch -- streamed).take(3)} extra=${(streamed -- batch).take(3)}")
+  }
+
   test("batch sessionization: gaps respected, events conserved") {
     val events = Tables.events(spark, sf)
     val sessions = EventStreams.sessionizeBatch(events)
