@@ -292,6 +292,32 @@ object Relational {
       |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
       |ORDER BY o_custkey""".stripMargin
 
+  // -------------------------------------------------------- q15_salted_join
+  /** Skew-salted join (SURVEY §2 has no skew machinery; a 100 TB pipeline
+    * needs it): probe side salted by content hash, build side replicated,
+    * join keyed on (key, salt) — a hot key spreads across `salt` reducers
+    * instead of serializing on one (operators/SkewJoin). The oracle is the
+    * PLAIN join: salting must not change the result set, and that
+    * equivalence is exactly what the DuckDB comparison certifies. */
+  def q15SaltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_partkey").as("k"), col("l_quantity"))
+    val p = Tables.part(spark, dir)
+      .select(col("p_partkey").as("k"), col("p_brand"))
+    graft.operators.SkewJoin.saltedJoin(li, p, "k", salt = 8)
+      .groupBy("p_brand")
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(dec("l_quantity")).cast("double").as("sum_qty"))
+      .orderBy("p_brand")
+  }
+
+  val q15Sql: String =
+    """SELECT p_brand, COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
   /** Registry consumed by SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg"             -> (q1Agg _),
@@ -305,7 +331,8 @@ object Relational {
     "q9_topk"            -> (q9TopK _),
     "q10_time_bucket"    -> (q10TimeBucket _),
     "q13_rollup"         -> (q13Rollup _),
-    "q14_except"         -> (q14Except _))
+    "q14_except"         -> (q14Except _),
+    "q15_salted_join"    -> (q15SaltedJoin _))
 
   val oracles: Map[String, String] = Map(
     "q1_agg"             -> q1Sql,
@@ -319,5 +346,6 @@ object Relational {
     "q9_topk"            -> q9Sql,
     "q10_time_bucket"    -> q10Sql,
     "q13_rollup"         -> q13Sql,
-    "q14_except"         -> q14Sql)
+    "q14_except"         -> q14Sql,
+    "q15_salted_join"    -> q15Sql)
 }

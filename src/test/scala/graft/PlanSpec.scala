@@ -104,6 +104,18 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.codegen.fallback", "true")
   }
 
+  test("salted join shuffles on (key, salt) when broadcast is off") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val li = Tables.lineitem(spark, sf).select(col("l_partkey").as("k"), col("l_quantity"))
+      val p = Tables.part(spark, sf).select(col("p_partkey").as("k"), col("p_brand"))
+      val plan = simplePlan(graft.operators.SkewJoin.saltedJoin(li, p, "k"))
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"), plan)
+      assert(plan.contains("__salt"), "join key must include the salt column")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("LSH near-dup candidates come from an equi-join, never a cartesian") {
     val df = graft.operators.SimilaritySearch.cosineNearDupLsh(
       Tables.embeddings(spark, sf), tau = 0.9)

@@ -13,6 +13,10 @@ object TestSession {
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    // managed-table warehouse in tmp (BucketingSpec writes bucketed
+    // tables) — never inside the repo
+    .config("spark.sql.warehouse.dir",
+      java.nio.file.Files.createTempDirectory("graft_warehouse").toString)
     .getOrCreate()
   spark.sparkContext.setLogLevel("WARN")
   val sf: String = "/root/testdata/sf0.001"
