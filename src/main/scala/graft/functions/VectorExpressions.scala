@@ -143,7 +143,7 @@ case class VectorL1(left: Expression, right: Expression) extends VectorBinaryExp
 /** Registration + Column-API helpers. Registration is per-session (kept in
   * the session's FunctionRegistry); `ensureRegistered` is idempotent. */
 object VectorFunctions {
-  private val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+  private[functions] val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     ("vector_dot", es => VectorDot(es(0), es(1))),
     ("vector_cosine", es => VectorCosine(es(0), es(1))),
     ("vector_l2sq", es => VectorL2Sq(es(0), es(1))),

@@ -6,6 +6,28 @@ import graft.functions.VectorFunctions
   * engine usable from pure SQL, not just the Scala API. */
 class SqlSurfaceSpec extends SparkSpec {
 
+  test("GraftExtensions installs vector SQL functions on a fresh session") {
+    import org.apache.spark.sql.SparkSession
+    // build a NEW SparkSession (same context) with the extensions applied
+    // at construction — the spark.sql.extensions deployment route
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[8]")
+        .withExtensions(new graft.functions.GraftExtensions)
+        .getOrCreate()
+      val v = s2.sql(
+        """SELECT vector_cosine(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
+          |                     array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS c""".stripMargin)
+        .head().getDouble(0)
+      assert(math.abs(v - 1.0) < 1e-12)
+    } finally {
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
+
   test("vector functions are callable from spark.sql") {
     VectorFunctions.ensureRegistered(spark)
     Tables.embeddings(spark, sf).createOrReplaceTempView("embeddings_v")
