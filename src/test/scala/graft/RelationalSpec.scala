@@ -42,6 +42,20 @@ class RelationalSpec extends SparkSpec {
     assert(df.filter(col("rn") < 1 || col("rn") > 3).count() == 0)
   }
 
+  test("salted join equals the plain join for any salt factor") {
+    import org.apache.spark.sql.functions._
+    val li = Tables.lineitem(spark, sf).select(col("l_partkey").as("k"), col("l_quantity"))
+    val p = Tables.part(spark, sf).select(col("p_partkey").as("k"), col("p_brand"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("p_brand").count().collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+    val plain = rows(li.join(p, "k"))
+    Seq(1, 3, 8).foreach { s =>
+      assert(rows(graft.operators.SkewJoin.saltedJoin(li, p, "k", s)) == plain,
+        s"salt=$s changed the join result")
+    }
+  }
+
   test("q8_dict_encode: ids dense 0..n-1") {
     val ids = Relational.q8DictEncode(spark, sf).collect().map(_.getAs[Long]("id"))
     assert(ids.sorted.sameElements(ids.indices.map(_.toLong)))
