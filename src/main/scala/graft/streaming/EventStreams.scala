@@ -16,10 +16,12 @@ import org.apache.spark.sql.types._
   * stream must produce exactly the batch answer (windowed counts, dedup)
   * or a deterministic subset governed by the watermark (sessionization).
   *
-  * Scale notes: all state here is keyed and watermark-bounded — windowed
-  * aggs expire by event time, dedup state is per first-seen key,
-  * session state evicts on event-time timeout; nothing accumulates
-  * unboundedly on a real stream.
+  * Scale notes: dedup state is per first-seen key, session and as-of
+  * state are keyed and bounded (event-time timeout / one ClickState per
+  * user); windowedCounts runs COMPLETE mode for finite-replay equality
+  * with the batch oracle — the production unbounded-stream spelling is
+  * Append with the watermark doing eviction (the sessionize sentinel
+  * pattern shows how finite replays stay oracle-exact in Append mode).
   */
 object EventStreams {
 
@@ -74,13 +76,18 @@ object EventStreams {
     val link = dir.resolve("events.parquet")
     Files.createDirectories(dir)
     // verify an existing link still points at the requested file; recreate
-    // stale links from deleted/replaced prior targets
+    // stale links from deleted/replaced prior targets — and repair a
+    // REGULAR file squatting on the link path (stale content would
+    // silently stream as the events table)
     if (Files.isSymbolicLink(link)) {
       if (Files.readSymbolicLink(link) != target) {
         Files.delete(link)
         Files.createSymbolicLink(link, target)
       }
-    } else if (!Files.exists(link)) {
+    } else if (Files.exists(link)) {
+      Files.delete(link)
+      Files.createSymbolicLink(link, target)
+    } else {
       Files.createSymbolicLink(link, target)
     }
     sentinelGapMs.foreach { gapMs =>
@@ -95,13 +102,22 @@ object EventStreams {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val maxTsNanos = spark.read.schema(rawSchema).parquet(target.toString)
         .agg(max(col("ts"))).head().getLong(0)
-      // sentinels are valid only for the CURRENT content's max(ts): a
-      // regenerated target file with later timestamps would reuse stale
-      // sentinels that no longer outrun the final sessions' timeouts —
-      // key the cache on the observed max, not just file existence
+      // Sentinels are valid only for the CURRENT target file: keyed on
+      // max(ts) AND the target's mtime. The mtime matters because the
+      // file source processes files in modification-time order — a
+      // REGENERATED data file (same content, fresh mtime) would sort
+      // AFTER cached sentinels, the sentinel batches would run first,
+      // and the far-future watermark would drop every real event as
+      // late (empty output). Regenerating the sentinels restores
+      // data-before-sentinel ordering. Both sentinel files must exist:
+      // with only the second, its batch would run under the data
+      // watermark and no batch would flush the final sessions.
+      val targetMtime = Files.getLastModifiedTime(target).toMillis
+      val stamp = s"$maxTsNanos:$targetMtime"
       val marker = dir.resolve("_graft_sentinel_maxts")
       val fresh = Files.exists(marker) &&
-        Files.readString(marker).trim == maxTsNanos.toString &&
+        Files.readString(marker).trim == stamp &&
+        Files.exists(dir.resolve("zz_sentinel1.parquet")) &&
         Files.exists(dir.resolve("zz_sentinel2.parquet"))
       if (!fresh) {
         (1 to 2).foreach { k =>
@@ -111,22 +127,39 @@ object EventStreams {
           Seq((-k.toLong, sentinelTs, -1L, "__sentinel__", 0.0, ""))
             .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
             .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-          val part = Files.list(tmp).filter(_.toString.endsWith(".parquet"))
+          val listing = Files.list(tmp)
+          val part = try listing.filter(_.toString.endsWith(".parquet"))
             .findFirst().get()
+          finally listing.close()
           Files.move(part, sentinel,
             java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          // clean the scratch dir (leftover _SUCCESS/.crc files)
+          val rest = Files.list(tmp)
+          try rest.forEach(p => Files.deleteIfExists(p)) finally rest.close()
+          Files.deleteIfExists(tmp)
         }
-        Files.writeString(marker, maxTsNanos.toString)
+        Files.writeString(marker, stamp)
       }
     }
     dir.toString
   }
 
+  private val liveSinks = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+
   /** Run a streaming DataFrame to completion against the static input and
-    * return the sink contents as a DataFrame. */
+    * return the sink contents as a DataFrame. Memory-sink views from
+    * PREVIOUS invocations are dropped first — each pins its full result
+    * set in driver memory, and the harness consumes every result before
+    * starting the next query. */
   private def runToCompletion(df: DataFrame, mode: OutputMode): DataFrame = {
     val spark = df.sparkSession
+    var prev = liveSinks.poll()
+    while (prev != null) {
+      spark.catalog.dropTempView(prev)
+      prev = liveSinks.poll()
+    }
     val name = s"graft_sink_${sinkId.incrementAndGet()}"
+    liveSinks.add(name)
     val q = df.writeStream
       .format("memory")
       .queryName(name)
@@ -280,7 +313,11 @@ object EventStreams {
     * emit inline, so no timeout flush and no watermark sentinel are
     * needed. Event comparison uses MICROsecond precision like the batch
     * sort — `Timestamp.getTime` alone truncates to milliseconds and could
-    * order a microseconds-later click before an error. */
+    * order a microseconds-later click before an error. (Ties among
+    * multiple clicks at the SAME microsecond are broken by event_id here;
+    * the batch window leaves that tie partition-order-dependent — both
+    * paths agree whenever per-user timestamps are unique, which the
+    * testdata satisfies.) */
   def streamingAsOf(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     def micros(t: java.sql.Timestamp): Long =
@@ -307,7 +344,12 @@ object EventStreams {
       out.iterator
     }
 
+    // pre-filter IS safe here (unlike sessionize): this stream stages no
+    // sentinel files and sets no watermark, so predicate pushdown can
+    // only prune rows the state function ignores anyway — and it keeps
+    // view/purchase events out of the groupByKey shuffle entirely
     val matches = readEventStream(spark, sfDir)
+      .filter(col("event_type").isin("click", "error"))
       .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
       .as[TypedEvent]
       .groupByKey(_.user_id)
