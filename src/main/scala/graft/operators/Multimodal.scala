@@ -208,8 +208,10 @@ object Multimodal {
     * sign-pattern buckets collide for 61% of random pairs (measured) —
     * centered, the background collapses to ~0 while close pairs keep
     * colliding. Recall < 1 by construction (pairs near the corpus mean
-    * lose angular resolution) -> rows-only oracle; the exact twin above
-    * carries the value oracle. */
+    * lose angular resolution), yet the operator is still fully
+    * hash-oracled: the deterministic integer bucketing lets
+    * [[featureNearDupLshSql]] replay the SAME candidates in DuckDB; the
+    * exact twin above carries the recall comparison. */
   def featureNearDupLsh(assets: DataFrame, tau: Double = 0.99): DataFrame = {
     // persisted: dim lookup, centering mean, bucket build, and both
     // verify join sides all read the decoded features — uncached that is
@@ -217,5 +219,22 @@ object Multimodal {
     val feats = featureEmbeddings(assets).persist()
     SimilaritySearch.cosineNearDupLsh(feats, tau, center = true)
       .select(col("vec_a").as("asset_a"), col("vec_b").as("asset_b"))
+  }
+
+  /** DuckDB replay of [[featureNearDupLsh]]: stub features recomputed in
+    * SQL, then the SAME centered integer LSH candidates
+    * (OracleSql.lshCandidatesSql) + exact cosine verify at tau. */
+  def featureNearDupLshSql(tau: Double = 0.99): String = {
+    def hv(pos: Int) = OracleSql.hexVal("md5(text)", pos, 2)
+    val vec = (0 until 8).map(j => s"CAST(${hv(17 + 2 * j)} AS DOUBLE)/255.0").mkString("[", ", ", "]")
+    s"""WITH vecs AS (SELECT doc_id AS vec_id, CAST($vec AS FLOAT[]) AS v FROM documents),
+       |${OracleSql.lshCandidatesSql(dim = 8, nTables = 8, bitsPerTable = 16, seed = 42L, center = true)}
+       |SELECT c.vec_a AS asset_a, c.vec_b AS asset_b
+       |FROM cands c
+       |JOIN vecs a ON a.vec_id = c.vec_a
+       |JOIN vecs b ON b.vec_id = c.vec_b
+       |WHERE list_cosine_similarity(CAST(a.v AS DOUBLE[]),
+       |                             CAST(b.v AS DOUBLE[])) >= $tau
+       |ORDER BY asset_a, asset_b""".stripMargin
   }
 }

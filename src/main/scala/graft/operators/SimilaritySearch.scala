@@ -140,9 +140,41 @@ object SimilaritySearch {
        |ORDER BY vec_a, vec_b""".stripMargin
 
   // ------------------------------------------ banded hyperplane LSH core
+
+  /** Quantization scale for the integer sign computation (2^20): fine
+    * enough that the quantized direction is indistinguishable from the
+    * float vector for bucketing, coarse enough that the integer dot
+    * (dim * |x| * 2^20 * 3*2^31) stays far below Long overflow for
+    * |x|*dim up to ~2700 (ANSI mode would fail loudly, not wrap). */
+  private val QuantScale = 1048576.0
+
+  private[graft] def quantElem(x: Float): Long =
+    math.floor(x.toDouble * QuantScale).toLong
+
+  /** Gaussian-ish hyperplane component as an INTEGER, derived from md5 of
+    * a readable key — deterministic across engines, so a DuckDB oracle
+    * can replay the bucketing bit-for-bit (see OracleSql.planeValSql):
+    * sum of three md5-uniforms in [0, 2^32), centered (Irwin-Hall n=3). */
+  private[graft] def planeValue(seed: Long, t: Int, j: Int, i: Int): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def u(k: Int): Long = {
+      val hex = md.digest(s"plane:$seed:$t:$j:$i:$k".getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16)
+    }
+    u(0) + u(1) + u(2) - 3L * 2147483648L
+  }
+
   /** Banded multi-table random-hyperplane buckets: `nTables` independent
-    * tables, each keyed by a `bitsPerTable`-bit sign pattern of seeded
-    * random projections. Output: (vec_id, table_idx, sig).
+    * tables, each keyed by a `bitsPerTable`-bit sign pattern of hyperplane
+    * projections. Output: (vec_id, table_idx, sig).
+    *
+    * Determinism contract: planes are md5-derived integers ([[planeValue]])
+    * and the sign test runs on `floor(x * 2^20)`-quantized vectors in
+    * EXACT integer arithmetic — no float summation order anywhere — so the
+    * bucket assignment is bit-reproducible in any engine (the DuckDB
+    * oracle replays it; float accumulation could flip a near-zero dot's
+    * sign between engines).
     *
     * Key-cardinality bound (the scale contract): each table has 2^bits
     * buckets, so random (near-orthogonal) vectors collide with
@@ -162,44 +194,50 @@ object SimilaritySearch {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val dim = embeddings.select(size(col("embedding"))).first().getInt(0)
+    val qvecs = embeddings.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
     // mean-centering (bucketing only; scoring always uses the original
     // vectors): hyperplane LSH keys on ANGULAR spread, so a corpus
     // concentrated on a half-space (e.g. all-positive feature vectors)
     // buckets uselessly — the measured median background pair of the mm
-    // stub features collides at p=0.61 uncentered vs ~0 centered
-    val mu: Array[Float] =
-      if (!center) Array.fill(dim)(0f)
+    // stub features collides at p=0.61 uncentered vs ~0 centered.
+    // The mean is the FLOOR of the exact integer column sums over n —
+    // order-independent, hence engine-replayable (a float mean is not).
+    val m: Array[Long] =
+      if (!center) new Array[Long](dim)
       else {
-        val (s, c) = embeddings.select(col("embedding")).as[Array[Float]].rdd
-          .treeAggregate((new Array[Double](dim), 0L))(
-            seqOp = { case ((acc, n), v) =>
-              var i = 0; while (i < dim) { acc(i) += v(i); i += 1 }; (acc, n + 1)
+        val (s, c) = qvecs.rdd
+          .treeAggregate((new Array[Long](dim), 0L))(
+            seqOp = { case ((acc, n), (_, v)) =>
+              var i = 0; while (i < dim) { acc(i) += quantElem(v(i)); i += 1 }
+              (acc, n + 1)
             },
             combOp = { case ((a, n1), (b, n2)) =>
               var i = 0; while (i < dim) { a(i) += b(i); i += 1 }; (a, n1 + n2)
             })
-        s.map(x => (x / math.max(c, 1L)).toFloat)
+        s.map(x => math.floor(x.toDouble / math.max(c, 1L)).toLong)
       }
-    val r = new java.util.SplittableRandom(seed)
-    // Gaussian-ish hyperplanes via sum of uniforms (deterministic, seeded)
-    val planes: Array[Array[Array[Float]]] = Array.fill(nTables, bitsPerTable)(
-      Array.fill(dim)(((r.nextDouble() + r.nextDouble() + r.nextDouble()) * 2 - 3).toFloat))
+    val planes: Array[Array[Array[Long]]] =
+      Array.tabulate(nTables, bitsPerTable, dim)(planeValue(seed, _, _, _))
     val planesBc = spark.sparkContext.broadcast(planes)
-    val muBc = spark.sparkContext.broadcast(mu)
-    embeddings.select(col("vec_id"), col("embedding"))
-      .as[(Long, Array[Float])]
+    val mBc = spark.sparkContext.broadcast(m)
+    qvecs
       .mapPartitions { rows =>
         val ps = planesBc.value
-        val m = muBc.value
+        val mu = mBc.value
         rows.flatMap { case (id, vec) =>
-          val v = new Array[Float](vec.length)
+          val q = new Array[Long](vec.length)
           var i = 0
-          while (i < vec.length) { v(i) = vec(i) - m(i); i += 1 }
+          while (i < vec.length) { q(i) = quantElem(vec(i)) - mu(i); i += 1 }
           (0 until ps.length).map { t =>
             var sig = 0
             var j = 0
             while (j < ps(t).length) {
-              if (Kernels.dot(ps(t)(j), v) >= 0) sig |= (1 << j)
+              val p = ps(t)(j)
+              var d = 0L
+              var x = 0
+              while (x < q.length) { d += q(x) * p(x); x += 1 }
+              if (d >= 0) sig |= (1 << j)
               j += 1
             }
             (id, t, sig)
@@ -265,8 +303,10 @@ object SimilaritySearch {
     * neighbors per vector. Candidates from [[lshCandidates]] (equi-join,
     * multiprobe); vectors are fetched back by id — bucket rows never
     * carry embeddings, so the shuffled volume is (nTables + bits + 1) *
-    * n id-rows, not vectors. Rows-only oracle (recall < 1 by
-    * construction — see the bucket math on [[hyperplaneBuckets]]). */
+    * n id-rows, not vectors. Output is integer-only (query_id, rank,
+    * neighbor_id), and the deterministic bucketing makes the whole
+    * operator SQL-replayable ([[annLshSql]]) despite recall < 1 — the
+    * oracle recomputes the SAME candidates, not the exact answer. */
   def randomHyperplaneAnn(embeddings: DataFrame, nTables: Int = 8,
       bitsPerTable: Int = 16, k: Int = 5, seed: Long = 42L,
       multiprobe: Boolean = true): DataFrame = {
@@ -283,8 +323,28 @@ object SimilaritySearch {
       .withColumn("sim", VectorFunctions.cosine(spark, col("emb_a"), col("emb_b")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank").cast("long").as("rank"),
-        col("neighbor_id"), round(col("sim"), 6).as("sim"))
+      .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"))
       .orderBy("query_id", "rank")
   }
+
+  /** DuckDB replay of [[randomHyperplaneAnn]] over the embeddings table:
+    * same md5-derived planes, same integer sign test, same multiprobe
+    * candidate join, exact cosine ranking on candidates. */
+  def annLshSql(dim: Int, nTables: Int = 8, bitsPerTable: Int = 16,
+      k: Int = 5, seed: Long = 42L): String =
+    s"""WITH vecs AS (SELECT vec_id, embedding AS v FROM embeddings),
+       |${OracleSql.lshCandidatesSql(dim, nTables, bitsPerTable, seed, center = false)},
+       |sym AS (SELECT vec_a AS query_id, vec_b AS neighbor_id FROM cands
+       |        UNION ALL SELECT vec_b, vec_a FROM cands),
+       |scored AS (
+       |  SELECT s.query_id, s.neighbor_id, ROW_NUMBER() OVER (
+       |      PARTITION BY s.query_id
+       |      ORDER BY list_cosine_similarity(CAST(q.v AS DOUBLE[]),
+       |                                      CAST(n.v AS DOUBLE[])) DESC,
+       |               s.neighbor_id ASC) AS rank
+       |  FROM sym s
+       |  JOIN vecs q ON q.vec_id = s.query_id
+       |  JOIN vecs n ON n.vec_id = s.neighbor_id)
+       |SELECT query_id, rank, neighbor_id FROM scored
+       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
 }

@@ -57,9 +57,14 @@ object PipelineQueries {
     "text_winnowing" -> TextAnalysis.winnowingSql(),
     "ann_topk" -> SimilaritySearch.bruteForceTopKSql(annQueryIds),
     "ann_near_dup" -> SimilaritySearch.cosineNearDupExactSql(),
+    // approximate, yet fully hash-oracled: the md5-derived integer
+    // bucketing is bit-reproducible, so DuckDB replays the SAME
+    // candidate set and exact-scores it (recall < 1 never enters)
+    "ann_lsh" -> SimilaritySearch.annLshSql(dim = 64, bitsPerTable = 12),
     "mm_decode_features" -> Multimodal.decodeFeaturesSql,
     "mm_frame_features" -> Multimodal.sampleFrameFeaturesSql(),
-    // exact twin of the LSH-candidate near-dup: full value oracle (the
-    // LSH spelling itself is rows-only — recall < 1 by construction)
-    "mm_feature_near_dup" -> Multimodal.featureNearDupSql())
+    // exact twin of the LSH-candidate near-dup: full value oracle AND the
+    // recall yardstick for the LSH spelling below
+    "mm_feature_near_dup" -> Multimodal.featureNearDupSql(),
+    "mm_feature_near_dup_lsh" -> Multimodal.featureNearDupLshSql())
 }

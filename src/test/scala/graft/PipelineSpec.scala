@@ -169,6 +169,14 @@ class PipelineSpec extends SparkSpec {
     assert(recall >= 0.9, s"top-k cluster-mate recall $recall")
   }
 
+  test("lsh plane values match the DuckDB md5 replay (golden values)") {
+    // goldens computed by running OracleSql.planeValSql in DuckDB itself —
+    // pins the cross-engine determinism contract of the bucketing
+    assert(SimilaritySearch.planeValue(42L, 0, 0, 0) == 1282987667L)
+    assert(SimilaritySearch.planeValue(42L, 7, 11, 63) == -150009517L)
+    assert(SimilaritySearch.planeValue(7L, 3, 5, 17) == -528906644L)
+  }
+
   test("mm near-dup lsh is a subset of the exact twin") {
     val assets = Multimodal.assetTable(docs)
     def pairs(df: org.apache.spark.sql.DataFrame) =
