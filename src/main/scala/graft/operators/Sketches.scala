@@ -1,0 +1,166 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Probabilistic sketches for pipeline-scale cardinality and frequency
+  * estimation: HyperLogLog distinct counting and count-min heavy hitters.
+  *
+  * Both are the DETERMINISTIC, engine-replayable spellings of their
+  * algorithms: every hash is md5-derived (the repo's portable-hash
+  * discipline — see OracleSql), bucket and rank extraction is plain
+  * integer arithmetic on hex chunks, and the only floating-point (HLL's
+  * harmonic mean) is an identical expression on both engines, rounded to
+  * an integer at the end. So unlike `approx_count_distinct`-style
+  * built-ins (whose sketch internals differ per engine), these carry
+  * full hash-match DuckDB oracles.
+  *
+  * Scale shape (the reason sketches exist at 100 TB):
+  *  - HLL: one map-side-combinable aggregation to at most m=2^p register
+  *    rows PER GROUP (p=12 → 4 KB/group), independent of cardinality —
+  *    vs an exact distinct whose shuffle grows with the key count. The
+  *    register table is mergeable across days/partitions by max(rank).
+  *  - Count-min: the counter table is a FIXED d x w grid (4 x 1024 here)
+  *    built by one counting aggregation over the token stream; estimation
+  *    is an equi-join of candidates against the (broadcastable) grid.
+  *    Memory is O(d*w), never O(vocabulary).
+  */
+object Sketches {
+
+  // ------------------------------------------------------- HyperLogLog
+  /** Register-index bits: m = 2^12 = 4096 registers (~1.6% rel. error). */
+  val HllP = 12
+  val HllM = 4096
+  /** Bias constant alpha_m for m >= 128 (Flajolet et al. 2007). */
+  val HllAlpha: Double = 0.7213 / (1 + 1.079 / HllM)
+
+  /** HLL distinct-count estimate of `valueCol` per `groupCol`, with the
+    * exact count alongside as the quality yardstick. Output:
+    * (group, n_exact, n_est) — integer-only.
+    *
+    * Hash layout per value: md5 hex chars [1,3] → register index (12
+    * bits); chars [4,16] → a 52-bit tail whose leading-zero rank feeds
+    * the register (rank = 53 - bitlen, 53 for an all-zero tail). The
+    * estimate is the standard bias-corrected harmonic mean with
+    * linear-counting fallback for the small range. */
+  def hllDistinct(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val hex = md5(col(valueCol).cast("string"))
+    val bucket = conv(substring(hex, 1, 3), 16, 10).cast("long")
+    // 52-bit tail in two BIGINT-safe chunks: 32 + 20 bits
+    val tail = conv(substring(hex, 4, 8), 16, 10).cast("long") * lit(1048576L) +
+      conv(substring(hex, 12, 5), 16, 10).cast("long")
+    val rank = when(tail === 0L, lit(53)).otherwise(lit(53) - length(bin(tail)))
+
+    val registers = df
+      .select(col(groupCol).as("grp"), bucket.as("bucket"), rank.as("rank"))
+      .groupBy("grp", "bucket").agg(max("rank").as("r"))
+
+    val exact = df.groupBy(col(groupCol).as("grp"))
+      .agg(countDistinct(col(valueCol)).as("n_exact"))
+
+    val est = registers.groupBy("grp")
+      .agg(sum(pow(lit(2.0), -col("r"))).as("z_filled"),
+        count(lit(1)).as("n_regs"))
+      .withColumn("v_empty", lit(HllM) - col("n_regs"))
+      .withColumn("z", col("z_filled") + col("v_empty").cast("double"))
+      .withColumn("e_raw", lit(HllAlpha) * lit(HllM.toDouble) * lit(HllM.toDouble) / col("z"))
+      .withColumn("e",
+        when(col("e_raw") <= lit(2.5 * HllM) && col("v_empty") > 0,
+          lit(HllM.toDouble) * log(lit(HllM.toDouble) / col("v_empty").cast("double")))
+          .otherwise(col("e_raw")))
+      .select(col("grp"), round(col("e")).cast("long").as("n_est"))
+
+    exact.join(est, "grp")
+      .select(col("grp").as("event_type"), col("n_exact"), col("n_est"))
+      .orderBy("event_type")
+  }
+
+  /** DuckDB replay of [[hllDistinct]] over events.user_id by event_type. */
+  def hllDistinctSql: String = {
+    def hv(pos: Int, len: Int) = OracleSql.hexVal("hex", pos, len)
+    s"""WITH h AS (SELECT event_type AS grp, md5(CAST(user_id AS VARCHAR)) AS hex
+       |           FROM events),
+       |hr AS (SELECT grp, CAST(${hv(1, 3)} AS BIGINT) AS bucket,
+       |         CAST(${hv(4, 8)} AS BIGINT) * 1048576 +
+       |         CAST(${hv(12, 5)} AS BIGINT) AS tail FROM h),
+       |registers AS (SELECT grp, bucket,
+       |    MAX(CASE WHEN tail = 0 THEN 53 ELSE 53 - length(bin(tail)) END) AS r
+       |  FROM hr GROUP BY grp, bucket),
+       |exact AS (SELECT event_type AS grp, COUNT(DISTINCT user_id) AS n_exact
+       |          FROM events GROUP BY event_type),
+       |agg AS (SELECT grp, SUM(power(2.0, -r)) AS z_filled, COUNT(*) AS n_regs
+       |        FROM registers GROUP BY grp),
+       |est AS (SELECT grp,
+       |    CAST(round(CASE
+       |      WHEN (CAST($HllAlpha AS DOUBLE) * ${HllM.toDouble} * ${HllM.toDouble} /
+       |            (z_filled + CAST($HllM - n_regs AS DOUBLE))) <= ${2.5 * HllM}
+       |           AND ($HllM - n_regs) > 0
+       |      THEN ${HllM.toDouble} * ln(${HllM.toDouble} / CAST($HllM - n_regs AS DOUBLE))
+       |      ELSE (CAST($HllAlpha AS DOUBLE) * ${HllM.toDouble} * ${HllM.toDouble} /
+       |            (z_filled + CAST($HllM - n_regs AS DOUBLE)))
+       |    END) AS BIGINT) AS n_est
+       |  FROM agg)
+       |SELECT e.grp AS event_type, e.n_exact, s.n_est
+       |FROM exact e JOIN est s ON e.grp = s.grp
+       |ORDER BY event_type""".stripMargin
+  }
+
+  // -------------------------------------------------- count-min sketch
+  val CmsDepth = 4
+  val CmsWidth = 1024
+
+  private def tokens(docs: DataFrame): DataFrame =
+    docs.select(explode(split(trim(col("text")), "\\s+")).as("raw"))
+      .filter(col("raw") =!= "")
+      .select(lower(col("raw")).as("tok"))
+
+  private def cmsBucket(tok: org.apache.spark.sql.Column, salt: org.apache.spark.sql.Column) =
+    conv(substring(md5(concat(lit("cms:"), salt.cast("string"), lit(":"), tok)), 1, 5),
+      16, 10).cast("long") % CmsWidth
+
+  /** Count-min heavy hitters over whitespace tokens of the documents
+    * table: build the d x w counter grid, estimate every distinct token
+    * as min over rows, emit the top `k` by estimate with the exact count
+    * alongside (est >= exact always — CMS never undercounts). Output:
+    * (token, est_count, exact_count) — integer-only. */
+  def cmsTopK(docs: DataFrame, k: Int = 20): DataFrame = {
+    val toks = tokens(docs).persist() // two passes: counters + candidates
+    val salts = explode(array((0 until CmsDepth).map(lit): _*)).as("s")
+
+    val counters = toks.select(col("tok"), salts)
+      .select(col("s"), cmsBucket(col("tok"), col("s")).as("b"))
+      .groupBy("s", "b").agg(count(lit(1)).as("c"))
+
+    val candidates = toks.groupBy("tok").agg(count(lit(1)).as("exact_count"))
+
+    candidates.select(col("tok"), col("exact_count"), salts)
+      .withColumn("b", cmsBucket(col("tok"), col("s")))
+      .join(counters, Seq("s", "b"))
+      .groupBy("tok", "exact_count").agg(min("c").as("est_count"))
+      .orderBy(col("est_count").desc, col("tok").asc)
+      .limit(k)
+      .select(col("tok").as("token"), col("est_count"), col("exact_count"))
+  }
+
+  /** DuckDB replay of [[cmsTopK]]. */
+  def cmsTopKSql(k: Int = 20): String = {
+    def bucket(tokExpr: String, saltExpr: String) =
+      s"CAST(${OracleSql.hexVal(s"md5('cms:' || CAST($saltExpr AS VARCHAR) || ':' || $tokExpr)", 1, 5)} AS BIGINT)" +
+        s" % $CmsWidth"
+    s"""WITH toks AS (
+       |  SELECT lower(t.raw) AS tok
+       |  FROM documents, unnest(string_split_regex(trim(text), '\\s+')) AS t(raw)
+       |  WHERE t.raw <> ''),
+       |counters AS (
+       |  SELECT s.s AS s, ${bucket("tok", "s.s")} AS b, COUNT(*) AS c
+       |  FROM toks CROSS JOIN range($CmsDepth) AS s(s) GROUP BY 1, 2),
+       |candidates AS (SELECT tok, COUNT(*) AS exact_count FROM toks GROUP BY tok),
+       |est AS (
+       |  SELECT d.tok, d.exact_count, MIN(c.c) AS est_count
+       |  FROM candidates d CROSS JOIN range($CmsDepth) AS s(s)
+       |  JOIN counters c ON c.s = s.s AND c.b = ${bucket("d.tok", "s.s")}
+       |  GROUP BY d.tok, d.exact_count)
+       |SELECT tok AS token, est_count, exact_count FROM est
+       |ORDER BY est_count DESC, tok ASC LIMIT $k""".stripMargin
+  }
+}

@@ -37,7 +37,10 @@ object PipelineQueries {
     "mm_decode_features" -> ((s, d) => Multimodal.decodeFeatures(Multimodal.assetTable(Tables.documents(s, d)))),
     "mm_frame_features" -> ((s, d) => Multimodal.sampleFrameFeatures(Multimodal.assetTable(Tables.documents(s, d)))),
     "mm_feature_near_dup" -> ((s, d) => Multimodal.featureNearDup(Multimodal.assetTable(Tables.documents(s, d)))),
-    "mm_feature_near_dup_lsh" -> ((s, d) => Multimodal.featureNearDupLsh(Multimodal.assetTable(Tables.documents(s, d)))))
+    "mm_feature_near_dup_lsh" -> ((s, d) => Multimodal.featureNearDupLsh(Multimodal.assetTable(Tables.documents(s, d)))),
+    // --- sketches ---
+    "sketch_hll_distinct" -> ((s, d) => Sketches.hllDistinct(Tables.events(s, d), "event_type", "user_id")),
+    "sketch_cms_topk" -> ((s, d) => Sketches.cmsTopK(Tables.documents(s, d))))
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> Dedup.exactSql,
@@ -66,5 +69,8 @@ object PipelineQueries {
     // exact twin of the LSH-candidate near-dup: full value oracle AND the
     // recall yardstick for the LSH spelling below
     "mm_feature_near_dup" -> Multimodal.featureNearDupSql(),
-    "mm_feature_near_dup_lsh" -> Multimodal.featureNearDupLshSql())
+    "mm_feature_near_dup_lsh" -> Multimodal.featureNearDupLshSql(),
+    // deterministic md5-based sketches: DuckDB replays the sketch itself
+    "sketch_hll_distinct" -> Sketches.hllDistinctSql,
+    "sketch_cms_topk" -> Sketches.cmsTopKSql())
 }

