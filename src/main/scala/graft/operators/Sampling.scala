@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, content-keyed sampling — the reproducible alternative
+  * to `rand()`-based sampling for training-data pipelines.
+  *
+  * Why hash-based: `df.sample()` / `rand()` draw from a per-task RNG, so
+  * the selected rows change with partitioning, task retries, and
+  * speculative execution — at 1000 executors a recomputed partition
+  * silently yields a DIFFERENT sample. Keying the draw on
+  * `md5(salt:key)` makes membership a pure function of the row: stable
+  * across reruns, engines (the DuckDB oracle replays it), and cluster
+  * layouts; changing the salt draws an independent sample. The filter
+  * is a narrow codegen'd map — no shuffle, no state.
+  *
+  * The unit draw u = first-32-md5-bits / 2^32 is EXACT in double (the
+  * numerator is an integer < 2^32), so threshold comparisons are
+  * bit-identical in any engine.
+  */
+object Sampling {
+
+  /** Uniform [0,1) draw keyed on (salt, key). */
+  private[operators] def hashUnit(key: Column, salt: String): Column =
+    conv(substring(md5(concat(lit(salt + ":"), key.cast("string"))), 1, 8), 16, 10)
+      .cast("long").cast("double") / lit(4294967296.0)
+
+  private def hashUnitSql(keyExpr: String, salt: String): String =
+    s"CAST(${OracleSql.hexVal(s"md5('$salt:' || CAST($keyExpr AS VARCHAR))", 1, 8)} AS BIGINT)" +
+      " / 4294967296.0"
+
+  /** Deterministic Bernoulli sample of `rate` keyed on `keyCol`. */
+  def hashSample(df: DataFrame, keyCol: String, rate: Double,
+      salt: String = "sample"): DataFrame =
+    df.filter(hashUnit(col(keyCol), salt) < rate)
+
+  /** The documents sampled at `rate`, ids only (oracle-stable). */
+  def sampleDocs(docs: DataFrame, rate: Double = 0.1): DataFrame =
+    hashSample(docs, "doc_id", rate).select("doc_id").orderBy("doc_id")
+
+  def sampleDocsSql(rate: Double = 0.1): String =
+    s"""SELECT doc_id FROM documents
+       |WHERE ${hashUnitSql("doc_id", "sample")} < $rate
+       |ORDER BY doc_id""".stripMargin
+
+  /** Deterministic train/val/test assignment by hash range (80/10/10):
+    * the standard reproducible experiment split, as a pure function of
+    * the document id. Output: (split, n_docs, n_chars) — the split
+    * SIZES; membership itself is recomputable by any engine from the
+    * same ids. */
+  def trainValTestSplit(docs: DataFrame): DataFrame = {
+    val u = hashUnit(col("doc_id"), "split")
+    docs.select(
+      when(u < 0.8, "train").when(u < 0.9, "val").otherwise("test").as("split"),
+      col("text"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"), sum(length(col("text"))).as("n_chars"))
+      .orderBy("split")
+  }
+
+  def trainValTestSplitSql: String = {
+    val u = hashUnitSql("doc_id", "split")
+    s"""SELECT CASE WHEN $u < 0.8 THEN 'train'
+       |            WHEN $u < 0.9 THEN 'val'
+       |            ELSE 'test' END AS split,
+       |  COUNT(*) AS n_docs, CAST(SUM(length(text)) AS BIGINT) AS n_chars
+       |FROM documents GROUP BY 1 ORDER BY split""".stripMargin
+  }
+}

@@ -122,16 +122,21 @@ object Sketches {
     * table: build the d x w counter grid, estimate every distinct token
     * as min over rows, emit the top `k` by estimate with the exact count
     * alongside (est >= exact always — CMS never undercounts). Output:
-    * (token, est_count, exact_count) — integer-only. */
+    * (token, est_count, exact_count) — integer-only.
+    *
+    * One token-count aggregation feeds BOTH sides: the counter grid is
+    * the per-token counts re-bucketed and summed (identical to counting
+    * raw occurrences, since every occurrence of a token lands in the
+    * same bucket) — so the expensive explode+count over the corpus runs
+    * once, and the salt expansion touches only distinct tokens. */
   def cmsTopK(docs: DataFrame, k: Int = 20): DataFrame = {
-    val toks = tokens(docs).persist() // two passes: counters + candidates
+    val candidates = tokens(docs).groupBy("tok").agg(count(lit(1)).as("exact_count"))
+      .persist() // read by the grid build and the estimation join
     val salts = explode(array((0 until CmsDepth).map(lit): _*)).as("s")
 
-    val counters = toks.select(col("tok"), salts)
-      .select(col("s"), cmsBucket(col("tok"), col("s")).as("b"))
-      .groupBy("s", "b").agg(count(lit(1)).as("c"))
-
-    val candidates = toks.groupBy("tok").agg(count(lit(1)).as("exact_count"))
+    val counters = candidates.select(col("tok"), col("exact_count"), salts)
+      .select(col("s"), cmsBucket(col("tok"), col("s")).as("b"), col("exact_count"))
+      .groupBy("s", "b").agg(sum("exact_count").as("c"))
 
     candidates.select(col("tok"), col("exact_count"), salts)
       .withColumn("b", cmsBucket(col("tok"), col("s")))
@@ -151,10 +156,10 @@ object Sketches {
        |  SELECT lower(t.raw) AS tok
        |  FROM documents, unnest(string_split_regex(trim(text), '\\s+')) AS t(raw)
        |  WHERE t.raw <> ''),
-       |counters AS (
-       |  SELECT s.s AS s, ${bucket("tok", "s.s")} AS b, COUNT(*) AS c
-       |  FROM toks CROSS JOIN range($CmsDepth) AS s(s) GROUP BY 1, 2),
        |candidates AS (SELECT tok, COUNT(*) AS exact_count FROM toks GROUP BY tok),
+       |counters AS (
+       |  SELECT s.s AS s, ${bucket("tok", "s.s")} AS b, CAST(SUM(exact_count) AS BIGINT) AS c
+       |  FROM candidates CROSS JOIN range($CmsDepth) AS s(s) GROUP BY 1, 2),
        |est AS (
        |  SELECT d.tok, d.exact_count, MIN(c.c) AS est_count
        |  FROM candidates d CROSS JOIN range($CmsDepth) AS s(s)

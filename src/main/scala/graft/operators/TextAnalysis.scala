@@ -142,6 +142,50 @@ object TextAnalysis {
        |FROM c ORDER BY doc_id""".stripMargin
   }
 
+  // --------------------------------------------------------- PII scrub
+  /** PII patterns, deliberately restricted to syntax that Java regex
+    * (Spark) and RE2 (DuckDB) treat identically: character classes,
+    * bounded/unbounded greedy repetition, literal escapes — no
+    * backreferences, no lookaround, no \b. */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipRe = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+  val phoneRe = "\\+?[0-9][0-9()\\- ]{6,}[0-9]"
+
+  /** PII scrubbing: count + redact emails, IPv4 addresses, phone-shaped
+    * digit runs (the standard cheap pass before sharing training text).
+    * Replacement order is email -> ip -> phone so the broader phone
+    * pattern can never eat part of a structured match. Output is
+    * scalar-flat with the redacted text carried as md5 so the oracle
+    * hash-compares the FULL scrubbed content, not just counts:
+    * (doc_id, n_emails, n_ips, n_phones, redacted_md5).
+    * A narrow codegen'd map — no shuffle, linear scan. */
+  def piiScrub(docs: DataFrame): DataFrame = {
+    def cnt(re: String) =
+      size(regexp_extract_all(col("text"), lit(re), lit(0))).cast("long")
+    val redacted = regexp_replace(
+      regexp_replace(
+        regexp_replace(col("text"), emailRe, "<EMAIL>"),
+        ipRe, "<IP>"),
+      phoneRe, "<PHONE>")
+    docs.select(
+      col("doc_id"),
+      cnt(emailRe).as("n_emails"),
+      cnt(ipRe).as("n_ips"),
+      cnt(phoneRe).as("n_phones"),
+      md5(redacted).as("redacted_md5"))
+      .orderBy("doc_id")
+  }
+
+  val piiScrubSql: String =
+    s"""SELECT doc_id,
+       |  CAST(len(regexp_extract_all(text, '$emailRe')) AS BIGINT) AS n_emails,
+       |  CAST(len(regexp_extract_all(text, '$ipRe')) AS BIGINT) AS n_ips,
+       |  CAST(len(regexp_extract_all(text, '$phoneRe')) AS BIGINT) AS n_phones,
+       |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+       |    '$emailRe', '<EMAIL>', 'g'), '$ipRe', '<IP>', 'g'),
+       |    '$phoneRe', '<PHONE>', 'g')) AS redacted_md5
+       |FROM documents ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------- fingerprints
   /** Content fingerprint: md5 of whitespace-normalized lowercase text —
     * the canonical-form hash used as a cheap cross-corpus dedup key. */

@@ -40,7 +40,11 @@ object PipelineQueries {
     "mm_feature_near_dup_lsh" -> ((s, d) => Multimodal.featureNearDupLsh(Multimodal.assetTable(Tables.documents(s, d)))),
     // --- sketches ---
     "sketch_hll_distinct" -> ((s, d) => Sketches.hllDistinct(Tables.events(s, d), "event_type", "user_id")),
-    "sketch_cms_topk" -> ((s, d) => Sketches.cmsTopK(Tables.documents(s, d))))
+    "sketch_cms_topk" -> ((s, d) => Sketches.cmsTopK(Tables.documents(s, d))),
+    // --- scrubbing + deterministic sampling ---
+    "text_pii_scrub" -> ((s, d) => TextAnalysis.piiScrub(Tables.documents(s, d))),
+    "sample_hash" -> ((s, d) => Sampling.sampleDocs(Tables.documents(s, d))),
+    "sample_split" -> ((s, d) => Sampling.trainValTestSplit(Tables.documents(s, d))))
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> Dedup.exactSql,
@@ -72,5 +76,8 @@ object PipelineQueries {
     "mm_feature_near_dup_lsh" -> Multimodal.featureNearDupLshSql(),
     // deterministic md5-based sketches: DuckDB replays the sketch itself
     "sketch_hll_distinct" -> Sketches.hllDistinctSql,
-    "sketch_cms_topk" -> Sketches.cmsTopKSql())
+    "sketch_cms_topk" -> Sketches.cmsTopKSql(),
+    "text_pii_scrub" -> TextAnalysis.piiScrubSql,
+    "sample_hash" -> Sampling.sampleDocsSql(),
+    "sample_split" -> Sampling.trainValTestSplitSql)
 }

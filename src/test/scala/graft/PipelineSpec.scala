@@ -198,6 +198,49 @@ class PipelineSpec extends SparkSpec {
       s"true top token $trueTop missing from sketch top-3")
   }
 
+  test("pii scrub: counts and redacts planted emails/ips/phones") {
+    import spark.implicits._
+    val planted = Seq(
+      (1L, "contact alice@example.com or bob.smith+x@sub.domain.org today"),
+      (2L, "server at 192.168.1.100 responded"),
+      (3L, "call +1 (555) 123-4567 now"),
+      (4L, "clean text with no pii at all"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.piiScrub(planted).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("n_emails") == 2)
+    assert(out(2L).getAs[Long]("n_ips") == 1)
+    assert(out(3L).getAs[Long]("n_phones") == 1)
+    assert(out(4L).getAs[Long]("n_emails") == 0 &&
+      out(4L).getAs[Long]("n_ips") == 0 && out(4L).getAs[Long]("n_phones") == 0)
+    // redaction check via the md5 the operator emits
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out(1L).getAs[String]("redacted_md5") ==
+      md5hex("contact <EMAIL> or <EMAIL> today"))
+    assert(out(2L).getAs[String]("redacted_md5") ==
+      md5hex("server at <IP> responded"))
+    assert(out(3L).getAs[String]("redacted_md5") ==
+      md5hex("call <PHONE> now"))
+    assert(out(4L).getAs[String]("redacted_md5") ==
+      md5hex("clean text with no pii at all"))
+  }
+
+  test("hash sampling is deterministic, rate-accurate, and splits partition the corpus") {
+    val n = docs.count()
+    val s1 = Sampling.sampleDocs(docs).collect().map(_.getLong(0)).toSeq
+    val s2 = Sampling.sampleDocs(docs).collect().map(_.getLong(0)).toSeq
+    assert(s1 == s2, "hash sample must be identical across runs")
+    assert(math.abs(s1.size.toDouble / n - 0.1) < 0.06,
+      s"sample rate ${s1.size}/$n far from 0.1")
+    val splits = Sampling.trainValTestSplit(docs).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_docs")).toMap
+    assert(splits.values.sum == n, "splits must partition the corpus")
+    assert(splits.keySet == Set("train", "val", "test"))
+    assert(splits("train") > splits("val") && splits("train") > splits("test"))
+  }
+
   test("lsh plane values match the DuckDB md5 replay (golden values)") {
     // goldens computed by running OracleSql.planeValSql in DuckDB itself —
     // pins the cross-engine determinism contract of the bucketing

@@ -137,6 +137,21 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 2, s"expected <=2 exchanges, got $exchanges:\n$p")
   }
 
+  test("hll sketch: register build is a partial+final aggregation pair") {
+    val p = simplePlan(graft.operators.Sketches.hllDistinct(
+      Tables.events(spark, sf), "event_type", "user_id"))
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      s"register build must combine map-side:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("hash sample: narrow filter — no shuffle except the output sort") {
+    val p = simplePlan(graft.operators.Sampling.sampleDocs(
+      Tables.documents(spark, sf)))
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges <= 1, s"deterministic sample must not shuffle:\n$p")
+  }
+
   test("kg_triples: no shuffle except the two lineitem DISTINCTs") {
     // sf0.01 rather than the shared sf0.001: other suites cache the
     // sf0.001 KG (encodeAll), and the InMemoryRelation's embedded plan
