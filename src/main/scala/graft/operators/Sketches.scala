@@ -34,31 +34,28 @@ object Sketches {
   /** Bias constant alpha_m for m >= 128 (Flajolet et al. 2007). */
   val HllAlpha: Double = 0.7213 / (1 + 1.079 / HllM)
 
-  /** HLL distinct-count estimate of `valueCol` per `groupCol`, with the
-    * exact count alongside as the quality yardstick. Output:
-    * (group, n_exact, n_est) — integer-only.
+  /** Per-row (grp, bucket, rank) register contributions — the map side
+    * of the sketch, shared by the batch and STREAMING spellings.
     *
     * Hash layout per value: md5 hex chars [1,3] → register index (12
     * bits); chars [4,16] → a 52-bit tail whose leading-zero rank feeds
-    * the register (rank = 53 - bitlen, 53 for an all-zero tail). The
-    * estimate is the standard bias-corrected harmonic mean with
-    * linear-counting fallback for the small range. */
-  def hllDistinct(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    * the register (rank = 53 - bitlen, 53 for an all-zero tail). */
+  private[graft] def hllRegisterRows(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
     val hex = md5(col(valueCol).cast("string"))
     val bucket = conv(substring(hex, 1, 3), 16, 10).cast("long")
     // 52-bit tail in two BIGINT-safe chunks: 32 + 20 bits
     val tail = conv(substring(hex, 4, 8), 16, 10).cast("long") * lit(1048576L) +
       conv(substring(hex, 12, 5), 16, 10).cast("long")
     val rank = when(tail === 0L, lit(53)).otherwise(lit(53) - length(bin(tail)))
+    df.select(col(groupCol).as("grp"), bucket.as("bucket"), rank.as("rank"))
+  }
 
-    val registers = df
-      .select(col(groupCol).as("grp"), bucket.as("bucket"), rank.as("rank"))
-      .groupBy("grp", "bucket").agg(max("rank").as("r"))
-
-    val exact = df.groupBy(col(groupCol).as("grp"))
-      .agg(countDistinct(col(valueCol)).as("n_exact"))
-
-    val est = registers.groupBy("grp")
+  /** Estimate per group from a completed register table (grp, bucket, r):
+    * bias-corrected harmonic mean with linear-counting fallback. Output:
+    * (grp, n_est). */
+  private[graft] def hllEstimate(registers: DataFrame): DataFrame =
+    registers.groupBy("grp")
       .agg(sum(pow(lit(2.0), -col("r"))).as("z_filled"),
         count(lit(1)).as("n_regs"))
       .withColumn("v_empty", lit(HllM) - col("n_regs"))
@@ -70,9 +67,26 @@ object Sketches {
           .otherwise(col("e_raw")))
       .select(col("grp"), round(col("e")).cast("long").as("n_est"))
 
+  /** Exact distinct per group joined to an estimate — the shared output
+    * shape (event_type, n_exact, n_est). */
+  private[graft] def withExactYardstick(df: DataFrame, groupCol: String,
+      valueCol: String, est: DataFrame): DataFrame = {
+    val exact = df.groupBy(col(groupCol).as("grp"))
+      .agg(countDistinct(col(valueCol)).as("n_exact"))
     exact.join(est, "grp")
       .select(col("grp").as("event_type"), col("n_exact"), col("n_est"))
       .orderBy("event_type")
+  }
+
+  /** HLL distinct-count estimate of `valueCol` per `groupCol`, with the
+    * exact count alongside as the quality yardstick. Output:
+    * (group, n_exact, n_est) — integer-only. The estimate is the
+    * standard bias-corrected harmonic mean with linear-counting fallback
+    * for the small range. */
+  def hllDistinct(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val registers = hllRegisterRows(df, groupCol, valueCol)
+      .groupBy("grp", "bucket").agg(max("rank").as("r"))
+    withExactYardstick(df, groupCol, valueCol, hllEstimate(registers))
   }
 
   /** DuckDB replay of [[hllDistinct]] over events.user_id by event_type. */

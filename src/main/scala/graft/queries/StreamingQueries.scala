@@ -17,6 +17,7 @@ object StreamingQueries {
     "stream_dedup" -> ((s, d) => EventStreams.streamingDedup(s, d)),
     "stream_sessionize" -> ((s, d) => EventStreams.sessionize(s, d)),
     "stream_asof" -> ((s, d) => EventStreams.streamingAsOf(s, d)),
+    "stream_hll_distinct" -> ((s, d) => EventStreams.streamingHllDistinct(s, d)),
     "q11_sessionize" -> ((s, d) => EventStreams.sessionizeBatch(Tables.events(s, d))),
     "q12_asof_join" -> ((s, d) => AsOfJoin.errorToLastClick(Tables.events(s, d))))
 
@@ -29,6 +30,9 @@ object StreamingQueries {
     // matches emit inline from keyed state, so the stream equals the
     // batch as-of exactly and shares its oracle
     "stream_asof" -> AsOfJoin.errorToLastClickSql,
+    // register maintenance is order-insensitive, so the finite replay
+    // equals the batch sketch and shares its oracle
+    "stream_hll_distinct" -> graft.operators.Sketches.hllDistinctSql,
     "q11_sessionize" -> EventStreams.sessionizeBatchSql(),
     "q12_asof_join" -> AsOfJoin.errorToLastClickSql)
 }

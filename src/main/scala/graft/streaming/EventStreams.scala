@@ -204,6 +204,27 @@ object EventStreams {
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin
 
+  // ----------------------------------------------- streaming HLL sketch
+  /** Streaming HyperLogLog distinct users per event_type: the stream
+    * maintains the REGISTER table (one stateful max-aggregation whose
+    * state is bounded by groups x 4096 rows — the whole point of a
+    * sketch on an unbounded stream: no watermark needed, state never
+    * grows with cardinality); the estimate is a cheap batch read over
+    * the completed registers. That split is the production shape — the
+    * stream keeps sketch state current, queries read it — and register
+    * maintenance is ORDER-INSENSITIVE (max of per-row ranks), so on a
+    * finite replay the result equals batch [[graft.operators.Sketches
+    * .hllDistinct]] exactly and shares its DuckDB oracle. */
+  def streamingHllDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    val registers = graft.operators.Sketches
+      .hllRegisterRows(readEventStream(spark, sfDir), "event_type", "user_id")
+      .groupBy("grp", "bucket").agg(max("rank").as("r"))
+    val regs = runToCompletion(registers, OutputMode.Complete())
+    graft.operators.Sketches.withExactYardstick(
+      graft.Tables.events(spark, sfDir), "event_type", "user_id",
+      graft.operators.Sketches.hllEstimate(regs))
+  }
+
   // ------------------------------------------------------ streaming dedup
   /** Streaming exact dedup on (user_id, event_type): emits the first
     * occurrence of each key. WHICH row wins depends on arrival order, so

@@ -21,6 +21,13 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming HLL registers yield exactly the batch sketch estimates") {
+    val streamed = EventStreams.streamingHllDistinct(spark, sf).collect()
+    val batch = operators.Sketches
+      .hllDistinct(Tables.events(spark, sf), "event_type", "user_id").collect()
+    assert(streamed.map(_.toString).sorted.sameElements(batch.map(_.toString).sorted))
+  }
+
   test("streaming sessions EQUAL batch sessions (sentinel flushes final state)") {
     def key(df: org.apache.spark.sql.DataFrame) = df
       .select("user_id", "session_start", "session_end", "n_events", "sum_value")
