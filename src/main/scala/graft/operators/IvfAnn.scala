@@ -1,78 +1,119 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-
-import graft.transe.Kernels
 
 /** IVF (inverted-file) approximate nearest neighbor: a coarse k-means
   * quantizer partitions the corpus into `nCells` cells; a query probes
   * only the `nProbe` nearest cells. This is the standard billion-scale
   * ANN layout (FAISS IVF-Flat), expressed Spark-first:
   *
-  *  - centroid training is mini-batch Lloyd on a seeded SAMPLE of the
-  *    corpus, driver-side (centroids are tiny: nCells x dim floats);
+  *  - centroid training is DISTRIBUTED Lloyd over the full corpus:
+  *    per-cell integer sums/counts are a map-side-combinable aggregation
+  *    (centroids stay tiny: nCells x dim), so training scales with
+  *    executors instead of being capped by a driver-side sample;
   *  - assignment is one narrow mapPartitions pass with the centroid
   *    matrix broadcast (no shuffle of the corpus beyond the cell
   *    groupBy);
   *  - the probe is an equi-join on cell id — candidates per query are
   *    |corpus| * nProbe / nCells in expectation, sub-linear scan cost.
   *
-  * Recall < 1 by design (rows-only oracle); `IvfSpec`-style tests gate
-  * recall against the brute-force baseline instead.
+  * Determinism contract (what makes [[topKSql]] a full hash oracle
+  * despite recall < 1): seeds are the `nCells` vectors with smallest
+  * `md5('ivf:' || vec_id)`; all distances and means run on
+  * `floor(x*2^20)`-quantized vectors in EXACT integer arithmetic
+  * (means take the floor of integer sums over counts); argmin and probe
+  * order tie-break on cell index. No float accumulation order anywhere,
+  * so any engine — and any executor count or retry — reproduces the
+  * same cells, probes, and candidates; DuckDB then exact-scores the
+  * same candidate set.
   */
 object IvfAnn {
 
-  /** Train the coarse quantizer on a seeded sample (driver-side Lloyd —
-    * the sample and centroid set are small by construction). */
-  def trainCentroids(embeddings: DataFrame, nCells: Int, iters: Int = 5,
-      sampleSize: Int = 2000, seed: Long = 42L): Array[Array[Float]] = {
-    val spark = embeddings.sparkSession
-    import spark.implicits._
-    val total = embeddings.count()
-    val fraction = math.min(1.0, sampleSize.toDouble / math.max(total, 1L))
-    val sample = embeddings.select(col("embedding"))
-      .sample(withReplacement = false, fraction, seed)
-      .as[Array[Float]].collect()
-    require(sample.nonEmpty, "empty corpus")
-
-    val rng = new java.util.SplittableRandom(seed)
-    var centroids = Array.fill(math.min(nCells, sample.length))(
-      sample(rng.nextInt(sample.length)).clone())
-    var it = 0
-    while (it < iters) {
-      val sums = Array.fill(centroids.length)(new Array[Double](sample.head.length))
-      val counts = new Array[Long](centroids.length)
-      sample.foreach { v =>
-        val c = nearest(centroids, v)
-        counts(c) += 1
-        var i = 0
-        while (i < v.length) { sums(c)(i) += v(i); i += 1 }
-      }
-      centroids = centroids.indices.map { c =>
-        if (counts(c) == 0) centroids(c)
-        else sums(c).map(x => (x / counts(c)).toFloat)
-      }.toArray
-      it += 1
-    }
-    centroids
+  private def quantize(v: Array[Float]): Array[Long] = {
+    val q = new Array[Long](v.length)
+    var i = 0
+    while (i < v.length) { q(i) = SimilaritySearch.quantElem(v(i)); i += 1 }
+    q
   }
 
-  private def nearest(centroids: Array[Array[Float]], v: Array[Float]): Int = {
-    var best = 0; var bestD = Double.MaxValue; var c = 0
-    while (c < centroids.length) {
-      var d = 0.0; var i = 0
-      val ct = centroids(c)
-      while (i < v.length) { val z = ct(i) - v(i); d += z * z; i += 1 }
+  /** Exact integer squared-L2; strict < keeps the LOWEST index on ties. */
+  private def nearestCell(cents: Array[Array[Long]], q: Array[Long]): Int = {
+    var best = 0; var bestD = Long.MaxValue; var c = 0
+    while (c < cents.length) {
+      var d = 0L; var i = 0
+      val ct = cents(c)
+      while (i < q.length) { val z = q(i) - ct(i); d += z * z; i += 1 }
       if (d < bestD) { bestD = d; best = c }
       c += 1
     }
     best
   }
 
+  private def cellDist(ct: Array[Long], q: Array[Long]): Long = {
+    var d = 0L; var i = 0
+    while (i < q.length) { val z = q(i) - ct(i); d += z * z; i += 1 }
+    d
+  }
+
+  /** Distributed deterministic Lloyd: md5-ordered seeds, `iters` rounds
+    * of integer-mean updates over the FULL corpus. */
+  def trainCentroids(embeddings: DataFrame, nCells: Int,
+      iters: Int = 2): Array[Array[Long]] = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val qvecs: Dataset[(Long, Array[Long])] = embeddings
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) => (id, quantize(v)) }
+
+    val seeds: Array[Array[Long]] = embeddings
+      .select(col("vec_id"), col("embedding"),
+        md5(concat(lit("ivf:"), col("vec_id").cast("string"))).as("h"))
+      .orderBy(col("h"), col("vec_id"))
+      .limit(nCells)
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .collect().map { case (_, v) => quantize(v) }
+    require(seeds.nonEmpty, "empty corpus")
+
+    var cents = seeds
+    val dim = cents.head.length
+    var it = 0
+    while (it < iters) {
+      val bc = spark.sparkContext.broadcast(cents)
+      // exact integer sums + counts per cell: order-independent, so the
+      // result is identical for any partitioning (and for the SQL replay)
+      val (sums, counts) = qvecs.rdd.treeAggregate(
+        (Array.fill(cents.length)(new Array[Long](dim)), new Array[Long](cents.length)))(
+        seqOp = { case ((s, n), (_, q)) =>
+          val c = nearestCell(bc.value, q)
+          n(c) += 1
+          var i = 0; while (i < dim) { s(c)(i) += q(i); i += 1 }
+          (s, n)
+        },
+        combOp = { case ((s1, n1), (s2, n2)) =>
+          var c = 0
+          while (c < n1.length) {
+            n1(c) += n2(c)
+            var i = 0; while (i < dim) { s1(c)(i) += s2(c)(i); i += 1 }
+            c += 1
+          }
+          (s1, n1)
+        })
+      val prev = cents
+      cents = prev.indices.map { c =>
+        if (counts(c) == 0) prev(c) // empty cell keeps its centroid
+        else sums(c).map(x => math.floor(x.toDouble / counts(c)).toLong)
+      }.toArray
+      bc.destroy()
+      it += 1
+    }
+    cents
+  }
+
   /** Assign each vector to its IVF cell (narrow map, centroids broadcast). */
-  def assign(embeddings: DataFrame, centroids: Array[Array[Float]]): DataFrame = {
+  def assign(embeddings: DataFrame, centroids: Array[Array[Long]]): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(centroids)
@@ -80,18 +121,20 @@ object IvfAnn {
       .as[(Long, Array[Float])]
       .mapPartitions { it =>
         val cs = bc.value
-        it.map { case (id, v) => (id, v, nearest(cs, v)) }
+        it.map { case (id, v) => (id, v, nearestCell(cs, quantize(v))) }
       }
       .toDF("vec_id", "embedding", "cell")
   }
 
   /** Self-ANN: top-k cosine neighbors per vector, probing the `nProbe`
-    * nearest cells. Cost per query ~ |corpus| * nProbe / nCells. */
+    * nearest cells. Cost per query ~ |corpus| * nProbe / nCells.
+    * Output: (query_id, rank, neighbor_id) — integer-only, hash-oracled
+    * by [[topKSql]]. */
   def topK(embeddings: DataFrame, nCells: Int = 16, nProbe: Int = 4,
-      k: Int = 5, seed: Long = 42L): DataFrame = {
+      k: Int = 5, iters: Int = 2): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val centroids = trainCentroids(embeddings, nCells, seed = seed)
+    val centroids = trainCentroids(embeddings, nCells, iters)
     val assigned = assign(embeddings, centroids).persist()
 
     val bc = spark.sparkContext.broadcast(centroids)
@@ -99,11 +142,12 @@ object IvfAnn {
       .as[(Long, Array[Float])]
       .flatMap { case (id, v) =>
         val cs = bc.value
-        // probe cells by centroid distance to the query vector
-        val order = cs.indices
-          .map(c => (c, Kernels.distL2Sq(cs(c), v)))
-          .sortBy(_._2).take(nProbe)
-        order.map { case (cell, _) => (id, v, cell) }
+        val q = quantize(v)
+        // probe cells by exact integer centroid distance, ties by index
+        cs.indices
+          .map(c => (c, cellDist(cs(c), q)))
+          .sortBy { case (c, d) => (d, c) }.take(nProbe)
+          .map { case (cell, _) => (id, v, cell) }
       }
       .toDF("query_id", "q_emb", "cell")
 
@@ -117,11 +161,66 @@ object IvfAnn {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("long").as("rank"),
-        col("neighbor_id"), round(col("sim"), 6).as("sim"))
+        col("neighbor_id"))
       .orderBy("query_id", "rank")
       .persist()
     out.count() // materialize, then drop the cell-assignment cache
     assigned.unpersist()
     out
+  }
+
+  /** DuckDB replay of [[topK]] over the embeddings table: same seeds,
+    * same integer Lloyd rounds (unrolled), same probes, exact cosine
+    * ranking of the same candidates. */
+  def topKSql(dim: Int, nCells: Int = 16, nProbe: Int = 4, k: Int = 5,
+      iters: Int = 2): String = {
+    // one assign+update round: reads centroid CTE `cin`, emits `cout`
+    def round(cin: String, cout: String, n: Int) =
+      s"""d$n AS (SELECT qv.vec_id, c.c, SUM((qv.q - c.cv) * (qv.q - c.cv)) AS dist
+         |  FROM qv JOIN $cin c USING (i) GROUP BY qv.vec_id, c.c),
+         |a$n AS (SELECT vec_id, c AS cell FROM (
+         |    SELECT vec_id, c, ROW_NUMBER() OVER (
+         |      PARTITION BY vec_id ORDER BY dist, c) AS rn FROM d$n)
+         |  WHERE rn = 1),
+         |m$n AS (SELECT a$n.cell AS c, qv.i,
+         |    CAST(floor(CAST(SUM(qv.q) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
+         |  FROM a$n JOIN qv USING (vec_id) GROUP BY a$n.cell, qv.i),
+         |$cout AS (SELECT g.c, g.i, COALESCE(m$n.cv, g.cv) AS cv
+         |  FROM $cin g LEFT JOIN m$n ON m$n.c = g.c AND m$n.i = g.i)""".stripMargin
+    val rounds = (1 to iters).map(n => round(s"c${n - 1}", s"c$n", n)).mkString(",\n")
+    val cFinal = s"c$iters"
+    val nFinal = iters + 1
+    s"""WITH vecs AS (SELECT vec_id, embedding AS v FROM embeddings),
+       |qv AS (SELECT vec_id, CAST(ri.i AS INTEGER) AS i,
+       |    CAST(floor(CAST(v[CAST(ri.i + 1 AS INTEGER)] AS DOUBLE) * 1048576.0) AS BIGINT) AS q
+       |  FROM vecs, range($dim) AS ri(i)),
+       |seeds AS (SELECT vec_id, ROW_NUMBER() OVER (
+       |      ORDER BY md5('ivf:' || CAST(vec_id AS VARCHAR)), vec_id) - 1 AS c
+       |  FROM vecs ORDER BY md5('ivf:' || CAST(vec_id AS VARCHAR)), vec_id
+       |  LIMIT $nCells),
+       |c0 AS (SELECT s.c, qv.i, qv.q AS cv FROM seeds s JOIN qv USING (vec_id)),
+       |$rounds,
+       |dF AS (SELECT qv.vec_id, c.c, SUM((qv.q - c.cv) * (qv.q - c.cv)) AS dist
+       |  FROM qv JOIN $cFinal c USING (i) GROUP BY qv.vec_id, c.c),
+       |assigned AS (SELECT vec_id, c AS cell FROM (
+       |    SELECT vec_id, c, ROW_NUMBER() OVER (
+       |      PARTITION BY vec_id ORDER BY dist, c) AS rn FROM dF)
+       |  WHERE rn = 1),
+       |probes AS (SELECT vec_id AS query_id, c AS cell FROM (
+       |    SELECT vec_id, c, ROW_NUMBER() OVER (
+       |      PARTITION BY vec_id ORDER BY dist, c) AS rn FROM dF)
+       |  WHERE rn <= $nProbe),
+       |scored AS (
+       |  SELECT p.query_id, a.vec_id AS neighbor_id, ROW_NUMBER() OVER (
+       |      PARTITION BY p.query_id
+       |      ORDER BY list_cosine_similarity(CAST(q.v AS DOUBLE[]),
+       |                                      CAST(n.v AS DOUBLE[])) DESC,
+       |               a.vec_id ASC) AS rank
+       |  FROM probes p
+       |  JOIN assigned a ON a.cell = p.cell AND a.vec_id <> p.query_id
+       |  JOIN vecs q ON q.vec_id = p.query_id
+       |  JOIN vecs n ON n.vec_id = a.vec_id)
+       |SELECT query_id, rank, neighbor_id FROM scored
+       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
   }
 }

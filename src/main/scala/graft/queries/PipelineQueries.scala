@@ -68,6 +68,9 @@ object PipelineQueries {
     // bucketing is bit-reproducible, so DuckDB replays the SAME
     // candidate set and exact-scores it (recall < 1 never enters)
     "ann_lsh" -> SimilaritySearch.annLshSql(dim = 64, bitsPerTable = 12),
+    // IVF too is deterministic end-to-end (md5 seeds + integer Lloyd),
+    // so DuckDB replays the full quantizer training and probe
+    "ann_ivf" -> IvfAnn.topKSql(dim = 64),
     "mm_decode_features" -> Multimodal.decodeFeaturesSql,
     "mm_frame_features" -> Multimodal.sampleFrameFeaturesSql(),
     // exact twin of the LSH-candidate near-dup: full value oracle AND the
