@@ -26,7 +26,7 @@ object Sampling {
     conv(substring(md5(concat(lit(salt + ":"), key.cast("string"))), 1, 8), 16, 10)
       .cast("long").cast("double") / lit(4294967296.0)
 
-  private def hashUnitSql(keyExpr: String, salt: String): String =
+  private[operators] def hashUnitSql(keyExpr: String, salt: String): String =
     s"CAST(${OracleSql.hexVal(s"md5('$salt:' || CAST($keyExpr AS VARCHAR))", 1, 8)} AS BIGINT)" +
       " / 4294967296.0"
 

@@ -159,14 +159,25 @@ object TextAnalysis {
     * hash-compares the FULL scrubbed content, not just counts:
     * (doc_id, n_emails, n_ips, n_phones, redacted_md5).
     * A narrow codegen'd map — no shuffle, linear scan. */
+  /** The scrubbed text as a column expression (email -> ip -> phone),
+    * shared by [[piiScrub]] and the composed corpus pipeline. */
+  private[operators] def redactedText(text: org.apache.spark.sql.Column) =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailRe, "<EMAIL>"),
+        ipRe, "<IP>"),
+      phoneRe, "<PHONE>")
+
+  /** SQL spelling of [[redactedText]] over `expr`. */
+  private[operators] def redactedTextSql(expr: String): String =
+    s"regexp_replace(regexp_replace(regexp_replace($expr, " +
+      s"'$emailRe', '<EMAIL>', 'g'), '$ipRe', '<IP>', 'g'), " +
+      s"'$phoneRe', '<PHONE>', 'g')"
+
   def piiScrub(docs: DataFrame): DataFrame = {
     def cnt(re: String) =
       size(regexp_extract_all(col("text"), lit(re), lit(0))).cast("long")
-    val redacted = regexp_replace(
-      regexp_replace(
-        regexp_replace(col("text"), emailRe, "<EMAIL>"),
-        ipRe, "<IP>"),
-      phoneRe, "<PHONE>")
+    val redacted = redactedText(col("text"))
     docs.select(
       col("doc_id"),
       cnt(emailRe).as("n_emails"),
@@ -181,9 +192,7 @@ object TextAnalysis {
        |  CAST(len(regexp_extract_all(text, '$emailRe')) AS BIGINT) AS n_emails,
        |  CAST(len(regexp_extract_all(text, '$ipRe')) AS BIGINT) AS n_ips,
        |  CAST(len(regexp_extract_all(text, '$phoneRe')) AS BIGINT) AS n_phones,
-       |  md5(regexp_replace(regexp_replace(regexp_replace(text,
-       |    '$emailRe', '<EMAIL>', 'g'), '$ipRe', '<IP>', 'g'),
-       |    '$phoneRe', '<PHONE>', 'g')) AS redacted_md5
+       |  md5(${redactedTextSql("text")}) AS redacted_md5
        |FROM documents ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------------- fingerprints

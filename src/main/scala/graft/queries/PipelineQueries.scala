@@ -44,7 +44,10 @@ object PipelineQueries {
     // --- scrubbing + deterministic sampling ---
     "text_pii_scrub" -> ((s, d) => TextAnalysis.piiScrub(Tables.documents(s, d))),
     "sample_hash" -> ((s, d) => Sampling.sampleDocs(Tables.documents(s, d))),
-    "sample_split" -> ((s, d) => Sampling.trainValTestSplit(Tables.documents(s, d))))
+    "sample_split" -> ((s, d) => Sampling.trainValTestSplit(Tables.documents(s, d))),
+    // --- composed end-to-end cleaning pipeline ---
+    "pipeline_clean_corpus" -> ((s, d) => CorpusPipeline.cleanCorpus(Tables.documents(s, d))),
+    "pipeline_funnel" -> ((s, d) => CorpusPipeline.funnel(Tables.documents(s, d))))
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> Dedup.exactSql,
@@ -82,5 +85,7 @@ object PipelineQueries {
     "sketch_cms_topk" -> Sketches.cmsTopKSql(),
     "text_pii_scrub" -> TextAnalysis.piiScrubSql,
     "sample_hash" -> Sampling.sampleDocsSql(),
-    "sample_split" -> Sampling.trainValTestSplitSql)
+    "sample_split" -> Sampling.trainValTestSplitSql,
+    "pipeline_clean_corpus" -> CorpusPipeline.cleanCorpusSql(),
+    "pipeline_funnel" -> CorpusPipeline.funnelSql())
 }

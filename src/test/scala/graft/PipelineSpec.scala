@@ -241,6 +241,21 @@ class PipelineSpec extends SparkSpec {
     assert(splits("train") > splits("val") && splits("train") > splits("test"))
   }
 
+  test("clean-corpus pipeline: monotone funnel, deduped output, sample consistency") {
+    val funnel = CorpusPipeline.funnel(docs).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_docs")).toMap
+    assert(funnel("1_input") == docs.count())
+    assert(funnel("2_quality") <= funnel("1_input"))
+    assert(funnel("3_dedup") <= funnel("2_quality"))
+    assert(funnel("4_sample") <= funnel("3_dedup"))
+    assert(funnel("4_sample") > 0, "pipeline must keep some documents")
+    val out = CorpusPipeline.cleanCorpus(docs).collect()
+    assert(out.length == funnel("4_sample"),
+      "cleanCorpus output must equal the funnel's final stage")
+    val md5s = out.map(_.getString(1))
+    assert(md5s.distinct.length == md5s.length, "output content must be deduped")
+  }
+
   test("lsh plane values match the DuckDB md5 replay (golden values)") {
     // goldens computed by running OracleSql.planeValSql in DuckDB itself —
     // pins the cross-engine determinism contract of the bucketing

@@ -152,6 +152,16 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 1, s"deterministic sample must not shuffle:\n$p")
   }
 
+  test("clean-corpus pipeline fuses into few stages: quality+scrub+dedup+sample") {
+    val p = simplePlan(graft.operators.CorpusPipeline.cleanCorpus(
+      Tables.documents(spark, sf)))
+    // quality join is a broadcast self-join on doc_id (no SMJ), the
+    // content dedup is the one real shuffle, plus the output sort
+    assert(!p.contains("SortMergeJoin"), s"quality join must broadcast:\n$p")
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges <= 3, s"expected <=3 exchanges (dedup agg + sort):\n$p")
+  }
+
   test("kg_triples: no shuffle except the two lineitem DISTINCTs") {
     // sf0.01 rather than the shared sf0.001: other suites cache the
     // sf0.001 KG (encodeAll), and the InMemoryRelation's embedded plan
