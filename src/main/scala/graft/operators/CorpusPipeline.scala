@@ -9,27 +9,33 @@ import org.apache.spark.sql.functions._
   *   quality gate -> PII scrub -> exact content dedup -> deterministic
   *   sample
   *
-  * Everything stays one lazy DataFrame chain (Catalyst sees the whole
-  * pipeline: the quality ratios, the scrub regexes, the dedup
-  * aggregation and the sample filter fuse into three stages — scan+map,
-  * one shuffle for the content groupBy, output sort), and every stage
-  * reuses the deterministic primitives that already carry their own
-  * oracles, so the COMPOSITION has a full hash oracle too: the DuckDB
-  * replay chains the same quality SQL, the same redaction regexes, the
-  * same md5 grouping and the same hash-threshold sample.
+  * Everything stays one lazy DataFrame chain over ONE scan (the quality
+  * score is a pure expression over `text`, so the gate is an inline
+  * filter, not a self-join — at 100 TB a join against a scored copy
+  * would double the read volume): quality ratios, scrub regexes and the
+  * sample filter fuse into the scan stage, the content groupBy is the
+  * single real shuffle, then the output sort (asserted in PlanSpec).
+  * Every stage reuses the deterministic primitives that already carry
+  * their own oracles, so the COMPOSITION has a full hash oracle too:
+  * the DuckDB replay chains the same quality expression, the same
+  * redaction regexes, the same md5 grouping and the same hash-threshold
+  * sample.
   */
 object CorpusPipeline {
+
+  /** Documents surviving the quality gate. The score is a pure function
+    * of `text`, so it is computed INLINE — no self-join, no second scan
+    * of the corpus (at 100 TB that join would double the read volume). */
+  private def qualityKept(docs: DataFrame, minQuality: Double): DataFrame =
+    docs.select(col("doc_id"), col("text"))
+      .filter(TextAnalysis.qualityScoreExpr >= minQuality)
 
   /** Surviving documents after the full clean: (doc_id, content_md5),
     * where doc_id is the smallest id among exact duplicates of the
     * scrubbed content. */
   def cleanCorpus(docs: DataFrame, minQuality: Double = 0.2,
       sampleRate: Double = 0.5): DataFrame = {
-    val quality = TextAnalysis.qualityScore(docs)
-      .select(col("doc_id"), col("quality_score"))
-    val kept = docs.join(quality, "doc_id")
-      .filter(col("quality_score") >= minQuality)
-    val scrubbed = kept.select(col("doc_id"),
+    val scrubbed = qualityKept(docs, minQuality).select(col("doc_id"),
       md5(TextAnalysis.redactedText(col("text"))).as("content_md5"))
     val deduped = scrubbed.groupBy("content_md5").agg(min("doc_id").as("doc_id"))
     Sampling.hashSample(deduped, "doc_id", sampleRate, salt = "clean")
@@ -41,10 +47,7 @@ object CorpusPipeline {
     * aggregations unioned, no driver-side counting. */
   def funnel(docs: DataFrame, minQuality: Double = 0.2,
       sampleRate: Double = 0.5): DataFrame = {
-    val quality = TextAnalysis.qualityScore(docs)
-      .select(col("doc_id"), col("quality_score"))
-    val kept = docs.join(quality, "doc_id")
-      .filter(col("quality_score") >= minQuality)
+    val kept = qualityKept(docs, minQuality)
     val deduped = kept
       .select(col("doc_id"), md5(TextAnalysis.redactedText(col("text"))).as("content_md5"))
       .groupBy("content_md5").agg(min("doc_id").as("doc_id"))
@@ -59,9 +62,8 @@ object CorpusPipeline {
   }
 
   private def keptSql(minQuality: Double, sampleRate: Double): String =
-    s"""q AS (SELECT doc_id, quality_score FROM (${TextAnalysis.qualityScoreSql})),
-       |kept AS (SELECT d.doc_id, d.text FROM documents d
-       |         JOIN q USING (doc_id) WHERE quality_score >= $minQuality),
+    s"""kept AS (SELECT doc_id, text FROM documents
+       |         WHERE ${TextAnalysis.qualityScoreExprSql} >= $minQuality),
        |deduped AS (SELECT content_md5, MIN(doc_id) AS doc_id FROM (
        |    SELECT doc_id, md5(${TextAnalysis.redactedTextSql("text")}) AS content_md5
        |    FROM kept)

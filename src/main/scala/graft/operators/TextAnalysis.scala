@@ -42,6 +42,30 @@ object TextAnalysis {
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
     "for", "on", "with", "as", "at", "by", "this", "that")
 
+  /** The composite [0,1] quality score as a pure column expression over
+    * `text` — usable inline (no self-join) by the composed pipeline.
+    * MUST stay identical to the spelling inside [[qualityScore]]. */
+  private[operators] def qualityScoreExpr: org.apache.spark.sql.Column = {
+    val nWords = size(wsTokens)
+    val stopArr = array(enStopwords.map(lit): _*)
+    val nStop = size(filter(wsTokens, w => array_contains(stopArr, lower(w))))
+    val stopRatio = round(nStop.cast("double") / nWords, 6)
+    round(least(
+      greatest(stopRatio * 2, lit(0.0)) * 0.5 +
+        least(nWords.cast("long").cast("double") / 100.0, lit(1.0)) * 0.5,
+      lit(1.0)), 6)
+  }
+
+  /** SQL spelling of [[qualityScoreExpr]]. */
+  private[operators] val qualityScoreExprSql: String = {
+    val stopList = enStopwords.map(s => s"'$s'").mkString("[", ", ", "]")
+    val nWords = "len(string_split_regex(trim(text), '\\s+'))"
+    val stopRatio = s"ROUND(CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), " +
+      s"w -> list_contains($stopList, lower(w)))) AS DOUBLE) / $nWords, 6)"
+    s"ROUND(LEAST(GREATEST($stopRatio * 2, 0.0) * 0.5 + " +
+      s"LEAST(CAST($nWords AS DOUBLE) / 100.0, 1.0) * 0.5, 1.0), 6)"
+  }
+
   /** Quality scoring: doc length, mean word length, stopword ratio,
     * alpha ratio, and a composite [0,1] score — the usual cheap quality
     * gates applied before expensive pipeline stages. All ratios are

@@ -155,11 +155,12 @@ class PlanSpec extends SparkSpec {
   test("clean-corpus pipeline fuses into few stages: quality+scrub+dedup+sample") {
     val p = simplePlan(graft.operators.CorpusPipeline.cleanCorpus(
       Tables.documents(spark, sf)))
-    // quality join is a broadcast self-join on doc_id (no SMJ), the
-    // content dedup is the one real shuffle, plus the output sort
-    assert(!p.contains("SortMergeJoin"), s"quality join must broadcast:\n$p")
+    // quality gate + scrub + sample are all inline expressions over ONE
+    // scan (no self-join); the content dedup is the only real shuffle,
+    // plus the output sort
+    assert(!p.contains("Join"), s"pipeline must not join — inline exprs:\n$p")
     val exchanges = "Exchange".r.findAllIn(p).length
-    assert(exchanges <= 3, s"expected <=3 exchanges (dedup agg + sort):\n$p")
+    assert(exchanges <= 2, s"expected <=2 exchanges (dedup agg + sort):\n$p")
   }
 
   test("kg_triples: no shuffle except the two lineitem DISTINCTs") {
