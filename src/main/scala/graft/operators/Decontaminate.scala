@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination: flag training documents that share any
+  * word n-gram with a held-out evaluation set — the standard pretraining
+  * hygiene pass (8-gram overlap is the common window; GPT-3/PaLM-style
+  * pipelines use 8-13). Here the "benchmark" is a deterministic hash
+  * split of the corpus (stand-in for a real eval-set list; the operator
+  * takes any (doc_id, text) frame as the eval side).
+  *
+  * Scale shape: the eval side is tiny by construction, so its distinct
+  * gram set BROADCASTS; the training corpus streams through one narrow
+  * shingle pass and a broadcast semi-join-style lookup — no shuffle of
+  * the corpus, no all-pairs anything. Cost ~ corpus tokens + |eval
+  * grams|. The split, the grams, and the counts are all deterministic,
+  * so the DuckDB oracle replays the whole check.
+  */
+object Decontaminate {
+
+  /** Contaminated training docs: (doc_id, n_shared_grams), docs sharing
+    * at least one word `n`-gram with the hash-held-out eval slice. */
+  def flagContaminated(docs: DataFrame, n: Int = 8,
+      evalRate: Double = 0.05): DataFrame = {
+    val u = Sampling.hashUnit(col("doc_id"), "evalset")
+    val evalDocs = docs.filter(u < evalRate)
+    val trainDocs = docs.filter(u >= evalRate) // complement filter, not a join
+    val evalGrams = Dedup.shingles(evalDocs, n).select("shingle").distinct()
+    Dedup.shingles(trainDocs, n)
+      .join(broadcast(evalGrams), "shingle")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared_grams"))
+      .orderBy("doc_id")
+  }
+
+  def flagContaminatedSql(n: Int = 8, evalRate: Double = 0.05): String = {
+    val u = Sampling.hashUnitSql("doc_id", "evalset")
+    def sh(src: String, distinctDoc: String) =
+      s"""SELECT DISTINCT $distinctDoc array_to_string(w[i:i+${n - 1}], ' ') AS shingle
+         |  FROM (SELECT doc_id, w, unnest(range(1, greatest(len(w) - ${n - 1}, 1) + 1)) AS i
+         |        FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM $src))""".stripMargin
+    s"""WITH ev AS (SELECT doc_id, text FROM documents WHERE $u < $evalRate),
+       |tr AS (SELECT doc_id, text FROM documents WHERE $u >= $evalRate),
+       |evsh AS (${sh("ev", "")}),
+       |trsh AS (${sh("tr", "doc_id,")})
+       |SELECT t.doc_id, COUNT(*) AS n_shared_grams
+       |FROM trsh t JOIN evsh USING (shingle)
+       |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
+  }
+}

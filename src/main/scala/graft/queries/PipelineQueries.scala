@@ -47,7 +47,8 @@ object PipelineQueries {
     "sample_split" -> ((s, d) => Sampling.trainValTestSplit(Tables.documents(s, d))),
     // --- composed end-to-end cleaning pipeline ---
     "pipeline_clean_corpus" -> ((s, d) => CorpusPipeline.cleanCorpus(Tables.documents(s, d))),
-    "pipeline_funnel" -> ((s, d) => CorpusPipeline.funnel(Tables.documents(s, d))))
+    "pipeline_funnel" -> ((s, d) => CorpusPipeline.funnel(Tables.documents(s, d))),
+    "decontaminate" -> ((s, d) => Decontaminate.flagContaminated(Tables.documents(s, d))))
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> Dedup.exactSql,
@@ -87,5 +88,6 @@ object PipelineQueries {
     "sample_hash" -> Sampling.sampleDocsSql(),
     "sample_split" -> Sampling.trainValTestSplitSql,
     "pipeline_clean_corpus" -> CorpusPipeline.cleanCorpusSql(),
-    "pipeline_funnel" -> CorpusPipeline.funnelSql())
+    "pipeline_funnel" -> CorpusPipeline.funnelSql(),
+    "decontaminate" -> Decontaminate.flagContaminatedSql())
 }

@@ -11,9 +11,13 @@ class PipelineSpec extends SparkSpec {
   private def embs = Tables.embeddings(spark, sf)
 
   test("every pipeline query runs and returns rows on sf0.001") {
+    // decontaminate may legitimately find nothing on the 50-doc fixture
+    // (no 8-gram overlap between the tiny eval slice and the rest)
+    val mayBeEmpty = Set("decontaminate")
     PipelineQueries.queries.foreach { case (name, fn) =>
       val df = fn(spark, sf)
-      assert(df.count() > 0, s"$name returned no rows")
+      val n = df.count()
+      if (!mayBeEmpty(name)) assert(n > 0, s"$name returned no rows")
     }
   }
 
@@ -239,6 +243,33 @@ class PipelineSpec extends SparkSpec {
     assert(splits.values.sum == n, "splits must partition the corpus")
     assert(splits.keySet == Set("train", "val", "test"))
     assert(splits("train") > splits("val") && splits("train") > splits("test"))
+  }
+
+  test("decontaminate: flags only train docs, counts real shared grams") {
+    import spark.implicits._
+    val flagged = Decontaminate.flagContaminated(docs).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("n_shared_grams")).toMap
+    // flagged ids must come from the TRAIN side of the deterministic split
+    val evalIds = docs.select("doc_id").as[Long].collect()
+      .filter { id =>
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"evalset:$id".getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+        java.lang.Long.parseLong(hex, 16) / 4294967296.0 < 0.05
+      }.toSet
+    assert(flagged.keySet.intersect(evalIds).isEmpty,
+      "eval docs must never be flagged as contaminated train docs")
+    // planted contamination is caught: a train doc sharing an 8-gram
+    // with an eval doc must be flagged
+    val evalText = docs.filter(col("doc_id").isin(evalIds.toSeq: _*))
+      .select("text").as[String].head()
+    val grams = evalText.split("\\s+")
+    assume(grams.length >= 8)
+    val planted = Seq((999999L, grams.take(8).mkString(" ") + " zzz unique tail"))
+      .toDF("doc_id", "text")
+    val flagged2 = Decontaminate.flagContaminated(docs.select("doc_id", "text")
+        .union(planted)).collect()
+      .map(r => r.getLong(0)).toSet
+    assert(flagged2.contains(999999L), "planted 8-gram overlap must be flagged")
   }
 
   test("clean-corpus pipeline: monotone funnel, deduped output, sample consistency") {
