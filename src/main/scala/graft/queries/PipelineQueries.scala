@@ -48,7 +48,8 @@ object PipelineQueries {
     // --- composed end-to-end cleaning pipeline ---
     "pipeline_clean_corpus" -> ((s, d) => CorpusPipeline.cleanCorpus(Tables.documents(s, d))),
     "pipeline_funnel" -> ((s, d) => CorpusPipeline.funnel(Tables.documents(s, d))),
-    "decontaminate" -> ((s, d) => Decontaminate.flagContaminated(Tables.documents(s, d))))
+    "decontaminate" -> ((s, d) => Decontaminate.flagContaminated(Tables.documents(s, d))),
+    "pack_sequences" -> ((s, d) => SequencePacking.packDocs(Tables.documents(s, d))))
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> Dedup.exactSql,
@@ -89,5 +90,6 @@ object PipelineQueries {
     "sample_split" -> Sampling.trainValTestSplitSql,
     "pipeline_clean_corpus" -> CorpusPipeline.cleanCorpusSql(),
     "pipeline_funnel" -> CorpusPipeline.funnelSql(),
-    "decontaminate" -> Decontaminate.flagContaminatedSql())
+    "decontaminate" -> Decontaminate.flagContaminatedSql(),
+    "pack_sequences" -> SequencePacking.packDocsSql())
 }

@@ -245,6 +245,24 @@ class PipelineSpec extends SparkSpec {
     assert(splits("train") > splits("val") && splits("train") > splits("test"))
   }
 
+  test("sequence packing: contiguous-fill bins match the prefix-sum formula") {
+    import spark.implicits._
+    val out = SequencePacking.packDocs(docs, budgetTokens = 256L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    // recompute the formula driver-side from the same token counts
+    var running = 0L
+    out.foreach { case (id, t, bin) =>
+      assert(bin == running / 256L, s"doc $id: bin $bin vs ${running / 256L}")
+      running += t
+    }
+    // bins are nondecreasing in doc order and start at 0
+    assert(out.head._3 == 0L)
+    assert(out.sliding(2).forall { case Array(a, b) => a._3 <= b._3 })
+    // docs partition across bins; every bin's span is contiguous
+    val binIds = out.map(_._3).distinct
+    assert(binIds.sameElements(binIds.sorted))
+  }
+
   test("decontaminate: flags only train docs, counts real shared grams") {
     import spark.implicits._
     val flagged = Decontaminate.flagContaminated(docs).collect()

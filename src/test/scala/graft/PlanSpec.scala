@@ -163,6 +163,13 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 2, s"expected <=2 exchanges (dedup agg + sort):\n$p")
   }
 
+  test("decontaminate: eval grams broadcast; corpus side never shuffles for the join") {
+    val p = simplePlan(graft.operators.Decontaminate.flagContaminated(
+      Tables.documents(spark, sf)))
+    assert(p.contains("BroadcastHashJoin"), s"eval grams must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("kg_triples: no shuffle except the two lineitem DISTINCTs") {
     // sf0.01 rather than the shared sf0.001: other suites cache the
     // sf0.001 KG (encodeAll), and the InMemoryRelation's embedded plan
