@@ -47,13 +47,16 @@ object Dedup {
     * with fewer than n words yields one shingle (its whole text). */
   def shingles(docs: DataFrame, n: Int): DataFrame = {
     val words = split(trim(col("text")), "\\s+")
+    // per-document dedup happens INSIDE the row (array_distinct before the
+    // explode): same output as a global distinct on (doc_id, shingle) when
+    // doc_id is a key — which it is at every call site — but a narrow
+    // codegen'd map instead of a corpus-sized string shuffle
     docs.select(
       col("doc_id"),
       explode(
-        transform(
+        array_distinct(transform(
           sequence(lit(0), greatest(size(words) - n, lit(0))),
-          i => concat_ws(" ", slice(words, i + 1, lit(n))))).as("shingle"))
-      .distinct()
+          i => concat_ws(" ", slice(words, i + 1, lit(n)))))).as("shingle"))
   }
 
   // ----------------------------------------- shared dedup-first machinery
