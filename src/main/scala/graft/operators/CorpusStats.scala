@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus profiling statistics for training-data pipelines.
+  *
+  * The quantile spelling here is deliberately NOT `percentile` /
+  * `approx_percentile`: exact `percentile` buffers every value of a group
+  * in executor memory (dies at 100 TB strata), and t-digest
+  * `approx_percentile` is not engine-stable (no oracle). Instead:
+  * a VALUE HISTOGRAM — group by (stratum, value), then a running count
+  * over the histogram. The first shuffle moves only (stratum, value)
+  * pairs (bounded by value cardinality, not corpus size); the window runs
+  * over the tiny histogram. Discrete quantiles fall out in pure integer
+  * arithmetic, so the DuckDB oracle replays them exactly.
+  */
+object CorpusStats {
+
+  /** Per-language discrete length quantiles: for each q in `qs` (percent),
+    * the smallest n_chars value whose cumulative doc count reaches
+    * ceil(q * n/100) — classic type-1 (lower) discrete quantile.
+    * Output: (lang, q, n_docs, n_chars_q), integer-only. */
+  def lengthQuantiles(docs: DataFrame,
+      qs: Seq[Int] = Seq(25, 50, 75, 90, 99)): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val hist = docs.groupBy(col("lang"), col("n_chars"))
+      .agg(count(lit(1)).as("cnt"))
+    val tot = hist.groupBy("lang").agg(sum("cnt").as("n_docs"))
+    val w = Window.partitionBy("lang").orderBy("n_chars")
+    val cum = hist.withColumn("cum", sum("cnt").over(w))
+    // cum*100 >= q*n  <=>  cum >= ceil(q*n/100): all-integer rank test
+    cum.join(broadcast(tot), Seq("lang"))
+      .crossJoin(broadcast(qs.map(_.toLong).toDF("q")))
+      .filter(col("cum") * 100 >= col("q") * col("n_docs"))
+      .groupBy("lang", "q")
+      .agg(min(col("n_docs")).as("n_docs"), min(col("n_chars")).as("n_chars_q"))
+      .select(col("lang"), col("q"), col("n_docs"), col("n_chars_q"))
+      .orderBy("lang", "q")
+  }
+
+  def lengthQuantilesSql(qs: Seq[Int] = Seq(25, 50, 75, 90, 99)): String =
+    s"""WITH hist AS (SELECT lang, n_chars, COUNT(*) AS cnt
+       |              FROM documents GROUP BY lang, n_chars),
+       |tot AS (SELECT lang, SUM(cnt) AS n_docs FROM hist GROUP BY lang),
+       |cum AS (SELECT lang, n_chars,
+       |          SUM(cnt) OVER (PARTITION BY lang ORDER BY n_chars) AS cum
+       |        FROM hist),
+       |qs AS (SELECT unnest([${qs.mkString(", ")}]) AS q)
+       |SELECT lang, CAST(q AS BIGINT) AS q, CAST(MIN(n_docs) AS BIGINT) AS n_docs,
+       |       MIN(n_chars) AS n_chars_q
+       |FROM cum JOIN tot USING (lang) CROSS JOIN qs
+       |WHERE cum * 100 >= q * n_docs
+       |GROUP BY lang, q ORDER BY lang, q""".stripMargin
+}

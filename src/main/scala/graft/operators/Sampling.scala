@@ -44,6 +44,38 @@ object Sampling {
        |WHERE ${hashUnitSql("doc_id", "sample")} < $rate
        |ORDER BY doc_id""".stripMargin
 
+  /** Deterministic stratified sample: cap each stratum (e.g. language,
+    * source domain) at ~`target` docs — the standard corpus-rebalancing
+    * pass before pretraining. Each stratum gets Bernoulli rate
+    * min(1, target/n_stratum), keyed on content hash like [[hashSample]].
+    *
+    * Scale shape: one TINY aggregate (|strata| rows) broadcast back, then
+    * a narrow codegen'd filter — no window, no per-stratum sort, no
+    * shuffle of the corpus. Selected counts are Binomial(n, rate), not
+    * exactly `target` — the honest distributed spelling (exact-N needs a
+    * per-stratum ranking shuffle; at 100 TB the binomial spread is
+    * negligible and the determinism is worth more).
+    *
+    * The membership test `u * n_stratum < target` stays in exact double
+    * arithmetic (u = int/2^32 exact, n < 2^53), so DuckDB replays it
+    * bit-for-bit. */
+  def stratifiedSample(docs: DataFrame, strataCol: String = "lang",
+      target: Long = 100, salt: String = "strat"): DataFrame = {
+    val counts = docs.groupBy(strataCol)
+      .agg(count(lit(1)).as("n_stratum"))
+    docs.join(broadcast(counts), Seq(strataCol))
+      .filter(hashUnit(col("doc_id"), salt) * col("n_stratum") < lit(target.toDouble))
+      .select(col("doc_id"), col(strataCol))
+      .orderBy("doc_id")
+  }
+
+  def stratifiedSampleSql(strataCol: String = "lang", target: Long = 100): String =
+    s"""WITH counts AS (SELECT $strataCol, COUNT(*) AS n_stratum
+       |                FROM documents GROUP BY $strataCol)
+       |SELECT doc_id, $strataCol FROM documents JOIN counts USING ($strataCol)
+       |WHERE (${hashUnitSql("doc_id", "strat")}) * n_stratum < $target.0
+       |ORDER BY doc_id""".stripMargin
+
   /** Deterministic train/val/test assignment by hash range (80/10/10):
     * the standard reproducible experiment split, as a pure function of
     * the document id. Output: (split, n_docs, n_chars) — the split

@@ -44,7 +44,9 @@ object PipelineQueries {
     // --- scrubbing + deterministic sampling ---
     "text_pii_scrub" -> ((s, d) => TextAnalysis.piiScrub(Tables.documents(s, d))),
     "sample_hash" -> ((s, d) => Sampling.sampleDocs(Tables.documents(s, d))),
+    "sample_stratified" -> ((s, d) => Sampling.stratifiedSample(Tables.documents(s, d))),
     "sample_split" -> ((s, d) => Sampling.trainValTestSplit(Tables.documents(s, d))),
+    "text_length_quantiles" -> ((s, d) => CorpusStats.lengthQuantiles(Tables.documents(s, d))),
     // --- composed end-to-end cleaning pipeline ---
     "pipeline_clean_corpus" -> ((s, d) => CorpusPipeline.cleanCorpus(Tables.documents(s, d))),
     "pipeline_funnel" -> ((s, d) => CorpusPipeline.funnel(Tables.documents(s, d))),
@@ -87,7 +89,9 @@ object PipelineQueries {
     "sketch_cms_topk" -> Sketches.cmsTopKSql(),
     "text_pii_scrub" -> TextAnalysis.piiScrubSql,
     "sample_hash" -> Sampling.sampleDocsSql(),
+    "sample_stratified" -> Sampling.stratifiedSampleSql(),
     "sample_split" -> Sampling.trainValTestSplitSql,
+    "text_length_quantiles" -> CorpusStats.lengthQuantilesSql(),
     "pipeline_clean_corpus" -> CorpusPipeline.cleanCorpusSql(),
     "pipeline_funnel" -> CorpusPipeline.funnelSql(),
     "decontaminate" -> Decontaminate.flagContaminatedSql(),

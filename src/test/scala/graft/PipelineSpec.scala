@@ -355,6 +355,43 @@ class PipelineSpec extends SparkSpec {
     assert(en > out.length / 2, s"only $en/${out.length} detected en")
   }
 
+  test("stratified sample: caps strata near target, deterministic, subset") {
+    import spark.implicits._
+    val target = 10L
+    val out = Sampling.stratifiedSample(docs, "lang", target).collect()
+    val perLang = out.groupBy(_.getAs[String]("lang")).view.mapValues(_.length)
+    val totals = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    perLang.foreach { case (lang, n) =>
+      // binomial spread: allow 4 sigma around min(target, n_stratum)
+      val expect = math.min(target, totals(lang)).toDouble
+      assert(math.abs(n - expect) <= 4 * math.sqrt(expect) + 1,
+        s"$lang: sampled $n vs expected ~$expect of ${totals(lang)}")
+    }
+    // a stratum smaller than target is taken whole (rate clamps to >= 1)
+    totals.filter(_._2 <= target).keys.foreach { lang =>
+      assert(perLang.getOrElse(lang, 0) == totals(lang).toInt) }
+    // determinism: same rows on rerun
+    val again = Sampling.stratifiedSample(docs, "lang", target).collect()
+    assert(out.map(_.getLong(0)).toSeq == again.map(_.getLong(0)).toSeq)
+  }
+
+  test("length quantiles equal driver-side exact discrete quantiles") {
+    import spark.implicits._
+    val out = CorpusStats.lengthQuantiles(docs).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("q")) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_chars_q"))).toMap
+    val byLang = docs.select("lang", "n_chars").as[(String, Long)]
+      .collect().groupBy(_._1).view.mapValues(_.map(_._2).sorted)
+    for ((lang, vals) <- byLang; q <- Seq(25L, 50L, 75L, 90L, 99L)) {
+      val n = vals.length
+      val rank = math.ceil(q * n / 100.0).toInt.max(1)
+      val (nDocs, got) = out((lang, q))
+      assert(nDocs == n)
+      assert(got == vals(rank - 1),
+        s"$lang q$q: got $got want ${vals(rank - 1)} (n=$n)")
+    }
+  }
+
   test("winnowing fingerprints: near-identical docs share fingerprints") {
     val fps = TextAnalysis.winnowingFingerprints(docs).collect()
       .groupBy(_.getAs[Long]("doc_id"))
