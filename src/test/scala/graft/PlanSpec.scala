@@ -170,6 +170,36 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("decontaminate: train shingles are a narrow map (no distinct shuffle)") {
+    // the per-row array_distinct spelling must keep the corpus side down
+    // to the broadcast lookup: exchanges only for the tiny eval-gram
+    // distinct and the final per-doc agg + sort
+    val p = simplePlan(graft.operators.Decontaminate.flagContaminated(
+      Tables.documents(spark, sf)))
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges <= 4, s"corpus shingles must not shuffle:\n$p")
+  }
+
+  test("stratified sample: corpus is filtered, never shuffled") {
+    val p = simplePlan(graft.operators.Sampling.stratifiedSample(
+      Tables.documents(spark, sf)))
+    assert(p.contains("BroadcastHashJoin"), s"stratum rates must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), p)
+    // exchanges: the tiny stratum-count agg (pair) + the output sort only
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges <= 3, s"corpus must not shuffle:\n$p")
+  }
+
+  test("length quantiles: first shuffle moves only the value histogram") {
+    val p = simplePlan(graft.operators.CorpusStats.lengthQuantiles(
+      Tables.documents(spark, sf)))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"totals + quantile levels must broadcast:\n$p")
+    // the only acceptable non-equi join is the broadcast cross with the
+    // 5-row quantile-level table; a shuffled join of the histogram is not
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("kg_triples: no shuffle except the two lineitem DISTINCTs") {
     // sf0.01 rather than the shared sf0.001: other suites cache the
     // sf0.001 KG (encodeAll), and the InMemoryRelation's embedded plan
