@@ -234,6 +234,99 @@ object TextAnalysis {
       |  md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------- repetition quality
+  /** Gopher-style repetition signals (Rae et al. 2021 §A1.1): heavily
+    * repetitious text is a strong low-quality marker for training data.
+    * Per document: duplicate-word ratio and the fraction of word 2-grams /
+    * 3-grams taken by the single most frequent n-gram.
+    *
+    * Entirely per-row (array higher-order functions): the most-frequent
+    * count is the longest run in the SORTED n-gram array, computed with one
+    * `aggregate` pass — O(len log len) per doc, zero shuffle, so the
+    * operator scales linearly with the corpus like every other map in this
+    * file. (The testdata documents are single-line, so Gopher's
+    * duplicate-LINE fractions would be identically zero — word-level
+    * signals are the meaningful subset here.)
+    *
+    * All ratios are integer-derived and rounded, so the DuckDB oracle
+    * (which spells the same counts via unnest + GROUP BY) matches exactly.
+    */
+  def repetition(docs: DataFrame): DataFrame = {
+    val words = wsTokens
+    val nWords = size(words)
+
+    def grams(n: Int) =
+      when(nWords < n, array().cast("array<string>"))
+        .otherwise(transform(
+          sequence(lit(0), nWords - n),
+          i => concat_ws(" ", slice(words, i + 1, lit(n)))))
+
+    // longest run in the sorted gram array == max frequency of any gram
+    def topCount(gramCol: org.apache.spark.sql.Column) =
+      aggregate(
+        array_sort(gramCol),
+        struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+        (acc, x) => {
+          val run = when(x === acc.getField("prev"), acc.getField("run") + 1L)
+            .otherwise(lit(1L))
+          struct(x.as("prev"), run.as("run"),
+            greatest(acc.getField("best"), run).as("best"))
+        },
+        acc => acc.getField("best"))
+
+    def ratio(num: org.apache.spark.sql.Column, den: org.apache.spark.sql.Column) =
+      when(den === 0, lit(0.0)).otherwise(round(num.cast("double") / den, 6))
+
+    docs.select(
+      col("doc_id"),
+      nWords.cast("long").as("n_words"),
+      (nWords - size(array_distinct(words))).cast("long").as("n_dup_words"),
+      grams(2).as("g2"), grams(3).as("g3"))
+      .select(
+        col("doc_id"), col("n_words"),
+        ratio(col("n_dup_words"), col("n_words")).as("dup_word_ratio"),
+        size(col("g2")).cast("long").as("n_bigrams"),
+        topCount(col("g2")).as("top_bigram_count"),
+        size(col("g3")).cast("long").as("n_trigrams"),
+        topCount(col("g3")).as("top_trigram_count"))
+      .withColumn("top_bigram_ratio", ratio(col("top_bigram_count"), col("n_bigrams")))
+      .withColumn("top_trigram_ratio", ratio(col("top_trigram_count"), col("n_trigrams")))
+      .orderBy("doc_id")
+  }
+
+  val repetitionSql: String =
+    """WITH w AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents),
+      |base AS (
+      |  SELECT doc_id, len(ws) AS n_words,
+      |    len(ws) - len(list_distinct(ws)) AS n_dup_words FROM w),
+      |b AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+      |    i -> ws[i] || ' ' || ws[i+1])) AS g FROM w WHERE len(ws) >= 2),
+      |bc AS (SELECT doc_id, g, COUNT(*) AS c FROM b GROUP BY doc_id, g),
+      |btop AS (SELECT doc_id, MAX(c) AS top2, SUM(c) AS n2 FROM bc GROUP BY doc_id),
+      |t AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(ws) - 1),
+      |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS g FROM w WHERE len(ws) >= 3),
+      |tc AS (SELECT doc_id, g, COUNT(*) AS c FROM t GROUP BY doc_id, g),
+      |ttop AS (SELECT doc_id, MAX(c) AS top3, SUM(c) AS n3 FROM tc GROUP BY doc_id)
+      |SELECT base.doc_id,
+      |  CAST(n_words AS BIGINT) AS n_words,
+      |  CASE WHEN n_words = 0 THEN 0.0
+      |       ELSE ROUND(CAST(n_dup_words AS DOUBLE) / n_words, 6) END AS dup_word_ratio,
+      |  CAST(COALESCE(n2, 0) AS BIGINT) AS n_bigrams,
+      |  CAST(COALESCE(top2, 0) AS BIGINT) AS top_bigram_count,
+      |  CAST(COALESCE(n3, 0) AS BIGINT) AS n_trigrams,
+      |  CAST(COALESCE(top3, 0) AS BIGINT) AS top_trigram_count,
+      |  CASE WHEN COALESCE(n2, 0) = 0 THEN 0.0
+      |       ELSE ROUND(CAST(top2 AS DOUBLE) / n2, 6) END AS top_bigram_ratio,
+      |  CASE WHEN COALESCE(n3, 0) = 0 THEN 0.0
+      |       ELSE ROUND(CAST(top3 AS DOUBLE) / n3, 6) END AS top_trigram_ratio
+      |FROM base
+      |LEFT JOIN btop ON base.doc_id = btop.doc_id
+      |LEFT JOIN ttop ON base.doc_id = ttop.doc_id
+      |ORDER BY base.doc_id""".stripMargin
+
   /** Winnowing robust fingerprint (Schleimer et al.): hash every word
     * k-gram, keep the minimum hash in each sliding window of w hashes —
     * a compact sketch robust to local edits. Fully relational (array

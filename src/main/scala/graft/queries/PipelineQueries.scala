@@ -26,6 +26,7 @@ object PipelineQueries {
     "text_lang_id" -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
     "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(Tables.documents(s, d))),
     "text_winnowing" -> ((s, d) => TextAnalysis.winnowingFingerprints(Tables.documents(s, d))),
+    "text_repetition" -> ((s, d) => TextAnalysis.repetition(Tables.documents(s, d))),
     // --- similarity search ---
     "ann_topk" -> ((s, d) => SimilaritySearch.bruteForceTopK(Tables.embeddings(s, d), annQueryIds)),
     "ann_near_dup" -> ((s, d) => SimilaritySearch.cosineNearDupExact(Tables.embeddings(s, d))),
@@ -69,6 +70,7 @@ object PipelineQueries {
     "text_lang_id" -> TextAnalysis.langIdSql,
     "text_fingerprint" -> TextAnalysis.fingerprintSql,
     "text_winnowing" -> TextAnalysis.winnowingSql(),
+    "text_repetition" -> TextAnalysis.repetitionSql,
     "ann_topk" -> SimilaritySearch.bruteForceTopKSql(annQueryIds),
     "ann_near_dup" -> SimilaritySearch.cosineNearDupExactSql(),
     // approximate, yet fully hash-oracled: the md5-derived integer

