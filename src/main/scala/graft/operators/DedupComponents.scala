@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over near-duplicate pairs — the step every real
+  * dedup pipeline needs after candidate generation: pair lists say "a ~ b",
+  * but retention decisions need CLUSTERS ("keep one representative per
+  * group"), and near-dup similarity is not transitive-closed by
+  * construction (a~b, b~c does not output a~c), so the closure must be
+  * computed.
+  *
+  * Algorithm: iterative min-label propagation. Every node starts labeled
+  * with its own id; each round, a node's label becomes the minimum of its
+  * own and its neighbors' labels (one equi-join + one min-aggregate — two
+  * narrow-keyed shuffles per round). The fixpoint label is the minimum doc
+  * id of the component, which doubles as the deterministic cluster
+  * representative.
+  *
+  * Scale properties:
+  *  - rounds needed = graph diameter. Dedup graphs are overwhelmingly
+  *    clique-ish (clone clusters expand to all-pairs; near-dup groups are
+  *    mutually similar), so diameter is tiny — single digits even on
+  *    billion-doc corpora. The worst case (a long path) needs
+  *    diameter rounds; production engines switch to large-star/small-star
+  *    (Kiveris et al.) for O(log n) guaranteed rounds — same join shape,
+  *    noted here as the escape hatch;
+  *  - each round shuffles only (node, label) longs keyed by id — the edge
+  *    list is never reshaped, and labels shrink nothing grows;
+  *  - every round `localCheckpoint`s its label table, which TRUNCATES the
+  *    logical plan. This is load-bearing, not hygiene: persist() alone
+  *    caches data but Catalyst still re-analyzes the full accumulated
+  *    tree, which references the previous round's plan three times — tree
+  *    size grows ~3^rounds and planning time dwarfs execution within a
+  *    few rounds (measured: 2-round run >100 s/round on a 50-pair graph;
+  *    flat plans run the same rounds in well under a second). On a real
+  *    cluster, reliable `checkpoint()` to HDFS replaces localCheckpoint
+  *    (executor loss must not drop label partitions);
+  *  - convergence is detected with an any-change count on the joined old
+  *    and new labels — one cheap action per round.
+  *
+  * Output: (doc_id, component_id, component_size) for every document that
+  * appears in at least one input pair; component_id = min doc id of the
+  * component. Deterministic, hence fully oracle-able: DuckDB replays the
+  * closure with a recursive CTE over the same pair set.
+  */
+object DedupComponents {
+
+  /** Components of the undirected pair graph. `pairs` must have long
+    * columns doc_a, doc_b. */
+  def components(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
+    // eager localCheckpoint: materialized AND plan-truncated — both sides
+    // of every per-round join are flat scans of checkpointed partitions
+    val edges = pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint(true)
+
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      val viaNeighbor = edges
+        .join(labels.select(col("id").as("dst"), col("label")), "dst")
+        .select(col("src").as("id"), col("label"))
+      val next = viaNeighbor.union(labels)
+        .groupBy("id").agg(min("label").as("label"))
+        .localCheckpoint(true)
+      val nChanged = next
+        .join(labels.withColumnRenamed("label", "old"), "id")
+        .filter(col("label") =!= col("old"))
+        .count()
+      labels = next
+      converged = nChanged == 0
+      round += 1
+    }
+
+    val sizes = labels.groupBy("label").agg(count(lit(1)).as("component_size"))
+    labels.join(sizes, "label")
+      .select(col("id").as("doc_id"), col("label").as("component_id"),
+        col("component_size"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB oracle: recursive-CTE transitive closure over the same pair
+    * set (`pairsSql` must yield doc_a, doc_b), then component = min
+    * reachable node. Closure cost is fine at oracle scale; the Spark side
+    * exists precisely because closure-by-enumeration is not. */
+  def componentsSql(pairsSql: String): String =
+    s"""WITH RECURSIVE pairs AS ($pairsSql),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION
+       |  SELECT doc_b AS src, doc_a AS dst FROM pairs
+       |),
+       |reach(src, dst) AS (
+       |  SELECT DISTINCT src, src FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+       |),
+       |comp AS (SELECT src AS doc_id, MIN(dst) AS component_id FROM reach GROUP BY src)
+       |SELECT doc_id, component_id,
+       |  COUNT(*) OVER (PARTITION BY component_id) AS component_size
+       |FROM comp ORDER BY doc_id""".stripMargin
+}

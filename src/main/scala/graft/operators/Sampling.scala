@@ -76,6 +76,45 @@ object Sampling {
        |WHERE (${hashUnitSql("doc_id", "strat")}) * n_stratum < $target.0
        |ORDER BY doc_id""".stripMargin
 
+  /** Token-budget source mixing — the data-mixing pass of a pretraining
+    * pipeline: rebalance a multi-source corpus so every source contributes
+    * (in expectation) the same token mass, by capping each source at the
+    * SMALLEST source's token total. Source s with token total T_s gets
+    * Bernoulli keep-rate T_min/T_s, keyed on content hash like every
+    * sampler here (retry/partitioning-stable); the smallest source keeps
+    * everything. Generalizing to arbitrary target weights is the same
+    * shape with a weighted cap.
+    *
+    * Scale: one tiny per-source aggregate (|sources| rows) + its 1-row
+    * min, both broadcast back; the corpus itself sees only a narrow
+    * codegen'd filter — no shuffle. The membership test is spelled
+    * `u * T_s < T_min` (one IEEE multiply + compare, identical operation
+    * order in any engine), so the DuckDB oracle replays membership
+    * bit-for-bit. */
+  def mixSources(docs: DataFrame, salt: String = "mix"): DataFrame = {
+    val tok = docs.select(col("doc_id"), col("source"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+    val tot = tok.groupBy("source").agg(sum("n_tokens").as("t_src"))
+    val tmin = tot.agg(min("t_src").as("t_min"))
+    tok.join(broadcast(tot), Seq("source"))
+      .crossJoin(broadcast(tmin))
+      .filter(hashUnit(col("doc_id"), salt) * col("t_src") < col("t_min"))
+      .select(col("doc_id"), col("source"), col("n_tokens"))
+      .orderBy("doc_id")
+  }
+
+  def mixSourcesSql(salt: String = "mix"): String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |tot AS (SELECT source, SUM(n_tokens) AS t_src FROM tok GROUP BY source),
+       |m AS (SELECT MIN(t_src) AS t_min FROM tot)
+       |SELECT doc_id, source, n_tokens
+       |FROM tok JOIN tot USING (source) CROSS JOIN m
+       |WHERE (${hashUnitSql("doc_id", salt)}) * t_src < t_min
+       |ORDER BY doc_id""".stripMargin
+
   /** Deterministic train/val/test assignment by hash range (80/10/10):
     * the standard reproducible experiment split, as a pure function of
     * the document id. Output: (split, n_docs, n_chars) — the split

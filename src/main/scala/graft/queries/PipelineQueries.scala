@@ -20,6 +20,8 @@ object PipelineQueries {
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(Tables.documents(s, d))),
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(Tables.documents(s, d))),
     "dedup_simhash" -> ((s, d) => Dedup.simhashPairs(Tables.documents(s, d))),
+    "dedup_components" -> ((s, d) =>
+      DedupComponents.components(Dedup.minhashLsh(Tables.documents(s, d)))),
     // --- text analysis ---
     "text_token_counts" -> ((s, d) => TextAnalysis.tokenCounts(Tables.documents(s, d))),
     "text_quality" -> ((s, d) => TextAnalysis.qualityScore(Tables.documents(s, d))),
@@ -47,6 +49,7 @@ object PipelineQueries {
     "sample_hash" -> ((s, d) => Sampling.sampleDocs(Tables.documents(s, d))),
     "sample_stratified" -> ((s, d) => Sampling.stratifiedSample(Tables.documents(s, d))),
     "sample_split" -> ((s, d) => Sampling.trainValTestSplit(Tables.documents(s, d))),
+    "sample_mix_sources" -> ((s, d) => Sampling.mixSources(Tables.documents(s, d))),
     "text_length_quantiles" -> ((s, d) => CorpusStats.lengthQuantiles(Tables.documents(s, d))),
     // --- composed end-to-end cleaning pipeline ---
     "pipeline_clean_corpus" -> ((s, d) => CorpusPipeline.cleanCorpus(Tables.documents(s, d))),
@@ -65,6 +68,10 @@ object PipelineQueries {
     // simhash banding is candidate-exact for Hamming<=6, so the all-pairs
     // SQL replay of the md5-term simhash is a full value oracle
     "dedup_simhash" -> Dedup.simhashPairsSql(),
+    // components over the minhash pairs; oracle closes over the exact
+    // pair set (= minhash output on testdata, same equivalence as above)
+    "dedup_components" -> DedupComponents.componentsSql(
+      s"SELECT doc_a, doc_b FROM (${Dedup.ngramJaccardSql(maxDocFreq = None)})"),
     "text_token_counts" -> TextAnalysis.tokenCountsSql,
     "text_quality" -> TextAnalysis.qualityScoreSql,
     "text_lang_id" -> TextAnalysis.langIdSql,
@@ -93,6 +100,7 @@ object PipelineQueries {
     "sample_hash" -> Sampling.sampleDocsSql(),
     "sample_stratified" -> Sampling.stratifiedSampleSql(),
     "sample_split" -> Sampling.trainValTestSplitSql,
+    "sample_mix_sources" -> Sampling.mixSourcesSql(),
     "text_length_quantiles" -> CorpusStats.lengthQuantilesSql(),
     "pipeline_clean_corpus" -> CorpusPipeline.cleanCorpusSql(),
     "pipeline_funnel" -> CorpusPipeline.funnelSql(),

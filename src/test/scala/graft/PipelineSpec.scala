@@ -403,6 +403,61 @@ class PipelineSpec extends SparkSpec {
     assert(overlap > 0.5, s"winnowing overlap $overlap for near-dup pair ($a,$b)")
   }
 
+  test("source mixing: smallest source kept whole; expected token mass ~capped") {
+    val out = Sampling.mixSources(docs).collect()
+    val byDoc = docs.select("doc_id", "source", "text").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[String]("text").trim.split("\\s+").length.toLong))
+    val totals = byDoc.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val tMin = totals.values.min
+    val minSources = totals.filter(_._2 == tMin).keySet
+    val keptBySource = out.groupBy(_.getAs[String]("source"))
+      .view.mapValues(_.map(_.getAs[Long]("n_tokens")).sum).toMap
+    // the smallest source's rate is 1.0 — every one of its docs survives
+    minSources.foreach { s =>
+      assert(keptBySource(s) == totals(s), s"min source $s lost docs")
+    }
+    // kept token mass never exceeds the source's own total, and every
+    // source keeps SOMETHING on this fixture (rates are all >= 0.7)
+    keptBySource.foreach { case (s, kept) =>
+      assert(kept <= totals(s) && kept > 0, s"source $s kept $kept of ${totals(s)}")
+    }
+    // deterministic: a second run selects the identical doc set
+    val again = Sampling.mixSources(docs).collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(again == out.map(_.getAs[Long]("doc_id")).toSet)
+  }
+
+  test("connected components: multi-hop path merges; matches driver union-find") {
+    import spark.implicits._
+    // a 5-node path (needs label propagation across 4 hops), a triangle,
+    // and an isolated pair — exercises convergence beyond one round
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (20L, 21L), (21L, 22L), (20L, 22L),
+      (30L, 31L)).toDF("doc_a", "doc_b")
+    val got = DedupComponents.components(pairs).collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("component_id"), r.getAs[Long]("component_size"))).toSet
+    val want = Set(
+      (1L, 1L, 5L), (2L, 1L, 5L), (3L, 1L, 5L), (4L, 1L, 5L), (5L, 1L, 5L),
+      (20L, 20L, 3L), (21L, 20L, 3L), (22L, 20L, 3L),
+      (30L, 30L, 2L), (31L, 30L, 2L))
+    assert(got == want)
+
+    // real near-dup pairs: endpoints of every pair land in one component,
+    // and the component id is the minimum member (the representative)
+    val realPairs = Dedup.minhashLsh(docs).select("doc_a", "doc_b")
+    val comp = DedupComponents.components(realPairs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("component_id")).toMap
+    realPairs.collect().foreach { r =>
+      assert(comp(r.getLong(0)) == comp(r.getLong(1)),
+        s"pair (${r.getLong(0)},${r.getLong(1)}) split across components")
+    }
+    comp.groupBy(_._2).foreach { case (cid, members) =>
+      assert(cid == members.keys.min, s"component $cid is not its min member")
+    }
+  }
+
   test("repetition metrics match a driver-side count; edge cases exact") {
     import spark.implicits._
     val fixture = Seq(
