@@ -318,6 +318,80 @@ object Relational {
       |FROM lineitem JOIN part ON l_partkey = p_partkey
       |GROUP BY p_brand ORDER BY p_brand""".stripMargin
 
+  // ------------------------------------------------ q17_shipping_priority
+  /** TPC-H Q3 shape — the classic 3-way selective join + revenue top-k:
+    * BUILDING customers' orders placed before the cutoff with items shipped
+    * after it. All three filters push to their parquet scans; the filtered
+    * customer key set broadcasts; orderBy+limit plans as
+    * TakeOrderedAndProject (no global sort shuffle). Revenue ties broken by
+    * orderkey so the top-10 is engine-deterministic. */
+  def q17ShippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("1996-07-01").cast("timestamp")
+    val c = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") < cutoff)
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") > cutoff)
+      .select(col("l_orderkey"),
+        (dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount")))
+          .as("rev"))
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+      .agg(sum(col("rev")).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey").asc)
+      .limit(10)
+      .select(col("o_orderkey"),
+        unix_timestamp(col("o_orderdate")).as("o_date"),
+        col("o_orderpriority"), col("revenue"))
+  }
+
+  val q17Sql: String =
+    """SELECT o_orderkey, CAST(epoch(o_orderdate) AS BIGINT) AS o_date,
+      |  o_orderpriority,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1996-07-01'
+      |  AND l_shipdate > TIMESTAMP '1996-07-01'
+      |GROUP BY o_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, o_orderkey ASC LIMIT 10""".stripMargin
+
+  // ----------------------------------------------------- q18_moving_avg
+  /** Sliding-frame window (SURVEY §2.11 lists frame-spec windows as absent
+    * from the reference; engine users expect them): 3-row trailing moving
+    * average of order totals per customer. Partitioned by customer — skew
+    * bounded by orders-per-customer, never a global window. The average is
+    * spelled as exact-decimal frame SUM (cast to double) over the frame
+    * COUNT — one IEEE divide in identical order in both engines — because
+    * DECIMAL division scale rules differ across engines (q7's round-1
+    * lesson). */
+  def q18MovingAvg(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      .rowsBetween(-2, 0)
+    Tables.orders(spark, dir)
+      .withColumn("mv_sum", sum(dec("o_totalprice")).over(w).cast("double"))
+      .withColumn("mv_n", count(lit(1)).over(w))
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(col("mv_sum") / col("mv_n"), 6).as("moving_avg"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  val q18Sql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+      |        / COUNT(*) OVER w, 6) AS moving_avg
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey
+      |             ORDER BY o_orderdate ASC, o_orderkey ASC
+      |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
   /** Registry consumed by SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg"             -> (q1Agg _),
@@ -332,7 +406,9 @@ object Relational {
     "q10_time_bucket"    -> (q10TimeBucket _),
     "q13_rollup"         -> (q13Rollup _),
     "q14_except"         -> (q14Except _),
-    "q15_salted_join"    -> (q15SaltedJoin _))
+    "q15_salted_join"    -> (q15SaltedJoin _),
+    "q17_shipping_priority" -> (q17ShippingPriority _),
+    "q18_moving_avg"     -> (q18MovingAvg _))
 
   val oracles: Map[String, String] = Map(
     "q1_agg"             -> q1Sql,
@@ -347,5 +423,7 @@ object Relational {
     "q10_time_bucket"    -> q10Sql,
     "q13_rollup"         -> q13Sql,
     "q14_except"         -> q14Sql,
-    "q15_salted_join"    -> q15Sql)
+    "q15_salted_join"    -> q15Sql,
+    "q17_shipping_priority" -> q17Sql,
+    "q18_moving_avg"     -> q18Sql)
 }

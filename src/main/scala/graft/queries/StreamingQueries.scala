@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.Tables
-import graft.operators.AsOfJoin
+import graft.operators.{AsOfJoin, RangeJoin}
 import graft.streaming.EventStreams
 
 /** Streaming surface (net-new vs reference, SURVEY §2.9): each streaming
@@ -19,7 +19,8 @@ object StreamingQueries {
     "stream_asof" -> ((s, d) => EventStreams.streamingAsOf(s, d)),
     "stream_hll_distinct" -> ((s, d) => EventStreams.streamingHllDistinct(s, d)),
     "q11_sessionize" -> ((s, d) => EventStreams.sessionizeBatch(Tables.events(s, d))),
-    "q12_asof_join" -> ((s, d) => AsOfJoin.errorToLastClick(Tables.events(s, d))))
+    "q12_asof_join" -> ((s, d) => AsOfJoin.errorToLastClick(Tables.events(s, d))),
+    "q16_range_join" -> ((s, d) => RangeJoin.concurrentSessions(Tables.events(s, d))))
 
   val oracles: Map[String, String] = Map(
     "stream_windowed_counts" -> EventStreams.windowedCountsSql,
@@ -34,5 +35,6 @@ object StreamingQueries {
     // equals the batch sketch and shares its oracle
     "stream_hll_distinct" -> graft.operators.Sketches.hllDistinctSql,
     "q11_sessionize" -> EventStreams.sessionizeBatchSql(),
-    "q12_asof_join" -> AsOfJoin.errorToLastClickSql)
+    "q12_asof_join" -> AsOfJoin.errorToLastClickSql,
+    "q16_range_join" -> RangeJoin.concurrentSessionsSql())
 }

@@ -131,6 +131,28 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("range join: bin equi-join, never the nested-loop range plan") {
+    // the naive `t BETWEEN start AND end` join has no equi-key and Catalyst
+    // plans a BroadcastNestedLoopJoin — O(|P| * |I|); the bucketed spelling
+    // must keep an equi-join on the bin
+    val p = simplePlan(graft.operators.RangeJoin.concurrentSessions(
+      Tables.events(spark, sf)))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"range join must bucket to an equi-join:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin")
+      || p.contains("ShuffledHashJoin"), p)
+  }
+
+  test("source mixing: corpus side is a narrow broadcast-joined filter") {
+    val p = simplePlan(graft.operators.Sampling.mixSources(
+      Tables.documents(spark, sf)))
+    // per-source totals and their min broadcast back; the corpus is never
+    // shuffled by a join (only the tiny aggregates and the output sort)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"corpus must join the tiny rate tables by broadcast:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("dedup_exact: one shuffle for the agg + one for the output sort") {
     val p = simplePlan(graft.operators.Dedup.exact(Tables.documents(spark, sf)))
     val exchanges = "Exchange".r.findAllIn(p).length

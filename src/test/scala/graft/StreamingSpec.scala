@@ -65,4 +65,28 @@ class StreamingSpec extends SparkSpec {
       .count()
     assert(bad == 0)
   }
+
+  test("range join: bucketed result equals the naive range join, any bin width") {
+    import graft.operators.RangeJoin
+    val events = Tables.events(spark, sf)
+    def collected(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("n_concurrent"))).toSet
+
+    // naive spelling: raw range predicate (the BNLJ plan — fine at test size)
+    val sessions = EventStreams.sessionizeBatch(events)
+      .select("user_id", "session_start", "session_end")
+    val errors = events.filter(col("event_type") === "error")
+      .select(col("event_id"), unix_timestamp(col("ts")).as("t"))
+    val naive = errors.join(sessions,
+        col("t") >= col("session_start") && col("t") <= col("session_end"))
+      .groupBy("event_id").agg(count(lit(1)).as("n_concurrent"))
+    val want = collected(naive)
+
+    assert(collected(RangeJoin.concurrentSessions(events)) == want)
+    // bin-width invariance: matches come from coverage + residual filter,
+    // so any bucket size must give the identical result
+    assert(collected(RangeJoin.concurrentSessions(events, binSeconds = 137L)) == want)
+    // every error is inside its own user's session
+    assert(want.forall(_._2 >= 1L))
+  }
 }
