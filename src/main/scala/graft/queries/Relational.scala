@@ -392,6 +392,134 @@ object Relational {
       |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
       |ORDER BY o_custkey, o_orderkey""".stripMargin
 
+  // -------------------------------------------------------- q19_exists
+  /** Correlated EXISTS subquery (TPC-H Q4 shape; SURVEY §2.11 lists
+    * subqueries as absent from the reference — an engine user expects the
+    * SQL surface). Catalyst rewrites the EXISTS into a left-semi hash join
+    * on l_orderkey, so the plan is the q5 semi-join shape: one shuffle on
+    * the join key, lineitem pruned to (l_orderkey, l_returnflag) at the
+    * scan. */
+  def q19Exists(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("g_orders")
+    Tables.lineitem(spark, dir).createOrReplaceTempView("g_lineitem")
+    spark.sql(
+      """SELECT o_orderpriority, COUNT(*) AS n_orders
+        |FROM g_orders
+        |WHERE o_orderstatus = 'O' AND EXISTS (
+        |  SELECT 1 FROM g_lineitem
+        |  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin)
+  }
+
+  val q19Sql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n_orders
+      |FROM orders
+      |WHERE o_orderstatus = 'O' AND EXISTS (
+      |  SELECT 1 FROM lineitem
+      |  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------- q20_cube
+  /** CUBE aggregation (all four grouping sets of two dims; completes the
+    * grouping-sets family next to q13's ROLLUP). Same engine shape as
+    * ROLLUP: Expand multiplies rows by |grouping sets| BEFORE the shuffle,
+    * so the shuffle moves 4x the group rows — fine for low-cardinality
+    * dims, the documented trap for high-cardinality ones. grouping_id
+    * disambiguates NULL-as-subtotal from NULL data. */
+  def q20Cube(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(dec("o_totalprice")).cast("double").as("revenue"),
+        grouping_id().cast("long").as("gid"))
+      .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
+  val q20Sql: String =
+    """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+      |FROM orders
+      |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      |ORDER BY gid, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
+
+  // ----------------------------------------------------- q21_intersect
+  /** INTERSECT set operator (SURVEY §2.11: absent from the reference;
+    * completes the set-op family with q2's UNION and q14's EXCEPT):
+    * customers who ordered in BOTH 'O' and 'F' status. Plan: Catalyst
+    * rewrites INTERSECT DISTINCT to an aggregate + left-semi join — one
+    * shuffle per side on the key, no row explosion. */
+  def q21Intersect(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val open = o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+    val done = o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+    open.intersect(done).orderBy("o_custkey")
+  }
+
+  val q21Sql: String =
+    """SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      |INTERSECT
+      |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      |ORDER BY o_custkey""".stripMargin
+
+  // --------------------------------------------------------- q22_pivot
+  /** PIVOT: events long -> wide, one column per event type, daily counts.
+    * The pivot values are an explicit literal list — NOT inferred — which
+    * (a) skips the extra distinct-collect job Spark otherwise runs and
+    * (b) keeps the output schema fixed at 100 TB regardless of data
+    * drift (an unexpected new event type cannot explode the column
+    * count). Plan: single partial+final hash agg on day; the pivot is a
+    * conditional-aggregation Expand, no extra shuffle. */
+  def q22Pivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(to_date(col("ts")).as("day"), col("event_type"))
+      .groupBy("day")
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .select(col("day").cast("string").as("day"), col("click"), col("error"),
+        col("purchase"), col("signup"), col("view"))
+      .orderBy("day")
+
+  val q22Sql: String =
+    """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+      |  COALESCE(SUM(CASE WHEN event_type = 'click' THEN 1 END), 0) AS click,
+      |  COALESCE(SUM(CASE WHEN event_type = 'error' THEN 1 END), 0) AS error,
+      |  COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 END), 0) AS purchase,
+      |  COALESCE(SUM(CASE WHEN event_type = 'signup' THEN 1 END), 0) AS signup,
+      |  COALESCE(SUM(CASE WHEN event_type = 'view' THEN 1 END), 0) AS view
+      |FROM events GROUP BY 1 ORDER BY day""".stripMargin
+
+  // ------------------------------------------------------ q23_lead_lag
+  /** LAG/LEAD window functions (completes the window family: q6 rank,
+    * q18 frame spec): per-user inter-event gap in seconds and the next
+    * event's type. Partitioned by user_id — state is bounded by a user's
+    * events, never a global window. Epoch-seconds integers cross the
+    * engine boundary, not timestamps. */
+  def q23LeadLag(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+    Tables.events(spark, dir)
+      .withColumn("sec", unix_timestamp(col("ts")))
+      .select(
+        col("user_id"), col("event_id"),
+        (col("sec") - lag(col("sec"), 1).over(w)).as("gap_sec"),
+        lead(col("event_type"), 1).over(w).as("next_type"))
+      .orderBy("user_id", "event_id")
+  }
+
+  val q23Sql: String =
+    """SELECT user_id, event_id,
+      |  CAST(floor(epoch(ts)) AS BIGINT)
+      |    - LAG(CAST(floor(epoch(ts)) AS BIGINT), 1) OVER w AS gap_sec,
+      |  LEAD(event_type, 1) OVER w AS next_type
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+      |ORDER BY user_id, event_id""".stripMargin
+
   /** Registry consumed by SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg"             -> (q1Agg _),
@@ -408,7 +536,12 @@ object Relational {
     "q14_except"         -> (q14Except _),
     "q15_salted_join"    -> (q15SaltedJoin _),
     "q17_shipping_priority" -> (q17ShippingPriority _),
-    "q18_moving_avg"     -> (q18MovingAvg _))
+    "q18_moving_avg"     -> (q18MovingAvg _),
+    "q19_exists"         -> (q19Exists _),
+    "q20_cube"           -> (q20Cube _),
+    "q21_intersect"      -> (q21Intersect _),
+    "q22_pivot"          -> (q22Pivot _),
+    "q23_lead_lag"       -> (q23LeadLag _))
 
   val oracles: Map[String, String] = Map(
     "q1_agg"             -> q1Sql,
@@ -425,5 +558,10 @@ object Relational {
     "q14_except"         -> q14Sql,
     "q15_salted_join"    -> q15Sql,
     "q17_shipping_priority" -> q17Sql,
-    "q18_moving_avg"     -> q18Sql)
+    "q18_moving_avg"     -> q18Sql,
+    "q19_exists"         -> q19Sql,
+    "q20_cube"           -> q20Sql,
+    "q21_intersect"      -> q21Sql,
+    "q22_pivot"          -> q22Sql,
+    "q23_lead_lag"       -> q23Sql)
 }

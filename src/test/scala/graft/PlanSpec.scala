@@ -222,6 +222,34 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("q19: EXISTS subquery rewrites to a semi join, not a cartesian") {
+    val p = simplePlan(Relational.q19Exists(spark, sf))
+    assert(p.contains("LeftSemi"), s"EXISTS must plan as a semi join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("q19: lineitem scan pruned to the two referenced columns") {
+    val p = formattedPlan(Relational.q19Exists(spark, sf))
+    assert(p.contains("l_orderkey") && p.contains("l_returnflag"), p)
+    assert(!p.contains("l_extendedprice"),
+      s"semi-join build side must not read unused columns:\n$p")
+  }
+
+  test("q22: pivot with explicit values is one agg pair, no value-collect job") {
+    val df = Relational.q22Pivot(spark, sf)
+    val p = simplePlan(df)
+    // conditional aggregation: partial + final HashAggregate, single shuffle
+    // on day (plus the output sort) — no join, no per-value scan
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+    assert(!p.contains("Join"), s"pivot must not join:\n$p")
+  }
+
+  test("q23: lead/lag window is partitioned — no single-partition exchange") {
+    val p = simplePlan(Relational.q23LeadLag(spark, sf))
+    assert(!p.contains("Exchange SinglePartition"),
+      s"per-user window must hash-partition on user_id:\n$p")
+  }
+
   test("kg_triples: no shuffle except the two lineitem DISTINCTs") {
     // sf0.01 rather than the shared sf0.001: other suites cache the
     // sf0.001 KG (encodeAll), and the InMemoryRelation's embedded plan
