@@ -55,7 +55,9 @@ object PipelineQueries {
     "pipeline_clean_corpus" -> ((s, d) => CorpusPipeline.cleanCorpus(Tables.documents(s, d))),
     "pipeline_funnel" -> ((s, d) => CorpusPipeline.funnel(Tables.documents(s, d))),
     "decontaminate" -> ((s, d) => Decontaminate.flagContaminated(Tables.documents(s, d))),
-    "pack_sequences" -> ((s, d) => SequencePacking.packDocs(Tables.documents(s, d))))
+    "pack_sequences" -> ((s, d) => SequencePacking.packDocs(Tables.documents(s, d))),
+    // --- partitioned sink + planning-time partition pruning ---
+    "sink_partition_prune" -> ((s, d) => PartitionedSink.prunedDailyAgg(s, d)))
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> Dedup.exactSql,
@@ -105,5 +107,7 @@ object PipelineQueries {
     "pipeline_clean_corpus" -> CorpusPipeline.cleanCorpusSql(),
     "pipeline_funnel" -> CorpusPipeline.funnelSql(),
     "decontaminate" -> Decontaminate.flagContaminatedSql(),
-    "pack_sequences" -> SequencePacking.packDocsSql())
+    "pack_sequences" -> SequencePacking.packDocsSql(),
+    // partitioned round-trip must be lossless: oracle reads the raw table
+    "sink_partition_prune" -> PartitionedSink.prunedDailyAggSql())
 }

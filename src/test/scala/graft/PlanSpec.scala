@@ -250,6 +250,17 @@ class PlanSpec extends SparkSpec {
       s"per-user window must hash-partition on user_id:\n$p")
   }
 
+  test("partitioned sink: event_type filter prunes at planning time") {
+    val df = graft.operators.PartitionedSink.prunedDailyAgg(spark, sf)
+    val p = formattedPlan(df)
+    assert(p.contains("PartitionFilters") &&
+      """PartitionFilters: \[[^\]]*event_type""".r.findFirstIn(p).isDefined,
+      s"event_type must be consumed by the file index, not a row filter:\n$p")
+    // the partition column never appears in the data schema read
+    assert("""ReadSchema: [^\n]*event_type""".r.findFirstIn(p).isEmpty,
+      s"partition column must not be read from data files:\n$p")
+  }
+
   test("kg_triples: no shuffle except the two lineitem DISTINCTs") {
     // sf0.01 rather than the shared sf0.001: other suites cache the
     // sf0.001 KG (encodeAll), and the InMemoryRelation's embedded plan
