@@ -18,6 +18,7 @@ object StreamingQueries {
     "stream_sessionize" -> ((s, d) => EventStreams.sessionize(s, d)),
     "stream_asof" -> ((s, d) => EventStreams.streamingAsOf(s, d)),
     "stream_hll_distinct" -> ((s, d) => EventStreams.streamingHllDistinct(s, d)),
+    "stream_interval_join" -> ((s, d) => EventStreams.streamingIntervalJoin(s, d)),
     "q11_sessionize" -> ((s, d) => EventStreams.sessionizeBatch(Tables.events(s, d))),
     "q12_asof_join" -> ((s, d) => AsOfJoin.errorToLastClick(Tables.events(s, d))),
     "q16_range_join" -> ((s, d) => RangeJoin.concurrentSessions(Tables.events(s, d))))
@@ -34,6 +35,9 @@ object StreamingQueries {
     // register maintenance is order-insensitive, so the finite replay
     // equals the batch sketch and shares its oracle
     "stream_hll_distinct" -> graft.operators.Sketches.hllDistinctSql,
+    // inner-join matches emit in the arriving micro-batch, so the finite
+    // replay equals the batch self-join and shares its oracle
+    "stream_interval_join" -> EventStreams.streamingIntervalJoinSql(),
     "q11_sessionize" -> EventStreams.sessionizeBatchSql(),
     "q12_asof_join" -> AsOfJoin.errorToLastClickSql,
     "q16_range_join" -> RangeJoin.concurrentSessionsSql())

@@ -404,6 +404,53 @@ object EventStreams {
       .orderBy("user_id", "session_start")
   }
 
+  // -------------------------------------- stream-stream interval join
+  /** Watermarked stream-stream inner join — the last Structured Streaming
+    * join class (the as-of above is stream-static-shaped keyed state; this
+    * is two live streams): purchases attributed to the same user's clicks
+    * within the preceding `windowMinutes`.
+    *
+    * Production shape: BOTH sides carry a watermark and the join condition
+    * carries a time range, so each side's buffered state is evicted once
+    * the other side's watermark passes the range — bounded state at 100 TB
+    * (without the range + watermarks Spark would buffer both streams
+    * forever). Inner-join matches emit in the arriving micro-batch, so on
+    * a finite replay the result equals the batch self-join exactly and
+    * shares its oracle — no sentinel flush needed.
+    *
+    * Plan: the join keys on user_id, so both streams shuffle-partition by
+    * user — state lives with its key, the time predicate filters within
+    * the key group. */
+  def streamingIntervalJoin(spark: SparkSession, sfDir: String,
+      windowMinutes: Int = 120): DataFrame = {
+    def side(tpe: String, prefix: String) =
+      readEventStream(spark, sfDir)
+        .filter(col("event_type") === tpe && col("user_id") >= 0)
+        .select(col("user_id").as(s"${prefix}_user"),
+          col("event_id").as(s"${prefix}_id"), col("ts").as(s"${prefix}_ts"))
+        .withWatermark(s"${prefix}_ts", s"$windowMinutes minutes")
+
+    val joined = side("purchase", "p").join(side("click", "c"),
+      col("p_user") === col("c_user") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $windowMinutes MINUTES"))
+
+    runToCompletion(joined, OutputMode.Append())
+      .select(col("p_id").as("purchase_id"), col("c_id").as("click_id"),
+        (unix_timestamp(col("p_ts")) - unix_timestamp(col("c_ts"))).as("gap_sec"))
+      .orderBy("purchase_id", "click_id")
+  }
+
+  def streamingIntervalJoinSql(windowMinutes: Int = 120): String =
+    s"""SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+       |  CAST(floor(epoch(p.ts)) AS BIGINT)
+       |    - CAST(floor(epoch(c.ts)) AS BIGINT) AS gap_sec
+       |FROM events p JOIN events c
+       |  ON p.user_id = c.user_id
+       | AND p.event_type = 'purchase' AND c.event_type = 'click'
+       | AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL $windowMinutes MINUTE
+       |ORDER BY purchase_id, click_id""".stripMargin
+
   def sessionizeBatchSql(gapMinutes: Int = 30): String = {
     val gapSec = gapMinutes * 60
     // floor(epoch(ts)): Spark's unix_timestamp floors to whole seconds,

@@ -55,6 +55,25 @@ class StreamingSpec extends SparkSpec {
       s"missing=${(batch -- streamed).take(3)} extra=${(streamed -- batch).take(3)}")
   }
 
+  test("stream-stream interval join equals the batch self-join") {
+    val streamed = EventStreams.streamingIntervalJoin(spark, sf).collect()
+    val e = Tables.events(spark, sf)
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+    val c = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("event_id").as("click_id"),
+        col("ts").as("c_ts"))
+    val batch = p.join(c, col("pu") === col("cu") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 120 MINUTES"))
+      .select(col("purchase_id"), col("click_id"),
+        (unix_timestamp(col("p_ts")) - unix_timestamp(col("c_ts"))).as("gap_sec"))
+      .collect()
+    assert(streamed.nonEmpty, "expected at least one joined pair")
+    assert(streamed.map(_.toString).sorted.sameElements(batch.map(_.toString).sorted))
+  }
+
   test("batch sessionization: gaps respected, events conserved") {
     val events = Tables.events(spark, sf)
     val sessions = EventStreams.sessionizeBatch(events)
