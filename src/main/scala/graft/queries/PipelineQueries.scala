@@ -76,7 +76,9 @@ object PipelineQueries {
     "decontaminate" -> ((s, d) => Decontaminate.flagContaminated(Tables.documents(s, d))),
     "pack_sequences" -> ((s, d) => SequencePacking.packDocs(Tables.documents(s, d))),
     // --- partitioned sink + planning-time partition pruning ---
-    "sink_partition_prune" -> ((s, d) => PartitionedSink.prunedDailyAgg(s, d)))
+    "sink_partition_prune" -> ((s, d) => PartitionedSink.prunedDailyAgg(s, d)),
+    // --- tokenizer vocabulary with dense ids ---
+    "vocab_build" -> ((s, d) => VocabBuild.vocab(Tables.documents(s, d))))
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> Dedup.exactSql,
@@ -128,5 +130,6 @@ object PipelineQueries {
     "decontaminate" -> Decontaminate.flagContaminatedSql(),
     "pack_sequences" -> SequencePacking.packDocsSql(),
     // partitioned round-trip must be lossless: oracle reads the raw table
-    "sink_partition_prune" -> PartitionedSink.prunedDailyAggSql())
+    "sink_partition_prune" -> PartitionedSink.prunedDailyAggSql(),
+    "vocab_build" -> VocabBuild.vocabSql())
 }

@@ -427,6 +427,24 @@ class PipelineSpec extends SparkSpec {
     assert(again == out.map(_.getAs[Long]("doc_id")).toSet)
   }
 
+  test("vocab build: dense frequency-ordered ids, threshold respected") {
+    val rows = operators.VocabBuild.vocab(Tables.documents(spark, sf), minCount = 2)
+      .collect()
+    val ids = rows.map(_.getAs[Long]("token_id"))
+    assert(ids.sorted.sameElements(0L until rows.length), "ids must be dense 0..V-1")
+    val byId = rows.sortBy(_.getAs[Long]("token_id"))
+    val freqs = byId.map(_.getAs[Long]("freq"))
+    assert(freqs.zip(freqs.tail).forall { case (a, b) => a >= b },
+      "frequency must be non-increasing in id order")
+    assert(freqs.forall(_ >= 2), "threshold must drop rare tokens")
+    // deterministic tiebreak: equal-freq runs are token-ascending
+    byId.sliding(2).foreach {
+      case Array(a, b) if a.getAs[Long]("freq") == b.getAs[Long]("freq") =>
+        assert(a.getAs[String]("token") < b.getAs[String]("token"))
+      case _ =>
+    }
+  }
+
   test("connected components: multi-hop path merges; matches driver union-find") {
     import spark.implicits._
     // a 5-node path (needs label propagation across 4 hops), a triangle,
