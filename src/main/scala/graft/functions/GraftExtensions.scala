@@ -15,11 +15,14 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   * programmatically (JDBC gateways, notebooks). `VectorFunctions
   * .ensureRegistered` remains the per-session programmatic fallback. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     VectorFunctions.builders.foreach { case (name, builder) =>
       ext.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo(classOf[VectorBinaryExpression].getName, name),
         builder))
     }
+    // range-predicate joins rewritten to the bucketed equi-join plan
+    ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
+  }
 }

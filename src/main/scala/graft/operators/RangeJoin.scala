@@ -58,6 +58,25 @@ object RangeJoin {
       .orderBy("event_id")
   }
 
+  /** The NATURAL spelling of [[concurrentSessions]] — a bare
+    * `t BETWEEN session_start AND session_end` join — relying on
+    * [[graft.plans.RangeJoinRewrite]] to produce the bucketed plan. What
+    * a user who never read this file would write; the optimizer owes them
+    * the linear join. Shares the oracle with the hand-bucketed form. */
+  def concurrentSessionsAuto(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    graft.plans.RangeJoinRewrite.ensureInstalled(spark)
+    val sessions = graft.streaming.EventStreams.sessionizeBatch(events)
+      .select("user_id", "session_start", "session_end")
+    val errors = events.filter(col("event_type") === "error")
+      .select(col("event_id"), unix_timestamp(col("ts")).as("t"))
+    errors.join(sessions,
+        col("t") >= col("session_start") && col("t") <= col("session_end"))
+      .groupBy("event_id")
+      .agg(count(lit(1)).as("n_concurrent"))
+      .orderBy("event_id")
+  }
+
   /** DuckDB oracle: the same sessions, joined with the range predicate
     * directly (closure-by-inequality is fine at oracle scale; the Spark
     * side exists because it is not fine at corpus scale). */

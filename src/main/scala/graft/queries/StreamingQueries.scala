@@ -21,7 +21,8 @@ object StreamingQueries {
     "stream_interval_join" -> ((s, d) => EventStreams.streamingIntervalJoin(s, d)),
     "q11_sessionize" -> ((s, d) => EventStreams.sessionizeBatch(Tables.events(s, d))),
     "q12_asof_join" -> ((s, d) => AsOfJoin.errorToLastClick(Tables.events(s, d))),
-    "q16_range_join" -> ((s, d) => RangeJoin.concurrentSessions(Tables.events(s, d))))
+    "q16_range_join" -> ((s, d) => RangeJoin.concurrentSessions(Tables.events(s, d))),
+    "q16_range_join_auto" -> ((s, d) => RangeJoin.concurrentSessionsAuto(Tables.events(s, d))))
 
   val oracles: Map[String, String] = Map(
     "stream_windowed_counts" -> EventStreams.windowedCountsSql,
@@ -40,5 +41,8 @@ object StreamingQueries {
     "stream_interval_join" -> EventStreams.streamingIntervalJoinSql(),
     "q11_sessionize" -> EventStreams.sessionizeBatchSql(),
     "q12_asof_join" -> AsOfJoin.errorToLastClickSql,
-    "q16_range_join" -> RangeJoin.concurrentSessionsSql())
+    "q16_range_join" -> RangeJoin.concurrentSessionsSql(),
+    // natural range-join spelling, rewritten by the optimizer rule —
+    // same answer, same oracle
+    "q16_range_join_auto" -> RangeJoin.concurrentSessionsSql())
 }

@@ -250,6 +250,26 @@ class PlanSpec extends SparkSpec {
       s"per-user window must hash-partition on user_id:\n$p")
   }
 
+  test("RangeJoinRewrite: natural range join plans as equi-join, not BNLJ") {
+    val df = graft.operators.RangeJoin.concurrentSessionsAuto(Tables.events(spark, sf))
+    val p = simplePlan(df)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"the optimizer rule must bucket the range predicate:\n$p")
+    assert(p.contains("__graft_bin"), s"rewritten join must key on the bin:\n$p")
+  }
+
+  test("RangeJoinRewrite: leaves equi-joins and non-range joins alone") {
+    graft.plans.RangeJoinRewrite.ensureInstalled(spark)
+    // equi-join: must stay a plain hash join, no bin artifacts
+    val eq = simplePlan(Relational.q3BroadcastJoin(spark, sf))
+    assert(!eq.contains("__graft_bin"), eq)
+    // single-inequality join (no two-sided range): untouched
+    val a = Tables.orders(spark, sf).select(col("o_orderkey").as("k1"))
+    val b = Tables.orders(spark, sf).select(col("o_orderkey").as("k2"))
+    val one = a.join(b, col("k1") < col("k2"))
+    assert(!simplePlan(one).contains("__graft_bin"), simplePlan(one))
+  }
+
   test("partitioned sink: event_type filter prunes at planning time") {
     val df = graft.operators.PartitionedSink.prunedDailyAgg(spark, sf)
     val p = formattedPlan(df)

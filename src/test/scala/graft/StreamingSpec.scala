@@ -85,6 +85,14 @@ class StreamingSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("auto-rewritten range join equals the hand-bucketed one") {
+    val events = Tables.events(spark, sf)
+    val auto = operators.RangeJoin.concurrentSessionsAuto(events).collect()
+    val hand = operators.RangeJoin.concurrentSessions(events).collect()
+    assert(auto.nonEmpty)
+    assert(auto.map(_.toString).sameElements(hand.map(_.toString)))
+  }
+
   test("range join: bucketed result equals the naive range join, any bin width") {
     import graft.operators.RangeJoin
     val events = Tables.events(spark, sf)
