@@ -147,7 +147,10 @@ object VectorFunctions {
     ("vector_dot", es => VectorDot(es(0), es(1))),
     ("vector_cosine", es => VectorCosine(es(0), es(1))),
     ("vector_l2sq", es => VectorL2Sq(es(0), es(1))),
-    ("vector_l1", es => VectorL1(es(0), es(1))))
+    ("vector_l1", es => VectorL1(es(0), es(1))),
+    // deterministic HLL sketch as a TypedImperativeAggregate (4 KB
+    // mergeable buffers; same estimates + oracle as Sketches.hllDistinct)
+    ("hll_sketch", es => HllSketchAgg(es.head)))
 
   def ensureRegistered(spark: SparkSession): Unit =
     builders.foreach { case (name, b) =>

@@ -89,6 +89,19 @@ object Sketches {
     withExactYardstick(df, groupCol, valueCol, hllEstimate(registers))
   }
 
+  /** [[hllDistinct]] spelled through the native `hll_sketch`
+    * TypedImperativeAggregate ([[graft.functions.HllSketchAgg]]): one
+    * ObjectHashAggregate pair whose partial state is the 4 KB register
+    * buffer itself — the shuffle moves one buffer per group per map
+    * partition, never register rows. Same estimates, same oracle. */
+  def hllDistinctAgg(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val spark = df.sparkSession
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    val est = df.groupBy(col(groupCol).as("grp"))
+      .agg(call_function("hll_sketch", col(valueCol).cast("string")).as("n_est"))
+    withExactYardstick(df, groupCol, valueCol, est)
+  }
+
   /** DuckDB replay of [[hllDistinct]] over events.user_id by event_type. */
   def hllDistinctSql: String = {
     def hv(pos: Int, len: Int) = OracleSql.hexVal("hex", pos, len)

@@ -62,6 +62,7 @@ object PipelineQueries {
     "mm_feature_near_dup_lsh" -> ((s, d) => Multimodal.featureNearDupLsh(Multimodal.assetTable(Tables.documents(s, d)))),
     // --- sketches ---
     "sketch_hll_distinct" -> ((s, d) => Sketches.hllDistinct(Tables.events(s, d), "event_type", "user_id")),
+    "sketch_hll_agg" -> ((s, d) => Sketches.hllDistinctAgg(Tables.events(s, d), "event_type", "user_id")),
     "sketch_cms_topk" -> ((s, d) => Sketches.cmsTopK(Tables.documents(s, d))),
     // --- scrubbing + deterministic sampling ---
     "text_pii_scrub" -> ((s, d) => TextAnalysis.piiScrub(Tables.documents(s, d))),
@@ -118,6 +119,8 @@ object PipelineQueries {
     "mm_feature_near_dup_lsh" -> Multimodal.featureNearDupLshSql(),
     // deterministic md5-based sketches: DuckDB replays the sketch itself
     "sketch_hll_distinct" -> Sketches.hllDistinctSql,
+    // the TypedImperativeAggregate spelling lands on the same estimates
+    "sketch_hll_agg" -> Sketches.hllDistinctSql,
     "sketch_cms_topk" -> Sketches.cmsTopKSql(),
     "text_pii_scrub" -> TextAnalysis.piiScrubSql,
     "sample_hash" -> Sampling.sampleDocsSql(),

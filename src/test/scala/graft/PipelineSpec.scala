@@ -184,6 +184,15 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("hll TypedImperativeAggregate equals the register-table spelling") {
+    val events = Tables.events(spark, sf)
+    val agg = Sketches.hllDistinctAgg(events, "event_type", "user_id").collect()
+    val rel = Sketches.hllDistinct(events, "event_type", "user_id").collect()
+    assert(agg.nonEmpty)
+    assert(agg.map(_.toString).sameElements(rel.map(_.toString)),
+      "buffer-merged sketch must land on the identical estimates")
+  }
+
   test("cms heavy hitters: estimates never undercount; top token is the true max") {
     import spark.implicits._
     val out = Sketches.cmsTopK(docs).collect()

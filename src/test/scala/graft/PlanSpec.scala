@@ -159,6 +159,19 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 2, s"expected <=2 exchanges, got $exchanges:\n$p")
   }
 
+  test("hll TypedImperativeAggregate plans as ObjectHashAggregate, buffers only") {
+    val df = graft.operators.Sketches.hllDistinctAgg(
+      Tables.events(spark, sf), "event_type", "user_id")
+    val p = simplePlan(df)
+    assert(p.contains("ObjectHashAggregate"),
+      s"TypedImperativeAggregate must use the object hash agg exec:\n$p")
+    assert(p.contains("hll_sketch"), p)
+    // partial + final on the estimate branch: the shuffle carries 4 KB
+    // buffers, never (grp, bucket, rank) register rows
+    assert("hll_sketch".r.findAllIn(p).length >= 2,
+      s"expected partial AND final hll_sketch aggregation:\n$p")
+  }
+
   test("hll sketch: register build is a partial+final aggregation pair") {
     val p = simplePlan(graft.operators.Sketches.hllDistinct(
       Tables.events(spark, sf), "event_type", "user_id"))
