@@ -79,7 +79,9 @@ object PipelineQueries {
     // --- partitioned sink + planning-time partition pruning ---
     "sink_partition_prune" -> ((s, d) => PartitionedSink.prunedDailyAgg(s, d)),
     // --- tokenizer vocabulary with dense ids ---
-    "vocab_build" -> ((s, d) => VocabBuild.vocab(Tables.documents(s, d))))
+    "vocab_build" -> ((s, d) => VocabBuild.vocab(Tables.documents(s, d))),
+    // --- JSONL source round-trip (explicit schema, FAILFAST) ---
+    "source_jsonl" -> ((s, d) => graft.sources.JsonLines.roundTripAgg(s, d)))
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> Dedup.exactSql,
@@ -134,5 +136,7 @@ object PipelineQueries {
     "pack_sequences" -> SequencePacking.packDocsSql(),
     // partitioned round-trip must be lossless: oracle reads the raw table
     "sink_partition_prune" -> PartitionedSink.prunedDailyAggSql(),
-    "vocab_build" -> VocabBuild.vocabSql())
+    "vocab_build" -> VocabBuild.vocabSql(),
+    // content checksum proves the JSONL round-trip is lossless
+    "source_jsonl" -> graft.sources.JsonLines.roundTripAggSql)
 }
