@@ -52,6 +52,40 @@ object VocabBuild {
       .toDF("token_id", "token", "freq")
   }
 
+  /** Tokenize the corpus against a built vocabulary — the apply step:
+    * every document becomes (doc_id, pos, token_id) rows, out-of-vocab
+    * pieces mapped to -1 (the OOV id). Scale shape: the tokenize explode
+    * is narrow; the vocabulary is broadcast (a thresholded vocab is
+    * always small — that is its job), so the id lookup is a map-side
+    * hash join and the corpus NEVER shuffles. Row-per-token output is
+    * the join/filter-friendly relational spelling; packing rows back
+    * into per-doc arrays is `collect_list` over (doc_id) or downstream
+    * `pack_sequences`. */
+  def tokenize(docs: DataFrame, minCount: Long = 5L): DataFrame = {
+    val v = vocab(docs, minCount).select(col("token"), col("token_id"))
+    docs
+      .select(col("doc_id"), posexplode(regexp_extract_all(lower(col("text")),
+        lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).as(Seq("pos", "token")))
+      .join(broadcast(v), Seq("token"), "left")
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        coalesce(col("token_id"), lit(-1L)).as("token_id"))
+      .orderBy("doc_id", "pos")
+  }
+
+  /** DuckDB replay of [[tokenize]]: parallel unnests zip token with its
+    * ordinal; vocab from [[vocabSql]]'s window spelling. */
+  def tokenizeSql(minCount: Long = 5L): String =
+    s"""WITH vocab AS (${vocabSql(minCount)}),
+       |exploded AS (
+       |  SELECT doc_id, unnest(arr) AS token,
+       |    unnest(range(1, len(arr) + 1)) AS pos
+       |  FROM (SELECT doc_id, regexp_extract_all(lower(text),
+       |          '[a-z]+|[0-9]+|[^a-z0-9\\s]') AS arr FROM documents))
+       |SELECT e.doc_id, CAST(e.pos - 1 AS BIGINT) AS pos,
+       |  COALESCE(v.token_id, -1) AS token_id
+       |FROM exploded e LEFT JOIN vocab v USING (token)
+       |ORDER BY doc_id, pos""".stripMargin
+
   /** DuckDB oracle: identical tokenization + threshold, ids via the
     * window spelling (fine at oracle scale; the Spark side avoids it). */
   def vocabSql(minCount: Long = 5L): String =

@@ -80,6 +80,7 @@ object PipelineQueries {
     "sink_partition_prune" -> ((s, d) => PartitionedSink.prunedDailyAgg(s, d)),
     // --- tokenizer vocabulary with dense ids ---
     "vocab_build" -> ((s, d) => VocabBuild.vocab(Tables.documents(s, d))),
+    "tokenize_corpus" -> ((s, d) => VocabBuild.tokenize(Tables.documents(s, d))),
     // --- JSONL source round-trip (explicit schema, FAILFAST) ---
     "source_jsonl" -> ((s, d) => graft.sources.JsonLines.roundTripAgg(s, d)))
 
@@ -137,6 +138,7 @@ object PipelineQueries {
     // partitioned round-trip must be lossless: oracle reads the raw table
     "sink_partition_prune" -> PartitionedSink.prunedDailyAggSql(),
     "vocab_build" -> VocabBuild.vocabSql(),
+    "tokenize_corpus" -> VocabBuild.tokenizeSql(),
     // content checksum proves the JSONL round-trip is lossless
     "source_jsonl" -> graft.sources.JsonLines.roundTripAggSql)
 }

@@ -283,6 +283,14 @@ class PlanSpec extends SparkSpec {
     assert(!simplePlan(one).contains("__graft_bin"), simplePlan(one))
   }
 
+  test("tokenize: vocab broadcast to the exploded corpus, never an SMJ") {
+    val p = simplePlan(graft.operators.VocabBuild.tokenize(Tables.documents(spark, sf)))
+    assert(p.contains("BroadcastHashJoin"),
+      s"the thresholded vocab must broadcast for the id lookup:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the token stream must not shuffle for the vocab join:\n$p")
+  }
+
   test("partitioned sink: event_type filter prunes at planning time") {
     val df = graft.operators.PartitionedSink.prunedDailyAgg(spark, sf)
     val p = formattedPlan(df)
