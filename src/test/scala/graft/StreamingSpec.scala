@@ -85,6 +85,25 @@ class StreamingSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("RangeJoinRewrite: strict bounds and extra conjuncts survive verbatim") {
+    import spark.implicits._
+    graft.plans.RangeJoinRewrite.ensureInstalled(spark)
+    val points = (0L until 200L).map(i => (i, i * 7 % 97)).toDF("pid", "t")
+    val ivals = (0L until 50L).map(i => (i, i * 2, i * 2 + 30)).toDF("iid", "lo", "hi")
+    // strict bounds + an extra cross-side inequality kept as residual
+    val cond = col("t") > col("lo") && col("t") < col("hi") &&
+      col("pid") =!= col("iid")
+    val auto = points.join(ivals, cond)
+      .select("pid", "iid").collect().map(_.toString).sorted
+    val naive = points.collect().flatMap { p =>
+      ivals.collect().collect {
+        case r if p.getLong(1) > r.getLong(1) && p.getLong(1) < r.getLong(2) &&
+          p.getLong(0) != r.getLong(0) => s"[${p.getLong(0)},${r.getLong(0)}]"
+      }
+    }.sorted
+    assert(auto.nonEmpty && auto.sameElements(naive))
+  }
+
   test("auto-rewritten range join equals the hand-bucketed one") {
     val events = Tables.events(spark, sf)
     val auto = operators.RangeJoin.concurrentSessionsAuto(events).collect()
