@@ -35,4 +35,30 @@ class ContractSpec extends SparkSpec {
   test("flagship entry returns rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  /** The O(n^2) exact baselines are the ONLY queries allowed a
+    * nested-loop/cartesian plan — each is a deliberately-registered
+    * verification yardstick with a scale-safe twin (see VERDICT r1 §6 and
+    * the operator scaladocs). text_length_quantiles and sample_mix_sources
+    * use a BROADCAST nested loop against constant-size tables (quantile
+    * levels / source caps) — bounded by design, not corpus-shaped. */
+  private val cartesianWhitelist = Set(
+    "ann_near_dup", "mm_feature_near_dup",
+    "text_length_quantiles", "sample_mix_sources")
+
+  test("every registered query runs at sf0.001; no unexpected cartesians") {
+    val sfDir = "/root/testdata/sf0.001"
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val df = fn(spark, sfDir)
+      val plan = df.queryExecution.executedPlan.toString
+      val hasCart = plan.contains("BroadcastNestedLoopJoin") ||
+        plan.contains("CartesianProduct")
+      assert(!hasCart || cartesianWhitelist.contains(name),
+        s"$name has an unexpected cartesian/BNLJ plan:\n$plan")
+      // decontaminate can legitimately flag nothing in a 150-doc corpus;
+      // its content is still oracle-checked at sf0.01
+      if (name != "decontaminate")
+        assert(df.count() > 0, s"$name returned no rows at sf0.001")
+    }
+  }
 }
