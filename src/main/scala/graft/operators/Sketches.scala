@@ -141,7 +141,7 @@ object Sketches {
       .filter(col("raw") =!= "")
       .select(lower(col("raw")).as("tok"))
 
-  private def cmsBucket(tok: org.apache.spark.sql.Column, salt: org.apache.spark.sql.Column) =
+  private[graft] def cmsBucket(tok: org.apache.spark.sql.Column, salt: org.apache.spark.sql.Column) =
     conv(substring(md5(concat(lit("cms:"), salt.cast("string"), lit(":"), tok)), 1, 5),
       16, 10).cast("long") % CmsWidth
 
@@ -165,9 +165,19 @@ object Sketches {
       .select(col("s"), cmsBucket(col("tok"), col("s")).as("b"), col("exact_count"))
       .groupBy("s", "b").agg(sum("exact_count").as("c"))
 
+    cmsTopKFromGrid(candidates, counters, k)
+  }
+
+  /** Estimate + top-k from a COMPLETED counter grid (s, b, c) — shared
+    * by the batch build above and the streaming grid maintenance
+    * (`EventStreams.streamingCmsHeavyUsers`). `candidates` must carry
+    * (tok, exact_count). */
+  private[graft] def cmsTopKFromGrid(candidates: DataFrame, grid: DataFrame,
+      k: Int): DataFrame = {
+    val salts = explode(array((0 until CmsDepth).map(lit): _*)).as("s")
     candidates.select(col("tok"), col("exact_count"), salts)
       .withColumn("b", cmsBucket(col("tok"), col("s")))
-      .join(counters, Seq("s", "b"))
+      .join(grid, Seq("s", "b"))
       .groupBy("tok", "exact_count").agg(min("c").as("est_count"))
       .orderBy(col("est_count").desc, col("tok").asc)
       .limit(k)
@@ -175,14 +185,24 @@ object Sketches {
   }
 
   /** DuckDB replay of [[cmsTopK]]. */
-  def cmsTopKSql(k: Int = 20): String = {
+  def cmsTopKSql(k: Int = 20): String = cmsSqlOver(
+    """SELECT lower(t.raw) AS tok
+      |  FROM documents, unnest(string_split_regex(trim(text), '\s+')) AS t(raw)
+      |  WHERE t.raw <> ''""".stripMargin, k)
+
+  /** DuckDB replay of the CMS pipeline over user-id occurrences — the
+    * oracle for the STREAMING grid maintenance (the streamed grid equals
+    * this batch grid exactly: counting aggregation is order-insensitive
+    * over a finite replay). */
+  def cmsHeavyUsersSql(k: Int = 20): String =
+    cmsSqlOver("SELECT CAST(user_id AS VARCHAR) AS tok FROM events", k)
+
+  private def cmsSqlOver(toksSql: String, k: Int): String = {
     def bucket(tokExpr: String, saltExpr: String) =
       s"CAST(${OracleSql.hexVal(s"md5('cms:' || CAST($saltExpr AS VARCHAR) || ':' || $tokExpr)", 1, 5)} AS BIGINT)" +
         s" % $CmsWidth"
     s"""WITH toks AS (
-       |  SELECT lower(t.raw) AS tok
-       |  FROM documents, unnest(string_split_regex(trim(text), '\\s+')) AS t(raw)
-       |  WHERE t.raw <> ''),
+       |  $toksSql),
        |candidates AS (SELECT tok, COUNT(*) AS exact_count FROM toks GROUP BY tok),
        |counters AS (
        |  SELECT s.s AS s, ${bucket("tok", "s.s")} AS b, CAST(SUM(exact_count) AS BIGINT) AS c

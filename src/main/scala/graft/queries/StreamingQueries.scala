@@ -19,6 +19,7 @@ object StreamingQueries {
     "stream_asof" -> ((s, d) => EventStreams.streamingAsOf(s, d)),
     "stream_hll_distinct" -> ((s, d) => EventStreams.streamingHllDistinct(s, d)),
     "stream_interval_join" -> ((s, d) => EventStreams.streamingIntervalJoin(s, d)),
+    "stream_cms_heavy_users" -> ((s, d) => EventStreams.streamingCmsHeavyUsers(s, d)),
     "q11_sessionize" -> ((s, d) => EventStreams.sessionizeBatch(Tables.events(s, d))),
     "q12_asof_join" -> ((s, d) => AsOfJoin.errorToLastClick(Tables.events(s, d))),
     "q16_range_join" -> ((s, d) => RangeJoin.concurrentSessions(Tables.events(s, d))),
@@ -39,6 +40,8 @@ object StreamingQueries {
     // inner-join matches emit in the arriving micro-batch, so the finite
     // replay equals the batch self-join and shares its oracle
     "stream_interval_join" -> EventStreams.streamingIntervalJoinSql(),
+    // the streamed grid equals the batch grid (order-insensitive counts)
+    "stream_cms_heavy_users" -> graft.operators.Sketches.cmsHeavyUsersSql(),
     "q11_sessionize" -> EventStreams.sessionizeBatchSql(),
     "q12_asof_join" -> AsOfJoin.errorToLastClickSql,
     "q16_range_join" -> RangeJoin.concurrentSessionsSql(),

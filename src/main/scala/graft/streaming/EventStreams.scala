@@ -404,6 +404,31 @@ object EventStreams {
       .orderBy("user_id", "session_start")
   }
 
+  // ------------------------------------- streaming count-min sketch
+  /** Streaming count-min maintenance: the stream keeps ONLY the d x w
+    * counter grid (4 x 1024 rows of Complete-mode keyed state — fixed
+    * size, independent of user cardinality and stream length, like the
+    * HLL registers above); heavy-hitter estimation then joins batch-side
+    * candidates against the completed grid. Counting aggregation is
+    * order-insensitive, so the streamed grid equals the batch grid
+    * exactly and the pipeline shares [[graft.operators.Sketches
+    * .cmsHeavyUsersSql]] as a full value oracle. */
+  def streamingCmsHeavyUsers(spark: SparkSession, sfDir: String,
+      k: Int = 20): DataFrame = {
+    import graft.operators.Sketches
+    val salts = explode(array((0 until Sketches.CmsDepth).map(lit): _*)).as("s")
+    val counters = readEventStream(spark, sfDir)
+      .select(col("user_id").cast("string").as("tok"))
+      .select(col("tok"), salts)
+      .select(col("s"), Sketches.cmsBucket(col("tok"), col("s")).as("b"))
+      .groupBy("s", "b").agg(count(lit(1)).as("c"))
+    val grid = runToCompletion(counters, OutputMode.Complete())
+    val candidates = graft.Tables.events(spark, sfDir)
+      .select(col("user_id").cast("string").as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("exact_count"))
+    Sketches.cmsTopKFromGrid(candidates, grid, k)
+  }
+
   // -------------------------------------- stream-stream interval join
   /** Watermarked stream-stream inner join — the last Structured Streaming
     * join class (the as-of above is stream-static-shaped keyed state; this

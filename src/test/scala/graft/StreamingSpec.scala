@@ -85,6 +85,15 @@ class StreamingSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("streaming CMS grid yields exactly the batch heavy-hitter estimates") {
+    val streamed = EventStreams.streamingCmsHeavyUsers(spark, sf).collect()
+    assert(streamed.nonEmpty)
+    // CMS property holds through the streamed grid: est >= exact always
+    streamed.foreach { r =>
+      assert(r.getAs[Long]("est_count") >= r.getAs[Long]("exact_count"))
+    }
+  }
+
   test("RangeJoinRewrite: strict bounds and extra conjuncts survive verbatim") {
     import spark.implicits._
     graft.plans.RangeJoinRewrite.ensureInstalled(spark)
