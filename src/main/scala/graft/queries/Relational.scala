@@ -520,6 +520,35 @@ object Relational {
       |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
       |ORDER BY user_id, event_id""".stripMargin
 
+  // ------------------------------------------------ q24_scalar_subquery
+  /** Scalar subquery in a predicate (completes the subquery family with
+    * q19's EXISTS): orders above the global average price, counted per
+    * status. Catalyst plans the scalar subquery as an independent
+    * one-row aggregate broadcast into the filter — ONE extra pass, never
+    * a per-row re-execution. "Above average" is spelled in EXACT
+    * arithmetic — `price * n > sum` — because AVG's result type differs
+    * across engines (Spark: widened DECIMAL; DuckDB: DOUBLE) and a
+    * boundary row could land on different sides of an inexact mean (the
+    * q7 lesson applied to subqueries). */
+  def q24ScalarSubquery(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("g_orders24")
+    spark.sql(
+      """SELECT o_orderstatus, COUNT(*) AS n_above
+        |FROM g_orders24
+        |WHERE CAST(o_totalprice AS DECIMAL(18,2)) * (SELECT COUNT(*) FROM g_orders24) >
+        |  (SELECT SUM(CAST(o_totalprice AS DECIMAL(18,2))) FROM g_orders24)
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin)
+  }
+
+  val q24Sql: String =
+    """SELECT o_orderstatus, COUNT(*) AS n_above
+      |FROM orders
+      |WHERE CAST(o_totalprice AS DECIMAL(18,2)) * (SELECT COUNT(*) FROM orders) >
+      |  (SELECT SUM(CAST(o_totalprice AS DECIMAL(18,2))) FROM orders)
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin
+
   /** Registry consumed by SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg"             -> (q1Agg _),
@@ -541,7 +570,8 @@ object Relational {
     "q20_cube"           -> (q20Cube _),
     "q21_intersect"      -> (q21Intersect _),
     "q22_pivot"          -> (q22Pivot _),
-    "q23_lead_lag"       -> (q23LeadLag _))
+    "q23_lead_lag"       -> (q23LeadLag _),
+    "q24_scalar_subquery" -> (q24ScalarSubquery _))
 
   val oracles: Map[String, String] = Map(
     "q1_agg"             -> q1Sql,
@@ -563,5 +593,6 @@ object Relational {
     "q20_cube"           -> q20Sql,
     "q21_intersect"      -> q21Sql,
     "q22_pivot"          -> q22Sql,
-    "q23_lead_lag"       -> q23Sql)
+    "q23_lead_lag"       -> q23Sql,
+    "q24_scalar_subquery" -> q24Sql)
 }
