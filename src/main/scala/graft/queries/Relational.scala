@@ -549,6 +549,30 @@ object Relational {
       |GROUP BY o_orderstatus
       |ORDER BY o_orderstatus""".stripMargin
 
+  // ---------------------------------------------------- q25_unpivot
+  /** UNPIVOT (wide -> long; the inverse of q22): the pivoted daily
+    * counts melted back to (day, event_type, n) rows — one narrow
+    * Expand over the wide table, no shuffle beyond q22's own. Zero-count
+    * cells are kept: unpivot emits every (day, type) cell, which is the
+    * lossless inverse; consumers filter if they want sparsity. */
+  def q25Unpivot(spark: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    q22Pivot(spark, dir)
+      .unpivot(Array(col("day")), types.map(col).toArray, "event_type", "n")
+      .orderBy("day", "event_type")
+  }
+
+  val q25Sql: String =
+    """WITH days AS (SELECT DISTINCT CAST(CAST(ts AS DATE) AS VARCHAR) AS day FROM events),
+      |types AS (SELECT unnest(['click','error','purchase','signup','view']) AS event_type),
+      |counts AS (
+      |  SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, event_type, COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2)
+      |SELECT d.day AS day, t.event_type AS event_type, COALESCE(c.n, 0) AS n
+      |FROM days d CROSS JOIN types t
+      |LEFT JOIN counts c ON c.day = d.day AND c.event_type = t.event_type
+      |ORDER BY d.day, t.event_type""".stripMargin
+
   /** Registry consumed by SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg"             -> (q1Agg _),
@@ -571,7 +595,8 @@ object Relational {
     "q21_intersect"      -> (q21Intersect _),
     "q22_pivot"          -> (q22Pivot _),
     "q23_lead_lag"       -> (q23LeadLag _),
-    "q24_scalar_subquery" -> (q24ScalarSubquery _))
+    "q24_scalar_subquery" -> (q24ScalarSubquery _),
+    "q25_unpivot"        -> (q25Unpivot _))
 
   val oracles: Map[String, String] = Map(
     "q1_agg"             -> q1Sql,
@@ -594,5 +619,6 @@ object Relational {
     "q21_intersect"      -> q21Sql,
     "q22_pivot"          -> q22Sql,
     "q23_lead_lag"       -> q23Sql,
-    "q24_scalar_subquery" -> q24Sql)
+    "q24_scalar_subquery" -> q24Sql,
+    "q25_unpivot"        -> q25Sql)
 }
