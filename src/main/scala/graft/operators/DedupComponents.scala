@@ -36,8 +36,12 @@ import org.apache.spark.sql.functions._
   *    flat plans run the same rounds in well under a second). On a real
   *    cluster, reliable `checkpoint()` to HDFS replaces localCheckpoint
   *    (executor loss must not drop label partitions);
-  *  - convergence is detected with an any-change count on the joined old
-  *    and new labels — one cheap action per round.
+  *  - convergence detection is FREE of extra shuffles: the previous label
+  *    rides through the min-aggregate as a second column (the labels side
+  *    contributes its own label as `prev`, neighbor rows contribute
+  *    Long.MaxValue, and min() recovers it), so the changed-row count is
+  *    a narrow filter over the already-checkpointed round output instead
+  *    of a per-round join of old vs new labels.
   *
   * Output: (doc_id, component_id, component_size) for every document that
   * appears in at least one input pair; component_id = min doc id of the
@@ -63,17 +67,19 @@ object DedupComponents {
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
+      // neighbor rows carry prev = MaxValue; the (unique-per-id) labels row
+      // carries prev = its current label, so min(prev) is the old label and
+      // the convergence count needs no join against the previous round
       val viaNeighbor = edges
         .join(labels.select(col("id").as("dst"), col("label")), "dst")
-        .select(col("src").as("id"), col("label"))
-      val next = viaNeighbor.union(labels)
-        .groupBy("id").agg(min("label").as("label"))
+        .select(col("src").as("id"), col("label"),
+          lit(Long.MaxValue).as("prev"))
+      val next = viaNeighbor
+        .union(labels.select(col("id"), col("label"), col("label").as("prev")))
+        .groupBy("id").agg(min("label").as("label"), min("prev").as("prev"))
         .localCheckpoint(true)
-      val nChanged = next
-        .join(labels.withColumnRenamed("label", "old"), "id")
-        .filter(col("label") =!= col("old"))
-        .count()
-      labels = next
+      val nChanged = next.filter(col("label") =!= col("prev")).count()
+      labels = next.select("id", "label")
       converged = nChanged == 0
       round += 1
     }

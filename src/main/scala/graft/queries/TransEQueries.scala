@@ -121,11 +121,13 @@ object TransEQueries {
     distance = L2Squared, seed = 42L)
 
   /** Workload sizing per SF: the correctness gates (sf0.001 tests,
-    * sf0.01 verify) train the full 30 epochs; the sf0.1 bench halves the
-    * epoch count — per-epoch cost is what the bench measures (the
-    * explicit transe_epoch_sec metric covers the BASELINE comparison). */
+    * sf0.01 verify) train the full 30 epochs; the sf0.1 bench trains 6 —
+    * enough to demonstrate convergence at scale, while per-epoch cost
+    * (the BASELINE comparison) is measured by the explicit
+    * transe_epoch_sec metric, so more sweep epochs only add sustained
+    * CPU that the host then throttles, inflating every later query. */
   def paramsFor(dir: String): TransEParams =
-    if (dir.contains("sf0.1")) evalParams.copy(epochs = 15) else evalParams
+    if (dir.contains("sf0.1")) evalParams.copy(epochs = 6) else evalParams
 
   final case class Fitted(
       model: TransEModel,
