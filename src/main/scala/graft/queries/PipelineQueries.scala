@@ -78,6 +78,7 @@ object PipelineQueries {
     "pack_sequences" -> ((s, d) => SequencePacking.packDocs(Tables.documents(s, d))),
     // --- partitioned sink + planning-time partition pruning ---
     "sink_partition_prune" -> ((s, d) => PartitionedSink.prunedDailyAgg(s, d)),
+    "layout_zorder" -> (Layout.zOrderKeys _),
     // --- tokenizer vocabulary with dense ids ---
     "vocab_build" -> ((s, d) => VocabBuild.vocab(Tables.documents(s, d))),
     "tokenize_corpus" -> ((s, d) => VocabBuild.tokenize(Tables.documents(s, d))),
@@ -137,6 +138,7 @@ object PipelineQueries {
     "pack_sequences" -> SequencePacking.packDocsSql(),
     // partitioned round-trip must be lossless: oracle reads the raw table
     "sink_partition_prune" -> PartitionedSink.prunedDailyAggSql(),
+    "layout_zorder" -> Layout.zOrderKeysSql,
     "vocab_build" -> VocabBuild.vocabSql(),
     "tokenize_corpus" -> VocabBuild.tokenizeSql(),
     // content checksum proves the JSONL round-trip is lossless
