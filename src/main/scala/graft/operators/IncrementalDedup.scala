@@ -1,0 +1,147 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Incremental (batch-vs-corpus) deduplication — the production shape of
+  * dedup at 100 TB. A pipeline never re-deduplicates the whole corpus
+  * when a day's crawl arrives; it probes the NEW batch against the
+  * standing corpus and keeps only novel documents:
+  *
+  *  - exact: the batch's content hashes equi-join the corpus's md5 index
+  *    — one shuffle keyed on md5, batch-sized probe volume;
+  *  - near: the batch's shingles equi-join the corpus's inverted shingle
+  *    index (shingle-hash -> posting), then exact Jaccard on the
+  *    candidate (batch doc, corpus doc) pairs. Candidate cost is
+  *    |batch shingles| x posting length — NEVER corpus x corpus — and
+  *    posting length is bounded by the hot-shingle cap (shingles shared
+  *    by more than `maxDocFreq` corpus docs carry no dedup signal and
+  *    are dropped from BOTH sides, same discipline as
+  *    [[Dedup.ngramJaccard]]).
+  *
+  * At scale both indexes are persisted assets maintained alongside the
+  * corpus (md5 index: one narrow column; shingle index: the same
+  * inverted index LSH banding builds on), so per-batch cost is
+  * independent of corpus growth except through posting lengths.
+  *
+  * Output contract: one row per batch document —
+  * (doc_id, dup_exact_of, near_of, near_jaccard, verdict) where verdict
+  * is 'exact' (byte-identical corpus doc exists; dup_exact_of = min such
+  * corpus id), 'near' (best corpus Jaccard >= tau; near_of = that doc,
+  * ties to the smaller corpus id), or 'keep'. Exact duplicates also
+  * report their near match (jaccard 1.0 unless the cap bites). All
+  * decision columns are integer/rounded-ratio valued, so the DuckDB
+  * oracle ([[flagBatchSql]]) replays bit-for-bit.
+  */
+object IncrementalDedup {
+
+  /** Flag each batch document against the corpus. `corpus` and `batch`
+    * must both have (doc_id, text); doc_ids must be disjoint. */
+  def flagBatch(corpus: DataFrame, batch: DataFrame, n: Int = 5,
+      tau: Double = 0.5, maxDocFreq: Int = 500): DataFrame = {
+    // ---- exact: md5 index probe
+    val corpusMd5 = corpus
+      .groupBy(md5(col("text").cast("binary")).as("text_md5"))
+      .agg(min(col("doc_id")).as("dup_exact_of"))
+    val batchMd5 = batch.select(col("doc_id"),
+      md5(col("text").cast("binary")).as("text_md5"))
+    val exact = batchMd5.join(corpusMd5, Seq("text_md5"), "left")
+      .select(col("doc_id"), col("dup_exact_of"))
+
+    // ---- near: inverted-index probe + exact Jaccard on candidates
+    def hashedShingles(docs: DataFrame) = Dedup.shingles(docs, n)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("sh"))
+      .distinct()
+    val cSh0 = hashedShingles(corpus).persist()
+    // hot shingles: corpus doc-frequency above the cap — dropped from
+    // both sides so sizes and intersections use the same universe
+    val hot = cSh0.groupBy("sh").count()
+      .filter(col("count") > maxDocFreq).select("sh")
+    val cSh = cSh0.join(hot, Seq("sh"), "left_anti").persist()
+    val bSh = hashedShingles(batch)
+      .join(hot, Seq("sh"), "left_anti").persist()
+
+    val cSizes = cSh.groupBy("doc_id").agg(count(lit(1)).as("n_c"))
+    val bSizes = bSh.groupBy("doc_id").agg(count(lit(1)).as("n_b"))
+    val inter = bSh.select(col("doc_id").as("b_id"), col("sh"))
+      .join(cSh.select(col("doc_id").as("c_id"), col("sh")), Seq("sh"))
+      .groupBy("b_id", "c_id").agg(count(lit(1)).as("n_common"))
+    val scored = inter
+      .join(bSizes.select(col("doc_id").as("b_id"), col("n_b")), "b_id")
+      .join(cSizes.select(col("doc_id").as("c_id"), col("n_c")), "c_id")
+      .withColumn("jaccard", round(
+        col("n_common").cast("double") /
+          (col("n_b") + col("n_c") - col("n_common")), 6))
+      .filter(col("jaccard") >= tau)
+    // best match per batch doc: highest jaccard, ties to smaller corpus id
+    val best = scored
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("b_id")
+          .orderBy(col("jaccard").desc, col("c_id").asc)))
+      .filter(col("rn") === 1)
+      .select(col("b_id").as("doc_id"), col("c_id").as("near_of"),
+        col("jaccard").as("near_jaccard"))
+
+    val out = exact.join(best, Seq("doc_id"), "left")
+      .withColumn("verdict",
+        when(col("dup_exact_of").isNotNull, "exact")
+          .when(col("near_of").isNotNull, "near")
+          .otherwise("keep"))
+      .orderBy("doc_id")
+      .persist()
+    out.count() // materialize, then release the shingle indexes
+    Seq(cSh0, cSh, bSh).foreach(_.unpersist())
+    out
+  }
+
+  /** DuckDB replay of [[flagBatch]] where corpus/batch are SQL-defined
+    * slices of the documents table (`batchPred` selects the batch). */
+  def flagBatchSql(batchPred: String, n: Int = 5, tau: Double = 0.5,
+      maxDocFreq: Int = 500): String =
+    s"""WITH batch AS (SELECT doc_id, text FROM documents WHERE $batchPred),
+       |corpus AS (SELECT doc_id, text FROM documents WHERE NOT ($batchPred)),
+       |cmd5 AS (SELECT md5(text) AS h, MIN(doc_id) AS dup_exact_of
+       |         FROM corpus GROUP BY md5(text)),
+       |exact AS (SELECT b.doc_id, cmd5.dup_exact_of
+       |          FROM batch b LEFT JOIN cmd5 ON md5(b.text) = cmd5.h),
+       |csh0 AS (
+       |  SELECT DISTINCT doc_id, array_to_string(w[i:i+${n - 1}], ' ') AS shingle
+       |  FROM (SELECT doc_id, w, unnest(range(1, greatest(len(w) - ${n - 1}, 1) + 1)) AS i
+       |        FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM corpus))
+       |), hot AS (
+       |  SELECT shingle FROM csh0 GROUP BY shingle HAVING COUNT(*) > $maxDocFreq
+       |), csh AS (
+       |  SELECT doc_id, shingle FROM csh0 WHERE shingle NOT IN (SELECT shingle FROM hot)
+       |), bsh AS (
+       |  SELECT doc_id, shingle FROM (
+       |    SELECT DISTINCT doc_id, array_to_string(w[i:i+${n - 1}], ' ') AS shingle
+       |    FROM (SELECT doc_id, w, unnest(range(1, greatest(len(w) - ${n - 1}, 1) + 1)) AS i
+       |          FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM batch)))
+       |  WHERE shingle NOT IN (SELECT shingle FROM hot)
+       |), csizes AS (SELECT doc_id, COUNT(*) AS n_c FROM csh GROUP BY doc_id),
+       |bsizes AS (SELECT doc_id, COUNT(*) AS n_b FROM bsh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT b.doc_id AS b_id, c.doc_id AS c_id, COUNT(*) AS n_common
+       |  FROM bsh b JOIN csh c ON b.shingle = c.shingle
+       |  GROUP BY 1, 2
+       |), scored AS (
+       |  SELECT b_id, c_id,
+       |    ROUND(CAST(n_common AS DOUBLE) / (n_b + n_c - n_common), 6) AS jaccard
+       |  FROM inter
+       |  JOIN bsizes ON b_id = bsizes.doc_id
+       |  JOIN csizes ON c_id = csizes.doc_id
+       |  WHERE ROUND(CAST(n_common AS DOUBLE) / (n_b + n_c - n_common), 6) >= $tau
+       |), best AS (
+       |  SELECT b_id AS doc_id, c_id AS near_of, jaccard AS near_jaccard
+       |  FROM (SELECT b_id, c_id, jaccard, ROW_NUMBER() OVER (
+       |          PARTITION BY b_id ORDER BY jaccard DESC, c_id ASC) AS rn
+       |        FROM scored)
+       |  WHERE rn = 1
+       |)
+       |SELECT e.doc_id, e.dup_exact_of, best.near_of, best.near_jaccard,
+       |  CASE WHEN e.dup_exact_of IS NOT NULL THEN 'exact'
+       |       WHEN best.near_of IS NOT NULL THEN 'near'
+       |       ELSE 'keep' END AS verdict
+       |FROM exact e LEFT JOIN best ON e.doc_id = best.doc_id
+       |ORDER BY e.doc_id""".stripMargin
+}

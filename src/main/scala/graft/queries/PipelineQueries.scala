@@ -39,6 +39,12 @@ object PipelineQueries {
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(Tables.documents(s, d))),
     "dedup_minhash_lsh" -> (minhashPairs _),
     "dedup_simhash" -> ((s, d) => Dedup.simhashPairs(Tables.documents(s, d))),
+    "dedup_incremental" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      IncrementalDedup.flagBatch(
+        docs.filter(org.apache.spark.sql.functions.col("doc_id") % 10 =!= 7),
+        docs.filter(org.apache.spark.sql.functions.col("doc_id") % 10 === 7))
+    }),
     "dedup_components" -> ((s, d) =>
       DedupComponents.components(minhashPairs(s, d))),
     // --- text analysis ---
@@ -96,6 +102,7 @@ object PipelineQueries {
     // simhash banding is candidate-exact for Hamming<=6, so the all-pairs
     // SQL replay of the md5-term simhash is a full value oracle
     "dedup_simhash" -> Dedup.simhashPairsSql(),
+    "dedup_incremental" -> IncrementalDedup.flagBatchSql("doc_id % 10 = 7"),
     // components over the minhash pairs; oracle closes over the exact
     // pair set (= minhash output on testdata, same equivalence as above)
     "dedup_components" -> DedupComponents.componentsSql(

@@ -485,6 +485,54 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("incremental dedup: verdicts agree with exact hashes and full-corpus jaccard") {
+    import spark.implicits._
+    val batch = docs.filter(col("doc_id") % 10 === 7)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 7)
+    val out = IncrementalDedup.flagBatch(corpus, batch).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (Option(r.getAs[java.lang.Long]("dup_exact_of")),
+          Option(r.getAs[java.lang.Long]("near_of")),
+          r.getAs[String]("verdict"))).toMap
+
+    // one row per batch doc, no extras
+    assert(out.keySet == batch.select("doc_id").as[Long].collect().toSet)
+
+    // exact verdicts: precisely the batch docs whose text exists in corpus,
+    // matched to the min corpus doc id with that text
+    val corpusByText = corpus.select("text", "doc_id").as[(String, Long)]
+      .collect().groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).min }
+    batch.select("doc_id", "text").as[(Long, String)].collect().foreach {
+      case (id, text) =>
+        val (exactOf, _, verdict) = out(id)
+        corpusByText.get(text) match {
+          case Some(minId) =>
+            assert(verdict == "exact" && exactOf.contains(minId),
+              s"doc $id: expected exact dup of $minId, got $verdict/$exactOf")
+          case None =>
+            assert(exactOf.isEmpty && verdict != "exact",
+              s"doc $id: spurious exact match $exactOf")
+        }
+    }
+
+    // near verdicts agree with the full-corpus jaccard pair set restricted
+    // to batch x corpus (uncapped on testdata, so universes coincide)
+    val fullPairs = Dedup.ngramJaccard(docs)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+      .flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .filter { case (a, b) => a % 10 == 7 && b % 10 != 7 }
+      .groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2).toSet }
+    out.foreach { case (id, (_, nearOf, verdict)) =>
+      (fullPairs.get(id), nearOf) match {
+        case (Some(cands), Some(n)) => assert(cands.contains(n),
+          s"doc $id: near_of $n not among full-corpus matches $cands")
+        case (None, Some(n)) => fail(s"doc $id: spurious near match $n")
+        case (Some(c), None) => fail(s"doc $id: missed near matches $c")
+        case (None, None) => assert(verdict == "keep" || verdict == "exact")
+      }
+    }
+  }
+
   test("repetition metrics match a driver-side count; edge cases exact") {
     import spark.implicits._
     val fixture = Seq(
