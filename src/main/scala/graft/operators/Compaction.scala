@@ -1,0 +1,93 @@
+package graft.operators
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Small-file compaction — the operational lever every long-lived lake
+  * needs. Streaming sinks, partitioned writes, and incremental batches
+  * leave directories of tiny files; every reader then pays per-file
+  * open + footer-parse + scheduling cost (at 100 TB: millions of files
+  * can cost more in metadata than in bytes). Compaction rewrites a
+  * directory into ~targetBytes-sized files.
+  *
+  * Scale shape:
+  *  - file sizing comes from the FILESYSTEM listing (FileSystem.listStatus
+  *    — works the same on HDFS/S3A), not from reading the data twice;
+  *  - the default rewrite is `coalesce(n)` — merges input partitions with
+  *    NO shuffle: each output task reads a set of small files and streams
+  *    one big one. File sizes track input skew; for evenly-sized output
+  *    (or when n must exceed the input partition count) use
+  *    `even = true` -> `repartition(n)`, paying one round-robin shuffle;
+  *  - compaction is layout-only: the row set must be byte-identical
+  *    before and after — which is exactly what the registered query's
+  *    oracle certifies (content checksum computed off the COMPACTED
+  *    copy, compared against DuckDB reading the RAW table).
+  *
+  * Beyond-reference surface: the reference has no bulk sink at all
+  * (driver pickle only, `utils.py:44-49`).
+  */
+object Compaction {
+
+  /** Rewrite `inDir` (parquet) into `outDir` with ~targetBytes files.
+    * Returns (input file count, output file count). */
+  def compact(spark: SparkSession, inDir: String, outDir: String,
+      targetBytes: Long, even: Boolean = false): (Int, Int) = {
+    val fs = new Path(inDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(new Path(inDir))
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    val total = files.map(_.getLen).sum
+    val n = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
+    val df = spark.read.parquet(inDir)
+    val out = if (even) df.repartition(n) else df.coalesce(n)
+    out.write.mode("overwrite").parquet(outDir)
+    val written = fs.listStatus(new Path(outDir))
+      .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    (files.length, written)
+  }
+
+  /** Write-once staging: the documents table deliberately fragmented
+    * into 64 files, then compacted; keyed by (source path, mtime) like
+    * PartitionedSink so re-runs and concurrent suites reuse it. */
+  private[graft] def stagedCompactedDir(spark: SparkSession, sfDir: String): String = {
+    val src = Paths.get(sfDir, "documents.parquet").toAbsolutePath.normalize
+    val key = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s"compact:$src:${Files.getLastModifiedTime(src).toMillis}".getBytes("UTF-8"))
+      .take(8).map("%02x".format(_)).mkString
+    val frag = Paths.get(sys.props("java.io.tmpdir"), s"graft_frag_$key")
+    val comp = Paths.get(sys.props("java.io.tmpdir"), s"graft_comp_$key")
+    if (!Files.exists(comp.resolve("_SUCCESS"))) {
+      Tables.documents(spark, sfDir)
+        .repartition(64) // the small-file problem, manufactured
+        .write.mode("overwrite").parquet(frag.toString)
+      compact(spark, frag.toString, comp.toString, targetBytes = 256L << 20)
+    }
+    comp.toString
+  }
+
+  /** Round-trip proof through fragment -> compact: per-(lang, source)
+    * counts + md5-derived content checksum computed off the COMPACTED
+    * copy; the oracle computes the same off the raw table, so any row
+    * lost, duplicated, or mutated by the rewrite moves the hash. */
+  def roundTripAgg(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(stagedCompactedDir(spark, sfDir))
+      .groupBy("lang", "source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long"))
+          .as("content_sum"))
+      .orderBy("lang", "source")
+
+  def roundTripAggSql: String = {
+    val hv = OracleSql.hexVal("md5(text)", 1, 8)
+    s"""SELECT lang, source, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars,
+       |  SUM(CAST($hv AS BIGINT)) AS content_sum
+       |FROM documents
+       |GROUP BY lang, source ORDER BY lang, source""".stripMargin
+  }
+}

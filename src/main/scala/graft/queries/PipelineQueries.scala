@@ -85,6 +85,7 @@ object PipelineQueries {
     // --- partitioned sink + planning-time partition pruning ---
     "sink_partition_prune" -> ((s, d) => PartitionedSink.prunedDailyAgg(s, d)),
     "layout_zorder" -> (Layout.zOrderKeys _),
+    "sink_compact" -> (Compaction.roundTripAgg _),
     // --- tokenizer vocabulary with dense ids ---
     "vocab_build" -> ((s, d) => VocabBuild.vocab(Tables.documents(s, d))),
     "tokenize_corpus" -> ((s, d) => VocabBuild.tokenize(Tables.documents(s, d))),
@@ -146,6 +147,7 @@ object PipelineQueries {
     // partitioned round-trip must be lossless: oracle reads the raw table
     "sink_partition_prune" -> PartitionedSink.prunedDailyAggSql(),
     "layout_zorder" -> Layout.zOrderKeysSql,
+    "sink_compact" -> Compaction.roundTripAggSql,
     "vocab_build" -> VocabBuild.vocabSql(),
     "tokenize_corpus" -> VocabBuild.tokenizeSql(),
     // content checksum proves the JSONL round-trip is lossless
