@@ -150,7 +150,18 @@ object VectorFunctions {
     ("vector_l1", es => VectorL1(es(0), es(1))),
     // deterministic HLL sketch as a TypedImperativeAggregate (4 KB
     // mergeable buffers; same estimates + oracle as Sketches.hllDistinct)
-    ("hll_sketch", es => HllSketchAgg(es.head)))
+    ("hll_sketch", es => HllSketchAgg(es.head)),
+    // bounded per-group top-k heaps with map-side combine; third arg must
+    // be a literal k (the buffer is sized at plan time, not per row)
+    ("topk_pairs", es => {
+      val k = es(2) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v.toInt
+        case other => throw new IllegalArgumentException(
+          s"topk_pairs k must be an integer literal, got $other")
+      }
+      TopKPairsAgg(es(0), es(1), k)
+    }))
 
   def ensureRegistered(spark: SparkSession): Unit =
     builders.foreach { case (name, b) =>

@@ -126,6 +126,29 @@ object IvfAnn {
       .toDF("vec_id", "embedding", "cell")
   }
 
+  /** Each vector's `nProbe` nearest cells by exact integer centroid
+    * distance, ties by index (narrow flatMap, centroids broadcast).
+    * Output: (vec_id, embedding, cell), one row per probed cell —
+    * shared by [[topK]]'s query side and `SemanticDedup`'s multi-probe
+    * candidate generation. */
+  private[operators] def probeCells(embeddings: DataFrame,
+      centroids: Array[Array[Long]], nProbe: Int): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(centroids)
+    embeddings.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .flatMap { case (id, v) =>
+        val cs = bc.value
+        val q = quantize(v)
+        cs.indices
+          .map(c => (c, cellDist(cs(c), q)))
+          .sortBy { case (c, d) => (d, c) }.take(nProbe)
+          .map { case (cell, _) => (id, v, cell) }
+      }
+      .toDF("vec_id", "embedding", "cell")
+  }
+
   /** Self-ANN: top-k cosine neighbors per vector, probing the `nProbe`
     * nearest cells. Cost per query ~ |corpus| * nProbe / nCells.
     * Output: (query_id, rank, neighbor_id) — integer-only, hash-oracled
@@ -133,23 +156,12 @@ object IvfAnn {
   def topK(embeddings: DataFrame, nCells: Int = 16, nProbe: Int = 4,
       k: Int = 5, iters: Int = 2): DataFrame = {
     val spark = embeddings.sparkSession
-    import spark.implicits._
     val centroids = trainCentroids(embeddings, nCells, iters)
     val assigned = assign(embeddings, centroids).persist()
 
-    val bc = spark.sparkContext.broadcast(centroids)
-    val probes = embeddings.select(col("vec_id"), col("embedding"))
-      .as[(Long, Array[Float])]
-      .flatMap { case (id, v) =>
-        val cs = bc.value
-        val q = quantize(v)
-        // probe cells by exact integer centroid distance, ties by index
-        cs.indices
-          .map(c => (c, cellDist(cs(c), q)))
-          .sortBy { case (c, d) => (d, c) }.take(nProbe)
-          .map { case (cell, _) => (id, v, cell) }
-      }
-      .toDF("query_id", "q_emb", "cell")
+    val probes = probeCells(embeddings, centroids, nProbe)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("cell"))
 
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id").asc)
@@ -169,11 +181,12 @@ object IvfAnn {
     out
   }
 
-  /** DuckDB replay of [[topK]] over the embeddings table: same seeds,
-    * same integer Lloyd rounds (unrolled), same probes, exact cosine
-    * ranking of the same candidates. */
-  def topKSql(dim: Int, nCells: Int = 16, nProbe: Int = 4, k: Int = 5,
-      iters: Int = 2): String = {
+  /** The `WITH`-clause body replaying quantization, seed selection,
+    * `iters` integer-Lloyd rounds, and final cell assignment — everything
+    * up to the `assigned (vec_id, cell)` CTE (plus `vecs` and `dF`,
+    * which consumers may also reference). Shared by [[topKSql]] and
+    * `SemanticDedup.pairsSql`. */
+  private[operators] def assignCtesSql(dim: Int, nCells: Int, iters: Int): String = {
     // one assign+update round: reads centroid CTE `cin`, emits `cout`
     def round(cin: String, cout: String, n: Int) =
       s"""d$n AS (SELECT qv.vec_id, c.c, SUM((qv.q - c.cv) * (qv.q - c.cv)) AS dist
@@ -189,8 +202,7 @@ object IvfAnn {
          |  FROM $cin g LEFT JOIN m$n ON m$n.c = g.c AND m$n.i = g.i)""".stripMargin
     val rounds = (1 to iters).map(n => round(s"c${n - 1}", s"c$n", n)).mkString(",\n")
     val cFinal = s"c$iters"
-    val nFinal = iters + 1
-    s"""WITH vecs AS (SELECT vec_id, embedding AS v FROM embeddings),
+    s"""vecs AS (SELECT vec_id, embedding AS v FROM embeddings),
        |qv AS (SELECT vec_id, CAST(ri.i AS INTEGER) AS i,
        |    CAST(floor(CAST(v[CAST(ri.i + 1 AS INTEGER)] AS DOUBLE) * 1048576.0) AS BIGINT) AS q
        |  FROM vecs, range($dim) AS ri(i)),
@@ -205,7 +217,15 @@ object IvfAnn {
        |assigned AS (SELECT vec_id, c AS cell FROM (
        |    SELECT vec_id, c, ROW_NUMBER() OVER (
        |      PARTITION BY vec_id ORDER BY dist, c) AS rn FROM dF)
-       |  WHERE rn = 1),
+       |  WHERE rn = 1)""".stripMargin
+  }
+
+  /** DuckDB replay of [[topK]] over the embeddings table: same seeds,
+    * same integer Lloyd rounds (unrolled), same probes, exact cosine
+    * ranking of the same candidates. */
+  def topKSql(dim: Int, nCells: Int = 16, nProbe: Int = 4, k: Int = 5,
+      iters: Int = 2): String = {
+    s"""WITH ${assignCtesSql(dim, nCells, iters)},
        |probes AS (SELECT vec_id AS query_id, c AS cell FROM (
        |    SELECT vec_id, c, ROW_NUMBER() OVER (
        |      PARTITION BY vec_id ORDER BY dist, c) AS rn FROM dF)

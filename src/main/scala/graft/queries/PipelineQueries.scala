@@ -47,6 +47,8 @@ object PipelineQueries {
     }),
     "dedup_components" -> ((s, d) =>
       DedupComponents.components(minhashPairs(s, d))),
+    "dedup_semantic" -> ((s, d) =>
+      SemanticDedup.clusters(Tables.embeddings(s, d))),
     // --- text analysis ---
     "text_token_counts" -> ((s, d) => TextAnalysis.tokenCounts(Tables.documents(s, d))),
     "text_quality" -> ((s, d) => TextAnalysis.qualityScore(Tables.documents(s, d))),
@@ -108,6 +110,10 @@ object PipelineQueries {
     // pair set (= minhash output on testdata, same equivalence as above)
     "dedup_components" -> DedupComponents.componentsSql(
       s"SELECT doc_a, doc_b FROM (${Dedup.ngramJaccardSql(maxDocFreq = None)})"),
+    // SemDeDup: deterministic quantizer (shared CTE prefix with ann_ivf)
+    // + exact within-cell cosine verify + recursive-CTE closure — fully
+    // hash-oracled for the same reason ann_ivf is
+    "dedup_semantic" -> SemanticDedup.clustersSql(dim = 64),
     "text_token_counts" -> TextAnalysis.tokenCountsSql,
     "text_quality" -> TextAnalysis.qualityScoreSql,
     "text_lang_id" -> TextAnalysis.langIdSql,

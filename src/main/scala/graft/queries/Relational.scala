@@ -573,6 +573,40 @@ object Relational {
       |LEFT JOIN counts c ON c.day = d.day AND c.event_type = t.event_type
       |ORDER BY d.day, t.event_type""".stripMargin
 
+  // ------------------------------------------------ q26_grouped_topk
+  /** Top 3 orders per status via the native `topk_pairs`
+    * TypedImperativeAggregate ([[graft.functions.TopKPairsAgg]]) — the
+    * scale-correct twin of q6_window_rank's window spelling. The window
+    * form shuffles EVERY row to its partition key and sorts; this form
+    * partially aggregates bounded k-pair buffers map-side
+    * (ObjectHashAggregate, asserted in PlanSpec), so the shuffle carries
+    * at most k pairs per group per map partition — at 100 TB that is the
+    * difference between shuffling the corpus and shuffling kilobytes.
+    * Prices ride as exact integer cents (the q7 decimal lesson); the
+    * oracle replays the window spelling, which equals the aggregate by
+    * the total (ord DESC, id ASC) order. */
+  def q26GroupedTopK(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(call_function("topk_pairs",
+        (dec("o_totalprice") * 100).cast("long"), col("o_orderkey"), lit(3)).as("top"))
+      .select(col("o_orderstatus"), posexplode(col("top")))
+      .select(col("o_orderstatus"), (col("pos") + 1).cast("long").as("rn"),
+        col("col.id").as("o_orderkey"), col("col.ord").as("price_cents"))
+      .orderBy("o_orderstatus", "rn")
+  }
+
+  val q26Sql: String =
+    """SELECT o_orderstatus, rn, o_orderkey, price_cents FROM (
+      |  SELECT o_orderstatus, o_orderkey,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_cents,
+      |    ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+      |      ORDER BY CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) DESC,
+      |               o_orderkey ASC) AS rn
+      |  FROM orders)
+      |WHERE rn <= 3 ORDER BY o_orderstatus, rn""".stripMargin
+
   /** Registry consumed by SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg"             -> (q1Agg _),
@@ -596,7 +630,8 @@ object Relational {
     "q22_pivot"          -> (q22Pivot _),
     "q23_lead_lag"       -> (q23LeadLag _),
     "q24_scalar_subquery" -> (q24ScalarSubquery _),
-    "q25_unpivot"        -> (q25Unpivot _))
+    "q25_unpivot"        -> (q25Unpivot _),
+    "q26_grouped_topk"   -> (q26GroupedTopK _))
 
   val oracles: Map[String, String] = Map(
     "q1_agg"             -> q1Sql,
@@ -620,5 +655,6 @@ object Relational {
     "q22_pivot"          -> q22Sql,
     "q23_lead_lag"       -> q23Sql,
     "q24_scalar_subquery" -> q24Sql,
-    "q25_unpivot"        -> q25Sql)
+    "q25_unpivot"        -> q25Sql,
+    "q26_grouped_topk"   -> q26Sql)
 }

@@ -485,6 +485,33 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("semantic dedup: pairs are exact-verified (precision 1), clusters consistent") {
+    // precision is 1 by construction (candidates are exact-verified at
+    // tau), so every semantic pair must appear in the all-pairs exact set
+    val semantic = SemanticDedup.pairs(embs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = SimilaritySearch.cosineNearDupExact(embs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(semantic.nonEmpty, "no semantic near-dup pairs on the fixture")
+    assert(semantic.subsetOf(exact),
+      s"pairs failing the exact verify: ${semantic -- exact}")
+    // testdata near-dups are tight clusters; the coarse quantizer should
+    // co-locate most of them (recall vs all-pairs at the same tau)
+    val recall = semantic.size.toDouble / exact.size
+    info(s"multi-probe recall vs all-pairs: ${semantic.size}/${exact.size}")
+    assert(recall >= 0.5, s"within-cell recall $recall too low (" +
+      s"${semantic.size}/${exact.size}) — quantizer scattering near-dups")
+
+    val comp = SemanticDedup.clusters(embs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("component_id")).toMap
+    semantic.foreach { case (a, b) =>
+      assert(comp(a) == comp(b), s"pair ($a,$b) split across components")
+    }
+    comp.groupBy(_._2).foreach { case (cid, members) =>
+      assert(cid == members.keys.min, s"component $cid is not its min member")
+    }
+  }
+
   test("incremental dedup: verdicts agree with exact hashes and full-corpus jaccard") {
     import spark.implicits._
     val batch = docs.filter(col("doc_id") % 10 === 7)

@@ -172,6 +172,26 @@ class PlanSpec extends SparkSpec {
       s"expected partial AND final hll_sketch aggregation:\n$p")
   }
 
+  test("grouped topk plans as partial+final ObjectHashAggregate, no window sort") {
+    val df = graft.queries.Relational.q26GroupedTopK(spark, sf)
+    val p = simplePlan(df)
+    assert(p.contains("ObjectHashAggregate"),
+      s"topk_pairs must use the object hash agg exec:\n$p")
+    // partial map-side heaps + final merge: the shuffle carries <=k pairs
+    // per group per partition — never the sorted full row set
+    assert("topk_pairs".r.findAllIn(p).length >= 2,
+      s"expected partial AND final topk_pairs aggregation:\n$p")
+    assert(!p.contains("Window"),
+      s"the aggregate spelling must not fall back to a window sort:\n$p")
+  }
+
+  test("semantic dedup pairs: cell equi-join, never a cartesian") {
+    val p = simplePlan(graft.operators.SemanticDedup.pairs(
+      Tables.embeddings(spark, sf)))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"within-cell candidates must come from the cell equi-join:\n$p")
+  }
+
   test("hll sketch: register build is a partial+final aggregation pair") {
     val p = simplePlan(graft.operators.Sketches.hllDistinct(
       Tables.events(spark, sf), "event_type", "user_id"))

@@ -66,4 +66,41 @@ class RelationalSpec extends SparkSpec {
     assert(p.length == 10)
     assert(p.zip(p.tail).forall { case (a, b) => a >= b })
   }
+
+  test("q26_grouped_topk equals the window row_number spelling") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val got = Relational.q26GroupedTopK(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val cents = (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    val w = Window.partitionBy("o_orderstatus")
+      .orderBy(col("price_cents").desc, col("o_orderkey").asc)
+    val want = Tables.orders(spark, sf)
+      .select(col("o_orderstatus"), col("o_orderkey"), cents.as("price_cents"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select("o_orderstatus", "rn", "o_orderkey", "price_cents")
+      .orderBy("o_orderstatus", "rn").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == want)
+  }
+
+  test("topk_pairs: k larger than group, ties broken by min id, null ord dropped") {
+    import org.apache.spark.sql.functions._
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    import spark.implicits._
+    val df = Seq(
+      ("a", Some(5L), 1L), ("a", Some(5L), 2L), ("a", Some(7L), 3L),
+      ("a", None, 0L), // null ord: skipped, never ranked
+      ("b", Some(1L), 9L)).toDF("g", "ord", "id")
+    val out = df.groupBy("g")
+      .agg(call_function("topk_pairs", col("ord"), col("id"), lit(10)).as("top"))
+      .select(col("g"), posexplode(col("top")))
+      .select(col("g"), col("pos"), col("col.ord"), col("col.id"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(out == Set(
+      ("a", 0, 7L, 3L), ("a", 1, 5L, 1L), ("a", 2, 5L, 2L),
+      ("b", 0, 1L, 9L)))
+  }
 }

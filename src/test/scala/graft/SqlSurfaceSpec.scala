@@ -58,6 +58,28 @@ class SqlSurfaceSpec extends SparkSpec {
       s"error should name the expected type: ${e.getMessage}")
   }
 
+  test("topk_pairs aggregate is callable from spark.sql") {
+    VectorFunctions.ensureRegistered(spark)
+    Tables.orders(spark, sf).createOrReplaceTempView("orders_v")
+    val rows = spark.sql(
+      """SELECT o_orderstatus, topk_pairs(
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT),
+        |    o_orderkey, 2) AS top
+        |FROM orders_v GROUP BY o_orderstatus""".stripMargin).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val top = r.getSeq[org.apache.spark.sql.Row](1)
+      assert(top.length <= 2)
+      // strictly ordered (ord desc, id asc), so no duplicate entries
+      top.sliding(2).foreach {
+        case Seq(a, b) =>
+          assert(a.getLong(0) > b.getLong(0) ||
+            (a.getLong(0) == b.getLong(0) && a.getLong(1) < b.getLong(1)))
+        case _ =>
+      }
+    }
+  }
+
   test("a full pipeline query is expressible in one SQL statement") {
     VectorFunctions.ensureRegistered(spark)
     Tables.embeddings(spark, sf).createOrReplaceTempView("embeddings_v")
