@@ -35,18 +35,25 @@ object VocabBuild {
   def vocab(docs: DataFrame, minCount: Long = 5L): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // eager localCheckpoint: the corpus explode+count runs ONCE. The RDD
+    // id-assignment below launches several jobs (sortBy's range-bound
+    // sample, zipWithIndex's size count, the final pass) and under AQE
+    // every separate DataFrame->RDD conversion is a fresh plan — without
+    // the checkpoint the corpus scan re-executes per job (measured 22 s
+    // -> ~7 s at sf0.1). Real cluster: reliable checkpoint() instead
+    // (executor loss must not drop the counted vocab).
     val counts = docs
       .select(explode(regexp_extract_all(lower(col("text")),
         lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).as("token"))
       .groupBy("token")
       .agg(count(lit(1)).as("freq"))
       .filter(col("freq") >= minCount)
-    counts
       .select(col("token"), col("freq"))
-      .as[(String, Long)]
-      .rdd
+      .localCheckpoint(true)
+    val rdd = counts.as[(String, Long)].rdd
+    rdd
       .sortBy({ case (tok, freq) => (-freq, tok) },
-        ascending = true, numPartitions = counts.rdd.getNumPartitions.max(1))
+        ascending = true, numPartitions = rdd.getNumPartitions.max(1))
       .zipWithIndex()
       .map { case ((tok, freq), id) => (id, tok, freq) }
       .toDF("token_id", "token", "freq")

@@ -20,6 +20,7 @@ object StreamingQueries {
     "stream_hll_distinct" -> ((s, d) => EventStreams.streamingHllDistinct(s, d)),
     "stream_interval_join" -> ((s, d) => EventStreams.streamingIntervalJoin(s, d)),
     "stream_cms_heavy_users" -> ((s, d) => EventStreams.streamingCmsHeavyUsers(s, d)),
+    "stream_top_users" -> ((s, d) => EventStreams.streamingTopUsers(s, d)),
     "q11_sessionize" -> ((s, d) => EventStreams.sessionizeBatch(Tables.events(s, d))),
     "q12_asof_join" -> ((s, d) => AsOfJoin.errorToLastClick(Tables.events(s, d))),
     "q16_range_join" -> ((s, d) => RangeJoin.concurrentSessions(Tables.events(s, d))),
@@ -42,6 +43,9 @@ object StreamingQueries {
     "stream_interval_join" -> EventStreams.streamingIntervalJoinSql(),
     // the streamed grid equals the batch grid (order-insensitive counts)
     "stream_cms_heavy_users" -> graft.operators.Sketches.cmsHeavyUsersSql(),
+    // streamed counts equal batch counts; the deterministic topk_pairs
+    // ranking shares the batch window-replay oracle
+    "stream_top_users" -> EventStreams.streamingTopUsersSql(),
     "q11_sessionize" -> EventStreams.sessionizeBatchSql(),
     "q12_asof_join" -> AsOfJoin.errorToLastClickSql,
     "q16_range_join" -> RangeJoin.concurrentSessionsSql(),

@@ -225,6 +225,44 @@ object EventStreams {
       graft.operators.Sketches.hllEstimate(regs))
   }
 
+  // ------------------------------------------------ streaming grouped top-k
+  /** Streaming grouped top-k: the stream maintains per-(hour window,
+    * user) event counts — keyed state bounded by active windows x users
+    * seen in them, evictable by the watermark in Append-mode production;
+    * the bounded `topk_pairs` aggregate ([[graft.functions.TopKPairsAgg]])
+    * then ranks the COMPLETED counts per window — the same
+    * maintain-state-then-read split as the streaming HLL/CMS sketches.
+    * Counting aggregation is order-insensitive, so on a finite replay the
+    * counts equal batch exactly and the deterministic (count DESC, id ASC)
+    * ranking shares the batch window-replay oracle. */
+  def streamingTopUsers(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    val counts = readEventStream(spark, sfDir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+    runToCompletion(counts, OutputMode.Complete())
+      .select(unix_timestamp(col("window.start")).as("bucket"),
+        col("user_id"), col("n_events"))
+      .groupBy("bucket")
+      .agg(call_function("topk_pairs",
+        col("n_events"), col("user_id"), lit(k)).as("top"))
+      .select(col("bucket"), posexplode(col("top")))
+      .select(col("bucket"), (col("pos") + 1).cast("long").as("rn"),
+        col("col.id").as("user_id"), col("col.ord").as("n_events"))
+      .orderBy("bucket", "rn")
+  }
+
+  def streamingTopUsersSql(k: Int = 3): String =
+    s"""SELECT bucket, rn, user_id, n_events FROM (
+       |  SELECT bucket, user_id, n_events,
+       |    ROW_NUMBER() OVER (PARTITION BY bucket
+       |      ORDER BY n_events DESC, user_id ASC) AS rn
+       |  FROM (SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS bucket,
+       |          user_id, COUNT(*) AS n_events
+       |        FROM events GROUP BY 1, 2))
+       |WHERE rn <= $k ORDER BY bucket, rn""".stripMargin
+
   // ------------------------------------------------------ streaming dedup
   /** Streaming exact dedup on (user_id, event_type): emits the first
     * occurrence of each key. WHICH row wins depends on arrival order, so

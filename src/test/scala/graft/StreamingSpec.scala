@@ -28,6 +28,26 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.map(_.toString).sorted.sameElements(batch.map(_.toString).sorted))
   }
 
+  test("streaming top users equal the batch window ranking") {
+    import org.apache.spark.sql.expressions.Window
+    val streamed = EventStreams.streamingTopUsers(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val w = Window.partitionBy("bucket")
+      .orderBy(col("n_events").desc, col("user_id").asc)
+    val batch = Tables.events(spark, sf)
+      .groupBy(window(col("ts"), "1 hour"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(unix_timestamp(col("window.start")).as("bucket"),
+        col("user_id"), col("n_events"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select("bucket", "rn", "user_id", "n_events")
+      .orderBy("bucket", "rn").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(streamed.nonEmpty)
+    assert(streamed.sameElements(batch))
+  }
+
   test("streaming sessions EQUAL batch sessions (sentinel flushes final state)") {
     def key(df: org.apache.spark.sql.DataFrame) = df
       .select("user_id", "session_start", "session_end", "n_events", "sum_value")
