@@ -74,12 +74,17 @@ object Train {
   * link prediction, print MeanRank / Hits@10.
   *
   * Usage: graft.apps.Evaluate --test <triples.tsv> --model <modelDir>
-  *   [--hits-k 10] [--distance L1|L2]
+  *   [--hits-k 10] [--distance L1|L2] [--exec broadcast|partitioned]
   *
   * Scoring distance resolution: --distance flag > hyperparameters
   * persisted with the checkpoint (saveModel writes them) > L1 default —
   * an L2-trained model is never silently ranked with L1 unless the
   * checkpoint predates params persistence AND no flag is given.
+  *
+  * `--exec partitioned` ranks against the entity checkpoint read back as
+  * a DISTRIBUTED (id, vec) table — the path for matrices past the
+  * broadcast budget (see LinkPrediction.rankTriplesPartitioned); the
+  * matrix is never collected driver-side.
   */
 object Evaluate {
   def main(args: Array[String]): Unit = {
@@ -98,7 +103,6 @@ object Evaluate {
           .copy(distance = if (d == "L2") L2Squared else L1)
       case None => persisted.getOrElse(TransEParams())
     }
-    val model = EmbeddingIO.loadModel(spark, modelDir, params)
     val ents = spark.read.parquet(s"$modelDir/entity_dict")
     val labs = spark.read.parquet(s"$modelDir/label_dict")
 
@@ -107,7 +111,19 @@ object Evaluate {
     // the reference's "raw" skip-unknown protocol (test.py:45-46)
     val encoded = DictionaryEncoder.encode(raw, ents, labs)
 
-    val row = LinkPrediction.evaluate(encoded, model, hitsK).collect().head
+    val result = opts.str("exec", "broadcast") match {
+      case "partitioned" =>
+        // the entity matrix stays a distributed table; only the (small)
+        // label matrix is materialized
+        LinkPrediction.evaluatePartitioned(encoded,
+          spark.read.parquet(s"$modelDir/entity").select("id", "vec"),
+          EmbeddingIO.load(spark, s"$modelDir/label"),
+          params.distance, hitsK)
+      case _ =>
+        LinkPrediction.evaluate(encoded,
+          EmbeddingIO.loadModel(spark, modelDir, params), hitsK)
+    }
+    val row = result.collect().head
     println(f"[evaluate] n=${row.getAs[Long]("n_ranks")} " +
       f"meanRank=${row.getAs[Double]("mean_rank")}%.2f " +
       f"meanRankHead=${row.getAs[Double]("mean_rank_head")}%.2f " +

@@ -9,17 +9,23 @@ import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 
 /** Grouped top-k as a native Catalyst `TypedImperativeAggregate` — the
-  * scale-correct spelling of "top k rows per group".
+  * direct spelling of "top k rows per group".
   *
-  * The window spelling (`row_number() OVER (PARTITION BY g ORDER BY v)`,
-  * see q6_window_rank) shuffles EVERY row of the corpus to its group's
-  * partition and sorts it there before discarding all but k — at 100 TB
-  * the shuffle is the corpus. This aggregate keeps a bounded k-pair
-  * buffer per group that is partially aggregated MAP-SIDE
-  * (ObjectHashAggregate partial), so the shuffle moves at most k
-  * (ord, id) pairs per group per map partition, independent of group
-  * size; the final merge keeps the overall top k. Same output, shuffle
-  * shrunk from O(rows) to O(groups * k * partitions).
+  * This aggregate keeps a bounded k-pair buffer per group, partially
+  * aggregated MAP-SIDE (ObjectHashAggregate partial): the shuffle moves
+  * at most k (ord, id) pairs per group per map partition, independent
+  * of group size; the final merge keeps the overall top k.
+  *
+  * Vs the window spelling (`row_number() OVER (...) <= k`,
+  * q6_window_rank): Spark 4's InferWindowGroupLimit already bounds that
+  * plan's shuffle (a partial WindowGroupLimit keeps <= k rows per group
+  * per map partition), so the shuffle volumes are comparable. What this
+  * aggregate removes is the per-partition SORT the group-limit requires
+  * beneath it — O(rows log rows) map-side, and again after the
+  * exchange — replaced by one sortless single-pass hash aggregation
+  * with O(k) buffer work per row; and it expresses top-k directly in
+  * aggregations where no rank-filter pattern exists for the optimizer
+  * to infer from (e.g. streaming state, see stream_top_users).
   *
   * Ordering contract: descending by `ord`, ties broken ascending by
   * `id` — integer-only and total, so any engine (and any partitioning,

@@ -576,12 +576,13 @@ object Relational {
   // ------------------------------------------------ q26_grouped_topk
   /** Top 3 orders per status via the native `topk_pairs`
     * TypedImperativeAggregate ([[graft.functions.TopKPairsAgg]]) — the
-    * scale-correct twin of q6_window_rank's window spelling. The window
-    * form shuffles EVERY row to its partition key and sorts; this form
-    * partially aggregates bounded k-pair buffers map-side
-    * (ObjectHashAggregate, asserted in PlanSpec), so the shuffle carries
-    * at most k pairs per group per map partition — at 100 TB that is the
-    * difference between shuffling the corpus and shuffling kilobytes.
+    * sortless twin of q6_window_rank's window spelling: bounded k-pair
+    * buffers partially aggregated map-side (ObjectHashAggregate,
+    * asserted in PlanSpec), one hash pass with O(k) work per row where
+    * the window plan sorts each partition below its WindowGroupLimit
+    * and again after the exchange (see TopKPairsAgg's scaladoc for the
+    * honest Spark-4 comparison — shuffle volumes are comparable, the
+    * sorts are the difference).
     * Prices ride as exact integer cents (the q7 decimal lesson); the
     * oracle replays the window spelling, which equals the aggregate by
     * the total (ord DESC, id ASC) order. */

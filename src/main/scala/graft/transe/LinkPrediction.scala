@@ -77,6 +77,92 @@ object LinkPrediction {
     }
   }
 
+  /** Partitioned-matrix ranking — the implemented form of SCALE.md's
+    * escape hatch for entity matrices past the broadcast budget (~25M
+    * entities at k=50 ≈ 5 GB/executor): the roles invert. The ENTITY
+    * MATRIX stays a DISTRIBUTED (id, vec) Dataset — e.g. the parquet
+    * checkpoint read back without ever materializing driver-side — and
+    * the TEST SET broadcasts instead, carrying one precomputed invariant
+    * pair per triple (u = l - t with its true head distance, v = h + l
+    * with its true tail distance). Each partition scans its slice of the
+    * matrix once, accumulating strict-less counts per test triple;
+    * treeAggregate merges the 2·|test| long counters. Flops are
+    * IDENTICAL to [[rankTriples]] (n · 2|test| · k) — what changes is
+    * what moves: no n×k broadcast, only |test|-sized invariants out and
+    * 2·|test| longs back per partition. The h/t vectors the invariants
+    * need are fetched from the distributed matrix by a broadcast
+    * id-join (≤ 2|test| rows), not a matrix collect.
+    *
+    * The test set must be driver/broadcast-bounded — the same contract
+    * the reference's protocol already assumes (test sets are orders of
+    * magnitude smaller than entity inventories). */
+  def rankTriplesPartitioned(test: Dataset[Triple], entities: DataFrame,
+      label: Array[Array[Float]], distance: Distance): Dataset[Ranks] = {
+    val spark = test.sparkSession
+    import spark.implicits._
+    val triples = test.collect()
+    require(triples.nonEmpty, "empty test set")
+
+    // fetch only the h/t vectors the test set references, by id
+    val neededDf = triples.flatMap(tr => Seq(tr.h, tr.t)).distinct.toSeq.toDF("id")
+    val fetched: Map[Int, Array[Float]] = entities
+      .join(broadcast(neededDf), "id")
+      .select(col("id").cast("int"), col("vec"))
+      .as[(Int, Array[Float])].collect().toMap
+
+    val m = triples.length
+    val us = new Array[Array[Float]](m)
+    val vs = new Array[Array[Float]](m)
+    val dTrueHead = new Array[Double](m)
+    val dTrueTail = new Array[Double](m)
+    var j = 0
+    while (j < m) {
+      val tr = triples(j)
+      val l = label(tr.l)
+      val h = fetched(tr.h)
+      val t = fetched(tr.t)
+      val k = l.length
+      val u = new Array[Float](k)
+      val v = new Array[Float](k)
+      var i = 0
+      while (i < k) { u(i) = l(i) - t(i); v(i) = h(i) + l(i); i += 1 }
+      us(j) = u; vs(j) = v
+      dTrueHead(j) = scoreWith(distance, h, u)
+      dTrueTail(j) = scoreNeg(distance, t, v)
+      j += 1
+    }
+    val bc = spark.sparkContext.broadcast((us, vs, dTrueHead, dTrueTail))
+
+    val (lessH, lessT) = entities.select(col("vec"))
+      .as[Array[Float]].rdd
+      .treeAggregate((new Array[Long](m), new Array[Long](m)))(
+        seqOp = { case ((lh, lt), e) =>
+          val (bu, bv, bdh, bdt) = bc.value
+          var p = 0
+          while (p < m) {
+            if (scoreWith(distance, e, bu(p)) < bdh(p)) lh(p) += 1
+            if (scoreNeg(distance, e, bv(p)) < bdt(p)) lt(p) += 1
+            p += 1
+          }
+          (lh, lt)
+        },
+        combOp = { case ((a1, a2), (b1, b2)) =>
+          var p = 0
+          while (p < m) { a1(p) += b1(p); a2(p) += b2(p); p += 1 }
+          (a1, a2)
+        })
+    bc.destroy()
+    spark.createDataset(
+      (0 until m).map(p => Ranks(lessH(p) + 1, lessT(p) + 1)))
+  }
+
+  /** [[evaluate]] over a distributed entity matrix — metrics from
+    * [[rankTriplesPartitioned]], same output schema. */
+  def evaluatePartitioned(test: Dataset[Triple], entities: DataFrame,
+      label: Array[Array[Float]], distance: Distance,
+      hitsK: Int = 10): DataFrame =
+    metrics(rankTriplesPartitioned(test, entities, label, distance).toDF(), hitsK)
+
   /** d over (x + u) for the head scan. */
   private def scoreWith(d: Distance, x: Array[Float], u: Array[Float]): Double = {
     var s = 0.0
@@ -105,8 +191,10 @@ object LinkPrediction {
 
   /** MeanRank + Hits@k over both rank lists (reference `test.py:14-25`),
     * plus the per-direction means, as one Catalyst aggregate. */
-  def evaluate(test: Dataset[Triple], model: TransEModel, hitsK: Int = 10): DataFrame = {
-    val ranks = rankTriples(test, model).toDF()
+  def evaluate(test: Dataset[Triple], model: TransEModel, hitsK: Int = 10): DataFrame =
+    metrics(rankTriples(test, model).toDF(), hitsK)
+
+  private def metrics(ranks: DataFrame, hitsK: Int): DataFrame = {
     ranks.agg(
       ((avg(col("rank_head")) + avg(col("rank_tail"))) / 2).as("mean_rank"),
       avg(col("rank_head")).as("mean_rank_head"),

@@ -76,6 +76,9 @@ class AppsSpec extends SparkSpec {
       "--train", trainTsv, "--out", out, "--epochs", "3", "--dim", "8"))
     // should not throw; prints metrics
     graft.apps.Evaluate.main(Array("--test", testTsv, "--model", out))
+    // the distributed-matrix route resolves the same checkpoint
+    graft.apps.Evaluate.main(Array("--test", testTsv, "--model", out,
+      "--exec", "partitioned"))
   }
 
   test("warm start resumes from a checkpoint with matching shapes") {

@@ -95,6 +95,22 @@ class TransESpec extends SparkSpec {
       s"combined mean rank $meanRank not better than random ($random)")
   }
 
+  test("partitioned eval ranks EQUAL the broadcast eval (at-scale path)") {
+    val (fit, test) = TransEQueries.fitted(spark, sf)
+    val model = fit.model
+    def key(rs: Array[LinkPrediction.Ranks]) =
+      rs.map(r => (r.rank_head, r.rank_tail)).sorted.toSeq
+    val broadcastRanks = key(LinkPrediction.rankTriples(test, model).collect())
+    // the entity matrix as a distributed table — the checkpoint-read shape
+    val entities = EmbeddingIO.toDF(spark, model.entity)
+      .select(col("id"), col("vec"))
+      .repartition(8) // force a genuinely partitioned scan
+    val partRanks = key(LinkPrediction.rankTriplesPartitioned(
+      test, entities, model.label, model.params.distance).collect())
+    assert(partRanks == broadcastRanks,
+      "partitioned eval diverged from the broadcast eval")
+  }
+
   test("bloom membership trains equivalently (at-scale path)") {
     val (enc, nEnt, nLab) = encoded
     val params = TransEParams(epochs = 2, batches = 2, dim = 8, seed = 5,
