@@ -29,16 +29,20 @@ object Bench {
     // k=50, n_batches=2, L1 on 272k triples / 1 worker): measured before
     // the query sweep so host-throttling of long runs doesn't skew the
     // headline metric. 3 epochs at the reference hyperparameters.
-    val epochSec = try {
+    val (epochSec, epochSecMin) = try {
       val (enc, _, _, nEnt, nLab) =
         graft.queries.TransEQueries.encodedKg(spark, sfDir)
       enc.count() // materialize the persisted encode lineage OUTSIDE the timer
       val p = graft.transe.TransEParams(epochs = 3, batches = 2,
         margin = 1.0f, lr = 0.01f, dim = 50, distance = graft.transe.L1)
+      val trainer = new graft.transe.TransETrainer(p)
       val t0 = System.nanoTime()
-      new graft.transe.TransETrainer(p).fit(enc, nEnt, nLab)
-      (System.nanoTime() - t0) / 1e9 / p.epochs
-    } catch { case _: Throwable => -1.0 }
+      trainer.fit(enc, nEnt, nLab)
+      val mean = (System.nanoTime() - t0) / 1e9 / p.epochs
+      // the sandbox throttles sustained CPU (3-65 s/epoch swings measured
+      // on identical code); min-of-epochs is the steady-state number
+      (mean, trainer.epochSecsHistory.min)
+    } catch { case _: Throwable => (-1.0, -1.0) }
 
     // failed queries record the -1 sentinel and are excluded from `total`
     // (a thrown count() must not read as a fast successful run)
@@ -50,7 +54,8 @@ object Bench {
       }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    val qs = (results :+ ("transe_epoch_sec" -> epochSec))
+    val qs = (results :+ ("transe_epoch_sec" -> epochSec)
+        :+ ("transe_epoch_sec_min" -> epochSecMin))
       .map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum

@@ -77,6 +77,12 @@ class TransETrainer(params: TransEParams) extends Serializable {
   /** Per-epoch hinge loss trajectory of the last `fit` call. */
   @volatile var lossHistory: Vector[Double] = Vector.empty
 
+  /** Per-epoch wall seconds of the last `fit` call. The host sandbox
+    * throttles sustained CPU (measured 3-65 s/epoch swings on identical
+    * code), so the MIN is the steady-state epoch time; the mean is the
+    * throttle lottery. Bench reports both. */
+  @volatile var epochSecsHistory: Vector[Double] = Vector.empty
+
   def fit(triples: Dataset[Triple], nEntities: Int, nLabels: Int): TransEModel =
     fit(triples, nEntities, nLabels, warmStart = None)
 
@@ -184,8 +190,10 @@ class TransETrainer(params: TransEParams) extends Serializable {
     var tBroadcast, tJob, tMerge, tDestroy = 0L
     def tick(): Long = System.nanoTime()
 
+    var epochSecs = Vector.empty[Double]
     var epoch = 0
     while (epoch < p.epochs) {
+      val tEpoch0 = tick()
       // loss rides in the COLLECTED deltas, not an accumulator: updates
       // from transformations are re-applied on task retry / speculative
       // execution, which would inflate the metric nondeterministically on
@@ -223,6 +231,7 @@ class TransETrainer(params: TransEParams) extends Serializable {
         batch += 1
       }
       history :+= epochLoss
+      epochSecs :+= (tick() - tEpoch0) / 1e9
       epoch += 1
       // periodic VERSIONED checkpoint (reference writes per-epoch files
       // entity_embedding_<id>.pkl, utils.py:44-49 / TransE.py:108-111):
@@ -241,6 +250,7 @@ class TransETrainer(params: TransEParams) extends Serializable {
           f"rounds=${p.epochs * p.batches}")
     }
     lossHistory = history
+    epochSecsHistory = epochSecs
     membBc.destroy()
     data.unpersist()
     TransEModel(entity, label, params)
