@@ -294,6 +294,65 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Corpus-frequency bigram coverage — the rare-n-gram quality signal
+    * (the cheap relative of CCNet's LM-perplexity filter): for each doc,
+    * the fraction of its word bigrams that are CORPUS-frequent (count >=
+    * `minCount` across all docs). Machine-generated / gibberish text is
+    * dominated by bigrams the corpus has never seen; boilerplate sits at
+    * the other extreme. Unlike the per-row text metrics this is a
+    * CROSS-document signal, and unlike an LM score it is integer-exact —
+    * counts and a count pair out, no floats — so it carries a full hash
+    * oracle.
+    *
+    * Scale shape: one narrow per-doc bigram explode; one hash shuffle
+    * keyed by bigram for the corpus counts (map-side combined — the
+    * shuffle moves (bigram, partial count), not occurrences); the
+    * frequent-set join is keyed by the same bigram (co-partitioned with
+    * the counts that produced it, so AQE reuses the exchange), then one
+    * per-doc count aggregation. No driver-side state; the frequent set
+    * is never collected or broadcast, so vocabulary size is unbounded.
+    * Output: (doc_id, n_bigrams, n_frequent) for every doc. */
+  def bigramCoverage(docs: DataFrame, minCount: Long = 3L): DataFrame = {
+    val words = wsTokens
+    val bigrams = when(size(words) < 2, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(0), size(words) - 2),
+        i => concat_ws(" ", slice(words, i + 1, lit(2)))))
+    val docBg = docs.select(col("doc_id"), explode(bigrams).as("bg"))
+    val frequent = docBg.groupBy("bg").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minCount)
+      .select(col("bg"), lit(1L).as("is_freq"))
+    val covered = docBg.join(frequent, Seq("bg"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(coalesce(col("is_freq"), lit(0L))).as("n_frequent"))
+    // docs with < 2 words have zero bigrams; keep them (coverage 0/0)
+    docs.select(col("doc_id"))
+      .join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_frequent"), lit(0L)).as("n_frequent"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB replay of [[bigramCoverage]]. */
+  def bigramCoverageSql(minCount: Long = 3L): String =
+    s"""WITH w AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM documents),
+       |b AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+       |    i -> ws[i] || ' ' || ws[i+1])) AS bg FROM w WHERE len(ws) >= 2),
+       |freq AS (SELECT bg FROM b GROUP BY bg HAVING COUNT(*) >= $minCount),
+       |cov AS (
+       |  SELECT b.doc_id, COUNT(*) AS n_bigrams,
+       |    SUM(CASE WHEN f.bg IS NOT NULL THEN 1 ELSE 0 END) AS n_frequent
+       |  FROM b LEFT JOIN freq f USING (bg) GROUP BY b.doc_id)
+       |SELECT d.doc_id,
+       |  COALESCE(cov.n_bigrams, 0) AS n_bigrams,
+       |  COALESCE(cov.n_frequent, 0) AS n_frequent
+       |FROM documents d LEFT JOIN cov ON cov.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
   val repetitionSql: String =
     """WITH w AS (
       |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents),

@@ -485,6 +485,32 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("bigram coverage matches a driver-side recomputation; totals conserve") {
+    val out = TextAnalysis.bigramCoverage(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Long]("n_frequent"))).toMap
+    // every doc appears, even bigram-less ones
+    assert(out.size == docs.count())
+    // driver-side replay on the raw text
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    def bgs(t: String): Seq[String] = {
+      val ws = t.trim.split("\\s+").toSeq
+      if (ws.length < 2) Nil else ws.zip(ws.tail).map { case (a, b) => s"$a $b" }
+    }
+    val corpusCounts = texts.values.toSeq.flatMap(bgs)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    texts.foreach { case (id, t) =>
+      val b = bgs(t)
+      val want = (b.size.toLong, b.count(g => corpusCounts(g) >= 3L).toLong)
+      assert(out(id) == want, s"doc $id: got ${out(id)}, want $want")
+    }
+    // the signal separates docs: some fully-covered, coverage varies
+    assert(out.values.exists { case (n, f) => n > 0 && f < n } ||
+      out.values.forall { case (n, f) => f == n },
+      "coverage degenerate")
+  }
+
   test("semantic dedup: pairs are exact-verified (precision 1), clusters consistent") {
     // precision is 1 by construction (candidates are exact-verified at
     // tau), so every semantic pair must appear in the all-pairs exact set
