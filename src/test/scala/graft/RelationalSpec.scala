@@ -85,6 +85,37 @@ class RelationalSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("topk_pairs equals the window spelling on randomized data (100 groups, ties, k sweep)") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    import spark.implicits._
+    // deterministic fixture: heavy tie mass (ord mod 7) to stress the
+    // (ord desc, id asc) tie-break through buffer insert/merge paths
+    val rnd = new scala.util.Random(20260813L)
+    val rows = (0 until 5000).map { i =>
+      (s"g${rnd.nextInt(100)}", (rnd.nextInt(1000) % 7).toLong * 10 + rnd.nextInt(3), i.toLong)
+    }
+    val df = rows.toDF("g", "ord", "id").repartition(7).cache()
+    for (k <- Seq(1, 2, 5)) {
+      val got = df.groupBy("g")
+        .agg(call_function("topk_pairs", col("ord"), col("id"), lit(k)).as("top"))
+        .select(col("g"), posexplode(col("top")))
+        .select(col("g"), (col("pos") + 1).cast("long").as("rn"),
+          col("col.ord"), col("col.id"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      val w = Window.partitionBy("g").orderBy(col("ord").desc, col("id").asc)
+      val want = df.withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= k)
+        .select("g", "rn", "ord", "id")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(got == want, s"k=$k diverged: extra=${got -- want}, missing=${want -- got}")
+    }
+    df.unpersist()
+  }
+
   test("topk_pairs: k larger than group, ties broken by min id, null ord dropped") {
     import org.apache.spark.sql.functions._
     graft.functions.VectorFunctions.ensureRegistered(spark)
