@@ -143,22 +143,36 @@ case class VectorL1(left: Expression, right: Expression) extends VectorBinaryExp
 /** Registration + Column-API helpers. Registration is per-session (kept in
   * the session's FunctionRegistry); `ensureRegistered` is idempotent. */
 object VectorFunctions {
+  /** SQL-facing arity check: a 2-argument `topk_pairs(...)` call must fail
+    * with a function-arity error, not a raw IndexOutOfBoundsException. */
+  private def checkArity(name: String, n: Int, es: Seq[Expression]): Unit =
+    if (es.length != n) throw new IllegalArgumentException(
+      s"$name requires exactly $n argument(s), got ${es.length}")
+
   private[functions] val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    ("vector_dot", es => VectorDot(es(0), es(1))),
-    ("vector_cosine", es => VectorCosine(es(0), es(1))),
-    ("vector_l2sq", es => VectorL2Sq(es(0), es(1))),
-    ("vector_l1", es => VectorL1(es(0), es(1))),
+    ("vector_dot", es => { checkArity("vector_dot", 2, es); VectorDot(es(0), es(1)) }),
+    ("vector_cosine", es => { checkArity("vector_cosine", 2, es); VectorCosine(es(0), es(1)) }),
+    ("vector_l2sq", es => { checkArity("vector_l2sq", 2, es); VectorL2Sq(es(0), es(1)) }),
+    ("vector_l1", es => { checkArity("vector_l1", 2, es); VectorL1(es(0), es(1)) }),
     // deterministic HLL sketch as a TypedImperativeAggregate (4 KB
     // mergeable buffers; same estimates + oracle as Sketches.hllDistinct)
-    ("hll_sketch", es => HllSketchAgg(es.head)),
+    ("hll_sketch", es => { checkArity("hll_sketch", 1, es); HllSketchAgg(es.head) }),
     // bounded per-group top-k heaps with map-side combine; third arg must
-    // be a literal k (the buffer is sized at plan time, not per row)
+    // be FOLDABLE to an integer k at plan time (the buffer is sized then,
+    // not per row) — any constant expression works, e.g. `5` or `2 + 3`
     ("topk_pairs", es => {
-      val k = es(2) match {
-        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-        case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v.toInt
-        case other => throw new IllegalArgumentException(
-          s"topk_pairs k must be an integer literal, got $other")
+      checkArity("topk_pairs", 3, es)
+      val kExpr = es(2)
+      val k = (if (kExpr.foldable) {
+        try Option(kExpr.eval()) catch { case _: Exception => None }
+      } else None) match {
+        case Some(i: Int) => i
+        case Some(l: Long) => l.toInt
+        case Some(s: Short) => s.toInt
+        case Some(b: Byte) => b.toInt
+        case _ => throw new IllegalArgumentException(
+          "topk_pairs third argument (k) must be a constant integer " +
+            s"expression evaluable at plan time, got: ${kExpr.sql}")
       }
       TopKPairsAgg(es(0), es(1), k)
     }))

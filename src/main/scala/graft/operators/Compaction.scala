@@ -37,9 +37,25 @@ object Compaction {
     * Returns (input file count, output file count). */
   def compact(spark: SparkSession, inDir: String, outDir: String,
       targetBytes: Long, even: Boolean = false): (Int, Int) = {
-    val fs = new Path(inDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val files = fs.listStatus(new Path(inDir))
-      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    val inPath = new Path(inDir)
+    val fs = inPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val outQualified = fs.makeQualified(new Path(outDir))
+    // overwrite-mode write into the directory we are lazily reading would
+    // destroy the input before the read plan materializes
+    require(fs.makeQualified(inPath) != outQualified,
+      s"compact: outDir must differ from inDir ($outQualified)")
+    // size from a RECURSIVE walk: hive-partitioned inputs keep their data
+    // files in subdirectories, and a top-level-only listing would see
+    // total=0 and silently coalesce the whole dataset into one file
+    val files = {
+      val it = fs.listFiles(inPath, /* recursive = */ true)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.LocatedFileStatus]
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.isFile && f.getPath.getName.endsWith(".parquet")) buf += f
+      }
+      buf.toArray
+    }
     val total = files.map(_.getLen).sum
     val n = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
     val df = spark.read.parquet(inDir)
@@ -85,8 +101,12 @@ object Compaction {
 
   def roundTripAggSql: String = {
     val hv = OracleSql.hexVal("md5(text)", 1, 8)
-    s"""SELECT lang, source, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars,
-       |  SUM(CAST($hv AS BIGINT)) AS content_sum
+    // CAST the SUMs: DuckDB SUM(<int>) types as HUGEINT, which pandas
+    // fetches as float64 and the driver's dtype-sensitive hash rejects
+    // even when every value matches (CORRECTNESS_r02).
+    s"""SELECT lang, source, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       |  CAST(SUM(CAST($hv AS BIGINT)) AS BIGINT) AS content_sum
        |FROM documents
        |GROUP BY lang, source ORDER BY lang, source""".stripMargin
   }

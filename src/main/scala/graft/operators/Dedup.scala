@@ -59,6 +59,17 @@ object Dedup {
           i => concat_ws(" ", slice(words, i + 1, lit(n)))))).as("shingle"))
   }
 
+  /** md5-derived signed 64-bit hash of a string column — the
+    * engine-portable shingle KEY. Spark evaluates
+    * `conv(first-16-md5-hex-chars, 16, -10)` (signed two's-complement,
+    * all codegen'd built-ins); DuckDB replays the identical value via
+    * [[OracleSql.hex64Signed]], and the JVM via [[md5Hash64]]. Keying on
+    * this instead of `xxhash64` keeps shuffles on 8-byte longs AND makes
+    * any hash collision hit both engines identically, so an oracle replay
+    * can never silently diverge from the Spark side. */
+  def hash64Col(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 16), 16, -10).cast("long")
+
   // ----------------------------------------- shared dedup-first machinery
   /** md5 clone clusters, shared by the Jaccard operators: members maps
     * every doc to its content hash; reps keep one representative (min

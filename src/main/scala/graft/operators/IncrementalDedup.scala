@@ -49,8 +49,13 @@ object IncrementalDedup {
       .select(col("doc_id"), col("dup_exact_of"))
 
     // ---- near: inverted-index probe + exact Jaccard on candidates
+    // shingle key = md5-derived hash64, the SAME function the DuckDB
+    // replay computes ([[OracleSql.hex64Signed]]) — not xxhash64, which
+    // DuckDB cannot evaluate: with engine-distinct hash functions a
+    // collision on either side would silently diverge set sizes and
+    // Jaccard counts from the oracle
     def hashedShingles(docs: DataFrame) = Dedup.shingles(docs, n)
-      .select(col("doc_id"), xxhash64(col("shingle")).as("sh"))
+      .select(col("doc_id"), Dedup.hash64Col(col("shingle")).as("sh"))
       .distinct()
     val cSh0 = hashedShingles(corpus).persist()
     // hot shingles: corpus doc-frequency above the cap — dropped from
@@ -97,32 +102,39 @@ object IncrementalDedup {
   /** DuckDB replay of [[flagBatch]] where corpus/batch are SQL-defined
     * slices of the documents table (`batchPred` selects the batch). */
   def flagBatchSql(batchPred: String, n: Int = 5, tau: Double = 0.5,
-      maxDocFreq: Int = 500): String =
+      maxDocFreq: Int = 500): String = {
+    // the SAME md5-derived hash64 the Spark side keys on
+    // ([[Dedup.hash64Col]]) — sizes, hot-cap, and intersections all live
+    // in the hashed universe in BOTH engines
+    val h64 = OracleSql.hex64Signed("md5(shingle)")
     s"""WITH batch AS (SELECT doc_id, text FROM documents WHERE $batchPred),
        |corpus AS (SELECT doc_id, text FROM documents WHERE NOT ($batchPred)),
        |cmd5 AS (SELECT md5(text) AS h, MIN(doc_id) AS dup_exact_of
        |         FROM corpus GROUP BY md5(text)),
        |exact AS (SELECT b.doc_id, cmd5.dup_exact_of
        |          FROM batch b LEFT JOIN cmd5 ON md5(b.text) = cmd5.h),
-       |csh0 AS (
-       |  SELECT DISTINCT doc_id, array_to_string(w[i:i+${n - 1}], ' ') AS shingle
+       |cshs AS (
+       |  SELECT doc_id, array_to_string(w[i:i+${n - 1}], ' ') AS shingle
        |  FROM (SELECT doc_id, w, unnest(range(1, greatest(len(w) - ${n - 1}, 1) + 1)) AS i
        |        FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM corpus))
+       |), csh0 AS (
+       |  SELECT DISTINCT doc_id, $h64 AS sh FROM cshs
        |), hot AS (
-       |  SELECT shingle FROM csh0 GROUP BY shingle HAVING COUNT(*) > $maxDocFreq
+       |  SELECT sh FROM csh0 GROUP BY sh HAVING COUNT(*) > $maxDocFreq
        |), csh AS (
-       |  SELECT doc_id, shingle FROM csh0 WHERE shingle NOT IN (SELECT shingle FROM hot)
+       |  SELECT doc_id, sh FROM csh0 WHERE sh NOT IN (SELECT sh FROM hot)
+       |), bshs AS (
+       |  SELECT doc_id, array_to_string(w[i:i+${n - 1}], ' ') AS shingle
+       |  FROM (SELECT doc_id, w, unnest(range(1, greatest(len(w) - ${n - 1}, 1) + 1)) AS i
+       |        FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM batch))
        |), bsh AS (
-       |  SELECT doc_id, shingle FROM (
-       |    SELECT DISTINCT doc_id, array_to_string(w[i:i+${n - 1}], ' ') AS shingle
-       |    FROM (SELECT doc_id, w, unnest(range(1, greatest(len(w) - ${n - 1}, 1) + 1)) AS i
-       |          FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM batch)))
-       |  WHERE shingle NOT IN (SELECT shingle FROM hot)
+       |  SELECT doc_id, sh FROM (SELECT DISTINCT doc_id, $h64 AS sh FROM bshs)
+       |  WHERE sh NOT IN (SELECT sh FROM hot)
        |), csizes AS (SELECT doc_id, COUNT(*) AS n_c FROM csh GROUP BY doc_id),
        |bsizes AS (SELECT doc_id, COUNT(*) AS n_b FROM bsh GROUP BY doc_id),
        |inter AS (
        |  SELECT b.doc_id AS b_id, c.doc_id AS c_id, COUNT(*) AS n_common
-       |  FROM bsh b JOIN csh c ON b.shingle = c.shingle
+       |  FROM bsh b JOIN csh c ON b.sh = c.sh
        |  GROUP BY 1, 2
        |), scored AS (
        |  SELECT b_id, c_id,
@@ -144,4 +156,5 @@ object IncrementalDedup {
        |       ELSE 'keep' END AS verdict
        |FROM exact e LEFT JOIN best ON e.doc_id = best.doc_id
        |ORDER BY e.doc_id""".stripMargin
+  }
 }

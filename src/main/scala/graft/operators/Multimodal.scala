@@ -11,10 +11,14 @@ import org.apache.spark.sql.functions._
   * per-partition decoders.
   *
   * The Spark side is real — schema, partitioning, batch shape, feature
-  * extraction contract; the codec itself is a STUB (no image/audio
-  * libraries in this container): `StubCodec.decode` derives deterministic
-  * fake dimensions/features from md5 of the bytes. Swapping in a real
-  * decoder (JPEG/PNG/ffmpeg) changes ONLY the codec object — the operator
+  * extraction contract — and TWO codecs sit behind the same seam:
+  * [[JvmImageCodec]], a real pure-JVM decoder (PNG/BMP/GIF/JPEG via
+  * javax.imageio + a binary-PPM parser), and [[StubCodec]], which
+  * derives deterministic fake dimensions/features from md5 of the bytes.
+  * The REGISTERED queries use the stub, because only the stub is
+  * SQL-replayable (full DuckDB value-hash oracle); the real codec runs
+  * the identical operator in MultimodalCodecSpec. Swapping in a heavier
+  * decoder (ffmpeg, turbo-jpeg) changes ONLY the codec object — operator
   * signatures, schemas, and execution shape stay identical.
   *
   * The md5 basis is deliberate: DuckDB can replay the whole pseudo-decode
@@ -72,6 +76,116 @@ object Multimodal {
         .toSeq
   }
 
+  /** ======= REAL codec: pure-JVM image decode =======
+    * Decodes the formats the JDK itself can read — PNG, BMP, GIF, JPEG,
+    * WBMP via `javax.imageio` (headless-safe, no native libs) — plus
+    * binary PPM (P6), which ImageIO lacks. This is the production seam
+    * [[StubCodec]] stands in for: same (width, height, channels,
+    * features) contract, so [[decodeFeatures]] runs identically over
+    * either. Features are the per-cell mean RGB intensity of a 2x4 grid,
+    * accumulated in integer space and divided once — exact IEEE, the
+    * same on every JVM.
+    *
+    * The stub stays the REGISTERED query's codec: a real decode is not
+    * SQL-replayable, and the oracle discipline (DuckDB replays the full
+    * operator) matters more for the driver gate than decoding bytes that
+    * are text anyway. Real-format coverage is asserted in
+    * MultimodalCodecSpec over generated PNG/BMP/PPM images. */
+  object JvmImageCodec {
+    /** (width, height, channels, 8 grid-mean features in [0,1]), or None
+      * if the bytes decode in no supported format. */
+    def decode(bytes: Array[Byte]): Option[(Int, Int, Int, Array[Double])] =
+      decodePpm(bytes).orElse(decodeImageIo(bytes)).map { case (w, h, c, px) =>
+        (w, h, c, gridFeatures(w, h, px))
+      }
+
+    /** 2x4 grid of mean RGB intensity: px(y)(x) = r+g+b summed per cell,
+      * divided by 3*255*cellArea. Integer sums -> one division: exact. */
+    private def gridFeatures(w: Int, h: Int, px: (Int, Int) => Int): Array[Double] = {
+      val sums = new Array[Long](8)
+      val counts = new Array[Long](8)
+      var y = 0
+      while (y < h) {
+        val gy = if (h == 1) 0 else math.min(2 * y / h, 1)
+        var x = 0
+        while (x < w) {
+          val gx = if (w == 1) 0 else math.min(4 * x / w, 3)
+          val cell = gy * 4 + gx
+          sums(cell) += px(x, y)
+          counts(cell) += 1
+          x += 1
+        }
+        y += 1
+      }
+      Array.tabulate(8)(i =>
+        if (counts(i) == 0) 0.0 else sums(i).toDouble / (3.0 * 255.0 * counts(i)))
+    }
+
+    private def decodeImageIo(bytes: Array[Byte]): Option[(Int, Int, Int, (Int, Int) => Int)] =
+      try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        if (img == null) None
+        else {
+          val c = img.getColorModel.getNumComponents
+          Some((img.getWidth, img.getHeight, c, (x: Int, y: Int) => {
+            val rgb = img.getRGB(x, y)
+            ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+          }))
+        }
+      } catch { case _: Exception => None }
+
+    /** Binary PPM (P6): `P6 <w> <h> <maxval>` header (whitespace/#comment
+      * separated) followed by w*h raw RGB triples. maxval must be 255. */
+    private def decodePpm(bytes: Array[Byte]): Option[(Int, Int, Int, (Int, Int) => Int)] = {
+      if (bytes.length < 2 || bytes(0) != 'P' || bytes(1) != '6') return None
+      var pos = 2
+      def skipWs(): Unit = {
+        var go = true
+        while (go && pos < bytes.length) {
+          val b = bytes(pos)
+          if (b == '#') { while (pos < bytes.length && bytes(pos) != '\n') pos += 1 }
+          else if (b == ' ' || b == '\t' || b == '\n' || b == '\r') pos += 1
+          else go = false
+        }
+      }
+      def readInt(): Int = {
+        skipWs()
+        var v = 0; var any = false
+        while (pos < bytes.length && bytes(pos) >= '0' && bytes(pos) <= '9') {
+          v = v * 10 + (bytes(pos) - '0'); pos += 1; any = true
+        }
+        if (!any) -1 else v
+      }
+      val w = readInt(); val h = readInt(); val maxVal = readInt()
+      pos += 1 // single whitespace after maxval, per spec
+      if (w <= 0 || h <= 0 || maxVal != 255 ||
+        bytes.length - pos < 3L * w * h) return None
+      val base = pos
+      Some((w, h, 3, (x: Int, y: Int) => {
+        val off = base + 3 * (y * w + x)
+        (bytes(off) & 0xff) + (bytes(off + 1) & 0xff) + (bytes(off + 2) & 0xff)
+      }))
+    }
+  }
+
+  /** [[decodeFeatures]] with the REAL codec: same schema, real decode;
+    * rows whose bytes decode in no supported format are dropped (a
+    * production pipeline quarantines them). Not oracle-registered — a
+    * real decode has no SQL replay; see JvmImageCodec scaladoc. */
+  def decodeFeaturesReal(assets: DataFrame): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select(col("asset_id"), col("media")).as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        JvmImageCodec.decode(bytes).map { case (w, h, c, f) =>
+          (id, w.toLong, h.toLong, c.toLong, bytes.length.toLong,
+            f(0), f(1), f(2), f(3), f(4), f(5), f(6), f(7))
+        }
+      }
+      .toDF(Seq("asset_id", "width", "height", "channels", "n_bytes") ++ featCols: _*)
+      .orderBy("asset_id")
+  }
+
   /** Build a media-asset table from the documents table: text bytes stand
     * in for media blobs; metadata is a typed struct. (In production the
     * binary column comes straight from the lakehouse.) */
@@ -113,10 +227,13 @@ object Multimodal {
       .map(j => s"CAST(${hv(17 + 2 * j, 2)} AS DOUBLE)/255.0 AS f$j").mkString(", ")
     s"""WITH h AS (SELECT doc_id AS asset_id, md5(text) AS hex,
        |                  octet_length(CAST(text AS BLOB)) AS n_bytes FROM documents)
-       |SELECT asset_id, 64 + ${hv(1, 3)} % 1024 AS width,
-       |       64 + ${hv(4, 3)} % 1024 AS height,
-       |       1 + ${hv(7, 1)} % 4 AS channels, n_bytes, $fs
+       |SELECT asset_id, CAST(64 + ${hv(1, 3)} % 1024 AS BIGINT) AS width,
+       |       CAST(64 + ${hv(4, 3)} % 1024 AS BIGINT) AS height,
+       |       CAST(1 + ${hv(7, 1)} % 4 AS BIGINT) AS channels, n_bytes, $fs
        |FROM h ORDER BY asset_id""".stripMargin
+    // CASTs: the hex-derived integer arithmetic types as HUGEINT in
+    // DuckDB (-> pandas float64), failing the driver's dtype-sensitive
+    // hash even though every value equals the Spark LONG output.
   }
 
   /** Frame sampling for video-like media: explode sampled frames with
@@ -157,9 +274,11 @@ object Multimodal {
        |  WHERE i % $everyN = 0
        |), h AS (SELECT asset_id, frame_idx, md5(frame) AS hex,
        |                CAST(length(frame) AS BIGINT) AS frame_chars FROM chunks)
-       |SELECT asset_id, frame_idx, 64 + ${hv(1, 3)} % 1024 AS width,
-       |       64 + ${hv(4, 3)} % 1024 AS height, frame_chars, $fs
+       |SELECT asset_id, frame_idx, CAST(64 + ${hv(1, 3)} % 1024 AS BIGINT) AS width,
+       |       CAST(64 + ${hv(4, 3)} % 1024 AS BIGINT) AS height, frame_chars, $fs
        |FROM h ORDER BY asset_id, frame_idx""".stripMargin
+    // width/height CASTs: same HUGEINT->float64 dtype artifact as
+    // decodeFeaturesSql.
   }
 
   /** Decoded features as an `ARRAY<FLOAT>` embedding column — the typed

@@ -348,10 +348,12 @@ object TextAnalysis {
        |    SUM(CASE WHEN f.bg IS NOT NULL THEN 1 ELSE 0 END) AS n_frequent
        |  FROM b LEFT JOIN freq f USING (bg) GROUP BY b.doc_id)
        |SELECT d.doc_id,
-       |  COALESCE(cov.n_bigrams, 0) AS n_bigrams,
-       |  COALESCE(cov.n_frequent, 0) AS n_frequent
+       |  CAST(COALESCE(cov.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       |  CAST(COALESCE(cov.n_frequent, 0) AS BIGINT) AS n_frequent
        |FROM documents d LEFT JOIN cov ON cov.doc_id = d.doc_id
        |ORDER BY d.doc_id""".stripMargin
+  // ^ CASTs: SUM(CASE...) types as HUGEINT in DuckDB (pandas float64),
+  //   failing the driver's dtype-sensitive hash on bit-equal values.
 
   val repetitionSql: String =
     """WITH w AS (

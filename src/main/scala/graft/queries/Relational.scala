@@ -178,7 +178,7 @@ object Relational {
 
   val q7Sql: String =
     """SELECT l_returnflag,
-      |  SUM(CASE WHEN l_quantity <= 10 THEN 1 ELSE 0 END) AS n_small,
+      |  CAST(SUM(CASE WHEN l_quantity <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_small,
       |  COUNT(*) AS n_total,
       |  CAST(FLOOR(SUM(CASE WHEN l_quantity <= 10 THEN 1 ELSE 0 END) * 1000000 / COUNT(*)) AS BIGINT) AS small_ratio_ppm
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
@@ -486,11 +486,11 @@ object Relational {
 
   val q22Sql: String =
     """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
-      |  COALESCE(SUM(CASE WHEN event_type = 'click' THEN 1 END), 0) AS click,
-      |  COALESCE(SUM(CASE WHEN event_type = 'error' THEN 1 END), 0) AS error,
-      |  COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 END), 0) AS purchase,
-      |  COALESCE(SUM(CASE WHEN event_type = 'signup' THEN 1 END), 0) AS signup,
-      |  COALESCE(SUM(CASE WHEN event_type = 'view' THEN 1 END), 0) AS view
+      |  CAST(COALESCE(SUM(CASE WHEN event_type = 'click' THEN 1 END), 0) AS BIGINT) AS click,
+      |  CAST(COALESCE(SUM(CASE WHEN event_type = 'error' THEN 1 END), 0) AS BIGINT) AS error,
+      |  CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 END), 0) AS BIGINT) AS purchase,
+      |  CAST(COALESCE(SUM(CASE WHEN event_type = 'signup' THEN 1 END), 0) AS BIGINT) AS signup,
+      |  CAST(COALESCE(SUM(CASE WHEN event_type = 'view' THEN 1 END), 0) AS BIGINT) AS view
       |FROM events GROUP BY 1 ORDER BY day""".stripMargin
 
   // ------------------------------------------------------ q23_lead_lag

@@ -67,8 +67,11 @@ object JsonLines {
 
   def roundTripAggSql: String = {
     val hv = graft.operators.OracleSql.hexVal("md5(text)", 1, 8)
-    s"""SELECT lang, source, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars,
-       |  SUM(CAST($hv AS BIGINT)) AS content_sum
+    // CAST the SUMs to BIGINT: DuckDB SUM(<int>) is HUGEINT -> pandas
+    // float64 -> driver dtype-hash mismatch despite equal values
+    s"""SELECT lang, source, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       |  CAST(SUM(CAST($hv AS BIGINT)) AS BIGINT) AS content_sum
        |FROM documents
        |GROUP BY lang, source ORDER BY lang, source""".stripMargin
   }

@@ -80,6 +80,47 @@ class SqlSurfaceSpec extends SparkSpec {
     }
   }
 
+  test("topk_pairs: bad arity and non-constant k fail with arity errors, foldable k works") {
+    VectorFunctions.ensureRegistered(spark)
+    Tables.orders(spark, sf).createOrReplaceTempView("orders_v")
+    // 2-argument call: a named arity error, not IndexOutOfBoundsException
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT topk_pairs(o_orderkey, o_custkey) FROM orders_v").collect()
+    }
+    assert(e2.getMessage.contains("3 argument"), s"got: ${e2.getMessage}")
+    // non-constant k (a column) is rejected by name
+    val eCol = intercept[Exception] {
+      spark.sql(
+        """SELECT topk_pairs(o_orderkey, o_custkey, CAST(o_orderkey AS INT))
+          |FROM orders_v""".stripMargin).collect()
+    }
+    assert(eCol.getMessage.contains("constant integer"), s"got: ${eCol.getMessage}")
+    // foldable-but-non-literal k (1 + 1) resolves at plan time
+    val rows = spark.sql(
+      """SELECT o_orderstatus, topk_pairs(o_orderkey, o_custkey, 1 + 1) AS top
+        |FROM orders_v GROUP BY o_orderstatus""".stripMargin).collect()
+    assert(rows.nonEmpty && rows.forall(_.getSeq[org.apache.spark.sql.Row](1).length <= 2))
+  }
+
+  test("Dedup.hash64Col equals the JVM md5Hash64 (incl. negative/high-bit values)") {
+    // the engine-portable shingle key rests on conv(md5_hex16, 16, -10)
+    // being the signed two's-complement read of the first 8 md5 bytes —
+    // assert column, JVM, and sign behavior agree on a spread of strings
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val samples = (0 until 64).map(i => s"shingle sample $i") ++
+      Seq("", " ", "unicode é中文", "a b c d e")
+    val got = samples.toDF("s")
+      .select(col("s"), graft.operators.Dedup.hash64Col(col("s")).as("h"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    samples.foreach { s =>
+      assert(got(s) == graft.operators.Dedup.md5Hash64(md, s),
+        s"hash64Col vs md5Hash64 diverge on '$s'")
+    }
+    assert(got.values.exists(_ < 0L), "expected some high-bit (negative) hashes")
+  }
+
   test("a full pipeline query is expressible in one SQL statement") {
     VectorFunctions.ensureRegistered(spark)
     Tables.embeddings(spark, sf).createOrReplaceTempView("embeddings_v")

@@ -39,6 +39,16 @@ def main():
             print(f"FAIL {name}: cols {list(got.columns)} vs {list(want.columns)}"); n_fail += 1; continue
         if len(got) != len(want):
             print(f"FAIL {name}: rows {len(got)} vs {len(want)}"); n_fail += 1; continue
+        # DTYPE GUARD (driver parity): the driver's hash is dtype-sensitive.
+        # A DuckDB HUGEINT column (uncast SUM over integers / SUM(CASE..))
+        # reaches pandas as float64 while Spark writes int64 — bit-equal
+        # values, failed hash (all 7 CORRECTNESS_r02 fails were this).
+        # Any mismatch here means the ORACLE SQL needs a CAST.
+        dt_bad = [c for c in got.columns if str(got[c].dtype) != str(want[c].dtype)]
+        if dt_bad:
+            for c in dt_bad:
+                print(f"FAIL {name}: dtype col {c}: spark {got[c].dtype} vs oracle {want[c].dtype}")
+            n_fail += 1; continue
         ok = True
         for c in got.columns:
             a, b = got[c].tolist(), want[c].tolist()
