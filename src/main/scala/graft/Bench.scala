@@ -44,6 +44,31 @@ object Bench {
       (mean, trainer.epochSecsHistory.min)
     } catch { case _: Throwable => (-1.0, -1.0) }
 
+    // FB15k-237-SHAPED stress (VERDICT r2 #5): the baseline epoch number
+    // (13.50 s) was published at 14,541 entities / 237 relations /
+    // 272,115 triples — the sf0.1 KG matches hyperparameters but not
+    // shape (1.43M triples, ~19k entities). Train a seeded synthetic KG
+    // at the PUBLISHED shape for 20 epochs so the comparison is matched
+    // on both axes; min-of-epochs is the steady-state (throttle-free)
+    // figure, as for transe_epoch_sec_min.
+    val (fbShapeSec, fbShapeSecMin) = try {
+      import spark.implicits._
+      val nEnt = 14541; val nLab = 237; val nTriples = 272115
+      val kg = spark.range(nTriples).map { i =>
+        val r = new java.util.SplittableRandom(0x5eed5eedL + i)
+        graft.transe.Triple(r.nextInt(nEnt), r.nextInt(nLab), r.nextInt(nEnt))
+      }.persist()
+      kg.count() // materialize outside the timer
+      val p = graft.transe.TransEParams(epochs = 20, batches = 2,
+        margin = 1.0f, lr = 0.01f, dim = 50, distance = graft.transe.L1)
+      val trainer = new graft.transe.TransETrainer(p)
+      val t0 = System.nanoTime()
+      trainer.fit(kg, nEnt, nLab)
+      val mean = (System.nanoTime() - t0) / 1e9 / p.epochs
+      kg.unpersist()
+      (mean, trainer.epochSecsHistory.min)
+    } catch { case _: Throwable => (-1.0, -1.0) }
+
     // failed queries record the -1 sentinel and are excluded from `total`
     // (a thrown count() must not read as a fast successful run)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -55,7 +80,9 @@ object Bench {
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = (results :+ ("transe_epoch_sec" -> epochSec)
-        :+ ("transe_epoch_sec_min" -> epochSecMin))
+        :+ ("transe_epoch_sec_min" -> epochSecMin)
+        :+ ("transe_epoch_sec_fb15kshape" -> fbShapeSec)
+        :+ ("transe_epoch_sec_fb15kshape_min" -> fbShapeSecMin))
       .map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum

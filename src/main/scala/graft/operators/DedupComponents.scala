@@ -23,8 +23,8 @@ import org.apache.spark.sql.functions._
   *    mutually similar), so diameter is tiny — single digits even on
   *    billion-doc corpora. The worst case (a long path) needs
   *    diameter rounds; production engines switch to large-star/small-star
-  *    (Kiveris et al.) for O(log n) guaranteed rounds — same join shape,
-  *    noted here as the escape hatch;
+  *    (Kiveris et al.) for O(log^2 n) guaranteed rounds — same join
+  *    shape, IMPLEMENTED here as the [[LargeSmallStar]] strategy;
   *  - each round shuffles only (node, label) longs keyed by id — the edge
   *    list is never reshaped, and labels shrink nothing grows;
   *  - every round `localCheckpoint`s its label table, which TRUNCATES the
@@ -50,9 +50,25 @@ import org.apache.spark.sql.functions._
   */
 object DedupComponents {
 
+  /** Strategy flag for [[components]]: [[MinLabel]] (rounds = graph
+    * diameter — right for the clique-ish graphs dedup produces) or
+    * [[LargeSmallStar]] (Kiveris et al.'s alternating large-star /
+    * small-star, O(log^2 n) guaranteed rounds — the escape hatch when the
+    * pair graph may contain long paths, e.g. chained near-dups). Both
+    * produce IDENTICAL output (property-tested on random graphs). */
+  sealed trait Strategy
+  case object MinLabel extends Strategy
+  case object LargeSmallStar extends Strategy
+
   /** Components of the undirected pair graph. `pairs` must have long
     * columns doc_a, doc_b. */
-  def components(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
+  def components(pairs: DataFrame, maxRounds: Int = 50,
+      strategy: Strategy = MinLabel): DataFrame = strategy match {
+    case MinLabel => componentsMinLabel(pairs, maxRounds)
+    case LargeSmallStar => componentsStar(pairs, maxRounds)._1
+  }
+
+  private def componentsMinLabel(pairs: DataFrame, maxRounds: Int): DataFrame = {
     // eager localCheckpoint: materialized AND plan-truncated — both sides
     // of every per-round join are flat scans of checkpointed partitions
     val edges = pairs
@@ -91,12 +107,137 @@ object DedupComponents {
       .orderBy("doc_id")
   }
 
-  /** DuckDB oracle: recursive-CTE transitive closure over the same pair
-    * set (`pairsSql` must yield doc_a, doc_b), then component = min
-    * reachable node. Closure cost is fine at oracle scale; the Spark side
-    * exists precisely because closure-by-enumeration is not. */
-  def componentsSql(pairsSql: String): String =
-    s"""WITH RECURSIVE pairs AS ($pairsSql),
+  // ---------------------------------------- large-star / small-star
+  /** One large-star step over a canonical (a < b, distinct) edge set:
+    * every directed copy (u, v) with v > u is rewired to
+    * (min(Γ(u) ∪ {u}), v). Since m <= u < v, the output is canonical by
+    * construction and never needs least/greatest. */
+  private def largeStar(edges: DataFrame): DataFrame = {
+    val d = edges.select(col("a").as("u"), col("b").as("v"))
+      .union(edges.select(col("b").as("u"), col("a").as("v")))
+    val mins = d.groupBy("u").agg(min("v").as("mn"))
+      .select(col("u"), least(col("mn"), col("u")).as("m"))
+    d.join(mins, "u")
+      .filter(col("v") > col("u"))
+      .select(col("m").as("a"), col("v").as("b"))
+      .distinct()
+      .localCheckpoint(true)
+  }
+
+  /** One small-star step: each node u rewires its SMALLER neighbors (and
+    * itself) to their minimum m = min{v in Γ(u) : v < u}; self-loops
+    * (v == m) drop. m <= v < u keeps the output canonical. */
+  private def smallStar(edges: DataFrame): DataFrame = {
+    val d = edges.select(col("a").as("u"), col("b").as("v"))
+      .union(edges.select(col("b").as("u"), col("a").as("v")))
+    val smaller = d.filter(col("v") < col("u"))
+    val mins = smaller.groupBy("u").agg(min("v").as("m"))
+    smaller.join(mins, "u")
+      .select(col("m").as("a"), col("v").as("b"))
+      .filter(col("a") =!= col("b"))
+      .union(mins.select(col("m").as("a"), col("u").as("b")))
+      .distinct()
+      .localCheckpoint(true)
+  }
+
+  /** Alternating large-star/small-star components (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond"): each round is one
+    * [[largeStar]] + one [[smallStar]]; the edge set converges to a
+    * forest of stars centered at each component's minimum id in
+    * O(log^2 n) rounds REGARDLESS of diameter — a 1000-node path needs
+    * ~3 rounds here vs 999 min-label rounds (asserted in DedupSpec).
+    * Same localCheckpoint plan-truncation discipline as min-label; each
+    * step shuffles only canonical (long, long) edges, and the edge count
+    * never grows (both stars map each input edge to exactly one output
+    * edge before dedup).
+    *
+    * Returns (labels table, rounds used). Convergence = a full round
+    * leaves the canonical edge set unchanged (count equality + empty
+    * except — exact, no checksum shortcut). */
+  private[graft] def componentsStar(pairs: DataFrame,
+      maxRounds: Int = 50): (DataFrame, Int) = {
+    var edges = pairs
+      .filter(col("doc_a") =!= col("doc_b"))
+      .select(least(col("doc_a"), col("doc_b")).as("a"),
+        greatest(col("doc_a"), col("doc_b")).as("b"))
+      .distinct()
+      .localCheckpoint(true)
+
+    var round = 0
+    var converged = edges.isEmpty
+    while (!converged && round < maxRounds) {
+      val next = smallStar(largeStar(edges))
+      converged = next.count() == edges.count() && next.except(edges).isEmpty
+      edges = next
+      round += 1
+    }
+
+    // at the fixpoint every edge is (component min, member); the min node
+    // itself labels through the a-side union
+    val labels = edges.select(col("b").as("id"), col("a").as("label"))
+      .union(edges.select(col("a").as("id"), col("a").as("label")))
+      .groupBy("id").agg(min("label").as("label"))
+    val sizes = labels.groupBy("label").agg(count(lit(1)).as("component_size"))
+    val out = labels.join(sizes, "label")
+      .select(col("id").as("doc_id"), col("label").as("component_id"),
+        col("component_size"))
+      .orderBy("doc_id")
+    (out, round)
+  }
+
+  // ------------------------------------------------- quality retention
+  /** Quality-ranked cluster RETENTION — the decision step a production
+    * dedup pipeline runs after [[components]]: per near-dup cluster keep
+    * the highest-QUALITY member (ties to the smaller doc_id), not the
+    * smallest id — "first crawl wins" throws away the best copy when a
+    * cleaner duplicate arrived later. Documents in no pair are singleton
+    * clusters and always kept. Output: one row per document,
+    * (doc_id, component_id, quality_score, keep).
+    *
+    * Shape at scale: the closure touches only PAIRED docs (tiny vs the
+    * corpus); the quality score is a narrow per-row expression; the
+    * per-cluster argmax is a window whose state is bounded by cluster
+    * size, partitioned on component_id. Fully oracle-able — closure CTE
+    * + the identical quality expression ([[retentionSql]]). */
+  def retention(docs: DataFrame, pairs: DataFrame,
+      strategy: Strategy = MinLabel): DataFrame = {
+    val comp = components(pairs, strategy = strategy)
+      .select(col("doc_id"), col("component_id"))
+    val scored = docs.select(col("doc_id"),
+      TextAnalysis.qualityScoreExpr.as("quality_score"))
+    val clustered = scored.join(comp, Seq("doc_id"), "left")
+      .withColumn("component_id",
+        coalesce(col("component_id"), col("doc_id")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("component_id")
+      .orderBy(col("quality_score").desc, col("doc_id").asc)
+    clustered
+      .withColumn("keep", row_number().over(w) === 1)
+      .select(col("doc_id"), col("component_id"), col("quality_score"),
+        col("keep"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB replay of [[retention]] over the documents table. */
+  def retentionSql(pairsSql: String): String =
+    s"""WITH RECURSIVE ${closureCte(pairsSql)},
+       |scored AS (SELECT doc_id, ${TextAnalysis.qualityScoreExprSql} AS quality_score
+       |           FROM documents),
+       |clustered AS (
+       |  SELECT s.doc_id, COALESCE(c.component_id, s.doc_id) AS component_id,
+       |         s.quality_score
+       |  FROM scored s LEFT JOIN comp c ON s.doc_id = c.doc_id),
+       |ranked AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY component_id
+       |    ORDER BY quality_score DESC, doc_id ASC) AS rn
+       |  FROM clustered)
+       |SELECT doc_id, component_id, quality_score, rn = 1 AS keep
+       |FROM ranked ORDER BY doc_id""".stripMargin
+
+  /** Shared WITH-body (no WITH RECURSIVE keyword): transitive closure of
+    * `pairsSql`'s pair set ending in CTE `comp(doc_id, component_id)`. */
+  private def closureCte(pairsSql: String): String =
+    s"""pairs AS ($pairsSql),
        |edges AS (
        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
        |  UNION
@@ -107,7 +248,14 @@ object DedupComponents {
        |  UNION
        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
        |),
-       |comp AS (SELECT src AS doc_id, MIN(dst) AS component_id FROM reach GROUP BY src)
+       |comp AS (SELECT src AS doc_id, MIN(dst) AS component_id FROM reach GROUP BY src)""".stripMargin
+
+  /** DuckDB oracle: recursive-CTE transitive closure over the same pair
+    * set (`pairsSql` must yield doc_a, doc_b), then component = min
+    * reachable node. Closure cost is fine at oracle scale; the Spark side
+    * exists precisely because closure-by-enumeration is not. */
+  def componentsSql(pairsSql: String): String =
+    s"""WITH RECURSIVE ${closureCte(pairsSql)}
        |SELECT doc_id, component_id,
        |  COUNT(*) OVER (PARTITION BY component_id) AS component_size
        |FROM comp ORDER BY doc_id""".stripMargin

@@ -31,7 +31,7 @@ import org.apache.spark.sql.functions._
   */
 object IvfAnn {
 
-  private def quantize(v: Array[Float]): Array[Long] = {
+  private[operators] def quantize(v: Array[Float]): Array[Long] = {
     val q = new Array[Long](v.length)
     var i = 0
     while (i < v.length) { q(i) = SimilaritySearch.quantElem(v(i)); i += 1 }
@@ -39,7 +39,7 @@ object IvfAnn {
   }
 
   /** Exact integer squared-L2; strict < keeps the LOWEST index on ties. */
-  private def nearestCell(cents: Array[Array[Long]], q: Array[Long]): Int = {
+  private[operators] def nearestCell(cents: Array[Array[Long]], q: Array[Long]): Int = {
     var best = 0; var bestD = Long.MaxValue; var c = 0
     while (c < cents.length) {
       var d = 0L; var i = 0
@@ -181,42 +181,95 @@ object IvfAnn {
     out
   }
 
+  /** K-means clustering as a first-class operator (the quantizer exposed
+    * directly — corpus organization, topic bucketing, SemDeDup's cell
+    * step): each vector's cluster, its EXACT integer squared distance to
+    * the final centroid (cohesion), and the cluster size. Output:
+    * (vec_id, cluster_id, dist_qsq, cluster_size) — integer-only, fully
+    * hash-oracled by [[clustersSql]] via the same determinism contract as
+    * [[topK]].
+    *
+    * Scale shape: training is the distributed integer Lloyd (corpus
+    * aggregated, never shuffled); assignment is one narrow pass with the
+    * centroid matrix broadcast; sizes are a tiny nCells-row aggregate
+    * broadcast back — the corpus never shuffles at all. */
+  def clusters(embeddings: DataFrame, nCells: Int = 16, iters: Int = 2): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val centroids = trainCentroids(embeddings, nCells, iters)
+    val bc = spark.sparkContext.broadcast(centroids)
+    val assigned = embeddings.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val cs = bc.value
+        it.map { case (id, v) =>
+          val q = quantize(v)
+          val c = nearestCell(cs, q)
+          (id, c.toLong, cellDist(cs(c), q))
+        }
+      }
+      .toDF("vec_id", "cluster_id", "dist_qsq")
+    val sizes = assigned.groupBy("cluster_id")
+      .agg(count(lit(1)).as("cluster_size"))
+    assigned.join(broadcast(sizes), Seq("cluster_id"))
+      .select(col("vec_id"), col("cluster_id"), col("dist_qsq"),
+        col("cluster_size"))
+      .orderBy("vec_id")
+  }
+
+  /** DuckDB replay of [[clusters]]: same quantizer chain, keeping the
+    * winning distance; integer sums CAST from HUGEINT to BIGINT. */
+  def clustersSql(dim: Int, nCells: Int = 16, iters: Int = 2): String =
+    s"""WITH ${assignCtesSql(dim, nCells, iters)},
+       |ad AS (SELECT vec_id, c AS cluster_id, CAST(dist AS BIGINT) AS dist_qsq
+       |  FROM (SELECT vec_id, c, dist, ROW_NUMBER() OVER (
+       |      PARTITION BY vec_id ORDER BY dist, c) AS rn FROM dF)
+       |  WHERE rn = 1)
+       |SELECT vec_id, cluster_id, dist_qsq,
+       |  COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+       |FROM ad ORDER BY vec_id""".stripMargin
+
   /** The `WITH`-clause body replaying quantization, seed selection,
     * `iters` integer-Lloyd rounds, and final cell assignment — everything
     * up to the `assigned (vec_id, cell)` CTE (plus `vecs` and `dF`,
-    * which consumers may also reference). Shared by [[topKSql]] and
-    * `SemanticDedup.pairsSql`. */
-  private[operators] def assignCtesSql(dim: Int, nCells: Int, iters: Int): String = {
+    * which consumers may also reference). Shared by [[topKSql]],
+    * `SemanticDedup.pairsSql`, and (via `prefix`/`offset`, which replay
+    * Lloyd over the `[offset, offset+dim)` slice of the embedding under
+    * collision-free CTE names) `Quantization.pqCodesSql`'s per-subspace
+    * codebooks. */
+  private[operators] def assignCtesSql(dim: Int, nCells: Int, iters: Int,
+      offset: Int = 0, prefix: String = ""): String = {
+    val p = prefix
     // one assign+update round: reads centroid CTE `cin`, emits `cout`
     def round(cin: String, cout: String, n: Int) =
-      s"""d$n AS (SELECT qv.vec_id, c.c, SUM((qv.q - c.cv) * (qv.q - c.cv)) AS dist
-         |  FROM qv JOIN $cin c USING (i) GROUP BY qv.vec_id, c.c),
-         |a$n AS (SELECT vec_id, c AS cell FROM (
+      s"""${p}d$n AS (SELECT qv.vec_id, c.c, SUM((qv.q - c.cv) * (qv.q - c.cv)) AS dist
+         |  FROM ${p}qv qv JOIN $cin c USING (i) GROUP BY qv.vec_id, c.c),
+         |${p}a$n AS (SELECT vec_id, c AS cell FROM (
          |    SELECT vec_id, c, ROW_NUMBER() OVER (
-         |      PARTITION BY vec_id ORDER BY dist, c) AS rn FROM d$n)
+         |      PARTITION BY vec_id ORDER BY dist, c) AS rn FROM ${p}d$n)
          |  WHERE rn = 1),
-         |m$n AS (SELECT a$n.cell AS c, qv.i,
+         |${p}m$n AS (SELECT a.cell AS c, qv.i,
          |    CAST(floor(CAST(SUM(qv.q) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
-         |  FROM a$n JOIN qv USING (vec_id) GROUP BY a$n.cell, qv.i),
-         |$cout AS (SELECT g.c, g.i, COALESCE(m$n.cv, g.cv) AS cv
-         |  FROM $cin g LEFT JOIN m$n ON m$n.c = g.c AND m$n.i = g.i)""".stripMargin
-    val rounds = (1 to iters).map(n => round(s"c${n - 1}", s"c$n", n)).mkString(",\n")
-    val cFinal = s"c$iters"
-    s"""vecs AS (SELECT vec_id, embedding AS v FROM embeddings),
-       |qv AS (SELECT vec_id, CAST(ri.i AS INTEGER) AS i,
-       |    CAST(floor(CAST(v[CAST(ri.i + 1 AS INTEGER)] AS DOUBLE) * 1048576.0) AS BIGINT) AS q
-       |  FROM vecs, range($dim) AS ri(i)),
-       |seeds AS (SELECT vec_id, ROW_NUMBER() OVER (
+         |  FROM ${p}a$n a JOIN ${p}qv qv USING (vec_id) GROUP BY a.cell, qv.i),
+         |$cout AS (SELECT g.c, g.i, COALESCE(m.cv, g.cv) AS cv
+         |  FROM $cin g LEFT JOIN ${p}m$n m ON m.c = g.c AND m.i = g.i)""".stripMargin
+    val rounds = (1 to iters).map(n => round(s"${p}c${n - 1}", s"${p}c$n", n)).mkString(",\n")
+    val cFinal = s"${p}c$iters"
+    s"""${p}vecs AS (SELECT vec_id, embedding AS v FROM embeddings),
+       |${p}qv AS (SELECT vec_id, CAST(ri.i AS INTEGER) AS i,
+       |    CAST(floor(CAST(v[CAST(ri.i + 1 + $offset AS INTEGER)] AS DOUBLE) * 1048576.0) AS BIGINT) AS q
+       |  FROM ${p}vecs, range($dim) AS ri(i)),
+       |${p}seeds AS (SELECT vec_id, ROW_NUMBER() OVER (
        |      ORDER BY md5('ivf:' || CAST(vec_id AS VARCHAR)), vec_id) - 1 AS c
-       |  FROM vecs ORDER BY md5('ivf:' || CAST(vec_id AS VARCHAR)), vec_id
+       |  FROM ${p}vecs ORDER BY md5('ivf:' || CAST(vec_id AS VARCHAR)), vec_id
        |  LIMIT $nCells),
-       |c0 AS (SELECT s.c, qv.i, qv.q AS cv FROM seeds s JOIN qv USING (vec_id)),
+       |${p}c0 AS (SELECT s.c, qv.i, qv.q AS cv FROM ${p}seeds s JOIN ${p}qv qv USING (vec_id)),
        |$rounds,
-       |dF AS (SELECT qv.vec_id, c.c, SUM((qv.q - c.cv) * (qv.q - c.cv)) AS dist
-       |  FROM qv JOIN $cFinal c USING (i) GROUP BY qv.vec_id, c.c),
-       |assigned AS (SELECT vec_id, c AS cell FROM (
+       |${p}dF AS (SELECT qv.vec_id, c.c, SUM((qv.q - c.cv) * (qv.q - c.cv)) AS dist
+       |  FROM ${p}qv qv JOIN $cFinal c USING (i) GROUP BY qv.vec_id, c.c),
+       |${p}assigned AS (SELECT vec_id, c AS cell FROM (
        |    SELECT vec_id, c, ROW_NUMBER() OVER (
-       |      PARTITION BY vec_id ORDER BY dist, c) AS rn FROM dF)
+       |      PARTITION BY vec_id ORDER BY dist, c) AS rn FROM ${p}dF)
        |  WHERE rn = 1)""".stripMargin
   }
 

@@ -264,10 +264,16 @@ object SimilaritySearch {
   private def lshCandidates(embeddings: DataFrame, nTables: Int,
       bitsPerTable: Int, seed: Long, multiprobe: Boolean,
       center: Boolean = false): DataFrame = {
-    // persisted (read by both join sides); intentionally left to LRU —
-    // id+int rows only, and eager unpersist would require materializing
-    // the result here, hiding the candidate join from plan assertions
+    // persisted (read by both join sides). An EAGER unpersist would
+    // require materializing the result here, hiding the candidate join
+    // from plan assertions — instead the cache is released by a one-shot
+    // listener when the first downstream action completes (long-lived
+    // sessions previously accumulated one LRU-pinned bucket table per
+    // ANN call). A caller that materializes a derived plan twice
+    // recomputes the (id, int, int) bucket rows the second time — cheap
+    // relative to leaking the cache.
     val buckets = hyperplaneBuckets(embeddings, nTables, bitsPerTable, seed, center).persist()
+    unpersistAfterFirstAction(buckets)
     val probed = if (multiprobe) probeExpand(buckets, bitsPerTable) else buckets
     val l = probed.select(col("vec_id").as("vec_a"), col("table_idx"), col("sig"))
     val r = buckets.select(col("vec_id").as("vec_b"), col("table_idx"), col("sig"))
@@ -276,6 +282,35 @@ object SimilaritySearch {
       .select("vec_a", "vec_b")
       .distinct()
     out
+  }
+
+  /** Unpersist `cached` as soon as ANY completed DataFrame action's
+    * analyzed plan contains its subtree (by `sameResult`) — i.e. the
+    * first materialization of a plan derived from it. One-shot: fires
+    * once, then unregisters. Listener callbacks are asynchronous, so the
+    * release lands shortly after the action returns, never during it. */
+  private def unpersistAfterFirstAction(cached: DataFrame): Unit = {
+    val spark = cached.sparkSession
+    val target = cached.queryExecution.analyzed
+    val lm = spark.listenerManager
+    lm.register(new org.apache.spark.sql.util.QueryExecutionListener {
+      private val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+      private def maybe(qe: org.apache.spark.sql.execution.QueryExecution): Unit = {
+        val hit =
+          try qe.analyzed.exists(p => p.sameResult(target))
+          catch { case _: Exception => false }
+        if (hit && fired.compareAndSet(false, true)) {
+          cached.unpersist(blocking = false)
+          lm.unregister(this)
+        }
+      }
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        maybe(qe)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit =
+        maybe(qe)
+    })
   }
 
   /** Near-duplicate pairs at threshold `tau` via LSH candidates + exact

@@ -47,8 +47,18 @@ object PipelineQueries {
     }),
     "dedup_components" -> ((s, d) =>
       DedupComponents.components(minhashPairs(s, d))),
+    // the O(log^2 n) large-star/small-star strategy over the same pairs —
+    // registered so the diameter-proof path is driver-exercised; shares
+    // dedup_components' closure oracle (identical output by construction)
+    "dedup_components_star" -> ((s, d) =>
+      DedupComponents.components(minhashPairs(s, d),
+        strategy = DedupComponents.LargeSmallStar)),
     "dedup_semantic" -> ((s, d) =>
       SemanticDedup.clusters(Tables.embeddings(s, d))),
+    // the decision step after components: per cluster keep the highest-
+    // QUALITY member, not the smallest id; singletons always kept
+    "dedup_retention" -> ((s, d) =>
+      DedupComponents.retention(Tables.documents(s, d), minhashPairs(s, d))),
     // --- text analysis ---
     "text_token_counts" -> ((s, d) => TextAnalysis.tokenCounts(Tables.documents(s, d))),
     "text_quality" -> ((s, d) => TextAnalysis.qualityScore(Tables.documents(s, d))),
@@ -64,6 +74,10 @@ object PipelineQueries {
     // on hyperplaneBuckets (n <= 5000 -> 12 bits = 4096 buckets/table)
     "ann_lsh" -> ((s, d) => SimilaritySearch.randomHyperplaneAnn(Tables.embeddings(s, d), bitsPerTable = 12)),
     "ann_ivf" -> ((s, d) => IvfAnn.topK(Tables.embeddings(s, d))),
+    // --- clustering + embedding compression (the IVF-PQ scale layout) ---
+    "cluster_kmeans" -> ((s, d) => IvfAnn.clusters(Tables.embeddings(s, d))),
+    "quantize_int8" -> ((s, d) => Quantization.int8(Tables.embeddings(s, d))),
+    "ann_pq_codes" -> ((s, d) => Quantization.pqCodes(Tables.embeddings(s, d))),
     // --- multimodal ---
     "mm_decode_features" -> ((s, d) => Multimodal.decodeFeatures(Multimodal.assetTable(Tables.documents(s, d)))),
     "mm_frame_features" -> ((s, d) => Multimodal.sampleFrameFeatures(Multimodal.assetTable(Tables.documents(s, d)))),
@@ -111,6 +125,10 @@ object PipelineQueries {
     // pair set (= minhash output on testdata, same equivalence as above)
     "dedup_components" -> DedupComponents.componentsSql(
       s"SELECT doc_a, doc_b FROM (${Dedup.ngramJaccardSql(maxDocFreq = None)})"),
+    "dedup_components_star" -> DedupComponents.componentsSql(
+      s"SELECT doc_a, doc_b FROM (${Dedup.ngramJaccardSql(maxDocFreq = None)})"),
+    "dedup_retention" -> DedupComponents.retentionSql(
+      s"SELECT doc_a, doc_b FROM (${Dedup.ngramJaccardSql(maxDocFreq = None)})"),
     // SemDeDup: deterministic quantizer (shared CTE prefix with ann_ivf)
     // + exact within-cell cosine verify + recursive-CTE closure — fully
     // hash-oracled for the same reason ann_ivf is
@@ -131,6 +149,11 @@ object PipelineQueries {
     // IVF too is deterministic end-to-end (md5 seeds + integer Lloyd),
     // so DuckDB replays the full quantizer training and probe
     "ann_ivf" -> IvfAnn.topKSql(dim = 64),
+    // k-means/int8/PQ share IVF's determinism contract (md5 seeds +
+    // integer Lloyd; exact IEEE double scalar quantize) — full oracles
+    "cluster_kmeans" -> IvfAnn.clustersSql(dim = 64),
+    "quantize_int8" -> Quantization.int8Sql(),
+    "ann_pq_codes" -> Quantization.pqCodesSql(),
     "mm_decode_features" -> Multimodal.decodeFeaturesSql,
     "mm_frame_features" -> Multimodal.sampleFrameFeaturesSql(),
     // exact twin of the LSH-candidate near-dup: full value oracle AND the

@@ -14,6 +14,7 @@ object StreamingQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_windowed_counts" -> ((s, d) => EventStreams.windowedCounts(s, d)),
+    "stream_windowed_counts_append" -> ((s, d) => EventStreams.windowedCountsAppend(s, d)),
     "stream_dedup" -> ((s, d) => EventStreams.streamingDedup(s, d)),
     "stream_sessionize" -> ((s, d) => EventStreams.sessionize(s, d)),
     "stream_asof" -> ((s, d) => EventStreams.streamingAsOf(s, d)),
@@ -28,6 +29,10 @@ object StreamingQueries {
 
   val oracles: Map[String, String] = Map(
     "stream_windowed_counts" -> EventStreams.windowedCountsSql,
+    // Append mode with watermark eviction (the production unbounded
+    // spelling): the far-future sentinels close every real window before
+    // the replay drains, so the emitted set equals the batch aggregation
+    "stream_windowed_counts_append" -> EventStreams.windowedCountsSql,
     "stream_dedup" -> EventStreams.streamingDedupSql,
     // the watermark sentinel flushes every final session, so the stream
     // equals the batch gaps-and-islands answer and shares its oracle

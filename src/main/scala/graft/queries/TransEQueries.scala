@@ -219,6 +219,21 @@ object TransEQueries {
     LinkPrediction.evaluate(test, fit.model, hitsK = 10)
   }
 
+  /** [[transeEval]] through the PARTITIONED evaluator — the
+    * past-broadcast-ceiling path (`--exec partitioned`,
+    * [[LinkPrediction.rankTriplesPartitioned]]): the entity matrix stays
+    * a distributed (id, vec) table, the test set broadcasts. Registered
+    * so the driver exercises the at-scale path every round rather than
+    * only the unit test; must produce EXACTLY [[transeEval]]'s output
+    * (equality also asserted in TransESpec and ContractSpec's golden
+    * gate). Rows-only oracle, like transe_eval. */
+  def transeEvalPartitioned(spark: SparkSession, dir: String): DataFrame = {
+    val (fit, test) = fitted(spark, dir)
+    val entities = EmbeddingIO.toDF(spark, fit.model.entity)
+    LinkPrediction.evaluatePartitioned(test, entities, fit.model.label,
+      fit.model.params.distance, hitsK = 10)
+  }
+
   // ----------------------------------------- transe_entity_embeddings
   /** Trained entity embeddings as a relational surface — the reference's
     * checkpoint (`utils.py:44-49`) as a queryable table. Export contract:
@@ -259,6 +274,7 @@ object TransEQueries {
     "kg_encode"  -> (kgEncode _),
     "transe_fit" -> (transeFit _),
     "transe_eval" -> (transeEval _),
+    "transe_eval_partitioned" -> (transeEvalPartitioned _),
     "transe_embeddings" -> (transeEmbeddings _))
 
   val oracles: Map[String, String] = Map(

@@ -204,6 +204,37 @@ object EventStreams {
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin
 
+  /** The PRODUCTION unbounded-stream spelling of [[windowedCounts]]:
+    * Append mode, where the 1h watermark EVICTS each window's state once
+    * the window closes — state is bounded by open windows x event types,
+    * never by stream length (Complete mode's result table grows forever).
+    *
+    * Finite-replay equality (same oracle as windowedCounts): the staged
+    * far-future sentinels (see [[stagedDir]]) push the watermark past
+    * every real window's end, so Append emits ALL real windows before the
+    * replay drains. The 2h sentinel gap makes the FIRST sentinel's
+    * watermark (gap - 1h delay = 1h past max ts) clear the last real
+    * window's end, so real windows flush while a sentinel batch is still
+    * queued behind them to trigger the emission. Sentinel rows are
+    * removed AFTER the sink: a pre-aggregation filter on user_id/
+    * event_type would be pushed down to the parquet scan and prune the
+    * sentinel FILES before the watermark operator ever saw their event
+    * times (the sessionize update function documents the same trap). */
+  def windowedCountsAppend(spark: SparkSession, sfDir: String): DataFrame = {
+    val agg = readEventStream(spark, sfDir, sentinelGapMs = Some(7200000L))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+    runToCompletion(agg, OutputMode.Append())
+      .filter(col("event_type") =!= "__sentinel__")
+      .select(
+        unix_timestamp(col("window.start")).as("bucket"),
+        col("event_type"), col("n_events"), col("sum_value"))
+      .orderBy("bucket", "event_type")
+  }
+
   // ----------------------------------------------- streaming HLL sketch
   /** Streaming HyperLogLog distinct users per event_type: the stream
     * maintains the REGISTER table (one stateful max-aggregation whose

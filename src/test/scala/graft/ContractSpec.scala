@@ -26,10 +26,54 @@ class ContractSpec extends SparkSpec {
     assert(orphans.isEmpty, s"oracles without queries: $orphans")
   }
 
-  test("the rows-only set is exactly the two SGD training metrics") {
+  test("the rows-only set is exactly the three SGD training metrics") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(rowsOnly == Set("transe_eval", "transe_fit"),
+    assert(rowsOnly == Set("transe_eval", "transe_eval_partitioned", "transe_fit"),
       s"unexpected rows-only queries: $rowsOnly")
+  }
+
+  // ------------------------- golden gates for the rows-only SGD queries
+  // transe_fit/transe_eval can never hash-match a DuckDB oracle (DuckDB
+  // cannot train TransE), so their correctness gate lives HERE: the
+  // registry queries run with fixed seed 42 (TransEQueries.evalParams)
+  // and the trainer's deterministic partition-order merge, so their
+  // outputs are exactly reproducible — any drift in the loss curve or
+  // eval metrics below means the training pipeline changed behavior.
+
+  test("golden gate: transe_fit loss curve is the fixed-seed recording (sf0.001)") {
+    val losses = queries.TransEQueries.transeFit(spark, sf)
+      .orderBy("epoch").collect().map(_.getDouble(1))
+    assert(losses.length == queries.TransEQueries.evalParams.epochs)
+    // recorded from the seed-42 registry run; relative tolerance covers
+    // float-sum association differences only, not behavior drift
+    val golden = ContractSpec.goldenLossCurve
+    assert(losses.length == golden.length,
+      s"epoch count drifted: ${losses.length} vs ${golden.length}")
+    losses.zip(golden).zipWithIndex.foreach { case ((a, b), i) =>
+      assert(math.abs(a - b) <= 1e-6 * math.max(1.0, math.abs(b)),
+        s"loss[$i] drifted: got $a want $b\nfull curve: ${losses.mkString(", ")}")
+    }
+  }
+
+  test("golden gate: transe_eval metrics match the fixed-seed recording (sf0.001)") {
+    val row = queries.TransEQueries.transeEval(spark, sf).collect().head
+    val got = (row.getDouble(0), row.getDouble(1), row.getDouble(2),
+      row.getDouble(3), row.getLong(4))
+    val (mr, mrh, mrt, hits, n) = ContractSpec.goldenEval
+    assert(row.getLong(4) == n, s"rank count drifted: $got")
+    Seq(row.getDouble(0) -> mr, row.getDouble(1) -> mrh,
+      row.getDouble(2) -> mrt, row.getDouble(3) -> hits).foreach {
+      case (a, b) => assert(math.abs(a - b) <= 1e-9 * math.max(1.0, math.abs(b)),
+        s"eval metrics drifted: got $got")
+    }
+  }
+
+  test("golden gate: transe_eval_partitioned equals transe_eval exactly") {
+    // same flops, same strict-less counts — the registry-level equality
+    // the driver's rows-only check cannot see
+    val a = queries.TransEQueries.transeEval(spark, sf).collect().head
+    val b = queries.TransEQueries.transeEvalPartitioned(spark, sf).collect().head
+    assert(a == b, s"broadcast vs partitioned eval diverged:\n  $a\n  $b")
   }
 
   test("flagship entry returns rows on sf0.001") {
@@ -61,4 +105,27 @@ class ContractSpec extends SparkSpec {
         assert(df.count() > 0, s"$name returned no rows at sf0.001")
     }
   }
+}
+
+/** Golden recordings for the rows-only SGD queries: seed-42
+  * (TransEQueries.evalParams) runs on /root/testdata/sf0.001 under the
+  * shared test session. Re-record ONLY after an intentional training
+  * change, by reading the values the failing assertions print. */
+object ContractSpec {
+  val goldenLossCurve: Array[Double] = Array(
+    6768.8797007503335, 4663.944651129876, 4092.801615863567,
+    3772.039078155373, 3611.497123084047, 3164.159601565405,
+    3327.2873326449, 3254.646110193637, 3149.3133276776507,
+    2979.733235649512, 2863.812946557743, 2779.488791456834,
+    2772.843192887967, 2658.058781817117, 2662.5708897568384,
+    2580.6138532312543, 2485.8182468093105, 2560.1542678862106,
+    2340.269123214796, 2413.9209473906844, 2377.844798504228,
+    2285.783543987772, 2294.4415954102406, 2265.339280195969,
+    2161.8454665040576, 2169.79733057314, 2111.814608499164,
+    2061.743287134375, 2121.844048158089, 2124.827452235421)
+
+  /** (mean_rank, mean_rank_head, mean_rank_tail, hits_at_10, n_ranks) */
+  val goldenEval: (Double, Double, Double, Double, Long) =
+    (581.4775280898876, 1051.4831460674156, 111.47191011235955,
+      0.03932584269662921, 178L)
 }

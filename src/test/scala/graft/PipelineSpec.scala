@@ -485,6 +485,136 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("retention keeps exactly the highest-quality member per cluster") {
+    val pairs = Dedup.minhashLsh(docs).select("doc_a", "doc_b")
+    val out = DedupComponents.retention(docs, pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    // one row per document, every cluster keeps exactly one member
+    assert(out.length == docs.count())
+    out.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.count(_._4) == 1, s"cluster $cid kept != 1 member")
+      val kept = members.find(_._4).get
+      // kept = max quality, ties to min doc_id
+      val best = members.minBy(m => (-m._3, m._1))
+      assert(kept == best, s"cluster $cid kept $kept, best is $best")
+    }
+    // docs in no pair are singletons and kept
+    val paired = pairs.collect().flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    out.filter(r => !paired.contains(r._1)).foreach { r =>
+      assert(r._4 && r._2 == r._1, s"singleton ${r._1} not kept as own cluster")
+    }
+  }
+
+  test("cosineNearDupLsh leaves no cached bucket tables after its action") {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    SimilaritySearch.cosineNearDupLsh(embs, tau = 0.9).collect()
+    // the unpersist hook fires from an async listener callback — poll
+    def leaked = sc.getPersistentRDDs.keySet -- before
+    val deadline = System.currentTimeMillis + 30000
+    while (System.currentTimeMillis < deadline && leaked.nonEmpty) Thread.sleep(100)
+    assert(leaked.isEmpty, s"bucket cache left persisted: rdd ids $leaked")
+  }
+
+  test("large-star/small-star components equal min-label on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    for (trial <- 0 until 4) {
+      // sparse random graph: ~n edges over n nodes — mixed cliques,
+      // trees, and isolated pairs emerge naturally
+      val n = 60 + trial * 40
+      val pairs = Seq.fill(n)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+        .toDF("doc_a", "doc_b")
+      val minLabel = DedupComponents.components(pairs).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val star = DedupComponents
+        .components(pairs, strategy = DedupComponents.LargeSmallStar).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(star == minLabel, s"strategies diverge on trial $trial")
+    }
+  }
+
+  test("large-star/small-star converges in O(log n) rounds on a 1000-node path") {
+    import spark.implicits._
+    // the min-label worst case: a path of diameter 999 would need 999
+    // propagation rounds; the star algorithm's guarantee is logarithmic
+    val n = 1000
+    val pairs = (0L until (n - 1).toLong).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val (out, rounds) = DedupComponents.componentsStar(pairs)
+    val bound = 2 * (math.log(n.toDouble) / math.log(2)).ceil.toInt
+    assert(rounds <= bound, s"path-$n took $rounds rounds (bound $bound)")
+    val got = out.collect()
+    assert(got.length == n)
+    assert(got.forall(r => r.getLong(1) == 0L && r.getLong(2) == n.toLong),
+      "every path node must label to component 0 of size 1000")
+  }
+
+  test("int8 quantization: codes bounded, max element saturates, reconstruction tight") {
+    import spark.implicits._
+    val raw = embs.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().toMap
+    val out = Quantization.int8(embs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.length == raw.size * 64)
+    out.groupBy(_._1).foreach { case (id, rows) =>
+      val v = raw(id).map(_.toDouble)
+      val maxabs = v.map(math.abs).max
+      assert(rows.forall(r => math.abs(r._3) <= 127), s"vec $id code out of range")
+      // the max-|x| element must quantize to +-127 (symmetric saturation)
+      assert(rows.exists(r => math.abs(r._3) == 127), s"vec $id never saturates")
+      rows.foreach { case (_, i, q, scaleQ) =>
+        assert(scaleQ == math.floor(maxabs * 1048576.0).toLong)
+        // round-half-up error bound: |x - q*s/127| <= s/254 (+ float slack)
+        val err = math.abs(v(i.toInt) - q * maxabs / 127.0)
+        assert(err <= maxabs / 254.0 + 1e-9, s"vec $id dim $i err $err")
+      }
+    }
+  }
+
+  test("PQ codes: m codes per vector, in range, deterministic across runs") {
+    val m = 8; val nCells = 16
+    val a = Quantization.pqCodes(embs, m, nCells).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val n = embs.count()
+    assert(a.length == n * m)
+    assert(a.forall(r => r._2 >= 0 && r._2 < m && r._3 >= 0 && r._3 < nCells))
+    // every subspace uses more than one code on the 500-vec fixture (a
+    // collapsed codebook would quantize everything to one cell)
+    a.groupBy(_._2).foreach { case (s, rows) =>
+      assert(rows.map(_._3).distinct.length > 1, s"subspace $s collapsed")
+    }
+    val b = Quantization.pqCodes(embs, m, nCells).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(a.sameElements(b), "PQ encoding not deterministic")
+  }
+
+  test("kmeans clusters: assignment is the argmin cell; sizes conserve") {
+    import spark.implicits._
+    val out = IvfAnn.clusters(embs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val n = embs.count()
+    assert(out.length == n)
+    assert(out.map(_._4).sum == out.groupBy(_._2).map { case (_, rows) =>
+      rows.length.toLong * rows.length }.sum, "sizes inconsistent")
+    out.groupBy(_._2).foreach { case (cid, rows) =>
+      assert(rows.forall(_._4 == rows.length), s"cluster $cid size mismatch")
+    }
+    // dist_qsq is the exact integer distance to the assigned centroid:
+    // recompute driver-side from the same deterministic training
+    val cents = IvfAnn.trainCentroids(embs, nCells = 16)
+    val raw = embs.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().toMap
+    out.take(50).foreach { case (id, cid, dq, _) =>
+      val q = raw(id).map(x => math.floor(x * 1048576.0).toLong)
+      val dists = cents.map(c => c.zip(q).map { case (a, b) =>
+        val z = a - b; z * z }.sum)
+      val best = dists.zipWithIndex.minBy { case (d, i) => (d, i) }
+      assert(cid == best._2.toLong, s"vec $id assigned $cid, argmin ${best._2}")
+      assert(dq == best._1, s"vec $id dist $dq, recomputed ${best._1}")
+    }
+  }
+
   test("bigram coverage matches a driver-side recomputation; totals conserve") {
     val out = TextAnalysis.bigramCoverage(docs).collect()
       .map(r => r.getAs[Long]("doc_id") ->

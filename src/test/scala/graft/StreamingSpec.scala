@@ -12,6 +12,15 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.map(_.toString).sorted.sameElements(batch.map(_.toString).sorted))
   }
 
+  test("append-mode windowed counts equal the batch aggregation (watermark eviction)") {
+    // the production unbounded spelling: Append emits each window once
+    // when the watermark passes its end — the staged sentinels must
+    // close EVERY real window for the replay to equal batch
+    val streamed = EventStreams.windowedCountsAppend(spark, sf).collect()
+    val batch = queries.Relational.q10TimeBucket(spark, sf).collect()
+    assert(streamed.map(_.toString).sorted.sameElements(batch.map(_.toString).sorted))
+  }
+
   test("streaming dedup emits exactly the distinct key set") {
     val streamed = EventStreams.streamingDedup(spark, sf)
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet
