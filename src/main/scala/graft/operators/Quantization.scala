@@ -84,21 +84,30 @@ object Quantization {
     *
     * The encode is ONE narrow mapPartitions pass with all m codebooks
     * broadcast; the corpus is never shuffled. */
-  def pqCodes(embeddings: DataFrame, m: Int = 8, nCells: Int = 16,
-      iters: Int = 2): DataFrame = {
-    val spark = embeddings.sparkSession
-    import spark.implicits._
-    val dim = embeddings.select(size(col("embedding"))).first().getInt(0)
-    require(dim % m == 0, s"dim $dim not divisible by m $m")
+  /** m per-subspace codebooks (m small training aggregations over the
+    * sliced corpus, integer sums combine map-side); at scale these run
+    * over a sample — see scaladoc. Shape: m x nCells x (dim/m). */
+  private def trainCodebooks(embeddings: DataFrame, dim: Int, m: Int,
+      nCells: Int, iters: Int): Array[Array[Array[Long]]] = {
     val sub = dim / m
-
-    // m small training aggregations (sliced corpus, integer sums combine
-    // map-side); at scale these run over a sample — see scaladoc
-    val codebooks: Array[Array[Array[Long]]] = (0 until m).toArray.map { s =>
+    (0 until m).toArray.map { s =>
       val sliced = embeddings.select(col("vec_id"),
         slice(col("embedding"), s * sub + 1, sub).as("embedding"))
       IvfAnn.trainCentroids(sliced, nCells, iters)
     }
+  }
+
+  private def embeddingDim(embeddings: DataFrame): Int =
+    embeddings.select(size(col("embedding"))).first().getInt(0)
+
+  def pqCodes(embeddings: DataFrame, m: Int = 8, nCells: Int = 16,
+      iters: Int = 2): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val dim = embeddingDim(embeddings)
+    require(dim % m == 0, s"dim $dim not divisible by m $m")
+    val sub = dim / m
+    val codebooks = trainCodebooks(embeddings, dim, m, nCells, iters)
     val bc = spark.sparkContext.broadcast(codebooks)
 
     embeddings.select(col("vec_id"), col("embedding"))
@@ -116,6 +125,281 @@ object Quantization {
       }
       .toDF("vec_id", "subspace", "code")
       .orderBy("vec_id", "subspace")
+  }
+
+  // ------------------------------------------------- ADC top-k search
+  private final case class AdcHit(query_id: Long, neighbor_id: Long, dist: Long)
+
+  /** PQ search by ADC (asymmetric distance computation) — the actual
+    * billion-scale query path: queries stay full-precision, the corpus is
+    * its 8-byte PQ codes. Per query, a lookup table of
+    * `m x nCells` exact integer distances (query slice -> codebook entry)
+    * is built once and broadcast; scoring a corpus vector is then m table
+    * lookups + adds — no float math, no embedding reads. Per-partition
+    * bounded heaps keep the k best per query (the `bruteForceTopK`
+    * discipline: the corpus is never shuffled; only
+    * numPartitions * |queries| * k candidate rows move).
+    *
+    * Output: (query_id, rank, neighbor_id, adc_qsq) — integer-only, fully
+    * hash-oracled by [[pqTopKSql]] (ties: lower distance, then lower
+    * neighbor id). */
+  def pqTopK(embeddings: DataFrame, queryIds: Seq[Long], m: Int = 8,
+      nCells: Int = 16, iters: Int = 2, k: Int = 10): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val dim = embeddingDim(embeddings)
+    require(dim % m == 0, s"dim $dim not divisible by m $m")
+    val sub = dim / m
+    val codebooks = trainCodebooks(embeddings, dim, m, nCells, iters)
+
+    // per-query ADC lookup tables: luts(q)(s)(c) = exact integer L2
+    // between the query's subspace slice and codebook entry c
+    val queries: Array[(Long, Array[Long])] = embeddings
+      .filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .collect().map { case (id, v) => (id, IvfAnn.quantize(v)) }
+    val luts: Array[(Long, Array[Array[Long]])] = queries.map { case (qid, q) =>
+      qid -> codebooks.zipWithIndex.map { case (cb, s) =>
+        cb.map { cent =>
+          var d = 0L; var i = 0
+          while (i < sub) { val z = q(s * sub + i) - cent(i); d += z * z; i += 1 }
+          d
+        }
+      }
+    }
+    val cbBc = spark.sparkContext.broadcast(codebooks)
+    val lutBc = spark.sparkContext.broadcast(luts)
+
+    // encode + score in ONE narrow pass (codes never materialize; at
+    // scale they would be a stored column and this pass reads them)
+    val partial = embeddings.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val cbs = cbBc.value
+        val ls = lutBc.value
+        // heap root = weakest hit (largest dist, then largest id), so
+        // eviction keeps exactly SQL's (dist ASC, id ASC) top-k
+        val ord: Ordering[AdcHit] =
+          Ordering.by((h: AdcHit) => (-h.dist, -h.neighbor_id))
+        val heaps = ls.map { case (qid, _) =>
+          qid -> new java.util.PriorityQueue[AdcHit](k + 1, ord)
+        }
+        it.foreach { case (id, v) =>
+          val q = IvfAnn.quantize(v)
+          val codes = new Array[Int](cbs.length)
+          var s = 0
+          while (s < cbs.length) {
+            codes(s) = IvfAnn.nearestCell(cbs(s),
+              java.util.Arrays.copyOfRange(q, s * sub, (s + 1) * sub))
+            s += 1
+          }
+          var qi = 0
+          while (qi < ls.length) {
+            val (qid, lut) = ls(qi)
+            if (qid != id) {
+              var d = 0L; var t = 0
+              while (t < codes.length) { d += lut(t)(codes(t)); t += 1 }
+              val heap = heaps(qi)._2
+              if (heap.size < k) heap.offer(AdcHit(qid, id, d))
+              else {
+                val w = heap.peek()
+                if (d < w.dist || (d == w.dist && id < w.neighbor_id)) {
+                  heap.poll(); heap.offer(AdcHit(qid, id, d))
+                }
+              }
+            }
+            qi += 1
+          }
+        }
+        heaps.iterator.flatMap { case (_, heap) =>
+          scala.jdk.CollectionConverters.IteratorHasAsScala(heap.iterator())
+            .asScala.map(h => (h.query_id, h.neighbor_id, h.dist))
+        }
+      }
+
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("dist").asc, col("neighbor_id").asc)
+    partial.toDF("query_id", "neighbor_id", "dist")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("dist").as("adc_qsq"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** DuckDB replay of [[pqTopK]]: the per-subspace `dF` CTE restricted to
+    * the query set IS the ADC lookup table (distance of each query slice
+    * to every codebook entry), so scoring is a join of codes to LUT rows
+    * summed per (query, neighbor). */
+  def pqTopKSql(queryIds: Seq[Long], dim: Int = 64, m: Int = 8,
+      nCells: Int = 16, iters: Int = 2, k: Int = 10): String = {
+    require(dim % m == 0)
+    val sub = dim / m
+    val ids = queryIds.mkString(", ")
+    val ctes = (0 until m)
+      .map(s => IvfAnn.assignCtesSql(sub, nCells, iters,
+        offset = s * sub, prefix = s"p${s}_"))
+      .mkString(",\n")
+    val codeArms = (0 until m)
+      .map(s => s"SELECT vec_id, $s AS subspace, cell AS code FROM p${s}_assigned")
+      .mkString("\nUNION ALL\n")
+    val lutArms = (0 until m)
+      .map(s => s"SELECT vec_id AS query_id, $s AS subspace, c AS code, dist FROM p${s}_dF WHERE vec_id IN ($ids)")
+      .mkString("\nUNION ALL\n")
+    s"""WITH $ctes,
+       |codes AS ($codeArms),
+       |luts AS ($lutArms),
+       |scored AS (
+       |  SELECT l.query_id, c.vec_id AS neighbor_id,
+       |    CAST(SUM(l.dist) AS BIGINT) AS adc_qsq
+       |  FROM codes c JOIN luts l
+       |    ON l.subspace = c.subspace AND l.code = c.code
+       |  WHERE c.vec_id <> l.query_id
+       |  GROUP BY l.query_id, c.vec_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, adc_qsq, ROW_NUMBER() OVER (
+       |    PARTITION BY query_id ORDER BY adc_qsq, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, neighbor_id, adc_qsq FROM ranked
+       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
+  // ---------------------------------------------- IVF-PQ combined search
+  /** The complete FAISS IVF-PQ layout: the coarse quantizer
+    * ([[IvfAnn]] cells) prunes the scan to `nProbe` cells per query, and
+    * ADC over PQ codes scores the surviving candidates — cell pruning
+    * cuts WHICH vectors are touched, codes cut WHAT is read per vector
+    * (8 bytes, not 256). This is the non-residual variant (codes encode
+    * the raw vector, not `v - centroid`; residual PQ is the same shape
+    * with one extra integer subtract at encode time).
+    *
+    * Scale shape: the corpus is read once for cell assignment + encode;
+    * at query time the probe table (|q| * nProbe rows) BROADCASTS onto
+    * the coded corpus — candidates (id + m codes, ~10 bytes) are the
+    * only rows that move, ~|corpus| * nProbe / nCells per query.
+    *
+    * Fully hash-oracled: coarse cells, codebooks, codes, LUTs are all
+    * the shared deterministic integer constructions. */
+  def ivfPqTopK(embeddings: DataFrame, queryIds: Seq[Long],
+      nCells: Int = 16, nProbe: Int = 4, m: Int = 8, nCellsPq: Int = 16,
+      iters: Int = 2, k: Int = 10): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val dim = embeddingDim(embeddings)
+    require(dim % m == 0, s"dim $dim not divisible by m $m")
+    val sub = dim / m
+    val coarse = IvfAnn.trainCentroids(embeddings, nCells, iters)
+    val codebooks = trainCodebooks(embeddings, dim, m, nCellsPq, iters)
+
+    val queriesDf = embeddings.filter(col("vec_id").isin(queryIds: _*))
+    val probes = IvfAnn.probeCells(queriesDf, coarse, nProbe)
+      .select(col("vec_id").as("query_id"), col("cell"))
+    val luts: Array[(Long, Array[Array[Long]])] = queriesDf
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .collect().map { case (qid, v) =>
+        val q = IvfAnn.quantize(v)
+        qid -> codebooks.zipWithIndex.map { case (cb, s) =>
+          cb.map { cent =>
+            var d = 0L; var i = 0
+            while (i < sub) { val z = q(s * sub + i) - cent(i); d += z * z; i += 1 }
+            d
+          }
+        }
+      }
+
+    // one corpus pass: coarse cell + PQ codes per vector
+    val coarseBc = spark.sparkContext.broadcast(coarse)
+    val cbBc = spark.sparkContext.broadcast(codebooks)
+    val coded = embeddings.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val cs = coarseBc.value
+        val cbs = cbBc.value
+        it.map { case (id, v) =>
+          val q = IvfAnn.quantize(v)
+          val codes = Array.tabulate(cbs.length) { s =>
+            IvfAnn.nearestCell(cbs(s),
+              java.util.Arrays.copyOfRange(q, s * sub, (s + 1) * sub))
+          }
+          (id, IvfAnn.nearestCell(cs, q), codes)
+        }
+      }
+      .toDF("vec_id", "cell", "codes")
+
+    // probes broadcast onto the coded corpus: only candidate id+code rows
+    // ever move, never embeddings
+    val lutBc = spark.sparkContext.broadcast(luts.toMap)
+    val cands = coded.join(broadcast(probes), Seq("cell"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"), col("codes"))
+      .as[(Long, Long, Array[Int])]
+      .mapPartitions { it =>
+        val ls = lutBc.value
+        it.map { case (qid, id, codes) =>
+          val lut = ls(qid)
+          var d = 0L; var s = 0
+          while (s < codes.length) { d += lut(s)(codes(s)); s += 1 }
+          (qid, id, d)
+        }
+      }
+      .toDF("query_id", "neighbor_id", "adc_qsq")
+
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adc_qsq").asc, col("neighbor_id").asc)
+    cands.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("adc_qsq"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** DuckDB replay of [[ivfPqTopK]]: the unprefixed coarse chain supplies
+    * cells + probes; the prefixed per-subspace chains supply codes +
+    * LUTs; each corpus vector lives in exactly one cell, so the
+    * (query, neighbor) grouping sums exactly m LUT rows. */
+  def ivfPqTopKSql(queryIds: Seq[Long], dim: Int = 64, nCells: Int = 16,
+      nProbe: Int = 4, m: Int = 8, nCellsPq: Int = 16, iters: Int = 2,
+      k: Int = 10): String = {
+    require(dim % m == 0)
+    val sub = dim / m
+    val ids = queryIds.mkString(", ")
+    val coarse = IvfAnn.assignCtesSql(dim, nCells, iters)
+    val pqCtes = (0 until m)
+      .map(s => IvfAnn.assignCtesSql(sub, nCellsPq, iters,
+        offset = s * sub, prefix = s"p${s}_"))
+      .mkString(",\n")
+    val codeArms = (0 until m)
+      .map(s => s"SELECT vec_id, $s AS subspace, cell AS code FROM p${s}_assigned")
+      .mkString("\nUNION ALL\n")
+    val lutArms = (0 until m)
+      .map(s => s"SELECT vec_id AS query_id, $s AS subspace, c AS code, dist FROM p${s}_dF WHERE vec_id IN ($ids)")
+      .mkString("\nUNION ALL\n")
+    s"""WITH $coarse,
+       |$pqCtes,
+       |probes AS (SELECT vec_id AS query_id, c AS cell FROM (
+       |    SELECT vec_id, c, ROW_NUMBER() OVER (
+       |      PARTITION BY vec_id ORDER BY dist, c) AS rn FROM dF
+       |    WHERE vec_id IN ($ids))
+       |  WHERE rn <= $nProbe),
+       |codes AS ($codeArms),
+       |luts AS ($lutArms),
+       |scored AS (
+       |  SELECT p.query_id, a.vec_id AS neighbor_id,
+       |    CAST(SUM(l.dist) AS BIGINT) AS adc_qsq
+       |  FROM assigned a
+       |  JOIN probes p ON p.cell = a.cell AND a.vec_id <> p.query_id
+       |  JOIN codes c ON c.vec_id = a.vec_id
+       |  JOIN luts l ON l.query_id = p.query_id
+       |    AND l.subspace = c.subspace AND l.code = c.code
+       |  GROUP BY p.query_id, a.vec_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, adc_qsq, ROW_NUMBER() OVER (
+       |    PARTITION BY query_id ORDER BY adc_qsq, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, neighbor_id, adc_qsq FROM ranked
+       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
   }
 
   /** DuckDB replay of [[pqCodes]]: m prefixed copies of the IVF

@@ -78,6 +78,8 @@ object PipelineQueries {
     "cluster_kmeans" -> ((s, d) => IvfAnn.clusters(Tables.embeddings(s, d))),
     "quantize_int8" -> ((s, d) => Quantization.int8(Tables.embeddings(s, d))),
     "ann_pq_codes" -> ((s, d) => Quantization.pqCodes(Tables.embeddings(s, d))),
+    "ann_pq_topk" -> ((s, d) => Quantization.pqTopK(Tables.embeddings(s, d), annQueryIds)),
+    "ann_ivfpq_topk" -> ((s, d) => Quantization.ivfPqTopK(Tables.embeddings(s, d), annQueryIds)),
     // --- multimodal ---
     "mm_decode_features" -> ((s, d) => Multimodal.decodeFeatures(Multimodal.assetTable(Tables.documents(s, d)))),
     "mm_frame_features" -> ((s, d) => Multimodal.sampleFrameFeatures(Multimodal.assetTable(Tables.documents(s, d)))),
@@ -154,6 +156,8 @@ object PipelineQueries {
     "cluster_kmeans" -> IvfAnn.clustersSql(dim = 64),
     "quantize_int8" -> Quantization.int8Sql(),
     "ann_pq_codes" -> Quantization.pqCodesSql(),
+    "ann_pq_topk" -> Quantization.pqTopKSql(annQueryIds),
+    "ann_ivfpq_topk" -> Quantization.ivfPqTopKSql(annQueryIds),
     "mm_decode_features" -> Multimodal.decodeFeaturesSql,
     "mm_frame_features" -> Multimodal.sampleFrameFeaturesSql(),
     // exact twin of the LSH-candidate near-dup: full value oracle AND the

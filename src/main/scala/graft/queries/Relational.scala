@@ -608,6 +608,51 @@ object Relational {
       |  FROM orders)
       |WHERE rn <= 3 ORDER BY o_orderstatus, rn""".stripMargin
 
+  // ------------------------------------------------ q27_runtime_filter
+  /** Shuffle join pruned by a RUNTIME Bloom filter — Catalyst's
+    * InjectRuntimeFilter, the 100 TB counterpart of a broadcast join:
+    * when NEITHER side broadcasts, the selective (creation) side builds a
+    * `bloom_filter_agg` subquery whose `might_contain` probe is pushed
+    * onto the big (application) side, so most lineitem rows drop BEFORE
+    * the join shuffle instead of after it. Runs in a CLONED session
+    * (`newSession`: shared SparkContext, session-local SQLConf) so the
+    * thresholds that make injection fire at testdata scale — at 100 TB
+    * the DEFAULTS (creation < 10 MB, scan > 10 GB) fire on their own —
+    * never leak into other queries' plans. autoBroadcastJoinThreshold=-1
+    * models the at-scale regime where the dim side exceeds the driver's
+    * broadcast budget. The optimized plan is forced eagerly (and
+    * plan-asserted in PlanSpec) while the tuned conf is active; the
+    * filter is semantically transparent, so the ORACLE is the plain
+    * join — false positives only cost time, never rows. */
+  def q27RuntimeFilter(spark: SparkSession, dir: String): DataFrame = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_orderkey")
+    val l = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_returnflag"), dec("l_quantity").as("qty"),
+        dec("l_extendedprice").as("price"))
+    val out = l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("qty")).cast("double").as("sum_qty"),
+        sum(col("price")).cast("double").as("sum_price"))
+      .orderBy("l_returnflag")
+    out.queryExecution.optimizedPlan // inject now, under the tuned conf
+    out
+  }
+
+  val q27Sql: String =
+    """SELECT l_returnflag, COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_orderpriority = '1-URGENT'
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   /** Registry consumed by SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg"             -> (q1Agg _),
@@ -632,7 +677,8 @@ object Relational {
     "q23_lead_lag"       -> (q23LeadLag _),
     "q24_scalar_subquery" -> (q24ScalarSubquery _),
     "q25_unpivot"        -> (q25Unpivot _),
-    "q26_grouped_topk"   -> (q26GroupedTopK _))
+    "q26_grouped_topk"   -> (q26GroupedTopK _),
+    "q27_runtime_filter" -> (q27RuntimeFilter _))
 
   val oracles: Map[String, String] = Map(
     "q1_agg"             -> q1Sql,
@@ -657,5 +703,6 @@ object Relational {
     "q23_lead_lag"       -> q23Sql,
     "q24_scalar_subquery" -> q24Sql,
     "q25_unpivot"        -> q25Sql,
-    "q26_grouped_topk"   -> q26Sql)
+    "q26_grouped_topk"   -> q26Sql,
+    "q27_runtime_filter" -> q27Sql)
 }

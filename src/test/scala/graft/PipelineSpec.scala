@@ -589,6 +589,95 @@ class PipelineSpec extends SparkSpec {
     assert(a.sameElements(b), "PQ encoding not deterministic")
   }
 
+  test("PQ ADC top-k: scores match a driver-side recomputation exactly") {
+    import spark.implicits._
+    val qids = Seq(0L, 1L, 2L)
+    val k = 10
+    val out = Quantization.pqTopK(embs, qids, k = k).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // ranks complete 1..k per query, distances non-decreasing
+    qids.foreach { q =>
+      val rows = out.filter(_._1 == q).sortBy(_._2)
+      assert(rows.map(_._2).sameElements(1L to k.toLong), s"query $q ranks")
+      assert(rows.sliding(2).forall(p => p(0)._4 <= p(1)._4), s"query $q order")
+    }
+    // recompute the full ADC ranking for query 0 from scratch on the
+    // driver: same codebooks (deterministic), same integer LUT math
+    val raw = embs.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val m = 8; val nCells = 16; val sub = 64 / m
+    def quant(v: Array[Float]) = v.map(x => math.floor(x.toDouble * 1048576.0).toLong)
+    val cbs = (0 until m).map { s =>
+      val sliced = embs.select(col("vec_id"),
+        slice(col("embedding"), s * sub + 1, sub).as("embedding"))
+      IvfAnn.trainCentroids(sliced, nCells, 2)
+    }
+    val codes = raw.map { case (id, v) =>
+      val q = quant(v)
+      id -> (0 until m).map { s =>
+        val sl = q.slice(s * sub, (s + 1) * sub)
+        cbs(s).zipWithIndex.map { case (c, ci) =>
+          (c.zip(sl).map { case (a, b) => val z = a - b; z * z }.sum, ci)
+        }.minBy { case (d, ci) => (d, ci) }._2
+      }.toArray
+    }.toMap
+    val q0 = quant(raw.find(_._1 == 0L).get._2)
+    val lut = (0 until m).map { s =>
+      cbs(s).map(c => c.zipWithIndex.map { case (cv, i) =>
+        val z = q0(s * sub + i) - cv; z * z }.sum)
+    }
+    val expected = raw.filter(_._1 != 0L).map { case (id, _) =>
+      (id, (0 until m).map(s => lut(s)(codes(id)(s))).sum)
+    }.sortBy { case (id, d) => (d, id) }.take(k)
+    val got = out.filter(_._1 == 0L).sortBy(_._2).map(r => (r._3, r._4))
+    assert(got.sameElements(expected),
+      s"ADC mismatch:\n got ${got.toSeq}\n want ${expected.toSeq}")
+  }
+
+  test("IVF-PQ top-k: candidates confined to probed cells; ADC agrees with PQ path") {
+    import spark.implicits._
+    val qids = Seq(0L, 1L, 2L)
+    val nProbe = 4
+    val out = Quantization.ivfPqTopK(embs, qids, nProbe = nProbe, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty)
+    qids.foreach { q =>
+      val rows = out.filter(_._1 == q).sortBy(_._2)
+      assert(rows.map(_._2).sameElements(1L to rows.length.toLong))
+      assert(rows.sliding(2).forall(p => p.length < 2 || p(0)._4 <= p(1)._4))
+    }
+    // every neighbor must live in one of its query's nProbe nearest cells
+    val coarse = IvfAnn.trainCentroids(embs, nCells = 16)
+    val cellOf = IvfAnn.assign(embs, coarse).select("vec_id", "cell")
+      .as[(Long, Int)].collect().toMap
+    val raw = embs.filter(col("vec_id").isin(qids: _*))
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().toMap
+    def quant(v: Array[Float]) = v.map(x => math.floor(x.toDouble * 1048576.0).toLong)
+    val probedCells: Map[Long, Set[Int]] = raw.map { case (qid, v) =>
+      val q = quant(v)
+      val ds = coarse.zipWithIndex.map { case (c, i) =>
+        (c.zip(q).map { case (a, b) => val z = a - b; z * z }.sum, i)
+      }
+      qid -> ds.sortBy { case (d, i) => (d, i) }.take(nProbe).map(_._2).toSet
+    }
+    out.foreach { case (q, _, n, _) =>
+      assert(probedCells(q).contains(cellOf(n)),
+        s"neighbor $n of query $q outside its probed cells")
+    }
+    // the ADC distance of a returned (query, neighbor) pair equals the
+    // full-PQ path's distance for the same pair (same codebooks, same
+    // LUT math — IVF only prunes candidates, never changes scores)
+    val pq = Quantization.pqTopK(embs, qids, k = 50).collect()
+      .map(r => ((r.getLong(0), r.getLong(2)), r.getLong(3))).toMap
+    val overlap = out.filter(r => pq.contains((r._1, r._3)))
+    assert(overlap.nonEmpty, "no overlap between IVF-PQ and PQ top-50")
+    overlap.foreach { r =>
+      assert(pq((r._1, r._3)) == r._4,
+        s"ADC distance diverges for ${(r._1, r._3)}")
+    }
+  }
+
   test("kmeans clusters: assignment is the argmin cell; sizes conserve") {
     import spark.implicits._
     val out = IvfAnn.clusters(embs).collect()

@@ -56,6 +56,22 @@ class PlanSpec extends SparkSpec {
       "status predicate must reach the orders scan")
   }
 
+  test("q27: runtime Bloom filter injected on the application side; join shuffles") {
+    val df = Relational.q27RuntimeFilter(spark, sf)
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(opt.contains("might_contain"),
+      s"no runtime bloom probe in optimized plan:\n$opt")
+    assert(opt.contains("bloom_filter_agg"),
+      "no bloom_filter_agg creation subquery in optimized plan")
+    // the tuned conf lives in the cloned session only — the shared test
+    // session must still plan broadcast joins (no leaked -1 threshold)
+    assert(spark.conf.get("spark.sql.autoBroadcastJoinThreshold") != "-1",
+      "cloned-session conf leaked into the parent session")
+    val p = simplePlan(df)
+    assert(!p.contains("BroadcastHashJoin"),
+      "q27 models the no-broadcast regime; join must shuffle")
+  }
+
   test("q8: dense id assignment has no single-partition exchange") {
     // the global-window spelling (row_number over Window.orderBy) funnels
     // the whole vocabulary through ONE task; the zipWithIndex spelling
