@@ -416,6 +416,78 @@ object TextAnalysis {
       .orderBy("doc_id", "fingerprint")
   }
 
+  /** Cross-document duplicated-PASSAGE coverage — the span-dedup signal
+    * (RefinedWeb / "deduplicate repeated substrings"): for each doc, the
+    * fraction of token positions covered by a word k-gram that also
+    * appears in at least one OTHER document. Unlike `repetition`
+    * (within-doc) and `bigramCoverage` (corpus frequency of single
+    * bigrams), this measures contiguous cross-doc span reuse — boilerplate
+    * headers, licence blocks, syndicated passages.
+    *
+    * Output: (doc_id, n_toks, covered_positions, coverage_ppm) per doc —
+    * integer-only (ppm by integer division), full hash oracle.
+    *
+    * Scale shape: positional grams are a narrow codegen'd explode; the
+    * doc-frequency aggregate on the 64-bit gram hash is map-side
+    * combinable and the ONLY corpus-volume shuffle; the dup-gram set
+    * joins back by hash (AQE broadcasts it while it fits); the k-fold
+    * position explode is confined to DUPLICATED grams, then distinct
+    * per (doc, position) — bounded by doc length. */
+  def dupSpanCoverage(docs: DataFrame, k: Int = 8): DataFrame = {
+    val words = split(trim(col("text")), "\\s+")
+    val grams = transform(
+      sequence(lit(0), greatest(size(words) - k, lit(0))),
+      i => concat_ws(" ", slice(words, i + 1, lit(k))))
+    val positional = docs
+      .select(col("doc_id"), posexplode(grams).as(Seq("pos", "gram")))
+      .select(col("doc_id"), col("pos"),
+        Dedup.hash64Col(col("gram")).as("h"))
+    val base = docs.select(col("doc_id"), size(words).cast("long").as("n_toks"))
+
+    val dupGrams = positional.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= 2)
+      .select("h")
+    val coveredPos = positional.join(dupGrams, Seq("h"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("p"))
+      .distinct()
+    val covered = coveredPos.join(base, Seq("doc_id"))
+      .filter(col("p") < col("n_toks"))
+      .groupBy("doc_id").agg(count(lit(1)).as("covered"))
+
+    base.join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_toks"),
+        coalesce(col("covered"), lit(0L)).as("covered_positions"),
+        expr("coalesce(covered, 0) * 1000000 DIV n_toks").as("coverage_ppm"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB replay of [[dupSpanCoverage]]: same positional grams, same
+    * md5-derived 64-bit hash, same integer-division ppm. */
+  def dupSpanCoverageSql(k: Int = 8): String = {
+    val h = OracleSql.hex64Signed("md5(gram)")
+    s"""WITH words AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+       |base AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_toks FROM words),
+       |grams AS (
+       |  SELECT doc_id, i - 1 AS pos, array_to_string(w[i:i+${k - 1}], ' ') AS gram
+       |  FROM (SELECT doc_id, w, unnest(range(1, greatest(len(w)-${k - 1},1)+1)) AS i FROM words)),
+       |hashed AS (SELECT doc_id, pos, $h AS h FROM grams),
+       |dup AS (SELECT h FROM (
+       |    SELECT h, COUNT(DISTINCT doc_id) AS df FROM hashed GROUP BY h)
+       |  WHERE df >= 2),
+       |cpos AS (SELECT DISTINCT hashed.doc_id, pos + u.x AS p
+       |  FROM hashed JOIN dup USING (h), unnest(range(0, $k)) AS u(x)),
+       |cov AS (SELECT cpos.doc_id, COUNT(*) AS covered
+       |  FROM cpos JOIN base ON cpos.doc_id = base.doc_id AND cpos.p < base.n_toks
+       |  GROUP BY cpos.doc_id)
+       |SELECT b.doc_id, b.n_toks,
+       |  CAST(COALESCE(c.covered, 0) AS BIGINT) AS covered_positions,
+       |  CAST(COALESCE(c.covered, 0) * 1000000 // b.n_toks AS BIGINT) AS coverage_ppm
+       |FROM base b LEFT JOIN cov c ON b.doc_id = c.doc_id
+       |ORDER BY b.doc_id""".stripMargin
+  }
+
   def winnowingSql(k: Int = 5, w: Int = 4): String = {
     val h = OracleSql.hexVal("md5(gram)", 1, 8)
     s"""WITH words AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),

@@ -67,6 +67,7 @@ object PipelineQueries {
     "text_winnowing" -> ((s, d) => TextAnalysis.winnowingFingerprints(Tables.documents(s, d))),
     "text_repetition" -> ((s, d) => TextAnalysis.repetition(Tables.documents(s, d))),
     "text_bigram_coverage" -> ((s, d) => TextAnalysis.bigramCoverage(Tables.documents(s, d))),
+    "text_dup_span_coverage" -> ((s, d) => TextAnalysis.dupSpanCoverage(Tables.documents(s, d))),
     // --- similarity search ---
     "ann_topk" -> ((s, d) => SimilaritySearch.bruteForceTopK(Tables.embeddings(s, d), annQueryIds)),
     "ann_near_dup" -> ((s, d) => SimilaritySearch.cosineNearDupExact(Tables.embeddings(s, d))),
@@ -142,6 +143,7 @@ object PipelineQueries {
     "text_winnowing" -> TextAnalysis.winnowingSql(),
     "text_repetition" -> TextAnalysis.repetitionSql,
     "text_bigram_coverage" -> TextAnalysis.bigramCoverageSql(),
+    "text_dup_span_coverage" -> TextAnalysis.dupSpanCoverageSql(),
     "ann_topk" -> SimilaritySearch.bruteForceTopKSql(annQueryIds),
     "ann_near_dup" -> SimilaritySearch.cosineNearDupExactSql(),
     // approximate, yet fully hash-oracled: the md5-derived integer

@@ -704,6 +704,35 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("dup-span coverage matches a driver-side recomputation") {
+    import spark.implicits._
+    val k = 8
+    val out = TextAnalysis.dupSpanCoverage(docs, k).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val raw = docs.select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect()
+    // recompute from scratch: positional k-grams on raw strings (no
+    // hashing — a 64-bit md5 collision would have to appear in a 50-doc
+    // fixture to diverge)
+    val grams: Array[(Long, Int, String)] = raw.flatMap { case (id, text) =>
+      val w = text.trim.split("\\s+")
+      val hi = math.max(w.length - k, 0)
+      (0 to hi).map(i => (id, i, w.slice(i, math.min(i + k, w.length)).mkString(" ")))
+    }
+    val dup = grams.groupBy(_._3).filter(_._2.map(_._1).distinct.length >= 2).keySet
+    raw.foreach { case (id, text) =>
+      val n = text.trim.split("\\s+").length
+      val cov = grams.filter(g => g._1 == id && dup(g._3))
+        .flatMap(g => g._2 until math.min(g._2 + k, n)).distinct.length
+      val (nToks, covered, ppm) = out(id)
+      assert(nToks == n, s"doc $id n_toks")
+      assert(covered == cov, s"doc $id covered: got $covered want $cov")
+      assert(ppm == cov.toLong * 1000000 / n, s"doc $id ppm")
+    }
+    // the fixture's planted near-dups must register as covered spans
+    assert(out.values.exists(_._2 > 0), "no duplicated spans found at all")
+  }
+
   test("bigram coverage matches a driver-side recomputation; totals conserve") {
     val out = TextAnalysis.bigramCoverage(docs).collect()
       .map(r => r.getAs[Long]("doc_id") ->
