@@ -143,8 +143,72 @@ object Quantization {
     * Output: (query_id, rank, neighbor_id, adc_qsq) — integer-only, fully
     * hash-oracled by [[pqTopKSql]] (ties: lower distance, then lower
     * neighbor id). */
+  /** Exact re-rank of an ADC shortlist (FAISS's "refine" stage): fetch
+    * the shortlist rows' embeddings (a selective id join — at scale the
+    * shortlist is a vanishing fraction of the corpus), score exact
+    * integer L2 against the broadcast query vectors, keep the k best.
+    * Output: (query_id, rank, neighbor_id, l2_qsq). */
+  private def exactRerank(embeddings: DataFrame, shortlist: DataFrame,
+      queries: Array[(Long, Array[Long])], k: Int): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val qBc = spark.sparkContext.broadcast(queries.toMap)
+    val scored = shortlist
+      .join(embeddings.select(col("vec_id").as("neighbor_id"), col("embedding")),
+        Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("embedding"))
+      .as[(Long, Long, Array[Float])]
+      .mapPartitions { it =>
+        val qs = qBc.value
+        it.map { case (qid, nid, v) =>
+          val q = qs(qid)
+          val n = IvfAnn.quantize(v)
+          var d = 0L; var i = 0
+          while (i < n.length) { val z = q(i) - n(i); d += z * z; i += 1 }
+          (qid, nid, d)
+        }
+      }
+      .toDF("query_id", "neighbor_id", "l2_qsq")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("l2_qsq").asc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("l2_qsq"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** The SQL tail shared by the refined spellings: exact integer L2 over
+    * a full-dim quantized CTE for every (query, shortlisted neighbor)
+    * pair, re-ranked to k. Expects a `ranked` CTE with
+    * (query_id, neighbor_id, rank). */
+  private def refineSqlTail(dim: Int, refine: Int, k: Int): String =
+    s"""qvf AS (SELECT vec_id, CAST(ri.i AS INTEGER) AS i,
+       |    CAST(floor(CAST(embedding[CAST(ri.i + 1 AS INTEGER)] AS DOUBLE) * 1048576.0) AS BIGINT) AS q
+       |  FROM embeddings, range($dim) AS ri(i)),
+       |exact AS (
+       |  SELECT r.query_id, r.neighbor_id,
+       |    CAST(SUM((a.q - b.q) * (a.q - b.q)) AS BIGINT) AS l2_qsq
+       |  FROM ranked r
+       |  JOIN qvf a ON a.vec_id = r.query_id
+       |  JOIN qvf b ON b.vec_id = r.neighbor_id AND b.i = a.i
+       |  WHERE r.rank <= $refine
+       |  GROUP BY r.query_id, r.neighbor_id),
+       |rr AS (
+       |  SELECT query_id, neighbor_id, l2_qsq, ROW_NUMBER() OVER (
+       |    PARTITION BY query_id ORDER BY l2_qsq, neighbor_id) AS rank
+       |  FROM exact)
+       |SELECT query_id, rank, neighbor_id, l2_qsq FROM rr
+       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+
+  /** With `refine` > 0, ADC only SELECTS a shortlist of that size; exact
+    * integer L2 re-ranks it to k (output column becomes l2_qsq) — the
+    * FAISS refine pipeline, which buys back most of the recall lost to
+    * 8-byte codes at the cost of `refine` exact scores per query. */
   def pqTopK(embeddings: DataFrame, queryIds: Seq[Long], m: Int = 8,
-      nCells: Int = 16, iters: Int = 2, k: Int = 10): DataFrame = {
+      nCells: Int = 16, iters: Int = 2, k: Int = 10,
+      refine: Int = 0): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val dim = embeddingDim(embeddings)
@@ -172,6 +236,7 @@ object Quantization {
 
     // encode + score in ONE narrow pass (codes never materialize; at
     // scale they would be a stored column and this pass reads them)
+    val kEff = if (refine > 0) refine else k
     val partial = embeddings.select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])]
       .mapPartitions { it =>
@@ -182,7 +247,7 @@ object Quantization {
         val ord: Ordering[AdcHit] =
           Ordering.by((h: AdcHit) => (-h.dist, -h.neighbor_id))
         val heaps = ls.map { case (qid, _) =>
-          qid -> new java.util.PriorityQueue[AdcHit](k + 1, ord)
+          qid -> new java.util.PriorityQueue[AdcHit](kEff + 1, ord)
         }
         it.foreach { case (id, v) =>
           val q = IvfAnn.quantize(v)
@@ -200,7 +265,7 @@ object Quantization {
               var d = 0L; var t = 0
               while (t < codes.length) { d += lut(t)(codes(t)); t += 1 }
               val heap = heaps(qi)._2
-              if (heap.size < k) heap.offer(AdcHit(qid, id, d))
+              if (heap.size < kEff) heap.offer(AdcHit(qid, id, d))
               else {
                 val w = heap.peek()
                 if (d < w.dist || (d == w.dist && id < w.neighbor_id)) {
@@ -220,12 +285,15 @@ object Quantization {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("query_id")
       .orderBy(col("dist").asc, col("neighbor_id").asc)
-    partial.toDF("query_id", "neighbor_id", "dist")
+    val adc = partial.toDF("query_id", "neighbor_id", "dist")
       .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank").cast("long").as("rank"),
-        col("neighbor_id"), col("dist").as("adc_qsq"))
-      .orderBy("query_id", "rank")
+      .filter(col("rank") <= kEff)
+    if (refine == 0)
+      adc.select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"), col("dist").as("adc_qsq"))
+        .orderBy("query_id", "rank")
+    else
+      exactRerank(embeddings, adc.select("query_id", "neighbor_id"), queries, k)
   }
 
   /** DuckDB replay of [[pqTopK]]: the per-subspace `dF` CTE restricted to
@@ -233,7 +301,8 @@ object Quantization {
     * to every codebook entry), so scoring is a join of codes to LUT rows
     * summed per (query, neighbor). */
   def pqTopKSql(queryIds: Seq[Long], dim: Int = 64, m: Int = 8,
-      nCells: Int = 16, iters: Int = 2, k: Int = 10): String = {
+      nCells: Int = 16, iters: Int = 2, k: Int = 10,
+      refine: Int = 0): String = {
     require(dim % m == 0)
     val sub = dim / m
     val ids = queryIds.mkString(", ")
@@ -247,6 +316,12 @@ object Quantization {
     val lutArms = (0 until m)
       .map(s => s"SELECT vec_id AS query_id, $s AS subspace, c AS code, dist FROM p${s}_dF WHERE vec_id IN ($ids)")
       .mkString("\nUNION ALL\n")
+    val tail =
+      if (refine == 0)
+        s"""
+           |SELECT query_id, rank, neighbor_id, adc_qsq FROM ranked
+           |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+      else s",\n${refineSqlTail(dim, refine, k)}"
     s"""WITH $ctes,
        |codes AS ($codeArms),
        |luts AS ($lutArms),
@@ -260,9 +335,7 @@ object Quantization {
        |ranked AS (
        |  SELECT query_id, neighbor_id, adc_qsq, ROW_NUMBER() OVER (
        |    PARTITION BY query_id ORDER BY adc_qsq, neighbor_id) AS rank
-       |  FROM scored)
-       |SELECT query_id, rank, neighbor_id, adc_qsq FROM ranked
-       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+       |  FROM scored)$tail""".stripMargin
   }
 
   // ---------------------------------------------- IVF-PQ combined search
@@ -283,7 +356,7 @@ object Quantization {
     * the shared deterministic integer constructions. */
   def ivfPqTopK(embeddings: DataFrame, queryIds: Seq[Long],
       nCells: Int = 16, nProbe: Int = 4, m: Int = 8, nCellsPq: Int = 16,
-      iters: Int = 2, k: Int = 10): DataFrame = {
+      iters: Int = 2, k: Int = 10, refine: Int = 0): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val dim = embeddingDim(embeddings)
@@ -295,18 +368,18 @@ object Quantization {
     val queriesDf = embeddings.filter(col("vec_id").isin(queryIds: _*))
     val probes = IvfAnn.probeCells(queriesDf, coarse, nProbe)
       .select(col("vec_id").as("query_id"), col("cell"))
-    val luts: Array[(Long, Array[Array[Long]])] = queriesDf
+    val qVecs: Array[(Long, Array[Long])] = queriesDf
       .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
-      .collect().map { case (qid, v) =>
-        val q = IvfAnn.quantize(v)
-        qid -> codebooks.zipWithIndex.map { case (cb, s) =>
-          cb.map { cent =>
-            var d = 0L; var i = 0
-            while (i < sub) { val z = q(s * sub + i) - cent(i); d += z * z; i += 1 }
-            d
-          }
+      .collect().map { case (qid, v) => (qid, IvfAnn.quantize(v)) }
+    val luts: Array[(Long, Array[Array[Long]])] = qVecs.map { case (qid, q) =>
+      qid -> codebooks.zipWithIndex.map { case (cb, s) =>
+        cb.map { cent =>
+          var d = 0L; var i = 0
+          while (i < sub) { val z = q(s * sub + i) - cent(i); d += z * z; i += 1 }
+          d
         }
       }
+    }
 
     // one corpus pass: coarse cell + PQ codes per vector
     val coarseBc = spark.sparkContext.broadcast(coarse)
@@ -348,11 +421,15 @@ object Quantization {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("query_id")
       .orderBy(col("adc_qsq").asc, col("neighbor_id").asc)
-    cands.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank").cast("long").as("rank"),
-        col("neighbor_id"), col("adc_qsq"))
-      .orderBy("query_id", "rank")
+    val kEff = if (refine > 0) refine else k
+    val adc = cands.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= kEff)
+    if (refine == 0)
+      adc.select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"), col("adc_qsq"))
+        .orderBy("query_id", "rank")
+    else
+      exactRerank(embeddings, adc.select("query_id", "neighbor_id"), qVecs, k)
   }
 
   /** DuckDB replay of [[ivfPqTopK]]: the unprefixed coarse chain supplies
@@ -361,7 +438,7 @@ object Quantization {
     * (query, neighbor) grouping sums exactly m LUT rows. */
   def ivfPqTopKSql(queryIds: Seq[Long], dim: Int = 64, nCells: Int = 16,
       nProbe: Int = 4, m: Int = 8, nCellsPq: Int = 16, iters: Int = 2,
-      k: Int = 10): String = {
+      k: Int = 10, refine: Int = 0): String = {
     require(dim % m == 0)
     val sub = dim / m
     val ids = queryIds.mkString(", ")
@@ -397,9 +474,12 @@ object Quantization {
        |ranked AS (
        |  SELECT query_id, neighbor_id, adc_qsq, ROW_NUMBER() OVER (
        |    PARTITION BY query_id ORDER BY adc_qsq, neighbor_id) AS rank
-       |  FROM scored)
-       |SELECT query_id, rank, neighbor_id, adc_qsq FROM ranked
-       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+       |  FROM scored)${
+        if (refine == 0)
+          s"""
+             |SELECT query_id, rank, neighbor_id, adc_qsq FROM ranked
+             |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+        else s",\n${refineSqlTail(dim, refine, k)}"}""".stripMargin
   }
 
   /** DuckDB replay of [[pqCodes]]: m prefixed copies of the IVF

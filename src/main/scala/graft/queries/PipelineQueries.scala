@@ -81,6 +81,9 @@ object PipelineQueries {
     "ann_pq_codes" -> ((s, d) => Quantization.pqCodes(Tables.embeddings(s, d))),
     "ann_pq_topk" -> ((s, d) => Quantization.pqTopK(Tables.embeddings(s, d), annQueryIds)),
     "ann_ivfpq_topk" -> ((s, d) => Quantization.ivfPqTopK(Tables.embeddings(s, d), annQueryIds)),
+    // ADC shortlist + exact re-rank (FAISS refine): the production recall
+    // recovery — `refine` exact scores per query instead of |corpus|
+    "ann_pq_refine" -> ((s, d) => Quantization.pqTopK(Tables.embeddings(s, d), annQueryIds, refine = 100)),
     // --- multimodal ---
     "mm_decode_features" -> ((s, d) => Multimodal.decodeFeatures(Multimodal.assetTable(Tables.documents(s, d)))),
     "mm_frame_features" -> ((s, d) => Multimodal.sampleFrameFeatures(Multimodal.assetTable(Tables.documents(s, d)))),
@@ -160,6 +163,7 @@ object PipelineQueries {
     "ann_pq_codes" -> Quantization.pqCodesSql(),
     "ann_pq_topk" -> Quantization.pqTopKSql(annQueryIds),
     "ann_ivfpq_topk" -> Quantization.ivfPqTopKSql(annQueryIds),
+    "ann_pq_refine" -> Quantization.pqTopKSql(annQueryIds, refine = 100),
     "mm_decode_features" -> Multimodal.decodeFeaturesSql,
     "mm_frame_features" -> Multimodal.sampleFrameFeaturesSql(),
     // exact twin of the LSH-candidate near-dup: full value oracle AND the
