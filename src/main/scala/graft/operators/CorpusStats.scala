@@ -41,6 +41,43 @@ object CorpusStats {
       .orderBy("lang", "q")
   }
 
+  /** Data-mixing report — the accounting table a pretraining run is
+    * steered by: documents and whitespace tokens per
+    * (source, lang, quality decile), plus each cell's share of the total
+    * token budget in ppm. The quality expression is the SAME column
+    * expression the cleaning pipeline gates on
+    * ([[TextAnalysis.qualityScoreExpr]]), so the report matches what the
+    * pipeline would actually keep per bucket.
+    *
+    * Scale shape: one narrow scoring pass, one map-side-combinable
+    * aggregation keyed by (source, lang, decile) — cardinality is
+    * sources x langs x 10, so the post-agg window for the share column
+    * runs over a tiny table. Integer-only output (ppm by integer
+    * division), full hash oracle. */
+  def tokenBudgetReport(docs: DataFrame): DataFrame = {
+    val toks = size(split(trim(col("text")), "\\s+")).cast("long")
+    val decile = least(floor(TextAnalysis.qualityScoreExpr * 10).cast("long"), lit(9L))
+    docs.select(col("source"), col("lang"),
+        decile.as("quality_decile"), toks.as("n_toks"))
+      .groupBy("source", "lang", "quality_decile")
+      .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("n_tokens"))
+      .withColumn("token_share_ppm",
+        expr("n_tokens * 1000000 DIV sum(n_tokens) OVER ()"))
+      .orderBy("source", "lang", "quality_decile")
+  }
+
+  def tokenBudgetReportSql: String =
+    s"""WITH scored AS (SELECT source, lang,
+       |    LEAST(CAST(floor((${TextAnalysis.qualityScoreExprSql}) * 10) AS BIGINT), 9) AS quality_decile,
+       |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_toks
+       |  FROM documents),
+       |cells AS (SELECT source, lang, quality_decile,
+       |    COUNT(*) AS n_docs, CAST(SUM(n_toks) AS BIGINT) AS n_tokens
+       |  FROM scored GROUP BY source, lang, quality_decile)
+       |SELECT source, lang, quality_decile, n_docs, n_tokens,
+       |  CAST(n_tokens * 1000000 // SUM(n_tokens) OVER () AS BIGINT) AS token_share_ppm
+       |FROM cells ORDER BY source, lang, quality_decile""".stripMargin
+
   def lengthQuantilesSql(qs: Seq[Int] = Seq(25, 50, 75, 90, 99)): String =
     s"""WITH hist AS (SELECT lang, n_chars, COUNT(*) AS cnt
        |              FROM documents GROUP BY lang, n_chars),

@@ -115,6 +115,48 @@ object Sampling {
        |WHERE (${hashUnitSql("doc_id", salt)}) * t_src < t_min
        |ORDER BY doc_id""".stripMargin
 
+  /** Temperature-weighted source mixing at α = 1/2 — the standard
+    * multinomial source-rebalancing used for multi-source pretraining
+    * corpora (sampling mass ∝ T_s^α flattens the source distribution
+    * without the hard equal-mass cap of [[mixSources]]). Downsampling
+    * only, so rates are normalized to the smallest source:
+    * rate_s = (T_min/T_s)^(1-α) = sqrt(T_min/T_s); α=0 recovers
+    * [[mixSources]] exactly and α=1 keeps everything.
+    *
+    * α is fixed at 1/2 deliberately: the membership test is then
+    * `u * sqrt(T_s) < sqrt(T_min)`, and IEEE-754 requires sqrt to be
+    * CORRECTLY ROUNDED in every conforming engine (unlike pow, whose
+    * last-ulp behavior is library-specific) — so the DuckDB oracle
+    * replays membership bit-for-bit, same as every sampler here.
+    *
+    * Scale shape identical to [[mixSources]]: tiny per-source totals
+    * broadcast back, narrow codegen'd filter, corpus never shuffled. */
+  def mixSourcesTemperature(docs: DataFrame, salt: String = "mixt"): DataFrame = {
+    val tok = docs.select(col("doc_id"), col("source"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+    val tot = tok.groupBy("source").agg(sum("n_tokens").as("t_src"))
+    val tmin = tot.agg(min("t_src").as("t_min"))
+    tok.join(broadcast(tot), Seq("source"))
+      .crossJoin(broadcast(tmin))
+      .filter(hashUnit(col("doc_id"), salt) * sqrt(col("t_src").cast("double"))
+        < sqrt(col("t_min").cast("double")))
+      .select(col("doc_id"), col("source"), col("n_tokens"))
+      .orderBy("doc_id")
+  }
+
+  def mixSourcesTemperatureSql(salt: String = "mixt"): String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |tot AS (SELECT source, SUM(n_tokens) AS t_src FROM tok GROUP BY source),
+       |m AS (SELECT MIN(t_src) AS t_min FROM tot)
+       |SELECT doc_id, source, n_tokens
+       |FROM tok JOIN tot USING (source) CROSS JOIN m
+       |WHERE (${hashUnitSql("doc_id", salt)}) * sqrt(CAST(t_src AS DOUBLE))
+       |      < sqrt(CAST(t_min AS DOUBLE))
+       |ORDER BY doc_id""".stripMargin
+
   /** Deterministic train/val/test assignment by hash range (80/10/10):
     * the standard reproducible experiment split, as a pure function of
     * the document id. Output: (split, n_docs, n_chars) — the split

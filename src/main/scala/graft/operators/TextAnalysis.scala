@@ -109,6 +109,65 @@ object TextAnalysis {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ----------------------------------------------- filter-rule accounting
+  /** Per-rule reject accounting for a Gopher-style rule-based quality
+    * filter: how many documents each individual rule would reject, plus
+    * how many pass every rule — the report a pipeline owner reads before
+    * committing to thresholds. Output: (rule, n_docs), one row per rule.
+    *
+    * Scale shape: the rule predicates are pure column expressions fused
+    * into ONE narrow scan; the aggregation is a single-row global sum
+    * (map-side partials, 6 longs per partition), then a constant-width
+    * `stack` to rows. No shuffle of the corpus, no per-rule passes. All
+    * ratios reuse the round-6 deterministic spellings of
+    * [[qualityScore]], so the DuckDB oracle replays each predicate
+    * exactly. */
+  def filterReasons(docs: DataFrame): DataFrame = {
+    val nWords = size(wsTokens)
+    val stopArr = array(enStopwords.map(lit): _*)
+    val nStop = size(filter(wsTokens, w => array_contains(stopArr, lower(w))))
+    val nAlpha = size(regexp_extract_all(col("text"), lit("[A-Za-z]+"), lit(0)))
+    val meanLen = round(length(col("text")).cast("double") / nWords, 6)
+    val stopRatio = round(nStop.cast("double") / nWords, 6)
+    val alphaRatio = round(nAlpha.cast("double") / nWords, 6)
+    val rules: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+      "r1_too_few_words" -> (nWords < 10),
+      "r2_too_many_words" -> (nWords > 1000),
+      "r3_word_len_outlier" -> (meanLen < 2.0 || meanLen > 12.0),
+      "r4_low_stopword" -> (stopRatio < 0.05),
+      "r5_low_alpha" -> (alphaRatio < 0.8))
+    val passAll = "r0_pass_all" -> !rules.map(_._2).reduce(_ || _)
+    val flagged = (passAll +: rules).map { case (n, c) => sum(c.cast("long")).as(n) }
+    val agg = docs.agg(flagged.head, flagged.tail: _*)
+    val stackArgs = (passAll +: rules)
+      .map { case (n, _) => s"'$n', $n" }.mkString(", ")
+    agg.selectExpr(s"stack(${rules.size + 1}, $stackArgs) AS (rule, n_docs)")
+      .orderBy("rule")
+  }
+
+  val filterReasonsSql: String = {
+    val stopList = enStopwords.map(s => s"'$s'").mkString("[", ", ", "]")
+    val nWords = "len(string_split_regex(trim(text), '\\s+'))"
+    s"""WITH f AS (SELECT
+       |    $nWords AS n_words,
+       |    ROUND(CAST(length(text) AS DOUBLE) / $nWords, 6) AS mean_word_len,
+       |    ROUND(CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+       |        w -> list_contains($stopList, lower(w)))) AS DOUBLE) / $nWords, 6) AS stop_ratio,
+       |    ROUND(CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS DOUBLE) / $nWords, 6) AS alpha_ratio
+       |  FROM documents),
+       |r AS (SELECT n_words < 10 AS r1, n_words > 1000 AS r2,
+       |    mean_word_len < 2.0 OR mean_word_len > 12.0 AS r3,
+       |    stop_ratio < 0.05 AS r4, alpha_ratio < 0.8 AS r5 FROM f)
+       |SELECT 'r0_pass_all' AS rule,
+       |    CAST(COUNT(*) FILTER (WHERE NOT (r1 OR r2 OR r3 OR r4 OR r5)) AS BIGINT) AS n_docs FROM r
+       |UNION ALL SELECT 'r1_too_few_words', CAST(COUNT(*) FILTER (WHERE r1) AS BIGINT) FROM r
+       |UNION ALL SELECT 'r2_too_many_words', CAST(COUNT(*) FILTER (WHERE r2) AS BIGINT) FROM r
+       |UNION ALL SELECT 'r3_word_len_outlier', CAST(COUNT(*) FILTER (WHERE r3) AS BIGINT) FROM r
+       |UNION ALL SELECT 'r4_low_stopword', CAST(COUNT(*) FILTER (WHERE r4) AS BIGINT) FROM r
+       |UNION ALL SELECT 'r5_low_alpha', CAST(COUNT(*) FILTER (WHERE r5) AS BIGINT) FROM r
+       |ORDER BY rule""".stripMargin
+  }
+
   // -------------------------------------------------------- language ID
   /** Tiny per-language marker-word lists for the heuristic language ID.
     * (A real pipeline plugs a fastText-style model in the same operator

@@ -99,7 +99,10 @@ object PipelineQueries {
     "sample_stratified" -> ((s, d) => Sampling.stratifiedSample(Tables.documents(s, d))),
     "sample_split" -> ((s, d) => Sampling.trainValTestSplit(Tables.documents(s, d))),
     "sample_mix_sources" -> ((s, d) => Sampling.mixSources(Tables.documents(s, d))),
+    "sample_mix_temperature" -> ((s, d) => Sampling.mixSourcesTemperature(Tables.documents(s, d))),
+    "report_filter_reasons" -> ((s, d) => TextAnalysis.filterReasons(Tables.documents(s, d))),
     "text_length_quantiles" -> ((s, d) => CorpusStats.lengthQuantiles(Tables.documents(s, d))),
+    "report_token_budget" -> ((s, d) => CorpusStats.tokenBudgetReport(Tables.documents(s, d))),
     // --- composed end-to-end cleaning pipeline ---
     "pipeline_clean_corpus" -> ((s, d) => CorpusPipeline.cleanCorpus(Tables.documents(s, d))),
     "pipeline_funnel" -> ((s, d) => CorpusPipeline.funnel(Tables.documents(s, d))),
@@ -180,7 +183,10 @@ object PipelineQueries {
     "sample_stratified" -> Sampling.stratifiedSampleSql(),
     "sample_split" -> Sampling.trainValTestSplitSql,
     "sample_mix_sources" -> Sampling.mixSourcesSql(),
+    "sample_mix_temperature" -> Sampling.mixSourcesTemperatureSql(),
+    "report_filter_reasons" -> TextAnalysis.filterReasonsSql,
     "text_length_quantiles" -> CorpusStats.lengthQuantilesSql(),
+    "report_token_budget" -> CorpusStats.tokenBudgetReportSql,
     "pipeline_clean_corpus" -> CorpusPipeline.cleanCorpusSql(),
     "pipeline_funnel" -> CorpusPipeline.funnelSql(),
     "decontaminate" -> Decontaminate.flagContaminatedSql(),

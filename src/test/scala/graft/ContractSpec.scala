@@ -83,12 +83,13 @@ class ContractSpec extends SparkSpec {
   /** The O(n^2) exact baselines are the ONLY queries allowed a
     * nested-loop/cartesian plan — each is a deliberately-registered
     * verification yardstick with a scale-safe twin (see VERDICT r1 §6 and
-    * the operator scaladocs). text_length_quantiles and sample_mix_sources
-    * use a BROADCAST nested loop against constant-size tables (quantile
-    * levels / source caps) — bounded by design, not corpus-shaped. */
+    * the operator scaladocs). text_length_quantiles and the two
+    * source-mixing samplers use a BROADCAST nested loop against
+    * constant-size tables (quantile levels / the 1-row source-total min) —
+    * bounded by design, not corpus-shaped. */
   private val cartesianWhitelist = Set(
     "ann_near_dup", "mm_feature_near_dup",
-    "text_length_quantiles", "sample_mix_sources")
+    "text_length_quantiles", "sample_mix_sources", "sample_mix_temperature")
 
   test("every registered query runs at sf0.001; no unexpected cartesians") {
     val sfDir = "/root/testdata/sf0.001"

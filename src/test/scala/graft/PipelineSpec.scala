@@ -747,6 +747,82 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("token budget report: cells conserve docs and tokens; shares sum to ~1M ppm") {
+    val out = CorpusStats.tokenBudgetReport(docs).collect()
+    assert(out.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    val tokTotal = out.map(_.getAs[Long]("n_tokens")).sum
+    val wsTotal = TextAnalysis.tokenCounts(docs).collect()
+      .map(_.getAs[Long]("n_ws_tokens")).sum
+    assert(tokTotal == wsTotal, s"token totals diverge: $tokTotal vs $wsTotal")
+    val shares = out.map(_.getAs[Long]("token_share_ppm"))
+    assert(shares.forall(s => s >= 0 && s <= 1000000))
+    // integer division floors each cell: sum in (1M - cells, 1M]
+    val sum = shares.sum
+    assert(sum <= 1000000 && sum > 1000000 - out.length,
+      s"shares sum $sum over ${out.length} cells")
+    assert(out.forall(r => r.getAs[Long]("quality_decile") >= 0
+      && r.getAs[Long]("quality_decile") <= 9))
+  }
+
+  test("temperature mixing: membership matches driver recompute; smallest source kept fully") {
+    val rows = docs.select("doc_id", "source", "text").collect()
+    def nTok(t: String): Long = t.trim.split("\\s+").length.toLong
+    val totals = rows.groupBy(_.getAs[String]("source"))
+      .map { case (s, rs) => s -> rs.map(r => nTok(r.getAs[String]("text"))).sum }
+    val tMin = totals.values.min
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def u(id: Long): Double = {
+      val hex = md.digest(s"mixt:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(hex, 16).toDouble / 4294967296.0
+    }
+    val expected = rows.filter { r =>
+      val ts = totals(r.getAs[String]("source"))
+      u(r.getAs[Long]("doc_id")) * math.sqrt(ts.toDouble) < math.sqrt(tMin.toDouble)
+    }.map(_.getAs[Long]("doc_id")).toSet
+    val got = Sampling.mixSourcesTemperature(docs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == expected, s"got ${got.size} vs expected ${expected.size}")
+    val smallest = totals.minBy(_._2)._1
+    val smallIds = rows.filter(_.getAs[String]("source") == smallest)
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(smallIds.subsetOf(got), "smallest source must keep every doc (rate = 1)")
+    // sqrt-temperature keeps at least as much of every source as equal-mass mixing
+    val mixBySource = Sampling.mixSources(docs).select("source").collect()
+      .groupBy(_.getString(0)).map { case (s, rs) => s -> rs.length }
+    val tempBySource = Sampling.mixSourcesTemperature(docs).select("source").collect()
+      .groupBy(_.getString(0)).map { case (s, rs) => s -> rs.length }
+    assert(tempBySource.values.sum >= mixBySource.values.sum,
+      "alpha=1/2 must retain at least the alpha=0 equal-mass total")
+  }
+
+  test("filter reasons: counts match a driver-side recomputation") {
+    val texts = docs.select("text").collect().map(_.getString(0))
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val stop = TextAnalysis.enStopwords.toSet
+    var (r0, r1, r2, r3, r4, r5) = (0L, 0L, 0L, 0L, 0L, 0L)
+    texts.foreach { t =>
+      val words = t.trim.split("\\s+")
+      val n = words.length
+      val meanLen = round6(t.length.toDouble / n)
+      val stopRatio = round6(words.count(w =>
+        stop(w.toLowerCase(java.util.Locale.ROOT))).toDouble / n)
+      val alpha = round6("[A-Za-z]+".r.findAllIn(t).size.toDouble / n)
+      val f1 = n < 10; val f2 = n > 1000
+      val f3 = meanLen < 2.0 || meanLen > 12.0
+      val f4 = stopRatio < 0.05; val f5 = alpha < 0.8
+      if (f1) r1 += 1; if (f2) r2 += 1; if (f3) r3 += 1
+      if (f4) r4 += 1; if (f5) r5 += 1
+      if (!(f1 || f2 || f3 || f4 || f5)) r0 += 1
+    }
+    val out = TextAnalysis.filterReasons(docs).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_docs")).toMap
+    assert(out == Map(
+      "r0_pass_all" -> r0, "r1_too_few_words" -> r1, "r2_too_many_words" -> r2,
+      "r3_word_len_outlier" -> r3, "r4_low_stopword" -> r4, "r5_low_alpha" -> r5))
+  }
+
   test("dup-span coverage matches a driver-side recomputation") {
     import spark.implicits._
     val k = 8

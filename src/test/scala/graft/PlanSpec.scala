@@ -169,6 +169,34 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("temperature mixing: corpus side is a narrow broadcast-joined filter") {
+    val p = simplePlan(graft.operators.Sampling.mixSourcesTemperature(
+      Tables.documents(spark, sf)))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"corpus must join the tiny rate tables by broadcast:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("filter reasons: one single-row agg pair, corpus never shuffled by key") {
+    val p = simplePlan(graft.operators.TextAnalysis.filterReasons(
+      Tables.documents(spark, sf)))
+    // the only exchanges are the 1-row final-agg gather + the 6-row sort
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges <= 2, s"expected <=2 exchanges, got $exchanges:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("Join"), p)
+  }
+
+  test("token budget report: keyed agg shuffle; share window over tiny cells only") {
+    val p = simplePlan(graft.operators.CorpusStats.tokenBudgetReport(
+      Tables.documents(spark, sf)))
+    // agg exchange + the window's single-partition exchange (cells table,
+    // |sources|x|langs|x10 rows) + the output sort — never a corpus window
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges <= 3, s"expected <=3 exchanges, got $exchanges:\n$p")
+    assert(p.contains("Window"), p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("dedup_exact: one shuffle for the agg + one for the output sort") {
     val p = simplePlan(graft.operators.Dedup.exact(Tables.documents(spark, sf)))
     val exchanges = "Exchange".r.findAllIn(p).length
