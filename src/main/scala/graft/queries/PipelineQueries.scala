@@ -112,6 +112,7 @@ object PipelineQueries {
     "sink_partition_prune" -> ((s, d) => PartitionedSink.prunedDailyAgg(s, d)),
     "layout_zorder" -> (Layout.zOrderKeys _),
     "sink_compact" -> (Compaction.roundTripAgg _),
+    "sink_bucketed_join" -> ((s, d) => BucketedSink.bucketedJoin(s, d)),
     // --- tokenizer vocabulary with dense ids ---
     "vocab_build" -> ((s, d) => VocabBuild.vocab(Tables.documents(s, d))),
     "tokenize_corpus" -> ((s, d) => VocabBuild.tokenize(Tables.documents(s, d))),
@@ -195,6 +196,7 @@ object PipelineQueries {
     "sink_partition_prune" -> PartitionedSink.prunedDailyAggSql(),
     "layout_zorder" -> Layout.zOrderKeysSql,
     "sink_compact" -> Compaction.roundTripAggSql,
+    "sink_bucketed_join" -> BucketedSink.bucketedJoinSql,
     "vocab_build" -> VocabBuild.vocabSql(),
     "tokenize_corpus" -> VocabBuild.tokenizeSql(),
     // content checksum proves the JSONL round-trip is lossless

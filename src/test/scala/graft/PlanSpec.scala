@@ -169,6 +169,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("sink_bucketed_join: co-located join reads carry the distribution — no join-side exchange") {
+    val p = simplePlan(graft.operators.BucketedSink.bucketedJoin(spark, sf))
+    assert(p.contains("SortMergeJoin"), p)
+    // bucketed scans satisfy the join's distribution; only the tiny
+    // priority agg and the output sort may exchange
+    assert(!p.contains("Exchange hashpartitioning(l_orderkey"), p)
+    assert(!p.contains("Exchange hashpartitioning(o_orderkey"), p)
+  }
+
   test("temperature mixing: corpus side is a narrow broadcast-joined filter") {
     val p = simplePlan(graft.operators.Sampling.mixSourcesTemperature(
       Tables.documents(spark, sf)))
