@@ -20,31 +20,45 @@ import org.apache.spark.sql.functions._
 object Decontaminate {
 
   /** Contaminated training docs: (doc_id, n_shared_grams), docs sharing
-    * at least one word `n`-gram with the hash-held-out eval slice. */
+    * at least one word `n`-gram with the hash-held-out eval slice.
+    *
+    * The join KEY is the md5-derived hash64 of the gram, not the gram
+    * string: the broadcast eval-gram set shrinks from ~`n` words of text
+    * per entry to 8 bytes, and the probe compares longs instead of
+    * strings. Same engine-portability argument as [[Dedup.hash64Col]] —
+    * DuckDB computes the identical hash, so a collision (which would
+    * merge two grams on BOTH sides equally) can never diverge the
+    * replay. */
   def flagContaminated(docs: DataFrame, n: Int = 8,
       evalRate: Double = 0.05): DataFrame = {
     val u = Sampling.hashUnit(col("doc_id"), "evalset")
     val evalDocs = docs.filter(u < evalRate)
     val trainDocs = docs.filter(u >= evalRate) // complement filter, not a join
-    val evalGrams = Dedup.shingles(evalDocs, n).select("shingle").distinct()
+    val evalGrams = Dedup.shingles(evalDocs, n)
+      .select(Dedup.hash64Col(col("shingle")).as("g")).distinct()
     Dedup.shingles(trainDocs, n)
-      .join(broadcast(evalGrams), "shingle")
+      .select(col("doc_id"), Dedup.hash64Col(col("shingle")).as("g"))
+      .join(broadcast(evalGrams), "g")
       .groupBy("doc_id").agg(count(lit(1)).as("n_shared_grams"))
       .orderBy("doc_id")
   }
 
   def flagContaminatedSql(n: Int = 8, evalRate: Double = 0.05): String = {
     val u = Sampling.hashUnitSql("doc_id", "evalset")
+    val h64 = OracleSql.hex64Signed("md5(shingle)")
+    // inner queries keep the per-doc DISTINCT on gram STRINGS (matching
+    // Dedup.shingles's array_distinct); hashing happens OUTSIDE it, like
+    // the Spark side, so a within-doc hash collision replays identically
     def sh(src: String, distinctDoc: String) =
       s"""SELECT DISTINCT $distinctDoc array_to_string(w[i:i+${n - 1}], ' ') AS shingle
          |  FROM (SELECT doc_id, w, unnest(range(1, greatest(len(w) - ${n - 1}, 1) + 1)) AS i
          |        FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM $src))""".stripMargin
     s"""WITH ev AS (SELECT doc_id, text FROM documents WHERE $u < $evalRate),
        |tr AS (SELECT doc_id, text FROM documents WHERE $u >= $evalRate),
-       |evsh AS (${sh("ev", "")}),
-       |trsh AS (${sh("tr", "doc_id,")})
+       |evsh AS (SELECT DISTINCT $h64 AS g FROM (${sh("ev", "")})),
+       |trsh AS (SELECT doc_id, $h64 AS g FROM (${sh("tr", "doc_id,")}))
        |SELECT t.doc_id, COUNT(*) AS n_shared_grams
-       |FROM trsh t JOIN evsh USING (shingle)
+       |FROM trsh t JOIN evsh USING (g)
        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
   }
 }

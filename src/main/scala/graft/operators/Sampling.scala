@@ -157,6 +157,38 @@ object Sampling {
        |      < sqrt(CAST(t_min AS DOUBLE))
        |ORDER BY doc_id""".stripMargin
 
+  /** Curriculum assignment — quality-ordered training schedule: docs map
+    * to `nStages` stages, stage 0 holding the top quality deciles (served
+    * first), with a deterministic content-keyed order WITHIN each stage
+    * (`order_ppm`, the first-32-md5-bits uniform scaled to ppm — exact in
+    * double, so any engine replays it; same retry/partitioning-stability
+    * argument as every sampler here). The quality expression is the SAME
+    * one the cleaning gate and token-budget report use, so the stages
+    * agree with the rest of the pipeline.
+    *
+    * Scale shape: one narrow codegen'd pass, no shuffle but the output
+    * sort; a trainer consumes it by `WHERE stage = k ORDER BY order_ppm`
+    * with stage/order as partition-prunable sort keys. */
+  def curriculumAssign(docs: DataFrame, nStages: Int = 5): DataFrame = {
+    val decile = least(floor(TextAnalysis.qualityScoreExpr * 10).cast("long"), lit(9L))
+    val stage = floor(((lit(9L) - decile) * lit(nStages.toLong)).cast("double") / 10.0)
+      .cast("long")
+    val ord = floor(hashUnit(col("doc_id"), "curriculum") * 1000000).cast("long")
+    docs.select(col("doc_id"), decile.as("quality_decile"),
+        stage.as("stage"), ord.as("order_ppm"))
+      .orderBy("doc_id")
+  }
+
+  def curriculumAssignSql(nStages: Int = 5): String = {
+    val q = TextAnalysis.qualityScoreExprSql
+    val dec = s"LEAST(CAST(floor(($q) * 10) AS BIGINT), 9)"
+    val u = hashUnitSql("doc_id", "curriculum")
+    s"""SELECT doc_id, $dec AS quality_decile,
+       |  CAST(floor(CAST((9 - $dec) * $nStages AS DOUBLE) / 10.0) AS BIGINT) AS stage,
+       |  CAST(floor(($u) * 1000000) AS BIGINT) AS order_ppm
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
   /** Deterministic train/val/test assignment by hash range (80/10/10):
     * the standard reproducible experiment split, as a pure function of
     * the document id. Output: (split, n_docs, n_chars) — the split

@@ -77,6 +77,7 @@ object PipelineQueries {
     "ann_ivf" -> ((s, d) => IvfAnn.topK(Tables.embeddings(s, d))),
     // --- clustering + embedding compression (the IVF-PQ scale layout) ---
     "cluster_kmeans" -> ((s, d) => IvfAnn.clusters(Tables.embeddings(s, d))),
+    "embed_random_projection" -> ((s, d) => RandomProjection.project(Tables.embeddings(s, d))),
     "quantize_int8" -> ((s, d) => Quantization.int8(Tables.embeddings(s, d))),
     "ann_pq_codes" -> ((s, d) => Quantization.pqCodes(Tables.embeddings(s, d))),
     "ann_pq_topk" -> ((s, d) => Quantization.pqTopK(Tables.embeddings(s, d), annQueryIds)),
@@ -100,6 +101,7 @@ object PipelineQueries {
     "sample_split" -> ((s, d) => Sampling.trainValTestSplit(Tables.documents(s, d))),
     "sample_mix_sources" -> ((s, d) => Sampling.mixSources(Tables.documents(s, d))),
     "sample_mix_temperature" -> ((s, d) => Sampling.mixSourcesTemperature(Tables.documents(s, d))),
+    "sample_curriculum" -> ((s, d) => Sampling.curriculumAssign(Tables.documents(s, d))),
     "report_filter_reasons" -> ((s, d) => TextAnalysis.filterReasons(Tables.documents(s, d))),
     "text_length_quantiles" -> ((s, d) => CorpusStats.lengthQuantiles(Tables.documents(s, d))),
     "report_token_budget" -> ((s, d) => CorpusStats.tokenBudgetReport(Tables.documents(s, d))),
@@ -163,6 +165,7 @@ object PipelineQueries {
     // k-means/int8/PQ share IVF's determinism contract (md5 seeds +
     // integer Lloyd; exact IEEE double scalar quantize) — full oracles
     "cluster_kmeans" -> IvfAnn.clustersSql(dim = 64),
+    "embed_random_projection" -> RandomProjection.projectSql(),
     "quantize_int8" -> Quantization.int8Sql(),
     "ann_pq_codes" -> Quantization.pqCodesSql(),
     "ann_pq_topk" -> Quantization.pqTopKSql(annQueryIds),
@@ -185,6 +188,7 @@ object PipelineQueries {
     "sample_split" -> Sampling.trainValTestSplitSql,
     "sample_mix_sources" -> Sampling.mixSourcesSql(),
     "sample_mix_temperature" -> Sampling.mixSourcesTemperatureSql(),
+    "sample_curriculum" -> Sampling.curriculumAssignSql(),
     "report_filter_reasons" -> TextAnalysis.filterReasonsSql,
     "text_length_quantiles" -> CorpusStats.lengthQuantilesSql(),
     "report_token_budget" -> CorpusStats.tokenBudgetReportSql,

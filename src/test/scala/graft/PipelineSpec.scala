@@ -823,6 +823,70 @@ class PipelineSpec extends SparkSpec {
       "r3_word_len_outlier" -> r3, "r4_low_stopword" -> r4, "r5_low_alpha" -> r5))
   }
 
+  test("curriculum: stage follows decile; deciles agree with token-budget report; order replays") {
+    val out = Sampling.curriculumAssign(docs).collect()
+    // stage is the documented pure function of the decile
+    out.foreach { r =>
+      val d = r.getAs[Long]("quality_decile"); val s = r.getAs[Long]("stage")
+      assert(d >= 0 && d <= 9)
+      assert(s == (9 - d) * 5 / 10, s"stage $s decile $d")
+    }
+    // per-decile doc counts equal the token-budget report's cells
+    val fromCurriculum = out.groupBy(_.getAs[Long]("quality_decile"))
+      .map { case (d, rs) => d -> rs.length.toLong }
+    val fromReport = CorpusStats.tokenBudgetReport(docs).collect()
+      .groupBy(_.getAs[Long]("quality_decile"))
+      .map { case (d, rs) => d -> rs.map(_.getAs[Long]("n_docs")).sum }
+    assert(fromCurriculum == fromReport)
+    // order_ppm replays from the md5 spelling
+    val md = java.security.MessageDigest.getInstance("MD5")
+    out.take(20).foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val hex = md.digest(s"curriculum:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      val expect = math.floor(
+        java.lang.Long.parseLong(hex, 16).toDouble / 4294967296.0 * 1000000).toLong
+      assert(r.getAs[Long]("order_ppm") == expect)
+    }
+  }
+
+  test("random projection: coordinates match driver recompute; JL distance ratios hold") {
+    val out = RandomProjection.project(embs).collect()
+    val raw = embs.select("vec_id", "embedding").collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Float]]("embedding").toArray).toMap
+    def quant(v: Array[Float]): Array[Long] =
+      v.map(x => math.floor(x.toDouble * 1048576.0).toLong)
+    // exact recompute of every projected coordinate
+    out.foreach { r =>
+      val q = quant(raw(r.getAs[Long]("vec_id")))
+      (0 until 16).foreach { j =>
+        val expect = q.indices.map(i => RandomProjection.sign(j, i).toLong * q(i)).sum
+        assert(r.getAs[Long](f"p$j%02d") == expect)
+      }
+    }
+    // JL sanity — the guarantee is DISTANCE preservation, not rank:
+    // E[||P(a-b)||^2] = outDims * ||a-b||^2 for +-1 signs, so the scaled
+    // ratio concentrates near 1 (sd ~ sqrt(2/16) ~ 0.35). Rank recall on
+    // this near-isotropic synthetic table is weak by nature (distances
+    // concentrate), so it is NOT the right gate here.
+    val ids = out.map(_.getAs[Long]("vec_id"))
+    val proj = out.map(r => (0 until 16).map(j => r.getAs[Long](f"p$j%02d")).toArray)
+    val qvecs = ids.map(id => quant(raw(id)))
+    def l2(a: Array[Long], b: Array[Long]): Double =
+      a.indices.map(i => { val d = (a(i) - b(i)).toDouble; d * d }).sum
+    val rnd = new scala.util.Random(7)
+    val ratios = (0 until 200).map { _ =>
+      val a = rnd.nextInt(ids.length); val b = rnd.nextInt(ids.length)
+      if (a == b || l2(qvecs(a), qvecs(b)) == 0) 1.0
+      else l2(proj(a), proj(b)) / (16.0 * l2(qvecs(a), qvecs(b)))
+    }.sorted
+    val median = ratios(ratios.length / 2)
+    assert(median > 0.6 && median < 1.6, s"median distance ratio $median")
+    val inBand = ratios.count(r => r > 0.3 && r < 3.0).toDouble / ratios.length
+    assert(inBand > 0.9, s"only $inBand of pair distances within [0.3x, 3x]")
+  }
+
   test("dup-span coverage matches a driver-side recomputation") {
     import spark.implicits._
     val k = 8
