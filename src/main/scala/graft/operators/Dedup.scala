@@ -575,4 +575,94 @@ object Dedup {
        |WHERE bit_count(xor(a.sig, b.sig)) <= $maxHamming
        |ORDER BY doc_a, doc_b""".stripMargin
   }
+
+  // ---------------------------------------------- paragraph-level dedup
+  /** Paragraph-level dedup with document RECONSTRUCTION — the CCNet /
+    * RefinedWeb boilerplate-removal step, distinct from whole-document
+    * dedup above: segment each document into consecutive non-overlapping
+    * `parWords`-word chunks ("paragraphs" — the corpus has no newline
+    * structure, so segmentation is positional), count each chunk's
+    * corpus-wide DOCUMENT frequency by the md5-derived 64-bit hash, drop
+    * every chunk shared by more than `maxDf` documents (cross-document
+    * boilerplate — headers, licence blocks, navigation), and reassemble
+    * the surviving chunks in original order.
+    *
+    * Output per doc (integer/string only — full hash oracle, replayed by
+    * [[paragraphDedupSql]]): n_pars, n_dup_pars removed, kept_chars and
+    * kept_md5 of the reconstructed text (md5('') when everything was
+    * boilerplate). Within-doc repeats of a globally-unique chunk are
+    * KEPT — that is `repetition`'s signal, not boilerplate.
+    *
+    * Scale shape: chunking is a narrow codegen'd explode whose output
+    * volume EQUALS corpus volume (non-overlapping chunks — no k-fold
+    * blowup, unlike k-gram explodes); the doc-frequency aggregate on the
+    * 8-byte hash is map-side combinable and is the first of two
+    * corpus-volume shuffles; the duplicated-chunk set flows back as a
+    * LEFT ANTI equi-join on the hash (far smaller than the corpus by
+    * Zipf — AQE broadcasts it while it fits); the groupBy-doc_id
+    * reassembly is the second shuffle, the unavoidable price of
+    * reconstruction (a counts-only variant would skip it, but the
+    * cleaned text is the product). */
+  def paragraphDedup(docs: DataFrame, parWords: Int = 10, maxDf: Int = 1): DataFrame = {
+    val words = split(trim(col("text")), "\\s+")
+    // ceil(len/parWords) chunks; split('') = [''] so every doc has >= 1
+    val nPars = floor((size(words) + lit(parWords - 1)) / lit(parWords)).cast("long")
+    val pars = transform(
+      sequence(lit(0), (nPars - 1).cast("int")),
+      c => concat_ws(" ", slice(words, c * parWords + 1, lit(parWords))))
+
+    val positional = docs
+      .select(col("doc_id"), posexplode(pars).as(Seq("pos", "par")))
+      .select(col("doc_id"), col("pos"), col("par"), hash64Col(col("par")).as("h"))
+    val base = docs.select(col("doc_id"), nPars.as("n_pars"))
+
+    val dup = positional.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") > maxDf)
+      .select("h")
+    val kept = positional.join(dup, Seq("h"), "left_anti")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("pos"), col("par")))),
+            s => s.getField("par")),
+          " ").as("kept_text"))
+
+    base.join(kept, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_pars"),
+        (col("n_pars") - coalesce(col("n_kept"), lit(0L))).as("n_dup_pars"),
+        coalesce(length(col("kept_text")), lit(0)).cast("long").as("kept_chars"),
+        md5(coalesce(col("kept_text"), lit("")).cast("binary")).as("kept_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB replay of [[paragraphDedup]]: identical positional chunking,
+    * identical md5-derived hash, identical reassembly order. */
+  def paragraphDedupSql(parWords: Int = 10, maxDf: Int = 1): String = {
+    val h = OracleSql.hex64Signed("md5(par)")
+    val p = parWords
+    s"""WITH words AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+       |base AS (SELECT doc_id, CAST((len(w) + ${p - 1}) // $p AS BIGINT) AS n_pars FROM words),
+       |pars AS (
+       |  SELECT doc_id, c AS pos, array_to_string(w[c*$p+1 : c*$p+$p], ' ') AS par
+       |  FROM (SELECT doc_id, w, unnest(range(0, (len(w) + ${p - 1}) // $p)) AS c FROM words)),
+       |hashed AS (SELECT doc_id, pos, par, $h AS h FROM pars),
+       |dup AS (SELECT h FROM (
+       |    SELECT h, COUNT(DISTINCT doc_id) AS df FROM hashed GROUP BY h)
+       |  WHERE df > $maxDf),
+       |kept AS (
+       |  SELECT doc_id, COUNT(*) AS n_kept,
+       |         string_agg(par, ' ' ORDER BY pos) AS kept_text
+       |  FROM hashed WHERE h NOT IN (SELECT h FROM dup) GROUP BY doc_id)
+       |SELECT b.doc_id, b.n_pars,
+       |  CAST(b.n_pars - COALESCE(k.n_kept, 0) AS BIGINT) AS n_dup_pars,
+       |  CAST(COALESCE(len(k.kept_text), 0) AS BIGINT) AS kept_chars,
+       |  md5(COALESCE(k.kept_text, '')) AS kept_md5
+       |FROM base b LEFT JOIN kept k ON b.doc_id = k.doc_id
+       |ORDER BY b.doc_id""".stripMargin
+  }
 }

@@ -108,4 +108,74 @@ object VocabBuild {
        |    AS token_id,
        |  token, freq
        |FROM counts ORDER BY token_id""".stripMargin
+
+  // ------------------------------------------------------ tf-idf top-k
+  /** Per-document top-k salient terms by INTEGER tf-idf — keyword
+    * extraction composed from the pieces this pipeline already has:
+    * the shared tokenizer, the dense-id vocabulary, and the native
+    * `topk_pairs` TypedImperativeAggregate.
+    *
+    * idf is the integer surrogate `n_docs DIV df` rather than
+    * log(N/df): exact in both engines (no transcendental whose last-bit
+    * rounding could diverge a hash oracle), same ordering for fixed tf
+    * (monotone in df), and it preserves the signal that matters —
+    * corpus-wide terms weight ~1, rare terms weight ~N. Ties are total:
+    * (score DESC, token_id ASC), token_id dense from the vocab.
+    *
+    * Scale shape: tf is ONE corpus-volume hash shuffle on (doc_id,
+    * token) with map-side combine; df aggregates the already-thresholded
+    * vocab-joined pairs (vocab-cardinality shuffle); n_docs rides as a
+    * broadcast 1-row cross join (never a driver collect); the vocab id
+    * lookups are broadcast joins; top-k is bounded k-pair buffers with
+    * map-side partials — no sort, no window over the corpus. */
+  def tfidfTopTerms(docs: DataFrame, k: Int = 5, minCount: Long = 5L): DataFrame = {
+    graft.functions.VectorFunctions.ensureRegistered(docs.sparkSession)
+    val v = vocab(docs, minCount).select(col("token"), col("token_id"))
+    val tf = docs
+      .select(col("doc_id"), explode(regexp_extract_all(lower(col("text")),
+        lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).as("token"))
+      .groupBy("doc_id", "token")
+      .agg(count(lit(1)).as("tf"))
+      .join(broadcast(v), Seq("token"))
+    val df = tf.groupBy("token_id").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    tf.join(df, Seq("token_id"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("token_id"),
+        expr("tf * (n_docs DIV df)").as("score"))
+      .groupBy("doc_id")
+      .agg(call_function("topk_pairs",
+        col("score"), col("token_id"), lit(k)).as("top"))
+      .select(col("doc_id"), posexplode(col("top")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("rn"),
+        col("col.id").as("token_id"), col("col.ord").as("score"))
+      .join(broadcast(v), Seq("token_id"))
+      .select(col("doc_id"), col("rn"), col("token"), col("score"))
+      .orderBy("doc_id", "rn")
+  }
+
+  /** DuckDB replay of [[tfidfTopTerms]]: identical tokenizer, vocab ids
+    * from [[vocabSql]], identical integer idf surrogate; the window
+    * spelling equals the aggregate under the total (score DESC,
+    * token_id ASC) order. */
+  def tfidfSql(k: Int = 5, minCount: Long = 5L): String =
+    s"""WITH vocab AS (${vocabSql(minCount)}),
+       |toks AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(lower(text),
+       |    '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS token FROM documents),
+       |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token),
+       |tv AS (SELECT tf.doc_id, v.token_id, v.token, tf.tf
+       |       FROM tf JOIN vocab v USING (token)),
+       |df AS (SELECT token_id, COUNT(*) AS df FROM tv GROUP BY token_id),
+       |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+       |scored AS (
+       |  SELECT tv.doc_id, tv.token_id, tv.token,
+       |         CAST(tv.tf * (n.n_docs // d.df) AS BIGINT) AS score
+       |  FROM tv JOIN df d USING (token_id) CROSS JOIN n)
+       |SELECT doc_id, CAST(rn AS BIGINT) AS rn, token, score FROM (
+       |  SELECT doc_id, token, score,
+       |    ROW_NUMBER() OVER (PARTITION BY doc_id
+       |      ORDER BY score DESC, token_id ASC) AS rn
+       |  FROM scored)
+       |WHERE rn <= $k ORDER BY doc_id, rn""".stripMargin
 }

@@ -59,6 +59,9 @@ object PipelineQueries {
     // QUALITY member, not the smallest id; singletons always kept
     "dedup_retention" -> ((s, d) =>
       DedupComponents.retention(Tables.documents(s, d), minhashPairs(s, d))),
+    // paragraph-level boilerplate removal with reconstruction (CCNet):
+    // positional word chunks, corpus doc-frequency, rebuild kept text
+    "dedup_paragraphs" -> ((s, d) => Dedup.paragraphDedup(Tables.documents(s, d))),
     // --- text analysis ---
     "text_token_counts" -> ((s, d) => TextAnalysis.tokenCounts(Tables.documents(s, d))),
     "text_quality" -> ((s, d) => TextAnalysis.qualityScore(Tables.documents(s, d))),
@@ -118,6 +121,9 @@ object PipelineQueries {
     // --- tokenizer vocabulary with dense ids ---
     "vocab_build" -> ((s, d) => VocabBuild.vocab(Tables.documents(s, d))),
     "tokenize_corpus" -> ((s, d) => VocabBuild.tokenize(Tables.documents(s, d))),
+    // per-doc top-k salient terms: integer tf-idf over the dense-id
+    // vocab, ranked by the native topk_pairs aggregate
+    "text_tfidf_topterms" -> ((s, d) => VocabBuild.tfidfTopTerms(Tables.documents(s, d))),
     // --- JSONL source round-trip (explicit schema, FAILFAST) ---
     "source_jsonl" -> ((s, d) => graft.sources.JsonLines.roundTripAgg(s, d)))
 
@@ -145,6 +151,7 @@ object PipelineQueries {
     // + exact within-cell cosine verify + recursive-CTE closure — fully
     // hash-oracled for the same reason ann_ivf is
     "dedup_semantic" -> SemanticDedup.clustersSql(dim = 64),
+    "dedup_paragraphs" -> Dedup.paragraphDedupSql(),
     "text_token_counts" -> TextAnalysis.tokenCountsSql,
     "text_quality" -> TextAnalysis.qualityScoreSql,
     "text_lang_id" -> TextAnalysis.langIdSql,
@@ -203,6 +210,7 @@ object PipelineQueries {
     "sink_bucketed_join" -> BucketedSink.bucketedJoinSql,
     "vocab_build" -> VocabBuild.vocabSql(),
     "tokenize_corpus" -> VocabBuild.tokenizeSql(),
+    "text_tfidf_topterms" -> VocabBuild.tfidfSql(),
     // content checksum proves the JSONL round-trip is lossless
     "source_jsonl" -> graft.sources.JsonLines.roundTripAggSql)
 }

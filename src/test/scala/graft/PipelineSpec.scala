@@ -27,6 +27,60 @@ class PipelineSpec extends SparkSpec {
     assert(totalCopies == docs.count())
   }
 
+  test("tfidfTopTerms: hand-computed scores and dense-id tie-breaks") {
+    import spark.implicits._
+    val fixture = Seq(
+      (1L, "apple apple banana"),
+      (2L, "apple cherry"),
+      (3L, "cherry cherry cherry date")).toDF("doc_id", "text")
+    // vocab ids (freq DESC, token ASC): cherry(4)->0, apple(3)->1,
+    // banana(1)->2, date(1)->3; df: apple 2, banana 1, cherry 2, date 1;
+    // idf surrogate N DIV df with N=3: apple 1, banana 3, cherry 1, date 3
+    val out = VocabBuild.tfidfTopTerms(fixture, k = 2, minCount = 1L)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rn")) ->
+        (r.getAs[String]("token"), r.getAs[Long]("score"))).toMap
+    assert(out((1L, 1L)) == (("banana", 3L)))   // 1*3 beats apple 2*1
+    assert(out((1L, 2L)) == (("apple", 2L)))
+    assert(out((2L, 1L)) == (("cherry", 1L)))   // tie 1==1: id 0 < id 1
+    assert(out((2L, 2L)) == (("apple", 1L)))
+    assert(out((3L, 1L)) == (("cherry", 3L)))   // tie 3==3: id 0 < id 3
+    assert(out((3L, 2L)) == (("date", 3L)))
+  }
+
+  test("paragraphDedup: shared chunks removed, order kept, full-dup doc empties") {
+    import spark.implicits._
+    def md5hexOf(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val shared = (1 to 10).map(i => s"s$i").mkString(" ")
+    val uniqA = (1 to 10).map(i => s"a$i").mkString(" ")
+    val uniqB = (1 to 10).map(i => s"b$i").mkString(" ")
+    val fixture = Seq(
+      (1L, s"$shared tail1 x y"),      // dup head + 3-word unique tail
+      (2L, s"$shared $uniqA"),         // dup head + full unique chunk
+      (3L, shared),                    // nothing survives
+      (4L, s"$uniqB two extra words"), // nothing removed
+      (5L, s"$uniqA $shared $uniqB")   // doc 2 shares uniqA -> removed too
+    ).toDF("doc_id", "text")
+    val out = Dedup.paragraphDedup(fixture).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_pars"), r.getAs[Long]("n_dup_pars"),
+         r.getAs[String]("kept_md5"))).toMap
+
+    assert(out(1L) == ((2L, 1L, md5hexOf("tail1 x y"))))
+    assert(out(2L) == ((2L, 2L, md5hexOf(""))))   // head AND uniqA both shared (doc 5)
+    assert(out(3L) == ((1L, 1L, md5hexOf(""))))
+    // doc 4's chunk0 is exactly uniqB — shared with doc 5's chunk2, so
+    // BOTH are removed: positional chunking catches aligned reuse only
+    assert(out(4L) == ((2L, 1L, md5hexOf("two extra words"))))
+    assert(out(5L) == ((3L, 3L, md5hexOf(""))))
+    val chars = Dedup.paragraphDedup(fixture).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("kept_chars")).toMap
+    assert(chars(3L) == 0L && chars(5L) == 0L)
+    assert(chars(1L) == "tail1 x y".length.toLong)
+  }
+
   test("minhash LSH finds the same pairs as exact n-gram Jaccard") {
     val exact = Dedup.ngramJaccard(docs).select("doc_a", "doc_b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
