@@ -125,7 +125,11 @@ object PipelineQueries {
     // vocab, ranked by the native topk_pairs aggregate
     "text_tfidf_topterms" -> ((s, d) => VocabBuild.tfidfTopTerms(Tables.documents(s, d))),
     // --- JSONL source round-trip (explicit schema, FAILFAST) ---
-    "source_jsonl" -> ((s, d) => graft.sources.JsonLines.roundTripAgg(s, d)))
+    "source_jsonl" -> ((s, d) => graft.sources.JsonLines.roundTripAgg(s, d)),
+    // --- CSV source round-trip (same contract, shared oracle) ---
+    "source_csv" -> ((s, d) => graft.sources.CsvLines.roundTripAgg(s, d)),
+    // --- training-shard writer: content-hash-balanced shards + manifest ---
+    "sink_shards" -> ((s, d) => ShardedSink.manifest(s, d)))
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> Dedup.exactSql,
@@ -212,5 +216,7 @@ object PipelineQueries {
     "tokenize_corpus" -> VocabBuild.tokenizeSql(),
     "text_tfidf_topterms" -> VocabBuild.tfidfSql(),
     // content checksum proves the JSONL round-trip is lossless
-    "source_jsonl" -> graft.sources.JsonLines.roundTripAggSql)
+    "source_jsonl" -> graft.sources.JsonLines.roundTripAggSql,
+    "source_csv" -> graft.sources.CsvLines.roundTripAggSql,
+    "sink_shards" -> ShardedSink.manifestSql())
 }

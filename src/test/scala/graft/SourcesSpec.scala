@@ -30,4 +30,52 @@ class SourcesSpec extends SparkSpec {
       .option("mode", "FAILFAST").json(dir.toString)
     intercept[Exception] { df.collect() }
   }
+
+  test("csv round-trip preserves every row and every text byte") {
+    val original = Tables.documents(spark, sf)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    val dir = graft.sources.CsvLines.stagedDir(spark, sf)
+    val back = spark.read.schema(JsonLines.documentsSchema)
+      .option("header", "true").option("mode", "FAILFAST").csv(dir)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    assert(back.count() == original.count())
+    assert(back.exceptAll(original).isEmpty && original.exceptAll(back).isEmpty)
+  }
+
+  test("csv writer quoting survives commas, quotes, unicode, edge spaces") {
+    import spark.implicits._
+    val tricky = Seq(
+      (1L, "comma, separated, values", "en", "s", 24L),
+      (2L, "a \"quoted\" phrase", "en", "s", 17L),
+      (3L, "unicode é中文 text", "de", "s", 16L),
+      // edge whitespace: the writer's ignoreLeading/TrailingWhiteSpace
+      // defaults would silently TRIM these — CsvLines pins them off
+      (4L, "  leading and trailing  ", "en", "s", 24L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = Files.createTempDirectory("graft_csv_tricky")
+    tricky.write.mode("overwrite").option("header", "true")
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false")
+      .csv(dir.toString)
+    val back = spark.read.schema(JsonLines.documentsSchema)
+      .option("header", "true").option("mode", "FAILFAST").csv(dir.toString)
+    assert(back.exceptAll(tricky).isEmpty && tricky.exceptAll(back).isEmpty)
+  }
+
+  test("sharded sink: shards partition the corpus; assignment is content-keyed") {
+    val m = graft.operators.ShardedSink.manifest(spark, sf).collect()
+    val docs = Tables.documents(spark, sf)
+    assert(m.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    val shards = m.map(_.getAs[Long]("shard")).toSet
+    assert(shards.subsetOf((0L until 16L).toSet) && shards.nonEmpty)
+    // content-keyed: identical texts land in the same shard, so the
+    // per-shard checksum equals a direct computation off the raw table
+    val direct = docs
+      .select(org.apache.spark.sql.functions.pmod(
+        graft.operators.Dedup.hash64Col(col("text")), lit(16)).as("shard"))
+      .groupBy("shard").count().collect()
+      .map(r => r.getAs[Long]("shard") -> r.getAs[Long]("count")).toMap
+    val fromFiles = m.map(r => r.getAs[Long]("shard") -> r.getAs[Long]("n_docs")).toMap
+    assert(fromFiles == direct)
+  }
 }
