@@ -383,4 +383,35 @@ class PlanSpec extends SparkSpec {
     val exchanges = "Exchange".r.findAllIn(p).length
     assert(exchanges <= 2, s"union of projections must not shuffle:\n$p")
   }
+
+  test("paragraph dedup: anti join on the chunk hash, no cartesian") {
+    val p = simplePlan(graft.operators.Dedup.paragraphDedup(
+      Tables.documents(spark, sf)))
+    assert(p.contains("LeftAnti"),
+      s"duplicated chunks must be removed by an anti equi-join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"chunk dedup must never go quadratic:\n$p")
+    // df agg must combine map-side before its exchange
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      s"expected partial+final doc-frequency aggregation:\n$p")
+  }
+
+  test("tfidf: ranked by the bounded topk_pairs aggregate, no window sort") {
+    val p = simplePlan(graft.operators.VocabBuild.tfidfTopTerms(
+      Tables.documents(spark, sf)))
+    assert(p.contains("ObjectHashAggregate") &&
+      "topk_pairs".r.findAllIn(p).length >= 2,
+      s"expected partial AND final topk_pairs aggregation:\n$p")
+    assert(!p.contains("Window"),
+      s"per-doc ranking must not fall back to a window sort:\n$p")
+    // the only nested-loop join is the broadcast 1-row n_docs total
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("sharded sink manifest: one agg pair over the re-read shards") {
+    val p = simplePlan(graft.operators.ShardedSink.manifest(spark, sf))
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      s"manifest aggregate must combine map-side:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
