@@ -128,6 +128,8 @@ object PipelineQueries {
     "source_jsonl" -> ((s, d) => graft.sources.JsonLines.roundTripAgg(s, d)),
     // --- CSV source round-trip (same contract, shared oracle) ---
     "source_csv" -> ((s, d) => graft.sources.CsvLines.roundTripAgg(s, d)),
+    // --- ORC source round-trip (columnar twin; schema as a CHECK) ---
+    "source_orc" -> ((s, d) => graft.sources.OrcSource.roundTripAgg(s, d)),
     // --- training-shard writer: content-hash-balanced shards + manifest ---
     "sink_shards" -> ((s, d) => ShardedSink.manifest(s, d)))
 
@@ -218,5 +220,6 @@ object PipelineQueries {
     // content checksum proves the JSONL round-trip is lossless
     "source_jsonl" -> graft.sources.JsonLines.roundTripAggSql,
     "source_csv" -> graft.sources.CsvLines.roundTripAggSql,
+    "source_orc" -> graft.sources.OrcSource.roundTripAggSql,
     "sink_shards" -> ShardedSink.manifestSql())
 }

@@ -62,6 +62,16 @@ class SourcesSpec extends SparkSpec {
     assert(back.exceptAll(tricky).isEmpty && tricky.exceptAll(back).isEmpty)
   }
 
+  test("orc round-trip preserves every row and every text byte") {
+    val original = Tables.documents(spark, sf)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    val back = spark.read.schema(JsonLines.documentsSchema)
+      .orc(graft.sources.OrcSource.stagedDir(spark, sf))
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    assert(back.count() == original.count())
+    assert(back.exceptAll(original).isEmpty && original.exceptAll(back).isEmpty)
+  }
+
   test("sharded sink: shards partition the corpus; assignment is content-keyed") {
     val m = graft.operators.ShardedSink.manifest(spark, sf).collect()
     val docs = Tables.documents(spark, sf)
