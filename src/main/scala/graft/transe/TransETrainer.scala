@@ -130,20 +130,36 @@ class TransETrainer(params: TransEParams) extends Serializable {
     val nTriples = rawRdd.count()
     val targetParts = sys.env.get("GRAFT_TRAIN_PARTS").map(_.toInt).getOrElse(
       math.max(2, math.min(16, (nTriples / 200000L).toInt + 1)))
-    val data =
-      if (rawRdd.getNumPartitions == targetParts) rawRdd
-      else {
-        // coalesce DOWN for delta volume; repartition UP when the input
-        // arrives under-partitioned (single gzip file, upstream
-        // coalesce(1)) — otherwise every SGD round serializes on one task
-        val relaid = (if (rawRdd.getNumPartitions > targetParts)
-          rawRdd.coalesce(targetParts)
-        else rawRdd.repartition(targetParts))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        relaid.count() // materialize from the parent cache, then drop it
-        rawRdd.unpersist()
-        relaid
-      }
+    // LAYOUT-INDEPENDENT DETERMINISM: partition each triple by a content
+    // hash and sort within partitions. The SGD result depends on which
+    // rows share a partition (per-partition write-combining + LWW merge)
+    // and on iteration order (Bernoulli sampling consumes the RNG stream
+    // row-by-row); an upstream coalesce/repartition layout would leak the
+    // session's shuffle-partition count and file-split geometry into the
+    // trained weights. After this re-layout, fit() is a pure function of
+    // (triple set, params) — what lets the driver gate transe_fit/eval on
+    // golden recordings regardless of SPARK_GRAFT_CPUS. One extra shuffle
+    // of the training set, paid once per fit, not per SGD round; partition
+    // count stays delta-volume-sized (see above).
+    val data = {
+      val relaid = rawRdd
+        .keyBy(tr => Math.floorMod(
+          scala.util.hashing.MurmurHash3.productHash((tr.h, tr.l, tr.t)),
+          targetParts))
+        .partitionBy(new org.apache.spark.Partitioner {
+          def numPartitions: Int = targetParts
+          def getPartition(key: Any): Int = key.asInstanceOf[Int]
+        })
+        .mapPartitions({ it =>
+          val arr = it.map(_._2).toArray
+          java.util.Arrays.sort(arr, Ordering.by((t: Triple) => (t.h, t.l, t.t)))
+          arr.iterator
+        }, preservesPartitioning = false)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      relaid.count() // materialize from the parent cache, then drop it
+      rawRdd.unpersist()
+      relaid
+    }
 
     val membership: TripleMembership =
       if (p.exactMembership && PackedMembership.fits(nEntities, nLabels)) {
