@@ -10,9 +10,12 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+    // Kryo class registration on (small ids instead of class names in
+    // every broadcast/shuffle record) but registrationRequired OFF: an
+    // unregistered exotic type in the driver-run sweep must degrade to
+    // the slow path, never crash the round
+    val spark = GraftKryo.configure(SparkSession.builder()
+      .master(s"local[$cpus]"))
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")

@@ -160,9 +160,10 @@ private[apps] object Args {
       case None =>
         val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
           Runtime.getRuntime.availableProcessors().toString)
-        val spark = SparkSession.builder()
-          .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
-          .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+        // Kryo + explicit class registration (reference parity,
+        // example.py:16-17); hot-class coverage is gated by KryoSpec
+        val spark = graft.GraftKryo.configure(SparkSession.builder()
+          .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")))
           .config("spark.sql.shuffle.partitions", cpus)
           .config("spark.sql.adaptive.enabled", "true")
           .config("spark.ui.enabled", "false")

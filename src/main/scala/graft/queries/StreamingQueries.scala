@@ -22,6 +22,7 @@ object StreamingQueries {
     "stream_interval_join" -> ((s, d) => EventStreams.streamingIntervalJoin(s, d)),
     "stream_cms_heavy_users" -> ((s, d) => EventStreams.streamingCmsHeavyUsers(s, d)),
     "stream_top_users" -> ((s, d) => EventStreams.streamingTopUsers(s, d)),
+    "stream_ts_canary" -> ((s, d) => EventStreams.tsSpanCanary(s, d)),
     "q11_sessionize" -> ((s, d) => EventStreams.sessionizeBatch(Tables.events(s, d))),
     "q12_asof_join" -> ((s, d) => AsOfJoin.errorToLastClick(Tables.events(s, d))),
     "q16_range_join" -> ((s, d) => RangeJoin.concurrentSessions(Tables.events(s, d))),
@@ -51,6 +52,9 @@ object StreamingQueries {
     // streamed counts equal batch counts; the deterministic topk_pairs
     // ranking shares the batch window-replay oracle
     "stream_top_users" -> EventStreams.streamingTopUsersSql(),
+    // source-format drift insurance: the span/count the stream sees must
+    // equal what DuckDB reads from the same file
+    "stream_ts_canary" -> EventStreams.tsSpanCanarySql,
     "q11_sessionize" -> EventStreams.sessionizeBatchSql(),
     "q12_asof_join" -> AsOfJoin.errorToLastClickSql,
     "q16_range_join" -> RangeJoin.concurrentSessionsSql(),

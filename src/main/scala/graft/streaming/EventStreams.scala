@@ -25,34 +25,31 @@ import org.apache.spark.sql.types._
   */
 object EventStreams {
 
-  /** Raw parquet schema of events (ts stored as TIMESTAMP(NANOS), which
-    * Spark surfaces as LongType nanos under nanosAsLong). */
-  private val rawSchema = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
   private val sinkId = new AtomicInteger(0)
 
   /** File-source stream over the static events parquet (one micro-batch
     * per file by default — the standard replay harness for testing
     * streaming semantics on deterministic input). The file source needs a
     * DIRECTORY; the testdata is a single read-only file, so stage a temp
-    * dir with a symlink (no data copy). */
+    * dir with a symlink (no data copy).
+    *
+    * The schema is PROBED from the file via [[graft.Tables.eventsRawSchema]]
+    * (readStream requires an explicit schema) and `ts` normalized by the
+    * SAME [[graft.Tables.normalizeEventTs]] the batch reader uses — batch
+    * and stream cannot diverge on the source's timestamp unit again
+    * (round-4 regression: the file flipped TIMESTAMP(NANOS) → MICROS and a
+    * hardcoded nanos schema here collapsed the 720 h event span to 0.72 h). */
   def readEventStream(spark: SparkSession, sfDir: String,
       sentinelGapMs: Option[Long] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val streamDir = stagedDir(spark, sfDir, sentinelGapMs)
+    val rawSchema = graft.Tables.eventsRawSchema(spark, sfDir)
+    val streamDir = stagedDir(spark, sfDir, sentinelGapMs, rawSchema)
     val reader = spark.readStream
       .schema(rawSchema)
       // one file per micro-batch so a staged sentinel file lands AFTER
       // the data batch and advances the watermark past it
       .option("maxFilesPerTrigger", "1")
-    reader.parquet(streamDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    graft.Tables.normalizeEventTs(reader.parquet(streamDir))
   }
 
   /** Stage a temp directory for the file source. With `sentinelGapMs`
@@ -63,7 +60,7 @@ object EventStreams {
     * stream then equals the batch answer exactly instead of a
     * watermark-governed subset. Callers filter user_id >= 0. */
   private def stagedDir(spark: SparkSession, sfDir: String,
-      sentinelGapMs: Option[Long]): String = {
+      sentinelGapMs: Option[Long], rawSchema: StructType): String = {
     import java.nio.file.{Files, Paths}
     val target = Paths.get(sfDir, "events.parquet").toAbsolutePath.normalize
     // collision-free key (SHA-256 of the absolute path — String.hashCode
@@ -100,8 +97,13 @@ object EventStreams {
       // unflushed).
       import spark.implicits._
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val maxTsNanos = spark.read.schema(rawSchema).parquet(target.toString)
-        .agg(max(col("ts"))).head().getLong(0)
+      // the sentinel files must carry `ts` in the FILE's exact raw type
+      // (they share the data file's probed schema) — compute the max in
+      // micros via the shared normalizer, convert back at write time
+      val rawTsType = rawSchema("ts").dataType
+      val maxTsMicros = graft.Tables.normalizeEventTs(
+          spark.read.schema(rawSchema).parquet(target.toString))
+        .agg(max(unix_micros(col("ts")))).head().getLong(0)
       // Sentinels are valid only for the CURRENT target file: keyed on
       // max(ts) AND the target's mtime. The mtime matters because the
       // file source processes files in modification-time order — a
@@ -113,7 +115,7 @@ object EventStreams {
       // with only the second, its batch would run under the data
       // watermark and no batch would flush the final sessions.
       val targetMtime = Files.getLastModifiedTime(target).toMillis
-      val stamp = s"$maxTsNanos:$targetMtime"
+      val stamp = s"$maxTsMicros:$targetMtime:${rawTsType.simpleString}"
       val marker = dir.resolve("_graft_sentinel_maxts")
       val fresh = Files.exists(marker) &&
         Files.readString(marker).trim == stamp &&
@@ -122,10 +124,18 @@ object EventStreams {
       if (!fresh) {
         (1 to 2).foreach { k =>
           val sentinel = dir.resolve(s"zz_sentinel$k.parquet")
-          val sentinelTs = maxTsNanos + k * (gapMs + 1000L) * 1000000L
+          val sentinelMicros = maxTsMicros + k * (gapMs + 1000L) * 1000L
           val tmp = Files.createTempDirectory("graft_sentinel")
-          Seq((-k.toLong, sentinelTs, -1L, "__sentinel__", 0.0, ""))
-            .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+          val tsCol = rawTsType match {
+            case LongType => col("us") * 1000L // micros -> raw nanos long
+            case TimestampNTZType =>
+              timestamp_micros(col("us")).cast(TimestampNTZType)
+            case _ => timestamp_micros(col("us"))
+          }
+          Seq((-k.toLong, sentinelMicros, -1L, "__sentinel__", 0.0, ""))
+            .toDF("event_id", "us", "user_id", "event_type", "value", "props")
+            .withColumn("ts", tsCol)
+            .select("event_id", "ts", "user_id", "event_type", "value", "props")
             .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
           val listing = Files.list(tmp)
           val part = try listing.filter(_.toString.endsWith(".parquet"))
@@ -178,6 +188,29 @@ object EventStreams {
     }
     spark.table(name)
   }
+
+  // ---------------------------------------------------- ts-span canary
+  /** Canary: the event-time span and row count as seen by the STREAMING
+    * source, oracle-checked against the batch table. The round-4 testdata
+    * regeneration flipped `ts` from TIMESTAMP(NANOS) to MICROS and the
+    * then-hardcoded stream schema silently compressed the 720 h span to
+    * 0.72 h, corrupting six stateful queries at once. With this one-row
+    * query in the sweep, the NEXT source-format drift fails loudly here
+    * (min/max/count are unit-sensitive) instead of surfacing as six
+    * confusing stateful-query mismatches. */
+  def tsSpanCanary(spark: SparkSession, sfDir: String): DataFrame = {
+    val agg = readEventStream(spark, sfDir)
+      .agg(
+        min(unix_timestamp(col("ts"))).as("min_sec"),
+        max(unix_timestamp(col("ts"))).as("max_sec"),
+        count(lit(1)).as("n_events"))
+    runToCompletion(agg, OutputMode.Complete())
+  }
+
+  val tsSpanCanarySql: String =
+    """SELECT CAST(floor(epoch(MIN(ts))) AS BIGINT) AS min_sec,
+      |  CAST(floor(epoch(MAX(ts))) AS BIGINT) AS max_sec,
+      |  COUNT(*) AS n_events FROM events""".stripMargin
 
   // ------------------------------------------------- windowed aggregation
   /** Tumbling 1h event-time windows x event_type with a 1h watermark —

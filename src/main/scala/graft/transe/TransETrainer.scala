@@ -130,6 +130,8 @@ class TransETrainer(params: TransEParams) extends Serializable {
     val nTriples = rawRdd.count()
     val targetParts = sys.env.get("GRAFT_TRAIN_PARTS").map(_.toInt).getOrElse(
       math.max(2, math.min(16, (nTriples / 200000L).toInt + 1)))
+    require(targetParts > 0,
+      s"GRAFT_TRAIN_PARTS must be positive, got $targetParts")
     // LAYOUT-INDEPENDENT DETERMINISM: partition each triple by a content
     // hash and sort within partitions. The SGD result depends on which
     // rows share a partition (per-partition write-combining + LWW merge)
@@ -141,6 +143,16 @@ class TransETrainer(params: TransEParams) extends Serializable {
     // golden recordings regardless of SPARK_GRAFT_CPUS. One extra shuffle
     // of the training set, paid once per fit, not per SGD round; partition
     // count stays delta-volume-sized (see above).
+    //
+    // VERSION PIN (golden-recording dependency): determinism here leans on
+    // scala.util.hashing.MurmurHash3.productHash (Scala 2.13 stdlib) and
+    // Spark's RDD.sample Bernoulli seeding — both stable within a
+    // Scala/Spark minor line but NOT contractual across upgrades. A
+    // Scala/Spark version bump can silently re-shuffle partition
+    // assignment and thus the trained weights: after any such bump,
+    // expect ContractSpec's golden gates to fail and re-record them (see
+    // ContractSpec.goldenLossCurve scaladoc) rather than debugging a
+    // phantom regression.
     val data = {
       val relaid = rawRdd
         .keyBy(tr => Math.floorMod(

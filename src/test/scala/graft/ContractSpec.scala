@@ -115,19 +115,19 @@ class ContractSpec extends SparkSpec {
   * change, by reading the values the failing assertions print. */
 object ContractSpec {
   val goldenLossCurve: Array[Double] = Array(
-    6768.8797007503335, 4663.944651129876, 4092.801615863567,
-    3772.039078155373, 3611.497123084047, 3164.159601565405,
-    3327.2873326449, 3254.646110193637, 3149.3133276776507,
-    2979.733235649512, 2863.812946557743, 2779.488791456834,
-    2772.843192887967, 2658.058781817117, 2662.5708897568384,
-    2580.6138532312543, 2485.8182468093105, 2560.1542678862106,
-    2340.269123214796, 2413.9209473906844, 2377.844798504228,
-    2285.783543987772, 2294.4415954102406, 2265.339280195969,
-    2161.8454665040576, 2169.79733057314, 2111.814608499164,
-    2061.743287134375, 2121.844048158089, 2124.827452235421)
+    6551.528303429675, 4354.156202630548, 3764.614482488619,
+    3407.2064030199986, 3159.725297602744, 2860.900287075874,
+    2680.794564508332, 2579.1519365805625, 2522.1545073806237,
+    2387.2992612564003, 2324.15834223623, 2242.6230158052304,
+    2210.2824410201406, 2124.085839589625, 2022.461136455318,
+    1994.2397761404911, 1949.5078680208871, 1928.0568689935449,
+    1896.5813346625814, 1926.4331253667308, 1792.5825432098682,
+    1831.1506912968077, 1748.1127571737945, 1785.7236195131675,
+    1737.9425028247033, 1787.642882622339, 1711.1323072752662,
+    1760.8352071628087, 1744.3988288889154, 1678.1275494149572)
 
   /** (mean_rank, mean_rank_head, mean_rank_tail, hits_at_10, n_ranks) */
   val goldenEval: (Double, Double, Double, Double, Long) =
-    (581.4775280898876, 1051.4831460674156, 111.47191011235955,
-      0.03932584269662921, 178L)
+    (615.7359550561798, 1097.247191011236, 134.22471910112358,
+      0.028089887640449437, 178L)
 }

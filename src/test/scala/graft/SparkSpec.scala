@@ -5,10 +5,9 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** Shared session for all suites: one local JVM session, UTC, AQE on. */
 object TestSession {
-  lazy val spark: SparkSession = SparkSession.builder()
+  lazy val spark: SparkSession = GraftKryo.configure(SparkSession.builder()
     .master("local[8]")
-    .appName("graft-test")
-    .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+    .appName("graft-test"))
     .config("spark.sql.shuffle.partitions", "8")
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.session.timeZone", "UTC")

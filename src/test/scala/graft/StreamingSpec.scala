@@ -21,6 +21,68 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.map(_.toString).sorted.sameElements(batch.map(_.toString).sorted))
   }
 
+  test("batch and stream agree on the source for BOTH ts physical types") {
+    // round-4 regression class: events.parquet was regenerated with ts as
+    // TIMESTAMP(MICROS) while the stream reader assumed nanos-as-long.
+    // Stage the same rows in both physical layouts and require the stream
+    // (incl. the sentinel-flushed Append path) to equal batch on each.
+    import java.nio.file.Files
+    import spark.implicits._
+    val base = Seq(
+      // (event_id, epoch_micros, user_id, event_type, value, props) —
+      // three users, events spread over 5 hours so windows/sessions are
+      // unit-sensitive (a mis-scaled read collapses them into one bucket)
+      (1L, 1700000000000000L, 1L, "click", 1.0, ""),
+      (2L, 1700003600000000L, 1L, "purchase", 2.5, ""),
+      (3L, 1700007200000000L, 2L, "click", 0.5, ""),
+      (4L, 1700010800000000L, 2L, "error", 0.0, ""),
+      (5L, 1700014400000000L, 3L, "view", 4.0, ""),
+      (6L, 1700018000000000L, 3L, "click", 1.5, ""))
+      .toDF("event_id", "us", "user_id", "event_type", "value", "props")
+    def stage(asNanosLong: Boolean): String = {
+      val dir = Files.createTempDirectory("graft_tsfmt")
+      // the micros layout is written as TIMESTAMP_NTZ — pyarrow writes
+      // timestamp[us] with isAdjustedToUTC=false, which Spark surfaces as
+      // TimestampNTZType (the exact round-4 drift)
+      val ts = if (asNanosLong) col("us") * 1000L
+        else timestamp_micros(col("us"))
+          .cast(org.apache.spark.sql.types.TimestampNTZType)
+      val tmp = Files.createTempDirectory("graft_tsfmt_w")
+      base.withColumn("ts", ts)
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = { val l = Files.list(tmp); try l.filter(_.toString.endsWith(".parquet"))
+        .findFirst().get() finally l.close() }
+      Files.move(part, dir.resolve("events.parquet"))
+      dir.toString
+    }
+    val micros = stage(asNanosLong = false)
+    val nanos = stage(asNanosLong = true)
+    // batch readers agree across layouts
+    val spanOf = (d: String) => Tables.events(spark, d)
+      .agg(min(unix_timestamp(col("ts"))), max(unix_timestamp(col("ts"))))
+      .head()
+    assert(spanOf(micros) == spanOf(nanos))
+    // stream equals batch on each layout — complete-mode agg AND the
+    // sentinel-staged Append path (sentinel files must match the file's unit)
+    Seq(micros, nanos).foreach { d =>
+      val batch = queries.Relational.q10TimeBucket(spark, d).collect().toSeq
+      assert(EventStreams.windowedCounts(spark, d).collect().toSeq == batch,
+        s"complete-mode stream != batch for $d")
+      assert(EventStreams.windowedCountsAppend(spark, d).collect().toSeq == batch,
+        s"append-mode stream != batch for $d")
+    }
+  }
+
+  test("ts-span canary: stream sees the batch span exactly") {
+    val got = EventStreams.tsSpanCanary(spark, sf).collect().head
+    val want = Tables.events(spark, sf)
+      .agg(min(unix_timestamp(col("ts"))).as("min_sec"),
+        max(unix_timestamp(col("ts"))).as("max_sec"),
+        count(lit(1)).as("n_events")).collect().head
+    assert(got == want)
+  }
+
   test("streaming dedup emits exactly the distinct key set") {
     val streamed = EventStreams.streamingDedup(spark, sf)
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet
