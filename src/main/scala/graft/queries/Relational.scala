@@ -653,6 +653,33 @@ object Relational {
       |WHERE o_orderpriority = '1-URGENT'
       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // ------------------------------------------------ q28_json_props
+  /** Semi-structured extraction: the events table's `props` column is a
+    * JSON document; parse it ONCE per row with a declared schema
+    * (`from_json` — schema-on-read, null on malformed input, the standard
+    * Spark shape for event-property bags) and aggregate the extracted
+    * field. At 100 TB the parse is a narrow per-row map fused into the
+    * scan stage; the only shuffle is the 5-group aggregate. A declared
+    * schema beats `get_json_object` path probing when several fields are
+    * read — one parse, many field accesses. */
+  def q28JsonProps(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+          .getField("k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("k")).as("sum_k"),
+        max(col("k")).as("max_k"))
+      .orderBy("event_type")
+
+  val q28Sql: String =
+    """SELECT event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      |  MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** Registry consumed by SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg"             -> (q1Agg _),
@@ -678,7 +705,8 @@ object Relational {
     "q24_scalar_subquery" -> (q24ScalarSubquery _),
     "q25_unpivot"        -> (q25Unpivot _),
     "q26_grouped_topk"   -> (q26GroupedTopK _),
-    "q27_runtime_filter" -> (q27RuntimeFilter _))
+    "q27_runtime_filter" -> (q27RuntimeFilter _),
+    "q28_json_props"     -> (q28JsonProps _))
 
   val oracles: Map[String, String] = Map(
     "q1_agg"             -> q1Sql,
@@ -704,5 +732,6 @@ object Relational {
     "q24_scalar_subquery" -> q24Sql,
     "q25_unpivot"        -> q25Sql,
     "q26_grouped_topk"   -> q26Sql,
-    "q27_runtime_filter" -> q27Sql)
+    "q27_runtime_filter" -> q27Sql,
+    "q28_json_props"     -> q28Sql)
 }

@@ -23,6 +23,7 @@ object StreamingQueries {
     "stream_cms_heavy_users" -> ((s, d) => EventStreams.streamingCmsHeavyUsers(s, d)),
     "stream_top_users" -> ((s, d) => EventStreams.streamingTopUsers(s, d)),
     "stream_ts_canary" -> ((s, d) => EventStreams.tsSpanCanary(s, d)),
+    "stream_enrich" -> ((s, d) => EventStreams.streamingEnrich(s, d)),
     "q11_sessionize" -> ((s, d) => EventStreams.sessionizeBatch(Tables.events(s, d))),
     "q12_asof_join" -> ((s, d) => AsOfJoin.errorToLastClick(Tables.events(s, d))),
     "q16_range_join" -> ((s, d) => RangeJoin.concurrentSessions(Tables.events(s, d))),
@@ -55,6 +56,9 @@ object StreamingQueries {
     // source-format drift insurance: the span/count the stream sees must
     // equal what DuckDB reads from the same file
     "stream_ts_canary" -> EventStreams.tsSpanCanarySql,
+    // stateless per-row enrichment is replay-order-insensitive, so the
+    // finite replay equals the batch join and shares its oracle
+    "stream_enrich" -> EventStreams.streamingEnrichSql,
     "q11_sessionize" -> EventStreams.sessionizeBatchSql(),
     "q12_asof_join" -> AsOfJoin.errorToLastClickSql,
     "q16_range_join" -> RangeJoin.concurrentSessionsSql(),

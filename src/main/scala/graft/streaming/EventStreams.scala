@@ -531,6 +531,39 @@ object EventStreams {
     Sketches.cmsTopKFromGrid(candidates, grid, k)
   }
 
+  // ------------------------------------- stream-static enrichment join
+  /** Stream-static broadcast enrichment — the remaining Structured
+    * Streaming join class next to keyed-state as-of and the two-sided
+    * interval join: each event enriched with its user's market segment
+    * from the STATIC customer dimension, then aggregated per segment.
+    *
+    * Production shape: the static side is planned per micro-batch as an
+    * ordinary broadcast hash join — STATELESS (no watermark, no join
+    * state; only the downstream aggregate keeps state, bounded by segment
+    * cardinality). At 100 TB of stream this is the standard dimension-
+    * enrichment pattern: dims broadcast, the stream never shuffles for
+    * the join. Inner equi-join row-by-row enrichment is replay-order-
+    * insensitive, so the finite replay equals the batch join exactly and
+    * shares its DuckDB oracle. */
+  def streamingEnrich(spark: SparkSession, sfDir: String): DataFrame = {
+    val dim = graft.Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val agg = readEventStream(spark, sfDir)
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .groupBy("c_mktsegment", "event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+    runToCompletion(agg, OutputMode.Complete())
+      .orderBy("c_mktsegment", "event_type")
+  }
+
+  val streamingEnrichSql: String =
+    """SELECT c_mktsegment, event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events JOIN customer ON user_id = c_custkey
+      |GROUP BY 1, 2 ORDER BY c_mktsegment, event_type""".stripMargin
+
   // -------------------------------------- stream-stream interval join
   /** Watermarked stream-stream inner join — the last Structured Streaming
     * join class (the as-of above is stream-static-shaped keyed state; this

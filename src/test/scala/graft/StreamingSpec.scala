@@ -83,6 +83,19 @@ class StreamingSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("stream-static enrichment equals the batch dimension join") {
+    val streamed = EventStreams.streamingEnrich(spark, sf).collect()
+    val dim = Tables.customer(spark, sf).select(col("c_custkey"), col("c_mktsegment"))
+    val batch = Tables.events(spark, sf)
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .groupBy("c_mktsegment", "event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .orderBy("c_mktsegment", "event_type")
+      .collect()
+    assert(streamed.toSeq == batch.toSeq)
+  }
+
   test("streaming dedup emits exactly the distinct key set") {
     val streamed = EventStreams.streamingDedup(spark, sf)
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet
