@@ -29,9 +29,19 @@ object LinkPrediction {
   def rankTriples(test: Dataset[Triple], model: TransEModel): Dataset[Ranks] = {
     val spark = test.sparkSession
     import spark.implicits._
-    val entBc = spark.sparkContext.broadcast(model.entity)
+    val n = model.entity.length
+    val k = if (n > 0) model.entity(0).length else 0
+    // Flatten the entity matrix ONCE on the driver: a single contiguous
+    // float buffer broadcasts smaller (no per-row object headers) and the
+    // candidate scan walks it sequentially — hardware prefetch instead of
+    // a pointer dereference per candidate row. Same floats, same order:
+    // ranks are bit-identical to the nested form (golden-gated).
+    val flat = new Array[Float](n * k)
+    var r = 0
+    while (r < n) { System.arraycopy(model.entity(r), 0, flat, r * k, k); r += 1 }
+    val entBc = spark.sparkContext.broadcast(flat)
     val labBc = spark.sparkContext.broadcast(model.label)
-    val distance = model.params.distance
+    val l1 = model.params.distance == L1
 
     // The test set is tiny relative to the O(|test| * n * k) scoring work,
     // and AQE happily coalesces it to one partition — which would serialize
@@ -41,38 +51,81 @@ object LinkPrediction {
     spread.mapPartitions { it =>
       val ent = entBc.value
       val lab = labBc.value
-      val n = ent.length
+      val end = n * k
       it.map { tr =>
         val l = lab(tr.l)
-        val h = ent(tr.h)
-        val t = ent(tr.t)
-        val k = l.length
+        val hOff = tr.h * k
+        val tOff = tr.t * k
 
-        // head rank: d(e + l, t) vs true d(h + l, t); u = l - t invariant
+        // invariants: u = l - t (head scan scores d(e + l, t) = |e + u|),
+        // v = h + l (tail scan scores d(h + l, e) = |v - e|)
         val u = new Array[Float](k)
-        var i = 0
-        while (i < k) { u(i) = l(i) - t(i); i += 1 }
-        val dTrueHead = scoreWith(distance, h, u)
-        var less = 0L
-        var e = 0
-        while (e < n) {
-          if (scoreWith(distance, ent(e), u) < dTrueHead) less += 1
-          e += 1
-        }
-        val rankHead = less + 1
-
-        // tail rank: d(h + l, e) vs true; v = h + l invariant, score(-e + v)
         val v = new Array[Float](k)
-        i = 0
-        while (i < k) { v(i) = h(i) + l(i); i += 1 }
-        val dTrueTail = scoreNeg(distance, t, v)
-        less = 0L
-        e = 0
-        while (e < n) {
-          if (scoreNeg(distance, ent(e), v) < dTrueTail) less += 1
-          e += 1
+        var i = 0
+        while (i < k) {
+          u(i) = l(i) - ent(tOff + i)
+          v(i) = ent(hOff + i) + l(i)
+          i += 1
         }
-        Ranks(rankHead, less + 1)
+        var dTrueHead = 0.0
+        var dTrueTail = 0.0
+        i = 0
+        if (l1) {
+          while (i < k) {
+            dTrueHead += math.abs(ent(hOff + i) + u(i)).toDouble
+            dTrueTail += math.abs(v(i) - ent(tOff + i)).toDouble
+            i += 1
+          }
+        } else {
+          while (i < k) {
+            val a = ent(hOff + i) + u(i); dTrueHead += a.toDouble * a
+            val b = v(i) - ent(tOff + i); dTrueTail += b.toDouble * b
+            i += 1
+          }
+        }
+
+        // ONE fused pass: both strict-less counts accumulate over the same
+        // sequential read of the matrix. EARLY EXIT is exact, not
+        // approximate: every term is >= 0, so the partial sums are
+        // monotone non-decreasing — once BOTH have reached their true
+        // distances, neither final sum can be strictly less, and the
+        // candidate's contribution to both counts is decided. A trained
+        // model scores its true triples low, so typical candidates exceed
+        // both thresholds within a few components — the scan does a
+        // fraction of the k flops per candidate with bit-identical ranks.
+        var lessH = 0L
+        var lessT = 0L
+        var off = 0
+        if (l1) {
+          while (off < end) {
+            var sH = 0.0; var sT = 0.0
+            var j = 0
+            while (j < k && (sH < dTrueHead || sT < dTrueTail)) {
+              val x = ent(off + j)
+              sH += math.abs(x + u(j)).toDouble
+              sT += math.abs(v(j) - x).toDouble
+              j += 1
+            }
+            if (sH < dTrueHead) lessH += 1
+            if (sT < dTrueTail) lessT += 1
+            off += k
+          }
+        } else {
+          while (off < end) {
+            var sH = 0.0; var sT = 0.0
+            var j = 0
+            while (j < k && (sH < dTrueHead || sT < dTrueTail)) {
+              val x = ent(off + j)
+              val a = x + u(j); sH += a.toDouble * a
+              val b = v(j) - x; sT += b.toDouble * b
+              j += 1
+            }
+            if (sH < dTrueHead) lessH += 1
+            if (sT < dTrueTail) lessT += 1
+            off += k
+          }
+        }
+        Ranks(lessH + 1, lessT + 1)
       }
     }
   }
@@ -132,6 +185,7 @@ object LinkPrediction {
       j += 1
     }
     val bc = spark.sparkContext.broadcast((us, vs, dTrueHead, dTrueTail))
+    val l1 = distance == L1
 
     val (lessH, lessT) = entities.select(col("vec"))
       .as[Array[Float]].rdd
@@ -140,8 +194,31 @@ object LinkPrediction {
           val (bu, bv, bdh, bdt) = bc.value
           var p = 0
           while (p < m) {
-            if (scoreWith(distance, e, bu(p)) < bdh(p)) lh(p) += 1
-            if (scoreNeg(distance, e, bv(p)) < bdt(p)) lt(p) += 1
+            // fused head+tail with exact early exit (terms >= 0 so the
+            // partial sums are monotone — see rankTriples): identical
+            // strict-less counts, a fraction of the flops
+            val uu = bu(p); val vv = bv(p)
+            val th = bdh(p); val tt = bdt(p)
+            val kk = uu.length
+            var sH = 0.0; var sT = 0.0
+            var j = 0
+            if (l1) {
+              while (j < kk && (sH < th || sT < tt)) {
+                val x = e(j)
+                sH += math.abs(x + uu(j)).toDouble
+                sT += math.abs(vv(j) - x).toDouble
+                j += 1
+              }
+            } else {
+              while (j < kk && (sH < th || sT < tt)) {
+                val x = e(j)
+                val a = x + uu(j); sH += a.toDouble * a
+                val b = vv(j) - x; sT += b.toDouble * b
+                j += 1
+              }
+            }
+            if (sH < th) lh(p) += 1
+            if (sT < tt) lt(p) += 1
             p += 1
           }
           (lh, lt)

@@ -330,6 +330,21 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), s"pivot must not join:\n$p")
   }
 
+  test("q28: json extraction prunes the scan to (event_type, props) only") {
+    val df = Relational.q28JsonProps(spark, sf)
+    val p = formattedPlan(df)
+    val readSchema = "ReadSchema: struct<(.*?)>".r
+      .findFirstMatchIn(p).map(_.group(1)).getOrElse(fail("no ReadSchema"))
+    val cols = readSchema.split(",").map(_.split(":").head.trim).toSet
+    // the ts normalization withColumn must not defeat pruning: ts is
+    // unused downstream, so the scan reads only the two live columns
+    assert(cols == Set("event_type", "props"), s"got: $cols")
+    val s = simplePlan(df)
+    assert("HashAggregate".r.findAllIn(s).length >= 2,
+      "expected partial+final agg pair")
+    assert(!s.contains("Join"), s"json extraction must not join:\n$s")
+  }
+
   test("q23: lead/lag window is partitioned — no single-partition exchange") {
     val p = simplePlan(Relational.q23LeadLag(spark, sf))
     assert(!p.contains("Exchange SinglePartition"),
