@@ -24,6 +24,7 @@ object StreamingQueries {
     "stream_top_users" -> ((s, d) => EventStreams.streamingTopUsers(s, d)),
     "stream_ts_canary" -> ((s, d) => EventStreams.tsSpanCanary(s, d)),
     "stream_enrich" -> ((s, d) => EventStreams.streamingEnrich(s, d)),
+    "stream_restart_dedup" -> ((s, d) => EventStreams.restartRecoveryDedup(s, d)),
     "q11_sessionize" -> ((s, d) => EventStreams.sessionizeBatch(Tables.events(s, d))),
     "q12_asof_join" -> ((s, d) => AsOfJoin.errorToLastClick(Tables.events(s, d))),
     "q16_range_join" -> ((s, d) => RangeJoin.concurrentSessions(Tables.events(s, d))),
@@ -59,6 +60,10 @@ object StreamingQueries {
     // stateless per-row enrichment is replay-order-insensitive, so the
     // finite replay equals the batch join and shares its oracle
     "stream_enrich" -> EventStreams.streamingEnrichSql,
+    // a state/offset-recovery failure re-emits or drops keys, so the
+    // checkpointed two-phase run matching DISTINCT IS the exactly-once
+    // evidence (same oracle as stream_dedup)
+    "stream_restart_dedup" -> EventStreams.streamingDedupSql,
     "q11_sessionize" -> EventStreams.sessionizeBatchSql(),
     "q12_asof_join" -> AsOfJoin.errorToLastClickSql,
     "q16_range_join" -> RangeJoin.concurrentSessionsSql(),

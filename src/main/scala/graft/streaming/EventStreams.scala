@@ -531,6 +531,65 @@ object EventStreams {
     Sketches.cmsTopKFromGrid(candidates, grid, k)
   }
 
+  // --------------------------------- checkpointed restart / exactly-once
+  /** Fault-tolerance surface: a STATEFUL stream (first-seen dedup on
+    * (user_id, event_type)) killed mid-input and RESTARTED from its
+    * checkpoint, writing a parquet file sink. The events table is staged
+    * as four files; the first run processes two and stops; the second run
+    * recovers the dedup state + source offsets from the checkpoint and
+    * processes the rest. Exactly-once evidence is the OUTPUT ITSELF: keys
+    * seen before the kill re-appear after it, so any state loss re-emits
+    * them and any offset loss duplicates whole files — either breaks the
+    * DISTINCT oracle this query shares with stream_dedup. The file sink's
+    * `_spark_metadata` commit log is what de-duplicates output files
+    * across restarts (the production exactly-once contract; the memory
+    * sink used by the other stream queries cannot survive a restart).
+    *
+    * Staging is keyed on (path, mtime) and the two-phase run executes
+    * once per key (`_DONE` marker); re-invocations read the completed
+    * sink — idempotent, like the other staged sinks. */
+  def restartRecoveryDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val target = Paths.get(sfDir, "events.parquet").toAbsolutePath.normalize
+    val mtime = Files.getLastModifiedTime(target).toMillis
+    val key = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s"$target:$mtime".getBytes("UTF-8"))
+      .take(8).map("%02x".format(_)).mkString
+    val base = Paths.get(sys.props("java.io.tmpdir"), s"graft_restart_$key")
+    val (src, out, chk) = (base.resolve("src"), base.resolve("out"), base.resolve("chk"))
+    val done = base.resolve("_DONE")
+
+    if (!Files.exists(done)) {
+      Files.createDirectories(src)
+      val events = graft.Tables.events(spark, sfDir)
+        .select(col("user_id"), col("event_type"), col("event_id"))
+      def writeSplit(i: Int): Unit =
+        events.filter(pmod(col("event_id"), lit(4)) === i)
+          .coalesce(1).write.mode("append").parquet(src.toString)
+      def runOnce(): Unit = {
+        val q = spark.readStream
+          .schema(events.schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(src.toString)
+          .dropDuplicates("user_id", "event_type")
+          .select("user_id", "event_type")
+          .writeStream
+          .format("parquet")
+          .option("path", out.toString)
+          .option("checkpointLocation", chk.toString)
+          .outputMode(OutputMode.Append())
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      writeSplit(0); writeSplit(1)
+      runOnce() // phase 1: two files, then the query is STOPPED
+      writeSplit(2); writeSplit(3)
+      runOnce() // phase 2: restart from checkpoint, finish the input
+      Files.writeString(done, "ok")
+    }
+    spark.read.parquet(out.toString).orderBy("user_id", "event_type")
+  }
+
   // ------------------------------------- stream-static enrichment join
   /** Stream-static broadcast enrichment — the remaining Structured
     * Streaming join class next to keyed-state as-of and the two-sided

@@ -96,6 +96,20 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("checkpointed restart recovers dedup state + offsets exactly-once") {
+    val got = EventStreams.restartRecoveryDedup(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    // exactly-once: a state-recovery failure re-emits keys seen before
+    // the kill; an offset-recovery failure replays whole files
+    assert(got.length == got.distinct.length,
+      "restart re-emitted already-seen keys (state not recovered)")
+    val batch = Tables.events(spark, sf)
+      .select("user_id", "event_type").distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got.toSet == batch,
+      "recovered stream's key set diverged from batch DISTINCT")
+  }
+
   test("streaming dedup emits exactly the distinct key set") {
     val streamed = EventStreams.streamingDedup(spark, sf)
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet
