@@ -35,38 +35,69 @@ import org.apache.spark.sql.functions._
   */
 object IncrementalDedup {
 
+  /** The standing corpus's dedup index: md5 content index, capped hashed
+    * shingle postings, per-doc capped set sizes, and the hot-shingle set
+    * (needed to filter BATCH shingles into the same universe). At 100 TB
+    * this is a persisted asset maintained alongside the corpus — see
+    * [[flagBatchStaged]] for the parquet-backed form. */
+  final case class CorpusIndex(md5: DataFrame, shingles: DataFrame,
+      sizes: DataFrame, hot: DataFrame)
+
+  /** md5-derived hashed shingles per doc — the SAME hash the DuckDB
+    * replay computes ([[OracleSql.hex64Signed]]) — not xxhash64, which
+    * DuckDB cannot evaluate: with engine-distinct hash functions a
+    * collision on either side would silently diverge set sizes and
+    * Jaccard counts from the oracle. */
+  private def hashedShingles(docs: DataFrame, n: Int) = Dedup.shingles(docs, n)
+    .select(col("doc_id"), Dedup.hash64Col(col("shingle")).as("sh"))
+    .distinct()
+
+  /** Build the corpus index. Hot shingles (doc-frequency above the cap)
+    * carry no dedup signal and are dropped from the postings; the hot
+    * SET itself is part of the index so batch probes drop them too. */
+  def buildIndex(corpus: DataFrame, n: Int = 5, maxDocFreq: Int = 500): CorpusIndex = {
+    val corpusMd5 = corpus
+      .groupBy(md5(col("text").cast("binary")).as("text_md5"))
+      .agg(min(col("doc_id")).as("dup_exact_of"))
+    val cSh0 = hashedShingles(corpus, n)
+    val hot = cSh0.groupBy("sh").count()
+      .filter(col("count") > maxDocFreq).select("sh")
+    val cSh = cSh0.join(hot, Seq("sh"), "left_anti")
+    val cSizes = cSh.groupBy("doc_id").agg(count(lit(1)).as("n_c"))
+    CorpusIndex(corpusMd5, cSh, cSizes, hot)
+  }
+
   /** Flag each batch document against the corpus. `corpus` and `batch`
     * must both have (doc_id, text); doc_ids must be disjoint. */
   def flagBatch(corpus: DataFrame, batch: DataFrame, n: Int = 5,
       tau: Double = 0.5, maxDocFreq: Int = 500): DataFrame = {
+    val idx = buildIndex(corpus, n, maxDocFreq)
+    // persist the shingle postings for the index-build pass (probed twice:
+    // sizes already derived, intersection below)
+    val cSh = idx.shingles.persist()
+    val out = probeIndex(
+      idx.copy(shingles = cSh), batch, n, tau)
+    cSh.unpersist()
+    out
+  }
+
+  /** Probe a (built or parquet-read) corpus index with a batch. */
+  def probeIndex(idx: CorpusIndex, batch: DataFrame, n: Int,
+      tau: Double): DataFrame = {
     // ---- exact: md5 index probe
-    val corpusMd5 = corpus
-      .groupBy(md5(col("text").cast("binary")).as("text_md5"))
-      .agg(min(col("doc_id")).as("dup_exact_of"))
     val batchMd5 = batch.select(col("doc_id"),
       md5(col("text").cast("binary")).as("text_md5"))
-    val exact = batchMd5.join(corpusMd5, Seq("text_md5"), "left")
+    val exact = batchMd5.join(idx.md5, Seq("text_md5"), "left")
       .select(col("doc_id"), col("dup_exact_of"))
 
-    // ---- near: inverted-index probe + exact Jaccard on candidates
-    // shingle key = md5-derived hash64, the SAME function the DuckDB
-    // replay computes ([[OracleSql.hex64Signed]]) — not xxhash64, which
-    // DuckDB cannot evaluate: with engine-distinct hash functions a
-    // collision on either side would silently diverge set sizes and
-    // Jaccard counts from the oracle
-    def hashedShingles(docs: DataFrame) = Dedup.shingles(docs, n)
-      .select(col("doc_id"), Dedup.hash64Col(col("shingle")).as("sh"))
-      .distinct()
-    val cSh0 = hashedShingles(corpus).persist()
-    // hot shingles: corpus doc-frequency above the cap — dropped from
-    // both sides so sizes and intersections use the same universe
-    val hot = cSh0.groupBy("sh").count()
-      .filter(col("count") > maxDocFreq).select("sh")
-    val cSh = cSh0.join(hot, Seq("sh"), "left_anti").persist()
-    val bSh = hashedShingles(batch)
-      .join(hot, Seq("sh"), "left_anti").persist()
+    // ---- near: inverted-index probe + exact Jaccard on candidates;
+    // batch shingles drop the corpus's hot set so sizes and
+    // intersections use the same universe
+    val cSh = idx.shingles
+    val bSh = hashedShingles(batch, n)
+      .join(idx.hot, Seq("sh"), "left_anti").persist()
 
-    val cSizes = cSh.groupBy("doc_id").agg(count(lit(1)).as("n_c"))
+    val cSizes = idx.sizes
     val bSizes = bSh.groupBy("doc_id").agg(count(lit(1)).as("n_b"))
     val inter = bSh.select(col("doc_id").as("b_id"), col("sh"))
       .join(cSh.select(col("doc_id").as("c_id"), col("sh")), Seq("sh"))
@@ -94,9 +125,41 @@ object IncrementalDedup {
           .otherwise("keep"))
       .orderBy("doc_id")
       .persist()
-    out.count() // materialize, then release the shingle indexes
-    Seq(cSh0, cSh, bSh).foreach(_.unpersist())
+    out.count() // materialize, then release the batch shingles
+    bSh.unpersist()
     out
+  }
+
+  /** [[flagBatch]] with the corpus index as the persisted parquet asset
+    * it is in production: built ONCE per (corpus file, mtime) into a
+    * staged directory, probed from the files afterwards — per-batch cost
+    * is the probe, independent of corpus size except through posting
+    * lengths (the same staging discipline as the bucketed/partitioned
+    * sinks). Output is identical to [[flagBatch]] and shares its oracle. */
+  def flagBatchStaged(spark: org.apache.spark.sql.SparkSession, sfDir: String,
+      corpus: DataFrame, batch: DataFrame, n: Int = 5,
+      tau: Double = 0.5, maxDocFreq: Int = 500): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val target = Paths.get(sfDir, "documents.parquet").toAbsolutePath.normalize
+    val mtime = Files.getLastModifiedTime(target).toMillis
+    val key = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s"$target:$mtime:$n:$maxDocFreq".getBytes("UTF-8"))
+      .take(8).map("%02x".format(_)).mkString
+    val dir = Paths.get(sys.props("java.io.tmpdir"), s"graft_dedupidx_$key")
+    if (!Files.exists(dir.resolve("_DONE"))) {
+      val idx = buildIndex(corpus, n, maxDocFreq)
+      idx.md5.write.mode("overwrite").parquet(dir.resolve("md5").toString)
+      idx.shingles.write.mode("overwrite").parquet(dir.resolve("shingles").toString)
+      idx.sizes.write.mode("overwrite").parquet(dir.resolve("sizes").toString)
+      idx.hot.write.mode("overwrite").parquet(dir.resolve("hot").toString)
+      Files.writeString(dir.resolve("_DONE"), "ok")
+    }
+    val idx = CorpusIndex(
+      spark.read.parquet(dir.resolve("md5").toString),
+      spark.read.parquet(dir.resolve("shingles").toString),
+      spark.read.parquet(dir.resolve("sizes").toString),
+      spark.read.parquet(dir.resolve("hot").toString))
+    probeIndex(idx, batch, n, tau)
   }
 
   /** DuckDB replay of [[flagBatch]] where corpus/batch are SQL-defined

@@ -41,7 +41,9 @@ object PipelineQueries {
     "dedup_simhash" -> ((s, d) => Dedup.simhashPairs(Tables.documents(s, d))),
     "dedup_incremental" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      IncrementalDedup.flagBatch(
+      // the corpus index is the staged parquet asset it is in production
+      // — per-invocation cost is the batch probe, not an index rebuild
+      IncrementalDedup.flagBatchStaged(s, d,
         docs.filter(org.apache.spark.sql.functions.col("doc_id") % 10 =!= 7),
         docs.filter(org.apache.spark.sql.functions.col("doc_id") % 10 === 7))
     }),

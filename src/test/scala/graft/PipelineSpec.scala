@@ -1023,6 +1023,17 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("incremental dedup: staged parquet index produces flagBatch's exact output") {
+    val batch = docs.filter(col("doc_id") % 10 === 7)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 7)
+    val direct = IncrementalDedup.flagBatch(corpus, batch)
+      .collect().map(_.toString).sorted
+    val staged = IncrementalDedup.flagBatchStaged(spark, sf, corpus, batch)
+      .collect().map(_.toString).sorted
+    assert(staged.sameElements(direct),
+      "parquet-backed index diverged from the in-memory build")
+  }
+
   test("incremental dedup: verdicts agree with exact hashes and full-corpus jaccard") {
     import spark.implicits._
     val batch = docs.filter(col("doc_id") % 10 === 7)
