@@ -12,6 +12,12 @@ import graft.operators._
   * outputs; see the operator scaladocs for the stability arguments). */
 object PipelineQueries {
 
+  /** Columns profiled by `profile_columns` (all of orders): only COUNTS
+    * cross the engine boundary, so type-to-string casts need not format
+    * identically — just injectively — in both engines. */
+  val ordersProfileCols: Seq[String] = Seq("o_orderkey", "o_custkey",
+    "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority")
+
   private val annQueryIds: Seq[Long] = (0L until 20L)
 
   /** MinHash near-dup pairs, computed once per sfDir and memoized: both
@@ -108,6 +114,9 @@ object PipelineQueries {
     "sample_mix_temperature" -> ((s, d) => Sampling.mixSourcesTemperature(Tables.documents(s, d))),
     "sample_curriculum" -> ((s, d) => Sampling.curriculumAssign(Tables.documents(s, d))),
     "report_filter_reasons" -> ((s, d) => TextAnalysis.filterReasons(Tables.documents(s, d))),
+    "profile_columns" -> ((s, d) => Profiling.profileColumns(
+      Tables.orders(s, d), PipelineQueries.ordersProfileCols)),
+    "report_key_skew" -> ((s, d) => Profiling.keySkew(Tables.events(s, d), "user_id")),
     "text_length_quantiles" -> ((s, d) => CorpusStats.lengthQuantiles(Tables.documents(s, d))),
     "report_token_budget" -> ((s, d) => CorpusStats.tokenBudgetReport(Tables.documents(s, d))),
     // --- composed end-to-end cleaning pipeline ---
@@ -205,6 +214,8 @@ object PipelineQueries {
     "sample_mix_temperature" -> Sampling.mixSourcesTemperatureSql(),
     "sample_curriculum" -> Sampling.curriculumAssignSql(),
     "report_filter_reasons" -> TextAnalysis.filterReasonsSql,
+    "profile_columns" -> Profiling.profileColumnsSql("orders", ordersProfileCols),
+    "report_key_skew" -> Profiling.keySkewSql("events", "user_id"),
     "text_length_quantiles" -> CorpusStats.lengthQuantilesSql(),
     "report_token_budget" -> CorpusStats.tokenBudgetReportSql,
     "pipeline_clean_corpus" -> CorpusPipeline.cleanCorpusSql(),

@@ -90,7 +90,8 @@ class ContractSpec extends SparkSpec {
   private val cartesianWhitelist = Set(
     "ann_near_dup", "mm_feature_near_dup",
     "text_length_quantiles", "sample_mix_sources", "sample_mix_temperature",
-    "text_tfidf_topterms") // 1-row n_docs total as a broadcast cross join
+    "text_tfidf_topterms", // 1-row n_docs total as a broadcast cross join
+    "report_key_skew")     // 1-row key-count total, same pattern
 
   test("every registered query runs at sf0.001; no unexpected cartesians") {
     val sfDir = "/root/testdata/sf0.001"

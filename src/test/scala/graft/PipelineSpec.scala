@@ -21,6 +21,28 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("profileColumns: null and distinct counts on a crafted table") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(1L), Some("a")), (Some(1L), None),
+      (Some(2L), Some("b")), (None, Some("a")))
+      .toDF("num", "str")
+    val got = operators.Profiling.profileColumns(df, Seq("num", "str"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got("num") == ((4L, 1L, 2L)), s"num profile: ${got("num")}")
+    assert(got("str") == ((4L, 1L, 2L)), s"str profile: ${got("str")}")
+  }
+
+  test("keySkew: counts, exact ppm shares, deterministic tie order") {
+    import spark.implicits._
+    val df = Seq(7L, 7L, 7L, 5L, 5L, 9L).toDF("k")
+    val got = operators.Profiling.keySkew(df, "k", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(
+      (7L, 3L, 500000L), (5L, 2L, 333333L), (9L, 1L, 166666L)), got.toSeq)
+  }
+
   test("dedup_exact: groups cover all docs; representative is min id") {
     val out = Dedup.exact(docs).collect()
     val totalCopies = out.map(_.getAs[Long]("n_copies")).sum
