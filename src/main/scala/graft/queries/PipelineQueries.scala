@@ -18,6 +18,53 @@ object PipelineQueries {
   val ordersProfileCols: Seq[String] = Seq("o_orderkey", "o_custkey",
     "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority")
 
+  /** MERGE-INTO demo over orders with a deterministically derived change
+    * batch (disjoint key sets by construction): update priority on
+    * %13==0, delete %17==3 (minus the update keys), insert fresh keys
+    * beyond the max for %19==1. Integer/string columns only, so the
+    * merged table hash-compares exactly. */
+  def upsertOrders(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val snap = Tables.orders(s, d)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+    val updates = snap.filter(col("o_orderkey") % 13 === 0)
+      .withColumn("o_orderpriority", lit("MERGED"))
+      .withColumn("op", lit("update"))
+    val deletes = snap
+      .filter(col("o_orderkey") % 17 === 3 && col("o_orderkey") % 13 =!= 0)
+      .withColumn("op", lit("delete"))
+    val inserts = snap.filter(col("o_orderkey") % 19 === 1)
+      .withColumn("o_orderkey", col("o_orderkey") + lit(10000000L))
+      .withColumn("o_orderstatus", lit("N"))
+      .withColumn("o_orderpriority", lit("5-LOW"))
+      .withColumn("op", lit("insert"))
+    Upsert.applyChanges(snap, updates.unionByName(deletes).unionByName(inserts),
+        "o_orderkey")
+      .orderBy("o_orderkey")
+  }
+
+  val upsertOrdersSql: String =
+    """WITH snap AS (
+      |  SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority FROM orders
+      |), changes AS (
+      |  SELECT o_orderkey, o_custkey, o_orderstatus,
+      |         'MERGED' AS o_orderpriority, 'update' AS op
+      |  FROM snap WHERE o_orderkey % 13 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority, 'delete'
+      |  FROM snap WHERE o_orderkey % 17 = 3 AND o_orderkey % 13 <> 0
+      |  UNION ALL
+      |  SELECT o_orderkey + 10000000, o_custkey, 'N', '5-LOW', 'insert'
+      |  FROM snap WHERE o_orderkey % 19 = 1
+      |)
+      |SELECT * FROM (
+      |  SELECT s.o_orderkey, s.o_custkey, s.o_orderstatus, s.o_orderpriority
+      |  FROM snap s ANTI JOIN changes c ON s.o_orderkey = c.o_orderkey
+      |  UNION ALL
+      |  SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority
+      |  FROM changes WHERE op <> 'delete'
+      |) ORDER BY o_orderkey""".stripMargin
+
   private val annQueryIds: Seq[Long] = (0L until 20L)
 
   /** MinHash near-dup pairs, computed once per sfDir and memoized: both
@@ -117,6 +164,7 @@ object PipelineQueries {
     "profile_columns" -> ((s, d) => Profiling.profileColumns(
       Tables.orders(s, d), PipelineQueries.ordersProfileCols)),
     "report_key_skew" -> ((s, d) => Profiling.keySkew(Tables.events(s, d), "user_id")),
+    "sink_upsert" -> (upsertOrders _),
     "text_length_quantiles" -> ((s, d) => CorpusStats.lengthQuantiles(Tables.documents(s, d))),
     "report_token_budget" -> ((s, d) => CorpusStats.tokenBudgetReport(Tables.documents(s, d))),
     // --- composed end-to-end cleaning pipeline ---
@@ -216,6 +264,7 @@ object PipelineQueries {
     "report_filter_reasons" -> TextAnalysis.filterReasonsSql,
     "profile_columns" -> Profiling.profileColumnsSql("orders", ordersProfileCols),
     "report_key_skew" -> Profiling.keySkewSql("events", "user_id"),
+    "sink_upsert" -> upsertOrdersSql,
     "text_length_quantiles" -> CorpusStats.lengthQuantilesSql(),
     "report_token_budget" -> CorpusStats.tokenBudgetReportSql,
     "pipeline_clean_corpus" -> CorpusPipeline.cleanCorpusSql(),

@@ -43,6 +43,27 @@ class PipelineSpec extends SparkSpec {
       (7L, 3L, 500000L), (5L, 2L, 333333L), (9L, 1L, 166666L)), got.toSeq)
   }
 
+  test("upsert: updates replace, deletes remove, inserts add — keys consistent") {
+    import spark.implicits._
+    val merged = queries.PipelineQueries.upsertOrders(spark, sf)
+    val snap = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+    val nSnap = snap.count()
+    val nDel = snap.filter(col("o_orderkey") % 17 === 3 && col("o_orderkey") % 13 =!= 0).count()
+    val nIns = snap.filter(col("o_orderkey") % 19 === 1).count()
+    assert(merged.count() == nSnap - nDel + nIns)
+    // updated keys carry the new payload, and only them
+    val mergedPrio = merged.filter(col("o_orderpriority") === "MERGED")
+      .select("o_orderkey").as[Long].collect().toSet
+    val updateKeys = snap.filter(col("o_orderkey") % 13 === 0)
+      .select("o_orderkey").as[Long].collect().toSet
+    assert(mergedPrio == updateKeys)
+    // deleted keys are gone; inserted keys are present
+    assert(merged.filter(col("o_orderkey") % 17 === 3 &&
+      col("o_orderkey") % 13 =!= 0 && col("o_orderkey") < 10000000L).count() == 0)
+    assert(merged.filter(col("o_orderkey") >= 10000000L).count() == nIns)
+  }
+
   test("dedup_exact: groups cover all docs; representative is min id") {
     val out = Dedup.exact(docs).collect()
     val totalCopies = out.map(_.getAs[Long]("n_copies")).sum
