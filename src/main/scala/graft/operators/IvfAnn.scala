@@ -58,9 +58,18 @@ object IvfAnn {
   }
 
   /** Distributed deterministic Lloyd: md5-ordered seeds, `iters` rounds
-    * of integer-mean updates over the FULL corpus. */
+    * of integer-mean updates over the FULL corpus. Memoized via
+    * [[ModelStaging]] — a trained quantizer is a persisted production
+    * asset, and the training is deterministic, so the memo is
+    * transparent (frames without file lineage always train fresh). */
   def trainCentroids(embeddings: DataFrame, nCells: Int,
-      iters: Int = 2): Array[Array[Long]] = {
+      iters: Int = 2): Array[Array[Long]] =
+    ModelStaging.memo(embeddings, s"centroids:$nCells:$iters") {
+      trainCentroidsUncached(embeddings, nCells, iters)
+    }
+
+  private def trainCentroidsUncached(embeddings: DataFrame, nCells: Int,
+      iters: Int): Array[Array[Long]] = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val qvecs: Dataset[(Long, Array[Long])] = embeddings
