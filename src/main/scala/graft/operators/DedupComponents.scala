@@ -61,11 +61,57 @@ object DedupComponents {
   case object LargeSmallStar extends Strategy
 
   /** Components of the undirected pair graph. `pairs` must have long
-    * columns doc_a, doc_b. */
+    * columns doc_a, doc_b.
+    *
+    * Hybrid execution: when the pair set is small (probed with a BOUNDED
+    * limit-count, never a full count of an unbounded set), the closure is
+    * solved by driver-side union-find in one collect — identical output,
+    * none of the per-round scheduling latency that dominates tiny graphs
+    * (a 20-round fixpoint costs ~20 Spark job launches to label 50
+    * pairs). Above the threshold the distributed strategies run
+    * unchanged; dedup pair graphs after LSH banding are edge-sparse, so
+    * the threshold covers the common case while the iterative path
+    * remains the 100 TB contract. `localThreshold = 0` disables the
+    * fallback (used by the diameter-proof tests). */
   def components(pairs: DataFrame, maxRounds: Int = 50,
-      strategy: Strategy = MinLabel): DataFrame = strategy match {
-    case MinLabel => componentsMinLabel(pairs, maxRounds)
-    case LargeSmallStar => componentsStar(pairs, maxRounds)._1
+      strategy: Strategy = MinLabel,
+      localThreshold: Int = 100000): DataFrame = {
+    if (localThreshold > 0 &&
+        pairs.limit(localThreshold + 1).count() <= localThreshold)
+      componentsLocal(pairs)
+    else strategy match {
+      case MinLabel => componentsMinLabel(pairs, maxRounds)
+      case LargeSmallStar => componentsStar(pairs, maxRounds)._1
+    }
+  }
+
+  /** Driver-side union-find over a collected pair list — exact same
+    * output contract as the distributed strategies (component_id = min
+    * member, every node appearing in a pair reported). */
+  private def componentsLocal(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val edges = pairs.select(col("doc_a").cast("long"), col("doc_b").cast("long"))
+      .as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      // union by MIN root so the representative is the component minimum
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    val byComp = parent.keys.toSeq.map(id => id -> find(id))
+    val sizes = byComp.groupBy(_._2).map { case (c, xs) => c -> xs.size.toLong }
+    byComp.sortBy(_._1)
+      .map { case (id, c) => (id, c, sizes(c)) }
+      .toDF("doc_id", "component_id", "component_size")
   }
 
   private def componentsMinLabel(pairs: DataFrame, maxRounds: Int): DataFrame = {

@@ -105,9 +105,12 @@ object PipelineQueries {
     // the O(log^2 n) large-star/small-star strategy over the same pairs —
     // registered so the diameter-proof path is driver-exercised; shares
     // dedup_components' closure oracle (identical output by construction)
+    // localThreshold = 0: this registration EXERCISES the distributed
+    // star iterations every round; the sibling dedup_components keeps the
+    // hybrid default (local union-find under the threshold)
     "dedup_components_star" -> ((s, d) =>
       DedupComponents.components(minhashPairs(s, d),
-        strategy = DedupComponents.LargeSmallStar)),
+        strategy = DedupComponents.LargeSmallStar, localThreshold = 0)),
     "dedup_semantic" -> ((s, d) =>
       SemanticDedup.clusters(Tables.embeddings(s, d))),
     // the decision step after components: per cluster keep the highest-

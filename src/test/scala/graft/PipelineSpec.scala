@@ -559,14 +559,18 @@ class PipelineSpec extends SparkSpec {
       (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
       (20L, 21L), (21L, 22L), (20L, 22L),
       (30L, 31L)).toDF("doc_a", "doc_b")
-    val got = DedupComponents.components(pairs).collect()
-      .map(r => (r.getAs[Long]("doc_id"),
-        r.getAs[Long]("component_id"), r.getAs[Long]("component_size"))).toSet
     val want = Set(
       (1L, 1L, 5L), (2L, 1L, 5L), (3L, 1L, 5L), (4L, 1L, 5L), (5L, 1L, 5L),
       (20L, 20L, 3L), (21L, 20L, 3L), (22L, 20L, 3L),
       (30L, 30L, 2L), (31L, 30L, 2L))
-    assert(got == want)
+    // hybrid default (local union-find) AND the distributed fixpoint
+    Seq(100000, 0).foreach { thr =>
+      val got = DedupComponents.components(pairs, localThreshold = thr)
+        .collect()
+        .map(r => (r.getAs[Long]("doc_id"),
+          r.getAs[Long]("component_id"), r.getAs[Long]("component_size"))).toSet
+      assert(got == want, s"localThreshold=$thr")
+    }
 
     // real near-dup pairs: endpoints of every pair land in one component,
     // and the component id is the minimum member (the representative)
@@ -623,12 +627,20 @@ class PipelineSpec extends SparkSpec {
       val pairs = Seq.fill(n)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
         .filter { case (a, b) => a != b }
         .toDF("doc_a", "doc_b")
-      val minLabel = DedupComponents.components(pairs).collect()
+      // localThreshold = 0: compare the ACTUAL distributed strategies —
+      // the hybrid default would route both through local union-find
+      val minLabel = DedupComponents.components(pairs, localThreshold = 0)
+        .collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
       val star = DedupComponents
-        .components(pairs, strategy = DedupComponents.LargeSmallStar).collect()
+        .components(pairs, strategy = DedupComponents.LargeSmallStar,
+          localThreshold = 0).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
       assert(star == minLabel, s"strategies diverge on trial $trial")
+      // and the hybrid's driver-local union-find must equal them exactly
+      val local = DedupComponents.components(pairs).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(local == minLabel, s"local union-find diverges on trial $trial")
     }
   }
 
