@@ -25,6 +25,7 @@ object StreamingQueries {
     "stream_ts_canary" -> ((s, d) => EventStreams.tsSpanCanary(s, d)),
     "stream_enrich" -> ((s, d) => EventStreams.streamingEnrich(s, d)),
     "stream_restart_dedup" -> ((s, d) => EventStreams.restartRecoveryDedup(s, d)),
+    "stream_upsert" -> ((s, d) => EventStreams.streamingUpsert(s, d)),
     "q11_sessionize" -> ((s, d) => EventStreams.sessionizeBatch(Tables.events(s, d))),
     "q12_asof_join" -> ((s, d) => AsOfJoin.errorToLastClick(Tables.events(s, d))),
     "q16_range_join" -> ((s, d) => RangeJoin.concurrentSessions(Tables.events(s, d))),
@@ -64,6 +65,9 @@ object StreamingQueries {
     // checkpointed two-phase run matching DISTINCT IS the exactly-once
     // evidence (same oracle as stream_dedup)
     "stream_restart_dedup" -> EventStreams.streamingDedupSql,
+    // key-disjoint change batches make the CDC-applied table equal the
+    // one-shot merge, so the stream shares sink_upsert's oracle
+    "stream_upsert" -> PipelineQueries.upsertOrdersSql,
     "q11_sessionize" -> EventStreams.sessionizeBatchSql(),
     "q12_asof_join" -> AsOfJoin.errorToLastClickSql,
     "q16_range_join" -> RangeJoin.concurrentSessionsSql(),

@@ -531,6 +531,111 @@ object EventStreams {
     Sketches.cmsTopKFromGrid(candidates, grid, k)
   }
 
+  // ------------------------------------------ streaming CDC apply (merge)
+  /** Change-data-capture apply via `foreachBatch` — the remaining
+    * Structured Streaming sink API next to the memory/file sinks: a
+    * stream of keyed change batches (insert/update/delete ops) is MERGED
+    * into a maintained snapshot table per micro-batch, using the batch
+    * [[graft.operators.Upsert]] operator inside the stream. This is the
+    * production periodic-merge pattern (CDC feed -> maintained table)
+    * that row-level table formats optimize the write side of; here the
+    * table is parquet rewritten per batch with an atomic directory swap.
+    *
+    * Batches are staged key-DISJOINT (op derived from the key's residue
+    * class), so the final table equals the ONE-SHOT batch merge and
+    * shares a full DuckDB oracle; ORDER-dependent semantics
+    * (last-batch-wins on overlapping keys) are asserted separately in
+    * StreamingSpec with a hand-staged overlapping feed.
+    *
+    * Scale: each micro-batch does one key shuffle (the Upsert shape);
+    * snapshot bucketed by the merge key makes it zero-exchange on the
+    * snapshot side. State is the TABLE, not stream state — nothing
+    * unbounded in the query itself. */
+  def streamingUpsert(spark: SparkSession, sfDir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val target = Paths.get(sfDir, "orders.parquet").toAbsolutePath.normalize
+    val mtime = Files.getLastModifiedTime(target).toMillis
+    val key = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s"$target:$mtime:cdc".getBytes("UTF-8"))
+      .take(8).map("%02x".format(_)).mkString
+    val base = Paths.get(sys.props("java.io.tmpdir"), s"graft_cdc_$key")
+    val (src, table, chk) =
+      (base.resolve("src"), base.resolve("table"), base.resolve("chk"))
+    val done = base.resolve("_DONE")
+
+    if (!Files.exists(done)) {
+      Files.createDirectories(src)
+      val snap = graft.Tables.orders(spark, sfDir)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+      snap.write.mode("overwrite").parquet(table.toString)
+      // three key-disjoint change files: updates (%13==0), deletes
+      // (%17==3 minus updates), inserts (fresh keys for %19==1) — one
+      // micro-batch each under maxFilesPerTrigger=1
+      val updates = snap.filter(col("o_orderkey") % 13 === 0)
+        .withColumn("o_orderpriority", lit("MERGED"))
+        .withColumn("op", lit("update"))
+      val deletes = snap
+        .filter(col("o_orderkey") % 17 === 3 && col("o_orderkey") % 13 =!= 0)
+        .withColumn("op", lit("delete"))
+      val inserts = snap.filter(col("o_orderkey") % 19 === 1)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(10000000L))
+        .withColumn("o_orderstatus", lit("N"))
+        .withColumn("o_orderpriority", lit("5-LOW"))
+        .withColumn("op", lit("insert"))
+      Seq(updates, deletes, inserts).zipWithIndex.foreach { case (df, i) =>
+        df.coalesce(1).write.mode("overwrite")
+          .parquet(src.resolve(s"batch$i.tmp").toString)
+        val part = { val l = Files.list(src.resolve(s"batch$i.tmp"))
+          try l.filter(_.toString.endsWith(".parquet")).findFirst().get()
+          finally l.close() }
+        Files.move(part, src.resolve(s"batch$i.parquet"))
+        val rest = Files.list(src.resolve(s"batch$i.tmp"))
+        try rest.forEach(p => Files.deleteIfExists(p)) finally rest.close()
+        Files.deleteIfExists(src.resolve(s"batch$i.tmp"))
+      }
+      applyCdc(spark, src, table, chk)
+      Files.writeString(done, "ok")
+    }
+    spark.read.parquet(table.toString).orderBy("o_orderkey")
+  }
+
+  /** Run the CDC stream over `src`, merging each micro-batch into the
+    * parquet table at `tablePath` with an atomic directory swap. */
+  private[graft] def applyCdc(spark: SparkSession, src: java.nio.file.Path,
+      tablePath: java.nio.file.Path, chk: java.nio.file.Path): Unit = {
+    import java.nio.file.{Files, Paths}
+    val changeSchema = spark.read.parquet(
+      { val l = Files.list(src)
+        try l.filter(_.toString.endsWith(".parquet")).findFirst().get().toString
+        finally l.close() }).schema
+    val q = spark.readStream
+      .schema(changeSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src.toString)
+      .writeStream
+      .option("checkpointLocation", chk.toString)
+      .foreachBatch { (changes: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!changes.isEmpty) {
+          val snapshot = changes.sparkSession.read.parquet(tablePath.toString)
+          val merged = graft.operators.Upsert
+            .applyChanges(snapshot, changes, "o_orderkey")
+          val next = tablePath.resolveSibling(tablePath.getFileName.toString + s"_b$batchId")
+          merged.write.mode("overwrite").parquet(next.toString)
+          // atomic swap: the table dir is only ever a COMPLETE merge result
+          val old = tablePath.resolveSibling(tablePath.getFileName.toString + "_old")
+          Files.move(tablePath, old)
+          Files.move(next, tablePath)
+          val walk = Files.walk(old)
+          try walk.sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => Files.deleteIfExists(p))
+          finally walk.close()
+        }
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
   // --------------------------------- checkpointed restart / exactly-once
   /** Fault-tolerance surface: a STATEFUL stream (first-seen dedup on
     * (user_id, event_type)) killed mid-input and RESTARTED from its

@@ -110,6 +110,40 @@ class StreamingSpec extends SparkSpec {
       "recovered stream's key set diverged from batch DISTINCT")
   }
 
+  test("CDC apply: overlapping keys resolve last-batch-wins in file order") {
+    import java.nio.file.{Files, Paths}
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_cdc_seq")
+    val (src, table, chk) =
+      (base.resolve("src"), base.resolve("table"), base.resolve("chk"))
+    Files.createDirectories(src)
+    Seq((1L, 10L, "O", "BASE"), (2L, 20L, "O", "BASE"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+      .write.mode("overwrite").parquet(table.toString)
+    // batch0 updates key 1 to FIRST; batch1 updates key 1 to SECOND and
+    // deletes key 2 — the final table must reflect batch1 (file order)
+    def stage(i: Int, rows: Seq[(Long, Long, String, String, String)]): Unit = {
+      val tmp = Files.createTempDirectory("graft_cdc_seq_w")
+      rows.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority", "op")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = { val l = Files.list(tmp)
+        try l.filter(_.toString.endsWith(".parquet")).findFirst().get()
+        finally l.close() }
+      val dest = src.resolve(s"batch$i.parquet")
+      Files.move(part, dest)
+      // explicit mtimes: the file source processes in modification-time
+      // order, and sub-millisecond writes could otherwise tie
+      Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(1000000L + i * 10000L))
+    }
+    stage(0, Seq((1L, 10L, "O", "FIRST", "update")))
+    stage(1, Seq((1L, 10L, "O", "SECOND", "update"), (2L, 20L, "O", "BASE", "delete")))
+    EventStreams.applyCdc(spark, src, table, chk)
+    val got = spark.read.parquet(table.toString)
+      .collect().map(r => (r.getLong(0), r.getString(3))).toMap
+    assert(got == Map(1L -> "SECOND"), s"got $got")
+  }
+
   test("streaming dedup emits exactly the distinct key set") {
     val streamed = EventStreams.streamingDedup(spark, sf)
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet
