@@ -18,6 +18,10 @@ object PipelineQueries {
   val ordersProfileCols: Seq[String] = Seq("o_orderkey", "o_custkey",
     "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority")
 
+  /** The profile_columns registration body, exposed for PlanSpec. */
+  def profileColumnsOrders(s: SparkSession, d: String): DataFrame =
+    Profiling.profileColumns(Tables.orders(s, d), ordersProfileCols)
+
   /** MERGE-INTO demo over orders with a deterministically derived change
     * batch (disjoint key sets by construction): update priority on
     * %13==0, delete %17==3 (minus the update keys), insert fresh keys
@@ -164,8 +168,7 @@ object PipelineQueries {
     "sample_mix_temperature" -> ((s, d) => Sampling.mixSourcesTemperature(Tables.documents(s, d))),
     "sample_curriculum" -> ((s, d) => Sampling.curriculumAssign(Tables.documents(s, d))),
     "report_filter_reasons" -> ((s, d) => TextAnalysis.filterReasons(Tables.documents(s, d))),
-    "profile_columns" -> ((s, d) => Profiling.profileColumns(
-      Tables.orders(s, d), PipelineQueries.ordersProfileCols)),
+    "profile_columns" -> (profileColumnsOrders _),
     "report_key_skew" -> ((s, d) => Profiling.keySkew(Tables.events(s, d), "user_id")),
     "sink_upsert" -> (upsertOrders _),
     "text_length_quantiles" -> ((s, d) => CorpusStats.lengthQuantiles(Tables.documents(s, d))),

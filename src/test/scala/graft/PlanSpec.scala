@@ -345,6 +345,24 @@ class PlanSpec extends SparkSpec {
     assert(!s.contains("Join"), s"json extraction must not join:\n$s")
   }
 
+  test("sink_upsert: one key-shuffle merge — anti join + union, no cartesian") {
+    val df = graft.queries.PipelineQueries.upsertOrders(spark, sf)
+    val p = simplePlan(df)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"upsert must join by key:\n$p")
+    assert(p.contains("Union"), "expected untouched ∪ survivors union")
+  }
+
+  test("profile_columns: single stacked aggregate, scan pruned to the profiled set") {
+    val df = graft.queries.PipelineQueries.profileColumnsOrders(spark, sf)
+    val p = formattedPlan(df)
+    assert(!p.contains("Join"), s"profiler must not join:\n$p")
+    val readSchema = "ReadSchema: struct<(.*?)>".r
+      .findFirstMatchIn(p).map(_.group(1)).getOrElse(fail("no ReadSchema"))
+    val cols = readSchema.split(",").map(_.split(":").head.trim).toSet
+    assert(cols == graft.queries.PipelineQueries.ordersProfileCols.toSet, s"got: $cols")
+  }
+
   test("q23: lead/lag window is partitioned — no single-partition exchange") {
     val p = simplePlan(Relational.q23LeadLag(spark, sf))
     assert(!p.contains("Exchange SinglePartition"),
