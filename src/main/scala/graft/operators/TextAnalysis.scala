@@ -522,6 +522,90 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** The REMOVAL transform [[dupSpanCoverage]] only measures: drop every
+    * token position covered by a cross-document duplicated k-gram and
+    * REASSEMBLE the surviving text in original order (the RefinedWeb
+    * "deduplicate repeated substrings" step as an actual rewrite, the
+    * companion to paragraphDedup's chunk-level removal).
+    *
+    * Output: (doc_id, n_toks, n_kept, scrub_md5) — the scrubbed text
+    * crosses the engine boundary as its md5 checksum, so the oracle
+    * proves byte-exact reassembly without shipping full texts.
+    *
+    * Scale shape: identical to dupSpanCoverage up to the covered-position
+    * set (one corpus-volume doc-frequency shuffle; position explode
+    * confined to duplicated grams), then one anti equi-join on
+    * (doc, position) and a per-doc sort_array reassembly — per-doc
+    * bounded, never a corpus-wide sort. */
+  def scrubDupSpans(docs: DataFrame, k: Int = 8): DataFrame = {
+    val words = split(trim(col("text")), "\\s+")
+    val grams = transform(
+      sequence(lit(0), greatest(size(words) - k, lit(0))),
+      i => concat_ws(" ", slice(words, i + 1, lit(k))))
+    val positional = docs
+      .select(col("doc_id"), posexplode(grams).as(Seq("pos", "gram")))
+      .select(col("doc_id"), col("pos"),
+        Dedup.hash64Col(col("gram")).as("h"))
+    val base = docs.select(col("doc_id"), size(words).cast("long").as("n_toks"))
+
+    val dupGrams = positional.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= 2)
+      .select("h")
+    val coveredPos = positional.join(dupGrams, Seq("h"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("p"))
+      .distinct()
+
+    val toks = docs
+      .select(col("doc_id"), posexplode(words).as(Seq("p", "tok")))
+    val kept = toks.join(coveredPos, Seq("doc_id", "p"), "left_anti")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_kept"),
+        md5(concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("p"), col("tok")))),
+            s => s.getField("tok"))).cast("binary")).as("scrub_md5"))
+
+    base.join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_toks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("scrub_md5"), md5(lit("").cast("binary"))).as("scrub_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB replay of [[scrubDupSpans]] — same hash, same covered set,
+    * order-preserving string_agg reassembly. */
+  def scrubDupSpansSql(k: Int = 8): String = {
+    val h = OracleSql.hex64Signed("md5(gram)")
+    s"""WITH words AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+       |base AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_toks FROM words),
+       |grams AS (
+       |  SELECT doc_id, i - 1 AS pos, array_to_string(w[i:i+${k - 1}], ' ') AS gram
+       |  FROM (SELECT doc_id, w, unnest(range(1, greatest(len(w)-${k - 1},1)+1)) AS i FROM words)),
+       |hashed AS (SELECT doc_id, pos, $h AS h FROM grams),
+       |dup AS (SELECT h FROM (
+       |    SELECT h, COUNT(DISTINCT doc_id) AS df FROM hashed GROUP BY h)
+       |  WHERE df >= 2),
+       |cpos AS (SELECT DISTINCT hashed.doc_id, pos + u.x AS p
+       |  FROM hashed JOIN dup USING (h), unnest(range(0, $k)) AS u(x)),
+       |toks AS (
+       |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS p, w[CAST(i AS INTEGER)] AS tok
+       |  FROM (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS i FROM words)),
+       |kept AS (
+       |  SELECT t.doc_id, t.p, t.tok FROM toks t
+       |  ANTI JOIN cpos ON t.doc_id = cpos.doc_id AND t.p = cpos.p),
+       |scrub AS (
+       |  SELECT doc_id, COUNT(*) AS n_kept,
+       |    md5(string_agg(tok, ' ' ORDER BY p)) AS scrub_md5
+       |  FROM kept GROUP BY doc_id)
+       |SELECT b.doc_id, b.n_toks,
+       |  CAST(COALESCE(s.n_kept, 0) AS BIGINT) AS n_kept,
+       |  COALESCE(s.scrub_md5, md5('')) AS scrub_md5
+       |FROM base b LEFT JOIN scrub s ON b.doc_id = s.doc_id
+       |ORDER BY b.doc_id""".stripMargin
+  }
+
   /** DuckDB replay of [[dupSpanCoverage]]: same positional grams, same
     * md5-derived 64-bit hash, same integer-division ppm. */
   def dupSpanCoverageSql(k: Int = 8): String = {

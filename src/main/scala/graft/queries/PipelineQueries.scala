@@ -133,6 +133,7 @@ object PipelineQueries {
     "text_repetition" -> ((s, d) => TextAnalysis.repetition(Tables.documents(s, d))),
     "text_bigram_coverage" -> ((s, d) => TextAnalysis.bigramCoverage(Tables.documents(s, d))),
     "text_dup_span_coverage" -> ((s, d) => TextAnalysis.dupSpanCoverage(Tables.documents(s, d))),
+    "text_scrub_dup_spans" -> ((s, d) => TextAnalysis.scrubDupSpans(Tables.documents(s, d))),
     // --- similarity search ---
     "ann_topk" -> ((s, d) => SimilaritySearch.bruteForceTopK(Tables.embeddings(s, d), annQueryIds)),
     "ann_near_dup" -> ((s, d) => SimilaritySearch.cosineNearDupExact(Tables.embeddings(s, d))),
@@ -231,6 +232,9 @@ object PipelineQueries {
     "text_repetition" -> TextAnalysis.repetitionSql,
     "text_bigram_coverage" -> TextAnalysis.bigramCoverageSql(),
     "text_dup_span_coverage" -> TextAnalysis.dupSpanCoverageSql(),
+    // removal twin of the coverage metric: scrubbed text crosses as md5,
+    // proving byte-exact reassembly
+    "text_scrub_dup_spans" -> TextAnalysis.scrubDupSpansSql(),
     "ann_topk" -> SimilaritySearch.bruteForceTopKSql(annQueryIds),
     "ann_near_dup" -> SimilaritySearch.cosineNearDupExactSql(),
     // approximate, yet fully hash-oracled: the md5-derived integer

@@ -21,6 +21,33 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("scrubDupSpans: removes exactly the covered positions, reassembles in order") {
+    import spark.implicits._
+    // two docs share the 4-gram "a b c d"; doc 3 is untouched
+    val crafted = Seq(
+      (1L, "a b c d x y z"),
+      (2L, "p q a b c d r"),
+      (3L, "unique words only here")).toDF("doc_id", "text")
+    val out = TextAnalysis.scrubDupSpans(crafted, k = 4).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    def md5Of(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out(1L) == ((7L, 3L, md5Of("x y z"))), s"doc1: ${out(1L)}")
+    assert(out(2L) == ((7L, 3L, md5Of("p q r"))), s"doc2: ${out(2L)}")
+    assert(out(3L) == ((4L, 4L, md5Of("unique words only here"))), s"doc3: ${out(3L)}")
+
+    // consistency with the coverage metric on the real corpus:
+    // n_kept = n_toks - covered_positions for every doc
+    val cov = TextAnalysis.dupSpanCoverage(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    TextAnalysis.scrubDupSpans(docs).collect().foreach { r =>
+      val (nToks, covered) = cov(r.getLong(0))
+      assert(r.getLong(1) == nToks && r.getLong(2) == nToks - covered,
+        s"doc ${r.getLong(0)}: kept ${r.getLong(2)} != $nToks - $covered")
+    }
+  }
+
   test("profileColumns: null and distinct counts on a crafted table") {
     import spark.implicits._
     val df = Seq(
