@@ -70,4 +70,57 @@ object PartitionedSink {
        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
        |FROM events WHERE event_type = '$eventType'
        |GROUP BY 1 ORDER BY day""".stripMargin
+
+  /** DYNAMIC partition overwrite — the incremental-load pattern (and the
+    * classic footgun this query pins down): rewriting one day's / one
+    * type's worth of rows must replace ONLY the partitions present in the
+    * incoming batch. The DEFAULT `partitionOverwriteMode=static` wipes
+    * the whole table on `mode(overwrite)`; `dynamic` (set session-locally
+    * here via `newSession`, never leaking into other queries) limits the
+    * overwrite to touched partitions — the behavior an incremental
+    * pipeline needs. The query stages the event_type-partitioned table,
+    * overwrites the 'click' partition with redacted rows (value zeroed),
+    * and returns a per-type summary of the WHOLE table: untouched
+    * partitions must survive byte-exact, the touched one must show the
+    * rewrite — both provable by the batch oracle.
+    *
+    * Staging keyed on (source, mtime) with a `_DONE` marker; idempotent
+    * across invocations like the other staged sinks. */
+  def dynamicOverwriteSummary(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val src = Paths.get(sfDir, "events.parquet").toAbsolutePath.normalize
+    val key = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s"$src:${Files.getLastModifiedTime(src).toMillis}:dynow".getBytes("UTF-8"))
+      .take(8).map("%02x".format(_)).mkString
+    val dir = Paths.get(sys.props("java.io.tmpdir"), s"graft_dynow_$key")
+    val done = dir.resolve("_GRAFT_DONE")
+    if (!Files.exists(done)) {
+      val events = Tables.events(s, sfDir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value").cast("decimal(18,2)").as("value"))
+      events.write.mode("overwrite").partitionBy("event_type")
+        .parquet(dir.toString)
+      // the incremental batch: clicks redacted (value -> 0); with
+      // dynamic mode this replaces ONLY event_type=click
+      events.filter(col("event_type") === "click")
+        .withColumn("value", lit(java.math.BigDecimal.ZERO).cast("decimal(18,2)"))
+        .write.mode("overwrite").partitionBy("event_type")
+        .parquet(dir.toString)
+      Files.writeString(done, "ok")
+    }
+    s.read.parquet(dir.toString)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value")).cast("double").as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  /** Oracle: every type keeps its original mass except clicks, zeroed by
+    * the partition-scoped overwrite. */
+  val dynamicOverwriteSummarySql: String =
+    """SELECT event_type, COUNT(*) AS n_events,
+      |  CAST(CASE WHEN event_type = 'click' THEN 0
+      |    ELSE SUM(CAST(value AS DECIMAL(18,2))) END AS DOUBLE) AS sum_value
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 }

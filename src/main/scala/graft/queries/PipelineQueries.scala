@@ -181,6 +181,7 @@ object PipelineQueries {
     "pack_sequences" -> ((s, d) => SequencePacking.packDocs(Tables.documents(s, d))),
     // --- partitioned sink + planning-time partition pruning ---
     "sink_partition_prune" -> ((s, d) => PartitionedSink.prunedDailyAgg(s, d)),
+    "sink_partition_overwrite" -> ((s, d) => PartitionedSink.dynamicOverwriteSummary(s, d)),
     "layout_zorder" -> (Layout.zOrderKeys _),
     "sink_compact" -> (Compaction.roundTripAgg _),
     "sink_bucketed_join" -> ((s, d) => BucketedSink.bucketedJoin(s, d)),
@@ -283,6 +284,9 @@ object PipelineQueries {
     "pack_sequences" -> SequencePacking.packDocsSql(),
     // partitioned round-trip must be lossless: oracle reads the raw table
     "sink_partition_prune" -> PartitionedSink.prunedDailyAggSql(),
+    // untouched partitions survive byte-exact, the rewritten one shows
+    // the redaction — exactly what dynamic overwrite must guarantee
+    "sink_partition_overwrite" -> PartitionedSink.dynamicOverwriteSummarySql,
     "layout_zorder" -> Layout.zOrderKeysSql,
     "sink_compact" -> Compaction.roundTripAggSql,
     "sink_bucketed_join" -> BucketedSink.bucketedJoinSql,

@@ -70,6 +70,28 @@ class PipelineSpec extends SparkSpec {
       (7L, 3L, 500000L), (5L, 2L, 333333L), (9L, 1L, 166666L)), got.toSeq)
   }
 
+  test("partition overwrite: dynamic replaces only touched partitions, static wipes") {
+    import spark.implicits._
+    import java.nio.file.Files
+    def stage(mode: String): (Long, Long) = {
+      val s = spark.newSession()
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", mode)
+      import s.implicits._
+      val dir = Files.createTempDirectory(s"graft_ow_$mode").toString
+      Seq((1L, "A"), (2L, "A"), (3L, "B")).toDF("id", "pt")
+        .write.mode("overwrite").partitionBy("pt").parquet(dir)
+      // incremental batch touches ONLY partition A
+      Seq((9L, "A")).toDF("id", "pt")
+        .write.mode("overwrite").partitionBy("pt").parquet(dir)
+      val back = s.read.parquet(dir)
+      (back.filter(col("pt") === "A").count(), back.filter(col("pt") === "B").count())
+    }
+    assert(stage("dynamic") == ((1L, 1L)),
+      "dynamic mode must keep the untouched partition")
+    assert(stage("static") == ((1L, 0L)),
+      "static mode wipes the whole table — the footgun the query pins down")
+  }
+
   test("upsert: updates replace, deletes remove, inserts add — keys consistent") {
     import spark.implicits._
     val merged = queries.PipelineQueries.upsertOrders(spark, sf)
