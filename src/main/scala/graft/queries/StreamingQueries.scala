@@ -17,6 +17,7 @@ object StreamingQueries {
     "stream_windowed_counts_append" -> ((s, d) => EventStreams.windowedCountsAppend(s, d)),
     "stream_dedup" -> ((s, d) => EventStreams.streamingDedup(s, d)),
     "stream_sessionize" -> ((s, d) => EventStreams.sessionize(s, d)),
+    "stream_sessionize_native" -> ((s, d) => EventStreams.sessionizeNative(s, d)),
     "stream_asof" -> ((s, d) => EventStreams.streamingAsOf(s, d)),
     "stream_hll_distinct" -> ((s, d) => EventStreams.streamingHllDistinct(s, d)),
     "stream_interval_join" -> ((s, d) => EventStreams.streamingIntervalJoin(s, d)),
@@ -41,6 +42,9 @@ object StreamingQueries {
     // the watermark sentinel flushes every final session, so the stream
     // equals the batch gaps-and-islands answer and shares its oracle
     "stream_sessionize" -> EventStreams.sessionizeBatchSql(),
+    // the built-in session_window spelling must equal the same oracle —
+    // gap+1 on floored seconds aligns merge/split boundaries exactly
+    "stream_sessionize_native" -> EventStreams.sessionizeBatchSql(),
     // matches emit inline from keyed state, so the stream equals the
     // batch as-of exactly and shares its oracle
     "stream_asof" -> AsOfJoin.errorToLastClickSql,

@@ -421,6 +421,54 @@ object EventStreams {
       .orderBy("user_id", "session_start")
   }
 
+  // ------------------------------------- native session_window sessionize
+  /** The DECLARATIVE twin of [[sessionize]]: Spark's built-in
+    * `session_window` aggregation instead of hand-rolled
+    * flatMapGroupsWithState — state merging, eviction, and emission are
+    * the engine's own (the "compose existing ops first" rule; the custom
+    * -state spelling stays registered as the template for semantics the
+    * built-in can't express, e.g. per-session early emission).
+    *
+    * Exactness vs the gaps-and-islands oracle needs two alignments:
+    * event times are floored to WHOLE SECONDS before windowing (the
+    * oracle flags gaps on floored epochs), and the merge boundary must
+    * match — session_window merges INCLUSIVELY (next <= prev + gap;
+    * verified against a measured diff == gap+1 split at sf0.01), which
+    * on integer-second data is exactly the oracle's `diff <= gapSec`
+    * merge / `diff > gapSec` split. window.end is last-event + gap, so
+    * the session_end the oracle expects is `end - gapSec`.
+    *
+    * Append mode + the far-future sentinels flush every real session on
+    * the finite replay (same mechanics as [[sessionize]]); the sentinel
+    * group (user -1) holds its own session that simply never emits. */
+  def sessionizeNative(spark: SparkSession, sfDir: String,
+      gapMinutes: Int = 30): DataFrame = {
+    val gapSec = gapMinutes * 60L
+    // 2x-gap sentinels: a native window EMITS only when the watermark is
+    // STRICTLY past its end (= last event + gap+1). The last real
+    // session's end can tie a 1x-gap sentinel's watermark when max(ts)
+    // falls on a whole second (observed at sf0.01: exactly one session
+    // held back); doubling the sentinel gap clears every real end with
+    // margin, like windowedCountsAppend's 2h sentinels for 1h windows.
+    val agg = readEventStream(spark, sfDir,
+        sentinelGapMs = Some(2L * gapMinutes * 60L * 1000L))
+      .select(col("user_id"),
+        timestamp_seconds(unix_timestamp(col("ts"))).as("tss"),
+        col("value"))
+      .withWatermark("tss", "0 seconds")
+      .groupBy(session_window(col("tss"), s"$gapSec seconds"),
+        col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+    runToCompletion(agg, OutputMode.Append())
+      .filter(col("user_id") >= 0)
+      .select(col("user_id"),
+        unix_timestamp(col("session_window.start")).as("session_start"),
+        (unix_timestamp(col("session_window.end")) - gapSec).as("session_end"),
+        col("n_events"), col("sum_value"))
+      .orderBy("user_id", "session_start")
+  }
+
   // ------------------------------------------------------ streaming as-of
   final case class TypedEvent(event_id: Long, user_id: Long,
       ts: java.sql.Timestamp, event_type: String)

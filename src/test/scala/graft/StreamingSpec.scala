@@ -193,6 +193,13 @@ class StreamingSpec extends SparkSpec {
       s"stream != batch: missing=${(batch -- streamed).take(3)} extra=${(streamed -- batch).take(3)}")
   }
 
+  test("native session_window sessions EQUAL the custom-state sessions") {
+    val native = EventStreams.sessionizeNative(spark, sf).collect()
+    val custom = EventStreams.sessionize(spark, sf).collect()
+    assert(native.map(_.toString).sorted.sameElements(custom.map(_.toString).sorted),
+      s"native=${native.length} custom=${custom.length} rows")
+  }
+
   test("streaming as-of EQUALS the batch as-of join") {
     def key(df: org.apache.spark.sql.DataFrame) = df
       .select("event_id", "matched_click", "gap_sec").collect()
