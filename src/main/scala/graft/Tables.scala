@@ -16,6 +16,7 @@ object Tables {
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") events(spark, sfDir)
+    else if (name == "embeddings") embeddings(spark, sfDir)
     else spark.read.parquet(s"$sfDir/$name.parquet")
 
   def region(spark: SparkSession, d: String): DataFrame    = load(spark, d, "region")
@@ -65,5 +66,20 @@ object Tables {
       case _ => df
     }
   def documents(spark: SparkSession, d: String): DataFrame = load(spark, d, "documents")
-  def embeddings(spark: SparkSession, d: String): DataFrame = load(spark, d, "embeddings")
+
+  /** Same drift-insurance discipline as [[events]]: the ANN/quantization
+    * family assumes `embedding: array<float>` (typed Datasets, float
+    * kernels). If a regeneration widens the element type (list<double>
+    * is pyarrow's default for plain Python floats), normalize here in
+    * ONE place instead of failing across a dozen queries. */
+  def embeddings(spark: SparkSession, d: String): DataFrame = {
+    val raw = spark.read.parquet(s"$d/embeddings.parquet")
+    raw.schema("embedding").dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType, _) => raw
+      case org.apache.spark.sql.types.ArrayType(_, _) =>
+        raw.withColumn("embedding", col("embedding").cast("array<float>"))
+      case _ => raw
+    }
+  }
 }

@@ -48,6 +48,33 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("embeddings loader normalizes a double-widened element type") {
+    // stage a list<double> copy of the sf0.001 embeddings (pyarrow's
+    // default for plain Python floats — the drift class the events ts
+    // already exhibited) and require the loader to hand back
+    // array<float> with identical values
+    import java.nio.file.{Files, Paths}
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_wide_emb")
+    val src = Tables.embeddings(spark, sf)
+    src.selectExpr("vec_id", "cast(embedding as array<double>) as embedding", "label")
+      .write.mode("overwrite").parquet(dir.resolve("embeddings.parquet").toString)
+    val widened = Tables.embeddings(spark, dir.toString)
+    assert(widened.schema("embedding").dataType ==
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType, true) ||
+      widened.schema("embedding").dataType ==
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType, false),
+      s"got ${widened.schema("embedding").dataType}")
+    val a = src.select("vec_id", "embedding").as[(Long, Array[Float])]
+      .collect().toMap
+    widened.select("vec_id", "embedding").as[(Long, Array[Float])]
+      .collect().foreach { case (id, v) =>
+        assert(java.util.Arrays.equals(v, a(id)), s"vec $id diverged")
+      }
+  }
+
   test("profileColumns: null and distinct counts on a crafted table") {
     import spark.implicits._
     val df = Seq(
