@@ -653,6 +653,32 @@ object Relational {
       |WHERE o_orderpriority = '1-URGENT'
       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // ------------------------------------------------ q29_grouping_sets
+  /** Explicit GROUPING SETS — completes the grouping family (q13 ROLLUP,
+    * q20 CUBE): exactly the per-status and per-priority marginals, no
+    * cross combinations and no grand total — the shape reporting
+    * pipelines actually want, at half a CUBE's Expand width. One
+    * partial+final aggregate pair over the Expand, like rollup/cube. */
+  def q29GroupingSets(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority"))),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(dec("o_totalprice")).cast("double").as("revenue"),
+        grouping_id().cast("long").as("gid"))
+      .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
+  val q29Sql: String =
+    """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+      |ORDER BY gid, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
+
   // ------------------------------------------------ q28_json_props
   /** Semi-structured extraction: the events table's `props` column is a
     * JSON document; parse it ONCE per row with a declared schema
@@ -706,7 +732,8 @@ object Relational {
     "q25_unpivot"        -> (q25Unpivot _),
     "q26_grouped_topk"   -> (q26GroupedTopK _),
     "q27_runtime_filter" -> (q27RuntimeFilter _),
-    "q28_json_props"     -> (q28JsonProps _))
+    "q28_json_props"     -> (q28JsonProps _),
+    "q29_grouping_sets"  -> (q29GroupingSets _))
 
   val oracles: Map[String, String] = Map(
     "q1_agg"             -> q1Sql,
@@ -733,5 +760,6 @@ object Relational {
     "q25_unpivot"        -> q25Sql,
     "q26_grouped_topk"   -> q26Sql,
     "q27_runtime_filter" -> q27Sql,
-    "q28_json_props"     -> q28Sql)
+    "q28_json_props"     -> q28Sql,
+    "q29_grouping_sets"  -> q29Sql)
 }
