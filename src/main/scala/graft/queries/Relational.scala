@@ -653,6 +653,38 @@ object Relational {
       |WHERE o_orderpriority = '1-URGENT'
       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // ------------------------------------------------ q30_range_frame
+  /** RANGE-framed window — completes the frame family (q18 is ROWS):
+    * per-user trailing-hour event count and value mass BY EVENT TIME,
+    * `RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW` over epoch seconds.
+    * Unlike a ROWS frame, the bound is a VALUE distance: peers at the
+    * same second are all in-frame, so the result is deterministic under
+    * any tie order — and unlike q10's tumbling buckets this is a sliding
+    * per-row trailing aggregate. Partitioned by user — frame state is
+    * bounded by one user's events inside the hour, never a global
+    * window. */
+  def q30RangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("sec"))
+      .rangeBetween(-3600L, 0L)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).as("sec"), dec("value").as("v"))
+      .withColumn("trailing_n", count(lit(1)).over(w))
+      .withColumn("trailing_sum", sum(col("v")).over(w).cast("double"))
+      .select("user_id", "event_id", "trailing_n", "trailing_sum")
+      .orderBy("user_id", "event_id")
+  }
+
+  val q30Sql: String =
+    """SELECT user_id, event_id, COUNT(*) OVER w AS trailing_n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS trailing_sum
+      |FROM (SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec, value
+      |      FROM events)
+      |WINDOW w AS (PARTITION BY user_id ORDER BY sec
+      |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, event_id""".stripMargin
+
   // ------------------------------------------------ q29_grouping_sets
   /** Explicit GROUPING SETS — completes the grouping family (q13 ROLLUP,
     * q20 CUBE): exactly the per-status and per-priority marginals, no
@@ -733,7 +765,8 @@ object Relational {
     "q26_grouped_topk"   -> (q26GroupedTopK _),
     "q27_runtime_filter" -> (q27RuntimeFilter _),
     "q28_json_props"     -> (q28JsonProps _),
-    "q29_grouping_sets"  -> (q29GroupingSets _))
+    "q29_grouping_sets"  -> (q29GroupingSets _),
+    "q30_range_frame"    -> (q30RangeFrame _))
 
   val oracles: Map[String, String] = Map(
     "q1_agg"             -> q1Sql,
@@ -761,5 +794,6 @@ object Relational {
     "q26_grouped_topk"   -> q26Sql,
     "q27_runtime_filter" -> q27Sql,
     "q28_json_props"     -> q28Sql,
-    "q29_grouping_sets"  -> q29Sql)
+    "q29_grouping_sets"  -> q29Sql,
+    "q30_range_frame"    -> q30Sql)
 }
