@@ -72,24 +72,36 @@ object Bench {
       (mean, trainer.epochSecsHistory.min)
     } catch { case _: Throwable => (-1.0, -1.0) }
 
-    // failed queries record the -1 sentinel and are excluded from `total`
-    // (a thrown count() must not read as a fast successful run)
+    // MIN-OF-3 per query (VERDICT r5 #3): the sandbox's CPU-throttle
+    // lottery swings identical code 2-3x run-to-run, so regression triage
+    // needs the steady-state number, not one sample. The headline
+    // "queries" map carries the MIN (the throttle-free figure, same
+    // discipline as transe_epoch_sec_min); "queries_mean" carries the
+    // mean of the 3 runs for wobble visibility. Failed queries record the
+    // -1 sentinel and are excluded from `total` (a thrown count() must
+    // not read as a fast successful run).
+    val runs = 3
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true } catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
+      val secs = (1 to runs).flatMap { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+        catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}"); None
+        }
       }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      name -> (if (secs.length == runs) (secs.min, secs.sum / runs) else (-1.0, -1.0))
     }
-    val qs = (results :+ ("transe_epoch_sec" -> epochSec)
-        :+ ("transe_epoch_sec_min" -> epochSecMin)
-        :+ ("transe_epoch_sec_fb15kshape" -> fbShapeSec)
-        :+ ("transe_epoch_sec_fb15kshape_min" -> fbShapeSecMin))
-      .map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def obj(kvs: Seq[(String, Double)]): String =
+      kvs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val qs = obj(results.map { case (n, (mn, _)) => n -> mn }
+      :+ ("transe_epoch_sec" -> epochSec)
+      :+ ("transe_epoch_sec_min" -> epochSecMin)
+      :+ ("transe_epoch_sec_fb15kshape" -> fbShapeSec)
+      :+ ("transe_epoch_sec_fb15kshape_min" -> fbShapeSecMin))
+    val qsMean = obj(results.map { case (n, (_, mean)) => n -> mean })
+    val total = results.map(_._2._1).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_mean":$qsMean,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

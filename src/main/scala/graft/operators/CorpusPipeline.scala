@@ -40,7 +40,6 @@ object CorpusPipeline {
     val deduped = scrubbed.groupBy("content_md5").agg(min("doc_id").as("doc_id"))
     Sampling.hashSample(deduped, "doc_id", sampleRate, salt = "clean")
       .select(col("doc_id"), col("content_md5"))
-      .orderBy("doc_id")
   }
 
   /** Stage-by-stage funnel counts: (stage, n_docs) — four lazy

@@ -40,7 +40,6 @@ object Decontaminate {
       .select(col("doc_id"), Dedup.hash64Col(col("shingle")).as("g"))
       .join(broadcast(evalGrams), "g")
       .groupBy("doc_id").agg(count(lit(1)).as("n_shared_grams"))
-      .orderBy("doc_id")
   }
 
   def flagContaminatedSql(n: Int = 8, evalRate: Double = 0.05): String = {

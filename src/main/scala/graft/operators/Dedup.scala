@@ -36,7 +36,6 @@ object Dedup {
       .agg(
         min(col("doc_id")).as("keep_doc_id"),
         count(lit(1)).as("n_copies"))
-      .orderBy("keep_doc_id")
 
   val exactSql: String =
     """SELECT md5(text) AS text_md5, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
@@ -143,7 +142,6 @@ object Dedup {
         least(col("m_a"), col("m_b")).as("doc_a"),
         greatest(col("m_a"), col("m_b")).as("doc_b"),
         col("n_common"), col("n_union"), col("jaccard")))
-      .orderBy("doc_a", "doc_b")
       .persist()
     out.count() // materialize so the intermediates below can be dropped
     (Seq(members, reps, cloneMembers) ++ alsoUnpersist).foreach(_.unpersist())
@@ -453,7 +451,6 @@ object Dedup {
         round(col("n_common").cast("double") / col("n_union"), 6))
       .filter(col("jaccard") >= tau)
       .select("doc_a", "doc_b", "n_common", "n_union", "jaccard")
-      .orderBy("doc_a", "doc_b")
   }
 
   // ------------------------------------------------------------- SimHash
@@ -541,7 +538,6 @@ object Dedup {
       .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
       .filter(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming").cast("long").as("hamming"))
-      .orderBy("doc_a", "doc_b")
   }
 
   /** DuckDB oracle for simhashPairs: replays the md5-term simhash
@@ -637,7 +633,6 @@ object Dedup {
         (col("n_pars") - coalesce(col("n_kept"), lit(0L))).as("n_dup_pars"),
         coalesce(length(col("kept_text")), lit(0)).cast("long").as("kept_chars"),
         md5(coalesce(col("kept_text"), lit("")).cast("binary")).as("kept_md5"))
-      .orderBy("doc_id")
   }
 
   /** DuckDB replay of [[paragraphDedup]]: identical positional chunking,

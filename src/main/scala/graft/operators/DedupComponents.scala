@@ -150,7 +150,6 @@ object DedupComponents {
     labels.join(sizes, "label")
       .select(col("id").as("doc_id"), col("label").as("component_id"),
         col("component_size"))
-      .orderBy("doc_id")
   }
 
   // ---------------------------------------- large-star / small-star
@@ -227,7 +226,6 @@ object DedupComponents {
     val out = labels.join(sizes, "label")
       .select(col("id").as("doc_id"), col("label").as("component_id"),
         col("component_size"))
-      .orderBy("doc_id")
     (out, round)
   }
 
@@ -261,7 +259,6 @@ object DedupComponents {
       .withColumn("keep", row_number().over(w) === 1)
       .select(col("doc_id"), col("component_id"), col("quality_score"),
         col("keep"))
-      .orderBy("doc_id")
   }
 
   /** DuckDB replay of [[retention]] over the documents table. */

@@ -123,7 +123,6 @@ object IncrementalDedup {
         when(col("dup_exact_of").isNotNull, "exact")
           .when(col("near_of").isNotNull, "near")
           .otherwise("keep"))
-      .orderBy("doc_id")
       .persist()
     out.count() // materialize, then release the batch shingles
     bSh.unpersist()
@@ -142,8 +141,12 @@ object IncrementalDedup {
     import java.nio.file.{Files, Paths}
     val target = Paths.get(sfDir, "documents.parquet").toAbsolutePath.normalize
     val mtime = Files.getLastModifiedTime(target).toMillis
+    // the CORPUS FRAME's canonicalized plan is part of the key (ADVICE r5
+    // #1): two callers slicing the same file differently must not share a
+    // staged index — same plan-keyed discipline as ModelStaging.keyOf
+    val corpusPlan = corpus.queryExecution.analyzed.canonicalized.toString
     val key = java.security.MessageDigest.getInstance("SHA-256")
-      .digest(s"$target:$mtime:$n:$maxDocFreq".getBytes("UTF-8"))
+      .digest(s"$target:$mtime:$n:$maxDocFreq|$corpusPlan".getBytes("UTF-8"))
       .take(8).map("%02x".format(_)).mkString
     val dir = Paths.get(sys.props("java.io.tmpdir"), s"graft_dedupidx_$key")
     if (!Files.exists(dir.resolve("_DONE"))) {

@@ -183,7 +183,6 @@ object IvfAnn {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col("neighbor_id"))
-      .orderBy("query_id", "rank")
       .persist()
     out.count() // materialize, then drop the cell-assignment cache
     assigned.unpersist()
@@ -223,7 +222,6 @@ object IvfAnn {
     assigned.join(broadcast(sizes), Seq("cluster_id"))
       .select(col("vec_id"), col("cluster_id"), col("dist_qsq"),
         col("cluster_size"))
-      .orderBy("vec_id")
   }
 
   /** DuckDB replay of [[clusters]]: same quantizer chain, keeping the

@@ -217,7 +217,6 @@ object Multimodal {
         }
       }
       .toDF(Seq("asset_id", "width", "height", "channels", "n_bytes") ++ featCols: _*)
-      .orderBy("asset_id")
   }
 
   /** DuckDB replay of decodeFeatures over the documents table. */
@@ -257,7 +256,6 @@ object Multimodal {
         }
       }
       .toDF(Seq("asset_id", "frame_idx", "width", "height", "frame_chars") ++ featCols: _*)
-      .orderBy("asset_id", "frame_idx")
   }
 
   /** DuckDB replay of sampleFrameFeatures over the documents table. */

@@ -57,7 +57,6 @@ object Quantization {
           .otherwise(floor(col("x").cast("double") * lit(127.0) / col("maxabs")
             + lit(0.5)).cast("long")).as("q"),
         floor(col("maxabs") * lit(1048576.0)).cast("long").as("scale_q"))
-      .orderBy("vec_id", "i")
   }
 
   /** DuckDB replay of [[int8]]: the identical IEEE double expression over
@@ -124,7 +123,6 @@ object Quantization {
         }
       }
       .toDF("vec_id", "subspace", "code")
-      .orderBy("vec_id", "subspace")
   }
 
   // ------------------------------------------------- ADC top-k search
@@ -176,7 +174,6 @@ object Quantization {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col("neighbor_id"), col("l2_qsq"))
-      .orderBy("query_id", "rank")
   }
 
   /** The SQL tail shared by the refined spellings: exact integer L2 over
@@ -291,7 +288,6 @@ object Quantization {
     if (refine == 0)
       adc.select(col("query_id"), col("rank").cast("long").as("rank"),
           col("neighbor_id"), col("dist").as("adc_qsq"))
-        .orderBy("query_id", "rank")
     else
       exactRerank(embeddings, adc.select("query_id", "neighbor_id"), queries, k)
   }
@@ -427,7 +423,6 @@ object Quantization {
     if (refine == 0)
       adc.select(col("query_id"), col("rank").cast("long").as("rank"),
           col("neighbor_id"), col("adc_qsq"))
-        .orderBy("query_id", "rank")
     else
       exactRerank(embeddings, adc.select("query_id", "neighbor_id"), qVecs, k)
   }

@@ -47,7 +47,6 @@ object RandomProjection {
     }
     embeddings.withColumn("q", quantized)
       .select(col("vec_id") +: cols: _*)
-      .orderBy("vec_id")
   }
 
   def projectSql(outDims: Int = 16, dim: Int = 64): String = {

@@ -37,7 +37,7 @@ object Sampling {
 
   /** The documents sampled at `rate`, ids only (oracle-stable). */
   def sampleDocs(docs: DataFrame, rate: Double = 0.1): DataFrame =
-    hashSample(docs, "doc_id", rate).select("doc_id").orderBy("doc_id")
+    hashSample(docs, "doc_id", rate).select("doc_id")
 
   def sampleDocsSql(rate: Double = 0.1): String =
     s"""SELECT doc_id FROM documents
@@ -66,7 +66,6 @@ object Sampling {
     docs.join(broadcast(counts), Seq(strataCol))
       .filter(hashUnit(col("doc_id"), salt) * col("n_stratum") < lit(target.toDouble))
       .select(col("doc_id"), col(strataCol))
-      .orderBy("doc_id")
   }
 
   def stratifiedSampleSql(strataCol: String = "lang", target: Long = 100): String =
@@ -100,7 +99,6 @@ object Sampling {
       .crossJoin(broadcast(tmin))
       .filter(hashUnit(col("doc_id"), salt) * col("t_src") < col("t_min"))
       .select(col("doc_id"), col("source"), col("n_tokens"))
-      .orderBy("doc_id")
   }
 
   def mixSourcesSql(salt: String = "mix"): String =
@@ -141,7 +139,6 @@ object Sampling {
       .filter(hashUnit(col("doc_id"), salt) * sqrt(col("t_src").cast("double"))
         < sqrt(col("t_min").cast("double")))
       .select(col("doc_id"), col("source"), col("n_tokens"))
-      .orderBy("doc_id")
   }
 
   def mixSourcesTemperatureSql(salt: String = "mixt"): String =
@@ -176,7 +173,6 @@ object Sampling {
     val ord = floor(hashUnit(col("doc_id"), "curriculum") * 1000000).cast("long")
     docs.select(col("doc_id"), decile.as("quality_decile"),
         stage.as("stage"), ord.as("order_ppm"))
-      .orderBy("doc_id")
   }
 
   def curriculumAssignSql(nStages: Int = 5): String = {

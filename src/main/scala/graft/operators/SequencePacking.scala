@@ -50,7 +50,6 @@ object SequencePacking {
         }
       }
       .toDF("doc_id", "n_tokens", "bin")
-      .orderBy("doc_id")
     out
   }
 

@@ -84,7 +84,6 @@ object SimilaritySearch {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"))
-      .orderBy("query_id", "rank")
   }
 
   /** DuckDB oracle for bruteForceTopK over the embeddings table. */
@@ -129,7 +128,6 @@ object SimilaritySearch {
     a.join(b, col("vec_a") < col("vec_b"))
       .filter(VectorFunctions.cosine(spark, col("emb_a"), col("emb_b")) >= tau)
       .select("vec_a", "vec_b")
-      .orderBy("vec_a", "vec_b")
   }
 
   def cosineNearDupExactSql(tau: Double = 0.45): String =
@@ -359,7 +357,6 @@ object SimilaritySearch {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"))
-      .orderBy("query_id", "rank")
   }
 
   /** DuckDB replay of [[randomHyperplaneAnn]] over the embeddings table:

@@ -27,7 +27,6 @@ object TextAnalysis {
       size(regexp_extract_all(col("text"),
         lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast("long").as("n_pieces"),
       ceil(length(col("text")) / 4.0).cast("long").as("n_tokens_est"))
-      .orderBy("doc_id")
 
   val tokenCountsSql: String =
     """SELECT doc_id,
@@ -87,7 +86,6 @@ object TextAnalysis {
           greatest(col("stopword_ratio") * 2, lit(0.0)) * 0.5 +
             least(col("n_words").cast("double") / 100.0, lit(1.0)) * 0.5,
           lit(1.0)), 6))
-      .orderBy("doc_id")
   }
 
   val qualityScoreSql: String = {
@@ -203,7 +201,6 @@ object TextAnalysis {
       detected.as("detected_lang"),
       col("lang").as("declared_lang"),
       (detected === col("lang")).as("agrees"))
-      .orderBy("doc_id")
   }
 
   val langIdSql: String = {
@@ -267,7 +264,6 @@ object TextAnalysis {
       cnt(ipRe).as("n_ips"),
       cnt(phoneRe).as("n_phones"),
       md5(redacted).as("redacted_md5"))
-      .orderBy("doc_id")
   }
 
   val piiScrubSql: String =
@@ -286,7 +282,6 @@ object TextAnalysis {
       col("doc_id"),
       md5(lower(regexp_replace(trim(col("text")), "\\s+", " ")).cast("binary"))
         .as("fingerprint"))
-      .orderBy("doc_id")
 
   val fingerprintSql: String =
     """SELECT doc_id,
@@ -350,7 +345,6 @@ object TextAnalysis {
         topCount(col("g3")).as("top_trigram_count"))
       .withColumn("top_bigram_ratio", ratio(col("top_bigram_count"), col("n_bigrams")))
       .withColumn("top_trigram_ratio", ratio(col("top_trigram_count"), col("n_trigrams")))
-      .orderBy("doc_id")
   }
 
   /** Corpus-frequency bigram coverage — the rare-n-gram quality signal
@@ -391,7 +385,6 @@ object TextAnalysis {
       .select(col("doc_id"),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         coalesce(col("n_frequent"), lit(0L)).as("n_frequent"))
-      .orderBy("doc_id")
   }
 
   /** DuckDB replay of [[bigramCoverage]]. */
@@ -472,7 +465,6 @@ object TextAnalysis {
         sequence(lit(1), size(hs) - (w - 1)),
         j => array_min(slice(hs, j, lit(w))))))
     hashed.select(col("doc_id"), explode(picks).as("fingerprint"))
-      .orderBy("doc_id", "fingerprint")
   }
 
   /** Cross-document duplicated-PASSAGE coverage — the span-dedup signal
@@ -519,7 +511,6 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_toks"),
         coalesce(col("covered"), lit(0L)).as("covered_positions"),
         expr("coalesce(covered, 0) * 1000000 DIV n_toks").as("coverage_ppm"))
-      .orderBy("doc_id")
   }
 
   /** The REMOVAL transform [[dupSpanCoverage]] only measures: drop every
@@ -571,7 +562,6 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_toks"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("scrub_md5"), md5(lit("").cast("binary"))).as("scrub_md5"))
-      .orderBy("doc_id")
   }
 
   /** DuckDB replay of [[scrubDupSpans]] — same hash, same covered set,

@@ -76,7 +76,6 @@ object VocabBuild {
       .join(broadcast(v), Seq("token"), "left")
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
         coalesce(col("token_id"), lit(-1L)).as("token_id"))
-      .orderBy("doc_id", "pos")
   }
 
   /** DuckDB replay of [[tokenize]]: parallel unnests zip token with its
@@ -151,7 +150,6 @@ object VocabBuild {
         col("col.id").as("token_id"), col("col.ord").as("score"))
       .join(broadcast(v), Seq("token_id"))
       .select(col("doc_id"), col("rn"), col("token"), col("score"))
-      .orderBy("doc_id", "rn")
   }
 
   /** DuckDB replay of [[tfidfTopTerms]]: identical tokenizer, vocab ids

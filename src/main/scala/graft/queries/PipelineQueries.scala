@@ -38,7 +38,7 @@ object PipelineQueries {
       .filter(col("o_orderkey") % 17 === 3 && col("o_orderkey") % 13 =!= 0)
       .withColumn("op", lit("delete"))
     val inserts = snap.filter(col("o_orderkey") % 19 === 1)
-      .withColumn("o_orderkey", col("o_orderkey") + lit(10000000L))
+      .withColumn("o_orderkey", col("o_orderkey") + lit(1000000000000L))
       .withColumn("o_orderstatus", lit("N"))
       .withColumn("o_orderpriority", lit("5-LOW"))
       .withColumn("op", lit("insert"))
@@ -58,7 +58,7 @@ object PipelineQueries {
       |  SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority, 'delete'
       |  FROM snap WHERE o_orderkey % 17 = 3 AND o_orderkey % 13 <> 0
       |  UNION ALL
-      |  SELECT o_orderkey + 10000000, o_custkey, 'N', '5-LOW', 'insert'
+      |  SELECT o_orderkey + 1000000000000, o_custkey, 'N', '5-LOW', 'insert'
       |  FROM snap WHERE o_orderkey % 19 = 1
       |)
       |SELECT * FROM (
@@ -90,7 +90,60 @@ object PipelineQueries {
         v
       }
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  /** Oracle PRESENTATION order per query, applied at this registration
+    * boundary — NOT inside the operators (VERDICT r5 #2): a total sort of
+    * a corpus-sized output is pure verification-harness contract, and
+    * embedding it in the operator would bill every production caller a
+    * needless range-shuffle at 100 TB. Operators return unsorted;
+    * PlanSpec asserts their raw plans contain no global sort. */
+  val oracleOrder: Map[String, Seq[String]] = Map(
+    "dedup_exact" -> Seq("keep_doc_id"),
+    "dedup_ngram_jaccard" -> Seq("doc_a", "doc_b"),
+    "dedup_minhash_lsh" -> Seq("doc_a", "doc_b"),
+    "dedup_simhash" -> Seq("doc_a", "doc_b"),
+    "dedup_incremental" -> Seq("doc_id"),
+    "dedup_components" -> Seq("doc_id"),
+    "dedup_components_star" -> Seq("doc_id"),
+    "dedup_retention" -> Seq("doc_id"),
+    "dedup_paragraphs" -> Seq("doc_id"),
+    "text_token_counts" -> Seq("doc_id"),
+    "text_quality" -> Seq("doc_id"),
+    "text_lang_id" -> Seq("doc_id"),
+    "text_fingerprint" -> Seq("doc_id"),
+    "text_winnowing" -> Seq("doc_id", "fingerprint"),
+    "text_repetition" -> Seq("doc_id"),
+    "text_bigram_coverage" -> Seq("doc_id"),
+    "text_dup_span_coverage" -> Seq("doc_id"),
+    "text_scrub_dup_spans" -> Seq("doc_id"),
+    "text_pii_scrub" -> Seq("doc_id"),
+    "ann_topk" -> Seq("query_id", "rank"),
+    "ann_near_dup" -> Seq("vec_a", "vec_b"),
+    "ann_lsh" -> Seq("query_id", "rank"),
+    "ann_ivf" -> Seq("query_id", "rank"),
+    "cluster_kmeans" -> Seq("vec_id"),
+    "embed_random_projection" -> Seq("vec_id"),
+    "quantize_int8" -> Seq("vec_id", "i"),
+    "ann_pq_codes" -> Seq("vec_id", "subspace"),
+    "ann_pq_topk" -> Seq("query_id", "rank"),
+    "ann_ivfpq_topk" -> Seq("query_id", "rank"),
+    "ann_pq_refine" -> Seq("query_id", "rank"),
+    "mm_decode_features" -> Seq("asset_id"),
+    "mm_frame_features" -> Seq("asset_id", "frame_idx"),
+    "sample_hash" -> Seq("doc_id"),
+    "sample_stratified" -> Seq("doc_id"),
+    "sample_mix_sources" -> Seq("doc_id"),
+    "sample_mix_temperature" -> Seq("doc_id"),
+    "sample_curriculum" -> Seq("doc_id"),
+    "pipeline_clean_corpus" -> Seq("doc_id"),
+    "decontaminate" -> Seq("doc_id"),
+    "pack_sequences" -> Seq("doc_id"),
+    "tokenize_corpus" -> Seq("doc_id", "pos"),
+    "text_tfidf_topterms" -> Seq("doc_id", "rn"))
+
+  /** The operator registrations as written — sorted only where the
+    * operator itself has a semantic order. PlanSpec sweeps THESE plans
+    * for absent global sorts. */
+  val rawQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- deduplication ---
     "dedup_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(Tables.documents(s, d))),
@@ -199,6 +252,16 @@ object PipelineQueries {
     "source_orc" -> ((s, d) => graft.sources.OrcSource.roundTripAgg(s, d)),
     // --- training-shard writer: content-hash-balanced shards + manifest ---
     "sink_shards" -> ((s, d) => ShardedSink.manifest(s, d)))
+
+  /** The driver surface: raw registrations with the oracle presentation
+    * sort applied at this boundary. */
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    rawQueries.map { case (name, fn) =>
+      name -> oracleOrder.get(name).fold(fn) { cols =>
+        (s: SparkSession, d: String) =>
+          fn(s, d).orderBy(cols.map(org.apache.spark.sql.functions.col): _*)
+      }
+    }
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> Dedup.exactSql,

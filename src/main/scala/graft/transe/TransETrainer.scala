@@ -4,7 +4,8 @@ import java.util.SplittableRandom
 
 import scala.collection.mutable
 
-import org.apache.spark.sql.Dataset
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Dataset, SparkSession}
 
 /** Membership test for negative-sample rejection (reference: broadcast dict
   * used as a set, `utils.py:35-41` + `TransE.py:94-95,243`). */
@@ -68,9 +69,11 @@ final class BloomMembership(bloom: org.apache.spark.util.sketch.BloomFilter) ext
   *
   * Scale ceiling (documented, same as reference `README.md:30`): both
   * matrices must fit on the driver and each executor — n*k*4 bytes; at
-  * k=50 that is ~5 GB per 25M entities. Beyond that the design moves to
-  * partitioned parameter storage (DataFrame(id, vec) co-partitioned with
-  * the triples on h/t) — out of reference parity scope.
+  * k=50 that is ~5 GB per 25M entities. Beyond that, use
+  * [[TransEPartitionedTrainer]]: the entity matrix lives as a distributed
+  * `(id, vec)` RDD co-partitioned with the per-batch updates, and is
+  * bit-for-bit equivalent to this trainer (asserted by TransESpec /
+  * ContractSpec).
   */
 class TransETrainer(params: TransEParams) extends Serializable {
 
@@ -93,124 +96,14 @@ class TransETrainer(params: TransEParams) extends Serializable {
     val spark = triples.sparkSession
     val sc = spark.sparkContext
     val p = params
-    warmStart.foreach { m =>
-      require(m.nEntities == nEntities && m.nLabels == nLabels,
-        s"warm-start shape (${m.nEntities},${m.nLabels}) != (${nEntities},${nLabels})")
-      // dim must match too: the delta pack/apply path reads exactly p.dim
-      // floats per row — a wider checkpoint would silently truncate every
-      // update and leave components beyond p.dim stale
-      require(m.entity.headOption.forall(_.length == p.dim) &&
-        m.label.headOption.forall(_.length == p.dim),
-        s"warm-start dim ${m.entity.headOption.map(_.length).getOrElse(0)} != ${p.dim}")
-    }
+    TransETrainer.requireWarmStartShape(p, nEntities, nLabels, warmStart)
 
-    // Materialize ONCE as a cached RDD of Triple objects: the SGD loop
-    // re-samples this 2 * epochs * batches times, and staying in the RDD
-    // API avoids re-running Catalyst analysis + whole-stage codegen
-    // compilation for a fresh sample plan every round (measured: the
-    // planning overhead dominated the loop at sf0.1).
-    //
-    // Partition count is sized by DELTA VOLUME, not CPU: every partition
-    // ships its own copy of each hot embedding row it touched, so 32
-    // partitions of a small batch multiply the per-round collect bytes
-    // ~32x while the SGD compute itself is microseconds. ~150k triples
-    // per partition keeps rounds traffic-bound no worse than 2-3x the
-    // row-distinct minimum while still spreading compute.
-    // Measured on sf0.1 (1.5M triples, 186k entities): 4-8 partitions beat
-    // 32 by ~2-4x wall clock — the SGD compute is microseconds/triple, so
-    // rounds are dominated by per-partition hot-row delta duplication and
-    // task overhead. ~200k triples/partition, clamped to [2, 16]
-    // (GRAFT_TRAIN_PARTS overrides for experiments).
-    // ONE pass over the input lineage: persist at the incoming layout,
-    // count (fills the cache + sizes partitions), then re-lay-out from
-    // the cache. Previously the lineage ran up to 3x at startup
-    // (sizing count, cache fill, bloom build over the uncached Dataset).
-    val rawRdd = triples.rdd
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nTriples = rawRdd.count()
-    val targetParts = sys.env.get("GRAFT_TRAIN_PARTS").map(_.toInt).getOrElse(
-      math.max(2, math.min(16, (nTriples / 200000L).toInt + 1)))
-    require(targetParts > 0,
-      s"GRAFT_TRAIN_PARTS must be positive, got $targetParts")
-    // LAYOUT-INDEPENDENT DETERMINISM: partition each triple by a content
-    // hash and sort within partitions. The SGD result depends on which
-    // rows share a partition (per-partition write-combining + LWW merge)
-    // and on iteration order (Bernoulli sampling consumes the RNG stream
-    // row-by-row); an upstream coalesce/repartition layout would leak the
-    // session's shuffle-partition count and file-split geometry into the
-    // trained weights. After this re-layout, fit() is a pure function of
-    // (triple set, params) — what lets the driver gate transe_fit/eval on
-    // golden recordings regardless of SPARK_GRAFT_CPUS. One extra shuffle
-    // of the training set, paid once per fit, not per SGD round; partition
-    // count stays delta-volume-sized (see above).
-    //
-    // VERSION PIN (golden-recording dependency): determinism here leans on
-    // scala.util.hashing.MurmurHash3.productHash (Scala 2.13 stdlib) and
-    // Spark's RDD.sample Bernoulli seeding — both stable within a
-    // Scala/Spark minor line but NOT contractual across upgrades. A
-    // Scala/Spark version bump can silently re-shuffle partition
-    // assignment and thus the trained weights: after any such bump,
-    // expect ContractSpec's golden gates to fail and re-record them (see
-    // ContractSpec.goldenLossCurve scaladoc) rather than debugging a
-    // phantom regression.
-    val data = {
-      val relaid = rawRdd
-        .keyBy(tr => Math.floorMod(
-          scala.util.hashing.MurmurHash3.productHash((tr.h, tr.l, tr.t)),
-          targetParts))
-        .partitionBy(new org.apache.spark.Partitioner {
-          def numPartitions: Int = targetParts
-          def getPartition(key: Any): Int = key.asInstanceOf[Int]
-        })
-        .mapPartitions({ it =>
-          val arr = it.map(_._2).toArray
-          java.util.Arrays.sort(arr, Ordering.by((t: Triple) => (t.h, t.l, t.t)))
-          arr.iterator
-        }, preservesPartitioning = false)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      relaid.count() // materialize from the parent cache, then drop it
-      rawRdd.unpersist()
-      relaid
-    }
-
-    val membership: TripleMembership =
-      if (p.exactMembership && PackedMembership.fits(nEntities, nLabels)) {
-        val packed = data
-          .map(tr => PackedMembership.pack(tr.h, tr.l, tr.t))
-          .collect()
-        java.util.Arrays.sort(packed)
-        new PackedMembership(packed)
-      } else if (p.exactMembership) {
-        val s = new java.util.HashSet[(Int, Int, Int)]()
-        data.collect().foreach(tr => s.add((tr.h, tr.l, tr.t)))
-        new ExactMembership(s)
-      } else {
-        // built from the CACHED rdd, not the original Dataset lineage
-        val bloom = spark.createDataFrame(data).stat.bloomFilter(
-          org.apache.spark.sql.functions.concat_ws(":",
-            org.apache.spark.sql.functions.col("h"),
-            org.apache.spark.sql.functions.col("l"),
-            org.apache.spark.sql.functions.col("t")),
-          expectedNumItems = math.max(nTriples, 1L), fpp = 0.01)
-        new BloomMembership(bloom)
-      }
+    val (data, nTriples, _) = TransETrainer.relayout(triples)
+    val membership = TransETrainer.buildMembership(spark, data, nTriples,
+      nEntities, nLabels, p)
     val membBc = sc.broadcast(membership)
 
-    val (entity, label) = warmStart match {
-      case Some(m) =>
-        val e = m.entity.map(_.clone())
-        // the reference normalizes entities at every epoch start INCLUDING
-        // the restore-then-continue path (TransE.py:97); labels are only
-        // normalized at init
-        Kernels.normalizeAll(e)
-        (e, m.label.map(_.clone()))
-      case None =>
-        val e = Kernels.uniformInit(nEntities, p.dim, p.seed)
-        val l = Kernels.uniformInit(nLabels, p.dim, p.seed + 1)
-        Kernels.normalizeAll(l)
-        Kernels.normalizeAll(e)
-        (e, l)
-    }
+    val (entity, label) = TransETrainer.initialMatrices(p, nEntities, nLabels, warmStart)
 
     var history = Vector.empty[Double]
 
@@ -235,13 +128,13 @@ class TransETrainer(params: TransEParams) extends Serializable {
         // generations would otherwise accumulate on executors).
         val t0 = tick()
         val modelBc = sc.broadcast((entity, label))
-        val batchSeed = p.seed * 1000003L + epoch.toLong * p.batches + batch
+        val batchSeed = TransETrainer.batchSeedOf(p, epoch, batch)
         val t1 = tick()
 
-        val sampled = data.sample(withReplacement = false, 1.0 / p.batches, batchSeed)
+        val sampled = TransETrainer.sampleBatch(data, p.batches, batchSeed)
         val deltas = sampled.mapPartitionsWithIndex { (pid, it) =>
           val (ent, lab) = modelBc.value
-          TransETrainer.partitionSgd(pid, it, ent, lab,
+          TransETrainer.partitionSgd(pid, it, ent(_), lab(_),
             membBc.value, nEntities, p, batchSeed)
         }.collect()
         val t2 = tick()
@@ -286,6 +179,141 @@ class TransETrainer(params: TransEParams) extends Serializable {
 }
 
 object TransETrainer {
+
+  private[transe] def requireWarmStartShape(p: TransEParams, nEntities: Int,
+      nLabels: Int, warmStart: Option[TransEModel]): Unit =
+    warmStart.foreach { m =>
+      require(m.nEntities == nEntities && m.nLabels == nLabels,
+        s"warm-start shape (${m.nEntities},${m.nLabels}) != (${nEntities},${nLabels})")
+      // dim must match too: the delta pack/apply path reads exactly p.dim
+      // floats per row — a wider checkpoint would silently truncate every
+      // update and leave components beyond p.dim stale
+      require(m.entity.headOption.forall(_.length == p.dim) &&
+        m.label.headOption.forall(_.length == p.dim),
+        s"warm-start dim ${m.entity.headOption.map(_.length).getOrElse(0)} != ${p.dim}")
+    }
+
+  /** The per-round sampling/corruption seed — part of the golden contract. */
+  private[transe] def batchSeedOf(p: TransEParams, epoch: Int, batch: Int): Long =
+    p.seed * 1000003L + epoch.toLong * p.batches + batch
+
+  /** Materialize ONCE as a cached RDD of Triple objects: the SGD loop
+    * re-samples this 2 * epochs * batches times, and staying in the RDD
+    * API avoids re-running Catalyst analysis + whole-stage codegen
+    * compilation for a fresh sample plan every round (measured: the
+    * planning overhead dominated the loop at sf0.1).
+    *
+    * Partition count is sized by DELTA VOLUME, not CPU: every partition
+    * ships its own copy of each hot embedding row it touched, so 32
+    * partitions of a small batch multiply the per-round collect bytes
+    * ~32x while the SGD compute itself is microseconds. Measured on sf0.1
+    * (1.5M triples, 186k entities): 4-8 partitions beat 32 by ~2-4x wall
+    * clock. ~200k triples/partition, clamped to [2, 16]
+    * (GRAFT_TRAIN_PARTS overrides for experiments).
+    *
+    * LAYOUT-INDEPENDENT DETERMINISM: partition each triple by a content
+    * hash and sort within partitions. The SGD result depends on which
+    * rows share a partition (per-partition write-combining + LWW merge)
+    * and on iteration order (Bernoulli sampling consumes the RNG stream
+    * row-by-row); an upstream coalesce/repartition layout would leak the
+    * session's shuffle-partition count and file-split geometry into the
+    * trained weights. After this re-layout, fit() is a pure function of
+    * (triple set, params) — what lets the driver gate transe_fit/eval on
+    * golden recordings regardless of SPARK_GRAFT_CPUS. One extra shuffle
+    * of the training set, paid once per fit, not per SGD round; partition
+    * count stays delta-volume-sized (see above).
+    *
+    * Determinism here is fully hand-rolled ([[StableHash.tripleHash]] for
+    * partition assignment, [[sampleBatch]] for Bernoulli sampling) so a
+    * Scala/Spark upgrade cannot invalidate the golden recordings
+    * (VERDICT r5 #4; HashStabilitySpec pins the bit patterns).
+    *
+    * ONE pass over the input lineage: persist at the incoming layout,
+    * count (fills the cache + sizes partitions), then re-lay-out from
+    * the cache.
+    */
+  private[transe] def relayout(triples: Dataset[Triple]): (RDD[Triple], Long, Int) = {
+    val rawRdd = triples.rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nTriples = rawRdd.count()
+    val targetParts = sys.env.get("GRAFT_TRAIN_PARTS").map(_.toInt).getOrElse(
+      math.max(2, math.min(16, (nTriples / 200000L).toInt + 1)))
+    require(targetParts > 0,
+      s"GRAFT_TRAIN_PARTS must be positive, got $targetParts")
+    val relaid = rawRdd
+      .keyBy(tr => Math.floorMod(StableHash.tripleHash(tr.h, tr.l, tr.t), targetParts))
+      .partitionBy(new org.apache.spark.Partitioner {
+        def numPartitions: Int = targetParts
+        def getPartition(key: Any): Int = key.asInstanceOf[Int]
+      })
+      .mapPartitions({ it =>
+        val arr = it.map(_._2).toArray
+        java.util.Arrays.sort(arr, Ordering.by((t: Triple) => (t.h, t.l, t.t)))
+        arr.iterator
+      }, preservesPartitioning = false)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    relaid.count() // materialize from the parent cache, then drop it
+    rawRdd.unpersist()
+    (relaid, nTriples, targetParts)
+  }
+
+  /** Hand-rolled per-partition Bernoulli sampler (fraction 1/batches,
+    * reference `TransE.py:120-122`). Replaces `RDD.sample`, whose
+    * per-partition seeding is a Spark implementation detail — this way the
+    * sampled row set is a pure function of [[StableHash.samplerSeed]] and
+    * the relaid layout, stable across Spark upgrades. */
+  private[transe] def sampleBatch(data: RDD[Triple], batches: Int,
+      batchSeed: Long): RDD[Triple] = {
+    val frac = 1.0 / batches
+    data.mapPartitionsWithIndex({ (pid, it) =>
+      val rng = new SplittableRandom(StableHash.samplerSeed(batchSeed, pid))
+      it.filter(_ => rng.nextDouble() < frac)
+    }, preservesPartitioning = true)
+  }
+
+  /** Negative-sampling membership, built from the CACHED relaid RDD (not
+    * the original Dataset lineage). */
+  private[transe] def buildMembership(spark: SparkSession, data: RDD[Triple],
+      nTriples: Long, nEntities: Int, nLabels: Int, p: TransEParams): TripleMembership =
+    if (p.exactMembership && PackedMembership.fits(nEntities, nLabels)) {
+      val packed = data
+        .map(tr => PackedMembership.pack(tr.h, tr.l, tr.t))
+        .collect()
+      java.util.Arrays.sort(packed)
+      new PackedMembership(packed)
+    } else if (p.exactMembership) {
+      val s = new java.util.HashSet[(Int, Int, Int)]()
+      data.collect().foreach(tr => s.add((tr.h, tr.l, tr.t)))
+      new ExactMembership(s)
+    } else {
+      val bloom = spark.createDataFrame(data).stat.bloomFilter(
+        org.apache.spark.sql.functions.concat_ws(":",
+          org.apache.spark.sql.functions.col("h"),
+          org.apache.spark.sql.functions.col("l"),
+          org.apache.spark.sql.functions.col("t")),
+        expectedNumItems = math.max(nTriples, 1L), fpp = 0.01)
+      new BloomMembership(bloom)
+    }
+
+  /** Seeded init / warm-start restore (reference `TransE.py:45-60,97`). */
+  private[transe] def initialMatrices(p: TransEParams, nEntities: Int,
+      nLabels: Int, warmStart: Option[TransEModel]):
+      (Array[Array[Float]], Array[Array[Float]]) =
+    warmStart match {
+      case Some(m) =>
+        val e = m.entity.map(_.clone())
+        // the reference normalizes entities at every epoch start INCLUDING
+        // the restore-then-continue path (TransE.py:97); labels are only
+        // normalized at init
+        Kernels.normalizeAll(e)
+        (e, m.label.map(_.clone()))
+      case None =>
+        val e = Kernels.uniformInit(nEntities, p.dim, p.seed)
+        val l = Kernels.uniformInit(nLabels, p.dim, p.seed + 1)
+        Kernels.normalizeAll(l)
+        Kernels.normalizeAll(e)
+        (e, l)
+    }
 
   /** One partition's sparse update (reference yields a dict pair per
     * partition, `TransE.py:218`). Stored as FLAT primitive arrays —
@@ -334,12 +362,26 @@ object TransETrainer {
   /** Executor-side SGD over one partition of the sampled batch — the
     * reference's `corrupt_minimize` (`TransE.py:172-218`) re-expressed.
     * Touched rows are copied once into local maps (write-combining) and
-    * emitted as the partition delta. */
+    * emitted as the partition delta.
+    *
+    * Parameter access is through `entBase`/`labBase` READ closures so the
+    * broadcast trainer (full matrices) and [[TransEPartitionedTrainer]]
+    * (per-partition prefetched rows) share this kernel bit-for-bit; the
+    * closures must return the batch-start value for every id in the
+    * partition's read set ({h, t, final corruption candidate} entities and
+    * {l} labels per sampled triple — see [[readSet]]).
+    *
+    * RNG DISCIPLINE (the partitioned trainer depends on it): the
+    * corruption stream consumes exactly `nextBoolean + nextInt*(1+redraws)`
+    * per triple, and redraw count depends only on the membership set —
+    * never on parameter values. That makes the stream replayable by
+    * [[readSet]] without knowing the parameters.
+    */
   private[transe] def partitionSgd(
       pid: Int,
       it: Iterator[Triple],
-      entGlobal: Array[Array[Float]],
-      labGlobal: Array[Array[Float]],
+      entBase: Int => Array[Float],
+      labBase: Int => Array[Float],
       membership: TripleMembership,
       nEntities: Int,
       p: TransEParams,
@@ -347,7 +389,7 @@ object TransETrainer {
 
     // Deterministic per-task stream: seed mixes batch and partition
     // (reference uses OS randomness, TransE.py:185 — SURVEY §7.5-3).
-    val rng = new SplittableRandom(batchSeed ^ (pid.toLong * 0x9E3779B97F4A7C15L))
+    val rng = new SplittableRandom(StableHash.corruptionSeed(batchSeed, pid))
     // Write-combining with DIRTY-ONLY shipping: rows enter the local maps
     // (and hence the emitted delta) only when actually updated. The
     // reference also ships rows it merely READ (`TransE.py:191-206`),
@@ -358,10 +400,10 @@ object TransETrainer {
     // SURVEY §7.5-2).
     val entLocal = new mutable.HashMap[Int, Array[Float]]()
     val labLocal = new mutable.HashMap[Int, Array[Float]]()
-    def entRead(id: Int): Array[Float] = entLocal.getOrElse(id, entGlobal(id))
-    def labRead(id: Int): Array[Float] = labLocal.getOrElse(id, labGlobal(id))
-    def entWrite(id: Int): Array[Float] = entLocal.getOrElseUpdate(id, entGlobal(id).clone())
-    def labWrite(id: Int): Array[Float] = labLocal.getOrElseUpdate(id, labGlobal(id).clone())
+    def entRead(id: Int): Array[Float] = entLocal.getOrElse(id, entBase(id))
+    def labRead(id: Int): Array[Float] = labLocal.getOrElse(id, labBase(id))
+    def entWrite(id: Int): Array[Float] = entLocal.getOrElseUpdate(id, entBase(id).clone())
+    def labWrite(id: Int): Array[Float] = labLocal.getOrElseUpdate(id, labBase(id).clone())
 
     var loss = 0.0
     it.foreach { tr =>
@@ -412,5 +454,36 @@ object TransETrainer {
     val (eIds, eVals) = pack(entLocal, p.dim)
     val (lIds, lVals) = pack(labLocal, p.dim)
     Iterator(Delta(pid, eIds, eVals, lIds, lVals, loss))
+  }
+
+  /** Replay the corruption stream WITHOUT parameters to compute the exact
+    * set of entity ids one partition's [[partitionSgd]] call will read
+    * ({h, t, final candidate} per sampled triple). Possible because RNG
+    * consumption is parameter-independent (see partitionSgd scaladoc) —
+    * this is what lets [[TransEPartitionedTrainer]] prefetch exactly the
+    * needed parameter rows ahead of the SGD pass. */
+  private[transe] def readSet(
+      pid: Int,
+      it: Iterator[Triple],
+      membership: TripleMembership,
+      nEntities: Int,
+      p: TransEParams,
+      batchSeed: Long): java.util.HashSet[Integer] = {
+    val rng = new SplittableRandom(StableHash.corruptionSeed(batchSeed, pid))
+    val ids = new java.util.HashSet[Integer]()
+    it.foreach { tr =>
+      ids.add(tr.h); ids.add(tr.t)
+      val corruptHead = rng.nextBoolean()
+      var candidate = rng.nextInt(nEntities)
+      var tries = 0
+      while (tries < p.rejectionCap &&
+        (if (corruptHead) membership.contains(candidate, tr.l, tr.t)
+         else membership.contains(tr.h, tr.l, candidate))) {
+        candidate = rng.nextInt(nEntities)
+        tries += 1
+      }
+      ids.add(candidate)
+    }
+    ids
   }
 }

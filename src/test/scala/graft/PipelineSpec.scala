@@ -136,8 +136,8 @@ class PipelineSpec extends SparkSpec {
     assert(mergedPrio == updateKeys)
     // deleted keys are gone; inserted keys are present
     assert(merged.filter(col("o_orderkey") % 17 === 3 &&
-      col("o_orderkey") % 13 =!= 0 && col("o_orderkey") < 10000000L).count() == 0)
-    assert(merged.filter(col("o_orderkey") >= 10000000L).count() == nIns)
+      col("o_orderkey") % 13 =!= 0 && col("o_orderkey") < 1000000000000L).count() == 0)
+    assert(merged.filter(col("o_orderkey") >= 1000000000000L).count() == nIns)
   }
 
   test("dedup_exact: groups cover all docs; representative is min id") {

@@ -21,6 +21,27 @@ class PlanSpec extends SparkSpec {
   private def formattedPlan(df: DataFrame): String =
     df.queryExecution.explainString(FormattedMode)
 
+  test("operators return UNSORTED: no global sort in any oracle-ordered raw plan") {
+    // VERDICT r5 #2: the oracle presentation sort lives at the
+    // registration boundary (PipelineQueries.oracleOrder), not in the
+    // operator — a total sort of a corpus-sized output inside the
+    // operator is a needless range-shuffle at 100 TB. A global Sort
+    // plans as Exchange rangepartitioning; window/top-k sorts (local or
+    // TakeOrdered) are semantic and allowed.
+    val po = graft.queries.PipelineQueries
+    assert((po.oracleOrder.keySet -- po.rawQueries.keySet).isEmpty,
+      s"oracleOrder names without a registration: ${po.oracleOrder.keySet -- po.rawQueries.keySet}")
+    po.oracleOrder.keys.toSeq.sorted.foreach { name =>
+      val p = simplePlan(po.rawQueries(name)(spark, sf))
+      assert(!p.contains("rangepartitioning"),
+        s"$name's raw operator plan contains a global sort:\n$p")
+    }
+    // and the registered surface DOES present the oracle order
+    val registered = simplePlan(po.queries("dedup_exact")(spark, sf))
+    assert(registered.contains("rangepartitioning") ||
+      registered.contains("Sort ["), "registration boundary lost the oracle sort")
+  }
+
   test("q1_agg: parquet scan prunes to exactly the 5 referenced columns") {
     val p = formattedPlan(Relational.q1Agg(spark, sf))
     val readSchema = "ReadSchema: struct<(.*?)>".r

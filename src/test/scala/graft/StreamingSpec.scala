@@ -200,6 +200,63 @@ class StreamingSpec extends SparkSpec {
       s"native=${native.length} custom=${custom.length} rows")
   }
 
+  test("RocksDB state store: sessionize + interval join answers unchanged, state carried") {
+    // VERDICT r5 #5: exercise the at-scale state-store lever. The HDFS-
+    // backed default keeps state on the heap; RocksDB spills to native
+    // memory + local disk, the configuration for keyed state larger than
+    // heap. Same oracle answers required, and the state-row metric must
+    // show the provider actually carried the operator state.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val native = EventStreams.sessionizeNative(spark, sf).collect()
+      assert(EventStreams.lastStateRowsPeak.get() > 0,
+        "session_window under RocksDB reported no state rows")
+      val batch = EventStreams.sessionizeBatch(Tables.events(spark, sf)).collect()
+      assert(native.map(_.toString).sorted.sameElements(batch.map(_.toString).sorted),
+        s"RocksDB sessionize diverged: ${native.length} vs ${batch.length} rows")
+
+      val joined = EventStreams.streamingIntervalJoin(spark, sf).collect()
+      assert(EventStreams.lastStateRowsPeak.get() > 0,
+        "stream-stream join under RocksDB reported no state rows")
+      assert(joined.nonEmpty)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
+  }
+
+  test("rate source: windowedCounts transform is source-agnostic (VERDICT r5 #7)") {
+    // the same transform the oracle-checked file-replay query uses, fed
+    // by the unbounded built-in rate source (the Kafka-shaped stand-in):
+    // it must plan, run, and emit windows — nothing in the transform may
+    // depend on the file-replay harness.
+    val src = EventStreams.RateEventSource(rowsPerSecond = 500).load(spark)
+    val agg = EventStreams.windowedCountsTransform(src)
+    val q = agg.writeStream.format("memory").queryName("graft_rate_sink")
+      .outputMode("complete").start()
+    try {
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      var rows = 0L
+      while (rows == 0 && System.nanoTime() < deadline) {
+        Thread.sleep(250)
+        rows = spark.table("graft_rate_sink").count()
+      }
+      assert(rows > 0, "rate-source windowed counts emitted nothing in 30 s")
+      val row = spark.table("graft_rate_sink")
+        .select("event_type", "n_events", "sum_value").collect().head
+      assert(Set("view", "click", "purchase", "error").contains(row.getString(0)))
+      assert(row.getLong(1) > 0)
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView("graft_rate_sink")
+    }
+  }
+
   test("streaming as-of EQUALS the batch as-of join") {
     def key(df: org.apache.spark.sql.DataFrame) = df
       .select("event_id", "matched_click", "gap_sec").collect()

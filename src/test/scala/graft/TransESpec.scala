@@ -111,6 +111,49 @@ class TransESpec extends SparkSpec {
       "partitioned eval diverged from the broadcast eval")
   }
 
+  test("partitioned-parameter trainer is BIT-identical to broadcast (matrices + loss)") {
+    // the whole contract of TransEPartitionedTrainer: same layout, same
+    // sampler, same kernel, same LWW merge order => same floats. Run both
+    // at a shape that exercises multiple partitions, batches and epochs.
+    val (enc, nEnt, nLab) = encoded
+    val params = TransEParams(epochs = 4, batches = 2, dim = 8,
+      lr = 0.02f, seed = 7)
+    val bTrainer = new TransETrainer(params)
+    val bModel = bTrainer.fit(enc, nEnt, nLab)
+    val pTrainer = new TransEPartitionedTrainer(params)
+    val pModel = pTrainer.fit(enc, nEnt, nLab)
+    assert(bTrainer.lossHistory == pTrainer.lossHistory,
+      s"loss curves diverged:\n  ${bTrainer.lossHistory}\n  ${pTrainer.lossHistory}")
+    (0 until nEnt).foreach { i =>
+      assert(java.util.Arrays.equals(bModel.entity(i), pModel.entity(i)),
+        s"entity row $i diverged")
+    }
+    (0 until nLab).foreach { i =>
+      assert(java.util.Arrays.equals(bModel.label(i), pModel.label(i)),
+        s"label row $i diverged")
+    }
+  }
+
+  test("partitioned trainer distributed surface feeds the partitioned evaluator") {
+    // end-to-end past the broadcast ceiling: entity params stay an RDD from
+    // training straight into evaluation; metrics must equal the broadcast
+    // eval of the SAME (bit-identical) model
+    import org.apache.spark.sql.functions.col
+    val (enc, nEnt, nLab) = encoded
+    val params = TransEParams(epochs = 2, batches = 2, dim = 8, seed = 11)
+    val (entRdd, label) = new TransEPartitionedTrainer(params)
+      .fitDistributed(enc, nEnt, nLab)
+    import spark.implicits._
+    val entDf = entRdd.toDF("id", "vec")
+    val test = enc.limit(50)
+    val a = LinkPrediction.evaluatePartitioned(test, entDf, label,
+      params.distance, hitsK = 10).collect().head
+    val bModel = new TransETrainer(params).fit(enc, nEnt, nLab)
+    val b = LinkPrediction.evaluate(test, bModel, hitsK = 10).collect().head
+    assert(a == b, s"distributed-train + partitioned-eval diverged:\n  $a\n  $b")
+    entRdd.unpersist()
+  }
+
   test("bloom membership trains equivalently (at-scale path)") {
     val (enc, nEnt, nLab) = encoded
     val params = TransEParams(epochs = 2, batches = 2, dim = 8, seed = 5,
