@@ -55,18 +55,16 @@ object Bench {
     // on both axes; min-of-epochs is the steady-state (throttle-free)
     // figure, as for transe_epoch_sec_min.
     val (fbShapeSec, fbShapeSecMin) = try {
-      import spark.implicits._
-      val nEnt = 14541; val nLab = 237; val nTriples = 272115
-      val kg = spark.range(nTriples).map { i =>
-        val r = new java.util.SplittableRandom(0x5eed5eedL + i)
-        graft.transe.Triple(r.nextInt(nEnt), r.nextInt(nLab), r.nextInt(nEnt))
-      }.persist()
+      // KG construction + hyperparameters shared with ContractSpec's
+      // fb15k-shape golden gate (transe.Fb15kShape) so a loss drift here
+      // is caught by the recorded 3-epoch curve, not just wall clock
+      val kg = graft.transe.Fb15kShape.kg(spark).persist()
       kg.count() // materialize outside the timer
-      val p = graft.transe.TransEParams(epochs = 20, batches = 2,
-        margin = 1.0f, lr = 0.01f, dim = 50, distance = graft.transe.L1)
+      val p = graft.transe.Fb15kShape.params(epochs = 20)
       val trainer = new graft.transe.TransETrainer(p)
       val t0 = System.nanoTime()
-      trainer.fit(kg, nEnt, nLab)
+      trainer.fit(kg, graft.transe.Fb15kShape.nEntities,
+        graft.transe.Fb15kShape.nLabels)
       val mean = (System.nanoTime() - t0) / 1e9 / p.epochs
       kg.unpersist()
       (mean, trainer.epochSecsHistory.min)

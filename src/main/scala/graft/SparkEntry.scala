@@ -19,7 +19,8 @@ object SparkEntry {
     graft.queries.Relational.queries ++
       graft.queries.TransEQueries.queries ++
       graft.queries.PipelineQueries.queries ++
-      graft.queries.StreamingQueries.queries
+      graft.queries.StreamingQueries.queries ++
+      graft.queries.GraphQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -27,5 +28,6 @@ object SparkEntry {
     graft.queries.Relational.oracles ++
       graft.queries.TransEQueries.oracles ++
       graft.queries.PipelineQueries.oracles ++
-      graft.queries.StreamingQueries.oracles
+      graft.queries.StreamingQueries.oracles ++
+      graft.queries.GraphQueries.oracles
 }

@@ -15,6 +15,15 @@ import graft.transe._
   *     [--dim 50] [--distance L1|L2] [--seed 42]
   *     [--checkpoint-every 50] [--warm-start <modelDir>]
   *     [--warm-start-epoch <n>]   # restore <modelDir>/checkpoint/epoch=<n>
+  *     [--exec broadcast|partitioned]
+  *
+  * `--exec partitioned` trains with [[TransEPartitionedTrainer]]: the
+  * entity matrix lives as a distributed (id, vec) RDD end-to-end and is
+  * written with `saveDistributed` — never collected to the driver. The
+  * route for entity inventories past the broadcast budget (SCALE.md);
+  * loss-curve-identical to the broadcast trainer by contract
+  * (ContractSpec golden gates). Warm start is broadcast-only for now
+  * (restore requires the driver-matrix form).
   */
 object Train {
   def main(args: Array[String]): Unit = {
@@ -51,19 +60,35 @@ object Train {
       EmbeddingIO.loadModel(spark, src, params)
     }
 
-    val trainer = new TransETrainer(params)
+    val execMode = opts.str("exec", "broadcast")
     val t0 = System.nanoTime()
-    val model = trainer.fit(encoded, nEnt, nLab, warm)
+    val lossHistory = execMode match {
+      case "partitioned" =>
+        require(warm.isEmpty,
+          "--warm-start requires --exec broadcast (restore needs the driver-matrix form)")
+        val trainer = new TransEPartitionedTrainer(params)
+        val (entRdd, label) = trainer.fitDistributed(encoded, nEnt, nLab)
+        // the entity matrix is written straight from the distributed
+        // parameter table — the driver never holds n*k floats
+        EmbeddingIO.saveDistributed(spark, entRdd, s"$outDir/entity")
+        EmbeddingIO.save(spark, label, s"$outDir/label")
+        EmbeddingIO.saveParams(spark, params, outDir)
+        entRdd.unpersist()
+        trainer.lossHistory
+      case _ =>
+        val trainer = new TransETrainer(params)
+        val model = trainer.fit(encoded, nEnt, nLab, warm)
+        EmbeddingIO.saveModel(spark, model, outDir)
+        trainer.lossHistory
+    }
     val sec = (System.nanoTime() - t0) / 1e9
-
-    EmbeddingIO.saveModel(spark, model, outDir)
     ents.write.mode("overwrite").parquet(s"$outDir/entity_dict")
     labs.write.mode("overwrite").parquet(s"$outDir/label_dict")
 
-    println(f"[train] epochs=${params.epochs} nEntities=$nEnt nLabels=$nLab " +
-      f"totalSec=$sec%.1f epochSec=${sec / params.epochs}%.3f " +
-      s"lossFirst=${trainer.lossHistory.headOption.getOrElse(0.0)} " +
-      s"lossLast=${trainer.lossHistory.lastOption.getOrElse(0.0)}")
+    println(f"[train] exec=$execMode epochs=${params.epochs} nEntities=$nEnt " +
+      f"nLabels=$nLab totalSec=$sec%.1f epochSec=${sec / params.epochs}%.3f " +
+      s"lossFirst=${lossHistory.headOption.getOrElse(0.0)} " +
+      s"lossLast=${lossHistory.lastOption.getOrElse(0.0)}")
     if (owned) spark.stop()
   }
 }

@@ -1,0 +1,194 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over an edge list `(src, dst)` — the curation-side
+  * graph ops a large-scale pipeline runs on its link/citation/entity
+  * graphs (degree profiling for skew + spam signals, PageRank-style
+  * centrality for source-quality weighting a la CommonCrawl's harmonic
+  * centrality). Driven here by the KG edge list the TransE surface already
+  * derives from the star schema (TransEQueries.kgTriples).
+  *
+  * Scale design:
+  *  - [[degrees]] is ONE shuffle: union of (src,1,0)/(dst,0,1) tallies,
+  *    map-side-combined sum per id. No join, no distinct-before-agg.
+  *  - [[pagerankInt]] keeps edges partitioned by `src` ONCE (persisted);
+  *    each iteration shuffles only the rank vector (|V| rows, orders of
+  *    magnitude smaller than |E|) to meet the edges' partitioning, plus
+  *    one |V|-sized groupBy for the new ranks. Rank lineage is truncated
+  *    per iteration with localCheckpoint (the DedupComponents discipline)
+  *    so the plan does not grow with iteration count.
+  *
+  * Determinism contract (what makes these hash-oracle-able in DuckDB):
+  * all PageRank arithmetic is FIXED-POINT INTEGER — rank mass starts at
+  * `scale` (1e12) distributed by integer division, contributions are
+  * `rank div outdeg`, damping is `(num * x) div den`. Integer sums are
+  * order-independent and integer division is engine-identical (all values
+  * non-negative, so DuckDB's floor `//` == Spark's truncating `DIV`), so
+  * DuckDB replays the EXACT ranks — the same trick the repo's integer
+  * Lloyd k-means (IvfAnn) uses. The remainder mass dropped by integer
+  * division (≤ 1 ulp of 1e-12 per op) is far below any ranking-relevant
+  * difference; the float spelling it replaces is NOT cross-engine stable.
+  */
+object GraphAnalytics {
+
+  /** Per-vertex degree profile: out_deg, in_deg, total_deg. */
+  def degrees(edges: DataFrame): DataFrame = {
+    val tallies = edges.select(col("src").as("id"),
+        lit(1L).as("outc"), lit(0L).as("inc"))
+      .unionAll(edges.select(col("dst").as("id"),
+        lit(0L).as("outc"), lit(1L).as("inc")))
+    tallies.groupBy("id").agg(
+        sum("outc").as("out_deg"), sum("inc").as("in_deg"))
+      .withColumn("total_deg", col("out_deg") + col("in_deg"))
+  }
+
+  /** @param edgesSql SQL producing (src, dst) — the DISTINCT projection is
+    *                 the caller's contract, mirrored on the Spark side. */
+  def degreesSql(edgesSql: String): String =
+    s"""WITH edges AS ($edgesSql),
+       |tallies AS (
+       |  SELECT src AS id, CAST(1 AS BIGINT) AS outc, CAST(0 AS BIGINT) AS inc FROM edges
+       |  UNION ALL
+       |  SELECT dst, CAST(0 AS BIGINT), CAST(1 AS BIGINT) FROM edges
+       |), deg AS (
+       |  SELECT id, CAST(SUM(outc) AS BIGINT) AS out_deg,
+       |         CAST(SUM(inc) AS BIGINT) AS in_deg
+       |  FROM tallies GROUP BY id
+       |)
+       |SELECT id, out_deg, in_deg, out_deg + in_deg AS total_deg
+       |FROM deg ORDER BY id""".stripMargin
+
+  /** Fixed-point integer PageRank with damping `dampNum/dampDen` and
+    * uniform dangling-mass redistribution:
+    *
+    *   r0(v)    = scale div n
+    *   dang_i   = sum of r_i(u) over zero-outdeg u
+    *   contrib(v) = sum over edges (u,v) of r_i(u) div outdeg(u)
+    *   r_{i+1}(v) = (scale - (dampNum*scale) div dampDen) div n
+    *              + (dampNum * (contrib(v) + dang_i div n)) div dampDen
+    *
+    * Per-iteration cost discipline (measured: 15.2 s → see SCALE.md):
+    *  - every frame the loop body reads is persisted/checkpointed — the
+    *    first cut left outDeg lazy and each iteration silently re-ran the
+    *    whole upstream edge pipeline;
+    *  - the |E|-sized rank join is SHUFFLE_HASH on the rank side: the
+    *    persisted edge table is already hash-distributed on src, so the
+    *    join moves ONLY the |V|-sized ranks and never re-sorts edges
+    *    (an SMJ would sort |E| rows every iteration);
+    *  - the dangling mass is a 1-row aggregate broadcast into the update
+    *    expression (the repo's report_key_skew pattern) instead of a
+    *    driver collect — one eager job per iteration (the checkpoint),
+    *    not two;
+    *  - rank lineage is truncated per iteration with localCheckpoint
+    *    (the DedupComponents discipline), so plans stay iteration-free.
+    */
+  /** Below this vertex count the per-iteration rank table broadcasts
+    * (~20 B/vertex -> ≤ ~100 MB: the |E|-sized side is then never moved
+    * OR re-sorted); above it the join falls back to co-partitioned
+    * shuffle-hash, where only the |V|-sized rank table shuffles. */
+  val BroadcastRanksMax = 5000000L
+
+  def pagerankInt(edges: DataFrame, iters: Int = 5,
+      dampNum: Long = 85L, dampDen: Long = 100L,
+      scale: Long = 1000000000000L): DataFrame = {
+
+    // Partition edges by src ONCE; outdeg and the deg-join are computed
+    // on that layout with zero further exchanges (the groupBy's clustering
+    // requirement is satisfied by the repartition, and the shuffle-hash
+    // join reuses the same exchange on both subtrees), and every
+    // iteration's rank join then reuses the cached layout.
+    val e = edges.repartition(col("src"))
+    val outDeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val edgesDeg = e.join(outDeg.hint("shuffle_hash"), "src")
+      .persist()
+    edgesDeg.count()
+    // verts derive from the PERSISTED edge table, not the raw edges
+    // lineage — the raw pipeline must run once, not twice
+    val verts = edgesDeg.select(col("src").as("id"))
+      .unionAll(edgesDeg.select(col("dst").as("id")))
+      .distinct()
+      .persist()
+    val n = verts.count()
+    require(n > 0, "pagerank over an empty graph")
+    val basePerNode = (scale - dampNum * scale / dampDen) / n
+
+    // vertices WITH out-edges, computed ONCE from the persisted edge
+    // table; per-iteration anti-join against it isolates dangling mass
+    val withOut = verts
+      .join(edgesDeg.select(col("src").as("id")).distinct(), Seq("id"), "left_semi")
+      .persist()
+    withOut.count()
+
+    var ranks = verts.withColumn("rank", lit(scale / n)).localCheckpoint()
+    var i = 0
+    while (i < iters) {
+      // 1-row dangling-mass aggregate, broadcast into the update expr
+      val dangDf = ranks
+        .join(withOut.hint("shuffle_hash"), Seq("id"), "left_anti")
+        .agg(coalesce(sum("rank"), lit(0L)).as("dang"))
+      val rankSide =
+        if (n <= BroadcastRanksMax) broadcast(ranks) else ranks.hint("shuffle_hash")
+      val contrib = edgesDeg
+        .join(rankSide, edgesDeg("src") === ranks("id"))
+        // DIV: integral division, LongType — non-negative operands make
+        // Spark's truncating DIV equal DuckDB's floor `//`
+        .select(col("dst"), expr("rank DIV outdeg").as("c"))
+        .groupBy("dst").agg(sum("c").as("contrib"))
+      val next = verts
+        .join(contrib.hint("shuffle_hash"), verts("id") === contrib("dst"), "left")
+        .crossJoin(broadcast(dangDf))
+        .select(verts("id"),
+          (lit(basePerNode) + expr(
+            s"($dampNum * (COALESCE(contrib, CAST(0 AS BIGINT)) + dang DIV $n)) DIV $dampDen"
+          )).as("rank"))
+      ranks = next.localCheckpoint() // truncate the iteration lineage
+      i += 1
+    }
+    edgesDeg.unpersist()
+    verts.unpersist()
+    withOut.unpersist()
+    ranks
+  }
+
+  def pagerankIntSql(edgesSql: String, iters: Int = 5,
+      dampNum: Long = 85L, dampDen: Long = 100L,
+      scale: Long = 1000000000000L): String = {
+    val prelude =
+      s"""WITH edges AS ($edgesSql),
+         |outd AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+         |verts AS (
+         |  SELECT DISTINCT id FROM (
+         |    SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)
+         |), nn AS (SELECT COUNT(*) AS n FROM verts),
+         |r0 AS (
+         |  SELECT id, CAST($scale AS BIGINT) // (SELECT n FROM nn) AS rank
+         |  FROM verts
+         |)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      val prev = s"r${i - 1}"
+      s"""d$i AS (
+         |  SELECT COALESCE(SUM(r.rank), CAST(0 AS BIGINT)) AS dang
+         |  FROM $prev r ANTI JOIN outd o ON r.id = o.src
+         |), c$i AS (
+         |  SELECT e.dst AS id, SUM(r.rank // o.outdeg) AS contrib
+         |  FROM edges e
+         |  JOIN $prev r ON e.src = r.id
+         |  JOIN outd o ON e.src = o.src
+         |  GROUP BY e.dst
+         |), r$i AS (
+         |  SELECT v.id,
+         |    (CAST($scale AS BIGINT) - ($dampNum * CAST($scale AS BIGINT)) // $dampDen)
+         |        // (SELECT n FROM nn)
+         |    + ($dampNum * (COALESCE(c.contrib, CAST(0 AS BIGINT))
+         |        + (SELECT dang FROM d$i) // (SELECT n FROM nn))) // $dampDen
+         |      AS rank
+         |  FROM verts v LEFT JOIN c$i c ON v.id = c.id
+         |)""".stripMargin
+    }
+    s"""$prelude,
+       |${steps.mkString(",\n")}
+       |SELECT id, CAST(rank AS BIGINT) AS rank FROM r$iters ORDER BY id""".stripMargin
+  }
+}

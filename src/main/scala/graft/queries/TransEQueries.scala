@@ -68,7 +68,7 @@ object TransEQueries {
   def kgTriplesSorted(spark: SparkSession, dir: String): DataFrame =
     kgTriples(spark, dir).orderBy("h", "l", "t")
 
-  private val kgSqlBody: String =
+  private[queries] val kgSqlBody: String =
     """SELECT 'c:' || CAST(c_custkey AS VARCHAR) AS h, 'in_nation' AS l, 'n:' || CAST(c_nationkey AS VARCHAR) AS t FROM customer
       |UNION ALL SELECT 's:' || CAST(s_suppkey AS VARCHAR), 'in_nation', 'n:' || CAST(s_nationkey AS VARCHAR) FROM supplier
       |UNION ALL SELECT 'n:' || CAST(n_nationkey AS VARCHAR), 'in_region', 'r:' || CAST(n_regionkey AS VARCHAR) FROM nation

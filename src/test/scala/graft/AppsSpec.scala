@@ -81,6 +81,37 @@ class AppsSpec extends SparkSpec {
       "--exec", "partitioned"))
   }
 
+  test("Train --exec partitioned writes the SAME model as broadcast training") {
+    val (trainTsv, testTsv) = writeTsv()
+    val outB = Files.createTempDirectory("model").toString
+    val outP = Files.createTempDirectory("model").toString
+    val common = Array("--train", trainTsv, "--epochs", "3", "--dim", "8",
+      "--batches", "2")
+    graft.apps.Train.main(common ++ Array("--out", outB))
+    graft.apps.Train.main(common ++ Array("--out", outP,
+      "--exec", "partitioned"))
+    // bit-for-bit trainer equivalence surfaces as identical checkpoints
+    val eB = EmbeddingIO.load(spark, s"$outB/entity")
+    val eP = EmbeddingIO.load(spark, s"$outP/entity")
+    assert(eB.length == eP.length &&
+      eB.zip(eP).forall { case (a, b) => a.sameElements(b) },
+      "partitioned-trained entity checkpoint differs from broadcast")
+    val lB = EmbeddingIO.load(spark, s"$outB/label")
+    val lP = EmbeddingIO.load(spark, s"$outP/label")
+    assert(lB.zip(lP).forall { case (a, b) => a.sameElements(b) })
+    // the partitioned-written layout is a first-class model dir: params
+    // persisted, evaluable through BOTH exec routes
+    assert(EmbeddingIO.loadParams(spark, outP).isDefined)
+    graft.apps.Evaluate.main(Array("--test", testTsv, "--model", outP))
+    graft.apps.Evaluate.main(Array("--test", testTsv, "--model", outP,
+      "--exec", "partitioned"))
+    // warm start on the partitioned trainer is rejected loudly
+    intercept[IllegalArgumentException] {
+      graft.apps.Train.main(common ++ Array("--out", outP,
+        "--exec", "partitioned", "--warm-start", outB))
+    }
+  }
+
   test("warm start resumes from a checkpoint with matching shapes") {
     import spark.implicits._
     val triples = (0 until 50).map(i => Triple(i % 10, i % 2, (i + 3) % 10)).toDS()

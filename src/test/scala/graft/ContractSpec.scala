@@ -9,13 +9,15 @@ class ContractSpec extends SparkSpec {
   test("query names are unique across all packs (no silent shadowing)") {
     val packs = Seq(
       queries.Relational.queries, queries.TransEQueries.queries,
-      queries.PipelineQueries.queries, queries.StreamingQueries.queries)
+      queries.PipelineQueries.queries, queries.StreamingQueries.queries,
+      queries.GraphQueries.queries)
     val total = packs.map(_.size).sum
     assert(SparkEntry.queries.size == total,
       s"duplicate query names shadow each other: ${total - SparkEntry.queries.size} lost")
     val oraclePacks = Seq(
       queries.Relational.oracles, queries.TransEQueries.oracles,
-      queries.PipelineQueries.oracles, queries.StreamingQueries.oracles)
+      queries.PipelineQueries.oracles, queries.StreamingQueries.oracles,
+      queries.GraphQueries.oracles)
     val totalOracles = oraclePacks.map(_.size).sum
     assert(SparkEntry.oracleSql.size == totalOracles,
       "duplicate oracle names shadow each other")
@@ -104,6 +106,53 @@ class ContractSpec extends SparkSpec {
     assert(a == b, s"broadcast vs partitioned eval diverged:\n  $a\n  $b")
   }
 
+  test("golden gate: L1-distance training matches its fixed-seed recording (sf0.001)") {
+    // the registry's evalParams train L2Squared, so the L1 kernels
+    // (Kernels.dist/gradient L1 branches) previously flowed through NO
+    // golden gate (VERDICT r5 #6); this pins them with the same contract
+    val (train, test, _, nEnt, nLab) =
+      queries.TransEQueries.trainTestSplit(spark, sf)
+    val p = queries.TransEQueries.evalParams.copy(distance = transe.L1)
+    val trainer = new transe.TransETrainer(p)
+    val model = trainer.fit(train, nEnt, nLab)
+    val losses = trainer.lossHistory
+    val golden = ContractSpec.goldenLossCurveL1
+    assert(losses.length == golden.length,
+      s"epoch count drifted: ${losses.length} vs ${golden.length}")
+    losses.zip(golden).zipWithIndex.foreach { case ((a, b), i) =>
+      assert(math.abs(a - b) <= 1e-6 * math.max(1.0, math.abs(b)),
+        s"L1 loss[$i] drifted: got $a want $b\nfull curve: ${losses.mkString(", ")}")
+    }
+    val row = transe.LinkPrediction.evaluate(test, model, hitsK = 10).collect().head
+    val (mr, mrh, mrt, hits, n) = ContractSpec.goldenEvalL1
+    assert(row.getLong(4) == n, s"L1 rank count drifted: $row")
+    Seq(row.getDouble(0) -> mr, row.getDouble(1) -> mrh,
+      row.getDouble(2) -> mrt, row.getDouble(3) -> hits).foreach {
+      case (a, b) => assert(math.abs(a - b) <= 1e-9 * math.max(1.0, math.abs(b)),
+        s"L1 eval metrics drifted: $row")
+    }
+  }
+
+  test("golden gate: fb15k-shape bench KG trains to its recorded loss curve") {
+    // the bench's headline epoch-time KG (Fb15kShape, 272k triples at the
+    // published FB15k-237 shape) previously trained UNGATED — wall-clock
+    // triage could not tell "throttled" from "wrong" (VERDICT r5 #8).
+    // 3 epochs here (the bench's transe_epoch_sec block), exact contract.
+    val kg = transe.Fb15kShape.kg(spark).persist()
+    kg.count()
+    val trainer = new transe.TransETrainer(transe.Fb15kShape.params(epochs = 3))
+    trainer.fit(kg, transe.Fb15kShape.nEntities, transe.Fb15kShape.nLabels)
+    kg.unpersist()
+    val losses = trainer.lossHistory
+    val golden = ContractSpec.goldenFb15kShapeLoss
+    assert(losses.length == golden.length)
+    losses.zip(golden).zipWithIndex.foreach { case ((a, b), i) =>
+      assert(math.abs(a - b) <= 1e-6 * math.max(1.0, math.abs(b)),
+        s"fb15k-shape loss[$i] drifted: got $a want $b\n" +
+          s"full curve: ${losses.mkString(", ")}")
+    }
+  }
+
   test("flagship entry returns rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
@@ -119,7 +168,8 @@ class ContractSpec extends SparkSpec {
     "ann_near_dup", "mm_feature_near_dup",
     "text_length_quantiles", "sample_mix_sources", "sample_mix_temperature",
     "text_tfidf_topterms", // 1-row n_docs total as a broadcast cross join
-    "report_key_skew")     // 1-row key-count total, same pattern
+    "report_key_skew",     // 1-row key-count total, same pattern
+    "graph_pagerank")      // 1-row dangling-mass total per iteration, same pattern
 
   test("every registered query runs at sf0.001; no unexpected cartesians") {
     val sfDir = "/root/testdata/sf0.001"
@@ -170,4 +220,31 @@ object ContractSpec {
   val goldenEval: (Double, Double, Double, Double, Long) =
     (584.3314606741573, 1068.0337078651685, 100.62921348314607,
       0.016853932584269662, 178L)
+
+  /** L1-distance twin of the curves above (evalParams.copy(distance = L1),
+    * same seed/data): pins the L1 kernel branches. Recorded round 6 via
+    * tools/RecordGoldens. The curve plateaus (L1 sign gradients at lr=0.05
+    * are noisy on this KG — the registry picked L2Squared for quality by
+    * sweep); the gate checks DETERMINISM of the L1 path, not convergence. */
+  val goldenLossCurveL1: Array[Double] = Array(
+    7257.423542014672, 5734.6906128943665, 5502.261550517753,
+    5155.090769485454, 5059.3153907801025, 5102.219660274219,
+    5141.801566479262, 4911.787711355835, 5076.759289951995,
+    5144.314123506076, 5024.1854466488585, 4896.035223664716,
+    5107.808375422144, 4923.296851594001, 5130.740626993589,
+    5101.352055606432, 5012.652420619968, 5063.315440121805,
+    4879.884149241494, 5015.274135686399, 5083.13601318514,
+    4964.958372727735, 5003.4126013028435, 4843.597743789665,
+    5090.576436538249, 4997.684299987741, 4814.029248125618,
+    5038.861130353063, 4878.559087521397, 4802.997655116487)
+
+  val goldenEvalL1: (Double, Double, Double, Double, Long) =
+    (711.9382022471909, 1324.808988764045, 99.06741573033707,
+      0.0449438202247191, 178L)
+
+  /** 3-epoch loss of the fb15k-shape bench KG (Fb15kShape.params, seed 42,
+    * L1) — recorded round 6 via tools/RecordGoldens. Decreasing, as a
+    * training-health sanity on the bench's own workload. */
+  val goldenFb15kShapeLoss: Array[Double] = Array(
+    297393.86030180234, 276980.9863471462, 259976.29279400213)
 }

@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.GraphAnalytics
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def edgesOf(pairs: (String, String)*) =
+    pairs.toDF("src", "dst")
+
+  test("degrees: hand-checked tiny graph") {
+    val e = edgesOf("a" -> "b", "a" -> "c", "b" -> "c", "d" -> "a")
+    val got = GraphAnalytics.degrees(e).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got == Map(
+      "a" -> ((2L, 1L, 3L)),
+      "b" -> ((1L, 1L, 2L)),
+      "c" -> ((0L, 2L, 2L)),
+      "d" -> ((1L, 0L, 1L))))
+  }
+
+  test("degrees: one shuffle, no join, no global sort in the raw plan") {
+    val plan = GraphAnalytics.degrees(
+      queries.GraphQueries.kgEdges(spark, sf))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
+      s"degrees should be a pure union+agg, found a join:\n$plan")
+    assert(!plan.contains("Sort ["), s"raw degrees plan has a sort:\n$plan")
+  }
+
+  /** Pure-Scala replay of the EXACT integer formulas — the same math both
+    * the Spark operator and the DuckDB oracle implement. Mismatch on any
+    * vertex means one side's arithmetic drifted from the contract. */
+  private def localPagerank(edges: Seq[(String, String)], iters: Int,
+      dampNum: Long = 85L, dampDen: Long = 100L,
+      scale: Long = 1000000000000L): Map[String, Long] = {
+    val verts = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val n = verts.length.toLong
+    val outDeg = edges.groupBy(_._1).map { case (s, es) => s -> es.length.toLong }
+    val base = (scale - dampNum * scale / dampDen) / n
+    var rank = verts.map(_ -> scale / n).toMap
+    (1 to iters).foreach { _ =>
+      val dang = verts.filterNot(outDeg.contains).map(rank).sum
+      val contrib = edges
+        .map { case (s, d) => d -> rank(s) / outDeg(s) }
+        .groupBy(_._1).map { case (d, cs) => d -> cs.map(_._2).sum }
+      rank = verts.map { v =>
+        v -> (base + dampNum * (contrib.getOrElse(v, 0L) + dang / n) / dampDen)
+      }.toMap
+    }
+    rank
+  }
+
+  test("pagerank: matches the local integer-arithmetic reference exactly") {
+    // a graph with fan-in, a cycle, AND dangling vertices (c, f)
+    val pairs = Seq("a" -> "b", "b" -> "c", "a" -> "c", "d" -> "a",
+      "e" -> "a", "e" -> "b", "a" -> "d", "d" -> "f")
+    val got = GraphAnalytics.pagerankInt(edgesOf(pairs: _*), iters = 5)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = localPagerank(pairs, iters = 5)
+    assert(got == want, s"spark=$got\nlocal=$want")
+  }
+
+  test("pagerank: fan-in beats fan-out, and reruns are identical") {
+    // hub h is pointed at by every spoke; spokes only point at h
+    val pairs = (1 to 9).map(i => s"s$i" -> "h") :+ ("h" -> "s1")
+    val df = GraphAnalytics.pagerankInt(edgesOf(pairs: _*), iters = 5)
+    val ranks = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ranks("h") > ranks("s2") * 5, s"hub not dominant: $ranks")
+    val again = GraphAnalytics.pagerankInt(edgesOf(pairs: _*), iters = 5)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ranks == again, "pagerank not deterministic across runs")
+  }
+
+  test("pagerank: rank mass stays ~scale (dangling mass redistributed)") {
+    val scale = 1000000000000L
+    val got = GraphAnalytics.pagerankInt(
+      queries.GraphQueries.kgEdges(spark, sf), iters = 3, scale = scale)
+    val (total, nVerts) = {
+      val r = got.agg(sum("rank"), count(lit(1))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    // integer division drops < 1 unit per vertex per divide (init, dang
+    // share, per-edge contrib, damping) — bound generously
+    val maxLoss = 5L * nVerts * 3L
+    assert(total <= scale && total >= scale - maxLoss,
+      s"mass drifted: $total vs $scale (nVerts=$nVerts)")
+  }
+
+  test("kg pagerank: nation/region sinks accumulate rank above the median") {
+    val ranks = GraphAnalytics.pagerankInt(
+        queries.GraphQueries.kgEdges(spark, sf), iters = 5)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val regionMax = ranks.filter(_._1.startsWith("r:")).map(_._2).max
+    val med = ranks.map(_._2).sorted.apply(ranks.length / 2)
+    // every nation points at a region: regions are the KG's high-centrality
+    // sinks, so the top region must clear the median by a wide margin
+    assert(regionMax > med * 10, s"regionMax=$regionMax median=$med")
+  }
+}
