@@ -16,6 +16,7 @@ object StreamingQueries {
     "stream_windowed_counts" -> ((s, d) => EventStreams.windowedCounts(s, d)),
     "stream_windowed_counts_append" -> ((s, d) => EventStreams.windowedCountsAppend(s, d)),
     "stream_dedup" -> ((s, d) => EventStreams.streamingDedup(s, d)),
+    "stream_dedup_watermark" -> ((s, d) => EventStreams.streamingDedupWatermark(s, d)),
     "stream_sessionize" -> ((s, d) => EventStreams.sessionize(s, d)),
     "stream_sessionize_native" -> ((s, d) => EventStreams.sessionizeNative(s, d)),
     "stream_asof" -> ((s, d) => EventStreams.streamingAsOf(s, d)),
@@ -39,6 +40,10 @@ object StreamingQueries {
     // the replay drains, so the emitted set equals the batch aggregation
     "stream_windowed_counts_append" -> EventStreams.windowedCountsSql,
     "stream_dedup" -> EventStreams.streamingDedupSql,
+    // watermark-bounded dedup state (dropDuplicatesWithinWatermark): the
+    // single-batch replay keeps every duplicate inside the delay, so the
+    // emitted set equals the batch DISTINCT and shares its oracle
+    "stream_dedup_watermark" -> EventStreams.streamingDedupSql,
     // the watermark sentinel flushes every final session, so the stream
     // equals the batch gaps-and-islands answer and shares its oracle
     "stream_sessionize" -> EventStreams.sessionizeBatchSql(),

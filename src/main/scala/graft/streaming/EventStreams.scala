@@ -397,6 +397,27 @@ object EventStreams {
     """SELECT DISTINCT user_id, event_type FROM events
       |ORDER BY user_id, event_type""".stripMargin
 
+  /** [[streamingDedup]] with WATERMARK-BOUNDED state — the production
+    * unbounded-stream spelling: `dropDuplicatesWithinWatermark` lets the
+    * engine EVICT a key's dedup state once the event-time watermark
+    * passes its ts + delay, where plain `dropDuplicates` keys state
+    * forever (the stream_dedup registration's documented ceiling). The
+    * guarantee weakens to "duplicates arriving within the delay are
+    * dropped; later re-occurrences may re-emit" — on this harness the
+    * replay ships all real events in ONE micro-batch (single-file
+    * source, maxFilesPerTrigger=1), which is trivially within any delay,
+    * so the emitted set still equals the batch DISTINCT and shares its
+    * oracle. At scale the delay is the knob trading state size against
+    * re-emission of long-gap duplicates. */
+  def streamingDedupWatermark(spark: SparkSession, sfDir: String): DataFrame = {
+    val deduped = readEventStream(spark, sfDir)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .select("user_id", "event_type")
+    runToCompletion(deduped, OutputMode.Append())
+      .orderBy("user_id", "event_type")
+  }
+
   // -------------------------------------------------------- sessionization
   final case class Event(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class SessionState(start: Long, last: Long, n: Int, cents: Long)

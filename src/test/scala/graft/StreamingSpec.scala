@@ -153,6 +153,20 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("watermark-bounded dedup equals plain dedup on the replay, state carried") {
+    val bounded = EventStreams.streamingDedupWatermark(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // the within-watermark spelling is a stateful operator (evictable
+    // keyed state) — it must report state rows, and on the single-batch
+    // replay emit exactly the distinct key set
+    assert(EventStreams.lastStateRowsPeak.get() > 0,
+      "dropDuplicatesWithinWatermark reported no state")
+    val batch = Tables.events(spark, sf)
+      .select("user_id", "event_type").distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(bounded == batch)
+  }
+
   test("streaming HLL registers yield exactly the batch sketch estimates") {
     val streamed = EventStreams.streamingHllDistinct(spark, sf).collect()
     val batch = operators.Sketches
