@@ -90,6 +90,15 @@ object PipelineQueries {
         v
       }
 
+  /** BPE merge training memoized per sfDir: vocab_bpe_merges and
+    * vocab_bpe_pieces share one greedy training loop (the merge list is
+    * driver-local metadata — plain values, no Spark-session liveness to
+    * guard, so a simple TrieMap suffices). */
+  private val bpeCache =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[Bpe.Merge]]
+  private def bpeMerges(s: SparkSession, d: String): Seq[Bpe.Merge] =
+    bpeCache.getOrElseUpdate(d, Bpe.trainMerges(Tables.documents(s, d)))
+
   /** Oracle PRESENTATION order per query, applied at this registration
     * boundary — NOT inside the operators (VERDICT r5 #2): a total sort of
     * a corpus-sized output is pure verification-harness contract, and
@@ -138,7 +147,9 @@ object PipelineQueries {
     "decontaminate" -> Seq("doc_id"),
     "pack_sequences" -> Seq("doc_id"),
     "tokenize_corpus" -> Seq("doc_id", "pos"),
-    "text_tfidf_topterms" -> Seq("doc_id", "rn"))
+    "text_tfidf_topterms" -> Seq("doc_id", "rn"),
+    "vocab_bpe_merges" -> Seq("rank"),
+    "vocab_bpe_pieces" -> Seq("piece"))
 
   /** The operator registrations as written — sorted only where the
     * operator itself has a semantic order. PlanSpec sweeps THESE plans
@@ -240,6 +251,11 @@ object PipelineQueries {
     "sink_bucketed_join" -> ((s, d) => BucketedSink.bucketedJoin(s, d)),
     // --- tokenizer vocabulary with dense ids ---
     "vocab_build" -> ((s, d) => VocabBuild.vocab(Tables.documents(s, d))),
+    // --- real BPE merge training (the greedy pair-fusion loop) ---
+    "vocab_bpe_merges" -> ((s, d) =>
+      Bpe.merges(Tables.documents(s, d), bpeMerges(s, d))),
+    "vocab_bpe_pieces" -> ((s, d) =>
+      Bpe.pieces(Tables.documents(s, d), bpeMerges(s, d))),
     "tokenize_corpus" -> ((s, d) => VocabBuild.tokenize(Tables.documents(s, d))),
     // per-doc top-k salient terms: integer tf-idf over the dense-id
     // vocab, ranked by the native topk_pairs aggregate
@@ -354,6 +370,11 @@ object PipelineQueries {
     "sink_compact" -> Compaction.roundTripAggSql,
     "sink_bucketed_join" -> BucketedSink.bucketedJoinSql,
     "vocab_build" -> VocabBuild.vocabSql(),
+    // the DuckDB replay unrolls all 20 greedy rounds — pair counts,
+    // total-order argmax, double-pass rewrite — so the merge LIST and
+    // the post-merge subword distribution are both full hash oracles
+    "vocab_bpe_merges" -> Bpe.mergesSql(),
+    "vocab_bpe_pieces" -> Bpe.piecesSql(),
     "tokenize_corpus" -> VocabBuild.tokenizeSql(),
     "text_tfidf_topterms" -> VocabBuild.tfidfSql(),
     // content checksum proves the JSONL round-trip is lossless
