@@ -82,4 +82,70 @@ object AsOfJoin {
       |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
       |  ON e.user_id = c.user_id AND c.ts <= e.ts
       |ORDER BY e.event_id""".stripMargin
+
+  /** FORWARD as-of: for each left row, the EARLIEST right row with
+    * right.time >= left.time on the same key — the "what happened next"
+    * direction (error -> next recovery click, quote -> next trade). Same
+    * union-merge shape and cost as [[asOf]], with the per-key window
+    * ordered time-DESCENDING so the running `last` sees the smallest
+    * time >= t (right rows sort before left at ties, so a simultaneous
+    * right row matches). */
+  def asOfForward(left: DataFrame, right: DataFrame, key: String, time: String,
+      rightCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val l = left.withColumn("__side", lit(0))
+      .withColumn("__payload", lit(null).cast(
+        org.apache.spark.sql.types.StructType(
+          right.select(rightCols.map(col): _*).schema.fields)))
+    val r = right.select((Seq(col(key), col(time)) :+
+      struct(rightCols.map(col): _*).as("__payload")): _*)
+      .withColumn("__side", lit(1))
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(key)
+      .orderBy(col(time).desc, col("__side").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    unioned
+      .withColumn("__match", last(col("__payload"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 0)
+      .select(leftCols.map(col) :+ col("__match"): _*)
+  }
+
+  /** Query surface: each 'error' matched to the same user's NEXT 'click'
+    * WITHIN `tolSec` — the forward + tolerance as-of (a match farther
+    * than the tolerance reports null, exactly like production as-of
+    * tolerances). Oracle: DuckDB's native forward ASOF + the same
+    * tolerance CASE. */
+  def errorToNextClick(events: DataFrame, tolSec: Long = 3600L): DataFrame = {
+    val errors = events.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("click_event_id"),
+        unix_timestamp(col("ts")).as("click_sec"))
+    asOfForward(errors, clicks, key = "user_id", time = "ts",
+      rightCols = Seq("click_event_id", "click_sec"))
+      .select(
+        col("event_id"),
+        (col("__match.click_sec") - unix_timestamp(col("ts")))
+          .cast("long").as("gap_sec"),
+        col("__match.click_event_id").as("matched_click"))
+      .select(
+        col("event_id"),
+        when(col("gap_sec") <= tolSec, col("matched_click")).as("matched_click"),
+        when(col("gap_sec") <= tolSec, col("gap_sec")).as("gap_sec"))
+      .orderBy("event_id")
+  }
+
+  def errorToNextClickSql(tolSec: Long = 3600L): String =
+    s"""SELECT event_id,
+       |  CASE WHEN gap_sec <= $tolSec THEN matched_click END AS matched_click,
+       |  CASE WHEN gap_sec <= $tolSec THEN gap_sec END AS gap_sec
+       |FROM (
+       |  SELECT e.event_id,
+       |    c.event_id AS matched_click,
+       |    CAST(floor(epoch(c.ts)) - floor(epoch(e.ts)) AS BIGINT) AS gap_sec
+       |  FROM (SELECT * FROM events WHERE event_type = 'error') e
+       |  ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+       |    ON e.user_id = c.user_id AND c.ts >= e.ts
+       |) ORDER BY event_id""".stripMargin
 }

@@ -168,6 +168,101 @@ object Multimodal {
     }
   }
 
+  /** ======= REAL codec: pure-JVM WAV (RIFF PCM) audio decode =======
+    * The audio twin of [[JvmImageCodec]], same seam philosophy: a real
+    * container parse (RIFF header walk, `fmt `/`data` chunks, 16-bit or
+    * 8-bit PCM) with deterministic integer-accumulated features — the
+    * per-window MEAN ABSOLUTE AMPLITUDE over 8 equal sample windows,
+    * normalized to [0,1] by one exact IEEE divide, plus the
+    * zero-crossing count (the classic cheap speech/music discriminator).
+    * Spec-tested over generated WAV bytes (MultimodalCodecSpec); not
+    * oracle-registered for the same reason as the image codec — a real
+    * decode has no SQL replay, and the stub carries the plumbing oracle. */
+  object JvmAudioCodec {
+    /** (sampleRate, channels, nSamples, zeroCrossings, 8 window means
+      * in [0,1]), or None if the bytes are not a supported PCM WAV. */
+    def decode(bytes: Array[Byte]): Option[(Int, Int, Long, Long, Array[Double])] = {
+      if (bytes.length < 44) return None
+      def ascii(off: Int, s: String): Boolean =
+        s.indices.forall(i => bytes(off + i) == s.charAt(i))
+      def u16(off: Int): Int =
+        (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8)
+      def u32(off: Int): Long =
+        (bytes(off) & 0xffL) | ((bytes(off + 1) & 0xffL) << 8) |
+          ((bytes(off + 2) & 0xffL) << 16) | ((bytes(off + 3) & 0xffL) << 24)
+      if (!ascii(0, "RIFF") || !ascii(8, "WAVE")) return None
+      // chunk walk: fmt then data, tolerating extra chunks between
+      var pos = 12
+      var sampleRate = -1; var channels = -1; var bits = -1
+      var dataOff = -1; var dataLen = 0L
+      while (pos + 8 <= bytes.length && (dataOff < 0 || sampleRate < 0)) {
+        val id = new String(bytes, pos, 4, StandardCharsets.US_ASCII)
+        val size = u32(pos + 4)
+        if (size < 0 || size > bytes.length) return None // malformed header
+        if (id == "fmt " && pos + 24 <= bytes.length) {
+          val fmt = u16(pos + 8)
+          if (fmt != 1) return None // PCM only
+          channels = u16(pos + 10)
+          sampleRate = u32(pos + 12).toInt
+          bits = u16(pos + 22)
+        } else if (id == "data") {
+          dataOff = pos + 8
+          dataLen = math.min(size, (bytes.length - dataOff).toLong)
+        }
+        pos += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+      }
+      if (sampleRate <= 0 || channels <= 0 || dataOff < 0) return None
+      if (bits != 16 && bits != 8) return None
+      val bytesPerSample = bits / 8
+      val n = dataLen / bytesPerSample
+      if (n == 0) return None
+      def sample(i: Long): Int = {
+        val off = dataOff + i * bytesPerSample
+        if (bits == 16)
+          ((bytes(off.toInt) & 0xff) | (bytes(off.toInt + 1) << 8)) // sign-extended
+        else (bytes(off.toInt) & 0xff) - 128 // 8-bit WAV is unsigned
+      }
+      val full = if (bits == 16) 32768.0 else 128.0
+      val sums = new Array[Long](8)
+      val counts = new Array[Long](8)
+      var crossings = 0L
+      var prevSign = 0
+      var i = 0L
+      while (i < n) {
+        val s = sample(i)
+        val win = math.min((8 * i / n).toInt, 7)
+        sums(win) += math.abs(s)
+        counts(win) += 1
+        val sign = if (s > 0) 1 else if (s < 0) -1 else 0
+        if (sign != 0 && prevSign != 0 && sign != prevSign) crossings += 1
+        if (sign != 0) prevSign = sign
+        i += 1
+      }
+      val feats = Array.tabulate(8)(w =>
+        if (counts(w) == 0) 0.0 else sums(w).toDouble / (full * counts(w)))
+      Some((sampleRate, channels, n, crossings, feats))
+    }
+  }
+
+  /** [[decodeFeatures]] with the REAL audio codec: WAV assets ->
+    * (asset_id, sample_rate, channels, n_samples, zero_crossings,
+    * f0..f7). Non-WAV rows are dropped (quarantine in production). Same
+    * narrow mapPartitions shape; not oracle-registered (see codec doc). */
+  def decodeAudioFeaturesReal(assets: DataFrame): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select(col("asset_id"), col("media")).as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        JvmAudioCodec.decode(bytes).map { case (sr, c, n, zc, f) =>
+          (id, sr.toLong, c.toLong, n, zc,
+            f(0), f(1), f(2), f(3), f(4), f(5), f(6), f(7))
+        }
+      }
+      .toDF(Seq("asset_id", "sample_rate", "channels", "n_samples",
+        "zero_crossings") ++ featCols: _*)
+      .orderBy("asset_id")
+  }
+
   /** [[decodeFeatures]] with the REAL codec: same schema, real decode;
     * rows whose bytes decode in no supported format are dropped (a
     * production pipeline quarantines them). Not oracle-registered — a

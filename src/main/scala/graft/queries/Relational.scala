@@ -738,6 +738,37 @@ object Relational {
       |  MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ------------------------------------------- q31_rank_distribution
+  /** Distribution-ranking windows — completes the ranking family next to
+    * q6's dense rank and q26's top-k: NTILE deciles, PERCENT_RANK and
+    * CUME_DIST of order value within each priority class. Partitioned by
+    * priority (5 bounded partitions — never the q8 single-partition
+    * global window); the order is TOTAL ((price, orderkey)) so every
+    * rank-derived value is deterministic, and the percent/cume divisions
+    * are single IEEE divides of exact integers — correctly rounded
+    * identically in both engines. */
+  def q31RankDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      .withColumn("decile", ntile(10).over(w).cast("long"))
+      .withColumn("pr", percent_rank().over(w))
+      .withColumn("cd", cume_dist().over(w))
+      .select("o_orderkey", "o_orderpriority", "decile", "pr", "cd")
+      .orderBy("o_orderkey")
+  }
+
+  val q31Sql: String =
+    """SELECT o_orderkey, o_orderpriority,
+      |  CAST(NTILE(10) OVER w AS BIGINT) AS decile,
+      |  PERCENT_RANK() OVER w AS pr,
+      |  CUME_DIST() OVER w AS cd
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_orderpriority
+      |             ORDER BY o_totalprice ASC, o_orderkey ASC)
+      |ORDER BY o_orderkey""".stripMargin
+
   /** Registry consumed by SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg"             -> (q1Agg _),
@@ -766,7 +797,8 @@ object Relational {
     "q27_runtime_filter" -> (q27RuntimeFilter _),
     "q28_json_props"     -> (q28JsonProps _),
     "q29_grouping_sets"  -> (q29GroupingSets _),
-    "q30_range_frame"    -> (q30RangeFrame _))
+    "q30_range_frame"    -> (q30RangeFrame _),
+    "q31_rank_distribution" -> (q31RankDistribution _))
 
   val oracles: Map[String, String] = Map(
     "q1_agg"             -> q1Sql,
@@ -795,5 +827,6 @@ object Relational {
     "q27_runtime_filter" -> q27Sql,
     "q28_json_props"     -> q28Sql,
     "q29_grouping_sets"  -> q29Sql,
-    "q30_range_frame"    -> q30Sql)
+    "q30_range_frame"    -> q30Sql,
+    "q31_rank_distribution" -> q31Sql)
 }

@@ -30,6 +30,7 @@ object StreamingQueries {
     "stream_upsert" -> ((s, d) => EventStreams.streamingUpsert(s, d)),
     "q11_sessionize" -> ((s, d) => EventStreams.sessionizeBatch(Tables.events(s, d))),
     "q12_asof_join" -> ((s, d) => AsOfJoin.errorToLastClick(Tables.events(s, d))),
+    "q32_asof_forward" -> ((s, d) => AsOfJoin.errorToNextClick(Tables.events(s, d))),
     "q16_range_join" -> ((s, d) => RangeJoin.concurrentSessions(Tables.events(s, d))),
     "q16_range_join_auto" -> ((s, d) => RangeJoin.concurrentSessionsAuto(Tables.events(s, d))))
 
@@ -79,6 +80,9 @@ object StreamingQueries {
     "stream_upsert" -> PipelineQueries.upsertOrdersSql,
     "q11_sessionize" -> EventStreams.sessionizeBatchSql(),
     "q12_asof_join" -> AsOfJoin.errorToLastClickSql,
+    // forward direction + tolerance: DuckDB's native forward ASOF is the
+    // oracle; out-of-tolerance matches null out identically in both
+    "q32_asof_forward" -> AsOfJoin.errorToNextClickSql(),
     "q16_range_join" -> RangeJoin.concurrentSessionsSql(),
     // natural range-join spelling, rewritten by the optimizer rule —
     // same answer, same oracle

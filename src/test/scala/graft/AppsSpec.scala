@@ -153,6 +153,29 @@ class AppsSpec extends SparkSpec {
       (7L, 6L, 1L)))  // error@9 -> click@8
   }
 
+  test("forward as-of with tolerance matches the hand trace, far matches null") {
+    import spark.implicits._
+    val events = Seq(
+      // user 1: error(15) -> next click(20); error(25) -> none after
+      (1L, 1L, "click", 10L), (2L, 1L, "error", 15L),
+      (3L, 1L, "click", 20L), (4L, 1L, "error", 25L),
+      // user 2: error(5) -> click(8) in tolerance; error(9) -> click(5000)
+      // OUT of the 3600s... in tolerance actually (4991s > 3600 -> null)
+      (5L, 2L, "error", 5L), (6L, 2L, "click", 8L), (7L, 2L, "error", 9L),
+      (8L, 2L, "click", 5000L))
+      .toDF("event_id", "user_id", "event_type", "sec")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val out = AsOfJoin.errorToNextClick(events, tolSec = 3600L).collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq
+    assert(out == Seq(
+      (2L, 3L, 5L),    // error@15 -> click@20
+      (4L, -1L, -1L),  // no later click for user 1
+      (5L, 6L, 3L),    // error@5 -> click@8
+      (7L, -1L, -1L))) // error@9 -> click@5000 is 4991s away: > tol -> null
+  }
+
   test("as-of join at same timestamp matches the simultaneous right row") {
     import spark.implicits._
     val events = Seq(

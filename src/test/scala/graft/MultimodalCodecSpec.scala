@@ -80,6 +80,51 @@ class MultimodalCodecSpec extends SparkSpec {
     assert(Multimodal.decodeFeaturesReal(assets).columns.toSeq == stubCols)
   }
 
+  /** A 16-bit PCM mono WAV with the given samples. */
+  private def wav(samples: Array[Short], sampleRate: Int = 8000): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(sampleRate)
+      .putInt(sampleRate * 2).putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  test("JvmAudioCodec decodes PCM WAV with exact window means and crossings") {
+    // 800 samples of constant +16384: every window mean = 16384/32768 = 0.5
+    val flat = wav(Array.fill[Short](800)(16384))
+    val Some((sr, ch, n, zc, f)) = Multimodal.JvmAudioCodec.decode(flat)
+    assert(sr == 8000 && ch == 1 && n == 800 && zc == 0)
+    assert(f.forall(_ == 0.5), f.mkString(","))
+    // alternating +/-8192: mean |amp| = 0.25 per window, 799 crossings
+    val sq = wav(Array.tabulate[Short](800)(i => if (i % 2 == 0) 8192 else -8192))
+    val Some((_, _, _, zc2, f2)) = Multimodal.JvmAudioCodec.decode(sq)
+    assert(zc2 == 799 && f2.forall(_ == 0.25))
+    // non-WAV bytes rejected
+    assert(Multimodal.JvmAudioCodec.decode("plain text".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.JvmAudioCodec.decode(flat.take(30)).isEmpty)
+  }
+
+  test("decodeAudioFeaturesReal runs end-to-end, quarantining non-WAV rows") {
+    import spark.implicits._
+    val assets = Seq(
+      (1L, wav(Array.fill[Short](160)(-4096))),
+      (2L, "not audio".getBytes("UTF-8")),
+      (3L, wav(Array.tabulate[Short](160)(i => (i * 100).toShort), sampleRate = 16000)))
+      .toDF("asset_id", "media")
+    val out = Multimodal.decodeAudioFeaturesReal(assets).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 3L))
+    val byId = out.map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).getLong(1) == 8000 && byId(1L).getLong(3) == 160)
+    assert(byId(1L).getDouble(5) == 4096.0 / 32768.0) // f0: constant amplitude
+    assert(byId(3L).getLong(1) == 16000)
+  }
+
   test("PPM parser rejects truncated and non-255-maxval inputs") {
     val good = encodePpm(testImage(4, 4))
     assert(Multimodal.JvmImageCodec.decode(good.dropRight(1)).isEmpty,
