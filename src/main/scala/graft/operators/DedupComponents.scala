@@ -302,4 +302,37 @@ object DedupComponents {
        |SELECT doc_id, component_id,
        |  COUNT(*) OVER (PARTITION BY component_id) AS component_size
        |FROM comp ORDER BY doc_id""".stripMargin
+
+  /** Oracle for graphs with LARGE components, where [[componentsSql]]'s
+    * reachability enumeration explodes (one |V|-node component =
+    * |V|^2 reach rows — observed hanging on the 18.6k-node KG): the same
+    * min-label iteration the Spark operator runs, unrolled `rounds`
+    * times as MATERIALIZED CTEs. Each round every vertex takes the min
+    * of its own and its neighbors' labels — |E| join rows per round,
+    * |V| rows of state. Converges once `rounds` >= graph diameter
+    * (label information flows one hop per round); callers must pick
+    * `rounds` with margin for their graph family. */
+  def componentsMinLabelSql(pairsSql: String, rounds: Int = 16): String = {
+    val stepCtes = (1 to rounds).map { i =>
+      val prev = s"l${i - 1}"
+      s"""l$i AS MATERIALIZED (
+         |  SELECT l.id, MIN(LEAST(l.label, COALESCE(nb.label, l.label))) AS label
+         |  FROM $prev l
+         |  LEFT JOIN edges e ON e.src = l.id
+         |  LEFT JOIN $prev nb ON nb.id = e.dst
+         |  GROUP BY l.id
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS MATERIALIZED ($pairsSql),
+       |edges AS MATERIALIZED (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION
+       |  SELECT doc_b AS src, doc_a AS dst FROM pairs
+       |),
+       |l0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS label FROM edges),
+       |$stepCtes
+       |SELECT id AS doc_id, label AS component_id,
+       |  COUNT(*) OVER (PARTITION BY label) AS component_size
+       |FROM l$rounds ORDER BY doc_id""".stripMargin
+  }
 }

@@ -49,12 +49,44 @@ object GraphQueries {
   private def kgEdgesSql: String =
     s"SELECT DISTINCT h AS src, t AS dst FROM (\n${TransEQueries.kgSqlBody}\n)"
 
+  /** Connected components over the ENCODED KG edge list — the third leg
+    * of the graph family (degrees, centrality, components), reusing the
+    * dedup-cluster machinery on integer entity ids: hybrid local
+    * union-find under the pair threshold, distributed min-label
+    * propagation above it, with the DuckDB recursive-CTE closure as the
+    * oracle. (The KG is one giant connected component by construction —
+    * every order links customer-nation-region and part-supplier — which
+    * the component_size column makes visible; the operator's cluster
+    * behavior is separately exercised on the shattered near-dup graph by
+    * dedup_components.) */
+  def kgComponents(s: SparkSession, d: String): DataFrame = {
+    val (enc, _, _, _, _) = TransEQueries.encodedKg(s, d)
+    val pairs = enc.toDF()
+      .select(col("h").cast("long").as("doc_a"), col("t").cast("long").as("doc_b"))
+      .distinct()
+    graft.operators.DedupComponents.components(pairs)
+      .select(col("doc_id").as("id"), col("component_id"), col("component_size"))
+  }
+
+  /** Unrolled min-label oracle, NOT the reachability-closure one: the KG
+    * is one ~|V|-node component, where closure enumeration is |V|^2
+    * (observed hanging at sf0.01); 16 min-label rounds comfortably cover
+    * the KG's <=6-hop diameter. */
+  private def kgComponentsSql: String = {
+    val pairs =
+      s"SELECT DISTINCT h AS doc_a, t AS doc_b FROM (\n${TransEQueries.kgEncodeSql}\n)"
+    s"""SELECT doc_id AS id, component_id, component_size
+       |FROM (${graft.operators.DedupComponents.componentsMinLabelSql(pairs)})
+       |ORDER BY id""".stripMargin
+  }
+
   /** Raw (unsorted) registrations — PlanSpec sweeps these for absent
     * global sorts; the oracle presentation sort is applied at the
     * registration boundary below (the PipelineQueries discipline). */
   val rawQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_degrees" -> ((s, d) => GraphAnalytics.degrees(kgEdges(s, d))),
-    "graph_pagerank" -> ((s, d) => GraphAnalytics.pagerankInt(kgEdges(s, d))))
+    "graph_pagerank" -> ((s, d) => GraphAnalytics.pagerankInt(kgEdges(s, d))),
+    "graph_components" -> (kgComponents _))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     rawQueries.map { case (name, fn) =>
@@ -63,5 +95,6 @@ object GraphQueries {
 
   val oracles: Map[String, String] = Map(
     "graph_degrees" -> GraphAnalytics.degreesSql(kgEdgesSql),
-    "graph_pagerank" -> GraphAnalytics.pagerankIntSql(kgEdgesSql))
+    "graph_pagerank" -> GraphAnalytics.pagerankIntSql(kgEdgesSql),
+    "graph_components" -> kgComponentsSql)
 }
