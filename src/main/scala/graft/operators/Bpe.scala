@@ -122,6 +122,48 @@ object Bpe {
       .groupBy("piece").agg(sum("freq").as("freq"))
   }
 
+  /** The APPLY step: tokenize the corpus with the learned merges. The
+    * merge replay happens on the WORD table (vocab-sized, as in
+    * [[pieces]]); the corpus then broadcast-joins word -> piece-array and
+    * explodes — the corpus itself never shuffles (the tokenize_corpus
+    * discipline) and never re-runs a replace. Output: one row per
+    * (doc_id, word position, piece position). */
+  def tokenizeBpe(docs: DataFrame, trained: Seq[Merge]): DataFrame = {
+    var words = spellOut(wordTable(docs))
+    trained.foreach { m => words = applyMerge(words, m.pair) }
+    val spelled = words.select(col("word"),
+      split(trim(col("sp")), " ").as("pieces"))
+    docs
+      .select(col("doc_id"), posexplode(regexp_extract_all(lower(col("text")),
+        lit("[a-z]+"), lit(0))).as(Seq("word_pos", "word")))
+      .join(broadcast(spelled), Seq("word"))
+      .select(col("doc_id"), col("word_pos").cast("long").as("word_pos"),
+        posexplode(col("pieces")).as(Seq("piece_pos", "piece")))
+      .select(col("doc_id"), col("word_pos"),
+        col("piece_pos").cast("long").as("piece_pos"), col("piece"))
+  }
+
+  def tokenizeBpeSql(nMerges: Int = 20): String = {
+    val rounds = (1 to nMerges).map(roundSql).mkString(",\n")
+    s"""WITH $prelude,
+       |$rounds,
+       |spelled AS MATERIALIZED (
+       |  SELECT word, string_split(trim(sp), ' ') AS pieces FROM w$nMerges
+       |), corpus AS (
+       |  SELECT doc_id, unnest(arr) AS word,
+       |         unnest(range(0, len(arr))) AS word_pos
+       |  FROM (SELECT doc_id,
+       |          regexp_extract_all(lower(text), '[a-z]+') AS arr
+       |        FROM documents)
+       |)
+       |SELECT c.doc_id, CAST(c.word_pos AS BIGINT) AS word_pos,
+       |  CAST(p.i - 1 AS BIGINT) AS piece_pos, s.pieces[p.i] AS piece
+       |FROM corpus c
+       |JOIN spelled s USING (word),
+       |UNNEST(range(1, len(s.pieces) + 1)) AS p(i)
+       |ORDER BY doc_id, word_pos, piece_pos""".stripMargin
+  }
+
   // ------------------------------------------------------------- oracles
 
   private def wordTableSql: String =

@@ -149,7 +149,8 @@ object PipelineQueries {
     "tokenize_corpus" -> Seq("doc_id", "pos"),
     "text_tfidf_topterms" -> Seq("doc_id", "rn"),
     "vocab_bpe_merges" -> Seq("rank"),
-    "vocab_bpe_pieces" -> Seq("piece"))
+    "vocab_bpe_pieces" -> Seq("piece"),
+    "tokenize_bpe" -> Seq("doc_id", "word_pos", "piece_pos"))
 
   /** The operator registrations as written — sorted only where the
     * operator itself has a semantic order. PlanSpec sweeps THESE plans
@@ -256,6 +257,8 @@ object PipelineQueries {
       Bpe.merges(Tables.documents(s, d), bpeMerges(s, d))),
     "vocab_bpe_pieces" -> ((s, d) =>
       Bpe.pieces(Tables.documents(s, d), bpeMerges(s, d))),
+    "tokenize_bpe" -> ((s, d) =>
+      Bpe.tokenizeBpe(Tables.documents(s, d), bpeMerges(s, d))),
     "tokenize_corpus" -> ((s, d) => VocabBuild.tokenize(Tables.documents(s, d))),
     // per-doc top-k salient terms: integer tf-idf over the dense-id
     // vocab, ranked by the native topk_pairs aggregate
@@ -375,6 +378,8 @@ object PipelineQueries {
     // the post-merge subword distribution are both full hash oracles
     "vocab_bpe_merges" -> Bpe.mergesSql(),
     "vocab_bpe_pieces" -> Bpe.piecesSql(),
+    // the apply step: corpus words join the post-merge spelled vocab
+    "tokenize_bpe" -> Bpe.tokenizeBpeSql(),
     "tokenize_corpus" -> VocabBuild.tokenizeSql(),
     "text_tfidf_topterms" -> VocabBuild.tfidfSql(),
     // content checksum proves the JSONL round-trip is lossless

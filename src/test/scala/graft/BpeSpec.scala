@@ -63,6 +63,23 @@ class BpeSpec extends SparkSpec {
     assert(pieces == Map("aa" -> 4L), s"got $pieces")
   }
 
+  test("tokenizeBpe reassembles every word exactly, pieces match the vocab") {
+    val docs = docsOf("low lower lowest", "newest low")
+    val trained = Bpe.trainMerges(docs, nMerges = 6)
+    val rows = Bpe.tokenizeBpe(docs, trained)
+      .orderBy("doc_id", "word_pos", "piece_pos")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(3)))
+    // concatenating a word's pieces in order rebuilds the word exactly
+    val rebuilt = rows.groupBy(t => (t._1, t._2)).view
+      .mapValues(_.map(_._3).mkString).toMap
+    assert(rebuilt((0L, 0L)) == "low" && rebuilt((0L, 1L)) == "lower" &&
+      rebuilt((0L, 2L)) == "lowest" && rebuilt((1L, 0L)) == "newest" &&
+      rebuilt((1L, 1L)) == "low")
+    // every emitted piece is in the post-merge piece vocabulary
+    val vocab = Bpe.pieces(docs, trained).collect().map(_.getString(0)).toSet
+    assert(rows.map(_._3).toSet.subsetOf(vocab))
+  }
+
   test("pieces conserve weighted character mass under merging") {
     val docs = graft.Tables.documents(spark, sf)
     val trained = queries.PipelineQueries.queries("vocab_bpe_merges")(spark, sf)
