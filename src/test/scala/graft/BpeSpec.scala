@@ -80,6 +80,25 @@ class BpeSpec extends SparkSpec {
     assert(rows.map(_._3).toSet.subsetOf(vocab))
   }
 
+  test("tokenizeBpe plan: spelled vocab broadcasts, corpus never shuffles") {
+    val docs = graft.Tables.documents(spark, sf)
+    val trained = Bpe.trainMerges(docs, nMerges = 3)
+    val plan = Bpe.tokenizeBpe(docs, trained)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"vocab join must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"corpus-side shuffle join found:\n$plan")
+    // exactly ONE hash exchange, and it sits UNDER the vocab-side
+    // BroadcastExchange (the word-count aggregate, vocab-cardinality);
+    // the corpus stream side must reach the join unshuffled
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles == 1, s"expected only the vocab-build exchange:\n$plan")
+    assert(plan.indexOf("Exchange hashpartitioning") >
+      plan.indexOf("BroadcastExchange"),
+      s"the hash exchange is not on the broadcast (vocab) side:\n$plan")
+  }
+
   test("pieces conserve weighted character mass under merging") {
     val docs = graft.Tables.documents(spark, sf)
     val trained = queries.PipelineQueries.queries("vocab_bpe_merges")(spark, sf)
