@@ -152,6 +152,104 @@ object GraphAnalytics {
     ranks
   }
 
+  // ------------------------------------------------------------ triangles
+  /** Per-vertex triangle counts over an UNDIRECTED graph given as a
+    * canonical edge list `(a, b)` with `a < b`, distinct — clustering /
+    * community-density profiling (the classic spam-farm vs organic-link
+    * signal; on a co-occurrence graph, triangle density separates
+    * boilerplate-heavy from diverse sources).
+    *
+    * Algorithm: degree-ordered orientation (node-iterator++). Each edge is
+    * oriented from its lower-(deg, id) endpoint to the higher one; every
+    * triangle {u,v,w} with orientation ranks u<v<w then appears EXACTLY
+    * once, as the 2-path u->v, u->w closed by the oriented edge v->w.
+    *
+    * Scale design — this is the textbook distributed triangle bound:
+    *  - orientation caps every out-neighborhood at O(sqrt m) (a vertex of
+    *    oriented out-degree d has d neighbors of degree >= its own, so
+    *    d <= sqrt(2m)), making the 2-path equi-join fan-out O(m^1.5)
+    *    TOTAL regardless of degree skew — a celebrity vertex of degree
+    *    10^6 contributes paths only through its few HIGHER-degree
+    *    neighbors, not its 10^12 unordered pairs;
+    *  - every join in the execution is a plain equi-join (shuffle-hash /
+    *    SMJ / auto-broadcast eligible) — no cartesian, no driver state;
+    *  - counts are integers, so the DuckDB oracle replays exactly.
+    *
+    * Output: (id, triangles) for vertices in >= 1 triangle. */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val e = edges.persist() // read 3x: two degree tallies + the orient join
+    val deg = e.select(col("a").as("id"))
+      .unionAll(e.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    val withDeg = e
+      .join(deg.select(col("id").as("a"), col("deg").as("dega")), "a")
+      .join(deg.select(col("id").as("b"), col("deg").as("degb")), "b")
+    val lowFirst = col("dega") < col("degb") ||
+      (col("dega") === col("degb") && col("a") < col("b"))
+    val oriented = withDeg.select(
+      when(lowFirst, col("a")).otherwise(col("b")).as("src"),
+      when(lowFirst, col("b")).otherwise(col("a")).as("dst"))
+      .persist() // read 3x: in-lists + the two probe joins
+    // Edge-iterator execution of the node-iterator contract: for each
+    // oriented edge (v,w) the closing u's are the common oriented
+    // IN-neighbors of v and w (exactly the u with u->v and u->w; in-list
+    // length is bounded by the vertex's own degree since orientation
+    // points low->high). In-lists aggregate once (sum of sizes = m, ONE
+    // shuffle), attach to both edge endpoints via |V|-row equi-joins
+    // (auto-broadcast when small, AQE-planned otherwise), and intersect
+    // inside whole-stage codegen — the O(m^1.5) 2-path set is never
+    // materialized or shuffled as rows (measured: 41M path rows -> 0 at
+    // sf0.1, 46 s -> see SCALE.md; the DuckDB oracle keeps the path-join
+    // spelling as the readable semantic contract).
+    val inAdj = oriented.groupBy(col("dst"))
+      .agg(collect_list(col("src")).as("ins"))
+    val closed = oriented.select(col("src").as("v"), col("dst").as("w"))
+      .join(inAdj.select(col("dst").as("v"), col("ins").as("inv")), Seq("v"))
+      .join(inAdj.select(col("dst").as("w"), col("ins").as("inw")), Seq("w"))
+      .select(col("v"), col("w"),
+        array_intersect(col("inv"), col("inw")).as("us"))
+      .where(size(col("us")) > 0)
+    closed.select(explode(col("us")).as("id"), lit(1L).as("c"))
+      .unionAll(closed.select(col("v").as("id"),
+        size(col("us")).cast("long").as("c")))
+      .unionAll(closed.select(col("w").as("id"),
+        size(col("us")).cast("long").as("c")))
+      .groupBy("id").agg(sum("c").as("triangles"))
+  }
+
+  /** DuckDB replay of [[triangleCounts]]; `edgesSql` must produce the same
+    * canonical `(a, b)` list. */
+  def triangleCountsSql(edgesSql: String): String =
+    s"""WITH edges AS ($edgesSql),
+       |deg AS (
+       |  SELECT id, COUNT(*) AS deg FROM (
+       |    SELECT a AS id FROM edges UNION ALL SELECT b FROM edges)
+       |  GROUP BY id
+       |), o AS (
+       |  SELECT
+       |    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.a < e.b)
+       |         THEN e.a ELSE e.b END AS src,
+       |    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.a < e.b)
+       |         THEN e.b ELSE e.a END AS dst,
+       |    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.a < e.b)
+       |         THEN db.deg ELSE da.deg END AS ddeg
+       |  FROM edges e
+       |  JOIN deg da ON e.a = da.id
+       |  JOIN deg db ON e.b = db.id
+       |), paths AS (
+       |  SELECT f1.src AS u, f1.dst AS v, f2.dst AS w
+       |  FROM o f1 JOIN o f2 ON f1.src = f2.src
+       |  WHERE f1.ddeg < f2.ddeg OR (f1.ddeg = f2.ddeg AND f1.dst < f2.dst)
+       |), tri AS (
+       |  SELECT p.u, p.v, p.w
+       |  FROM paths p JOIN o ON o.src = p.v AND o.dst = p.w
+       |)
+       |SELECT id, COUNT(*) AS triangles FROM (
+       |  SELECT u AS id FROM tri
+       |  UNION ALL SELECT v FROM tri
+       |  UNION ALL SELECT w FROM tri)
+       |GROUP BY id ORDER BY id""".stripMargin
+
   def pagerankIntSql(edgesSql: String, iters: Int = 5,
       dampNum: Long = 85L, dampDen: Long = 100L,
       scale: Long = 1000000000000L): String = {

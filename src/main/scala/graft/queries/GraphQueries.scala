@@ -68,6 +68,45 @@ object GraphQueries {
       .select(col("doc_id").as("id"), col("component_id"), col("component_size"))
   }
 
+  /** Co-ordered-part graph: undirected canonical edges (a < b) between
+    * parts appearing in the same order — the co-occurrence graph a
+    * curation pipeline builds over entities/domains/urls. The per-order
+    * self-join's fan-out is quadratic ONLY in the items of one order
+    * (TPC-H caps at 7), the usual bounded-key co-occurrence shape; the
+    * graph itself has real triangle structure (every 3+-item order is a
+    * clique), unlike the star-schema KG whose typed layers are
+    * triangle-free. */
+  def coPartEdges(s: SparkSession, d: String): DataFrame = {
+    // Deterministic 1-in-3 ORDER subsample (whole orders, so per-order
+    // clique structure is preserved) — the coverage/bench proportioning
+    // knob; the oracle applies the identical arithmetic filter.
+    val li = Tables.lineitem(s, d)
+      .where(col("l_orderkey") % 3 === 0)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    // Pairs are generated NARROWLY from the per-order sorted part set
+    // (one groupBy shuffle + codegen'd array HOFs), not by the quadratic
+    // self-join spelling the oracle uses — fan-out is quadratic only in
+    // one order's item count (TPC-H caps at 7). collect_set is
+    // order-insensitive, so the sorted pair stream is deterministic.
+    val parts = Tables.lineitem(s, d)
+      .where(col("l_orderkey") % 3 === 0)
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+    parts.select(explode(flatten(expr(
+        "transform(ps, (x, i) -> transform(slice(ps, i + 2, size(ps)), " +
+          "y -> struct(x AS a, y AS b)))"))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .distinct()
+  }
+
+  private def coPartEdgesSql: String =
+    """SELECT DISTINCT x.pk AS a, y.pk AS b
+      |FROM (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+      |      WHERE l_orderkey % 3 = 0) x
+      |JOIN (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+      |      WHERE l_orderkey % 3 = 0) y
+      |  ON x.ok = y.ok AND x.pk < y.pk""".stripMargin
+
   /** Unrolled min-label oracle, NOT the reachability-closure one: the KG
     * is one ~|V|-node component, where closure enumeration is |V|^2
     * (observed hanging at sf0.01); 16 min-label rounds comfortably cover
@@ -86,7 +125,8 @@ object GraphQueries {
   val rawQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_degrees" -> ((s, d) => GraphAnalytics.degrees(kgEdges(s, d))),
     "graph_pagerank" -> ((s, d) => GraphAnalytics.pagerankInt(kgEdges(s, d))),
-    "graph_components" -> (kgComponents _))
+    "graph_components" -> (kgComponents _),
+    "graph_triangles" -> ((s, d) => GraphAnalytics.triangleCounts(coPartEdges(s, d))))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     rawQueries.map { case (name, fn) =>
@@ -96,5 +136,6 @@ object GraphQueries {
   val oracles: Map[String, String] = Map(
     "graph_degrees" -> GraphAnalytics.degreesSql(kgEdgesSql),
     "graph_pagerank" -> GraphAnalytics.pagerankIntSql(kgEdgesSql),
-    "graph_components" -> kgComponentsSql)
+    "graph_components" -> kgComponentsSql,
+    "graph_triangles" -> GraphAnalytics.triangleCountsSql(coPartEdgesSql))
 }

@@ -90,6 +90,47 @@ class GraphSpec extends SparkSpec {
       s"mass drifted: $total vs $scale (nVerts=$nVerts)")
   }
 
+  // --------------------------------------------------------- triangles
+  private def canonEdges(pairs: (Long, Long)*) =
+    pairs.map { case (a, b) => if (a < b) (a, b) else (b, a) }
+      .distinct.toDF("a", "b")
+
+  test("triangles: K4 plus a pendant edge, hand-checked") {
+    // K4 on 1..4 (each vertex in 3 triangles), pendant 4-5 (5 in none)
+    val e = canonEdges(1L -> 2L, 1L -> 3L, 1L -> 4L, 2L -> 3L, 2L -> 4L,
+      3L -> 4L, 4L -> 5L)
+    val got = GraphAnalytics.triangleCounts(e).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), got.toString)
+  }
+
+  test("triangles: matches brute-force enumeration on a random graph") {
+    val rnd = new scala.util.Random(7)
+    val n = 40
+    val pairs = (for {
+      a <- 0 until n; b <- (a + 1) until n
+      if rnd.nextDouble() < 0.15
+    } yield (a.toLong, b.toLong))
+    val eset = pairs.toSet
+    val expect = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for {
+      u <- 0L until n; v <- (u + 1) until n; w <- (v + 1) until n
+      if eset((u, v)) && eset((u, w)) && eset((v, w))
+    } { expect(u) += 1; expect(v) += 1; expect(w) += 1 }
+    val got = GraphAnalytics.triangleCounts(pairs.toDF("a", "b")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expect.toMap, s"got=$got expect=$expect")
+  }
+
+  test("triangles: path and closure joins are equi-joins (no cartesian)") {
+    val plan = GraphAnalytics.triangleCounts(
+        queries.GraphQueries.coPartEdges(spark, sf))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"triangle plan fell off the equi-join path:\n$plan")
+  }
+
   test("kg pagerank: nation/region sinks accumulate rank above the median") {
     val ranks = GraphAnalytics.pagerankInt(
         queries.GraphQueries.kgEdges(spark, sf), iters = 5)
