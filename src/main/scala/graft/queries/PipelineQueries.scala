@@ -150,7 +150,9 @@ object PipelineQueries {
     "text_tfidf_topterms" -> Seq("doc_id", "rn"),
     "vocab_bpe_merges" -> Seq("rank"),
     "vocab_bpe_pieces" -> Seq("piece"),
-    "tokenize_bpe" -> Seq("doc_id", "word_pos", "piece_pos"))
+    "tokenize_bpe" -> Seq("doc_id", "word_pos", "piece_pos"),
+    "chunk_overlap" -> Seq("doc_id", "chunk_idx"),
+    "events_cohort_retention" -> Seq("cohort_day", "day_offset"))
 
   /** The operator registrations as written — sorted only where the
     * operator itself has a semantic order. PlanSpec sweeps THESE plans
@@ -242,6 +244,9 @@ object PipelineQueries {
     // --- composed end-to-end cleaning pipeline ---
     "pipeline_clean_corpus" -> ((s, d) => CorpusPipeline.cleanCorpus(Tables.documents(s, d))),
     "pipeline_funnel" -> ((s, d) => CorpusPipeline.funnel(Tables.documents(s, d))),
+    "chunk_overlap" -> ((s, d) => Chunking.chunkDocs(Tables.documents(s, d))),
+    "events_cohort_retention" -> ((s, d) =>
+      EventAnalytics.cohortRetention(Tables.events(s, d))),
     "decontaminate" -> ((s, d) => Decontaminate.flagContaminated(Tables.documents(s, d))),
     "pack_sequences" -> ((s, d) => SequencePacking.packDocs(Tables.documents(s, d))),
     // --- partitioned sink + planning-time partition pruning ---
@@ -362,6 +367,8 @@ object PipelineQueries {
     "report_token_budget" -> CorpusStats.tokenBudgetReportSql,
     "pipeline_clean_corpus" -> CorpusPipeline.cleanCorpusSql(),
     "pipeline_funnel" -> CorpusPipeline.funnelSql(),
+    "chunk_overlap" -> Chunking.chunkDocsSql(),
+    "events_cohort_retention" -> EventAnalytics.cohortRetentionSql(),
     "decontaminate" -> Decontaminate.flagContaminatedSql(),
     "pack_sequences" -> SequencePacking.packDocsSql(),
     // partitioned round-trip must be lossless: oracle reads the raw table

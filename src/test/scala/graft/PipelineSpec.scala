@@ -1254,4 +1254,86 @@ class PipelineSpec extends SparkSpec {
     val real = TextAnalysis.repetition(docs)
     assert(real.count() == docs.count())
   }
+
+  test("chunk_overlap: chunk rule edge cases (short, exact, one-over)") {
+    import spark.implicits._
+    val c = 4; val st = 3
+    val fix = Seq(
+      1L -> "a b",                   // len 2 < C  -> 1 chunk
+      2L -> "a b c d",               // len == C   -> 1 chunk
+      3L -> "a b c d e",             // len C+1    -> 2 chunks, last short
+      4L -> "a b c d e f g h i j"    // len 10     -> 1 + ceil(6/3) = 3
+    ).toDF("doc_id", "text")
+    val got = operators.Chunking.chunkDocs(fix, chunkTokens = c, stride = st)
+      .orderBy("doc_id", "chunk_idx")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got.toSeq == Seq(
+      (1L, 0L, 2L, "a b"),
+      (2L, 0L, 4L, "a b c d"),
+      (3L, 0L, 4L, "a b c d"), (3L, 1L, 2L, "d e"),
+      (4L, 0L, 4L, "a b c d"), (4L, 1L, 4L, "d e f g"),
+      (4L, 2L, 4L, "g h i j")), got.mkString("\n"))
+  }
+
+  test("chunk_overlap: full coverage, bounded size, overlap stitches on sf docs") {
+    val out = operators.Chunking.chunkDocs(docs).persist()
+    // every chunk within bounds; chunk 0 exists per doc
+    assert(out.where(org.apache.spark.sql.functions.col("n_tokens") > 64).count() == 0)
+    assert(out.where("chunk_idx = 0").count() == docs.count())
+    // coverage: last chunk of each doc ends exactly at the doc's token count
+    import org.apache.spark.sql.functions._
+    val last = out.groupBy("doc_id")
+      .agg(max(col("chunk_idx")).as("mi"),
+        max(col("chunk_idx") * 48 + col("n_tokens")).as("end"))
+    val toks = docs.select(col("doc_id"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("n"))
+    assert(last.join(toks, "doc_id").where(col("end") =!= col("n")).count() == 0)
+    out.unpersist()
+  }
+
+  test("chunk_overlap: plan has no shuffle before the presentation sort") {
+    val plan = operators.Chunking.chunkDocs(docs)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"chunking must be a narrow per-row transform:\n$plan")
+  }
+
+  test("cohort retention: hand-built event log") {
+    import spark.implicits._
+    val day = 86400L
+    def ts(d: Long, sec: Long = 0L) =
+      new java.sql.Timestamp((d * day + sec) * 1000L)
+    // u1 first day0, active day0+day2; u2 first day0 only; u3 first day2
+    val fix = Seq(
+      (1L, ts(0)), (1L, ts(0, 3600)), (1L, ts(2)),
+      (2L, ts(0)),
+      (3L, ts(2)), (3L, ts(2, 60))
+    ).toDF("user_id", "ts")
+    val got = operators.EventAnalytics.cohortRetention(fix)
+      .orderBy("cohort_day", "day_offset").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((0L, 0L, 2L), (0L, 2L, 1L), (2L, 0L, 1L)),
+      got.mkString(","))
+  }
+
+  test("cohort retention: one wide shuffle on sf events; offsets start at 0") {
+    val df = operators.EventAnalytics.cohortRetention(Tables.events(spark, sf))
+    // exactly two exchanges: the per-user set build and the tiny cells agg
+    val nEx = df.queryExecution.executedPlan.toString
+      .split("Exchange").length - 1
+    assert(nEx <= 2, s"expected <=2 exchanges, got $nEx")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    val byCohort = rows.groupBy(_.getLong(0))
+    byCohort.foreach { case (cd, rs) =>
+      assert(rs.exists(_.getLong(1) == 0L), s"cohort $cd missing offset 0")
+    }
+    // day-0 cell of each cohort counts every user of that cohort: the
+    // per-cohort max is at offset 0
+    byCohort.foreach { case (cd, rs) =>
+      val at0 = rs.find(_.getLong(1) == 0L).get.getLong(2)
+      assert(rs.forall(_.getLong(2) <= at0), s"cohort $cd: offset-0 not max")
+    }
+  }
 }
