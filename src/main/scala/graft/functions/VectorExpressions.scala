@@ -175,6 +175,26 @@ object VectorFunctions {
             s"expression evaluable at plan time, got: ${kExpr.sql}")
       }
       TopKPairsAgg(es(0), es(1), k)
+    }),
+    // fixed-size HDR bucket table per group (7.5 KB), element-wise-add
+    // merge; second arg must be FOLDABLE to a double q in (0,1] at plan
+    // time (the quantile is part of the aggregate's identity)
+    ("hdr_quantile", es => {
+      checkArity("hdr_quantile", 2, es)
+      val qExpr = es(1)
+      val q = (if (qExpr.foldable) {
+        try Option(qExpr.eval()) catch { case _: Exception => None }
+      } else None) match {
+        case Some(d: Double) => d
+        case Some(f: Float) => f.toDouble
+        case Some(dec: org.apache.spark.sql.types.Decimal) => dec.toDouble
+        case Some(i: Int) => i.toDouble
+        case Some(l: Long) => l.toDouble
+        case _ => throw new IllegalArgumentException(
+          "hdr_quantile second argument (q) must be a constant numeric " +
+            s"expression evaluable at plan time, got: ${qExpr.sql}")
+      }
+      HdrQuantileAgg(es(0), q)
     }))
 
   def ensureRegistered(spark: SparkSession): Unit =

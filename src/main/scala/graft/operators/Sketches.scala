@@ -215,4 +215,100 @@ object Sketches {
        |SELECT tok AS token, est_count, exact_count FROM est
        |ORDER BY est_count DESC, tok ASC LIMIT $k""".stripMargin
   }
+
+  // --------------------------------------------- HDR quantile histogram
+  /** Per-language length-distribution quantiles through the native
+    * `hdr_quantile` TypedImperativeAggregate
+    * ([[graft.functions.HdrQuantileAgg]]): a FIXED 7.5 KB bucket table
+    * per group regardless of value domain (vs lengthQuantiles' one row
+    * per distinct value), merged by element-wise add — map-side partials
+    * through ObjectHashAggregate, relative error < 2^-4 on every
+    * reported quantile. Values and results are integers; the reported
+    * quantile is the containing HDR bucket's LOWER BOUND at rank
+    * ceil(q*n), which the DuckDB oracle replays exactly from the same
+    * bucket formula. */
+  def hdrQuantileHist(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    def p(q: Double, name: String) =
+      call_function("hdr_quantile", col("n_chars").cast("long"), lit(q)).as(name)
+    docs.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        p(0.5, "p50"), p(0.9, "p90"), p(0.99, "p99"))
+  }
+
+  /** DuckDB replay of [[hdrQuantileHist]]: identical HDR bucket math in
+    * SQL — exponent via `length(printf('%b', x)) - 1`, bucket
+    * ((e-K+1)<<K) | topKbits, lower bound reconstructed with the same
+    * shifts (K = [[graft.functions.HdrHist.K]] = 4). */
+  def hdrQuantileHistSql: String = hdrQuantileSqlOver(
+    "SELECT lang AS grp, CAST(n_chars AS BIGINT) AS x FROM documents",
+    grpOut = "lang", nOut = "n_docs")
+
+  /** Shared HDR-quantile SQL over any `(grp, x BIGINT >= 0)` source —
+    * also the oracle of the STREAMING bucket-state twin
+    * ([[graft.streaming.EventStreams.streamingQuantileHist]]). */
+  private[graft] def hdrQuantileSqlOver(valsSql: String, grpOut: String,
+      nOut: String): String = {
+    def lb(b: String) =
+      s"CASE WHEN $b < 16 THEN $b ELSE (CAST(1 AS BIGINT) << " +
+        s"CAST($b // 16 + 3 AS INTEGER)) | (($b % 16) << " +
+        s"CAST($b // 16 - 1 AS INTEGER)) END"
+    s"""WITH vals AS ($valsSql),
+       |buck AS (
+       |  SELECT grp,
+       |    CASE WHEN x < 16 THEN x
+       |         ELSE CAST((length(printf('%b', x)) - 4) * 16
+       |              + ((x >> (length(printf('%b', x)) - 5)) & 15) AS BIGINT)
+       |    END AS b
+       |  FROM vals),
+       |cnt AS (SELECT grp, b, COUNT(*) AS c FROM buck GROUP BY 1, 2),
+       |cum AS (SELECT grp, b, c,
+       |        CAST(SUM(c) OVER (PARTITION BY grp ORDER BY b) AS BIGINT) AS cm,
+       |        CAST(SUM(c) OVER (PARTITION BY grp) AS BIGINT) AS n FROM cnt),
+       |pick AS (
+       |  SELECT grp, n,
+       |    MIN(CASE WHEN cm >= ceil(0.5 * n) THEN b END) AS b50,
+       |    MIN(CASE WHEN cm >= ceil(0.9 * n) THEN b END) AS b90,
+       |    MIN(CASE WHEN cm >= ceil(0.99 * n) THEN b END) AS b99
+       |  FROM cum GROUP BY grp, n)
+       |SELECT grp AS $grpOut, n AS $nOut, ${lb("b50")} AS p50,
+       |  ${lb("b90")} AS p90, ${lb("b99")} AS p99
+       |FROM pick ORDER BY $grpOut""".stripMargin
+  }
+
+  /** HDR bucket of the non-negative BIGINT column `x` — the
+    * [[graft.functions.HdrHist.bucketOf]] formula as codegen'd
+    * expressions (exponent via `length(bin(x)) - 1`, Spark's spelling of
+    * the oracle's printf('%b')). Input frame must expose columns `x`;
+    * emits `b`. */
+  private[graft] def withHdrBucket(df: DataFrame): DataFrame =
+    df.withColumn("eb", (length(bin(col("x"))) - 1).cast("long"))
+      .withColumn("b", when(col("x") < 16, col("x")).otherwise(
+        (col("eb") - 3L) * 16L +
+          expr("shiftright(x, CAST(eb - 4 AS INT)) % 16")))
+      .drop("eb")
+
+  /** Quantiles from a completed HDR bucket-count table `(grp, b, c)` —
+    * the read side of the streaming sketch split. The cumulative window
+    * runs over the BOUNDED bucket table (groups x <=960 rows), never
+    * event-scale data. */
+  private[graft] def quantilesFromBuckets(bc: DataFrame, grpOut: String,
+      nOut: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cum = bc
+      .withColumn("cm", sum("c").over(
+        Window.partitionBy("grp").orderBy("b")))
+      .withColumn("n", sum("c").over(Window.partitionBy("grp")))
+    def pick(q: Double, name: String) =
+      min(when(col("cm") >= ceil(lit(q) * col("n")), col("b"))).as(name)
+    def lb(b: String, out: String) = expr(
+      s"CASE WHEN $b < 16 THEN $b " +
+        s"ELSE shiftleft(CAST(1 AS BIGINT), CAST($b DIV 16 + 3 AS INT)) | " +
+        s"shiftleft($b % 16, CAST($b DIV 16 - 1 AS INT)) END").as(out)
+    cum.groupBy(col("grp"), col("n"))
+      .agg(pick(0.5, "b50"), pick(0.9, "b90"), pick(0.99, "b99"))
+      .select(col("grp").as(grpOut), col("n").as(nOut),
+        lb("b50", "p50"), lb("b90", "p90"), lb("b99", "p99"))
+  }
 }

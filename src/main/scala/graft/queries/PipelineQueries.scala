@@ -152,6 +152,7 @@ object PipelineQueries {
     "vocab_bpe_pieces" -> Seq("piece"),
     "tokenize_bpe" -> Seq("doc_id", "word_pos", "piece_pos"),
     "chunk_overlap" -> Seq("doc_id", "chunk_idx"),
+    "sketch_quantile_hist" -> Seq("lang"),
     "events_cohort_retention" -> Seq("cohort_day", "day_offset"))
 
   /** The operator registrations as written — sorted only where the
@@ -227,6 +228,7 @@ object PipelineQueries {
     "sketch_hll_distinct" -> ((s, d) => Sketches.hllDistinct(Tables.events(s, d), "event_type", "user_id")),
     "sketch_hll_agg" -> ((s, d) => Sketches.hllDistinctAgg(Tables.events(s, d), "event_type", "user_id")),
     "sketch_cms_topk" -> ((s, d) => Sketches.cmsTopK(Tables.documents(s, d))),
+    "sketch_quantile_hist" -> ((s, d) => Sketches.hdrQuantileHist(Tables.documents(s, d))),
     // --- scrubbing + deterministic sampling ---
     "text_pii_scrub" -> ((s, d) => TextAnalysis.piiScrub(Tables.documents(s, d))),
     "sample_hash" -> ((s, d) => Sampling.sampleDocs(Tables.documents(s, d))),
@@ -352,6 +354,7 @@ object PipelineQueries {
     // the TypedImperativeAggregate spelling lands on the same estimates
     "sketch_hll_agg" -> Sketches.hllDistinctSql,
     "sketch_cms_topk" -> Sketches.cmsTopKSql(),
+    "sketch_quantile_hist" -> Sketches.hdrQuantileHistSql,
     "text_pii_scrub" -> TextAnalysis.piiScrubSql,
     "sample_hash" -> Sampling.sampleDocsSql(),
     "sample_stratified" -> Sampling.stratifiedSampleSql(),

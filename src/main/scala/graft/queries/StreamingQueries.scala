@@ -28,6 +28,7 @@ object StreamingQueries {
     "stream_enrich" -> ((s, d) => EventStreams.streamingEnrich(s, d)),
     "stream_restart_dedup" -> ((s, d) => EventStreams.restartRecoveryDedup(s, d)),
     "stream_upsert" -> ((s, d) => EventStreams.streamingUpsert(s, d)),
+    "stream_quantile_hist" -> ((s, d) => EventStreams.streamingQuantileHist(s, d)),
     "q11_sessionize" -> ((s, d) => EventStreams.sessionizeBatch(Tables.events(s, d))),
     "q12_asof_join" -> ((s, d) => AsOfJoin.errorToLastClick(Tables.events(s, d))),
     "q32_asof_forward" -> ((s, d) => AsOfJoin.errorToNextClick(Tables.events(s, d))),
@@ -68,6 +69,9 @@ object StreamingQueries {
     // source-format drift insurance: the span/count the stream sees must
     // equal what DuckDB reads from the same file
     "stream_ts_canary" -> EventStreams.tsSpanCanarySql,
+    // bucket counting is order-insensitive, so the streamed HDR bucket
+    // table — and every quantile read from it — equals batch exactly
+    "stream_quantile_hist" -> EventStreams.streamingQuantileHistSql,
     // stateless per-row enrichment is replay-order-insensitive, so the
     // finite replay equals the batch join and shares its oracle
     "stream_enrich" -> EventStreams.streamingEnrichSql,

@@ -653,6 +653,38 @@ object EventStreams {
     Sketches.cmsTopKFromGrid(candidates, grid, k)
   }
 
+  // ------------------------------------- streaming HDR quantile buckets
+  /** Streaming HDR-quantile sketch of event values per event_type: the
+    * stream maintains the BUCKET-COUNT table (one stateful counting
+    * aggregation whose state is bounded by groups x <=960 HDR buckets —
+    * like the HLL registers, no watermark needed, state never grows with
+    * value cardinality or event volume); quantile extraction is a cheap
+    * batch read over the completed buckets
+    * ([[graft.operators.Sketches.quantilesFromBuckets]]). Bucket counting
+    * is ORDER-INSENSITIVE, so on a finite replay the bucket table — and
+    * therefore every reported quantile — equals the batch `hdr_quantile`
+    * aggregate's exactly, and the shared DuckDB oracle replays both.
+    * Values map to non-negative integer cents (floor(value*100), clamped
+    * at 0): floor and x100 are correctly-rounded IEEE double ops, so the
+    * oracle's bucket assignment is bit-identical. */
+  def streamingQuantileHist(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.Sketches
+    val vals = readEventStream(spark, sfDir)
+      .select(col("event_type").as("grp"),
+        greatest(floor(col("value") * 100).cast("long"), lit(0L)).as("x"))
+    val counts = Sketches.withHdrBucket(vals)
+      .groupBy("grp", "b").agg(count(lit(1)).as("c"))
+    val done = runToCompletion(counts, OutputMode.Complete())
+    Sketches.quantilesFromBuckets(done, "event_type", "n_events")
+      .orderBy("event_type")
+  }
+
+  def streamingQuantileHistSql: String =
+    graft.operators.Sketches.hdrQuantileSqlOver(
+      "SELECT event_type AS grp, " +
+        "GREATEST(CAST(floor(value * 100) AS BIGINT), 0) AS x FROM events",
+      grpOut = "event_type", nOut = "n_events")
+
   // ------------------------------------------ streaming CDC apply (merge)
   /** Change-data-capture apply via `foreachBatch` — the remaining
     * Structured Streaming sink API next to the memory/file sinks: a

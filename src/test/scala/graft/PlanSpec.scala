@@ -246,6 +246,18 @@ class PlanSpec extends SparkSpec {
       s"expected partial AND final hll_sketch aggregation:\n$p")
   }
 
+  test("hdr_quantile plans as partial+final ObjectHashAggregate") {
+    val df = graft.operators.Sketches.hdrQuantileHist(
+      Tables.documents(spark, sf))
+    val p = simplePlan(df)
+    assert(p.contains("ObjectHashAggregate"),
+      s"hdr_quantile must use the object hash agg exec:\n$p")
+    // partial bucket tables merge map-side; the shuffle carries one
+    // 7.5 KB buffer per (group, quantile) per map partition
+    assert("hdr_quantile".r.findAllIn(p).length >= 2,
+      s"expected partial AND final hdr_quantile aggregation:\n$p")
+  }
+
   test("grouped topk plans as partial+final ObjectHashAggregate, no window sort") {
     val df = graft.queries.Relational.q26GroupedTopK(spark, sf)
     val p = simplePlan(df)

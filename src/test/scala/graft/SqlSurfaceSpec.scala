@@ -102,6 +102,65 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(rows.nonEmpty && rows.forall(_.getSeq[org.apache.spark.sql.Row](1).length <= 2))
   }
 
+  test("hdr_quantile: bucket math invariants over the full long range") {
+    import graft.functions.HdrHist
+    val rnd = new scala.util.Random(11)
+    val samples = (0L to 70L) ++ Seq(Long.MaxValue, Long.MaxValue - 1) ++
+      (1 to 2000).map(_ => math.abs(rnd.nextLong()) max 0L)
+    samples.foreach { x =>
+      val b = HdrHist.bucketOf(x)
+      assert(b >= 0 && b < HdrHist.NBuckets, s"x=$x b=$b")
+      val lb = HdrHist.lowerBound(b)
+      assert(lb <= x, s"x=$x lb=$lb")
+      // relative error bound: bucket width <= 2^-K of the lower bound
+      if (x >= 16) assert(x - lb <= (lb >> HdrHist.K), s"x=$x lb=$lb")
+      // monotone: the NEXT bucket's lower bound exceeds x
+      if (b + 1 < HdrHist.NBuckets)
+        assert(HdrHist.lowerBound(b + 1) > x, s"x=$x b=$b")
+    }
+    // negatives clamp to bucket 0
+    assert(HdrHist.bucketOf(-5L) == 0)
+  }
+
+  test("hdr_quantile matches a driver-side exact-histogram replay; merge-safe") {
+    VectorFunctions.ensureRegistered(spark)
+    val docs = Tables.documents(spark, sf)
+    // many partitions -> partial buffers MUST merge correctly
+    val got = graft.operators.Sketches.hdrQuantileHist(docs.repartition(13))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val vals = docs.select("lang", "n_chars").collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    import graft.functions.HdrHist
+    vals.foreach { case (lang, xs) =>
+      val bs = xs.map(HdrHist.bucketOf).sorted
+      def q(p: Double) =
+        HdrHist.lowerBound(bs(math.ceil(p * bs.length).toLong.toInt - 1))
+      assert(got(lang) == ((xs.length.toLong, q(0.5), q(0.9), q(0.99))),
+        s"$lang: got ${got(lang)}")
+    }
+  }
+
+  test("hdr_quantile: arity and non-constant q fail by name; foldable q works") {
+    VectorFunctions.ensureRegistered(spark)
+    Tables.documents(spark, sf).createOrReplaceTempView("docs_v")
+    val e1 = intercept[Exception] {
+      spark.sql("SELECT hdr_quantile(n_chars) FROM docs_v").collect()
+    }
+    assert(e1.getMessage.contains("2 argument"), s"got: ${e1.getMessage}")
+    val eCol = intercept[Exception] {
+      spark.sql(
+        "SELECT hdr_quantile(n_chars, CAST(n_chars AS DOUBLE)) FROM docs_v")
+        .collect()
+    }
+    assert(eCol.getMessage.contains("constant numeric"), s"got: ${eCol.getMessage}")
+    val rows = spark.sql(
+      "SELECT hdr_quantile(CAST(n_chars AS BIGINT), 0.25 + 0.25) FROM docs_v")
+      .collect()
+    assert(rows.length == 1 && rows.head.getLong(0) > 0)
+  }
+
   test("Dedup.hash64Col equals the JVM md5Hash64 (incl. negative/high-bit values)") {
     // the engine-portable shingle key rests on conv(md5_hex16, 16, -10)
     // being the signed two's-complement read of the first 8 md5 bytes —

@@ -374,4 +374,27 @@ class StreamingSpec extends SparkSpec {
     // every error is inside its own user's session
     assert(want.forall(_._2 >= 1L))
   }
+
+  test("streaming HDR quantiles equal the batch hdr_quantile aggregate") {
+    val streamed = EventStreams.streamingQuantileHist(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    // batch twin: the native aggregate over the identical cents mapping
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    import org.apache.spark.sql.functions._
+    def p(q: Double, name: String) = call_function("hdr_quantile",
+      greatest(floor(col("value") * 100).cast("long"), lit(0L)), lit(q)).as(name)
+    val batch = Tables.events(spark, sf)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        p(0.5, "p50"), p(0.9, "p90"), p(0.99, "p99"))
+      .orderBy("event_type")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(streamed == batch, s"stream=$streamed\nbatch=$batch")
+    // sketch-state bound: the streamed state is the bucket table, whose
+    // cardinality is capped by groups x NBuckets regardless of volume
+    assert(streamed.nonEmpty &&
+      streamed.map(_._2).sum == Tables.events(spark, sf).count())
+  }
 }
