@@ -195,6 +195,25 @@ object VectorFunctions {
             s"expression evaluable at plan time, got: ${qExpr.sql}")
       }
       HdrQuantileAgg(es(0), q)
+    }),
+    // bounded bottom-k distinct-hash sample per group (<=2 KB at k=256),
+    // set-union-then-clip merge; second arg must be FOLDABLE to an
+    // integer k at plan time (the buffer bound is the sketch's identity)
+    ("kmv_sketch", es => {
+      checkArity("kmv_sketch", 2, es)
+      val kExpr = es(1)
+      val k = (if (kExpr.foldable) {
+        try Option(kExpr.eval()) catch { case _: Exception => None }
+      } else None) match {
+        case Some(i: Int) => i
+        case Some(l: Long) => l.toInt
+        case Some(s: Short) => s.toInt
+        case Some(b: Byte) => b.toInt
+        case _ => throw new IllegalArgumentException(
+          "kmv_sketch second argument (k) must be a constant integer " +
+            s"expression evaluable at plan time, got: ${kExpr.sql}")
+      }
+      KmvSketchAgg(es(0), k)
     }))
 
   def ensureRegistered(spark: SparkSession): Unit =

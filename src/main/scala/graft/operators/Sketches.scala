@@ -311,4 +311,135 @@ object Sketches {
       .select(col("grp").as(grpOut), col("n").as(nOut),
         lb("b50", "p50"), lb("b90", "p90"), lb("b99", "p99"))
   }
+
+  // --------------------------------------------- KMV / theta sketches
+  /** Bottom-k size (k=256 → ~6% relative error, 2 KB buffers). */
+  val KmvK = 256
+  /** The 52-bit hash space bound: 16^13 = 2^52. */
+  val KmvSpace = 4503599627370496L
+
+  private def kmvSketches(events: DataFrame, grpCol: String,
+      valCol: String): DataFrame = {
+    val spark = events.sparkSession
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    events.groupBy(col(grpCol).as("grp"))
+      .agg(
+        call_function("kmv_sketch", col(valCol).cast("string"), lit(KmvK)).as("arr"),
+        countDistinct(col(valCol)).as("n_exact"))
+  }
+
+  /** Per-group distinct estimate from the KMV sketch, with the exact
+    * count alongside as the yardstick (the HLL query's contract). The
+    * estimator is all-integer: exact below k, else
+    * (k-1) * 2^52 DIV h_(k) — the classic KMV unbiased form on the
+    * 52-bit hash space, identical integer division in DuckDB. */
+  def kmvDistinct(events: DataFrame, grpCol: String = "event_type",
+      valCol: String = "user_day"): DataFrame =
+    kmvSketches(events, grpCol, valCol)
+      .select(col("grp").as(grpCol),
+        when(size(col("arr")) < KmvK, size(col("arr")).cast("long"))
+          .otherwise(expr(s"CAST((${KmvK - 1} * ${KmvSpace}L)" +
+            s" DIV element_at(arr, $KmvK) AS BIGINT)")).as("n_est"),
+        col("n_exact"))
+
+  /** Pairwise distinct-INTERSECTION estimates between groups — the
+    * theta-sketch operation HLL registers cannot express ("how many
+    * users did both X and Y"). Both sketches clip to the shared
+    * theta = least(theta_A, theta_B) (a sketch below k retains its whole
+    * hash set, theta = 2^52), common hashes below theta are counted by
+    * `array_intersect` on the tiny sorted arrays, and the count scales
+    * by the sampled fraction: common * 2^52 DIV theta. Exact pair
+    * overlap rides alongside as the yardstick. The pair join is
+    * group-cardinality-sized (sketch rows), never event-scale. */
+  def kmvIntersect(events: DataFrame, grpCol: String = "event_type",
+      valCol: String = "user_day"): DataFrame = {
+    val sk = kmvSketches(events, grpCol, valCol)
+      .select(col("grp"), col("arr"),
+        when(size(col("arr")) < KmvK, lit(KmvSpace))
+          .otherwise(expr(s"element_at(arr, $KmvK)")).as("theta"))
+    val pairs = sk.as("a").join(sk.as("b"), col("a.grp") < col("b.grp"))
+      .select(col("a.grp").as("ga"), col("b.grp").as("gb"),
+        least(col("a.theta"), col("b.theta")).as("th"),
+        col("a.arr").as("aa"), col("b.arr").as("ba"))
+      .withColumn("common", size(array_intersect(
+        filter(col("aa"), _ < col("th")), filter(col("ba"), _ < col("th")))))
+    // exact pairwise overlap: distinct (grp, val) self-joined on val —
+    // the yardstick the estimate is judged against
+    val dv = events.select(col(grpCol).as("grp"), col(valCol).as("v")).distinct()
+    val exact = dv.as("x").join(dv.as("y"),
+        col("x.v") === col("y.v") && col("x.grp") < col("y.grp"))
+      .groupBy(col("x.grp").as("ga"), col("y.grp").as("gb"))
+      .agg(count(lit(1)).as("exact_common"))
+    pairs.select(col("ga").as("type_a"), col("gb").as("type_b"),
+        expr(s"CAST((common * ${KmvSpace}L) DIV th AS BIGINT)").as("est_common"))
+      .join(exact.select(col("ga").as("type_a"), col("gb").as("type_b"),
+        col("exact_common")), Seq("type_a", "type_b"), "left")
+      .na.fill(0L, Seq("exact_common"))
+  }
+
+  /** 52-bit md5-prefix hash in DuckDB: hex chars [1,8] << 20 | [9,13]
+    * — the exact integer [[graft.functions.KmvSketchAgg]] computes. */
+  private def kmvHash52Sql(e: String): String =
+    // outer CAST: list_sum returns HUGEINT, which pandas reads as float64
+    s"CAST(${OracleSql.hexVal(s"md5($e)", 1, 8)} * 1048576 + " +
+      s"${OracleSql.hexVal(s"md5($e)", 9, 5)} AS BIGINT)"
+
+  /** Active USER-DAY key — cardinality scales with the event log (so
+    * the beyond-k estimator path is exercised at every sf), and "how
+    * many user-days saw both X and Y" is the actual product question.
+    * Spark `concat_ws("/", user_id, to_date(ts))` and this SQL render
+    * identically ('<id>/yyyy-MM-dd'). */
+  val KmvUserDaySql = "(user_id || '/' || CAST(CAST(ts AS DATE) AS VARCHAR))"
+
+  /** The Spark-side twin of [[KmvUserDaySql]]. */
+  def withUserDay(events: DataFrame): DataFrame =
+    events.withColumn("user_day",
+      concat_ws("/", col("user_id"), to_date(col("ts"))))
+
+  private def kmvBottomKSql(grpCol: String, valCol: String): String =
+    s"""hs AS (SELECT DISTINCT $grpCol AS grp,
+       |  ${kmvHash52Sql(s"CAST($valCol AS VARCHAR)")} AS h FROM events),
+       |bk AS (SELECT grp, h,
+       |  row_number() OVER (PARTITION BY grp ORDER BY h) AS rn FROM hs
+       |  QUALIFY rn <= $KmvK)""".stripMargin
+
+  /** DuckDB replay of [[kmvDistinct]]: identical retained set (bottom-k
+    * over the same 52-bit hashes), identical integer estimator. */
+  def kmvDistinctSql(grpCol: String = "event_type",
+      valCol: String = KmvUserDaySql): String =
+    s"""WITH ${kmvBottomKSql(grpCol, valCol)},
+       |agg AS (SELECT grp, max(rn) AS sz,
+       |  max(CASE WHEN rn = $KmvK THEN h END) AS hk FROM bk GROUP BY grp),
+       |ex AS (SELECT $grpCol AS grp, COUNT(DISTINCT $valCol) AS n_exact
+       |  FROM events GROUP BY 1)
+       |SELECT agg.grp AS $grpCol,
+       |  CASE WHEN sz < $KmvK THEN sz
+       |       ELSE (${KmvK - 1} * $KmvSpace) // hk END AS n_est,
+       |  n_exact
+       |FROM agg JOIN ex ON agg.grp = ex.grp
+       |ORDER BY $grpCol""".stripMargin
+
+  /** DuckDB replay of [[kmvIntersect]]: same clipped-sample count, same
+    * integer scaling, same exact-overlap yardstick. */
+  def kmvIntersectSql(grpCol: String = "event_type",
+      valCol: String = KmvUserDaySql): String =
+    s"""WITH ${kmvBottomKSql(grpCol, valCol)},
+       |th AS (SELECT grp,
+       |  CASE WHEN max(rn) < $KmvK THEN $KmvSpace
+       |       ELSE max(CASE WHEN rn = $KmvK THEN h END) END AS theta
+       |  FROM bk GROUP BY grp),
+       |pr AS (SELECT a.grp AS ga, b.grp AS gb,
+       |  least(a.theta, b.theta) AS t FROM th a JOIN th b ON a.grp < b.grp),
+       |cm AS (SELECT pr.ga, pr.gb, pr.t,
+       |  (SELECT COUNT(*) FROM bk x JOIN bk y ON x.h = y.h
+       |   WHERE x.grp = pr.ga AND y.grp = pr.gb AND x.h < pr.t) AS common
+       |  FROM pr),
+       |dv AS (SELECT DISTINCT $grpCol AS grp, $valCol AS v FROM events),
+       |ex AS (SELECT x.grp AS ga, y.grp AS gb, COUNT(*) AS exact_common
+       |  FROM dv x JOIN dv y ON x.v = y.v AND x.grp < y.grp GROUP BY 1, 2)
+       |SELECT cm.ga AS type_a, cm.gb AS type_b,
+       |  (common * $KmvSpace) // t AS est_common,
+       |  COALESCE(exact_common, 0) AS exact_common
+       |FROM cm LEFT JOIN ex ON cm.ga = ex.ga AND cm.gb = ex.gb
+       |ORDER BY type_a, type_b""".stripMargin
 }

@@ -153,6 +153,8 @@ object PipelineQueries {
     "tokenize_bpe" -> Seq("doc_id", "word_pos", "piece_pos"),
     "chunk_overlap" -> Seq("doc_id", "chunk_idx"),
     "sketch_quantile_hist" -> Seq("lang"),
+    "sketch_kmv_distinct" -> Seq("event_type"),
+    "sketch_kmv_intersect" -> Seq("type_a", "type_b"),
     "events_cohort_retention" -> Seq("cohort_day", "day_offset"))
 
   /** The operator registrations as written — sorted only where the
@@ -228,6 +230,8 @@ object PipelineQueries {
     "sketch_hll_distinct" -> ((s, d) => Sketches.hllDistinct(Tables.events(s, d), "event_type", "user_id")),
     "sketch_hll_agg" -> ((s, d) => Sketches.hllDistinctAgg(Tables.events(s, d), "event_type", "user_id")),
     "sketch_cms_topk" -> ((s, d) => Sketches.cmsTopK(Tables.documents(s, d))),
+    "sketch_kmv_distinct" -> ((s, d) => Sketches.kmvDistinct(Sketches.withUserDay(Tables.events(s, d)))),
+    "sketch_kmv_intersect" -> ((s, d) => Sketches.kmvIntersect(Sketches.withUserDay(Tables.events(s, d)))),
     "sketch_quantile_hist" -> ((s, d) => Sketches.hdrQuantileHist(Tables.documents(s, d))),
     // --- scrubbing + deterministic sampling ---
     "text_pii_scrub" -> ((s, d) => TextAnalysis.piiScrub(Tables.documents(s, d))),
@@ -354,6 +358,8 @@ object PipelineQueries {
     // the TypedImperativeAggregate spelling lands on the same estimates
     "sketch_hll_agg" -> Sketches.hllDistinctSql,
     "sketch_cms_topk" -> Sketches.cmsTopKSql(),
+    "sketch_kmv_distinct" -> Sketches.kmvDistinctSql(),
+    "sketch_kmv_intersect" -> Sketches.kmvIntersectSql(),
     "sketch_quantile_hist" -> Sketches.hdrQuantileHistSql,
     "text_pii_scrub" -> TextAnalysis.piiScrubSql,
     "sample_hash" -> Sampling.sampleDocsSql(),

@@ -161,6 +161,86 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(rows.length == 1 && rows.head.getLong(0) > 0)
   }
 
+  test("kmv_sketch matches a driver-side bottom-k replay; merge-safe") {
+    VectorFunctions.ensureRegistered(spark)
+    val events = graft.operators.Sketches.withUserDay(Tables.events(spark, sf))
+    // many partitions -> partial TreeSet buffers MUST union-clip correctly
+    val got = events.repartition(13).groupBy("event_type")
+      .agg(org.apache.spark.sql.functions.call_function("kmv_sketch",
+        org.apache.spark.sql.functions.col("user_day"),
+        org.apache.spark.sql.functions.lit(graft.operators.Sketches.KmvK)).as("arr"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    // independent replay: md5 hex chars [1,13] as a 52-bit long, distinct,
+    // sorted ascending, first k — pins the hash LAYOUT, not just agreement
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h52(s: String): Long = {
+      md.reset()
+      val hex = md.digest(s.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.substring(0, 13)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val exp = events.select("event_type", "user_day").collect()
+      .map(r => r.getString(0) -> h52(r.getString(1)))
+      .groupBy(_._1).view
+      .mapValues(_.map(_._2).distinct.sorted.take(graft.operators.Sketches.KmvK))
+      .toMap
+    exp.foreach { case (t, e) =>
+      assert(got(t).toSeq == e.toSeq, s"$t: sketch mismatch")
+      // every retained hash fits 52 bits (what keeps the oracle's integer
+      // estimator overflow-free)
+      assert(e.forall(h => h >= 0 && h < graft.operators.Sketches.KmvSpace))
+    }
+  }
+
+  test("kmv estimator: exact below k, within tolerance above k") {
+    import spark.implicits._
+    val k = graft.operators.Sketches.KmvK
+    // group "small" has 50 distinct values (< k: exact), "big" has 8000
+    val df = ((1 to 50).map(i => ("small", s"s$i")) ++
+      (1 to 8000).map(i => ("big", s"b$i"))).toDF("event_type", "user_day")
+    val got = graft.operators.Sketches.kmvDistinct(df)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got("small") == ((50L, 50L)))
+    val (est, exact) = got("big")
+    assert(exact == 8000L)
+    // k=256 -> RSE ~ 1/sqrt(k-2) ~ 6.3%; 4 sigma
+    assert(math.abs(est - 8000L) < 8000 * 0.25, s"est $est vs 8000")
+  }
+
+  test("kmv intersect: disjoint groups estimate 0, identical groups estimate full") {
+    import spark.implicits._
+    val df = ((1 to 2000).map(i => ("a", s"x$i")) ++
+      (1 to 2000).map(i => ("b", s"x$i")) ++        // b == a exactly
+      (1 to 2000).map(i => ("c", s"y$i"))).toDF("event_type", "user_day")
+    val got = graft.operators.Sketches.kmvIntersect(df)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    // identical sets: clipped samples coincide -> estimate == exact == 2000
+    // up to estimator scaling noise; exact yardstick must be exact
+    assert(got(("a", "b"))._2 == 2000L)
+    assert(math.abs(got(("a", "b"))._1 - 2000L) < 500, s"got ${got(("a", "b"))}")
+    // disjoint sets: zero common hashes -> estimate exactly 0
+    assert(got(("a", "c")) == ((0L, 0L)))
+    assert(got(("b", "c")) == ((0L, 0L)))
+  }
+
+  test("kmv_sketch: arity and non-constant k fail by name; foldable k works") {
+    VectorFunctions.ensureRegistered(spark)
+    Tables.documents(spark, sf).createOrReplaceTempView("docs_kmv_v")
+    val e1 = intercept[Exception] {
+      spark.sql("SELECT kmv_sketch(lang) FROM docs_kmv_v").collect()
+    }
+    assert(e1.getMessage.contains("2 argument"), s"got: ${e1.getMessage}")
+    val eCol = intercept[Exception] {
+      spark.sql("SELECT kmv_sketch(lang, n_chars) FROM docs_kmv_v").collect()
+    }
+    assert(eCol.getMessage.contains("constant integer"), s"got: ${eCol.getMessage}")
+    val rows = spark.sql(
+      "SELECT size(kmv_sketch(CAST(doc_id AS STRING), 2 + 6)) FROM docs_kmv_v")
+      .collect()
+    assert(rows.length == 1 && rows.head.getInt(0) == 8)
+  }
+
   test("Dedup.hash64Col equals the JVM md5Hash64 (incl. negative/high-bit values)") {
     // the engine-portable shingle key rests on conv(md5_hex16, 16, -10)
     // being the signed two's-complement read of the first 8 md5 bytes —
