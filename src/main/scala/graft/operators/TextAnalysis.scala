@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  private val wsTokens = split(trim(col("text")), "\\s+")
+  private[operators] val wsTokens = split(trim(col("text")), "\\s+")
 
   // -------------------------------------------------------- token counts
   /** Token counting: whitespace tokens, BPE-ish subword pieces via a

@@ -155,6 +155,8 @@ object PipelineQueries {
     "sketch_quantile_hist" -> Seq("lang"),
     "sketch_kmv_distinct" -> Seq("event_type"),
     "sketch_kmv_intersect" -> Seq("type_a", "type_b"),
+    "clf_quality_vocab" -> Seq("tok"),
+    "clf_quality_score" -> Seq("doc_id"),
     "events_cohort_retention" -> Seq("cohort_day", "day_offset"))
 
   /** The operator registrations as written — sorted only where the
@@ -232,6 +234,9 @@ object PipelineQueries {
     "sketch_cms_topk" -> ((s, d) => Sketches.cmsTopK(Tables.documents(s, d))),
     "sketch_kmv_distinct" -> ((s, d) => Sketches.kmvDistinct(Sketches.withUserDay(Tables.events(s, d)))),
     "sketch_kmv_intersect" -> ((s, d) => Sketches.kmvIntersect(Sketches.withUserDay(Tables.events(s, d)))),
+    // --- model-based quality filtering ---
+    "clf_quality_vocab" -> ((s, d) => QualityClassifier.clfVocab(Tables.documents(s, d))),
+    "clf_quality_score" -> ((s, d) => QualityClassifier.clfScore(Tables.documents(s, d))),
     "sketch_quantile_hist" -> ((s, d) => Sketches.hdrQuantileHist(Tables.documents(s, d))),
     // --- scrubbing + deterministic sampling ---
     "text_pii_scrub" -> ((s, d) => TextAnalysis.piiScrub(Tables.documents(s, d))),
@@ -360,6 +365,8 @@ object PipelineQueries {
     "sketch_cms_topk" -> Sketches.cmsTopKSql(),
     "sketch_kmv_distinct" -> Sketches.kmvDistinctSql(),
     "sketch_kmv_intersect" -> Sketches.kmvIntersectSql(),
+    "clf_quality_vocab" -> QualityClassifier.clfVocabSql,
+    "clf_quality_score" -> QualityClassifier.clfScoreSql,
     "sketch_quantile_hist" -> Sketches.hdrQuantileHistSql,
     "text_pii_scrub" -> TextAnalysis.piiScrubSql,
     "sample_hash" -> Sampling.sampleDocsSql(),

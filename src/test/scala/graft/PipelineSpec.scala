@@ -1336,4 +1336,43 @@ class PipelineSpec extends SparkSpec {
       assert(rs.forall(_.getLong(2) <= at0), s"cohort $cd: offset-0 not max")
     }
   }
+
+  test("quality classifier: discriminates a corpus with real lexical signal") {
+    import spark.implicits._
+    // the sf testdata's 31-token vocabulary is HOMOGENEOUS across docs, so
+    // token votes are flat there (documented); build a corpus where high-
+    // and low-quality docs draw from distinct token pools, as real web
+    // text does. Quality deciles come from doc LENGTH + stopwords (the
+    // teacher), and each band also has its own content vocabulary.
+    val good = "the quick analysis of the data is presented in this chapter and it shows the trend"
+    val bad = "click here buy now cheap deal offer"
+    val docs = ((1 to 60).map(i => (i.toLong, s"$good result$i method$i", "en", "s", 0L)) ++
+      (61 to 120).map(i => (i.toLong, s"$bad spam$i promo$i", "en", "s", 0L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val vocab = QualityClassifier.clfVocab(docs).collect()
+      .map(r => r.getString(0) -> r.getInt(5)).toMap
+    // content words of each band carry that band's vote
+    assert(vocab("analysis") == 1 && vocab("chapter") == 1, s"got $vocab")
+    assert(vocab("click") == -1 && vocab("cheap") == -1, s"got $vocab")
+    val scored = QualityClassifier.clfScore(docs).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    // every good doc keeps, every spam doc drops: full separation on
+    // lexically-separable data
+    (1 to 60).foreach(i => assert(scored(i.toLong), s"doc $i dropped"))
+    (61 to 120).foreach(i => assert(!scored(i.toLong), s"doc $i kept"))
+  }
+
+  test("quality classifier: vocab is MinDf-thresholded and self-describing") {
+    import spark.implicits._
+    val docs = ((1 to 10).map(i => (i.toLong,
+      "the the the is is it for on with as at by this that and or of to in a good text here now",
+      "en", "s", 0L)) :+ (11L, "rare_token_once the is it for on with as at by", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val v = QualityClassifier.clfVocab(docs)
+    // a token in fewer than MinDf labeled docs never enters the model
+    assert(v.filter(col("tok") === "rare_token_once").count() == 0)
+    // totals ride on every row and are consistent
+    val rows = v.select("n_pos", "n_neg").distinct().collect()
+    assert(rows.length == 1)
+  }
 }
