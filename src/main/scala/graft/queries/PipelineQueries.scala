@@ -157,6 +157,7 @@ object PipelineQueries {
     "sketch_kmv_intersect" -> Seq("type_a", "type_b"),
     "clf_quality_vocab" -> Seq("tok"),
     "clf_quality_score" -> Seq("doc_id"),
+    "source_binary" -> Seq("name"),
     "events_cohort_retention" -> Seq("cohort_day", "day_offset"))
 
   /** The operator registrations as written — sorted only where the
@@ -285,6 +286,7 @@ object PipelineQueries {
     "source_csv" -> ((s, d) => graft.sources.CsvLines.roundTripAgg(s, d)),
     // --- ORC source round-trip (columnar twin; schema as a CHECK) ---
     "source_orc" -> ((s, d) => graft.sources.OrcSource.roundTripAgg(s, d)),
+    "source_binary" -> ((s, d) => graft.sources.BinaryFiles.binaryManifest(s, d)),
     // --- training-shard writer: content-hash-balanced shards + manifest ---
     "sink_shards" -> ((s, d) => ShardedSink.manifest(s, d)))
 
@@ -409,5 +411,6 @@ object PipelineQueries {
     "source_jsonl" -> graft.sources.JsonLines.roundTripAggSql,
     "source_csv" -> graft.sources.CsvLines.roundTripAggSql,
     "source_orc" -> graft.sources.OrcSource.roundTripAggSql,
+    "source_binary" -> graft.sources.BinaryFiles.binaryManifestSql,
     "sink_shards" -> ShardedSink.manifestSql())
 }

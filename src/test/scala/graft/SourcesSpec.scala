@@ -62,6 +62,37 @@ class SourcesSpec extends SparkSpec {
     assert(back.exceptAll(tricky).isEmpty && tricky.exceptAll(back).isEmpty)
   }
 
+  test("binaryFile source: bytes round-trip exactly; metadata pass prunes content") {
+    import graft.sources.BinaryFiles
+    val dir = BinaryFiles.stagedDir(spark, sf)
+    val full = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.bin").load(dir)
+    val expected = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 5 === 0)
+    assert(full.count() == expected.count())
+    // content bytes decode back to the exact original text
+    val back = full.select(
+      regexp_extract(col("path"), "doc_(\\d+)\\.bin$", 1).cast("long").as("doc_id"),
+      decode(col("content"), "UTF-8").as("text"))
+    val orig = expected.select("doc_id", "text")
+    assert(back.exceptAll(orig).isEmpty && orig.exceptAll(back).isEmpty)
+    // a manifest query that never touches `content` must not carry the
+    // BYTES column into the scan: ReadSchema stays metadata-only (this is
+    // what makes the pre-decode census pass cheap on a 100 TB image dir)
+    val meta = full.select("path", "length")
+    val scanPlan = meta.queryExecution.executedPlan.toString
+    val readSchema = "ReadSchema: (\\S+)".r.findFirstMatchIn(scanPlan).map(_.group(1))
+    assert(readSchema.exists(!_.contains("content")),
+      s"content not pruned from scan: $readSchema")
+    // glob filter prunes foreign files at listing time
+    val stray = java.nio.file.Paths.get(dir, "not_media.txt")
+    try {
+      Files.write(stray, "x".getBytes)
+      assert(spark.read.format("binaryFile").option("pathGlobFilter", "*.bin")
+        .load(dir).count() == expected.count())
+    } finally Files.deleteIfExists(stray)
+  }
+
   test("orc round-trip preserves every row and every text byte") {
     val original = Tables.documents(spark, sf)
       .select("doc_id", "text", "lang", "source", "n_chars")
