@@ -261,6 +261,20 @@ object TransEQueries {
     LinkPrediction.evaluate(test, fit.model, hitsK = 10)
   }
 
+  // -------------------------------------------------- transe_eval_filtered
+  /** [[transeEval]] under the FILTERED protocol (Bordes et al. 2013) —
+    * the "filt." metric every KG paper reports beside "raw", which the
+    * reference does not implement: known-true competitors are excluded
+    * from each rank ([[LinkPrediction.rankTriplesFiltered]]). Known set =
+    * the full encoded KG (train and test edges). Filtered metrics
+    * dominate raw pointwise (ranks can only improve); TransESpec asserts
+    * the dominance, ContractSpec gates the values. Rows-only oracle. */
+  def transeEvalFiltered(spark: SparkSession, dir: String): DataFrame = {
+    val (fit, test) = fitted(spark, dir)
+    val (encodedAll, _, _, _, _) = encodedKg(spark, dir)
+    LinkPrediction.evaluateFiltered(test, fit.model, encodedAll, hitsK = 10)
+  }
+
   /** [[transeEval]] through the PARTITIONED evaluator — the
     * past-broadcast-ceiling path (`--exec partitioned`,
     * [[LinkPrediction.rankTriplesPartitioned]]): the entity matrix stays
@@ -317,6 +331,7 @@ object TransEQueries {
     "transe_fit" -> (transeFit _),
     "transe_fit_partitioned" -> (transeFitPartitioned _),
     "transe_eval" -> (transeEval _),
+    "transe_eval_filtered" -> (transeEvalFiltered _),
     "transe_eval_partitioned" -> (transeEvalPartitioned _),
     "transe_embeddings" -> (transeEmbeddings _))
 

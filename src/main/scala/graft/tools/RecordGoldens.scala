@@ -39,6 +39,15 @@ object RecordGoldens {
     println(s"goldenEvalL1 = (${row.getDouble(0)}, ${row.getDouble(1)}, " +
       s"${row.getDouble(2)}, ${row.getDouble(3)}, ${row.getLong(4)}L)")
 
+    // filtered-protocol eval golden (round 6): registry model (L2Squared,
+    // seed 42), known set = the full encoded KG
+    val (fit, fitTest) = TransEQueries.fitted(spark, sf)
+    val (encodedAll, _, _, _, _) = TransEQueries.encodedKg(spark, sf)
+    val frow = LinkPrediction.evaluateFiltered(fitTest, fit.model,
+      encodedAll, hitsK = 10).collect().head
+    println(s"goldenEvalFiltered = (${frow.getDouble(0)}, ${frow.getDouble(1)}, " +
+      s"${frow.getDouble(2)}, ${frow.getDouble(3)}, ${frow.getLong(4)}L)")
+
     val kg = Fb15kShape.kg(spark).persist()
     kg.count()
     val fbTrainer = new TransETrainer(Fb15kShape.params(epochs = 3))

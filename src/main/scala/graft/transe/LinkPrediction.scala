@@ -84,51 +84,174 @@ object LinkPrediction {
           }
         }
 
-        // ONE fused pass: both strict-less counts accumulate over the same
-        // sequential read of the matrix. EARLY EXIT is exact, not
-        // approximate: every term is >= 0, so the partial sums are
-        // monotone non-decreasing — once BOTH have reached their true
-        // distances, neither final sum can be strictly less, and the
-        // candidate's contribution to both counts is decided. A trained
-        // model scores its true triples low, so typical candidates exceed
-        // both thresholds within a few components — the scan does a
-        // fraction of the k flops per candidate with bit-identical ranks.
-        var lessH = 0L
-        var lessT = 0L
-        var off = 0
-        if (l1) {
-          while (off < end) {
-            var sH = 0.0; var sT = 0.0
-            var j = 0
-            while (j < k && (sH < dTrueHead || sT < dTrueTail)) {
-              val x = ent(off + j)
-              sH += math.abs(x + u(j)).toDouble
-              sT += math.abs(v(j) - x).toDouble
-              j += 1
-            }
-            if (sH < dTrueHead) lessH += 1
-            if (sT < dTrueTail) lessT += 1
-            off += k
-          }
-        } else {
-          while (off < end) {
-            var sH = 0.0; var sT = 0.0
-            var j = 0
-            while (j < k && (sH < dTrueHead || sT < dTrueTail)) {
-              val x = ent(off + j)
-              val a = x + u(j); sH += a.toDouble * a
-              val b = v(j) - x; sT += b.toDouble * b
-              j += 1
-            }
-            if (sH < dTrueHead) lessH += 1
-            if (sT < dTrueTail) lessT += 1
-            off += k
-          }
-        }
+        val (lessH, lessT) = fusedCounts(ent, end, k, u, v, dTrueHead, dTrueTail, l1)
         Ranks(lessH + 1, lessT + 1)
       }
     }
   }
+
+  /** The fused head+tail strict-less scan over the flat entity matrix —
+    * ONE sequential read of the buffer. EARLY EXIT is exact, not
+    * approximate: every term is >= 0, so the partial sums are monotone
+    * non-decreasing — once BOTH have reached their true distances,
+    * neither final sum can be strictly less, and the candidate's
+    * contribution to both counts is decided. A trained model scores its
+    * true triples low, so typical candidates exceed both thresholds
+    * within a few components — the scan does a fraction of the k flops
+    * per candidate with bit-identical ranks. Shared by the raw and
+    * FILTERED evaluators (identical float-op order: the goldens gate it). */
+  private[transe] def fusedCounts(ent: Array[Float], end: Int, k: Int,
+      u: Array[Float], v: Array[Float], dTrueHead: Double, dTrueTail: Double,
+      l1: Boolean): (Long, Long) = {
+    var lessH = 0L
+    var lessT = 0L
+    var off = 0
+    if (l1) {
+      while (off < end) {
+        var sH = 0.0; var sT = 0.0
+        var j = 0
+        while (j < k && (sH < dTrueHead || sT < dTrueTail)) {
+          val x = ent(off + j)
+          sH += math.abs(x + u(j)).toDouble
+          sT += math.abs(v(j) - x).toDouble
+          j += 1
+        }
+        if (sH < dTrueHead) lessH += 1
+        if (sT < dTrueTail) lessT += 1
+        off += k
+      }
+    } else {
+      while (off < end) {
+        var sH = 0.0; var sT = 0.0
+        var j = 0
+        while (j < k && (sH < dTrueHead || sT < dTrueTail)) {
+          val x = ent(off + j)
+          val a = x + u(j); sH += a.toDouble * a
+          val b = v(j) - x; sT += b.toDouble * b
+          j += 1
+        }
+        if (sH < dTrueHead) lessH += 1
+        if (sT < dTrueTail) lessT += 1
+        off += k
+      }
+    }
+    (lessH, lessT)
+  }
+
+  /** FILTERED-protocol ranking (Bordes et al. 2013, the "filt." columns
+    * every KG paper reports next to "raw"): when ranking the head of
+    * (h, l, t), candidates e whose triple (e, l, t) is itself a KNOWN
+    * true triple are excluded — they are correct answers, not errors,
+    * and the raw protocol unfairly penalizes the model for ranking them
+    * high. Symmetrically for tails.
+    *
+    * Execution: the raw fused scan stays UNTOUCHED (same kernel,
+    * bit-identical counts) and the filter is a per-triple CORRECTION:
+    * score only the known-true competitors (a handful per triple — the
+    * few entities sharing (l, t) / (h, l) in the KG) and subtract those
+    * that scored strictly below the true distance. The true entity
+    * itself needs no special-casing: its distance EQUALS the threshold,
+    * so strict-less never subtracts it. Cost: |filters| extra vector
+    * scores per triple vs n for the scan — noise.
+    *
+    * Filter-set construction never shuffles the known set: the test
+    * keys broadcast, known is scanned twice with a broadcast semi-join
+    * shape (at 100 TB the KG scan dominates; the grouped filter lists
+    * are test-sized), and the lists ride into the scan via the joined
+    * Dataset, not a driver map. */
+  def rankTriplesFiltered(test: Dataset[Triple], model: TransEModel,
+      known: Dataset[Triple]): Dataset[Ranks] = {
+    val spark = test.sparkSession
+    import spark.implicits._
+    val n = model.entity.length
+    val k = if (n > 0) model.entity(0).length else 0
+    val flat = new Array[Float](n * k)
+    var r = 0
+    while (r < n) { System.arraycopy(model.entity(r), 0, flat, r * k, k); r += 1 }
+    val entBc = spark.sparkContext.broadcast(flat)
+    val labBc = spark.sparkContext.broadcast(model.label)
+    val l1 = model.params.distance == L1
+
+    val testDf = test.toDF()
+    val knownDf = known.toDF().select(col("h").as("kh"), col("l").as("kl"),
+      col("t").as("kt"))
+    // known heads per (l, t) key of the test set; known tails per (h, l)
+    val headF = knownDf
+      .join(broadcast(testDf.select(col("l"), col("t")).distinct()),
+        col("kl") === col("l") && col("kt") === col("t"))
+      .groupBy("l", "t").agg(collect_set(col("kh")).as("fheads"))
+    val tailF = knownDf
+      .join(broadcast(testDf.select(col("h"), col("l")).distinct()),
+        col("kh") === col("h") && col("kl") === col("l"))
+      .groupBy("h", "l").agg(collect_set(col("kt")).as("ftails"))
+    val withF = testDf
+      .join(broadcast(headF), Seq("l", "t"), "left")
+      .join(broadcast(tailF), Seq("h", "l"), "left")
+      .select(col("h"), col("l"), col("t"), col("fheads"), col("ftails"))
+      .as[(Int, Int, Int, Option[Seq[Int]], Option[Seq[Int]])]
+      .repartition(spark.sparkContext.defaultParallelism)
+
+    withF.mapPartitions { it =>
+      val ent = entBc.value
+      val lab = labBc.value
+      val end = n * k
+      it.map { case (th, tl, tt, fh, ft) =>
+        val l = lab(tl)
+        val hOff = th * k
+        val tOff = tt * k
+        val u = new Array[Float](k)
+        val v = new Array[Float](k)
+        var i = 0
+        while (i < k) {
+          u(i) = l(i) - ent(tOff + i)
+          v(i) = ent(hOff + i) + l(i)
+          i += 1
+        }
+        var dTrueHead = 0.0
+        var dTrueTail = 0.0
+        i = 0
+        if (l1) {
+          while (i < k) {
+            dTrueHead += math.abs(ent(hOff + i) + u(i)).toDouble
+            dTrueTail += math.abs(v(i) - ent(tOff + i)).toDouble
+            i += 1
+          }
+        } else {
+          while (i < k) {
+            val a = ent(hOff + i) + u(i); dTrueHead += a.toDouble * a
+            val b = v(i) - ent(tOff + i); dTrueTail += b.toDouble * b
+            i += 1
+          }
+        }
+        var (lessH, lessT) = fusedCounts(ent, end, k, u, v, dTrueHead, dTrueTail, l1)
+        // correction: drop known-true competitors that the raw count
+        // included (full-precision score, no early exit — the threshold
+        // comparison must be exact, and these are a handful of vectors)
+        fh.foreach(_.foreach { e =>
+          val off = e * k
+          var s = 0.0
+          var j = 0
+          if (l1) while (j < k) { s += math.abs(ent(off + j) + u(j)).toDouble; j += 1 }
+          else while (j < k) { val a = ent(off + j) + u(j); s += a.toDouble * a; j += 1 }
+          if (s < dTrueHead) lessH -= 1
+        })
+        ft.foreach(_.foreach { e =>
+          val off = e * k
+          var s = 0.0
+          var j = 0
+          if (l1) while (j < k) { s += math.abs(v(j) - ent(off + j)).toDouble; j += 1 }
+          else while (j < k) { val b = v(j) - ent(off + j); s += b.toDouble * b; j += 1 }
+          if (s < dTrueTail) lessT -= 1
+        })
+        Ranks(lessH + 1, lessT + 1)
+      }
+    }
+  }
+
+  /** [[evaluate]] under the filtered protocol. */
+  def evaluateFiltered(test: Dataset[Triple], model: TransEModel,
+      known: Dataset[Triple], hitsK: Int = 10): DataFrame =
+    metrics(rankTriplesFiltered(test, model, known).toDF(), hitsK)
 
   /** Partitioned-matrix ranking — the implemented form of SCALE.md's
     * escape hatch for entity matrices past the broadcast budget (~25M

@@ -28,10 +28,10 @@ class ContractSpec extends SparkSpec {
     assert(orphans.isEmpty, s"oracles without queries: $orphans")
   }
 
-  test("the rows-only set is exactly the four SGD training metrics") {
+  test("the rows-only set is exactly the five SGD training metrics") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(rowsOnly == Set("transe_eval", "transe_eval_partitioned",
-      "transe_fit", "transe_fit_partitioned"),
+      "transe_eval_filtered", "transe_fit", "transe_fit_partitioned"),
       s"unexpected rows-only queries: $rowsOnly")
   }
 
@@ -69,6 +69,21 @@ class ContractSpec extends SparkSpec {
       case (a, b) => assert(math.abs(a - b) <= 1e-9 * math.max(1.0, math.abs(b)),
         s"eval metrics drifted: got $got")
     }
+  }
+
+  test("golden gate: filtered eval matches its recording and dominates raw") {
+    val row = queries.TransEQueries.transeEvalFiltered(spark, sf).collect().head
+    val (mr, mrh, mrt, hits, n) = ContractSpec.goldenEvalFiltered
+    assert(row.getLong(4) == n, s"rank count drifted: $row")
+    Seq(row.getDouble(0) -> mr, row.getDouble(1) -> mrh,
+      row.getDouble(2) -> mrt, row.getDouble(3) -> hits).foreach {
+      case (a, b) => assert(math.abs(a - b) <= 1e-9 * math.max(1.0, math.abs(b)),
+        s"filtered eval drifted: $row")
+    }
+    // protocol invariant: excluding known-true competitors can only
+    // IMPROVE ranks — filtered mean ranks <= raw, hits >= raw
+    val (rmr, rmrh, rmrt, rhits, _) = ContractSpec.goldenEval
+    assert(mr <= rmr && mrh <= rmrh && mrt <= rmrt && hits >= rhits)
   }
 
   test("golden gate: transe_fit_partitioned matches the SAME golden recording") {
@@ -169,7 +184,13 @@ class ContractSpec extends SparkSpec {
     "text_length_quantiles", "sample_mix_sources", "sample_mix_temperature",
     "text_tfidf_topterms", // 1-row n_docs total as a broadcast cross join
     "report_key_skew",     // 1-row key-count total, same pattern
-    "graph_pagerank")      // 1-row dangling-mass total per iteration, same pattern
+    "graph_pagerank",      // 1-row dangling-mass total per iteration, same pattern
+    "clf_quality_vocab",   // 1-row (n_pos, n_neg) label totals, same pattern
+    "clf_quality_score",   // inherits clf_quality_vocab's totals join
+    "sketch_kmv_intersect") // group-pair self-join of the SKETCH table
+                            // (rows = distinct groups, each a <=2 KB
+                            // array) on grp < grp — bounded by group
+                            // cardinality, never event-scale
 
   test("every registered query runs at sf0.001; no unexpected cartesians") {
     val sfDir = "/root/testdata/sf0.001"
@@ -219,6 +240,16 @@ object ContractSpec {
   /** (mean_rank, mean_rank_head, mean_rank_tail, hits_at_10, n_ranks) */
   val goldenEval: (Double, Double, Double, Double, Long) =
     (584.3314606741573, 1068.0337078651685, 100.62921348314607,
+      0.016853932584269662, 178L)
+
+  /** Filtered-protocol eval (Bordes "filt.") of the SAME registry model
+    * — recorded round 6 via tools/RecordGoldens. Head ranks improve
+    * (each customer places many orders, so known-true head competitors
+    * exist); tail metrics EQUAL the raw golden because placed_by has
+    * exactly one tail per (order, label) key — the KG's semantics, not
+    * an accident. */
+  val goldenEvalFiltered: (Double, Double, Double, Double, Long) =
+    (580.0337078651685, 1059.438202247191, 100.62921348314607,
       0.016853932584269662, 178L)
 
   /** L1-distance twin of the curves above (evalParams.copy(distance = L1),

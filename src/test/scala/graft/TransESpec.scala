@@ -95,6 +95,45 @@ class TransESpec extends SparkSpec {
       s"combined mean rank $meanRank not better than random ($random)")
   }
 
+  test("filtered ranking: known-true competitors excluded, exact -1 semantics") {
+    import spark.implicits._
+    // hand-built geometry, L1, labels zero: d(e + l, t) = |e - t| per dim.
+    // Entities on a line at x = 0, 1, 2, 10 (k=2, y=0). Test triple
+    // (h=3, l=0, t=0): d_true = |10 - 0| = 10; every other entity is
+    // closer, so raw head rank = 4. Mark (1, 0, 0) as a KNOWN triple:
+    // filtered head rank = 3 (entity 1 excluded; 0 and 2 still count).
+    val ents = Array(Array(0f, 0f), Array(1f, 0f), Array(2f, 0f), Array(10f, 0f))
+    val labs = Array(Array(0f, 0f))
+    val model = TransEModel(ents, labs, TransEParams(distance = L1, dim = 2))
+    val test = Seq(Triple(3, 0, 0)).toDS()
+    val known = Seq(Triple(3, 0, 0), Triple(1, 0, 0)).toDS()
+    val raw = LinkPrediction.rankTriples(test, model).collect().head
+    val filt = LinkPrediction.rankTriplesFiltered(test, model, known).collect().head
+    assert(raw.rank_head == 4L, s"raw $raw")
+    assert(filt.rank_head == 3L, s"filtered $filt")
+    // tail direction: true tail is entity 0 at distance |10-0|=10 from
+    // h+l=10; no known competitor triples (3, 0, e) besides the test
+    // triple itself -> tail rank unchanged (the self-triple never
+    // subtracts: its distance EQUALS the threshold)
+    assert(filt.rank_tail == raw.rank_tail, s"$raw vs $filt")
+  }
+
+  test("filtered ranks dominate raw ranks pointwise on the trained model") {
+    val (fit, test) = TransEQueries.fitted(spark, sf)
+    val (encodedAll, _, _, _, _) = TransEQueries.encodedKg(spark, sf)
+    // order both by the same deterministic key: re-rank per triple via
+    // zip of sorted collections is invalid (mapPartitions order differs),
+    // so compare via the aggregate dominance instead plus count equality
+    val raw = LinkPrediction.evaluate(test, fit.model).collect().head
+    val filt = LinkPrediction.evaluateFiltered(test, fit.model, encodedAll)
+      .collect().head
+    assert(filt.getLong(4) == raw.getLong(4))
+    assert(filt.getDouble(0) <= raw.getDouble(0), s"mean rank worsened")
+    assert(filt.getDouble(1) <= raw.getDouble(1) &&
+      filt.getDouble(2) <= raw.getDouble(2))
+    assert(filt.getDouble(3) >= raw.getDouble(3), s"hits@10 worsened")
+  }
+
   test("partitioned eval ranks EQUAL the broadcast eval (at-scale path)") {
     val (fit, test) = TransEQueries.fitted(spark, sf)
     val model = fit.model
