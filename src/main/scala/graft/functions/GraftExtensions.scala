@@ -24,5 +24,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     // range-predicate joins rewritten to the bucketed equi-join plan
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
+    // registered-view aggregates redirected to staged rollups; must run
+    // at ANALYSIS time (post-hoc resolution) — by optimizer time column
+    // pruning has fused the view's projections beyond canonical-plan
+    // recognition
+    ext.injectPostHocResolutionRule(_ => graft.plans.SummaryRewrite)
   }
 }

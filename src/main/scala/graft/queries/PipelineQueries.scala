@@ -158,6 +158,7 @@ object PipelineQueries {
     "clf_quality_vocab" -> Seq("tok"),
     "clf_quality_score" -> Seq("doc_id"),
     "source_binary" -> Seq("name"),
+    "mv_event_totals" -> Seq("event_type"),
     "events_cohort_retention" -> Seq("cohort_day", "day_offset"))
 
   /** The operator registrations as written — sorted only where the
@@ -287,6 +288,7 @@ object PipelineQueries {
     // --- ORC source round-trip (columnar twin; schema as a CHECK) ---
     "source_orc" -> ((s, d) => graft.sources.OrcSource.roundTripAgg(s, d)),
     "source_binary" -> ((s, d) => graft.sources.BinaryFiles.binaryManifest(s, d)),
+    "mv_event_totals" -> ((s, d) => Summaries.eventTypeTotals(s, d)),
     // --- training-shard writer: content-hash-balanced shards + manifest ---
     "sink_shards" -> ((s, d) => ShardedSink.manifest(s, d)))
 
@@ -412,5 +414,6 @@ object PipelineQueries {
     "source_csv" -> graft.sources.CsvLines.roundTripAggSql,
     "source_orc" -> graft.sources.OrcSource.roundTripAggSql,
     "source_binary" -> graft.sources.BinaryFiles.binaryManifestSql,
+    "mv_event_totals" -> Summaries.eventTypeTotalsSql,
     "sink_shards" -> ShardedSink.manifestSql())
 }

@@ -480,4 +480,90 @@ class PlanSpec extends SparkSpec {
       s"manifest aggregate must combine map-side:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  // ------------------------------------------------ SummaryRewrite (MV)
+  test("mv rewrite: registered dashboard aggregate scans the ROLLUP, not events") {
+    val summaryDir = graft.operators.Summaries.ensureEventsDailySummary(spark, sf)
+    val df = graft.operators.Summaries.eventTypeTotals(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_evsum_"), s"summary not scanned:\n$plan")
+    assert(!plan.contains("events.parquet"), s"raw events still scanned:\n$plan")
+    // and the redirect is semantically invisible: equal to the raw answer
+    val raw = graft.Tables.events(spark, sf)
+      .groupBy("event_type").agg(count(lit(1)).as("n_events"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == raw, s"rewrite changed the answer: $got vs $raw")
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(summaryDir)))
+  }
+
+  test("mv rewrite: group-key filters push to the rollup; sums + exact grouping work") {
+    import spark.implicits._
+    graft.plans.SummaryRewrite.clear()
+    try {
+      // synthetic view with an INTEGRAL measure: the sum path
+      val dir = java.nio.file.Files.createTempDirectory("graft_mvtest")
+      val src = dir.resolve("src.parquet").toString
+      (1 to 1000).map(i => (s"g${i % 4}", s"d${i % 7}", i.toLong))
+        .toDF("g", "d", "m").write.parquet(src)
+      val view = spark.read.parquet(src)
+      val sumDir = dir.resolve("rollup.parquet").toString
+      view.groupBy("g", "d")
+        .agg(count(lit(1)).as("cnt"), sum(col("m")).as("m_sum"))
+        .write.parquet(sumDir)
+      graft.plans.SummaryRewrite.register(view,
+        graft.plans.SummaryRewrite.Entry(sumDir, Seq("g", "d"), "cnt",
+          Map("m" -> "m_sum")))
+
+      // filter on a group column + exact-key grouping + count AND sum
+      val q = view.filter(col("g") =!= "g3").groupBy("g", "d")
+        .agg(count(lit(1)).as("n"), sum(col("m")).as("s"))
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("rollup.parquet"), s"rollup not scanned:\n$plan")
+      assert(!plan.contains("src.parquet"), s"raw still scanned:\n$plan")
+      val got = q.collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+      // reference computed WITHOUT registration (cleared below first)
+      graft.plans.SummaryRewrite.clear()
+      val ref = spark.read.parquet(src).filter(col("g") =!= "g3")
+        .groupBy("g", "d").agg(count(lit(1)).as("n"), sum(col("m")).as("s"))
+        .collect().map(r => (r.getString(0), r.getString(1)) ->
+          (r.getLong(2), r.getLong(3))).toMap
+      assert(got == ref)
+    } finally graft.plans.SummaryRewrite.clear()
+  }
+
+  test("mv rewrite: conservative — unanswerable shapes stay on the raw scan") {
+    import spark.implicits._
+    graft.plans.SummaryRewrite.clear()
+    try {
+      val dir = java.nio.file.Files.createTempDirectory("graft_mvneg")
+      val src = dir.resolve("src.parquet").toString
+      (1 to 100).map(i => (s"g${i % 4}", s"d${i % 7}", i.toLong, i * 0.5))
+        .toDF("g", "d", "m", "x").write.parquet(src)
+      val view = spark.read.parquet(src)
+      val sumDir = dir.resolve("rollup.parquet").toString
+      view.groupBy("g", "d")
+        .agg(count(lit(1)).as("cnt"), sum(col("m")).as("m_sum"))
+        .write.parquet(sumDir)
+      graft.plans.SummaryRewrite.register(view,
+        graft.plans.SummaryRewrite.Entry(sumDir, Seq("g", "d"), "cnt",
+          Map("m" -> "m_sum")))
+      def rewritten(df: org.apache.spark.sql.DataFrame): Boolean =
+        df.queryExecution.executedPlan.toString.contains("rollup.parquet")
+      // DOUBLE measure: reassociation is not IEEE-transparent -> no fire
+      assert(!rewritten(view.groupBy("g").agg(sum(col("x")).as("s"))))
+      // grouping outside the summary key -> no fire
+      assert(!rewritten(view.groupBy("m").agg(count(lit(1)).as("n"))))
+      // filter on a NON-group column -> no fire
+      assert(!rewritten(view.filter(col("m") > 50)
+        .groupBy("g").agg(count(lit(1)).as("n"))))
+      // DISTINCT count -> no fire
+      assert(!rewritten(view.groupBy("g").agg(countDistinct(col("d")).as("n"))))
+      // GLOBAL aggregate (no grouping) -> no fire (empty-source zero row)
+      assert(!rewritten(view.agg(count(lit(1)).as("n"))))
+      // the answerable twin DOES fire (the guard is selective, not dead)
+      assert(rewritten(view.groupBy("g").agg(count(lit(1)).as("n"))))
+    } finally graft.plans.SummaryRewrite.clear()
+  }
 }

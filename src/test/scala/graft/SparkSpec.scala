@@ -8,6 +8,10 @@ object TestSession {
   lazy val spark: SparkSession = GraftKryo.configure(SparkSession.builder()
     .master("local[8]")
     .appName("graft-test"))
+    // the production integration route — analyzer-injected rules
+    // (SummaryRewrite) have no per-session attach, so tests must build
+    // sessions the way deployments do
+    .withExtensions(new graft.functions.GraftExtensions)
     .config("spark.sql.shuffle.partitions", "8")
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.session.timeZone", "UTC")
