@@ -335,12 +335,18 @@ object Sketches {
     * 52-bit hash space, identical integer division in DuckDB. */
   def kmvDistinct(events: DataFrame, grpCol: String = "event_type",
       valCol: String = "user_day"): DataFrame =
-    kmvSketches(events, grpCol, valCol)
-      .select(col("grp").as(grpCol),
-        when(size(col("arr")) < KmvK, size(col("arr")).cast("long"))
-          .otherwise(expr(s"CAST((${KmvK - 1} * ${KmvSpace}L)" +
-            s" DIV element_at(arr, $KmvK) AS BIGINT)")).as("n_est"),
-        col("n_exact"))
+    kmvEstimateCols(kmvSketches(events, grpCol, valCol), grpCol)
+
+  /** Read side of the sketch: (grp, arr, n_exact) → the estimator
+    * columns. Split out so the STREAMING twin (bottom-k buffers as keyed
+    * state) reads its completed sketches through the identical integer
+    * estimator ([[graft.streaming.EventStreams.streamingKmvDistinct]]). */
+  private[graft] def kmvEstimateCols(sk: DataFrame, grpCol: String): DataFrame =
+    sk.select(col("grp").as(grpCol),
+      when(size(col("arr")) < KmvK, size(col("arr")).cast("long"))
+        .otherwise(expr(s"CAST((${KmvK - 1} * ${KmvSpace}L)" +
+          s" DIV element_at(arr, $KmvK) AS BIGINT)")).as("n_est"),
+      col("n_exact"))
 
   /** Pairwise distinct-INTERSECTION estimates between groups — the
     * theta-sketch operation HLL registers cannot express ("how many

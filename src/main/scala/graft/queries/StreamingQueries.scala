@@ -29,6 +29,7 @@ object StreamingQueries {
     "stream_restart_dedup" -> ((s, d) => EventStreams.restartRecoveryDedup(s, d)),
     "stream_upsert" -> ((s, d) => EventStreams.streamingUpsert(s, d)),
     "stream_quantile_hist" -> ((s, d) => EventStreams.streamingQuantileHist(s, d)),
+    "stream_kmv_distinct" -> ((s, d) => EventStreams.streamingKmvDistinct(s, d)),
     "q11_sessionize" -> ((s, d) => EventStreams.sessionizeBatch(Tables.events(s, d))),
     "q12_asof_join" -> ((s, d) => AsOfJoin.errorToLastClick(Tables.events(s, d))),
     "q32_asof_forward" -> ((s, d) => AsOfJoin.errorToNextClick(Tables.events(s, d))),
@@ -72,6 +73,9 @@ object StreamingQueries {
     // bucket counting is order-insensitive, so the streamed HDR bucket
     // table — and every quantile read from it — equals batch exactly
     "stream_quantile_hist" -> EventStreams.streamingQuantileHistSql,
+    // bottom-k retention is a clipped set union — order-insensitive, so
+    // the streamed sketch equals batch and shares its oracle
+    "stream_kmv_distinct" -> EventStreams.streamingKmvDistinctSql,
     // stateless per-row enrichment is replay-order-insensitive, so the
     // finite replay equals the batch join and shares its oracle
     "stream_enrich" -> EventStreams.streamingEnrichSql,

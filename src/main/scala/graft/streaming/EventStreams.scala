@@ -685,6 +685,36 @@ object EventStreams {
         "GREATEST(CAST(floor(value * 100) AS BIGINT), 0) AS x FROM events",
       grpOut = "event_type", nOut = "n_events")
 
+  // --------------------------------------------- streaming KMV sketch
+  /** Streaming KMV theta sketch of active user-days per event_type: the
+    * CUSTOM `kmv_sketch` TypedImperativeAggregate runs INSIDE the
+    * streaming aggregation — keyed state is the <=2 KB bottom-k buffer
+    * itself (serialized to the state store per micro-batch), the
+    * strongest possible statement that the native aggregate is
+    * production-shaped: no watermark, state bounded by groups x 2 KB
+    * regardless of volume or cardinality. Bottom-k retention is
+    * ORDER-INSENSITIVE (a set union clipped to k), so the finite replay
+    * lands on the batch sketch exactly and the estimator read
+    * ([[graft.operators.Sketches.kmvEstimateCols]]) shares
+    * sketch_kmv_distinct's DuckDB oracle. */
+  def streamingKmvDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.Sketches
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    val ev = Sketches.withUserDay(readEventStream(spark, sfDir))
+    val sk = ev.groupBy(col("event_type").as("grp"))
+      .agg(call_function("kmv_sketch", col("user_day"),
+        lit(Sketches.KmvK)).as("arr"))
+    val done = runToCompletion(sk, OutputMode.Complete())
+    val exact = Sketches.withUserDay(graft.Tables.events(spark, sfDir))
+      .groupBy(col("event_type").as("grp"))
+      .agg(countDistinct(col("user_day")).as("n_exact"))
+    Sketches.kmvEstimateCols(done.join(exact, "grp"), "event_type")
+      .orderBy("event_type")
+  }
+
+  def streamingKmvDistinctSql: String =
+    graft.operators.Sketches.kmvDistinctSql()
+
   // ------------------------------------------ streaming CDC apply (merge)
   /** Change-data-capture apply via `foreachBatch` — the remaining
     * Structured Streaming sink API next to the memory/file sinks: a

@@ -397,4 +397,19 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty &&
       streamed.map(_._2).sum == Tables.events(spark, sf).count())
   }
+
+  test("streaming KMV sketch equals the batch kmv_sketch aggregate") {
+    // the CUSTOM TypedImperativeAggregate as streaming keyed state: the
+    // bottom-k buffer serializes to the state store per micro-batch and
+    // the completed sketch must land on the batch answer exactly
+    // (retention = clipped set union, order-insensitive)
+    val streamed = EventStreams.streamingKmvDistinct(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val batch = graft.operators.Sketches.kmvDistinct(
+      graft.operators.Sketches.withUserDay(Tables.events(spark, sf)))
+      .orderBy("event_type")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(streamed == batch, s"stream=$streamed\nbatch=$batch")
+    assert(streamed.nonEmpty)
+  }
 }
