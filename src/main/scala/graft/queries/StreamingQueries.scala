@@ -30,6 +30,7 @@ object StreamingQueries {
     "stream_upsert" -> ((s, d) => EventStreams.streamingUpsert(s, d)),
     "stream_quantile_hist" -> ((s, d) => EventStreams.streamingQuantileHist(s, d)),
     "stream_kmv_distinct" -> ((s, d) => EventStreams.streamingKmvDistinct(s, d)),
+    "stream_mv_maintenance" -> ((s, d) => EventStreams.streamingMvMaintenance(s, d)),
     "q11_sessionize" -> ((s, d) => EventStreams.sessionizeBatch(Tables.events(s, d))),
     "q12_asof_join" -> ((s, d) => AsOfJoin.errorToLastClick(Tables.events(s, d))),
     "q32_asof_forward" -> ((s, d) => AsOfJoin.errorToNextClick(Tables.events(s, d))),
@@ -76,6 +77,10 @@ object StreamingQueries {
     // bottom-k retention is a clipped set union — order-insensitive, so
     // the streamed sketch equals batch and shares its oracle
     "stream_kmv_distinct" -> EventStreams.streamingKmvDistinctSql,
+    // keyed count addition is associative + batch-partitioning-
+    // insensitive: the incrementally-maintained rollup equals the
+    // one-shot GROUP BY over raw events exactly
+    "stream_mv_maintenance" -> EventStreams.streamingMvMaintenanceSql,
     // stateless per-row enrichment is replay-order-insensitive, so the
     // finite replay equals the batch join and shares its oracle
     "stream_enrich" -> EventStreams.streamingEnrichSql,

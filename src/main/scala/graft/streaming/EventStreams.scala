@@ -791,20 +791,8 @@ object EventStreams {
     * parquet table at `tablePath` with an atomic directory swap. */
   private[graft] def applyCdc(spark: SparkSession, src: java.nio.file.Path,
       tablePath: java.nio.file.Path, chk: java.nio.file.Path): Unit = {
-    import java.nio.file.{Files, Paths}
-    def deleteTree(p: java.nio.file.Path): Unit = if (Files.exists(p)) {
-      val walk = Files.walk(p)
-      try walk.sorted(java.util.Comparator.reverseOrder())
-        .forEach(q => Files.deleteIfExists(q))
-      finally walk.close()
-    }
-    // CRASH RECOVERY (ADVICE r5 #3): the swap below is two renames, so a
-    // crash between them leaves the table only under <table>_old — restore
-    // it before reading the snapshot, or every retry of the staged run
-    // (whose _DONE marker was never written) fails on a missing table.
-    val oldPath = tablePath.resolveSibling(tablePath.getFileName.toString + "_old")
-    if (!Files.exists(tablePath) && Files.exists(oldPath))
-      Files.move(oldPath, tablePath)
+    import java.nio.file.Files
+    recoverTable(tablePath)
     val changeSchema = spark.read.parquet(
       { val l = Files.list(src)
         try l.filter(_.toString.endsWith(".parquet")).findFirst().get().toString
@@ -820,21 +808,136 @@ object EventStreams {
           val snapshot = changes.sparkSession.read.parquet(tablePath.toString)
           val merged = graft.operators.Upsert
             .applyChanges(snapshot, changes, "o_orderkey")
-          val next = tablePath.resolveSibling(tablePath.getFileName.toString + s"_b$batchId")
-          merged.write.mode("overwrite").parquet(next.toString)
-          // atomic swap: the table dir is only ever a COMPLETE merge result.
-          // A stale _old (crash after the second rename, before cleanup)
-          // must be cleared first or the first rename throws forever.
-          deleteTree(oldPath)
-          Files.move(tablePath, oldPath)
-          Files.move(next, tablePath)
-          deleteTree(oldPath)
+          swapInto(tablePath, batchId)(next =>
+            merged.write.mode("overwrite").parquet(next.toString))
         }
         ()
       }
       .start()
     try q.processAllAvailable() finally q.stop()
   }
+
+  /** Crash half of the atomic-swap discipline: a crash between the two
+    * renames leaves the table only under <table>_old — restore it before
+    * reading, or every retry of a staged run fails on a missing table
+    * (ADVICE r5 #3). */
+  private def recoverTable(tablePath: java.nio.file.Path): Unit = {
+    import java.nio.file.Files
+    val oldPath = tablePath.resolveSibling(tablePath.getFileName.toString + "_old")
+    if (!Files.exists(tablePath) && Files.exists(oldPath))
+      Files.move(oldPath, tablePath)
+  }
+
+  /** Atomic replace of the parquet table at `tablePath` with whatever
+    * `write` produces: the table dir is only ever a COMPLETE merge
+    * result. A stale _old (crash after the second rename, before
+    * cleanup) is cleared first or the first rename throws forever. */
+  private def swapInto(tablePath: java.nio.file.Path, batchId: Long)(
+      write: java.nio.file.Path => Unit): Unit = {
+    import java.nio.file.Files
+    def deleteTree(p: java.nio.file.Path): Unit = if (Files.exists(p)) {
+      val walk = Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(q => Files.deleteIfExists(q))
+      finally walk.close()
+    }
+    val oldPath = tablePath.resolveSibling(tablePath.getFileName.toString + "_old")
+    val next = tablePath.resolveSibling(tablePath.getFileName.toString + s"_b$batchId")
+    write(next)
+    deleteTree(oldPath)
+    Files.move(tablePath, oldPath)
+    Files.move(next, tablePath)
+    deleteTree(oldPath)
+  }
+
+  // --------------------------------- incremental rollup maintenance (MV)
+  /** The MAINTENANCE half of the materialized-view story
+    * (`plans/SummaryRewrite` is the query half): the (event_type, day)
+    * count rollup kept fresh INCREMENTALLY by a foreachBatch stream —
+    * each micro-batch aggregates its own rows (delta cardinality:
+    * types x days touched) and merges into the rollup by keyed count
+    * ADDITION, with the same atomic-swap crash discipline as the CDC
+    * apply. Count addition is associative and batch-partitioning-
+    * insensitive, so the maintained table equals the one-shot batch
+    * rollup EXACTLY — which is what lets a SummaryRewrite registration
+    * stay truthful between full rebuilds. At 100 TB the per-batch cost
+    * is the batch's own aggregation plus a rollup-sized merge; the event
+    * log is never rescanned. Emits the maintained rollup; the oracle is
+    * the direct GROUP BY over raw events. */
+  def streamingMvMaintenance(spark: SparkSession, sfDir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val target = Paths.get(sfDir, "events.parquet").toAbsolutePath.normalize
+    val mtime = Files.getLastModifiedTime(target).toMillis
+    val key = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s"$target:$mtime:mvmaint".getBytes("UTF-8"))
+      .take(8).map("%02x".format(_)).mkString
+    val base = Paths.get(sys.props("java.io.tmpdir"), s"graft_mvmaint_$key")
+    val (src, table, chk) =
+      (base.resolve("src"), base.resolve("rollup"), base.resolve("chk"))
+    val done = base.resolve("_DONE")
+
+    if (!Files.exists(done)) {
+      Files.createDirectories(src)
+      // four event micro-batches (hash split on event_id — any
+      // partitioning works: counts are additive)
+      val ev = graft.Tables.events(spark, sfDir)
+        .select(col("event_type"), to_date(col("ts")).as("day"), col("event_id"))
+      (0 until 4).foreach { i =>
+        val tmp = src.resolve(s"batch$i.tmp")
+        ev.filter(pmod(col("event_id"), lit(4)) === i)
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = { val l = Files.list(tmp)
+          try l.filter(_.toString.endsWith(".parquet")).findFirst().get()
+          finally l.close() }
+        Files.move(part, src.resolve(s"batch$i.parquet"))
+        val rest = Files.list(tmp)
+        try rest.forEach(p => Files.deleteIfExists(p)) finally rest.close()
+        Files.deleteIfExists(tmp)
+      }
+      recoverTable(table)
+      val schema = spark.read.parquet(src.resolve("batch0.parquet").toString).schema
+      val q = spark.readStream
+        .schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src.toString)
+        .writeStream
+        .option("checkpointLocation", chk.toString)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          if (!batch.isEmpty) {
+            val delta = batch.groupBy("event_type", "day")
+              .agg(count(lit(1)).as("cnt"))
+            val merged =
+              if (Files.exists(table)) {
+                val cur = batch.sparkSession.read.parquet(table.toString)
+                cur.unionByName(delta)
+                  .groupBy("event_type", "day")
+                  .agg(sum(col("cnt")).cast("long").as("cnt"))
+              } else delta
+            if (Files.exists(table))
+              swapInto(table, batchId)(next =>
+                merged.write.mode("overwrite").parquet(next.toString))
+            else merged.write.mode("overwrite").parquet(table.toString)
+          }
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      Files.writeString(done, "ok")
+    }
+    // epoch-day integers cross the engine boundary (the repo's date
+    // discipline: pandas reads parquet DATE as object, not datetime)
+    spark.read.parquet(table.toString)
+      .select(col("event_type"),
+        datediff(col("day"), lit("1970-01-01")).cast("long").as("day_epoch"),
+        col("cnt"))
+      .orderBy("event_type", "day_epoch")
+  }
+
+  def streamingMvMaintenanceSql: String =
+    """SELECT event_type,
+      |  CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day_epoch,
+      |  COUNT(*) AS cnt
+      |FROM events GROUP BY 1, 2 ORDER BY event_type, day_epoch""".stripMargin
 
   // --------------------------------- checkpointed restart / exactly-once
   /** Fault-tolerance surface: a STATEFUL stream (first-seen dedup on

@@ -412,4 +412,24 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch, s"stream=$streamed\nbatch=$batch")
     assert(streamed.nonEmpty)
   }
+
+  test("incrementally maintained rollup equals the one-shot summary build") {
+    // the two halves of the MV story meet: the foreachBatch-maintained
+    // (event_type, day) rollup must hold exactly the table
+    // Summaries.ensureEventsDailySummary builds in one shot — which is
+    // the precondition for a SummaryRewrite registration over the
+    // maintained table staying truthful between rebuilds
+    import org.apache.spark.sql.functions._
+    val maintained = EventStreams.streamingMvMaintenance(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val oneShot = spark.read.parquet(
+      graft.operators.Summaries.ensureEventsDailySummary(spark, sf))
+      .select(col("event_type"),
+        datediff(col("day"), lit("1970-01-01")).cast("long").as("d"),
+        col("cnt"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(maintained == oneShot,
+      s"maintained and one-shot rollups diverge: ${maintained.size} vs ${oneShot.size}")
+    assert(maintained.values.sum == Tables.events(spark, sf).count())
+  }
 }
