@@ -31,6 +31,7 @@ object StreamingQueries {
     "stream_quantile_hist" -> ((s, d) => EventStreams.streamingQuantileHist(s, d)),
     "stream_kmv_distinct" -> ((s, d) => EventStreams.streamingKmvDistinct(s, d)),
     "stream_mv_maintenance" -> ((s, d) => EventStreams.streamingMvMaintenance(s, d)),
+    "stream_interval_join_outer" -> ((s, d) => EventStreams.streamingIntervalJoinOuter(s, d)),
     "q11_sessionize" -> ((s, d) => EventStreams.sessionizeBatch(Tables.events(s, d))),
     "q12_asof_join" -> ((s, d) => AsOfJoin.errorToLastClick(Tables.events(s, d))),
     "q32_asof_forward" -> ((s, d) => AsOfJoin.errorToNextClick(Tables.events(s, d))),
@@ -81,6 +82,9 @@ object StreamingQueries {
     // insensitive: the incrementally-maintained rollup equals the
     // one-shot GROUP BY over raw events exactly
     "stream_mv_maintenance" -> EventStreams.streamingMvMaintenanceSql,
+    // watermark eviction emits the unmatched rows; sentinels pass every
+    // range, so the finite replay equals the batch LEFT JOIN
+    "stream_interval_join_outer" -> EventStreams.streamingIntervalJoinOuterSql(),
     // stateless per-row enrichment is replay-order-insensitive, so the
     // finite replay equals the batch join and shares its oracle
     "stream_enrich" -> EventStreams.streamingEnrichSql,

@@ -1068,6 +1068,60 @@ object EventStreams {
       .orderBy("purchase_id", "click_id")
   }
 
+  /** LEFT OUTER stream-stream interval join — the production attribution
+    * shape the inner join cannot express: EVERY purchase emits, matched
+    * to preceding clicks or alone. Unmatched rows cannot emit on arrival
+    * (a matching click may still come); they emit when the click-side
+    * WATERMARK passes the purchase's range — state eviction IS the
+    * null-emission trigger, which is why outer stream joins hard-require
+    * both watermarks and a range. On a finite replay the last purchases'
+    * ranges would never be passed, so the far-future sentinel files push
+    * the watermark past everything (the sessionize flush pattern, here
+    * applied to a JOIN). Sentinels must survive the event-type filter to
+    * reach the watermark operator — the `user_id < 0` escape keeps them
+    * flowing (a plain type filter would be pushed into the parquet scan
+    * and row-group-prune the sentinel files) — and sentinel output rows
+    * are dropped batch-side AFTER completion. Unmatched columns surface
+    * as -1 with a `matched` flag: COALESCE keeps the oracle's dtypes
+    * integral (nullable BIGINT reads as float in the comparing harness). */
+  def streamingIntervalJoinOuter(spark: SparkSession, sfDir: String,
+      windowMinutes: Int = 120): DataFrame = {
+    val gapMs = windowMinutes.toLong * 2 * 60 * 1000
+    def side(tpe: String, prefix: String) =
+      readEventStream(spark, sfDir, Some(gapMs))
+        .filter(col("event_type") === tpe || col("user_id") < 0)
+        .select(col("user_id").as(s"${prefix}_user"),
+          col("event_id").as(s"${prefix}_id"), col("ts").as(s"${prefix}_ts"))
+        .withWatermark(s"${prefix}_ts", s"$windowMinutes minutes")
+
+    val joined = side("purchase", "p").join(side("click", "c"),
+      col("p_user") === col("c_user") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $windowMinutes MINUTES"),
+      "left_outer")
+
+    runToCompletion(joined, OutputMode.Append())
+      .filter(col("p_user") >= 0) // batch-side: sentinel left rows out
+      .select(col("p_id").as("purchase_id"),
+        coalesce(col("c_id"), lit(-1L)).as("click_id"),
+        coalesce(unix_timestamp(col("p_ts")) - unix_timestamp(col("c_ts")),
+          lit(-1L)).as("gap_sec"),
+        col("c_id").isNotNull.as("matched"))
+      .orderBy("purchase_id", "click_id")
+  }
+
+  def streamingIntervalJoinOuterSql(windowMinutes: Int = 120): String =
+    s"""SELECT p.event_id AS purchase_id,
+       |  COALESCE(c.event_id, -1) AS click_id,
+       |  COALESCE(CAST(floor(epoch(p.ts)) AS BIGINT)
+       |    - CAST(floor(epoch(c.ts)) AS BIGINT), -1) AS gap_sec,
+       |  c.event_id IS NOT NULL AS matched
+       |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+       |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+       |  ON p.user_id = c.user_id
+       | AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL $windowMinutes MINUTE
+       |ORDER BY purchase_id, click_id""".stripMargin
+
   def streamingIntervalJoinSql(windowMinutes: Int = 120): String =
     s"""SELECT p.event_id AS purchase_id, c.event_id AS click_id,
        |  CAST(floor(epoch(p.ts)) AS BIGINT)

@@ -413,6 +413,25 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("outer interval join: unmatched purchases emit at watermark eviction") {
+    val outer = EventStreams.streamingIntervalJoinOuter(spark, sf).collect()
+    val inner = EventStreams.streamingIntervalJoin(spark, sf).collect()
+    val matched = outer.filter(_.getBoolean(3))
+    val unmatched = outer.filter(!_.getBoolean(3))
+    // the matched subset IS the inner join (same pairs, same gaps)
+    assert(matched.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet ==
+      inner.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet)
+    // null-emission actually fired: purchases with no prior click exist
+    // in this data and surface exactly once with the -1 sentinels
+    assert(unmatched.nonEmpty, "no unmatched purchases — eviction untested")
+    assert(unmatched.forall(r => r.getLong(1) == -1L && r.getLong(2) == -1L))
+    // every purchase with at least one event emitted (matched or not):
+    // the outer join's defining property
+    val purchases = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase").count()
+    assert(outer.map(_.getLong(0)).distinct.length == purchases)
+  }
+
   test("incrementally maintained rollup equals the one-shot summary build") {
     // the two halves of the MV story meet: the foreachBatch-maintained
     // (event_type, day) rollup must hold exactly the table
