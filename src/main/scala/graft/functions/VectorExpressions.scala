@@ -214,6 +214,23 @@ object VectorFunctions {
             s"expression evaluable at plan time, got: ${kExpr.sql}")
       }
       KmvSketchAgg(es(0), k)
+    }),
+    // exact integer lower-triangle Gram matrix, fixed d*(d+1)/2-long
+    // buffer with element-wise-add merge; second arg must be FOLDABLE
+    // to the dimension d at plan time (it sizes the buffer)
+    ("gram_lower", es => {
+      checkArity("gram_lower", 2, es)
+      val dExpr = es(1)
+      val d = (if (dExpr.foldable) {
+        try Option(dExpr.eval()) catch { case _: Exception => None }
+      } else None) match {
+        case Some(i: Int) => i
+        case Some(l: Long) => l.toInt
+        case _ => throw new IllegalArgumentException(
+          "gram_lower second argument (d) must be a constant integer " +
+            s"expression evaluable at plan time, got: ${dExpr.sql}")
+      }
+      GramLowerAgg(es(0), d)
     }))
 
   def ensureRegistered(spark: SparkSession): Unit =

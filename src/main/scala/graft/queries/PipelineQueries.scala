@@ -159,6 +159,8 @@ object PipelineQueries {
     "clf_quality_score" -> Seq("doc_id"),
     "source_binary" -> Seq("name"),
     "mv_event_totals" -> Seq("event_type"),
+    "embed_gram" -> Seq("i", "j"),
+    "embed_pca_project" -> Seq("vec_id"),
     "events_cohort_retention" -> Seq("cohort_day", "day_offset"))
 
   /** The operator registrations as written — sorted only where the
@@ -289,6 +291,9 @@ object PipelineQueries {
     "source_orc" -> ((s, d) => graft.sources.OrcSource.roundTripAgg(s, d)),
     "source_binary" -> ((s, d) => graft.sources.BinaryFiles.binaryManifest(s, d)),
     "mv_event_totals" -> ((s, d) => Summaries.eventTypeTotals(s, d)),
+    // --- distributed PCA ---
+    "embed_gram" -> ((s, d) => Pca.gram(Tables.embeddings(s, d))),
+    "embed_pca_project" -> ((s, d) => Pca.project(Tables.embeddings(s, d))),
     // --- training-shard writer: content-hash-balanced shards + manifest ---
     "sink_shards" -> ((s, d) => ShardedSink.manifest(s, d)))
 
@@ -302,7 +307,14 @@ object PipelineQueries {
       }
     }
 
-  val oracles: Map[String, String] = Map(
+  /** Static entries plus the PCA projection's TRAINED-LITERAL oracle,
+    * which exists only after embed_pca_project has run in this JVM
+    * (Verify writes oracle_sql.json after the sweep, so it carries the
+    * literals the sweep scored with). */
+  def oracles: Map[String, String] = staticOracles ++ Pca.dynamicOracle
+
+  private val staticOracles: Map[String, String] = Map(
+    "embed_gram" -> Pca.gramSql,
     "dedup_exact" -> Dedup.exactSql,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardSql(),
     // minhash+LSH verifies candidates with exact Jaccard; at the measured

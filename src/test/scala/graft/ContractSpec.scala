@@ -29,6 +29,10 @@ class ContractSpec extends SparkSpec {
   }
 
   test("the rows-only set is exactly the five SGD training metrics") {
+    // embed_pca_project's oracle is DYNAMIC (trained-literal SQL,
+    // published once a model trains in this JVM) — train first so the
+    // assertion sees the steady-state oracle surface
+    graft.operators.Pca.project(Tables.embeddings(spark, sf)).count()
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(rowsOnly == Set("transe_eval", "transe_eval_partitioned",
       "transe_eval_filtered", "transe_fit", "transe_fit_partitioned"),

@@ -1337,6 +1337,67 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("pca: eigensolve is deterministic, orthonormal, descending, and solves C v = l v") {
+    val emb = Tables.embeddings(spark, sf)
+    import org.apache.spark.sql.functions._
+    // exact integer inputs, straight from the oracled stage-1 surface
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    val row = emb.agg(call_function("gram_lower", col("embedding"), lit(Pca.D)).as("g"),
+      count(lit(1)).as("n")).head()
+    val packed = row.getSeq[Long](0).toArray
+    val n = row.getLong(1)
+    val sums = emb.select(posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy("pos").agg(sum(floor(col("x").cast("double") * 1048576.0)
+        .cast("long")).as("s"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val sumArr = Array.tabulate(Pca.D)(i => sums.getOrElse(i, 0L))
+    val (c1, e1) = Pca.eigensolve(packed, sumArr, n)
+    val (c2, e2) = Pca.eigensolve(packed, sumArr, n)
+    // bit-deterministic: pure function of the exact integer Gram
+    assert(c1.flatten.toSeq == c2.flatten.toSeq && e1.toSeq == e2.toSeq)
+    // eigenvalues strictly positive, descending
+    (0 until Pca.K - 1).foreach(k =>
+      assert(e1(k) >= e1(k + 1) && e1(k + 1) > 0, s"eigs ${e1.toSeq}"))
+    // components orthonormal
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    c1.foreach(v => assert(math.abs(dot(v, v) - 1.0) < 1e-9))
+    for (a <- 0 until Pca.K; b <- a + 1 until Pca.K)
+      assert(math.abs(dot(c1(a), c1(b))) < 1e-7, s"comps $a,$b not orthogonal")
+    // each (v, l) solves the ORIGINAL covariance: ||C v - l v|| small
+    val cov = Array.ofDim[Double](Pca.D, Pca.D)
+    var p = 0
+    for (i <- 0 until Pca.D; j <- 0 to i) {
+      val v = (packed(p).toDouble - sumArr(i).toDouble * sumArr(j) / n) / n
+      cov(i)(j) = v; cov(j)(i) = v; p += 1
+    }
+    (0 until Pca.K).foreach { k =>
+      val v = c1(k)
+      val resid = (0 until Pca.D).map { i =>
+        val cv = (0 until Pca.D).map(j => cov(i)(j) * v(j)).sum
+        val r = cv - e1(k) * v(i); r * r
+      }.sum
+      // tolerance reflects power-iteration convergence on a clustered
+      // (near-isotropic) spectrum — orthonormality above is the tight
+      // structural gate, the residual is the convergence gate
+      assert(math.sqrt(resid) < 5e-3 * math.max(1.0, e1(k)),
+        s"component $k residual ${math.sqrt(resid)} vs eig ${e1(k)}")
+    }
+  }
+
+  test("pca: projected variance is descending and matches the eigenvalues") {
+    val proj = Pca.project(Tables.embeddings(spark, sf)).collect()
+    val m = proj.length
+    val vars = (0 until Pca.K).map { k =>
+      val xs = proj.map(_.getLong(k + 1).toDouble / 1048576.0 / 1048576.0)
+      val mean = xs.sum / m
+      xs.map(x => (x - mean) * (x - mean)).sum / m
+    }
+    (0 until Pca.K - 1).foreach(k =>
+      assert(vars(k) >= vars(k + 1) * 0.999, s"variance not descending: $vars"))
+    assert(vars.head > 0)
+  }
+
   test("quality classifier: discriminates a corpus with real lexical signal") {
     import spark.implicits._
     // the sf testdata's 31-token vocabulary is HOMOGENEOUS across docs, so
