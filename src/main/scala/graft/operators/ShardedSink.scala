@@ -59,6 +59,29 @@ object ShardedSink {
           .as("content_sum"))
       .orderBy("shard")
 
+  /** FILE-LEVEL PROVENANCE through Spark's hidden `_metadata` struct:
+    * the shard id is derived from each row's PHYSICAL FILE PATH
+    * (`_metadata.file_path`), deliberately ignoring the hive partition
+    * column — then checked against the content-derived assignment
+    * (pmod of the text hash) by sharing [[manifestSql]]'s oracle.
+    * Equality proves two things the manifest alone cannot: the
+    * `_metadata` provenance column is trustworthy row-by-row, and every
+    * file physically contains exactly the rows its path claims — the
+    * audit a lineage-tracking pipeline runs before trusting
+    * path-encoded metadata at 100 TB. Reading `_metadata` costs
+    * nothing: it is populated from the split, not the file bytes. */
+  def provenance(spark: SparkSession, sfDir: String, nShards: Int = 16): DataFrame =
+    spark.read.parquet(stagedDir(spark, sfDir, nShards))
+      .select(col("text"), col("n_chars"),
+        regexp_extract(col("_metadata").getField("file_path"),
+          "shard=(\\d+)/", 1).cast("long").as("shard"))
+      .groupBy("shard")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long"))
+          .as("content_sum"))
+
   def manifestSql(nShards: Int = 16): String = {
     val h = OracleSql.hex64Signed("md5(text)")
     val hv = OracleSql.hexVal("md5(text)", 1, 8)

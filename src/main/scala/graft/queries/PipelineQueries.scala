@@ -160,6 +160,7 @@ object PipelineQueries {
     "source_binary" -> Seq("name"),
     "mv_event_totals" -> Seq("event_type"),
     "embed_gram" -> Seq("i", "j"),
+    "source_provenance" -> Seq("shard"),
     "embed_pca_project" -> Seq("vec_id"),
     "events_cohort_retention" -> Seq("cohort_day", "day_offset"))
 
@@ -294,6 +295,7 @@ object PipelineQueries {
     // --- distributed PCA ---
     "embed_gram" -> ((s, d) => Pca.gram(Tables.embeddings(s, d))),
     "embed_pca_project" -> ((s, d) => Pca.project(Tables.embeddings(s, d))),
+    "source_provenance" -> ((s, d) => ShardedSink.provenance(s, d)),
     // --- training-shard writer: content-hash-balanced shards + manifest ---
     "sink_shards" -> ((s, d) => ShardedSink.manifest(s, d)))
 
@@ -315,6 +317,8 @@ object PipelineQueries {
 
   private val staticOracles: Map[String, String] = Map(
     "embed_gram" -> Pca.gramSql,
+    // _metadata-derived shard must equal the content-derived assignment
+    "source_provenance" -> ShardedSink.manifestSql(),
     "dedup_exact" -> Dedup.exactSql,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardSql(),
     // minhash+LSH verifies candidates with exact Jaccard; at the measured
