@@ -161,6 +161,8 @@ object PipelineQueries {
     "mv_event_totals" -> Seq("event_type"),
     "embed_gram" -> Seq("i", "j"),
     "source_provenance" -> Seq("shard"),
+    "snapshot_time_travel" -> Seq("version"),
+    "snapshot_diff" -> Seq("o_orderkey"),
     "embed_pca_project" -> Seq("vec_id"),
     "events_cohort_retention" -> Seq("cohort_day", "day_offset"))
 
@@ -296,6 +298,9 @@ object PipelineQueries {
     "embed_gram" -> ((s, d) => Pca.gram(Tables.embeddings(s, d))),
     "embed_pca_project" -> ((s, d) => Pca.project(Tables.embeddings(s, d))),
     "source_provenance" -> ((s, d) => ShardedSink.provenance(s, d)),
+    // --- versioned snapshots / time travel ---
+    "snapshot_time_travel" -> ((s, d) => VersionedTable.timeTravel(s, d)),
+    "snapshot_diff" -> ((s, d) => VersionedTable.diff(s, d)),
     // --- training-shard writer: content-hash-balanced shards + manifest ---
     "sink_shards" -> ((s, d) => ShardedSink.manifest(s, d)))
 
@@ -319,6 +324,8 @@ object PipelineQueries {
     "embed_gram" -> Pca.gramSql,
     // _metadata-derived shard must equal the content-derived assignment
     "source_provenance" -> ShardedSink.manifestSql(),
+    "snapshot_time_travel" -> VersionedTable.timeTravelSql,
+    "snapshot_diff" -> VersionedTable.diffSql,
     "dedup_exact" -> Dedup.exactSql,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardSql(),
     // minhash+LSH verifies candidates with exact Jaccard; at the measured
