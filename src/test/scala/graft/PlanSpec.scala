@@ -481,6 +481,42 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  // -------------------------------------------------- AQE skew handling
+  test("AQE splits a skewed join partition at runtime (skew=true in the final plan)") {
+    // the RUNTIME half of the skew story (q15's salting is the static
+    // half): a hot key concentrates one shuffle partition; with skew-join
+    // thresholds sized to the data, AQE must split it rather than let one
+    // task straggle. Cloned session: the aggressive thresholds and the
+    // broadcast opt-out never leak.
+    val s = spark.newSession()
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.adaptive.enabled", "true")
+    s.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+    s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    // 10% of rows pile onto key 7; the tail is uniform
+    val big = s.range(0, 400000).select(
+      when(col("id") % 10 === 0, lit(7L)).otherwise(col("id")).as("k"),
+      col("id").as("v"))
+    val dim = s.range(0, 50000).select(col("id").as("k"), (col("id") * 2).as("w"))
+    val j = big.join(dim, "k")
+    // execute THIS dataset's own physical plan: count()/write() wrap the
+    // logical plan in a NEW QueryExecution and would leave j's adaptive
+    // plan unexecuted (its toString would show the pre-runtime plan)
+    val aqePlan = j.queryExecution.executedPlan
+    val n = aqePlan.execute().count()
+    // matches: tail keys < 50000 except multiples of 10 (40000 - 4000... )
+    // computed independently: keys k in [0,50000) with k%10!=0 match once;
+    // key 7 matches 40000 times (every id%10==0 row)
+    val expected = (0L until 50000L).count(k => k % 10 != 0) + 40000L
+    assert(n == expected, s"join result moved: $n vs $expected")
+    val plan = aqePlan.toString
+    assert(plan.contains("skew=true"),
+      s"AQE did not split the skewed partition:\n$plan")
+  }
+
   // ------------------------------------------------ SummaryRewrite (MV)
   test("mv rewrite: registered dashboard aggregate scans the ROLLUP, not events") {
     val summaryDir = graft.operators.Summaries.ensureEventsDailySummary(spark, sf)
