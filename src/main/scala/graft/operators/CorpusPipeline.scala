@@ -60,6 +60,42 @@ object CorpusPipeline {
       .orderBy("stage")
   }
 
+  /** [[funnel]] in ONE pass via `Dataset.observe`: the stage counters
+    * ride the MAIN query as accumulator side-channels (CollectMetrics
+    * nodes), so the accounting costs zero extra jobs — at 100 TB the
+    * four-lazy-aggregations spelling re-reads the corpus four times,
+    * this spelling reads it once. The observed counts are exact (Spark
+    * guarantees observe metrics reflect exactly the rows of the
+    * completed action, task retries deduplicated), so it shares
+    * [[funnelSql]]'s oracle. Returns the same (stage, n_docs) surface,
+    * built on the driver from the observation handles after the single
+    * action. */
+  def funnelObserved(docs: DataFrame, minQuality: Double = 0.2,
+      sampleRate: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.Observation
+    val spark = docs.sparkSession
+    val oIn = Observation()
+    val oKept = Observation()
+    val oDedup = Observation()
+    val observedIn = docs.select(col("doc_id"), col("text"))
+      .observe(oIn, count(lit(1)).as("n"))
+    val kept = observedIn.filter(TextAnalysis.qualityScoreExpr >= minQuality)
+      .observe(oKept, count(lit(1)).as("n"))
+    val deduped = kept.select(col("doc_id"),
+        md5(TextAnalysis.redactedText(col("text"))).as("content_md5"))
+      .groupBy("content_md5").agg(min("doc_id").as("doc_id"))
+      .observe(oDedup, count(lit(1)).as("n"))
+    val nSampled = Sampling.hashSample(deduped, "doc_id", sampleRate, salt = "clean")
+      .count() // the ONE action; all observations resolve with it
+    import spark.implicits._
+    Seq(
+      ("1_input", oIn.get("n").asInstanceOf[Long]),
+      ("2_quality", oKept.get("n").asInstanceOf[Long]),
+      ("3_dedup", oDedup.get("n").asInstanceOf[Long]),
+      ("4_sample", nSampled))
+      .toDF("stage", "n_docs")
+  }
+
   private def keptSql(minQuality: Double, sampleRate: Double): String =
     s"""kept AS (SELECT doc_id, text FROM documents
        |         WHERE ${TextAnalysis.qualityScoreExprSql} >= $minQuality),

@@ -163,6 +163,7 @@ object PipelineQueries {
     "source_provenance" -> Seq("shard"),
     "snapshot_time_travel" -> Seq("version"),
     "snapshot_diff" -> Seq("o_orderkey"),
+    "pipeline_funnel_observed" -> Seq("stage"),
     "embed_pca_project" -> Seq("vec_id"),
     "events_cohort_retention" -> Seq("cohort_day", "day_offset"))
 
@@ -301,6 +302,7 @@ object PipelineQueries {
     // --- versioned snapshots / time travel ---
     "snapshot_time_travel" -> ((s, d) => VersionedTable.timeTravel(s, d)),
     "snapshot_diff" -> ((s, d) => VersionedTable.diff(s, d)),
+    "pipeline_funnel_observed" -> ((s, d) => CorpusPipeline.funnelObserved(Tables.documents(s, d))),
     // --- training-shard writer: content-hash-balanced shards + manifest ---
     "sink_shards" -> ((s, d) => ShardedSink.manifest(s, d)))
 
@@ -326,6 +328,8 @@ object PipelineQueries {
     "source_provenance" -> ShardedSink.manifestSql(),
     "snapshot_time_travel" -> VersionedTable.timeTravelSql,
     "snapshot_diff" -> VersionedTable.diffSql,
+    // observe() side-channel counters equal the four-agg replay exactly
+    "pipeline_funnel_observed" -> CorpusPipeline.funnelSql(),
     "dedup_exact" -> Dedup.exactSql,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardSql(),
     // minhash+LSH verifies candidates with exact Jaccard; at the measured
