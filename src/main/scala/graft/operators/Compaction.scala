@@ -99,6 +99,84 @@ object Compaction {
           .as("content_sum"))
       .orderBy("lang", "source")
 
+  /** OPTIMIZE: compaction and Z-ORDER clustering in ONE rewrite — the
+    * Delta/Iceberg `OPTIMIZE ... ZORDER BY` maintenance job as a plain
+    * parquet operation. Sizing comes from the recursive listing (like
+    * [[compact]]); the layout comes from [[Layout.zOrdered]]
+    * (repartitionByRange on the interleaved key + sort-within), so one
+    * pass fixes BOTH small files and scan locality: each output file
+    * covers a tight (colA, colB) rectangle, which is what lets min/max
+    * row-group pruning cut multi-dimensional scans after the rewrite.
+    * Same read-cost as compaction alone plus the range shuffle — at
+    * 100 TB you were rewriting the bytes anyway; clustering them while
+    * they move is free locality. Returns (files in, files out). */
+  def optimize(spark: SparkSession, inDir: String, outDir: String,
+      targetBytes: Long, colA: String, colB: String): (Int, Int) = {
+    val inPath = new Path(inDir)
+    val fs = inPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.makeQualified(inPath) != fs.makeQualified(new Path(outDir)),
+      s"optimize: outDir must differ from inDir")
+    val files = {
+      val it = fs.listFiles(inPath, true)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.LocatedFileStatus]
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.isFile && f.getPath.getName.endsWith(".parquet")) buf += f
+      }
+      buf.toArray
+    }
+    val total = files.map(_.getLen).sum
+    val n = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
+    Layout.zOrdered(spark.read.parquet(inDir), colA, colB, n)
+      .write.mode("overwrite").parquet(outDir)
+    val written = fs.listStatus(new Path(outDir))
+      .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    (files.length, written)
+  }
+
+  /** Staged fixture: lineitem keys deliberately fragmented into 64
+    * randomly-laid-out files, then OPTIMIZEd (compact + z-order on
+    * (l_partkey, l_suppkey)). */
+  private[graft] def stagedOptimizedDir(spark: SparkSession, sfDir: String): String = {
+    val src = Paths.get(sfDir, "lineitem.parquet").toAbsolutePath.normalize
+    val key = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s"optimize:$src:${Files.getLastModifiedTime(src).toMillis}".getBytes("UTF-8"))
+      .take(8).map("%02x".format(_)).mkString
+    val frag = Paths.get(sys.props("java.io.tmpdir"), s"graft_optfrag_$key")
+    val opt = Paths.get(sys.props("java.io.tmpdir"), s"graft_opt_$key")
+    if (!Files.exists(opt.resolve("_SUCCESS"))) {
+      Tables.lineitem(spark, sfDir)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+        .repartition(64)
+        .write.mode("overwrite").parquet(frag.toString)
+      optimize(spark, frag.toString, opt.toString,
+        targetBytes = 256L << 20, colA = "l_partkey", colB = "l_suppkey")
+    }
+    opt.toString
+  }
+
+  /** Round-trip proof through fragment -> OPTIMIZE: whole-content
+    * checksum off the rewritten copy; the z-order clustering itself is
+    * a layout property asserted in CompactionSpec (per-file key-span
+    * tightness), which no SQL replay can see. */
+  def optimizeAgg(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(stagedOptimizedDir(spark, sfDir))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("l_orderkey").cast("long")).as("okey_sum"),
+        sum(conv(substring(md5(concat_ws("|", col("l_orderkey"),
+          col("l_partkey"), col("l_suppkey"))), 1, 8), 16, 10).cast("long"))
+          .as("content_sum"))
+
+  def optimizeAggSql: String = {
+    val hv = OracleSql.hexVal(
+      "md5(l_orderkey || '|' || l_partkey || '|' || l_suppkey)", 1, 8)
+    s"""SELECT COUNT(*) AS n_rows,
+       |  CAST(SUM(CAST(l_orderkey AS BIGINT)) AS BIGINT) AS okey_sum,
+       |  CAST(SUM(CAST($hv AS BIGINT)) AS BIGINT) AS content_sum
+       |FROM lineitem""".stripMargin
+  }
+
   def roundTripAggSql: String = {
     val hv = OracleSql.hexVal("md5(text)", 1, 8)
     // CAST the SUMs: DuckDB SUM(<int>) types as HUGEINT, which pandas

@@ -303,6 +303,7 @@ object PipelineQueries {
     "snapshot_time_travel" -> ((s, d) => VersionedTable.timeTravel(s, d)),
     "snapshot_diff" -> ((s, d) => VersionedTable.diff(s, d)),
     "pipeline_funnel_observed" -> ((s, d) => CorpusPipeline.funnelObserved(Tables.documents(s, d))),
+    "sink_optimize" -> ((s, d) => Compaction.optimizeAgg(s, d)),
     // --- training-shard writer: content-hash-balanced shards + manifest ---
     "sink_shards" -> ((s, d) => ShardedSink.manifest(s, d)))
 
@@ -330,6 +331,7 @@ object PipelineQueries {
     "snapshot_diff" -> VersionedTable.diffSql,
     // observe() side-channel counters equal the four-agg replay exactly
     "pipeline_funnel_observed" -> CorpusPipeline.funnelSql(),
+    "sink_optimize" -> Compaction.optimizeAggSql,
     "dedup_exact" -> Dedup.exactSql,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardSql(),
     // minhash+LSH verifies candidates with exact Jaccard; at the measured
