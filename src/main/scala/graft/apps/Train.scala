@@ -13,6 +13,7 @@ import graft.transe._
   *   graft.apps.Train --train <triples.tsv> --out <modelDir>
   *     [--epochs 1000] [--batches 2] [--margin 1.0] [--lr 0.01]
   *     [--dim 50] [--distance L1|L2] [--seed 42]
+  *     [--corruption uniform|bern]   # bern = Wang et al. 2014 sampling
   *     [--checkpoint-every 50] [--warm-start <modelDir>]
   *     [--warm-start-epoch <n>]   # restore <modelDir>/checkpoint/epoch=<n>
   *     [--exec broadcast|partitioned]
@@ -38,6 +39,7 @@ object Train {
       dim = opts.int("dim", 50),
       distance = if (opts.str("distance", "L1") == "L2") L2Squared else L1,
       seed = opts.long("seed", 42L),
+      bernCorruption = opts.str("corruption", "uniform") == "bern",
       checkpointEvery = opts.int("checkpoint-every", 0),
       checkpointDir = Some(s"$outDir/checkpoint"))
 

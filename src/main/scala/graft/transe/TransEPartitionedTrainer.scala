@@ -81,6 +81,8 @@ class TransEPartitionedTrainer(params: TransEParams) extends Serializable {
     val membership = TransETrainer.buildMembership(spark, data, nTriples,
       nEntities, nLabels, p)
     val membBc = sc.broadcast(membership)
+    val bernBc = sc.broadcast(
+      if (p.bernCorruption) TransETrainer.bernProbs(data, nLabels) else null)
 
     // seeded init on the driver (see scaladoc), then scatter to the
     // parameter layout; the init matrices are released after this
@@ -108,7 +110,8 @@ class TransEPartitionedTrainer(params: TransEParams) extends Serializable {
 
         // 1. parameter read set per partition (ids only)
         val needs: RDD[(Int, Int)] = sampled.mapPartitionsWithIndex({ (pid, it) =>
-          val ids = TransETrainer.readSet(pid, it, membBc.value, nEntities, p, batchSeed)
+          val ids = TransETrainer.readSet(pid, it, membBc.value, nEntities, p,
+            batchSeed, bernBc.value)
           val out = new Array[(Int, Int)](ids.size)
           var i = 0
           val jt = ids.iterator()
@@ -136,7 +139,7 @@ class TransEPartitionedTrainer(params: TransEParams) extends Serializable {
             }
             val lab = labBc.value
             TransETrainer.partitionSgd(pid, trIt, entBase, lab(_),
-              membBc.value, nEntities, p, batchSeed)
+              membBc.value, nEntities, p, batchSeed, bernBc.value)
         }.persist(StorageLevel.MEMORY_AND_DISK)
 
         // 4a. labels + loss on the driver, ascending-pid LWW (matches the
@@ -195,6 +198,7 @@ class TransEPartitionedTrainer(params: TransEParams) extends Serializable {
     }
     lossHistory = history
     membBc.destroy()
+    bernBc.destroy()
     data.unpersist()
     (entParams, label)
   }

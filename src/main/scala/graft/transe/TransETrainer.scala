@@ -102,6 +102,8 @@ class TransETrainer(params: TransEParams) extends Serializable {
     val membership = TransETrainer.buildMembership(spark, data, nTriples,
       nEntities, nLabels, p)
     val membBc = sc.broadcast(membership)
+    val bernBc = sc.broadcast(
+      if (p.bernCorruption) TransETrainer.bernProbs(data, nLabels) else null)
 
     val (entity, label) = TransETrainer.initialMatrices(p, nEntities, nLabels, warmStart)
 
@@ -135,7 +137,7 @@ class TransETrainer(params: TransEParams) extends Serializable {
         val deltas = sampled.mapPartitionsWithIndex { (pid, it) =>
           val (ent, lab) = modelBc.value
           TransETrainer.partitionSgd(pid, it, ent(_), lab(_),
-            membBc.value, nEntities, p, batchSeed)
+            membBc.value, nEntities, p, batchSeed, bernBc.value)
         }.collect()
         val t2 = tick()
 
@@ -173,6 +175,7 @@ class TransETrainer(params: TransEParams) extends Serializable {
     lossHistory = history
     epochSecsHistory = epochSecs
     membBc.destroy()
+    bernBc.destroy()
     data.unpersist()
     TransEModel(entity, label, params)
   }
@@ -295,6 +298,27 @@ object TransETrainer {
       new BloomMembership(bloom)
     }
 
+  /** Per-relation head-replacement probability for "bern" corruption
+    * (Wang et al. 2014): p_head(l) = tph/(tph+hpt) which reduces to the
+    * all-integer dt_l / (dh_l + dt_l) (distinct tails / (distinct heads
+    * + distinct tails) of relation l) — one distinct-pair aggregation
+    * over the cached training set, deterministic across layouts.
+    * Relations absent from the data default to the uniform 1/2. */
+  private[graft] def bernProbs(data: RDD[Triple], nLabels: Int): Array[Double] = {
+    val counts = data
+      .flatMap(tr => Seq(((tr.l, 0, tr.h), null), ((tr.l, 1, tr.t), null)))
+      .reduceByKey((a, _) => a)
+      .map { case ((l, side, _), _) => ((l, side), 1L) }
+      .reduceByKey(_ + _)
+      .collect()
+    val dh = new Array[Long](nLabels)
+    val dt = new Array[Long](nLabels)
+    counts.foreach { case ((l, side), n) =>
+      if (side == 0) dh(l) = n else dt(l) = n }
+    Array.tabulate(nLabels)(l =>
+      if (dh(l) + dt(l) == 0) 0.5 else dt(l).toDouble / (dh(l) + dt(l)))
+  }
+
   /** Seeded init / warm-start restore (reference `TransE.py:45-60,97`). */
   private[transe] def initialMatrices(p: TransEParams, nEntities: Int,
       nLabels: Int, warmStart: Option[TransEModel]):
@@ -385,7 +409,8 @@ object TransETrainer {
       membership: TripleMembership,
       nEntities: Int,
       p: TransEParams,
-      batchSeed: Long): Iterator[Delta] = {
+      batchSeed: Long,
+      bern: Array[Double] = null): Iterator[Delta] = {
 
     // Deterministic per-task stream: seed mixes batch and partition
     // (reference uses OS randomness, TransE.py:185 — SURVEY §7.5-3).
@@ -407,10 +432,13 @@ object TransETrainer {
 
     var loss = 0.0
     it.foreach { tr =>
-      // Corruption: flip head or tail p=0.5 (TransE.py:252), redraw while
-      // the corrupted triple is a real training triple (TransE.py:237-244),
-      // capped (SURVEY §7.5-4).
-      val corruptHead = rng.nextBoolean()
+      // Corruption: flip head or tail — uniform 1/2 (TransE.py:252) or
+      // the per-relation bern probability; redraw while the corrupted
+      // triple is a real training triple (TransE.py:237-244), capped
+      // (SURVEY §7.5-4). The bern array is DATA (relation statistics),
+      // not parameters, so readSet's replay contract is preserved.
+      val corruptHead =
+        if (bern == null) rng.nextBoolean() else rng.nextDouble() < bern(tr.l)
       var candidate = rng.nextInt(nEntities)
       var tries = 0
       while (tries < p.rejectionCap &&
@@ -468,12 +496,14 @@ object TransETrainer {
       membership: TripleMembership,
       nEntities: Int,
       p: TransEParams,
-      batchSeed: Long): java.util.HashSet[Integer] = {
+      batchSeed: Long,
+      bern: Array[Double] = null): java.util.HashSet[Integer] = {
     val rng = new SplittableRandom(StableHash.corruptionSeed(batchSeed, pid))
     val ids = new java.util.HashSet[Integer]()
     it.foreach { tr =>
       ids.add(tr.h); ids.add(tr.t)
-      val corruptHead = rng.nextBoolean()
+      val corruptHead =
+        if (bern == null) rng.nextBoolean() else rng.nextDouble() < bern(tr.l)
       var candidate = rng.nextInt(nEntities)
       var tries = 0
       while (tries < p.rejectionCap &&

@@ -33,6 +33,12 @@ case object L2Squared extends Distance
   * @param rejectionCap    max redraws when a corrupted triple collides with
   *                        the training set (`TransE.py:237-244` loops
   *                        unboundedly; SURVEY §7.5-4)
+  * @param bernCorruption  "bern" negative sampling (Wang et al., AAAI
+  *                        2014; beyond-reference): corrupt the head with
+  *                        probability tph/(tph+hpt) per relation instead
+  *                        of 1/2 — fewer false-negative corruptions on
+  *                        1-to-N / N-to-1 relations. Default OFF = the
+  *                        reference's uniform coin (golden contract)
   * @param exactMembership use an exact broadcast Set for negative-sample
   *                        rejection; false = Bloom filter (1% fpp), the
   *                        100TB-scale path where the exact set no longer
@@ -51,6 +57,7 @@ case class TransEParams(
     distance: Distance = L1,
     seed: Long = 42L,
     rejectionCap: Int = 100,
+    bernCorruption: Boolean = false,
     exactMembership: Boolean = true,
     checkpointEvery: Int = 0,
     checkpointDir: Option[String] = None)

@@ -95,6 +95,40 @@ class TransESpec extends SparkSpec {
       s"combined mean rank $meanRank not better than random ($random)")
   }
 
+  test("bern corruption: probabilities from relation stats; trainers stay bit-equal") {
+    import spark.implicits._
+    // relation 0 is 1-to-N (one head, 4 tails): tph=4, hpt=1 ->
+    // p_head = dt/(dh+dt) = 4/5; relation 1 is N-to-1 mirrored -> 1/5
+    val kg = Seq(
+      Triple(0, 0, 1), Triple(0, 0, 2), Triple(0, 0, 3), Triple(0, 0, 4),
+      Triple(1, 1, 5), Triple(2, 1, 5), Triple(3, 1, 5), Triple(4, 1, 5)).toDS()
+    val bern = TransETrainer.bernProbs(kg.rdd, 2)
+    assert(bern(0) == 4.0 / 5.0 && bern(1) == 1.0 / 5.0, bern.toSeq)
+
+    // with bern ON: same-seed determinism AND the partitioned trainer's
+    // bit-equality contract must both survive the new corruption path
+    // (readSet replays the bern draw — relation stats are data, not
+    // parameters, so the prefetch contract holds)
+    val p = TransEQueries.evalParams.copy(epochs = 3, bernCorruption = true)
+    val (train, _, _, nEnt, nLab) = TransEQueries.trainTestSplit(spark, sf)
+    val t1 = new TransETrainer(p)
+    val m1 = t1.fit(train, nEnt, nLab)
+    val t2 = new TransETrainer(p)
+    val m2 = t2.fit(train, nEnt, nLab)
+    assert(t1.lossHistory == t2.lossHistory, "bern training not deterministic")
+    val tp = new TransEPartitionedTrainer(p)
+    val mp = tp.fit(train, nEnt, nLab)
+    assert(tp.lossHistory == t1.lossHistory,
+      s"partitioned bern loss drifted:\n${tp.lossHistory}\n${t1.lossHistory}")
+    assert(m1.entity.flatten.toSeq == mp.entity.flatten.toSeq,
+      "bern matrices diverged between trainers")
+    // and bern actually CHANGES the trajectory vs uniform (same seed)
+    val tu = new TransETrainer(p.copy(bernCorruption = false))
+    tu.fit(train, nEnt, nLab)
+    assert(tu.lossHistory != t1.lossHistory, "bern flag had no effect")
+    assert(m1.entity.flatten.toSeq == m2.entity.flatten.toSeq)
+  }
+
   test("filtered ranking: known-true competitors excluded, exact -1 semantics") {
     import spark.implicits._
     // hand-built geometry, L1, labels zero: d(e + l, t) = |e - t| per dim.
