@@ -78,6 +78,35 @@ object CorpusStats {
        |  CAST(n_tokens * 1000000 // SUM(n_tokens) OVER () AS BIGINT) AS token_share_ppm
        |FROM cells ORDER BY source, lang, quality_decile""".stripMargin
 
+  /** Source × language association report: for every (source, lang) cell
+    * of the corpus contingency table, the observed doc count and the
+    * LIFT vs independence — observed/(expected under independence) =
+    * n_cell * N / (n_source * n_lang) — scaled to ppm by exact integer
+    * arithmetic (1e6 = independent; above = over-represented). This is
+    * the drift/association check a corpus curator runs when a crawl
+    * source starts skewing the language mix.
+    *
+    * Scale shape: ONE full-data shuffle (the groupBy to cells); the
+    * marginals are windows over the tiny cells table (|sources| x
+    * |langs| rows), never a second pass over the corpus. Integer-only
+    * output; the n_cell * N * 1e6 product needs DECIMAL beyond ~3e12
+    * docs — far past any real corpus, noted for the audit. */
+  def sourceLangLift(docs: DataFrame): DataFrame =
+    docs.groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("lift_ppm", expr(
+        "n_docs * sum(n_docs) OVER () * 1000000L DIV " +
+          "(sum(n_docs) OVER (PARTITION BY source) * sum(n_docs) OVER (PARTITION BY lang))"))
+
+  def sourceLangLiftSql: String =
+    s"""WITH cells AS (SELECT source, lang, COUNT(*) AS n_docs
+       |               FROM documents GROUP BY source, lang)
+       |SELECT source, lang, n_docs,
+       |  CAST(n_docs * SUM(n_docs) OVER () * 1000000 //
+       |    (SUM(n_docs) OVER (PARTITION BY source) * SUM(n_docs) OVER (PARTITION BY lang))
+       |    AS BIGINT) AS lift_ppm
+       |FROM cells ORDER BY source, lang""".stripMargin
+
   def lengthQuantilesSql(qs: Seq[Int] = Seq(25, 50, 75, 90, 99)): String =
     s"""WITH hist AS (SELECT lang, n_chars, COUNT(*) AS cnt
        |              FROM documents GROUP BY lang, n_chars),

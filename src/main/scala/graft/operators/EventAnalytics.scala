@@ -42,6 +42,119 @@ object EventAnalytics {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** Ordered time-window funnel (view → click → purchase within
+    * `windowSec` of the first view): for each user, the first step-1
+    * event anchors the window; each later step must occur strictly after
+    * the previous step's chosen event and inside the anchor window.
+    * Output: one row per step with the number of users reaching it — the
+    * conversion funnel every product-analytics engine ships as a
+    * primitive (match_recognize / windowFunnel elsewhere).
+    *
+    * Semantics are the deterministic "first qualifying event" chain (not
+    * any-chain-exists): t1 = min ts of step 1; t2 = min ts of step 2 in
+    * (t1, t1+W]; t3 = min ts of step 3 in (t2, t1+W]. All comparisons in
+    * integer epoch-micros — exact in any engine.
+    *
+    * Scale shape: one pass per step — each pass filters events to one
+    * type and equi-joins the previous step's per-user anchor table
+    * (|users| rows, partial-aggregated map-side) — no window functions
+    * over raw events, no per-user event collection, so per-user event
+    * counts are never materialized. Step count is the funnel length (3),
+    * fixed and small. */
+  def funnelSteps(events: DataFrame,
+      steps: Seq[String] = Seq("view", "click", "purchase"),
+      windowSec: Long = 3600L): DataFrame = {
+    require(steps.nonEmpty)
+    val w = windowSec * 1000000L
+    val base = events.select(col("user_id"), col("event_type"),
+      expr("unix_micros(ts)").as("tus"))
+    val s1 = base.filter(col("event_type") === steps.head)
+      .groupBy("user_id").agg(min("tus").as("t1"), min("tus").as("tprev"))
+    val chain = steps.zipWithIndex.drop(1).scanLeft(s1) {
+      case (prev, (step, _)) =>
+        base.filter(col("event_type") === step)
+          .join(prev, "user_id")
+          .filter(col("tus") > col("tprev") && col("tus") <= col("t1") + lit(w))
+          .groupBy("user_id")
+          .agg(min("t1").as("t1"), min("tus").as("tprev"))
+    }
+    val spark = events.sparkSession
+    import spark.implicits._
+    chain.zipWithIndex.map { case (df, i) =>
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1L).as("step"), lit(steps(i)).as("step_name"),
+          col("n_users"))
+    }.reduce(_.unionAll(_))
+  }
+
+  def funnelStepsSql(steps: Seq[String] = Seq("view", "click", "purchase"),
+      windowSec: Long = 3600L): String = {
+    val w = windowSec * 1000000L
+    val ctes = new StringBuilder(
+      s"""WITH base AS (SELECT user_id, event_type, epoch_us(ts) AS tus FROM events),
+         |s1 AS (SELECT user_id, MIN(tus) AS t1, MIN(tus) AS tprev
+         |       FROM base WHERE event_type = '${steps.head}' GROUP BY 1)""".stripMargin)
+    steps.zipWithIndex.drop(1).foreach { case (step, i) =>
+      ctes.append(
+        s""",
+           |s${i + 1} AS (SELECT b.user_id, MIN(p.t1) AS t1, MIN(b.tus) AS tprev
+           |       FROM base b JOIN s$i p USING (user_id)
+           |       WHERE b.event_type = '$step' AND b.tus > p.tprev
+           |         AND b.tus <= p.t1 + $w GROUP BY 1)""".stripMargin)
+    }
+    val selects = steps.zipWithIndex.map { case (step, i) =>
+      s"SELECT CAST(${i + 1} AS BIGINT) AS step, '$step' AS step_name, " +
+        s"(SELECT COUNT(*) FROM s${i + 1}) AS n_users"
+    }
+    ctes.append("\n" + selects.mkString("\nUNION ALL\n") + "\nORDER BY step")
+    ctes.toString
+  }
+
+  /** Time-series gap fill: per-user daily event counts with the missing
+    * days BETWEEN each user's first and last active day emitted as
+    * explicit zero rows — the densification step before any
+    * rolling-window / forecasting consumer (sparse activity tables make
+    * window frames silently skip calendar days).
+    *
+    * Spark shape: aggregate to (user, day) counts, derive each user's
+    * [min,max] span from the AGGREGATED rows (tiny), generate the dense
+    * day axis with `sequence` + `explode` (a Generator — rows are
+    * produced lazily per user, never materialized as one driver list),
+    * then left-join the real counts back. The explode and join operate
+    * on |users| * span rows — already reduced from raw events by the
+    * first aggregate — and the span is bounded by the data's calendar
+    * extent, so the blow-up factor is known and capped. At 100 TB the
+    * only full-data shuffle is the first groupBy; everything after runs
+    * on the small dense grid. */
+  def gapFillDaily(events: DataFrame, bucketSec: Long = 86400L): DataFrame = {
+    val counts = events
+      .select(col("user_id"),
+        expr(s"unix_micros(ts) DIV 1000000 DIV $bucketSec").as("day_id"))
+      .groupBy("user_id", "day_id")
+      .agg(count(lit(1)).as("n_events"))
+    val axis = counts.groupBy("user_id")
+      .agg(min("day_id").as("d0"), max("day_id").as("d1"))
+      .select(col("user_id"),
+        explode(expr("sequence(d0, d1)")).as("day_id"))
+    axis.join(counts, Seq("user_id", "day_id"), "left")
+      .select(col("user_id"), col("day_id"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"))
+  }
+
+  def gapFillDailySql(bucketSec: Long = 86400L): String =
+    s"""WITH counts AS (
+       |  SELECT user_id,
+       |    CAST(floor(epoch(ts)) AS BIGINT) // $bucketSec AS day_id,
+       |    COUNT(*) AS n_events
+       |  FROM events GROUP BY 1, 2
+       |), axis AS (
+       |  SELECT user_id, unnest(generate_series(MIN(day_id), MAX(day_id))) AS day_id
+       |  FROM counts GROUP BY user_id
+       |)
+       |SELECT a.user_id, a.day_id, COALESCE(c.n_events, 0) AS n_events
+       |FROM axis a LEFT JOIN counts c USING (user_id, day_id)
+       |ORDER BY user_id, day_id""".stripMargin
+
   /** DuckDB replay of [[cohortRetention]] — the readable
     * distinct/join/re-aggregate spelling of the same contract. */
   def cohortRetentionSql(bucketSec: Long = 86400L): String =

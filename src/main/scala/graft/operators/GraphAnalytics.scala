@@ -289,4 +289,78 @@ object GraphAnalytics {
        |${steps.mkString(",\n")}
        |SELECT id, CAST(rank AS BIGINT) AS rank FROM r$iters ORDER BY id""".stripMargin
   }
+
+  /** Top-k most-similar nodes by shared-neighbor Jaccard over a bipartite
+    * edge list `(src, dst)`: similarity(a, b) = |N(a) ∩ N(b)| /
+    * |N(a) ∪ N(b)| over dst-neighborhoods, reported in exact integer ppm.
+    * This is the collaborative-filtering / entity-resolution primitive
+    * ("suppliers stocking the same parts", "users touching the same
+    * items").
+    *
+    * Scale shape — the dedup-family inverted-index discipline, NOT an
+    * O(|src|²) self-join:
+    *  - postings: group by dst, srcs collected as a SORTED set; dst
+    *    vertices with more than `maxFanout` neighbors are dropped whole
+    *    (a hub row contributes quadratic pairs but near-zero Jaccard
+    *    signal — same argument as the hot-shingle cap). Pair fan-out per
+    *    posting is ≤ C(maxFanout, 2), generated narrowly by array HOFs.
+    *  - co-occurrence counts shuffle only (a, b) pairs from capped
+    *    postings; degrees are counted on the SAME capped edge set, so
+    *    jaccard ≤ 1 holds exactly.
+    *  - the per-src top-k window runs over candidate pairs (nodes that
+    *    share ≥1 capped neighbor), already reduced from the raw data.
+    * Determinism: ties break on neighbor id; integer arithmetic only. */
+  def neighborSimilarity(edges: DataFrame, topK: Int = 5,
+      maxFanout: Int = 100): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).distinct()
+    val postings = e.groupBy("dst")
+      .agg(sort_array(collect_set(col("src"))).as("srcs"))
+      .filter(size(col("srcs")) <= maxFanout)
+    val pairs = postings.select(explode(flatten(expr(
+        "transform(srcs, (x, i) -> transform(slice(srcs, i + 2, size(srcs)), " +
+          "y -> struct(x AS a, y AS b)))"))).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("common"))
+    val deg = postings.select(explode(col("srcs")).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("d"))
+    val oriented = pairs.unionAll(
+      pairs.select(col("b").as("a"), col("a").as("b"), col("common")))
+    val scored = oriented
+      .join(deg.withColumnRenamed("id", "a").withColumnRenamed("d", "da"), "a")
+      .join(deg.withColumnRenamed("id", "b").withColumnRenamed("d", "db"), "b")
+      .select(col("a").as("id"), col("b").as("nbr"), col("common"),
+        expr("common * 1000000L div (da + db - common)").as("jaccard_ppm"))
+    scored
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("id")
+          .orderBy(col("jaccard_ppm").desc, col("nbr"))))
+      .filter(col("rank") <= topK)
+      .select(col("id"), col("rank").cast("long").as("rank"),
+        col("nbr"), col("common"), col("jaccard_ppm"))
+  }
+
+  /** @param edgesSql SQL producing the raw (src, dst) list. The oracle
+    *                 spells the pair generation as the quadratic
+    *                 postings self-join — same capped universe. */
+  def neighborSimilaritySql(edgesSql: String, topK: Int = 5,
+      maxFanout: Int = 100): String =
+    s"""WITH raw AS ($edgesSql),
+       |e AS (SELECT DISTINCT src, dst FROM raw),
+       |keep AS (SELECT dst FROM e GROUP BY dst HAVING COUNT(*) <= $maxFanout),
+       |ec AS (SELECT e.src, e.dst FROM e JOIN keep USING (dst)),
+       |deg AS (SELECT src AS id, COUNT(*) AS d FROM ec GROUP BY src),
+       |cn AS (SELECT x.src AS a, y.src AS b, COUNT(*) AS common
+       |       FROM ec x JOIN ec y ON x.dst = y.dst AND x.src <> y.src
+       |       GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT cn.a AS id, cn.b AS nbr, cn.common,
+       |    CAST(cn.common * 1000000 // (da.d + db.d - cn.common) AS BIGINT) AS jaccard_ppm
+       |  FROM cn JOIN deg da ON cn.a = da.id JOIN deg db ON cn.b = db.id),
+       |ranked AS (
+       |  SELECT id, nbr, common, jaccard_ppm,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY id
+       |      ORDER BY jaccard_ppm DESC, nbr) AS BIGINT) AS rank
+       |  FROM scored)
+       |SELECT id, rank, nbr, common, jaccard_ppm
+       |FROM ranked WHERE rank <= $topK ORDER BY id, rank""".stripMargin
 }

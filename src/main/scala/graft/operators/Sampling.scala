@@ -208,4 +208,45 @@ object Sampling {
        |  COUNT(*) AS n_docs, CAST(SUM(length(text)) AS BIGINT) AS n_chars
        |FROM documents GROUP BY 1 ORDER BY split""".stripMargin
   }
+
+  /** Weight-proportional sample WITHOUT replacement via priority sampling
+    * (Duffield, Lund & Thorup, JACM 2007): each row gets priority
+    * w/u with u ~ U(0,1], the k highest priorities are kept. Unlike
+    * Bernoulli-per-row sampling this returns EXACTLY k rows, and unlike
+    * `rand()`-weighted reservoir schemes the draw is keyed on content
+    * hash — stable under retries, partitioning, and engines.
+    *
+    * Integer-exact spelling (the engine-stability contract of this file):
+    * u is the md5-derived 32-bit integer + 1 (range [1, 2^32]), and the
+    * sort key is floor(w * 2^32 / u) computed in exact BIGINT arithmetic
+    * (w ≤ 2^20 keeps the product < 2^52) — no transcendental, no float
+    * sum, so DuckDB orders identically; ties (quantized priorities
+    * collide) break on doc_id.
+    *
+    * Scale shape: a narrow codegen'd projection followed by a global
+    * top-k — Spark plans sort+limit as TakeOrderedAndProject (per-
+    * partition heaps of k, never a full sort; the driver merges
+    * |parts| * k rows). At 100 TB this is the cheapest exact-k weighted
+    * sample available: one pass, no shuffle of the data itself. */
+  def prioritySample(docs: DataFrame, weightCol: String = "n_chars",
+      k: Int = 100, salt: String = "wsample"): DataFrame = {
+    val u = conv(substring(md5(concat(lit(salt + ":"),
+        col("doc_id").cast("string"))), 1, 8), 16, 10)
+      .cast("long") + lit(1L)
+    docs.select(col("doc_id"), col(weightCol).cast("long").as("w"),
+        u.as("u"))
+      .select(col("doc_id"), col("w"),
+        expr("(w * 4294967296L) div u").as("priority"))
+      .orderBy(col("priority").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  def prioritySampleSql(weightCol: String = "n_chars", k: Int = 100,
+      salt: String = "wsample"): String = {
+    val u = s"(CAST(${OracleSql.hexVal(s"md5('$salt:' || CAST(doc_id AS VARCHAR))", 1, 8)} AS BIGINT) + 1)"
+    s"""SELECT doc_id, CAST($weightCol AS BIGINT) AS w,
+       |  (CAST($weightCol AS BIGINT) * 4294967296) // $u AS priority
+       |FROM documents
+       |ORDER BY priority DESC, doc_id LIMIT $k""".stripMargin
+  }
 }

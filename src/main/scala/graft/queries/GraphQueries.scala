@@ -126,7 +126,12 @@ object GraphQueries {
     "graph_degrees" -> ((s, d) => GraphAnalytics.degrees(kgEdges(s, d))),
     "graph_pagerank" -> ((s, d) => GraphAnalytics.pagerankInt(kgEdges(s, d))),
     "graph_components" -> (kgComponents _),
-    "graph_triangles" -> ((s, d) => GraphAnalytics.triangleCounts(coPartEdges(s, d))))
+    "graph_triangles" -> ((s, d) => GraphAnalytics.triangleCounts(coPartEdges(s, d))),
+    // supplier-similarity by shared parts: the bipartite projection
+    // (supplier -> part via lineitem) through the inverted-index Jaccard
+    "graph_similar_suppliers" -> ((s, d) =>
+      GraphAnalytics.neighborSimilarity(Tables.lineitem(s, d)
+        .select(col("l_suppkey").as("src"), col("l_partkey").as("dst")))))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     rawQueries.map { case (name, fn) =>
@@ -137,5 +142,7 @@ object GraphQueries {
     "graph_degrees" -> GraphAnalytics.degreesSql(kgEdgesSql),
     "graph_pagerank" -> GraphAnalytics.pagerankIntSql(kgEdgesSql),
     "graph_components" -> kgComponentsSql,
-    "graph_triangles" -> GraphAnalytics.triangleCountsSql(coPartEdgesSql))
+    "graph_triangles" -> GraphAnalytics.triangleCountsSql(coPartEdgesSql),
+    "graph_similar_suppliers" -> GraphAnalytics.neighborSimilaritySql(
+      "SELECT l_suppkey AS src, l_partkey AS dst FROM lineitem"))
 }

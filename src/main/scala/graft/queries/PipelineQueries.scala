@@ -165,7 +165,11 @@ object PipelineQueries {
     "snapshot_diff" -> Seq("o_orderkey"),
     "pipeline_funnel_observed" -> Seq("stage"),
     "embed_pca_project" -> Seq("vec_id"),
-    "events_cohort_retention" -> Seq("cohort_day", "day_offset"))
+    "events_cohort_retention" -> Seq("cohort_day", "day_offset"),
+    "sample_weighted" -> Seq("doc_id"),
+    "events_gap_fill" -> Seq("user_id", "day_id"),
+    "events_funnel_steps" -> Seq("step"),
+    "report_source_lang_lift" -> Seq("source", "lang"))
 
   /** The operator registrations as written — sorted only where the
     * operator itself has a semantic order. PlanSpec sweeps THESE plans
@@ -266,6 +270,13 @@ object PipelineQueries {
     "chunk_overlap" -> ((s, d) => Chunking.chunkDocs(Tables.documents(s, d))),
     "events_cohort_retention" -> ((s, d) =>
       EventAnalytics.cohortRetention(Tables.events(s, d))),
+    "events_gap_fill" -> ((s, d) =>
+      EventAnalytics.gapFillDaily(Tables.events(s, d))),
+    "events_funnel_steps" -> ((s, d) =>
+      EventAnalytics.funnelSteps(Tables.events(s, d))),
+    "sample_weighted" -> ((s, d) => Sampling.prioritySample(Tables.documents(s, d))),
+    "report_source_lang_lift" -> ((s, d) =>
+      CorpusStats.sourceLangLift(Tables.documents(s, d))),
     "decontaminate" -> ((s, d) => Decontaminate.flagContaminated(Tables.documents(s, d))),
     "pack_sequences" -> ((s, d) => SequencePacking.packDocs(Tables.documents(s, d))),
     // --- partitioned sink + planning-time partition pruning ---
@@ -418,6 +429,10 @@ object PipelineQueries {
     "pipeline_funnel" -> CorpusPipeline.funnelSql(),
     "chunk_overlap" -> Chunking.chunkDocsSql(),
     "events_cohort_retention" -> EventAnalytics.cohortRetentionSql(),
+    "events_gap_fill" -> EventAnalytics.gapFillDailySql(),
+    "events_funnel_steps" -> EventAnalytics.funnelStepsSql(),
+    "sample_weighted" -> Sampling.prioritySampleSql(),
+    "report_source_lang_lift" -> CorpusStats.sourceLangLiftSql,
     "decontaminate" -> Decontaminate.flagContaminatedSql(),
     "pack_sequences" -> SequencePacking.packDocsSql(),
     // partitioned round-trip must be lossless: oracle reads the raw table

@@ -1455,6 +1455,121 @@ class PipelineSpec extends SparkSpec {
     (61 to 120).foreach(i => assert(!scored(i.toLong), s"doc $i kept"))
   }
 
+  test("gap fill: hand-built sparse log densifies to zero-filled spans") {
+    import spark.implicits._
+    val day = 86400L
+    def ts(d: Long, sec: Long = 0L) =
+      new java.sql.Timestamp((d * day + sec) * 1000L)
+    // u1 active day0 (x2) and day3 -> days 1,2 must appear as zeros;
+    // u2 active only day5 -> a single row, no padding
+    val fix = Seq(
+      (1L, ts(0)), (1L, ts(0, 60)), (1L, ts(3)),
+      (2L, ts(5))
+    ).toDF("user_id", "ts")
+    val got = operators.EventAnalytics.gapFillDaily(fix)
+      .orderBy("user_id", "day_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(
+      (1L, 0L, 2L), (1L, 1L, 0L), (1L, 2L, 0L), (1L, 3L, 1L),
+      (2L, 5L, 1L)), got.mkString(","))
+  }
+
+  test("gap fill: sf events — spans dense, zeros only inside a user's span") {
+    val df = operators.EventAnalytics.gapFillDaily(Tables.events(spark, sf))
+    val byUser = df.groupBy("user_id")
+      .agg(count(lit(1)).as("n"), min("day_id").as("d0"), max("day_id").as("d1"),
+        sum(when(col("n_events") === 0, 1).otherwise(0)).as("zeros"))
+      .collect()
+    byUser.foreach { r =>
+      // densified: exactly one row per day of the closed span
+      assert(r.getLong(1) == r.getLong(3) - r.getLong(2) + 1,
+        s"user ${r.getLong(0)} span not dense: $r")
+    }
+    // endpoints are never zero rows by construction (min/max come from
+    // observed activity)
+    val endpoints = df.groupBy("user_id").agg(min("day_id").as("day_id"))
+      .join(df, Seq("user_id", "day_id")).filter(col("n_events") === 0).count()
+    assert(endpoints == 0L)
+  }
+
+  test("funnel: hand-built chains — ordering and window both enforced") {
+    import spark.implicits._
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val fix = Seq(
+      // u1 full conversion inside 1h: view@0, click@10, purchase@20
+      (1L, "view", ts(0)), (1L, "click", ts(10)), (1L, "purchase", ts(20)),
+      // u2 click BEFORE first view -> depth 1 (order matters)
+      (2L, "click", ts(0)), (2L, "view", ts(10)),
+      // u3 purchase outside the 1h anchor window -> depth 2
+      (3L, "view", ts(0)), (3L, "click", ts(30)), (3L, "purchase", ts(4000)),
+      // u4 never views -> depth 0
+      (4L, "purchase", ts(0))
+    ).toDF("user_id", "event_type", "ts")
+    val got = operators.EventAnalytics.funnelSteps(fix)
+      .orderBy("step").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, "view", 3L), (2L, "click", 2L),
+      (3L, "purchase", 1L)), got.mkString(","))
+  }
+
+  test("neighbor similarity: exact jaccard on a hand graph, hub capped") {
+    import spark.implicits._
+    // s1,s2 share {p1,p2} of union {p1,p2,p3,p4}: J = 2/4
+    // hub part p9 touches everything but exceeds the fanout cap -> ignored
+    val edges = Seq(
+      ("s1", "p1"), ("s1", "p2"), ("s1", "p3"),
+      ("s2", "p1"), ("s2", "p2"), ("s2", "p4"),
+      ("s3", "p4"),
+      ("s1", "p9"), ("s2", "p9"), ("s3", "p9"), ("s4", "p9")
+    ).toDF("src", "dst")
+    val got = operators.GraphAnalytics.neighborSimilarity(edges, topK = 5,
+        maxFanout = 3)
+      .collect().map(r => ((r.getString(0), r.getString(2)),
+        (r.getLong(3), r.getLong(4)))).toMap
+    assert(got(("s1", "s2")) == (2L, 2L * 1000000L / 4L))
+    // J(s2,s3) = 1 / (3 + 1 - 1) = 1/3
+    assert(got(("s2", "s3")) == (1L, 1000000L / 3L))
+    // s4 only touched the dropped hub -> absent entirely
+    assert(!got.keys.exists { case (a, b) => a == "s4" || b == "s4" })
+    // symmetric orientation present
+    assert(got.contains(("s2", "s1")))
+  }
+
+  test("priority sample: exactly k rows, weight-biased, deterministic") {
+    val docs = Tables.documents(spark, sf)
+    val got = Sampling.prioritySample(docs, k = 50)
+    assert(got.count() == 50)
+    // weighted by n_chars: the sampled docs' mean length must exceed the
+    // corpus mean (w/u ordering favors heavy rows at any fixed u draw)
+    val sampleMean = got.join(docs, "doc_id").agg(avg("n_chars")).head.getDouble(0)
+    val corpusMean = docs.agg(avg("n_chars")).head.getDouble(0)
+    assert(sampleMean > corpusMean,
+      s"weighted sample not length-biased: $sampleMean <= $corpusMean")
+    // content-keyed: a rerun draws the identical set
+    val again = Sampling.prioritySample(docs, k = 50)
+    assert(got.select("doc_id").except(again.select("doc_id")).count() == 0)
+  }
+
+  test("source-lang lift: marginals conserved, ppm exact on a hand table") {
+    import spark.implicits._
+    // 2x2 with known association: n=100, source a = 60 (50 en / 10 de),
+    // source b = 40 (10 en / 30 de)
+    val docs = (
+      (1 to 50).map(i => (i.toLong, "t", "en", "a", 1L)) ++
+      (51 to 60).map(i => (i.toLong, "t", "de", "a", 1L)) ++
+      (61 to 70).map(i => (i.toLong, "t", "en", "b", 1L)) ++
+      (71 to 100).map(i => (i.toLong, "t", "de", "b", 1L))
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = operators.CorpusStats.sourceLangLift(docs)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3)))).toMap
+    // lift(a,en) = 50*100*1e6 / (60*60) = 1388888 (floor)
+    assert(got(("a", "en")) == (50L, 50L * 100L * 1000000L / (60L * 60L)))
+    assert(got(("b", "de")) == (30L, 30L * 100L * 1000000L / (40L * 40L)))
+    // cell counts conserve the corpus
+    assert(got.values.map(_._1).sum == 100L)
+  }
+
   test("quality classifier: vocab is MinDf-thresholded and self-describing") {
     import spark.implicits._
     val docs = ((1 to 10).map(i => (i.toLong,
