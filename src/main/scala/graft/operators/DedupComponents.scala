@@ -277,6 +277,46 @@ object DedupComponents {
        |SELECT doc_id, component_id, quality_score, rn = 1 AS keep
        |FROM ranked ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------ leakage-free split
+  /** GROUPED train/val/test split — the leakage guard every pretraining
+    * split needs: a per-doc hash split (Sampling.trainValTestSplit) puts
+    * ~10% of near-duplicate PAIRS across the train/test boundary, which
+    * is test-set contamination by construction. Keying the split draw on
+    * the dedup COMPONENT representative instead sends every member of a
+    * near-dup cluster to the same side; docs in no pair key on
+    * themselves (identical distribution to the plain split).
+    *
+    * The analogue in supervised ML is GroupKFold; at pretraining scale
+    * the group is the near-dup cluster. Output: (doc_id, split).
+    *
+    * Shape at scale: [[components]] touches only PAIRED docs; one
+    * broadcast-sized left join attaches representatives to the corpus
+    * (pairs are a small fraction of docs in a cleaned corpus; if not,
+    * the join is an ordinary key shuffle); the draw itself is the
+    * narrow md5 filter of the sampling family. */
+  def groupedSplit(docs: DataFrame, pairs: DataFrame,
+      salt: String = "gsplit"): DataFrame = {
+    val comp = components(pairs).select(col("doc_id"), col("component_id"))
+    val u = Sampling.hashUnit(col("split_key"), salt)
+    docs.select("doc_id").join(comp, Seq("doc_id"), "left")
+      .withColumn("split_key", coalesce(col("component_id"), col("doc_id")))
+      .select(col("doc_id"),
+        when(u < 0.8, "train").when(u < 0.9, "val").otherwise("test").as("split"))
+  }
+
+  /** DuckDB replay of [[groupedSplit]]: closure CTE + the identical
+    * md5 draw on the component representative. */
+  def groupedSplitSql(pairsSql: String, salt: String = "gsplit"): String = {
+    val u = Sampling.hashUnitSql("COALESCE(c.component_id, d.doc_id)", salt)
+    s"""WITH RECURSIVE ${closureCte(pairsSql)}
+       |SELECT d.doc_id,
+       |  CASE WHEN $u < 0.8 THEN 'train'
+       |       WHEN $u < 0.9 THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   /** Shared WITH-body (no WITH RECURSIVE keyword): transitive closure of
     * `pairsSql`'s pair set ending in CTE `comp(doc_id, component_id)`. */
   private def closureCte(pairsSql: String): String =

@@ -170,4 +170,119 @@ object EventAnalytics {
        |FROM act a JOIN coh c USING (user_id)
        |GROUP BY 1, 2
        |ORDER BY cohort_day, day_offset""".stripMargin
+
+  // ------------------------------------------------------- ewmaDaily
+  /** Exponentially-weighted trailing activity per user-day, with an
+    * integer spike flag — the rolling consumer [[gapFillDaily]] exists
+    * for (a decayed baseline is meaningless over a series with silent
+    * holes: a lag over missing days would compare against the wrong
+    * calendar positions).
+    *
+    * Integer contract: the decayed PAST-ONLY baseline is
+    * Σ_{j=1..13} n_{t-j} * 2^(13-j) (half-life one day; today excluded —
+    * a baseline containing today's own count can never be exceeded by
+    * it) — exact BIGINT, weights depend only on the lag offset (never an
+    * absolute-day exponent, which would overflow past day 62). Spelled
+    * as 13 LAG terms over ONE window spec, so Spark evaluates a single
+    * pass per partition and DuckDB replays the identical expression.
+    * Spike: today exceeds twice the decayed per-day mean plus a +2
+    * noise floor — n_t * 8191 > 2 * baseline + 2 * 8191 with
+    * Σ weights = 2^13 - 1 = 8191, all integers.
+    *
+    * Scale: inherits gap-fill's one corpus shuffle; the window partitions
+    * by user (bounded by timeline length in days) — never global. */
+  def ewmaDaily(events: DataFrame, bucketSec: Long = 86400L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("day_id")
+    val lags = (1 to 13).map(j =>
+      coalesce(lag(col("n_events"), j).over(w), lit(0L)) * lit(1L << (13 - j)))
+    gapFillDaily(events, bucketSec)
+      .withColumn("ewma_num", lags.reduce(_ + _))
+      .withColumn("is_spike",
+        (col("n_events") * lit(8191L) > col("ewma_num") * 2L + lit(16382L))
+          .cast("long"))
+  }
+
+  def ewmaDailySql(bucketSec: Long = 86400L): String = {
+    val lags = (1 to 13).map(j =>
+      s"COALESCE(LAG(n_events, $j) OVER w, 0) * ${1L << (13 - j)}").mkString(" + ")
+    s"""WITH counts AS (
+       |  SELECT user_id,
+       |    CAST(floor(epoch(ts)) AS BIGINT) // $bucketSec AS day_id,
+       |    COUNT(*) AS n_events
+       |  FROM events GROUP BY 1, 2
+       |), axis AS (
+       |  SELECT user_id, unnest(generate_series(MIN(day_id), MAX(day_id))) AS day_id
+       |  FROM counts GROUP BY user_id
+       |), filled AS (
+       |  SELECT a.user_id, a.day_id, COALESCE(c.n_events, 0) AS n_events
+       |  FROM axis a LEFT JOIN counts c USING (user_id, day_id)
+       |)
+       |SELECT user_id, day_id, n_events, $lags AS ewma_num,
+       |  CAST(n_events * 8191 > ($lags) * 2 + 16382 AS BIGINT) AS is_spike
+       |FROM filled
+       |WINDOW w AS (PARTITION BY user_id ORDER BY day_id)
+       |ORDER BY user_id, day_id""".stripMargin
+  }
+
+  // ------------------------------------------------------- typeDrift
+  /** Two-sample distribution-drift report: the event-type mix BEFORE vs
+    * AFTER a boundary day, with an integer chi-square-style score per
+    * category — the monitoring check that catches an upstream pipeline
+    * change (a source added/dropped, a tracking bug) shifting the event
+    * mix between two time slices. The same shape applies to corpus
+    * snapshots (language mix, source mix) — the slices are parameters.
+    *
+    * Integer contract (this codebase's standing oracle discipline):
+    * shares are exact ppm (count * 1e6 DIV slice_total), the per-cell
+    * drift score is delta_ppm^2 DIV (p_a + p_b + 1) — a scaled Pearson
+    * residual whose +1 floor avoids division by zero for categories
+    * absent from both slices. No doubles cross the engine boundary.
+    * (A textbook chi-square needs no transcendentals either, but its
+    * products overflow BIGINT at 100 TB counts; ppm shares stay < 1e6
+    * so every intermediate fits comfortably.)
+    *
+    * Scale shape: ONE map-side-combinable conditional-count aggregate
+    * over the events scan (|types| rows out); slice totals are windows
+    * over that tiny cells table — nothing corpus-sized shuffles twice. */
+  def typeDrift(events: DataFrame, boundaryDay: Long = 19738L,
+      bucketSec: Long = 86400L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dayId = expr(s"unix_micros(ts) DIV 1000000 DIV $bucketSec")
+    val cells = events
+      .select(col("event_type"), (dayId < lit(boundaryDay)).as("in_a"))
+      .groupBy("event_type")
+      .agg(sum(when(col("in_a"), 1L).otherwise(0L)).as("c_a"),
+        sum(when(col("in_a"), 0L).otherwise(1L)).as("c_b"))
+    val w = Window.partitionBy()
+    cells
+      .withColumn("t_a", sum("c_a").over(w))
+      .withColumn("t_b", sum("c_b").over(w))
+      .select(col("event_type"), col("c_a"), col("c_b"),
+        expr("c_a * 1000000L div t_a").as("p_a_ppm"),
+        expr("c_b * 1000000L div t_b").as("p_b_ppm"))
+      .withColumn("delta_ppm", col("p_b_ppm") - col("p_a_ppm"))
+      .withColumn("drift_score",
+        expr("delta_ppm * delta_ppm div (p_a_ppm + p_b_ppm + 1L)"))
+  }
+
+  def typeDriftSql(boundaryDay: Long = 19738L, bucketSec: Long = 86400L): String =
+    s"""WITH cells AS (
+       |  SELECT event_type,
+       |    CAST(SUM(CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) // $bucketSec < $boundaryDay
+       |             THEN 1 ELSE 0 END) AS BIGINT) AS c_a,
+       |    CAST(SUM(CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) // $bucketSec < $boundaryDay
+       |             THEN 0 ELSE 1 END) AS BIGINT) AS c_b
+       |  FROM events GROUP BY event_type
+       |), shares AS (
+       |  SELECT event_type, c_a, c_b,
+       |    c_a * 1000000 // CAST(SUM(c_a) OVER () AS BIGINT) AS p_a_ppm,
+       |    c_b * 1000000 // CAST(SUM(c_b) OVER () AS BIGINT) AS p_b_ppm
+       |  FROM cells
+       |)
+       |SELECT event_type, c_a, c_b, p_a_ppm, p_b_ppm,
+       |  p_b_ppm - p_a_ppm AS delta_ppm,
+       |  (p_b_ppm - p_a_ppm) * (p_b_ppm - p_a_ppm) // (p_a_ppm + p_b_ppm + 1)
+       |    AS drift_score
+       |FROM shares ORDER BY event_type""".stripMargin
 }

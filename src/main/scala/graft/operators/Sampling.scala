@@ -249,4 +249,47 @@ object Sampling {
        |FROM documents
        |ORDER BY priority DESC, doc_id LIMIT $k""".stripMargin
   }
+
+  /** EXACT-k uniform sample PER GROUP — the "pull a fixed QA/eval sample
+    * from every stratum" op. Keeps the k group members with the smallest
+    * content-keyed hashes: deterministic (stable under retries,
+    * partitioning, engines — the file's standing contract), uniform
+    * within each group, and COORDINATED: a doc keeps its draw across
+    * runs, so consecutive corpus snapshots produce overlapping samples
+    * (bottom-k sketch semantics).
+    *
+    * Vs [[stratifiedSample]]: that one is Bernoulli at a rate (binomial
+    * count, zero shuffle); this one is exactly min(k, |group|) rows. Vs
+    * the window spelling (`row_number` over hash): same answer, but this
+    * runs as the native bounded [[graft.functions.TopKPairsAgg]] —
+    * ObjectHashAggregate with map-side partials, shuffling <= k pairs
+    * per group per map partition and never sorting a partition (the q26
+    * comparison). At 100 TB with thousands of strata that is one
+    * ordinary hash-agg shuffle of bounded rows.
+    *
+    * topk_pairs keeps the TOP k by (ord DESC, id ASC); passing
+    * ord = -hash yields the k SMALLEST hashes, ties on doc_id. */
+  def perGroupSample(docs: DataFrame, groupCol: String = "source",
+      k: Int = 10, salt: String = "pgs"): DataFrame = {
+    graft.functions.VectorFunctions.ensureRegistered(docs.sparkSession)
+    val hv = conv(substring(md5(concat(lit(salt + ":"),
+      col("doc_id").cast("string"))), 1, 16), 16, -10).cast("long")
+    docs.select(col(groupCol), col("doc_id"), hv.as("hv"))
+      .groupBy(groupCol)
+      .agg(call_function("topk_pairs", -col("hv"), col("doc_id"), lit(k)).as("top"))
+      .select(col(groupCol), posexplode(col("top")))
+      .select(col(groupCol), (col("pos") + 1).cast("long").as("rn"),
+        col("col.id").as("doc_id"))
+  }
+
+  def perGroupSampleSql(groupCol: String = "source", k: Int = 10,
+      salt: String = "pgs"): String = {
+    val hv = OracleSql.hex64Signed(s"md5('$salt:' || CAST(doc_id AS VARCHAR))")
+    s"""SELECT $groupCol, rn, doc_id FROM (
+       |  SELECT $groupCol, doc_id,
+       |    ROW_NUMBER() OVER (PARTITION BY $groupCol
+       |      ORDER BY ($hv) ASC, doc_id ASC) AS rn
+       |  FROM documents)
+       |WHERE rn <= $k ORDER BY $groupCol, rn""".stripMargin
+  }
 }

@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Lexical retrieval over the corpus — the keyword-search counterpart to
+  * the ANN family (a curation stack needs both: "find documents about X"
+  * is a term query long before it is an embedding query; targeted
+  * contamination checks and corpus audits are conjunctive term lookups).
+  *
+  * Shape: both queries are INDEX-sided. The term filter lands directly on
+  * the exploded token stream BEFORE any shuffle — only rows for the
+  * query's terms ever move (at 100 TB: |terms| posting lists, not the
+  * corpus; with the postings persisted as a token-bucketed table the
+  * probe touches |terms| buckets, the exact economics of a search
+  * engine's term dictionary). The corpus table itself never shuffles.
+  *
+  * Integer contract: tf and df are counts; the tf-idf score is
+  * tf * (n_docs DIV df) — the same transcendental-free idf surrogate as
+  * text_tfidf_topterms, so DuckDB replays ranking and tie order
+  * (score DESC, doc_id ASC) exactly.
+  */
+object Search {
+
+  /** Tokens of a doc as (doc_id, tok) rows — VocabBuild's splitter. */
+  private def tokens(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      explode(regexp_extract_all(lower(col("text")),
+        lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).as("tok"))
+
+  /** Docs containing ALL of `terms` (conjunctive AND query): per-doc
+    * distinct-matched-term count must reach |terms|. One shuffle of the
+    * TERM-FILTERED (doc, tok) pairs only. */
+  def keywordSearch(docs: DataFrame, terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty)
+    tokens(docs)
+      .filter(col("tok").isin(terms: _*))
+      .distinct()
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_matched"))
+      .filter(col("n_matched") === terms.length)
+      .select("doc_id")
+  }
+
+  def keywordSearchSql(terms: Seq[String]): String = {
+    val list = terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH tok AS (
+       |  SELECT DISTINCT doc_id, tok FROM (
+       |    SELECT doc_id, unnest(regexp_extract_all(lower(text),
+       |      '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS tok
+       |    FROM documents)
+       |  WHERE tok IN ($list)
+       |)
+       |SELECT doc_id FROM tok GROUP BY doc_id
+       |HAVING COUNT(*) = ${terms.length}
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Top-k docs ranked by integer tf-idf over `terms` (disjunctive OR
+    * query): score = sum over matched terms of tf * (n_docs DIV df).
+    * df counts docs containing the term; n_docs rides as a broadcast
+    * 1-row aggregate. The final top-k is a TakeOrderedAndProject —
+    * per-partition heaps, never a global sort. */
+  def tfidfSearch(docs: DataFrame, terms: Seq[String], k: Int = 10): DataFrame = {
+    require(terms.nonEmpty)
+    val matched = tokens(docs).filter(col("tok").isin(terms: _*))
+    val tf = matched.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val nDocs = docs.select(count(lit(1)).as("n_docs"))
+    tf.join(broadcast(df), Seq("tok"))
+      .join(broadcast(nDocs))
+      .withColumn("w", expr("tf * (n_docs div df)"))
+      .groupBy("doc_id")
+      .agg(sum("w").as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  def tfidfSearchSql(terms: Seq[String], k: Int = 10): String = {
+    val list = terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(lower(text),
+       |    '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS tok
+       |  FROM documents
+       |), tf AS (
+       |  SELECT doc_id, tok, COUNT(*) AS tf FROM tok
+       |  WHERE tok IN ($list) GROUP BY doc_id, tok
+       |), df AS (
+       |  SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok
+       |), n AS (SELECT COUNT(*) AS n_docs FROM documents)
+       |SELECT doc_id, CAST(SUM(tf * (n_docs // df)) AS BIGINT) AS score
+       |FROM tf JOIN df USING (tok) CROSS JOIN n
+       |GROUP BY doc_id
+       |ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
+  }
+}

@@ -18,6 +18,11 @@ object PipelineQueries {
   val ordersProfileCols: Seq[String] = Seq("o_orderkey", "o_custkey",
     "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority")
 
+  /** Terms for the lexical-retrieval queries: two common tokens plus the
+    * rare 'dup' marker, so the conjunctive query is selective (~3% of
+    * docs) and the ranked query's idf weights differ across terms. */
+  val searchTerms: Seq[String] = Seq("spark", "vector", "dup")
+
   /** The profile_columns registration body, exposed for PlanSpec. */
   def profileColumnsOrders(s: SparkSession, d: String): DataFrame =
     Profiling.profileColumns(Tables.orders(s, d), ordersProfileCols)
@@ -168,8 +173,15 @@ object PipelineQueries {
     "events_cohort_retention" -> Seq("cohort_day", "day_offset"),
     "sample_weighted" -> Seq("doc_id"),
     "events_gap_fill" -> Seq("user_id", "day_id"),
+    "events_ewma" -> Seq("user_id", "day_id"),
     "events_funnel_steps" -> Seq("step"),
-    "report_source_lang_lift" -> Seq("source", "lang"))
+    "report_source_lang_lift" -> Seq("source", "lang"),
+    "vocab_fuzzy_pairs" -> Seq("tok_a", "tok_b"),
+    "sample_per_group" -> Seq("source", "rn"),
+    "sample_split_grouped" -> Seq("doc_id"),
+    "report_type_drift" -> Seq("event_type"),
+    "search_keyword" -> Seq("doc_id"),
+    "search_tfidf_topk" -> Seq("doc_id"))
 
   /** The operator registrations as written — sorted only where the
     * operator itself has a semantic order. PlanSpec sweeps THESE plans
@@ -272,11 +284,23 @@ object PipelineQueries {
       EventAnalytics.cohortRetention(Tables.events(s, d))),
     "events_gap_fill" -> ((s, d) =>
       EventAnalytics.gapFillDaily(Tables.events(s, d))),
+    // the gap-fill consumer: decayed trailing activity + integer spike flag
+    "events_ewma" -> ((s, d) => EventAnalytics.ewmaDaily(Tables.events(s, d))),
     "events_funnel_steps" -> ((s, d) =>
       EventAnalytics.funnelSteps(Tables.events(s, d))),
     "sample_weighted" -> ((s, d) => Sampling.prioritySample(Tables.documents(s, d))),
+    // exact-k deterministic per-stratum sample via the bounded topk aggregate
+    "sample_per_group" -> ((s, d) => Sampling.perGroupSample(Tables.documents(s, d))),
+    // leakage-free split: near-dup clusters never straddle train/val/test
+    "sample_split_grouped" -> ((s, d) =>
+      DedupComponents.groupedSplit(Tables.documents(s, d), minhashPairs(s, d))),
     "report_source_lang_lift" -> ((s, d) =>
       CorpusStats.sourceLangLift(Tables.documents(s, d))),
+    // two-sample event-mix drift across a time boundary, integer scores
+    "report_type_drift" -> ((s, d) => EventAnalytics.typeDrift(Tables.events(s, d))),
+    // lexical retrieval: conjunctive term lookup + integer tf-idf ranking
+    "search_keyword" -> ((s, d) => Search.keywordSearch(Tables.documents(s, d), searchTerms)),
+    "search_tfidf_topk" -> ((s, d) => Search.tfidfSearch(Tables.documents(s, d), searchTerms)),
     "decontaminate" -> ((s, d) => Decontaminate.flagContaminated(Tables.documents(s, d))),
     "pack_sequences" -> ((s, d) => SequencePacking.packDocs(Tables.documents(s, d))),
     // --- partitioned sink + planning-time partition pruning ---
@@ -287,6 +311,8 @@ object PipelineQueries {
     "sink_bucketed_join" -> ((s, d) => BucketedSink.bucketedJoin(s, d)),
     // --- tokenizer vocabulary with dense ids ---
     "vocab_build" -> ((s, d) => VocabBuild.vocab(Tables.documents(s, d))),
+    // typo-pair detection: deletion-neighborhood candidates + exact verify
+    "vocab_fuzzy_pairs" -> ((s, d) => FuzzyVocab.fuzzyPairs(Tables.documents(s, d))),
     // --- real BPE merge training (the greedy pair-fusion loop) ---
     "vocab_bpe_merges" -> ((s, d) =>
       Bpe.merges(Tables.documents(s, d), bpeMerges(s, d))),
@@ -430,8 +456,15 @@ object PipelineQueries {
     "chunk_overlap" -> Chunking.chunkDocsSql(),
     "events_cohort_retention" -> EventAnalytics.cohortRetentionSql(),
     "events_gap_fill" -> EventAnalytics.gapFillDailySql(),
+    "events_ewma" -> EventAnalytics.ewmaDailySql(),
     "events_funnel_steps" -> EventAnalytics.funnelStepsSql(),
     "sample_weighted" -> Sampling.prioritySampleSql(),
+    "sample_per_group" -> Sampling.perGroupSampleSql(),
+    "sample_split_grouped" -> DedupComponents.groupedSplitSql(
+      s"SELECT doc_a, doc_b FROM (${Dedup.ngramJaccardSql(maxDocFreq = None)})"),
+    "report_type_drift" -> EventAnalytics.typeDriftSql(),
+    "search_keyword" -> Search.keywordSearchSql(searchTerms),
+    "search_tfidf_topk" -> Search.tfidfSearchSql(searchTerms),
     "report_source_lang_lift" -> CorpusStats.sourceLangLiftSql,
     "decontaminate" -> Decontaminate.flagContaminatedSql(),
     "pack_sequences" -> SequencePacking.packDocsSql(),
@@ -444,6 +477,7 @@ object PipelineQueries {
     "sink_compact" -> Compaction.roundTripAggSql,
     "sink_bucketed_join" -> BucketedSink.bucketedJoinSql,
     "vocab_build" -> VocabBuild.vocabSql(),
+    "vocab_fuzzy_pairs" -> FuzzyVocab.fuzzyPairsSql(),
     // the DuckDB replay unrolls all 20 greedy rounds — pair counts,
     // total-order argmax, double-pass rewrite — so the merge LIST and
     // the post-merge subword distribution are both full hash oracles

@@ -769,6 +769,121 @@ object Relational {
       |             ORDER BY o_totalprice ASC, o_orderkey ASC)
       |ORDER BY o_orderkey""".stripMargin
 
+  // ------------------------------------------------ q33_scd2_join
+  /** Slowly-changing-dimension (SCD type 2) join: effective-date a
+    * dimension CHANGELOG into `[valid_from, valid_to)` versions with a
+    * per-key `lead` window, then attach each fact row to the version
+    * valid at its event time — the standard "join facts to the dim as it
+    * was THEN" shape of every warehouse.
+    *
+    * The changelog here is derived deterministically from the event
+    * log's user set (both engines replay the identical construction:
+    * three versions per user with mod-offset change days, guaranteed
+    * non-overlapping), because the testdata has no dimension-history
+    * table; the operator shape is what's exercised.
+    *
+    * Scale: the lead window partitions by dim KEY — dim-sized, bounded
+    * partitions (versions per key), never the q8 global window. The fact
+    * join is an EQUI-join on the key with the validity range as residual
+    * filter; dims broadcast (they almost always fit — |keys| * versions),
+    * so the fact table never shuffles: PlanSpec asserts broadcast + no
+    * BNLJ. Exactly one version matches per fact row by the [from, to)
+    * partition of the timeline. */
+  def q33Scd2Join(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"),
+        expr("unix_micros(ts) div 1000000 div 86400").as("day_id"))
+    val chg = ev.select("user_id").distinct()
+      .select(col("user_id"), explode(array(
+        struct(lit(0L).as("v"), lit(19723L).as("valid_from")),
+        struct(lit(1L).as("v"), (lit(19726L) + col("user_id") % 7).as("valid_from")),
+        struct(lit(2L).as("v"), (lit(19737L) + col("user_id") % 11).as("valid_from")))).as("c"))
+      .select(col("user_id"), col("c.v").as("v"), col("c.valid_from").as("valid_from"))
+    val w = Window.partitionBy("user_id").orderBy("valid_from", "v")
+    // alias both sides: dim derives from ev, so bare column refs would be
+    // an ambiguous self-join lineage
+    val dim = chg.withColumn("valid_to",
+        coalesce(lead("valid_from", 1).over(w), lit(Long.MaxValue)))
+      .as("dm")
+    ev.as("e").join(broadcast(dim),
+        col("e.user_id") === col("dm.user_id") &&
+          col("e.day_id") >= col("dm.valid_from") &&
+          col("e.day_id") < col("dm.valid_to"))
+      .select(col("e.event_id").as("event_id"), col("e.user_id").as("user_id"),
+        col("e.day_id").as("day_id"),
+        concat(lit("seg"), col("dm.v").cast("string")).as("segment"))
+      .orderBy("event_id")
+  }
+
+  val q33Sql: String =
+    """WITH users AS (SELECT DISTINCT user_id FROM events),
+      |chg AS (
+      |  SELECT user_id, CAST(0 AS BIGINT) AS v, CAST(19723 AS BIGINT) AS valid_from FROM users
+      |  UNION ALL SELECT user_id, 1, 19726 + user_id % 7 FROM users
+      |  UNION ALL SELECT user_id, 2, 19737 + user_id % 11 FROM users
+      |), dim AS (
+      |  SELECT user_id, v, valid_from,
+      |    COALESCE(LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, v),
+      |             9223372036854775807) AS valid_to
+      |  FROM chg
+      |), ev AS (
+      |  SELECT event_id, user_id,
+      |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day_id
+      |  FROM events
+      |)
+      |SELECT e.event_id, e.user_id, e.day_id,
+      |  'seg' || CAST(d.v AS VARCHAR) AS segment
+      |FROM ev e JOIN dim d ON e.user_id = d.user_id
+      |  AND e.day_id >= d.valid_from AND e.day_id < d.valid_to
+      |ORDER BY e.event_id""".stripMargin
+
+  // ------------------------------------------------ q34_latest_by_key
+  /** Latest row per key — the CDC/changelog compaction primitive ("keep
+    * the newest version of every (user, event_type)"), spelled SORTLESS
+    * as `topk_pairs(ts, id, 1)` — the bounded native aggregate at k=1:
+    * ObjectHashAggregate with map-side partials, the shuffle moves ONE
+    * (ts, id) pair per key per map partition, no per-partition sort.
+    * The payload then attaches by a BROADCAST fetch-back join on the
+    * unique event_id (the winner set is keys-sized), so the events
+    * table itself neither sorts nor shuffles — the ANN family's
+    * "vectors fetched by id" discipline.
+    *
+    * Rejected spellings, both measured in the plan: the window
+    * (`row_number DESC = 1`) sorts every partition under a
+    * WindowGroupLimit; `max(struct(...))` looks sortless but structs
+    * have no mutable agg buffer, so Catalyst silently plans
+    * SortAggregate — per-partition sorts on both sides of the exchange.
+    *
+    * Tie contract: latest ts, ties to the SMALLEST event_id
+    * (topk_pairs' total order), replayed by the oracle's window. */
+  def q34LatestByKey(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        expr("unix_micros(ts)").as("tsm"), col("event_id"),
+        (dec("value") * 100).cast("long").as("value_cents"))
+    val latest = ev.groupBy("user_id", "event_type")
+      .agg(call_function("topk_pairs", col("tsm"), col("event_id"), lit(1)).as("top"))
+      .select(col("user_id"), col("event_type"),
+        element_at(col("top"), 1).getField("ord").as("ts_micros"),
+        element_at(col("top"), 1).getField("id").as("event_id"))
+    ev.select(col("event_id"), col("value_cents"))
+      .join(broadcast(latest), Seq("event_id"))
+      .select(col("user_id"), col("event_type"), col("ts_micros"),
+        col("event_id"), col("value_cents"))
+      .orderBy("user_id", "event_type")
+  }
+
+  val q34Sql: String =
+    """SELECT user_id, event_type, ts_micros, event_id, value_cents FROM (
+      |  SELECT user_id, event_type,
+      |    CAST(epoch_us(ts) AS BIGINT) AS ts_micros, event_id,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS value_cents,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+      |      ORDER BY epoch_us(ts) DESC, event_id ASC) AS rn
+      |  FROM events)
+      |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin
+
   /** Registry consumed by SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg"             -> (q1Agg _),
@@ -798,7 +913,9 @@ object Relational {
     "q28_json_props"     -> (q28JsonProps _),
     "q29_grouping_sets"  -> (q29GroupingSets _),
     "q30_range_frame"    -> (q30RangeFrame _),
-    "q31_rank_distribution" -> (q31RankDistribution _))
+    "q31_rank_distribution" -> (q31RankDistribution _),
+    "q33_scd2_join"      -> (q33Scd2Join _),
+    "q34_latest_by_key"  -> (q34LatestByKey _))
 
   val oracles: Map[String, String] = Map(
     "q1_agg"             -> q1Sql,
@@ -828,5 +945,7 @@ object Relational {
     "q28_json_props"     -> q28Sql,
     "q29_grouping_sets"  -> q29Sql,
     "q30_range_frame"    -> q30Sql,
-    "q31_rank_distribution" -> q31Sql)
+    "q31_rank_distribution" -> q31Sql,
+    "q33_scd2_join"      -> q33Sql,
+    "q34_latest_by_key"  -> q34Sql)
 }

@@ -187,6 +187,7 @@ class ContractSpec extends SparkSpec {
     "ann_near_dup", "mm_feature_near_dup",
     "text_length_quantiles", "sample_mix_sources", "sample_mix_temperature",
     "text_tfidf_topterms", // 1-row n_docs total as a broadcast cross join
+    "search_tfidf_topk",   // same 1-row n_docs pattern
     "report_key_skew",     // 1-row key-count total, same pattern
     "graph_pagerank",      // 1-row dangling-mass total per iteration, same pattern
     "clf_quality_vocab",   // 1-row (n_pos, n_neg) label totals, same pattern

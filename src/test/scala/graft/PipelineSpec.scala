@@ -21,6 +21,163 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("fuzzyPairs: finds crafted typos at the right distance, none beyond 2") {
+    import spark.implicits._
+    val crafted = Seq(
+      (1L, "the table has rows"),
+      (2L, "the tabel has rows"),   // transposition typo: 2 substitutions in plain Levenshtein
+      (3L, "the tble has rows"),    // deletion typo: tble~table d=1; tble~tabel d=3 (absent)
+      (4L, "completely different wording")).toDF("doc_id", "text")
+    val pairs = FuzzyVocab.fuzzyPairs(crafted).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(pairs(("tabel", "table")) == 2L)
+    assert(pairs(("table", "tble")) == 1L)
+    assert(pairs.get(("tabel", "tble")).isEmpty)
+    assert(pairs.get(("has", "rows")).isEmpty)
+    assert(pairs.values.forall(d => d >= 1 && d <= 2))
+  }
+
+  test("fuzzyPairs: deletion-neighborhood candidates are COMPLETE vs brute force") {
+    import spark.implicits._
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (j == 0) i else if (i == 0) j else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    // seeded random vocab with engineered near-collisions
+    val rnd = new scala.util.Random(7)
+    val toks = (1 to 60).map(_ => (1 to (2 + rnd.nextInt(5))).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString).distinct
+    val crafted = toks.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val got = FuzzyVocab.fuzzyPairs(crafted).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val want = (for {
+      a <- toks; b <- toks if a < b
+      d = lev(a, b) if d <= 2
+    } yield (a, b, d.toLong)).toSet
+    assert(got == want, s"missing=${want -- got} extra=${got -- want}")
+  }
+
+  test("perGroupSample: exact-k per group, nested across k, stable across runs") {
+    import spark.implicits._
+    val crafted = (1L to 40L).map(i => (i, s"g${i % 3}")).toDF("doc_id", "source")
+    val k10 = Sampling.perGroupSample(crafted, "source", k = 10).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // exactly min(k, |group|) rows per group: groups have 14/13/13 members
+    assert(k10.groupBy(_._1).view.mapValues(_.length).toMap ==
+      Map("g0" -> 10, "g1" -> 10, "g2" -> 10))
+    // rn is 1..k within each group
+    k10.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._2).sorted.toSeq == (1L to 10L)) }
+    // coordinated: the k=5 sample is a prefix of the k=10 sample
+    val k5 = Sampling.perGroupSample(crafted, "source", k = 5).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(k5 == k10.filter(_._2 <= 5).toSet)
+    // deterministic under re-execution and re-partitioning
+    val again = Sampling.perGroupSample(crafted.repartition(7), "source", k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(again == k10.toSet)
+    // a small group yields all its members
+    val tiny = Sampling.perGroupSample(crafted.filter($"doc_id" <= 4), "source", k = 10)
+    assert(tiny.count() == 4)
+  }
+
+  test("groupedSplit: near-dup clusters never straddle splits; singletons match plain split") {
+    import spark.implicits._
+    val docsDf = (1L to 200L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val pairsDf = Seq((1L, 2L), (2L, 3L), (10L, 11L), (50L, 60L))
+      .toDF("doc_a", "doc_b")
+    val split = DedupComponents.groupedSplit(docsDf, pairsDf).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(split.size == 200)
+    // every paired cluster lands on one side
+    assert(split(1L) == split(2L) && split(2L) == split(3L))
+    assert(split(10L) == split(11L))
+    assert(split(50L) == split(60L))
+    // unpaired docs draw exactly as the plain per-doc split would
+    // (hashUnit replicated inline — it is private to the operators package)
+    val u = conv(substring(md5(concat(lit("gsplit:"), $"doc_id".cast("string"))), 1, 8),
+      16, 10).cast("long").cast("double") / lit(4294967296.0)
+    val plain = docsDf.filter(!$"doc_id".isin(1L, 2L, 3L, 10L, 11L, 50L, 60L))
+      .select($"doc_id",
+        when(u < 0.8, "train").when(u < 0.9, "val").otherwise("test").as("split"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    plain.foreach { case (id, s) => assert(split(id) == s, s"doc $id diverged") }
+    // all three splits are populated at n=200
+    assert(split.values.toSet == Set("train", "val", "test"))
+  }
+
+  test("ewmaDaily: hand-built series — gap days weighted as zeros, spike flagged") {
+    import spark.implicits._
+    // user 1: 5 events on day d, silence (gap) on d+1..d+2, burst of 9 on d+3
+    val d = 19740L
+    val evs = ((1 to 5).map(i => (d * 86400L * 1000000L + i, 1L)) ++
+        (1 to 9).map(i => ((d + 3) * 86400L * 1000000L + i, 1L)))
+      .toDF("us", "user_id").select(timestamp_micros($"us").as("ts"), $"user_id")
+    val out = EventAnalytics.ewmaDaily(evs).collect()
+      .map(r => r.getLong(1) -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // gap fill materialized the silent days
+    assert(out.keySet == Set(d, d + 1, d + 2, d + 3))
+    // hand baselines: past-only weights 2^12 (yesterday), 2^11, ...
+    assert(out(d) == ((5L, 0L, 1L)))            // burst from silence: 5*8191 > 0 + 16382
+    assert(out(d + 1) == ((0L, 5L * 4096L, 0L)))
+    assert(out(d + 2) == ((0L, 5L * 2048L, 0L)))
+    // day d+3: baseline 5*2^10; 9*8191 = 73719 > 2*5120 + 16382 = 26622 -> spike
+    assert(out(d + 3) == ((9L, 5L * 1024L, 1L)))
+    // a steady series never flags: constant 5/day for 20 days
+    val steady = (0 until 20).flatMap(k =>
+      (1 to 5).map(i => ((d + k) * 86400L * 1000000L + i, 2L)))
+      .toDF("us", "user_id").select(timestamp_micros($"us").as("ts"), $"user_id")
+    val flags = EventAnalytics.ewmaDaily(steady).collect().map(_.getLong(4))
+    assert(flags.drop(1).forall(_ == 0L), "steady series must not spike after day 0")
+  }
+
+  test("typeDrift: hand-built mix shift yields exact integer shares and scores") {
+    import spark.implicits._
+    // day 19737 is before the 19738 boundary, 19739 after; mix flips 8:2 -> 2:8
+    def rows(day: Long, tpe: String, n: Int) =
+      (1 to n).map(i => (day * 86400L * 1000000L + i, tpe))
+    val crafted = (rows(19737L, "x", 8) ++ rows(19737L, "y", 2) ++
+        rows(19739L, "x", 2) ++ rows(19739L, "y", 8))
+      .toDF("us", "event_type")
+      .select(timestamp_micros($"us").as("ts"), $"event_type")
+    val out = EventAnalytics.typeDrift(crafted).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    assert(out("x") == ((8L, 2L, 800000L, 200000L, -600000L,
+      600000L * 600000L / 1000001L)))
+    assert(out("y") == ((2L, 8L, 200000L, 800000L, 600000L,
+      600000L * 600000L / 1000001L)))
+    // a type with identical shares scores zero
+    val flat = (rows(19737L, "x", 5) ++ rows(19739L, "x", 5)).toDF("us", "event_type")
+      .select(timestamp_micros($"us").as("ts"), $"event_type")
+    val z = EventAnalytics.typeDrift(flat).collect().head
+    assert(z.getLong(5) == 0L && z.getLong(6) == 0L)
+  }
+
+  test("search: conjunctive AND semantics and integer tf-idf ranking on a hand corpus") {
+    import spark.implicits._
+    val crafted = Seq(
+      (1L, "apple banana cherry"),
+      (2L, "apple banana"),
+      (3L, "apple apple apple banana cherry"),
+      (4L, "durian only here")).toDF("doc_id", "text")
+    // AND query: only docs with every term
+    val hits = Search.keywordSearch(crafted, Seq("apple", "cherry"))
+      .collect().map(_.getLong(0)).toSet
+    assert(hits == Set(1L, 3L))
+    // ranking: n_docs=4; df(apple)=3 -> idf 4 div 3 = 1; df(durian)=1 -> idf 4
+    // doc3 scores tf=3 * 1 = 3; doc1/doc2 score 1; doc4 scores 4 on durian
+    val ranked = Search.tfidfSearch(crafted, Seq("apple", "durian"), k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(ranked.toSeq == Seq((4L, 4L), (3L, 3L), (1L, 1L), (2L, 1L)))
+    // k truncates deterministically with doc_id tiebreak
+    val top2 = Search.tfidfSearch(crafted, Seq("apple", "durian"), k = 3)
+      .collect().map(_.getLong(0)).toSeq
+    assert(top2 == Seq(4L, 3L, 1L))
+  }
+
   test("scrubDupSpans: removes exactly the covered positions, reassembles in order") {
     import spark.implicits._
     // two docs share the 4-gram "a b c d"; doc 3 is untouched

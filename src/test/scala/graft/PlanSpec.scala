@@ -153,6 +153,37 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("q33_scd2_join: equi-key broadcast join with range residual, facts never shuffle") {
+    val p = simplePlan(graft.queries.Relational.q33Scd2Join(spark, sf))
+    assert(p.contains("BroadcastHashJoin"),
+      s"SCD2 join must broadcast the versioned dim:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"the validity range must be a residual on the equi-join, not the join itself:\n$p")
+  }
+
+  test("search family: term filter precedes every shuffle; top-k is TakeOrdered") {
+    val terms = graft.queries.PipelineQueries.searchTerms
+    // keyword search: no join at all — explode, filter, two hash aggs
+    val kw = simplePlan(graft.operators.Search.keywordSearch(
+      Tables.documents(spark, sf), terms))
+    assert(!kw.contains("Join"), s"conjunctive search needs no join:\n$kw")
+    // ranked search: global top-k must be heap-based, never a full sort
+    val tf = simplePlan(graft.operators.Search.tfidfSearch(
+      Tables.documents(spark, sf), terms))
+    assert(tf.contains("TakeOrderedAndProject"), s"top-k must be TakeOrdered:\n$tf")
+    assert(!tf.contains("rangepartitioning"), s"no global sort in ranked search:\n$tf")
+  }
+
+  test("q34_latest_by_key: sortless bounded agg + broadcast fetch-back, no window") {
+    val p = simplePlan(graft.queries.Relational.q34LatestByKey(spark, sf))
+    assert(p.contains("ObjectHashAggregate"),
+      s"latest-by-key must run as the bounded topk aggregate:\n$p")
+    assert(!p.contains("SortAggregate") && !p.contains("Window"),
+      s"neither struct-max's SortAggregate nor a window may appear:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"payload fetch-back must broadcast the keys-sized winner set:\n$p")
+  }
+
   test("LSH near-dup candidates come from an equi-join, never a cartesian") {
     val df = graft.operators.SimilaritySearch.cosineNearDupLsh(
       Tables.embeddings(spark, sf), tau = 0.9)

@@ -11,6 +11,47 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("q33_scd2_join: every event matches exactly one dim version, boundaries honored") {
+    import org.apache.spark.sql.functions._
+    val out = Relational.q33Scd2Join(spark, sf)
+    // exactly-once: the [from, to) versions partition the timeline
+    assert(out.count() == Tables.events(spark, sf).count())
+    assert(out.select("event_id").distinct().count() == out.count())
+    // versions advance with time within each user
+    val rows = out.collect().map(r =>
+      (r.getLong(1), r.getLong(2), r.getString(3).stripPrefix("seg").toInt))
+    rows.groupBy(_._1).foreach { case (u, es) =>
+      val byDay = es.sortBy(_._2)
+      assert(byDay.map(_._3).sliding(2).forall(p => p.length < 2 || p(0) <= p(1)),
+        s"user $u: segment regressed over time")
+      // hand-replay the change days for this user
+      val b1 = 19726 + u % 7; val b2 = 19737 + u % 11
+      es.foreach { case (_, day, v) =>
+        val want = if (day >= b2) 2 else if (day >= b1) 1 else 0
+        assert(v == want, s"user $u day $day: got seg$v want seg$want")
+      }
+    }
+  }
+
+  test("q34_latest_by_key equals the window row_number spelling") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val got = Relational.q34LatestByKey(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("tsm").desc, col("event_id").asc)
+    val want = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), expr("unix_micros(ts)").as("tsm"),
+        col("event_id"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("value_cents"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("user_id", "event_type", "tsm", "event_id", "value_cents")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSet == want.toSet)
+    assert(got.length == want.length)
+  }
+
   test("q1_agg: groups are the flag x status combinations") {
     val rows = Relational.q1Agg(spark, sf).collect()
     assert(rows.length >= 3 && rows.length <= 8)
