@@ -225,6 +225,116 @@ object EventAnalytics {
        |ORDER BY user_id, day_id""".stripMargin
   }
 
+  // ------------------------------------------------- point-in-time features
+  /** Point-in-time-correct training features — the feature-store
+    * correctness primitive: for every LABEL row (here: each purchase),
+    * per-user aggregates computed over STRICTLY EARLIER events only.
+    * Computing features over the whole history and joining them back is
+    * the classic target-leakage bug (the feature peeks at the future);
+    * the cure is frames ending at `1 PRECEDING` on a total
+    * per-user order, so a model trained on these rows sees exactly what
+    * was knowable at prediction time. The leakage theme's temporal twin
+    * to [[DedupComponents.groupedSplit]]'s content leakage.
+    *
+    * Features: prior event count, prior view count, prior value sum
+    * (exact cents), seconds since the previous event (-1 for the first).
+    * All integers; order is (ts_micros, event_id) — total, so frames are
+    * deterministic and DuckDB replays hash-exactly.
+    *
+    * Scale: one shuffle keyed by user; window partitions are bounded by
+    * per-user history. A pathological power-user key concentrates its
+    * history in one task — inherent to exact cumulative features; the
+    * production levers are history truncation (bounded trailing frames)
+    * or session-scoped features, both expressible in this same shape. */
+  def pointInTimeFeatures(events: DataFrame,
+      labelType: String = "purchase"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = events.select(col("event_id"), col("user_id"),
+      col("event_type"), expr("unix_micros(ts)").as("tsm"),
+      (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+    val w = Window.partitionBy("user_id").orderBy("tsm", "event_id")
+    val prior = w.rowsBetween(Window.unboundedPreceding, -1)
+    ev
+      .withColumn("n_prior", count(lit(1)).over(prior))
+      .withColumn("n_prior_views",
+        coalesce(sum(when(col("event_type") === "view", 1L).otherwise(0L))
+          .over(prior), lit(0L)))
+      .withColumn("sum_prior_cents",
+        coalesce(sum(col("cents")).over(prior), lit(0L)))
+      .withColumn("prev_tsm", lag(col("tsm"), 1).over(w))
+      .withColumn("sec_since_prev",
+        when(col("prev_tsm").isNull, lit(-1L))
+          .otherwise(expr("(tsm - prev_tsm) div 1000000")))
+      .filter(col("event_type") === labelType)
+      .select("event_id", "user_id", "tsm", "n_prior", "n_prior_views",
+        "sum_prior_cents", "sec_since_prev")
+  }
+
+  def pointInTimeFeaturesSql(labelType: String = "purchase"): String =
+    s"""WITH ev AS (
+       |  SELECT event_id, user_id, event_type,
+       |    CAST(epoch_us(ts) AS BIGINT) AS tsm,
+       |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+       |  FROM events
+       |), feat AS (
+       |  SELECT event_id, user_id, event_type, tsm,
+       |    COUNT(*) OVER prior AS n_prior,
+       |    CAST(COALESCE(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+       |      OVER prior, 0) AS BIGINT) AS n_prior_views,
+       |    CAST(COALESCE(SUM(cents) OVER prior, 0) AS BIGINT) AS sum_prior_cents,
+       |    COALESCE((tsm - LAG(tsm) OVER w) // 1000000, -1) AS sec_since_prev
+       |  FROM ev
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY tsm, event_id),
+       |    prior AS (PARTITION BY user_id ORDER BY tsm, event_id
+       |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |)
+       |SELECT event_id, user_id, tsm, n_prior, n_prior_views,
+       |  sum_prior_cents, sec_since_prev
+       |FROM feat WHERE event_type = '$labelType'
+       |ORDER BY event_id""".stripMargin
+
+  // --------------------------------------------- sliding distinct users
+  /** Trailing-7-day active users per day (WAU curve) — sliding-window
+    * DISTINCT, which has no direct window-function spelling (COUNT
+    * (DISTINCT) over a frame is unsupported in both engines). The
+    * scale spelling: distinct (user, activity day) — ONE corpus shuffle,
+    * bounded by |users| * timeline — then each activity day EXPLODES to
+    * the <= 7 window-ends it contributes to (constant fanout), distinct
+    * (user, window_end) dedups multi-active users, and a tiny count per
+    * window_end finishes. Window-ends past the last observed day are
+    * dropped (partial future windows), via the 1-row max-day broadcast.
+    */
+  def activeUsers7d(events: DataFrame, windowDays: Int = 7,
+      bucketSec: Long = 86400L): DataFrame = {
+    val act = events
+      .select(col("user_id"),
+        expr(s"unix_micros(ts) DIV 1000000 DIV $bucketSec").as("day_id"))
+      .distinct()
+    val maxDay = act.select(max("day_id").as("max_day"))
+    act
+      .select(col("user_id"),
+        explode(expr(s"sequence(day_id, day_id + ${windowDays - 1})")).as("window_end"))
+      .distinct()
+      .join(broadcast(maxDay))
+      .filter(col("window_end") <= col("max_day"))
+      .groupBy("window_end")
+      .agg(count(lit(1)).as("active_users"))
+  }
+
+  def activeUsers7dSql(windowDays: Int = 7, bucketSec: Long = 86400L): String =
+    s"""WITH act AS (
+       |  SELECT DISTINCT user_id,
+       |    CAST(floor(epoch(ts)) AS BIGINT) // $bucketSec AS day_id
+       |  FROM events
+       |), win AS (
+       |  SELECT DISTINCT user_id,
+       |    unnest(generate_series(day_id, day_id + ${windowDays - 1})) AS window_end
+       |  FROM act
+       |)
+       |SELECT window_end, COUNT(*) AS active_users FROM win
+       |WHERE window_end <= (SELECT MAX(day_id) FROM act)
+       |GROUP BY window_end ORDER BY window_end""".stripMargin
+
   // ------------------------------------------------------- typeDrift
   /** Two-sample distribution-drift report: the event-type mix BEFORE vs
     * AFTER a boundary day, with an integer chi-square-style score per

@@ -69,4 +69,47 @@ object Profiling {
        |  COUNT(*) * 1000000 // (SELECT COUNT(*) FROM $table) AS share_ppm
        |FROM $table GROUP BY 1
        |ORDER BY n_rows DESC, key_value ASC LIMIT $k""".stripMargin
+
+  // ------------------------------------------------- referential integrity
+  /** One declared foreign-key relationship: `child.fkCol` should only
+    * hold values present in `parent.pkCol`. */
+  final case class FkCheck(name: String, child: DataFrame, fkCol: String,
+      parent: DataFrame, pkCol: String)
+
+  /** Referential-integrity audit: per declared FK, the child row count
+    * and the number of ORPHAN rows (fk value absent from the parent) —
+    * the pre-flight check that catches a broken upstream export before a
+    * join silently drops (inner) or null-pads (outer) at 100 TB.
+    *
+    * Shape per check: LEFT ANTI join child -> parent on the key, then a
+    * single-row count — the anti join broadcasts whenever the parent's
+    * KEY COLUMN fits (it is pruned to one column first), so the child
+    * never shuffles for dimension-sized parents; a fact-fact FK falls
+    * back to an ordinary key shuffle. Checks are unioned lazily — each
+    * is an independent 1-row aggregate, no cross-check dependency. */
+  def fkOrphans(checks: Seq[FkCheck]): DataFrame = {
+    require(checks.nonEmpty)
+    checks.map { c =>
+      val parentKeys = c.parent.select(col(c.pkCol).as(c.fkCol))
+      // NULL fks are excluded on both sides (an anti join counts an
+      // unmatched NULL as an orphan; SQL NOT IN silently drops it — pin
+      // one contract: orphan = NON-NULL value absent from the parent)
+      val orphans = c.child.select(col(c.fkCol)).filter(col(c.fkCol).isNotNull)
+        .join(parentKeys, Seq(c.fkCol), "left_anti")
+      c.child.select(count(lit(1)).as("n_rows"))
+        .join(orphans.select(count(lit(1)).as("n_orphans")))
+        .select(lit(c.name).as("fk_name"), col("n_rows"), col("n_orphans"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** The standard audit over the TPC-H-ish testdata's declared keys. */
+  def fkOrphansSql(checks: Seq[(String, String, String, String, String)]): String =
+    checks.map { case (name, child, fk, parent, pk) =>
+      s"""SELECT '$name' AS fk_name,
+         |  (SELECT COUNT(*) FROM $child) AS n_rows,
+         |  (SELECT COUNT(*) FROM (
+         |     SELECT $fk FROM $child WHERE $fk IS NOT NULL AND $fk NOT IN
+         |       (SELECT $pk FROM $parent WHERE $pk IS NOT NULL)
+         |   )) AS n_orphans""".stripMargin
+    }.mkString("\nUNION ALL\n") + "\nORDER BY fk_name"
 }

@@ -174,6 +174,10 @@ object PipelineQueries {
     "sample_weighted" -> Seq("doc_id"),
     "events_gap_fill" -> Seq("user_id", "day_id"),
     "events_ewma" -> Seq("user_id", "day_id"),
+    "events_features_pit" -> Seq("event_id"),
+    "events_wau" -> Seq("window_end"),
+    "profile_fk_orphans" -> Seq("fk_name"),
+    "source_schema_evolution" -> Seq("day_id"),
     "events_funnel_steps" -> Seq("step"),
     "report_source_lang_lift" -> Seq("source", "lang"),
     "vocab_fuzzy_pairs" -> Seq("tok_a", "tok_b"),
@@ -286,6 +290,21 @@ object PipelineQueries {
       EventAnalytics.gapFillDaily(Tables.events(s, d))),
     // the gap-fill consumer: decayed trailing activity + integer spike flag
     "events_ewma" -> ((s, d) => EventAnalytics.ewmaDaily(Tables.events(s, d))),
+    // point-in-time-correct per-user features at each label row
+    "events_features_pit" -> ((s, d) =>
+      EventAnalytics.pointInTimeFeatures(Tables.events(s, d))),
+    // sliding-window distinct: trailing-7-day active users per day
+    "events_wau" -> ((s, d) => EventAnalytics.activeUsers7d(Tables.events(s, d))),
+    // referential-integrity audit over the testdata's declared FKs
+    "profile_fk_orphans" -> ((s, d) => Profiling.fkOrphans(Seq(
+      Profiling.FkCheck("lineitem_orderkey", Tables.lineitem(s, d), "l_orderkey",
+        Tables.orders(s, d), "o_orderkey"),
+      Profiling.FkCheck("orders_custkey", Tables.orders(s, d), "o_custkey",
+        Tables.customer(s, d), "c_custkey"),
+      Profiling.FkCheck("lineitem_partkey", Tables.lineitem(s, d), "l_partkey",
+        Tables.part(s, d), "p_partkey"),
+      Profiling.FkCheck("customer_nationkey", Tables.customer(s, d), "c_nationkey",
+        Tables.nation(s, d), "n_nationkey")))),
     "events_funnel_steps" -> ((s, d) =>
       EventAnalytics.funnelSteps(Tables.events(s, d))),
     "sample_weighted" -> ((s, d) => Sampling.prioritySample(Tables.documents(s, d))),
@@ -330,6 +349,9 @@ object PipelineQueries {
     "source_csv" -> ((s, d) => graft.sources.CsvLines.roundTripAgg(s, d)),
     // --- ORC source round-trip (columnar twin; schema as a CHECK) ---
     "source_orc" -> ((s, d) => graft.sources.OrcSource.roundTripAgg(s, d)),
+    // additive schema evolution: mergeSchema union, old files null-fill
+    "source_schema_evolution" -> ((s, d) =>
+      graft.sources.SchemaEvolution.evolvedRead(s, d)),
     "source_binary" -> ((s, d) => graft.sources.BinaryFiles.binaryManifest(s, d)),
     "mv_event_totals" -> ((s, d) => Summaries.eventTypeTotals(s, d)),
     // --- distributed PCA ---
@@ -457,6 +479,13 @@ object PipelineQueries {
     "events_cohort_retention" -> EventAnalytics.cohortRetentionSql(),
     "events_gap_fill" -> EventAnalytics.gapFillDailySql(),
     "events_ewma" -> EventAnalytics.ewmaDailySql(),
+    "events_features_pit" -> EventAnalytics.pointInTimeFeaturesSql(),
+    "events_wau" -> EventAnalytics.activeUsers7dSql(),
+    "profile_fk_orphans" -> Profiling.fkOrphansSql(Seq(
+      ("lineitem_orderkey", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+      ("orders_custkey", "orders", "o_custkey", "customer", "c_custkey"),
+      ("lineitem_partkey", "lineitem", "l_partkey", "part", "p_partkey"),
+      ("customer_nationkey", "customer", "c_nationkey", "nation", "n_nationkey"))),
     "events_funnel_steps" -> EventAnalytics.funnelStepsSql(),
     "sample_weighted" -> Sampling.prioritySampleSql(),
     "sample_per_group" -> Sampling.perGroupSampleSql(),
@@ -491,6 +520,7 @@ object PipelineQueries {
     "source_jsonl" -> graft.sources.JsonLines.roundTripAggSql,
     "source_csv" -> graft.sources.CsvLines.roundTripAggSql,
     "source_orc" -> graft.sources.OrcSource.roundTripAggSql,
+    "source_schema_evolution" -> graft.sources.SchemaEvolution.evolvedReadSql,
     "source_binary" -> graft.sources.BinaryFiles.binaryManifestSql,
     "mv_event_totals" -> Summaries.eventTypeTotalsSql,
     "sink_shards" -> ShardedSink.manifestSql())

@@ -189,6 +189,8 @@ class ContractSpec extends SparkSpec {
     "text_tfidf_topterms", // 1-row n_docs total as a broadcast cross join
     "search_tfidf_topk",   // same 1-row n_docs pattern
     "report_key_skew",     // 1-row key-count total, same pattern
+    "events_wau",          // 1-row max-day bound, same pattern
+    "profile_fk_orphans",  // per-check 1-row x 1-row count join
     "graph_pagerank",      // 1-row dangling-mass total per iteration, same pattern
     "clf_quality_vocab",   // 1-row (n_pos, n_neg) label totals, same pattern
     "clf_quality_score",   // inherits clf_quality_vocab's totals join

@@ -133,6 +133,65 @@ class PipelineSpec extends SparkSpec {
     assert(flags.drop(1).forall(_ == 0L), "steady series must not spike after day 0")
   }
 
+  test("pointInTimeFeatures: strictly-prior frames — the label row never sees itself") {
+    import spark.implicits._
+    val base = 19740L * 86400L * 1000000L
+    // user 1: view@t1, view@t2, purchase@t3, purchase@t4; user 2: purchase only
+    val evs = Seq(
+      (10L, 1L, "view", base + 1000000L, 2.00),
+      (11L, 1L, "view", base + 3000000L, 3.00),
+      (12L, 1L, "purchase", base + 10000000L, 5.00),
+      (13L, 1L, "purchase", base + 12000000L, 7.00),
+      (20L, 2L, "purchase", base + 1000000L, 9.00))
+      .toDF("event_id", "user_id", "event_type", "us", "value")
+      .select($"event_id", $"user_id", $"event_type",
+        timestamp_micros($"us").as("ts"), $"value")
+    val out = EventAnalytics.pointInTimeFeatures(evs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toMap
+    // purchase 12: 2 prior events, both views, 200+300 cents, 7s after view 11
+    assert(out(12L) == ((2L, 2L, 500L, 7L)))
+    // purchase 13: 3 prior (incl. purchase 12), 2 views, 1000 cents, 2s gap
+    assert(out(13L) == ((3L, 2L, 1000L, 2L)))
+    // user 2's first-ever event: empty history, sentinel gap
+    assert(out(20L) == ((0L, 0L, 0L, -1L)))
+    assert(out.size == 3) // views are not label rows
+  }
+
+  test("activeUsers7d: sliding distinct equals brute force on a hand series") {
+    import spark.implicits._
+    def at(day: Long, u: Long, i: Int) = (day * 86400L * 1000000L + i, u)
+    // user 1 active days 0,1,9; user 2 active days 1,8; user 3 active day 9
+    val d0 = 19700L
+    val evs = Seq(at(d0, 1L, 1), at(d0, 1L, 2), at(d0 + 1, 1L, 1), at(d0 + 9, 1L, 1),
+        at(d0 + 1, 2L, 1), at(d0 + 8, 2L, 1), at(d0 + 9, 3L, 1))
+      .toDF("us", "user_id").select(timestamp_micros($"us").as("ts"), $"user_id")
+    val got = EventAnalytics.activeUsers7d(evs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val active = Map(1L -> Set(d0, d0 + 1, d0 + 9), 2L -> Set(d0 + 1, d0 + 8),
+      3L -> Set(d0 + 9))
+    (d0 to d0 + 9).foreach { end =>
+      val want = active.count { case (_, days) =>
+        days.exists(d => d > end - 7 && d <= end) }
+      assert(got.getOrElse(end, 0L) == want.toLong, s"window ending $end")
+    }
+    // no window-end beyond the last observed day
+    assert(got.keys.max == d0 + 9)
+  }
+
+  test("fkOrphans: orphans counted exactly; null fks excluded by contract") {
+    import spark.implicits._
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val child = Seq(Some(1L), Some(1L), Some(9L), Some(8L), None)
+      .toDF("fk")
+    val out = Profiling.fkOrphans(Seq(
+      Profiling.FkCheck("c_fk", child, "fk", parent, "pk"))).collect()
+    assert(out.length == 1)
+    assert(out.head.getString(0) == "c_fk")
+    assert(out.head.getLong(1) == 5L)   // all child rows counted
+    assert(out.head.getLong(2) == 2L)   // 9 and 8 are orphans; NULL is not
+  }
+
   test("typeDrift: hand-built mix shift yields exact integer shares and scores") {
     import spark.implicits._
     // day 19737 is before the 19738 boundary, 19739 after; mix flips 8:2 -> 2:8

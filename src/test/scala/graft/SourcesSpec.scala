@@ -93,6 +93,26 @@ class SourcesSpec extends SparkSpec {
     } finally Files.deleteIfExists(stray)
   }
 
+  test("schema evolution: merged read null-fills old files, pins the sentinel") {
+    import org.apache.spark.sql.functions._
+    val split = graft.sources.SchemaEvolution.splitDay
+    val out = graft.sources.SchemaEvolution.evolvedRead(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.nonEmpty)
+    // pre-evolution days surface the sentinel; evolved days a real count
+    out.foreach { case (day, n, users) =>
+      if (day < split) assert(users == -1L, s"day $day should be sentinel")
+      else assert(users >= 1L && users <= n, s"day $day users $users vs n $n")
+    }
+    assert(out.exists(_._1 < split) && out.exists(_._1 >= split),
+      "fixture must exercise both file generations")
+    // v1 files alone genuinely lack the column — the evolution is real,
+    // not a view trick
+    val dir = graft.sources.SchemaEvolution.stagedDir(spark, sf)
+    assert(!spark.read.parquet(s"$dir/v1").columns.contains("n_users"))
+    assert(spark.read.parquet(s"$dir/v2").columns.contains("n_users"))
+  }
+
   test("orc round-trip preserves every row and every text byte") {
     val original = Tables.documents(spark, sf)
       .select("doc_id", "text", "lang", "source", "n_chars")
