@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Graph analytics over an edge list `(src, dst)` — the curation-side
@@ -363,4 +363,82 @@ object GraphAnalytics {
        |  FROM scored)
        |SELECT id, rank, nbr, common, jaccard_ppm
        |FROM ranked WHERE rank <= $topK ORDER BY id, rank""".stripMargin
+
+  // ------------------------------------------------------------ k-core
+  /** k-core decomposition by iterative peeling: repeatedly remove
+    * vertices whose (undirected, deduped) degree is below k; what
+    * survives is the k-core — the standard graph-mining density filter
+    * (spam/link-farm detection on web graphs, community nuclei, the
+    * "drop the fringe before expensive analytics" pass).
+    *
+    * Executed as a FIXED `rounds`-round peel, like graph_components'
+    * unrolled min-label: each round is one degree aggregate over the
+    * surviving edge set + two semi-join filters (both endpoints must
+    * survive), with `localCheckpoint` truncating the per-round lineage.
+    * A round is |E|-shuffle-bounded; `rounds` must be >= the graph's
+    * peel depth (measured 3 at k=4 on the KG; GraphSpec asserts the
+    * FIXPOINT — one extra round changes nothing — so a data drift past
+    * the margin fails loudly instead of under-peeling silently).
+    * DuckDB replays the identical rounds as materialized CTEs, so the
+    * surviving (vertex, core degree) table is a full hash oracle.
+    *
+    * Output: (id, core_deg) for vertices in the k-core, where core_deg
+    * is the vertex's degree WITHIN the core (>= k by construction). */
+  def kcore(edges: DataFrame, k: Int = 4, rounds: Int = 6): DataFrame = {
+    // store each undirected edge ONCE, canonically (a < b) — halves every
+    // per-round checkpoint and semi-join vs the doubled representation;
+    // degrees tally both endpoints at aggregation time only
+    def least(x: Column, y: Column) = when(x < y, x).otherwise(y)
+    def greatest2(x: Column, y: Column) = when(x < y, y).otherwise(x)
+    var e = edges.select(least(col("src"), col("dst")).as("a"),
+        greatest2(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint(true)
+    var nEdges = e.count()
+    var converged = false
+    (1 to rounds).foreach { _ =>
+      if (!converged) {
+        val keep = e.select(col("a").as("id"))
+          .unionAll(e.select(col("b").as("id")))
+          .groupBy("id").agg(count(lit(1)).as("deg"))
+          .filter(col("deg") >= k).select("id")
+        val next = e
+          .join(keep.withColumnRenamed("id", "a"), Seq("a"), "left_semi")
+          .join(keep.withColumnRenamed("id", "b"), Seq("b"), "left_semi")
+          .localCheckpoint(true)
+        val n = next.count()
+        // the count is free on the just-materialized checkpoint; a round
+        // that removed nothing proves the FIXPOINT — every later round
+        // is the identity, so skipping them cannot change the answer
+        // (the fixed-round oracle runs them anyway and agrees)
+        if (n == nEdges) converged = true else { e = next; nEdges = n }
+      }
+    }
+    e.select(col("a").as("id")).unionAll(e.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("core_deg"))
+  }
+
+  def kcoreSql(edgesSql: String, k: Int = 4, rounds: Int = 6): String = {
+    val stepCtes = (1 to rounds).map { i =>
+      val prev = if (i == 1) "e0" else s"e${i - 1}"
+      s"""keep$i AS MATERIALIZED (
+         |  SELECT a FROM $prev GROUP BY a HAVING COUNT(*) >= $k
+         |),
+         |e$i AS MATERIALIZED (
+         |  SELECT a, b FROM $prev
+         |  WHERE a IN (SELECT a FROM keep$i) AND b IN (SELECT a FROM keep$i)
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH edges AS MATERIALIZED ($edgesSql),
+       |e0 AS MATERIALIZED (
+       |  SELECT DISTINCT a, b FROM (
+       |    SELECT src AS a, dst AS b FROM edges
+       |    UNION ALL SELECT dst, src FROM edges)
+       |  WHERE a <> b
+       |),
+       |$stepCtes
+       |SELECT a AS id, COUNT(*) AS core_deg FROM e$rounds
+       |GROUP BY a ORDER BY id""".stripMargin
+  }
 }

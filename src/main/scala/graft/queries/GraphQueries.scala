@@ -131,7 +131,9 @@ object GraphQueries {
     // (supplier -> part via lineitem) through the inverted-index Jaccard
     "graph_similar_suppliers" -> ((s, d) =>
       GraphAnalytics.neighborSimilarity(Tables.lineitem(s, d)
-        .select(col("l_suppkey").as("src"), col("l_partkey").as("dst")))))
+        .select(col("l_suppkey").as("src"), col("l_partkey").as("dst")))),
+    // density filter: 6-round peel to the 4-core of the KG
+    "graph_kcore" -> ((s, d) => GraphAnalytics.kcore(kgEdges(s, d))))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     rawQueries.map { case (name, fn) =>
@@ -144,5 +146,6 @@ object GraphQueries {
     "graph_components" -> kgComponentsSql,
     "graph_triangles" -> GraphAnalytics.triangleCountsSql(coPartEdgesSql),
     "graph_similar_suppliers" -> GraphAnalytics.neighborSimilaritySql(
-      "SELECT l_suppkey AS src, l_partkey AS dst FROM lineitem"))
+      "SELECT l_suppkey AS src, l_partkey AS dst FROM lineitem"),
+    "graph_kcore" -> GraphAnalytics.kcoreSql(kgEdgesSql))
 }

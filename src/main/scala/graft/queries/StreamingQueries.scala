@@ -32,6 +32,7 @@ object StreamingQueries {
     "stream_kmv_distinct" -> ((s, d) => EventStreams.streamingKmvDistinct(s, d)),
     "stream_mv_maintenance" -> ((s, d) => EventStreams.streamingMvMaintenance(s, d)),
     "stream_interval_join_outer" -> ((s, d) => EventStreams.streamingIntervalJoinOuter(s, d)),
+    "stream_features_pit" -> ((s, d) => EventStreams.streamingPitFeatures(s, d)),
     "q11_sessionize" -> ((s, d) => EventStreams.sessionizeBatch(Tables.events(s, d))),
     "q12_asof_join" -> ((s, d) => AsOfJoin.errorToLastClick(Tables.events(s, d))),
     "q32_asof_forward" -> ((s, d) => AsOfJoin.errorToNextClick(Tables.events(s, d))),
@@ -58,6 +59,10 @@ object StreamingQueries {
     // matches emit inline from keyed state, so the stream equals the
     // batch as-of exactly and shares its oracle
     "stream_asof" -> AsOfJoin.errorToLastClickSql,
+    // online features emit inline from keyed running state folded in the
+    // batch spelling's total (ts, event_id) order, so serving features
+    // EQUAL training features exactly and share the offline oracle
+    "stream_features_pit" -> graft.operators.EventAnalytics.pointInTimeFeaturesSql(),
     // register maintenance is order-insensitive, so the finite replay
     // equals the batch sketch and shares its oracle
     "stream_hll_distinct" -> graft.operators.Sketches.hllDistinctSql,

@@ -603,6 +603,60 @@ object EventStreams {
       .orderBy("event_id")
   }
 
+  // -------------------------------------- streaming point-in-time features
+  final case class PitInput(event_id: Long, user_id: Long,
+      ts: java.sql.Timestamp, event_type: String, cents: Long)
+  final case class PitState(n: Long, nViews: Long, sumCents: Long, lastTsm: Long)
+  final case class PitFeat(event_id: Long, user_id: Long, tsm: Long,
+      n_prior: Long, n_prior_views: Long, sum_prior_cents: Long,
+      sec_since_prev: Long)
+
+  /** ONLINE point-in-time features — the serving-side twin of
+    * `EventAnalytics.pointInTimeFeatures`, sharing its oracle: per-user
+    * running aggregates live in keyed state; each label (purchase) event
+    * emits its feature row from the state AS OF just before itself, then
+    * every event (any type) folds into the state. Because the fold order
+    * is the batch spelling's total (ts_micros, event_id) order — sorted
+    * within the micro-batch, carried across batches by the state — the
+    * online features EQUAL the offline training features exactly: the
+    * training-serving-skew elimination a feature store exists for,
+    * checked here by oracle equality rather than promised.
+    *
+    * State is four longs per user, bounded by |users|; matches emit
+    * inline (no watermark, no sentinel, the [[streamingAsOf]] shape). */
+  def streamingPitFeatures(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    def micros(t: java.sql.Timestamp): Long =
+      math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
+    def update(userId: Long, events: Iterator[PitInput],
+        state: GroupState[PitState]): Iterator[PitFeat] = {
+      val sorted = events.toArray.sortBy(e => (micros(e.ts), e.event_id))
+      val out = scala.collection.mutable.ArrayBuffer.empty[PitFeat]
+      var cur = state.getOption.getOrElse(PitState(0L, 0L, 0L, Long.MinValue))
+      sorted.foreach { e =>
+        val tsm = micros(e.ts)
+        if (e.event_type == "purchase")
+          out += PitFeat(e.event_id, userId, tsm, cur.n, cur.nViews, cur.sumCents,
+            if (cur.lastTsm == Long.MinValue) -1L else (tsm - cur.lastTsm) / 1000000L)
+        cur = PitState(cur.n + 1L,
+          cur.nViews + (if (e.event_type == "view") 1L else 0L),
+          cur.sumCents + e.cents, tsm)
+      }
+      state.update(cur)
+      out.iterator
+    }
+
+    val feats = readEventStream(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .as[PitInput]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(update)
+    runToCompletion(feats.toDF(), OutputMode.Append())
+      .orderBy("event_id")
+  }
+
   // ------------------------------------------- batch sessionization (oracle)
   /** Batch gaps-and-islands sessionization — the relational spelling of
     * `sessionize`, fully SQL-expressible, used as its own oracled query:

@@ -131,6 +131,33 @@ class GraphSpec extends SparkSpec {
       s"triangle plan fell off the equi-join path:\n$plan")
   }
 
+  test("kcore: hand-checked peel — K4 core survives, pendant chain peels away") {
+    // K4 on a,b,c,d (each degree 3 inside) + chain d-e-f hanging off
+    val e = edgesOf("a" -> "b", "a" -> "c", "a" -> "d", "b" -> "c",
+      "b" -> "d", "c" -> "d", "d" -> "e", "e" -> "f")
+    val core3 = GraphAnalytics.kcore(e, k = 3, rounds = 4).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // peeling f (deg 1) then e (deg 1) leaves exactly the K4; d's core
+    // degree drops to 3 once e is gone
+    assert(core3 == Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 3L))
+    // k=2: the chain still peels (f first, then e), the K4 survives whole
+    val core2 = GraphAnalytics.kcore(e, k = 2, rounds = 4).collect()
+      .map(r => r.getString(0)).toSet
+    assert(core2 == Set("a", "b", "c", "d"))
+  }
+
+  test("kcore on the KG: fixpoint reached within the round budget") {
+    val edges = graft.queries.GraphQueries.kgEdges(spark, sf)
+    val at6 = GraphAnalytics.kcore(edges, k = 4, rounds = 6).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val at7 = GraphAnalytics.kcore(edges, k = 4, rounds = 7).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(at6.nonEmpty)
+    assert(at6 == at7, "peel had not converged within the 6-round budget")
+    // every survivor meets the core-degree bar
+    assert(at6.values.forall(_ >= 4L))
+  }
+
   test("kg pagerank: nation/region sinks accumulate rank above the median") {
     val ranks = GraphAnalytics.pagerankInt(
         queries.GraphQueries.kgEdges(spark, sf), iters = 5)

@@ -432,6 +432,23 @@ class StreamingSpec extends SparkSpec {
     assert(outer.map(_.getLong(0)).distinct.length == purchases)
   }
 
+  test("online PIT features equal the offline training features exactly") {
+    // the training-serving-skew property: the streaming state fold and
+    // the batch strictly-prior window frames must produce IDENTICAL
+    // feature vectors for every label row
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6))
+    val online = EventStreams.streamingPitFeatures(spark, sf)
+      .collect().map(key).toSet
+    val offline = graft.operators.EventAnalytics
+      .pointInTimeFeatures(Tables.events(spark, sf))
+      .collect().map(key).toSet
+    assert(online.nonEmpty)
+    assert(online == offline,
+      s"skew detected: ${(online -- offline).take(3)} vs ${(offline -- online).take(3)}")
+  }
+
   test("incrementally maintained rollup equals the one-shot summary build") {
     // the two halves of the MV story meet: the foreachBatch-maintained
     // (event_type, day) rollup must hold exactly the table
