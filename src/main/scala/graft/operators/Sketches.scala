@@ -448,4 +448,65 @@ object Sketches {
        |  COALESCE(exact_common, 0) AS exact_common
        |FROM cm LEFT JOIN ex ON cm.ga = ex.ga AND cm.gb = ex.gb
        |ORDER BY type_a, type_b""".stripMargin
+
+  // -------------------------------------------------------- winsorization
+  /** Sketch-driven winsorization — the outlier-clipping cleaning pass a
+    * feature/metrics pipeline runs before aggregation: per group, clip
+    * values to the [p01, p99] cutoffs estimated by the SAME bounded
+    * `hdr_quantile` aggregate the sketch family exposes (an EXACT
+    * per-group percentile is a per-group sort; at 100 TB the histogram
+    * cutoff — bucket lower bound, relative error < 2^-4 — is the
+    * production trade, and the clip is a narrow codegen'd pass).
+    *
+    * Shape: ONE bounded-buffer aggregate pass (ObjectHashAggregate,
+    * <= 960 bucket counts per group) -> cutoffs broadcast back -> narrow
+    * LEAST/GREATEST map. The corpus shuffles once, for the aggregate's
+    * map-side partials only. Integer cents end-to-end, so the DuckDB
+    * bucket-math replay is a full hash oracle. */
+  def winsorizedPrices(orders: DataFrame): DataFrame = {
+    graft.functions.VectorFunctions.ensureRegistered(orders.sparkSession)
+    val base = orders.select(col("o_orderkey"), col("o_orderpriority"),
+      (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+    val cuts = base.groupBy("o_orderpriority").agg(
+      call_function("hdr_quantile", col("cents"), lit(0.01)).as("lo"),
+      call_function("hdr_quantile", col("cents"), lit(0.99)).as("hi"))
+    base.join(broadcast(cuts), Seq("o_orderpriority"))
+      .withColumn("clipped", least(greatest(col("cents"), col("lo")), col("hi")))
+      .select("o_orderkey", "o_orderpriority", "cents", "lo", "hi", "clipped")
+  }
+
+  /** DuckDB replay of [[winsorizedPrices]]: the shared HDR bucket math
+    * (exponent via printf('%b'), K = 4) at q = 0.01 / 0.99, joined back
+    * and clipped with the identical LEAST/GREATEST. */
+  def winsorizedPricesSql: String = {
+    def lb(b: String) =
+      s"CASE WHEN $b < 16 THEN $b ELSE (CAST(1 AS BIGINT) << " +
+        s"CAST($b // 16 + 3 AS INTEGER)) | (($b % 16) << " +
+        s"CAST($b // 16 - 1 AS INTEGER)) END"
+    s"""WITH vals AS (
+       |  SELECT o_orderkey, o_orderpriority AS grp,
+       |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+       |  FROM orders),
+       |buck AS (
+       |  SELECT grp,
+       |    CASE WHEN x < 16 THEN x
+       |         ELSE CAST((length(printf('%b', x)) - 4) * 16
+       |              + ((x >> (length(printf('%b', x)) - 5)) & 15) AS BIGINT)
+       |    END AS b
+       |  FROM vals),
+       |cnt AS (SELECT grp, b, COUNT(*) AS c FROM buck GROUP BY 1, 2),
+       |cum AS (SELECT grp, b, c,
+       |        CAST(SUM(c) OVER (PARTITION BY grp ORDER BY b) AS BIGINT) AS cm,
+       |        CAST(SUM(c) OVER (PARTITION BY grp) AS BIGINT) AS n FROM cnt),
+       |pick AS (
+       |  SELECT grp,
+       |    MIN(CASE WHEN cm >= ceil(0.01 * n) THEN b END) AS blo,
+       |    MIN(CASE WHEN cm >= ceil(0.99 * n) THEN b END) AS bhi
+       |  FROM cum GROUP BY grp)
+       |SELECT v.o_orderkey, v.grp AS o_orderpriority, v.x AS cents,
+       |  ${lb("blo")} AS lo, ${lb("bhi")} AS hi,
+       |  LEAST(GREATEST(v.x, ${lb("blo")}), ${lb("bhi")}) AS clipped
+       |FROM vals v JOIN pick p ON v.grp = p.grp
+       |ORDER BY v.o_orderkey""".stripMargin
+  }
 }

@@ -176,4 +176,45 @@ object VocabBuild {
        |      ORDER BY score DESC, token_id ASC) AS rn
        |  FROM scored)
        |WHERE rn <= $k ORDER BY doc_id, rn""".stripMargin
+
+  // ---------------------------------------------------- OOV-rate report
+  /** Out-of-vocabulary rate per (source, lang) — the tokenizer-health
+    * check before a training run: a corpus slice whose token
+    * OCCURRENCES fall outside the trained vocabulary at an unusual rate
+    * signals a domain/language mismatch the loss curve would only show
+    * later. Rates are exact integer ppm over occurrences (not types —
+    * one frequent unknown token should dominate a thousand rare ones).
+    *
+    * Shape: the vocabulary (already thresholded, vocab-sized) joins
+    * BROADCAST against the narrow token explode; the only corpus-scale
+    * shuffle is the map-side-combinable (source, lang) count aggregate —
+    * cells out, occurrences never move. */
+  def oovRate(docs: DataFrame, minCount: Long = 5L): DataFrame = {
+    val v = vocab(docs, minCount).select(col("token"))
+      .withColumn("known", lit(1L))
+    docs
+      .select(col("source"), col("lang"),
+        explode(regexp_extract_all(lower(col("text")),
+          lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).as("token"))
+      .join(broadcast(v), Seq("token"), "left")
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("known").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_ppm", expr("n_oov * 1000000L div n_tokens"))
+  }
+
+  def oovRateSql(minCount: Long = 5L): String =
+    s"""WITH vocab AS (${vocabSql(minCount)}),
+       |tok AS (
+       |  SELECT source, lang, unnest(regexp_extract_all(lower(text),
+       |    '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS token
+       |  FROM documents
+       |)
+       |SELECT source, lang, COUNT(*) AS n_tokens,
+       |  CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       |  CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    * 1000000 // COUNT(*) AS oov_ppm
+       |FROM tok t LEFT JOIN vocab v USING (token)
+       |GROUP BY source, lang
+       |ORDER BY source, lang""".stripMargin
 }

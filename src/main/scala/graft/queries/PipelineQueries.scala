@@ -178,6 +178,8 @@ object PipelineQueries {
     "events_wau" -> Seq("window_end"),
     "profile_fk_orphans" -> Seq("fk_name"),
     "source_schema_evolution" -> Seq("day_id"),
+    "report_oov_rate" -> Seq("source", "lang"),
+    "clean_winsorize" -> Seq("o_orderkey"),
     "events_funnel_steps" -> Seq("step"),
     "report_source_lang_lift" -> Seq("source", "lang"),
     "vocab_fuzzy_pairs" -> Seq("tok_a", "tok_b"),
@@ -266,6 +268,8 @@ object PipelineQueries {
     "clf_quality_vocab" -> ((s, d) => QualityClassifier.clfVocab(Tables.documents(s, d))),
     "clf_quality_score" -> ((s, d) => QualityClassifier.clfScore(Tables.documents(s, d))),
     "sketch_quantile_hist" -> ((s, d) => Sketches.hdrQuantileHist(Tables.documents(s, d))),
+    // sketch-driven outlier clipping: hdr_quantile cutoffs + narrow clip
+    "clean_winsorize" -> ((s, d) => Sketches.winsorizedPrices(Tables.orders(s, d))),
     // --- scrubbing + deterministic sampling ---
     "text_pii_scrub" -> ((s, d) => TextAnalysis.piiScrub(Tables.documents(s, d))),
     "sample_hash" -> ((s, d) => Sampling.sampleDocs(Tables.documents(s, d))),
@@ -332,6 +336,8 @@ object PipelineQueries {
     "vocab_build" -> ((s, d) => VocabBuild.vocab(Tables.documents(s, d))),
     // typo-pair detection: deletion-neighborhood candidates + exact verify
     "vocab_fuzzy_pairs" -> ((s, d) => FuzzyVocab.fuzzyPairs(Tables.documents(s, d))),
+    // tokenizer health: per-slice OOV occurrence rate vs the trained vocab
+    "report_oov_rate" -> ((s, d) => VocabBuild.oovRate(Tables.documents(s, d))),
     // --- real BPE merge training (the greedy pair-fusion loop) ---
     "vocab_bpe_merges" -> ((s, d) =>
       Bpe.merges(Tables.documents(s, d), bpeMerges(s, d))),
@@ -507,6 +513,8 @@ object PipelineQueries {
     "sink_bucketed_join" -> BucketedSink.bucketedJoinSql,
     "vocab_build" -> VocabBuild.vocabSql(),
     "vocab_fuzzy_pairs" -> FuzzyVocab.fuzzyPairsSql(),
+    "report_oov_rate" -> VocabBuild.oovRateSql(),
+    "clean_winsorize" -> Sketches.winsorizedPricesSql,
     // the DuckDB replay unrolls all 20 greedy rounds — pair counts,
     // total-order argmax, double-pass rewrite — so the merge LIST and
     // the post-merge subword distribution are both full hash oracles

@@ -83,6 +83,37 @@ class PipelineSpec extends SparkSpec {
     assert(tiny.count() == 4)
   }
 
+  test("winsorize: clip bounds hold; interior values untouched; tails clipped") {
+    val out = Sketches.winsorizedPrices(Tables.orders(spark, sf)).collect()
+      .map(r => (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(out.nonEmpty)
+    out.foreach { case (cents, lo, hi, clipped) =>
+      assert(lo <= hi)
+      assert(clipped >= lo && clipped <= hi)
+      if (cents >= lo && cents <= hi) assert(clipped == cents)
+      if (cents < lo) assert(clipped == lo)
+      if (cents > hi) assert(clipped == hi)
+    }
+    // the cutoffs actually bite somewhere (p99 of a spread distribution)
+    assert(out.exists { case (c, _, hi, cl) => c > hi && cl == hi })
+  }
+
+  test("oovRate: hand corpus — rare tokens below minCount count as OOV occurrences") {
+    import spark.implicits._
+    // "common" appears 6x (in vocab at minCount=5); "rare" 2x (OOV);
+    // slice B is pure common
+    val crafted = Seq(
+      (1L, "common common common rare", "web", "en"),
+      (2L, "common common common rare", "web", "en"),
+      (3L, "common common", "book", "en"))
+      .toDF("doc_id", "text", "source", "lang")
+    val out = VocabBuild.oovRate(crafted, minCount = 5).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(out(("web", "en")) == ((8L, 2L, 250000L)))   // 2 of 8 occurrences OOV
+    assert(out(("book", "en")) == ((2L, 0L, 0L)))
+  }
+
   test("groupedSplit: near-dup clusters never straddle splits; singletons match plain split") {
     import spark.implicits._
     val docsDf = (1L to 200L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
