@@ -117,4 +117,68 @@ object CorpusPipeline {
        |UNION ALL SELECT '3_dedup', COUNT(*) FROM deduped
        |UNION ALL SELECT '4_sample', COUNT(*) FROM sampled
        |ORDER BY stage""".stripMargin
+
+  // --------------------------------------------------- full train build
+  /** The COMPLETE pretraining data build, end to end:
+    *
+    *   quality gate -> PII scrub -> exact content dedup ->
+    *   leakage-free grouped split -> token-budget packing accounting
+    *
+    * — every stage one of this engine's already-oracled primitives, so
+    * the whole build carries a full hash oracle. Output is the
+    * per-split manifest a training launch reads: surviving docs, token
+    * mass, and packed-bin count at the sequence budget (contiguous fill
+    * yields consecutive bins, so the bin count is exactly
+    * ceil(tokens/budget) — the packDocs assignment itself is the
+    * sibling pack_sequences query).
+    *
+    * Scale shape: the gate/scrub fuse into the corpus scan; the dedup
+    * groupBy is one content-keyed shuffle; the split join touches only
+    * the near-dup component table (paired docs only) plus the narrow md5
+    * draw; the final aggregate is 3 rows. Nothing scans the corpus more
+    * than the two declared passes (clean chain, token count). */
+  def trainCorpus(docs: DataFrame, pairs: DataFrame,
+      minQuality: Double = 0.2, budgetTokens: Long = 2048L): DataFrame = {
+    val cleaned = qualityKept(docs, minQuality)
+      .select(col("doc_id"), md5(TextAnalysis.redactedText(col("text"))).as("content_md5"))
+      .groupBy("content_md5").agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    val splits = DedupComponents.groupedSplit(docs, pairs)
+    val toks = docs.select(col("doc_id"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+    cleaned.join(splits, Seq("doc_id")).join(toks, Seq("doc_id"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+      .withColumn("n_bins",
+        expr(s"(n_tokens + ${budgetTokens - 1}L) div ${budgetTokens}L"))
+  }
+
+  def trainCorpusSql(pairsSql: String, minQuality: Double = 0.2,
+      budgetTokens: Long = 2048L): String = {
+    val u = Sampling.hashUnitSql("COALESCE(c.component_id, d.doc_id)", "gsplit")
+    s"""WITH RECURSIVE ${DedupComponents.closureCteSql(pairsSql)},
+       |kept AS (SELECT doc_id, text FROM documents
+       |         WHERE ${TextAnalysis.qualityScoreExprSql} >= $minQuality),
+       |deduped AS (SELECT MIN(doc_id) AS doc_id FROM (
+       |    SELECT doc_id, md5(${TextAnalysis.redactedTextSql("text")}) AS content_md5
+       |    FROM kept)
+       |  GROUP BY content_md5),
+       |splits AS (
+       |  SELECT d.doc_id,
+       |    CASE WHEN $u < 0.8 THEN 'train'
+       |         WHEN $u < 0.9 THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id),
+       |toks AS (SELECT doc_id,
+       |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+       |  FROM documents)
+       |SELECT s.split, COUNT(*) AS n_docs,
+       |  CAST(SUM(t.n_tokens) AS BIGINT) AS n_tokens,
+       |  (CAST(SUM(t.n_tokens) AS BIGINT) + ${budgetTokens - 1}) // $budgetTokens
+       |    AS n_bins
+       |FROM deduped dd
+       |JOIN splits s ON dd.doc_id = s.doc_id
+       |JOIN toks t ON dd.doc_id = t.doc_id
+       |GROUP BY s.split ORDER BY s.split""".stripMargin
+  }
 }

@@ -317,6 +317,11 @@ object DedupComponents {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  /** [[closureCte]] for sibling operators composing the closure into
+    * larger oracles (CorpusPipeline.trainCorpusSql). */
+  private[operators] def closureCteSql(pairsSql: String): String =
+    closureCte(pairsSql)
+
   /** Shared WITH-body (no WITH RECURSIVE keyword): transitive closure of
     * `pairsSql`'s pair set ending in CTE `comp(doc_id, component_id)`. */
   private def closureCte(pairsSql: String): String =

@@ -180,6 +180,7 @@ object PipelineQueries {
     "source_schema_evolution" -> Seq("day_id"),
     "report_oov_rate" -> Seq("source", "lang"),
     "clean_winsorize" -> Seq("o_orderkey"),
+    "pipeline_train_corpus" -> Seq("split"),
     "events_funnel_steps" -> Seq("step"),
     "report_source_lang_lift" -> Seq("source", "lang"),
     "vocab_fuzzy_pairs" -> Seq("tok_a", "tok_b"),
@@ -286,6 +287,9 @@ object PipelineQueries {
     "report_token_budget" -> ((s, d) => CorpusStats.tokenBudgetReport(Tables.documents(s, d))),
     // --- composed end-to-end cleaning pipeline ---
     "pipeline_clean_corpus" -> ((s, d) => CorpusPipeline.cleanCorpus(Tables.documents(s, d))),
+    // the COMPLETE train build: gate -> scrub -> dedup -> grouped split -> packing manifest
+    "pipeline_train_corpus" -> ((s, d) =>
+      CorpusPipeline.trainCorpus(Tables.documents(s, d), minhashPairs(s, d))),
     "pipeline_funnel" -> ((s, d) => CorpusPipeline.funnel(Tables.documents(s, d))),
     "chunk_overlap" -> ((s, d) => Chunking.chunkDocs(Tables.documents(s, d))),
     "events_cohort_retention" -> ((s, d) =>
@@ -515,6 +519,8 @@ object PipelineQueries {
     "vocab_fuzzy_pairs" -> FuzzyVocab.fuzzyPairsSql(),
     "report_oov_rate" -> VocabBuild.oovRateSql(),
     "clean_winsorize" -> Sketches.winsorizedPricesSql,
+    "pipeline_train_corpus" -> CorpusPipeline.trainCorpusSql(
+      s"SELECT doc_a, doc_b FROM (${Dedup.ngramJaccardSql(maxDocFreq = None)})"),
     // the DuckDB replay unrolls all 20 greedy rounds — pair counts,
     // total-order argmax, double-pass rewrite — so the merge LIST and
     // the post-merge subword distribution are both full hash oracles

@@ -83,6 +83,25 @@ class PipelineSpec extends SparkSpec {
     assert(tiny.count() == 4)
   }
 
+  test("trainCorpus: manifest accounts for every cleaned doc once; bins = ceil") {
+    val pairs = PipelineQueries.queries("dedup_ngram_jaccard")(spark, sf)
+      .select("doc_a", "doc_b")
+    val m = CorpusPipeline.trainCorpus(docs, pairs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // the funnel's 3_dedup stage is exactly the cleaned-doc universe
+    val dedupCount = CorpusPipeline.funnel(docs).collect()
+      .find(_.getString(0) == "3_dedup").get.getLong(1)
+    assert(m.values.map(_._1).sum == dedupCount,
+      s"splits ${m.values.map(_._1).sum} != cleaned $dedupCount")
+    // bin accounting is exact ceil at the 2048 budget
+    m.values.foreach { case (_, toks, bins) =>
+      assert(bins == (toks + 2047L) / 2048L)
+    }
+    assert(m.keySet == Set("train", "val", "test"))
+    // train dominates under the 80/10/10 draw
+    assert(m("train")._1 > m("val")._1 && m("train")._1 > m("test")._1)
+  }
+
   test("winsorize: clip bounds hold; interior values untouched; tails clipped") {
     val out = Sketches.winsorizedPrices(Tables.orders(spark, sf)).collect()
       .map(r => (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
