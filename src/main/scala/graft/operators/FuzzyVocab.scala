@@ -29,6 +29,15 @@ import org.apache.spark.sql.functions._
   *  - the self-join keys on the variant string — a hash equi-join over
   *    the variant table; at web scale (10M-token vocab) that is ~3G
   *    small rows, an ordinary shuffle, vs the 10^14-pair quadratic.
+  *  - SHORT-TOKEN HOT-KEY caveat: depth-2 deletions of a length-<4
+  *    token collapse to single characters and the empty string, making
+  *    those variant keys quadratic hot buckets (every 2-char token
+  *    meets every other via ''). That collapse is not removable — for
+  *    short tokens the ''/1-char buckets are precisely what makes the
+  *    dist<=2 candidates COMPLETE — so the fix is the default
+  *    `minLen = 4` (SymSpell practice): short tokens are a tiny,
+  *    closed vocabulary better handled by the exact quadratic over
+  *    just that slice if a pipeline needs them at all.
   *  - verification + frequency attachment ride the candidate rows;
   *    candidate cardinality is bounded by true-pairs + deletion-collision
   *    pairs (rare for L >= minLen).
@@ -69,7 +78,7 @@ object FuzzyVocab {
 
   /** Token pairs within Levenshtein distance <= 2, with frequencies:
     * (tok_a, tok_b, dist, freq_a, freq_b), tok_a < tok_b. */
-  def fuzzyPairs(docs: DataFrame, minLen: Int = 2, maxLen: Int = 24): DataFrame = {
+  def fuzzyPairs(docs: DataFrame, minLen: Int = 4, maxLen: Int = 24): DataFrame = {
     val toks = tokenCounts(docs, minLen, maxLen)
     val variants = toks
       .select(col("tok"), col("freq"),
@@ -87,7 +96,7 @@ object FuzzyVocab {
 
   /** DuckDB replay — deliberately the quadratic spelling, so hash
     * equality proves the deletion-neighborhood candidates COMPLETE. */
-  def fuzzyPairsSql(minLen: Int = 2, maxLen: Int = 24): String =
+  def fuzzyPairsSql(minLen: Int = 4, maxLen: Int = 24): String =
     s"""WITH tok AS (
        |  SELECT unnest(regexp_extract_all(lower(text),
        |    '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS tok

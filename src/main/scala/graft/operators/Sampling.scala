@@ -268,7 +268,10 @@ object Sampling {
     * ordinary hash-agg shuffle of bounded rows.
     *
     * topk_pairs keeps the TOP k by (ord DESC, id ASC); passing
-    * ord = -hash yields the k SMALLEST hashes, ties on doc_id. */
+    * ord = ~hash (bitwise NOT, overflow-free and strictly
+    * order-reversing for signed longs — unlike arithmetic negation,
+    * which maps Long.MinValue back to itself under non-ANSI overflow)
+    * yields the k SMALLEST hashes, ties on doc_id. */
   def perGroupSample(docs: DataFrame, groupCol: String = "source",
       k: Int = 10, salt: String = "pgs"): DataFrame = {
     graft.functions.VectorFunctions.ensureRegistered(docs.sparkSession)
@@ -276,7 +279,7 @@ object Sampling {
       col("doc_id").cast("string"))), 1, 16), 16, -10).cast("long")
     docs.select(col(groupCol), col("doc_id"), hv.as("hv"))
       .groupBy(groupCol)
-      .agg(call_function("topk_pairs", -col("hv"), col("doc_id"), lit(k)).as("top"))
+      .agg(call_function("topk_pairs", bitwise_not(col("hv")), col("doc_id"), lit(k)).as("top"))
       .select(col(groupCol), posexplode(col("top")))
       .select(col(groupCol), (col("pos") + 1).cast("long").as("rn"),
         col("col.id").as("doc_id"))

@@ -787,15 +787,22 @@ object Relational {
     * join is an EQUI-join on the key with the validity range as residual
     * filter; dims broadcast (they almost always fit — |keys| * versions),
     * so the fact table never shuffles: PlanSpec asserts broadcast + no
-    * BNLJ. Exactly one version matches per fact row by the [from, to)
-    * partition of the timeline. */
+    * BNLJ. Exactly one version matches per fact row: v0 opens at day 0
+    * and the last version closes at Long.MaxValue, so the versions
+    * partition the whole timeline regardless of the fixture's day span. */
   def q33Scd2Join(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
       .select(col("event_id"), col("user_id"),
         expr("unix_micros(ts) div 1000000 div 86400").as("day_id"))
     val chg = ev.select("user_id").distinct()
       .select(col("user_id"), explode(array(
-        struct(lit(0L).as("v"), lit(19723L).as("valid_from")),
+        // v0 opens at day 0, not the first change day: standard SCD2
+        // practice (the initial version is valid "since forever"), and
+        // immune to testdata day-range drift — a fact earlier than the
+        // first recorded change still matches v0 instead of silently
+        // dropping out of the inner join on BOTH engines (which the hash
+        // oracle could never catch)
+        struct(lit(0L).as("v"), lit(0L).as("valid_from")),
         struct(lit(1L).as("v"), (lit(19726L) + col("user_id") % 7).as("valid_from")),
         struct(lit(2L).as("v"), (lit(19737L) + col("user_id") % 11).as("valid_from")))).as("c"))
       .select(col("user_id"), col("c.v").as("v"), col("c.valid_from").as("valid_from"))
@@ -818,7 +825,7 @@ object Relational {
   val q33Sql: String =
     """WITH users AS (SELECT DISTINCT user_id FROM events),
       |chg AS (
-      |  SELECT user_id, CAST(0 AS BIGINT) AS v, CAST(19723 AS BIGINT) AS valid_from FROM users
+      |  SELECT user_id, CAST(0 AS BIGINT) AS v, CAST(0 AS BIGINT) AS valid_from FROM users
       |  UNION ALL SELECT user_id, 1, 19726 + user_id % 7 FROM users
       |  UNION ALL SELECT user_id, 2, 19737 + user_id % 11 FROM users
       |), dim AS (

@@ -623,7 +623,18 @@ object EventStreams {
     * checked here by oracle equality rather than promised.
     *
     * State is four longs per user, bounded by |users|; matches emit
-    * inline (no watermark, no sentinel, the [[streamingAsOf]] shape). */
+    * inline (no watermark, no sentinel, the [[streamingAsOf]] shape).
+    *
+    * Ordering contract: events are sorted (ts, event_id) WITHIN each
+    * micro-batch, and batch-to-batch order is the source's arrival
+    * order. Exact offline equality therefore requires the source to
+    * deliver batches in non-decreasing per-user event time — true for
+    * the single-file replay harness and for any time-ordered staged
+    * replay; a source that interleaves late batches would need
+    * watermark-buffered reordering instead. The fold GUARDS this
+    * loudly: a cross-batch time regression throws rather than
+    * silently skewing features (`sec_since_prev` going negative is a
+    * training-serving-skew bug, not a tolerable reorder). */
   def streamingPitFeatures(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     def micros(t: java.sql.Timestamp): Long =
@@ -636,6 +647,12 @@ object EventStreams {
       var cur = state.getOption.getOrElse(PitState(0L, 0L, 0L, Long.MinValue))
       sorted.foreach { e =>
         val tsm = micros(e.ts)
+        if (cur.lastTsm != Long.MinValue && tsm < cur.lastTsm)
+          throw new IllegalStateException(
+            s"streamingPitFeatures: cross-batch out-of-order arrival for " +
+              s"user $userId (event ${e.event_id} at $tsm < state ${cur.lastTsm}); " +
+              "this source violates the time-ordered replay contract " +
+              "(see scaladoc) — features would silently skew vs offline")
         if (e.event_type == "purchase")
           out += PitFeat(e.event_id, userId, tsm, cur.n, cur.nViews, cur.sumCents,
             if (cur.lastTsm == Long.MinValue) -1L else (tsm - cur.lastTsm) / 1000000L)
@@ -649,7 +666,12 @@ object EventStreams {
 
     val feats = readEventStream(spark, sfDir)
       .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
-        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+        // value is nullable DOUBLE; coalesce BEFORE the cast — PitInput's
+        // primitive `cents: Long` would throw a non-nullable-field encoder
+        // error on a null, while the batch twin tolerates nulls via SUM
+        // (sum-skips-null == sum-of-zero, so the oracle stays exact)
+        (coalesce(col("value"), lit(0.0)).cast("decimal(18,2)") * 100)
+          .cast("long").as("cents"))
       .as[PitInput]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(update)

@@ -50,7 +50,11 @@ class PipelineSpec extends SparkSpec {
     val rnd = new scala.util.Random(7)
     val toks = (1 to 60).map(_ => (1 to (2 + rnd.nextInt(5))).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString).distinct
     val crafted = toks.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
-    val got = FuzzyVocab.fuzzyPairs(crafted).collect()
+    // exercise minLen = 2 explicitly: the short-token ''/1-char variant
+    // buckets are what makes dist-2 candidates complete for 2-3 char
+    // tokens, so completeness must hold even below the hot-key-avoiding
+    // default of 4
+    val got = FuzzyVocab.fuzzyPairs(crafted, minLen = 2).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
     val want = (for {
       a <- toks; b <- toks if a < b
