@@ -97,28 +97,48 @@ object Bench {
     def r3(v: Double): Double = math.rint(v * 1000) / 1000
     def obj(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
+    def arr(names: Seq[String]): String =
+      names.map("\"" + _ + "\"").mkString("[", ",", "]")
     val headline = Seq(
       "transe_epoch_sec" -> epochSec,
       "transe_epoch_sec_min" -> epochSecMin,
       "transe_epoch_sec_fb15kshape" -> fbShapeSec,
       "transe_epoch_sec_fb15kshape_min" -> fbShapeSecMin)
+    // Queries whose timing shares memoized upstream work (model fit, KG
+    // encode, MinHash pair set, BPE merges): the shared cost lands on
+    // whichever consumer the alphabetical sweep runs FIRST; the rest bench
+    // near-zero. Flagged so transe_fit at 0.06 s can't be misread as
+    // "training is free" (VERDICT r7 demerit #2).
+    val memoized = Seq(
+      "kg_encode", "transe_fit", "transe_fit_partitioned", "transe_eval",
+      "transe_eval_filtered", "transe_eval_partitioned", "transe_embeddings",
+      "dedup_minhash_lsh", "dedup_components", "dedup_components_star",
+      "dedup_retention", "pipeline_train_corpus", "sample_split_grouped",
+      "vocab_bpe_merges", "vocab_bpe_pieces", "tokenize_bpe")
+      .filter(n => results.exists(_._1 == n)).sorted
+    val failed = results.collect { case (n, (mn, _)) if mn < 0 => n }
     val qs = obj(results.map { case (n, (mn, _)) => n -> mn } ++ headline)
     val qsMean = obj(results.map { case (n, (_, mean)) => n -> mean })
     val total = results.map(_._2._1).filter(_ >= 0).sum
     val full =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"queries_mean":$qsMean,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"queries_mean":$qsMean,"failed":${arr(failed)},"memoized":${arr(memoized)},"sf":"$sfDir"}"""
     // The full line (170+ queries) exceeds the driver's 2 KB stdout-tail
     // capture, which is why BENCH_r4-r6 recorded parsed:null. Persist the
     // full sweep to a repo file, print it for the log, then END stdout
     // with a compact line (headline metrics + the slowest queries) that
     // fits entirely inside the tail window so the driver can parse it.
-    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
-      (full + "\n").getBytes("UTF-8"))
+    // The detail path resolves against SPARK_GRAFT_OUT_DIR (fallback:
+    // launch CWD) so the file's location is explicit in the compact line
+    // rather than depending silently on the driver's CWD.
+    val detailPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_OUT_DIR", sys.props("user.dir")))
+      .resolve("BENCH_DETAIL.json").toAbsolutePath
+    java.nio.file.Files.write(detailPath, (full + "\n").getBytes("UTF-8"))
     println(full)
     val slowest = results.map { case (n, (mn, _)) => n -> mn }
       .filter(_._2 >= 0).sortBy(-_._2).take(22)
     val compact = obj(headline ++ slowest)
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$compact,"n_queries":${results.length},"detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$compact,"n_queries":${results.length},"failed":${arr(failed)},"detail":"$detailPath","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Checkpoints.DatasetTruncate
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -19,7 +20,7 @@ import org.apache.spark.sql.functions._
   * map-side-combined sum, bounded top-1), a 1-row driver decision (BPE
   * is inherently a sequential greedy loop — the decision is the
   * algorithm, not a shortcut), and a narrow spelling rewrite truncated
-  * with an eager localCheckpoint so round N's plan does not replay
+  * with an eager lineage truncation (Checkpoints seam) so round N's plan does not replay
   * rounds 1..N-1.
   *
   * Determinism contract (what makes the DuckDB oracle hash-exact):
@@ -84,7 +85,7 @@ object Bpe {
   /** Train `nMerges` merges — the greedy loop. Driver-local result (the
     * merge list IS tokenizer metadata, ~rank rows). */
   def trainMerges(docs: DataFrame, nMerges: Int = 20): Seq[Merge] = {
-    var words = spellOut(wordTable(docs)).localCheckpoint(true)
+    var words = spellOut(wordTable(docs)).truncateLineage
     val out = Seq.newBuilder[Merge]
     var rank = 1
     var done = false
@@ -93,7 +94,7 @@ object Bpe {
         case Some((pair, cnt)) =>
           val Array(l, r) = pair.split(" ", 2)
           out += Merge(rank.toLong, l, r, pair.replace(" ", ""), cnt)
-          words = applyMerge(words, pair).localCheckpoint(true)
+          words = applyMerge(words, pair).truncateLineage
           rank += 1
         case None => done = true
       }

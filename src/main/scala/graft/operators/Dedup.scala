@@ -149,23 +149,68 @@ object Dedup {
   }
 
   // -------------------------------------------------- n-gram Jaccard join
-  /** All-pairs n-gram Jaccard >= tau via inverted-index join over the
-    * DISTINCT texts (exact dedup first, like minhashLsh — clone clusters
-    * cost one representative each; their pairs come from the md5
-    * equi-join in [[expandPairs]]): shingle -> docs, self-join on the
-    * shingle HASH (xxhash64 longs shuffle ~5x less than shingle
-    * strings; a 64-bit collision would merge two shingles with
-    * probability ~n_shingles^2/2^65 — negligible), count shared shingles
-    * per pair, then |A ∩ B| / (|A| + |B| - |A ∩ B|). Output is
-    * integer-exact (counts) plus the ratio, so Spark and DuckDB agree
-    * bit-for-bit. */
+  /** PPJoin-style prefix filter (Xiao et al., WWW'08; Bayardo et al.,
+    * WWW'07): under a global total order on tokens, two sets with
+    * J(A,B) >= tau must share a token within each set's first
+    * ⌊(1−tau)·|set|⌋+1 tokens. Proof sketch: the length filter forces
+    * |B| >= tau·|A|, so |A ∩ B| >= tau(|A|+|B|)/(1+tau) >= ⌈tau·|A|⌉;
+    * a set missing all of its first |A|−⌈tau·|A|⌉+1 ordered tokens
+    * cannot reach that overlap. Ordering by ascending document frequency
+    * (ties by hash) puts the RAREST shingles in prefixes, minimizing
+    * candidate fan-out: a boilerplate phrase shared by thousands of docs
+    * lands at the back of every prefix and generates no candidates.
+    *
+    * Only the prefix rows are self-joined; candidates then pass the
+    * symmetric length filter min >= tau·max before exact verification.
+    * The 1e-9 nudges guard the float boundary in the UNSAFE direction
+    * only (a prefix one row longer / a size pair kept is slower, never
+    * wrong; shorter/dropped would lose true pairs).
+    *
+    * Returns distinct (doc_a < doc_b) candidate pairs. Package-visible so
+    * the spec can assert the measured candidate reduction vs the naive
+    * share-any-shingle join. */
+  private[graft] def prefixCandidates(sh: DataFrame, dfTab: DataFrame,
+      tau: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byDoc = Window.partitionBy("doc_id")
+    val ranked = sh.join(dfTab, "sh")
+      .withColumn("n_sh", count(lit(1)).over(byDoc))
+      .withColumn("rk", row_number().over(byDoc.orderBy(col("df"), col("sh"))))
+    val prefix = ranked
+      .filter(col("rk") <= floor(lit(1.0 - tau) * col("n_sh") + lit(1e-9)) + 1)
+      .select(col("doc_id"), col("sh"), col("n_sh"))
+    val pa = prefix.select(col("doc_id").as("doc_a"), col("sh"), col("n_sh").as("n_a"))
+    val pb = prefix.select(col("doc_id").as("doc_b"), col("sh"), col("n_sh").as("n_b"))
+    pa.join(pb, Seq("sh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .filter(least(col("n_a"), col("n_b")).cast("double") >=
+        lit(tau) * greatest(col("n_a"), col("n_b")) - lit(1e-9))
+      .select("doc_a", "doc_b")
+      .distinct()
+  }
+
+  /** All-pairs n-gram Jaccard >= tau over the DISTINCT texts (exact dedup
+    * first, like minhashLsh — clone clusters cost one representative
+    * each; their pairs come from the md5 equi-join in [[expandPairs]]).
+    * Candidate pairs come from [[prefixCandidates]] — a PPJoin
+    * prefix-filtered self-join on the shingle HASH (xxhash64 longs
+    * shuffle ~5x less than shingle strings; a 64-bit collision would
+    * merge two shingles with probability ~n_shingles^2/2^65 —
+    * negligible) instead of the full inverted-index self-join, so join
+    * volume tracks the prefix index (~(1−tau) of the shingle table) and
+    * the shared-RARE-shingle pair count, not shared-ANY-shingle.
+    * Candidates are then verified exactly: count shared shingles per
+    * pair, |A ∩ B| / (|A| + |B| - |A ∩ B|). Output is integer-exact
+    * (counts) plus the ratio, so Spark and DuckDB agree bit-for-bit —
+    * the prefix filter is candidate-complete (see proof above), so the
+    * oracle's naive spelling replays the identical pair set. */
   def ngramJaccard(docs: DataFrame, n: Int = 5, tau: Double = 0.5,
       maxDocFreq: Option[Int] = Some(500)): DataFrame = {
     val (members, reps) = dedupClusters(docs)
-    // persisted: read by the cap stats, BOTH sides of the self-join, and
-    // the sizes agg — without the cache the shingle explode + distinct
-    // recomputes ~5x (measured: dominated the operator). Hashing BEFORE
-    // the distinct keeps every shuffle in this operator on longs.
+    // persisted: read by the df stats, the prefix ranking, BOTH verify
+    // joins, and the sizes agg — without the cache the shingle explode +
+    // distinct recomputes ~5x (measured: dominated the operator). Hashing
+    // BEFORE the distinct keeps every shuffle in this operator on longs.
     val words = split(trim(col("text")), "\\s+")
     val sh0 = reps.select(
       col("doc_id"),
@@ -175,20 +220,27 @@ object Dedup {
       .select(col("doc_id"), xxhash64(col("shingle")).as("sh"))
       .distinct()
       .persist()
+    // one doc-frequency aggregate serves both the hot-shingle cap and the
+    // prefix order
+    val dfTab = sh0.groupBy("sh").agg(count(lit(1)).as("df")).persist()
     val sh = (maxDocFreq match {
       case Some(cap) =>
-        val hot = sh0.groupBy("sh").count().filter(col("count") > cap)
-          .select("sh")
+        val hot = dfTab.filter(col("df") > cap).select("sh")
         sh0.join(hot, Seq("sh"), "left_anti")
       case None => sh0
     }).persist()
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val a = sh.select(col("doc_id").as("doc_a"), col("sh"))
-    val b = sh.select(col("doc_id").as("doc_b"), col("sh"))
-    val inter = a.join(b, Seq("sh"))
-      .filter(col("doc_a") < col("doc_b"))
+    val candidates = prefixCandidates(sh, dfTab, tau)
+    // exact verification bound to candidates: two hash joins against the
+    // full shingle index + one agg — cost tracks candidate count
+    val shA = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val shB = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    val inter = candidates
+      .join(shA, "doc_a")
+      .join(shB, Seq("doc_b"))
+      .filter(col("sh_a") === col("sh_b"))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("n_common"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val sa = sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a"))
     val sb = sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b"))
     val repPairs = inter.join(sa, "doc_a").join(sb, "doc_b")
@@ -197,7 +249,7 @@ object Dedup {
         round(col("n_common").cast("double") / col("n_union"), 6))
       .filter(col("jaccard") >= tau)
       .select("doc_a", "doc_b", "n_common", "n_union", "jaccard")
-    expandPairs(repPairs, members, reps, n, Seq(sh0, sh))
+    expandPairs(repPairs, members, reps, n, Seq(sh0, dfTab, sh))
   }
 
   /** Full replay of the dedup-first ngramJaccard pipeline, INCLUDING the

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Checkpoints.DatasetTruncate
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -27,15 +28,17 @@ import org.apache.spark.sql.functions._
   *    shape, IMPLEMENTED here as the [[LargeSmallStar]] strategy;
   *  - each round shuffles only (node, label) longs keyed by id — the edge
   *    list is never reshaped, and labels shrink nothing grows;
-  *  - every round `localCheckpoint`s its label table, which TRUNCATES the
+  *  - every round checkpoint-truncates its label table (Checkpoints seam), which cuts the
   *    logical plan. This is load-bearing, not hygiene: persist() alone
   *    caches data but Catalyst still re-analyzes the full accumulated
   *    tree, which references the previous round's plan three times — tree
   *    size grows ~3^rounds and planning time dwarfs execution within a
   *    few rounds (measured: 2-round run >100 s/round on a 50-pair graph;
-  *    flat plans run the same rounds in well under a second). On a real
-  *    cluster, reliable `checkpoint()` to HDFS replaces localCheckpoint
-  *    (executor loss must not drop label partitions);
+  *    flat plans run the same rounds in well under a second). Truncation
+  *    goes through the [[graft.Checkpoints]] seam: `local` blocks by
+  *    default, reliable cluster-FS `checkpoint()` under
+  *    `spark.graft.checkpoint.mode=reliable` (executor loss on a
+  *    preemptible fleet must not drop label partitions);
   *  - convergence detection is FREE of extra shuffles: the previous label
   *    rides through the min-aggregate as a second column (the labels side
   *    contributes its own label as `prev`, neighbor rows contribute
@@ -120,11 +123,11 @@ object DedupComponents {
     val edges = pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .localCheckpoint(true)
+      .truncateLineage
 
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
-      .localCheckpoint(true)
+      .truncateLineage
 
     var round = 0
     var converged = false
@@ -139,7 +142,7 @@ object DedupComponents {
       val next = viaNeighbor
         .union(labels.select(col("id"), col("label"), col("label").as("prev")))
         .groupBy("id").agg(min("label").as("label"), min("prev").as("prev"))
-        .localCheckpoint(true)
+        .truncateLineage
       val nChanged = next.filter(col("label") =!= col("prev")).count()
       labels = next.select("id", "label")
       converged = nChanged == 0
@@ -166,7 +169,7 @@ object DedupComponents {
       .filter(col("v") > col("u"))
       .select(col("m").as("a"), col("v").as("b"))
       .distinct()
-      .localCheckpoint(true)
+      .truncateLineage
   }
 
   /** One small-star step: each node u rewires its SMALLER neighbors (and
@@ -182,7 +185,7 @@ object DedupComponents {
       .filter(col("a") =!= col("b"))
       .union(mins.select(col("m").as("a"), col("u").as("b")))
       .distinct()
-      .localCheckpoint(true)
+      .truncateLineage
   }
 
   /** Alternating large-star/small-star components (Kiveris et al.,
@@ -206,7 +209,7 @@ object DedupComponents {
       .select(least(col("doc_a"), col("doc_b")).as("a"),
         greatest(col("doc_a"), col("doc_b")).as("b"))
       .distinct()
-      .localCheckpoint(true)
+      .truncateLineage
 
     var round = 0
     var converged = edges.isEmpty

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Checkpoints.DatasetTruncate
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -17,8 +18,10 @@ import org.apache.spark.sql.functions._
   *    each iteration shuffles only the rank vector (|V| rows, orders of
   *    magnitude smaller than |E|) to meet the edges' partitioning, plus
   *    one |V|-sized groupBy for the new ranks. Rank lineage is truncated
-  *    per iteration with localCheckpoint (the DedupComponents discipline)
-  *    so the plan does not grow with iteration count.
+  *    per iteration through the [[graft.Checkpoints]] seam (local blocks
+  *    by default; cluster-FS reliable mode via
+  *    `spark.graft.checkpoint.mode=reliable`) so the plan does not grow
+  *    with iteration count.
   *
   * Determinism contract (what makes these hash-oracle-able in DuckDB):
   * all PageRank arithmetic is FIXED-POINT INTEGER — rank mass starts at
@@ -81,7 +84,7 @@ object GraphAnalytics {
     *    expression (the repo's report_key_skew pattern) instead of a
     *    driver collect — one eager job per iteration (the checkpoint),
     *    not two;
-    *  - rank lineage is truncated per iteration with localCheckpoint
+    *  - rank lineage is truncated per iteration via the Checkpoints seam
     *    (the DedupComponents discipline), so plans stay iteration-free.
     */
   /** Below this vertex count the per-iteration rank table broadcasts
@@ -121,7 +124,7 @@ object GraphAnalytics {
       .persist()
     withOut.count()
 
-    var ranks = verts.withColumn("rank", lit(scale / n)).localCheckpoint()
+    var ranks = verts.withColumn("rank", lit(scale / n)).truncateLineage
     var i = 0
     while (i < iters) {
       // 1-row dangling-mass aggregate, broadcast into the update expr
@@ -143,7 +146,7 @@ object GraphAnalytics {
           (lit(basePerNode) + expr(
             s"($dampNum * (COALESCE(contrib, CAST(0 AS BIGINT)) + dang DIV $n)) DIV $dampDen"
           )).as("rank"))
-      ranks = next.localCheckpoint() // truncate the iteration lineage
+      ranks = next.truncateLineage // truncate the iteration lineage
       i += 1
     }
     edgesDeg.unpersist()
@@ -374,7 +377,7 @@ object GraphAnalytics {
     * Executed as a FIXED `rounds`-round peel, like graph_components'
     * unrolled min-label: each round is one degree aggregate over the
     * surviving edge set + two semi-join filters (both endpoints must
-    * survive), with `localCheckpoint` truncating the per-round lineage.
+    * survive), the per-round lineage truncated via the Checkpoints seam.
     * A round is |E|-shuffle-bounded; `rounds` must be >= the graph's
     * peel depth (measured 3 at k=4 on the KG; GraphSpec asserts the
     * FIXPOINT — one extra round changes nothing — so a data drift past
@@ -394,7 +397,7 @@ object GraphAnalytics {
         greatest2(col("src"), col("dst")).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
-      .localCheckpoint(true)
+      .truncateLineage
     var nEdges = e.count()
     var converged = false
     (1 to rounds).foreach { _ =>
@@ -406,7 +409,7 @@ object GraphAnalytics {
         val next = e
           .join(keep.withColumnRenamed("id", "a"), Seq("a"), "left_semi")
           .join(keep.withColumnRenamed("id", "b"), Seq("b"), "left_semi")
-          .localCheckpoint(true)
+          .truncateLineage
         val n = next.count()
         // the count is free on the just-materialized checkpoint; a round
         // that removed nothing proves the FIXPOINT — every later round

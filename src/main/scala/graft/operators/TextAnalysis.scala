@@ -140,7 +140,6 @@ object TextAnalysis {
     val stackArgs = (passAll +: rules)
       .map { case (n, _) => s"'$n', $n" }.mkString(", ")
     agg.selectExpr(s"stack(${rules.size + 1}, $stackArgs) AS (rule, n_docs)")
-      .orderBy("rule")
   }
 
   val filterReasonsSql: String = {

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Checkpoints.DatasetTruncate
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -35,7 +36,7 @@ object VocabBuild {
   def vocab(docs: DataFrame, minCount: Long = 5L): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    // eager localCheckpoint: the corpus explode+count runs ONCE. The RDD
+    // eager truncation (Checkpoints seam): the corpus explode+count runs ONCE. The RDD
     // id-assignment below launches several jobs (sortBy's range-bound
     // sample, zipWithIndex's size count, the final pass) and under AQE
     // every separate DataFrame->RDD conversion is a fresh plan — without
@@ -49,7 +50,7 @@ object VocabBuild {
       .agg(count(lit(1)).as("freq"))
       .filter(col("freq") >= minCount)
       .select(col("token"), col("freq"))
-      .localCheckpoint(true)
+      .truncateLineage
     val rdd = counts.as[(String, Long)].rdd
     rdd
       .sortBy({ case (tok, freq) => (-freq, tok) },

@@ -130,6 +130,7 @@ object PipelineQueries {
     "text_dup_span_coverage" -> Seq("doc_id"),
     "text_scrub_dup_spans" -> Seq("doc_id"),
     "text_pii_scrub" -> Seq("doc_id"),
+    "report_filter_reasons" -> Seq("rule"),
     "ann_topk" -> Seq("query_id", "rank"),
     "ann_near_dup" -> Seq("vec_a", "vec_b"),
     "ann_lsh" -> Seq("query_id", "rank"),

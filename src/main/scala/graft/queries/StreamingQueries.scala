@@ -33,6 +33,7 @@ object StreamingQueries {
     "stream_mv_maintenance" -> ((s, d) => EventStreams.streamingMvMaintenance(s, d)),
     "stream_interval_join_outer" -> ((s, d) => EventStreams.streamingIntervalJoinOuter(s, d)),
     "stream_features_pit" -> ((s, d) => EventStreams.streamingPitFeatures(s, d)),
+    "stream_features_pit_ooo" -> ((s, d) => EventStreams.streamingPitFeaturesBuffered(s, d)),
     "q11_sessionize" -> ((s, d) => EventStreams.sessionizeBatch(Tables.events(s, d))),
     "q12_asof_join" -> ((s, d) => AsOfJoin.errorToLastClick(Tables.events(s, d))),
     "q32_asof_forward" -> ((s, d) => AsOfJoin.errorToNextClick(Tables.events(s, d))),
@@ -63,6 +64,10 @@ object StreamingQueries {
     // batch spelling's total (ts, event_id) order, so serving features
     // EQUAL training features exactly and share the offline oracle
     "stream_features_pit" -> graft.operators.EventAnalytics.pointInTimeFeaturesSql(),
+    // watermark-buffered reordering: the staged OUT-OF-ORDER replay
+    // (adjacent time slices swapped) must still equal the offline
+    // training features exactly — same oracle as the in-order twins
+    "stream_features_pit_ooo" -> graft.operators.EventAnalytics.pointInTimeFeaturesSql(),
     // register maintenance is order-insensitive, so the finite replay
     // equals the batch sketch and shares its oracle
     "stream_hll_distinct" -> graft.operators.Sketches.hllDistinctSql,

@@ -679,6 +679,207 @@ object EventStreams {
       .orderBy("event_id")
   }
 
+  // ------------------------- out-of-order replay + buffered PIT features
+  /** Stage the events table as `slices` time-sliced parquet files
+    * DELIVERED OUT OF ORDER — adjacent slices swapped (2,1,4,3,...) —
+    * plus the two far-future sentinel files, with strictly increasing
+    * modification times so the file source (mtime order,
+    * maxFilesPerTrigger=1) replays exactly that sequence one micro-batch
+    * each. This is the bounded-lateness bus simulator for
+    * [[streamingPitFeaturesBuffered]]: when slice k+1 arrives before
+    * slice k, slice k's events are up to TWO slice-spans later than the
+    * max event time already seen — a Kafka-shaped delivery pattern the
+    * strict-order replay contract of [[streamingPitFeatures]] forbids.
+    * Staged files carry the data file's exact RAW schema (nanos-long or
+    * timestamp), like the sentinel writer; cached per (target mtime,
+    * ts type, slices, gap) and rebuilt when stale. */
+  private def stagedOutOfOrderDir(spark: SparkSession, sfDir: String,
+      slices: Int, sentinelGapMs: Long, rawSchema: StructType): String = {
+    import java.nio.file.{Files, Paths}
+    import spark.implicits._
+    val target = Paths.get(sfDir, "events.parquet").toAbsolutePath.normalize
+    val key = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(target.toString.getBytes("UTF-8"))
+      .take(8).map("%02x".format(_)).mkString
+    val dir = Paths.get(sys.props("java.io.tmpdir"), s"graft_events_ooo_$key")
+    Files.createDirectories(dir)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawTsType = rawSchema("ts").dataType
+    val targetMtime = Files.getLastModifiedTime(target).toMillis
+    val stamp = s"$targetMtime:${rawTsType.simpleString}:$slices:$sentinelGapMs"
+    val marker = dir.resolve("_graft_ooo_stamp")
+    if (Files.exists(marker) && Files.readString(marker).trim == stamp)
+      return dir.toString
+    val old = Files.list(dir)
+    try old.forEach(p => Files.deleteIfExists(p)) finally old.close()
+
+    def writeOne(df: DataFrame, name: String, mtimeMs: Long): Unit = {
+      val tmp = Files.createTempDirectory("graft_ooo")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val listing = Files.list(tmp)
+      val part = try listing.filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      finally listing.close()
+      Files.move(part, dir.resolve(name),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      val rest = Files.list(tmp)
+      try rest.forEach(p => Files.deleteIfExists(p)) finally rest.close()
+      Files.deleteIfExists(tmp)
+      Files.setLastModifiedTime(dir.resolve(name),
+        java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
+    }
+
+    val raw = spark.read.schema(rawSchema).parquet(target.toString)
+    val tsm = rawTsType match {
+      case LongType => expr("ts div 1000")
+      case TimestampNTZType => unix_micros(col("ts").cast(TimestampType))
+      case _ => unix_micros(col("ts"))
+    }
+    val withTsm = raw.withColumn("__tsm", tsm).persist()
+    val mm = withTsm.agg(min(col("__tsm")), max(col("__tsm"))).head()
+    val (minM, maxM) = (mm.getLong(0), mm.getLong(1))
+    val sliceSpan = (maxM - minM) / slices + 1
+    // delivery order: adjacent slices swapped (a lone trailing slice
+    // stays in place when `slices` is odd)
+    val order = (0 until slices).map(i =>
+      if (i % 2 == 0) math.min(i + 1, slices - 1) else i - 1)
+    val base = System.currentTimeMillis()
+    order.zipWithIndex.foreach { case (sliceIdx, pos) =>
+      // `div` (integer division), not `/` (double): a double quotient at
+      // an exact slice boundary could truncate into the wrong slice
+      val df = withTsm
+        .filter(expr(s"(__tsm - ${minM}L) div ${sliceSpan}L") === sliceIdx)
+        .drop("__tsm")
+      writeOne(df, f"slice_$pos%02d.parquet", base + pos * 2000L)
+    }
+    (1 to 2).foreach { k =>
+      val sentinelMicros = maxM + k * (sentinelGapMs + 1000L) * 1000L
+      val tsColS = rawTsType match {
+        case LongType => col("us") * 1000L
+        case TimestampNTZType =>
+          timestamp_micros(col("us")).cast(TimestampNTZType)
+        case _ => timestamp_micros(col("us"))
+      }
+      val sdf = Seq((-k.toLong, sentinelMicros, -1L, "__sentinel__", 0.0, ""))
+        .toDF("event_id", "us", "user_id", "event_type", "value", "props")
+        .withColumn("ts", tsColS)
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      writeOne(sdf, s"zz_sentinel$k.parquet", base + (slices + k) * 2000L)
+    }
+    withTsm.unpersist()
+    Files.writeString(marker, stamp)
+    dir.toString
+  }
+
+  /** File replay of the events table with bounded out-of-order delivery
+    * (see [[stagedOutOfOrderDir]]); schema probed and `ts` normalized
+    * exactly like [[readEventStream]]. */
+  def readEventStreamOutOfOrder(spark: SparkSession, sfDir: String,
+      slices: Int, sentinelGapMs: Long): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = graft.Tables.eventsRawSchema(spark, sfDir)
+    val dir = stagedOutOfOrderDir(spark, sfDir, slices, sentinelGapMs, rawSchema)
+    graft.Tables.normalizeEventTs(spark.readStream
+      .schema(rawSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir))
+  }
+
+  final case class PitBufEvent(event_id: Long, tsm: Long,
+      event_type: String, cents: Long)
+  final case class PitBufState(agg: PitState, buf: List[PitBufEvent])
+
+  /** [[streamingPitFeatures]] for a source that delivers LATE BATCHES
+    * (VERDICT r7 #1) — the capability the strict-order twin's loud guard
+    * points at: per-user events are BUFFERED in keyed state and folded
+    * only once the event-time watermark passes them, so no later batch
+    * can deliver an earlier event (that is the watermark's contract).
+    * Fold order and feature math are identical to the strict twin, so on
+    * ANY source whose lateness the watermark delay covers the output
+    * EQUALS the offline training features — the staged out-of-order
+    * replay (adjacent time slices swapped) passes the SAME
+    * events_features_pit oracle.
+    *
+    * Mechanics per micro-batch and user: append arrivals to the buffer;
+    * finalize buffered events with tsm < watermark in (tsm, event_id)
+    * order through the running-aggregate fold (purchases emit their
+    * feature row); hold the rest; arm an event-time timeout just past
+    * the current watermark so buffered events flush as the watermark
+    * advances even when the user has no further arrivals. The far-future
+    * sentinels (dropped here in the typed function — a relational filter
+    * would file-prune them before the watermark saw their event times)
+    * push the final watermark past every real event, draining all
+    * buffers.
+    *
+    * State per user = four running longs + the events inside the
+    * lateness window (watermark delay) — the honest production bound for
+    * out-of-order absorption. The strict twin's throw REMAINS the guard
+    * here too: it now means "lateness exceeded the watermark delay",
+    * the one contract a watermarked pipeline must still enforce. */
+  def streamingPitFeaturesBuffered(spark: SparkSession, sfDir: String,
+      slices: Int = 6): DataFrame = {
+    import spark.implicits._
+    def micros(t: java.sql.Timestamp): Long =
+      math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
+    // replay lateness bound: a swapped slice arrives <= 2 slice-spans
+    // after a later-timestamped event; delay = 2.5 spans covers it with
+    // margin (the sentinel gap must then exceed the delay so the final
+    // watermark clears every real event)
+    val mm = graft.Tables.events(spark, sfDir)
+      .agg(min(unix_micros(col("ts"))).as("a"),
+        max(unix_micros(col("ts"))).as("b")).head()
+    val sliceSpanMicros = (mm.getLong(1) - mm.getLong(0)) / slices + 1
+    val delayMs = (sliceSpanMicros * 5 / 2) / 1000L + 1000L
+    val gapMs = delayMs + 3600000L
+
+    def update(userId: Long, events: Iterator[PitInput],
+        state: GroupState[PitBufState]): Iterator[PitFeat] = {
+      if (userId < 0) return Iterator.empty // sentinel: watermark only
+      val wmMicros = state.getCurrentWatermarkMs() * 1000L
+      val prior = state.getOption.getOrElse(
+        PitBufState(PitState(0L, 0L, 0L, Long.MinValue), Nil))
+      val incoming = events.map(e =>
+        PitBufEvent(e.event_id, micros(e.ts), e.event_type, e.cents)).toList
+      val (ready, hold) = (prior.buf ++ incoming).partition(_.tsm < wmMicros)
+      val out = scala.collection.mutable.ArrayBuffer.empty[PitFeat]
+      var cur = prior.agg
+      ready.sortBy(e => (e.tsm, e.event_id)).foreach { e =>
+        if (cur.lastTsm != Long.MinValue && e.tsm < cur.lastTsm)
+          throw new IllegalStateException(
+            s"streamingPitFeaturesBuffered: lateness exceeded the " +
+              s"watermark delay for user $userId (event ${e.event_id} at " +
+              s"${e.tsm} < finalized ${cur.lastTsm}) — widen the delay or " +
+              "fix the source; silently skewed features are not an option")
+        if (e.event_type == "purchase")
+          out += PitFeat(e.event_id, userId, e.tsm, cur.n, cur.nViews,
+            cur.sumCents,
+            if (cur.lastTsm == Long.MinValue) -1L
+            else (e.tsm - cur.lastTsm) / 1000000L)
+        cur = PitState(cur.n + 1L,
+          cur.nViews + (if (e.event_type == "view") 1L else 0L),
+          cur.sumCents + e.cents, e.tsm)
+      }
+      state.update(PitBufState(cur, hold))
+      if (hold.nonEmpty)
+        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1L)
+      out.iterator
+    }
+
+    val feats = readEventStreamOutOfOrder(spark, sfDir, slices, gapMs)
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
+        // same null-tolerant cents spelling as the strict twin
+        (coalesce(col("value"), lit(0.0)).cast("decimal(18,2)") * 100)
+          .cast("long").as("cents"))
+      .withWatermark("ts", s"$delayMs milliseconds")
+      .as[PitInput]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout())(update)
+    runToCompletion(feats.toDF(), OutputMode.Append())
+      .orderBy("event_id")
+  }
+
   // ------------------------------------------- batch sessionization (oracle)
   /** Batch gaps-and-islands sessionization — the relational spelling of
     * `sessionize`, fully SQL-expressible, used as its own oracled query:

@@ -43,7 +43,7 @@ import org.apache.spark.storage.StorageLevel
   * EVERY batch regardless of batch size; this trainer ships
   * O(touched rows × k) — the crossover is measured in SCALE.md.
   *
-  * Lineage is truncated every round via `localCheckpoint` (the standard
+  * Lineage is truncated every round via the Checkpoints seam (the standard
   * iterative-parameter pattern, as in GraphX Pregel); fault-tolerance at
   * scale would move this to reliable checkpointing on the cluster FS.
   *
@@ -176,7 +176,7 @@ class TransEPartitionedTrainer(params: TransEParams) extends Serializable {
             case (_, Some((_, row))) => row
             case (old, None)         => old
           }
-        next.localCheckpoint() // truncate per-round lineage growth
+        graft.Checkpoints.truncateRdd(next) // truncate per-round lineage growth
         next.count()
         // teardown order matters: only after `next` is materialized is it
         // safe to drop the inputs that produced it

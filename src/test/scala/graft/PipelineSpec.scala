@@ -479,6 +479,76 @@ class PipelineSpec extends SparkSpec {
     assert(exact.nonEmpty, "no planted near-dup pairs found")
   }
 
+  test("ngram Jaccard: prefix candidates are complete and measurably fewer") {
+    import spark.implicits._
+    val tau = 0.5
+    // the operator's hashed shingle index over distinct texts
+    val reps = docs.groupBy("text").agg(min(col("doc_id")).as("doc_id"))
+    val sh = Dedup.shingles(reps.select("doc_id", "text"), 5)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("sh"))
+      .distinct().persist()
+    val dfTab = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    val pp = Dedup.prefixCandidates(sh, dfTab, tau)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // naive inverted-index candidates: every pair sharing ANY shingle
+    val a = sh.select(col("doc_id").as("doc_a"), col("sh"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("sh"))
+    val naiveDf = a.join(b, Seq("sh")).filter(col("doc_a") < col("doc_b"))
+    val naive = naiveDf.select("doc_a", "doc_b").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // ground truth: exact Jaccard >= tau over the naive candidates
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val truth = naiveDf.groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
+      .filter(col("n_common").cast("double") /
+        (col("n_a") + col("n_b") - col("n_common")) >= tau)
+      .select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    sh.unpersist()
+    // candidate-COMPLETE: no true pair escapes the prefix filter
+    assert(truth.subsetOf(pp), s"missed true pairs: ${truth -- pp}")
+    // sound w.r.t. the naive superset, strictly smaller even on this
+    // tiny corpus (where most shared-shingle pairs ARE the planted
+    // near-dups, so there is little slack to cut)
+    assert(pp.subsetOf(naive))
+    assert(pp.size < naive.size,
+      s"prefix filter cut nothing: ${naive.size} -> ${pp.size}")
+
+    // the measured win (VERDICT r7 #2's discipline), on the fixture the
+    // filter exists for: 50 docs sharing one hot boilerplate shingle,
+    // each otherwise unique. Naive pairs every pair through the hot
+    // shingle — C(50,2) = 1225 candidates; df-ordered prefixes push the
+    // hot shingle to the BACK of every doc's order, so the prefix join
+    // generates zero
+    val boiler = (1L to 50L).flatMap(d =>
+      (0L until 9L).map(u => (d, d * 100L + u)) :+ (d, 777777L))
+      .toDF("doc_id", "sh")
+    val bdf = boiler.groupBy("sh").agg(count(lit(1)).as("df"))
+    val bNaive = boiler.select(col("doc_id").as("doc_a"), col("sh"))
+      .join(boiler.select(col("doc_id").as("doc_b"), col("sh")), Seq("sh"))
+      .filter(col("doc_a") < col("doc_b")).select("doc_a", "doc_b")
+      .distinct().count()
+    val bPp = Dedup.prefixCandidates(boiler, bdf, tau).count()
+    assert(bNaive == 1225L, s"fixture shape drifted: $bNaive")
+    assert(bPp == 0L,
+      s"hot-shingle fixture: expected 0 prefix candidates, got $bPp of $bNaive")
+
+    // boundary cases on a crafted index: J exactly tau (subset, 5-in-10)
+    // must survive BOTH the prefix and length filters; ratio just under
+    // tau (4-in-10) must be cut by the length filter
+    val crafted = (
+      (1L to 5L).map(s => (10L, s)) ++ (1L to 10L).map(s => (11L, s)) ++
+        (1L to 4L).map(s => (12L, s)) ++ (101L to 110L).map(s => (13L, s)))
+      .toDF("doc_id", "sh")
+    val cdf = crafted.groupBy("sh").agg(count(lit(1)).as("df"))
+    val cpairs = Dedup.prefixCandidates(crafted, cdf, tau)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cpairs.contains((10L, 11L)), s"boundary J=tau pair dropped: $cpairs")
+    assert(!cpairs.contains((11L, 12L)), "length filter must cut 4-vs-10")
+    assert(!cpairs.exists(p => p._1 == 13L || p._2 == 13L), "disjoint doc paired")
+  }
+
   test("per-doc shingle helper agrees with the relational shingles()") {
     import spark.implicits._
     def compare(df: org.apache.spark.sql.DataFrame): Unit = {
