@@ -19,6 +19,7 @@ object StreamingQueries {
     "stream_dedup_watermark" -> ((s, d) => EventStreams.streamingDedupWatermark(s, d)),
     "stream_sessionize" -> ((s, d) => EventStreams.sessionize(s, d)),
     "stream_sessionize_native" -> ((s, d) => EventStreams.sessionizeNative(s, d)),
+    "stream_sessionize_ooo" -> ((s, d) => EventStreams.sessionizeNativeOoo(s, d)),
     "stream_asof" -> ((s, d) => EventStreams.streamingAsOf(s, d)),
     "stream_hll_distinct" -> ((s, d) => EventStreams.streamingHllDistinct(s, d)),
     "stream_interval_join" -> ((s, d) => EventStreams.streamingIntervalJoin(s, d)),
@@ -57,6 +58,10 @@ object StreamingQueries {
     // the built-in session_window spelling must equal the same oracle —
     // gap+1 on floored seconds aligns merge/split boundaries exactly
     "stream_sessionize_native" -> EventStreams.sessionizeBatchSql(),
+    // session_window over the OUT-OF-ORDER replay with a lateness-covering
+    // watermark: late slices merge natively into the right sessions, so
+    // the disordered stream still equals the batch gaps-and-islands oracle
+    "stream_sessionize_ooo" -> EventStreams.sessionizeBatchSql(),
     // matches emit inline from keyed state, so the stream equals the
     // batch as-of exactly and shares its oracle
     "stream_asof" -> AsOfJoin.errorToLastClickSql,

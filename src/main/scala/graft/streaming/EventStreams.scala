@@ -419,10 +419,17 @@ object EventStreams {
   }
 
   // -------------------------------------------------------- sessionization
-  final case class Event(user_id: Long, ts: java.sql.Timestamp, value: Double)
-  final case class SessionState(start: Long, last: Long, n: Int, cents: Long)
+  // value is Option[Double]: the source column is nullable, and SQL SUM
+  // semantics must survive the typed fold — a session whose every value
+  // is NULL reports sum_value NULL (like the batch/oracle SUM), which a
+  // coalesce-to-0 at the source could not distinguish from a genuine 0.0
+  // (found by AdversarialEventsSpec)
+  final case class Event(user_id: Long, ts: java.sql.Timestamp,
+      value: Option[Double])
+  final case class SessionState(start: Long, last: Long, n: Int,
+      cents: Long, nVals: Long)
   final case class Session(user_id: Long, session_start: Long, session_end: Long,
-      n_events: Long, sum_value: Double)
+      n_events: Long, sum_value: Option[Double])
 
   /** Stateful sessionization via flatMapGroupsWithState: per-user sessions
     * closed after `gapMinutes` of event-time silence. Sessions are emitted
@@ -443,9 +450,11 @@ object EventStreams {
     def update(userId: Long, events: Iterator[Event],
         state: GroupState[SessionState]): Iterator[Session] = {
       val out = scala.collection.mutable.ArrayBuffer.empty[Session]
+      def close(s: SessionState): Session =
+        Session(userId, s.start, s.last, s.n,
+          if (s.nVals == 0) None else Some(s.cents / 100.0))
       if (state.hasTimedOut) {
-        val s = state.get
-        out += Session(userId, s.start, s.last, s.n, s.cents / 100.0)
+        out += close(state.get)
         state.remove()
       } else if (userId < 0) {
         // sentinel group: advances the watermark, never holds state.
@@ -464,13 +473,15 @@ object EventStreams {
         var cur = state.getOption.orNull
         sorted.foreach { e =>
           val t = e.ts.getTime / 1000
-          val c = math.round(e.value * 100)
-          if (cur == null) cur = SessionState(t, t, 1, c)
+          val c = e.value.map(v => math.round(v * 100)).getOrElse(0L)
+          val hv = if (e.value.isDefined) 1L else 0L
+          if (cur == null) cur = SessionState(t, t, 1, c, hv)
           else if (t - cur.last > gapSec) {
-            out += Session(userId, cur.start, cur.last, cur.n, cur.cents / 100.0)
-            cur = SessionState(t, t, 1, c)
+            out += close(cur)
+            cur = SessionState(t, t, 1, c, hv)
           } else {
-            cur = SessionState(cur.start, t, cur.n + 1, cur.cents + c)
+            cur = SessionState(cur.start, t, cur.n + 1, cur.cents + c,
+              cur.nVals + hv)
           }
         }
         if (cur != null) {
@@ -530,6 +541,50 @@ object EventStreams {
         timestamp_seconds(unix_timestamp(col("ts"))).as("tss"),
         col("value"))
       .withWatermark("tss", "0 seconds")
+      .groupBy(session_window(col("tss"), s"$gapSec seconds"),
+        col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+    runToCompletion(agg, OutputMode.Append())
+      .filter(col("user_id") >= 0)
+      .select(col("user_id"),
+        unix_timestamp(col("session_window.start")).as("session_start"),
+        (unix_timestamp(col("session_window.end")) - gapSec).as("session_end"),
+        col("n_events"), col("sum_value"))
+      .orderBy("user_id", "session_start")
+  }
+
+  /** [[sessionizeNative]] over the OUT-OF-ORDER replay
+    * ([[readEventStreamOutOfOrder]]): the declarative session_window
+    * aggregation absorbs bounded lateness NATIVELY once the watermark
+    * delay covers it — windows stay open (state) until the watermark
+    * passes their end, so late slices merge into the right sessions with
+    * no custom buffering (contrast [[streamingPitFeaturesBuffered]],
+    * which must buffer by hand because flatMapGroupsWithState folds
+    * immediately). Same answer, same oracle as the in-order twins; the
+    * composition argument for preferring built-in stateful operators
+    * when they express the semantics.
+    *
+    * Watermark delay = 2.5 slice spans (the replay's lateness bound);
+    * the sentinel gap exceeds delay + 2x session gap so the final
+    * watermark strictly clears every real window end. Nothing emits
+    * until the sentinels arrive (the watermark lags max ts by the
+    * delay) — fine for a finite replay; state is bounded by the open
+    * session count. */
+  def sessionizeNativeOoo(spark: SparkSession, sfDir: String,
+      gapMinutes: Int = 30, slices: Int = 6): DataFrame = {
+    val gapSec = gapMinutes * 60L
+    val mm = graft.Tables.events(spark, sfDir)
+      .agg(min(unix_micros(col("ts"))).as("a"),
+        max(unix_micros(col("ts"))).as("b")).head()
+    val sliceSpanMicros = (mm.getLong(1) - mm.getLong(0)) / slices + 1
+    val delayMs = (sliceSpanMicros * 5 / 2) / 1000L + 1000L
+    val sentinelGapMs = delayMs + 2L * gapMinutes * 60L * 1000L + 3600000L
+    val agg = readEventStreamOutOfOrder(spark, sfDir, slices, sentinelGapMs)
+      .select(col("user_id"),
+        timestamp_seconds(unix_timestamp(col("ts"))).as("tss"),
+        col("value"))
+      .withWatermark("tss", s"$delayMs milliseconds")
       .groupBy(session_window(col("tss"), s"$gapSec seconds"),
         col("user_id"))
       .agg(count(lit(1)).as("n_events"),

@@ -45,18 +45,36 @@ object TrainCrossover {
       } else -1.0
 
       val pt = new graft.transe.TransEPartitionedTrainer(p)
+      // shuffle-volume probe around the partitioned fit: the scale claim
+      // is per-round traffic ~ O(touched-rows x k), so report it measured
+      val shufRead = new java.util.concurrent.atomic.AtomicLong(0L)
+      val shufRecs = new java.util.concurrent.atomic.AtomicLong(0L)
+      val probe = new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val m = e.stageInfo.taskMetrics.shuffleReadMetrics
+          shufRead.addAndGet(m.totalBytesRead)
+          shufRecs.addAndGet(m.recordsRead)
+          ()
+        }
+      }
       val tP = if (mode != "broadcast") {
+        spark.sparkContext.addSparkListener(probe)
         val t1 = System.nanoTime()
         val (entRdd, _) = pt.fitDistributed(kg, nEnt, nLab)
         val s = (System.nanoTime() - t1) / 1e9 / epochs
         entRdd.unpersist()
+        Thread.sleep(2000) // drain the async listener bus
+        spark.sparkContext.removeSparkListener(probe)
         s
       } else -1.0
       kg.unpersist()
       val mb = nEnt.toLong * p.dim * 4 / (1 << 20)
       println(f"[crossover] nEnt=$nEnt%d batches=$batches (matrix=${mb}MB) " +
         f"broadcast=$tB%.2f s/epoch partitioned=$tP%.2f s/epoch " +
-        f"ratio=${tP / tB}%.2fx lossEq=${
+        f"ratio=${tP / tB}%.2fx " +
+        f"shuffleRead=${shufRead.get / (1 << 20)}MB/" +
+        f"${shufRecs.get / 1000000.0}%.1fMrec (all epochs) lossEq=${
           mode == "both" && b.lossHistory == pt.lossHistory}")
     }
     spark.stop()

