@@ -26,6 +26,7 @@ object StreamingQueries {
     "stream_cms_heavy_users" -> ((s, d) => EventStreams.streamingCmsHeavyUsers(s, d)),
     "stream_top_users" -> ((s, d) => EventStreams.streamingTopUsers(s, d)),
     "stream_ts_canary" -> ((s, d) => EventStreams.tsSpanCanary(s, d)),
+    "stream_bus_source" -> ((s, _) => EventStreams.busWindowedCounts(s)),
     "stream_enrich" -> ((s, d) => EventStreams.streamingEnrich(s, d)),
     "stream_restart_dedup" -> ((s, d) => EventStreams.restartRecoveryDedup(s, d)),
     "stream_upsert" -> ((s, d) => EventStreams.streamingUpsert(s, d)),
@@ -87,6 +88,11 @@ object StreamingQueries {
     // source-format drift insurance: the span/count the stream sees must
     // equal what DuckDB reads from the same file
     "stream_ts_canary" -> EventStreams.tsSpanCanarySql,
+    // the custom DSv2 bus connector: offset-tracked, admission-controlled,
+    // block-permuted out-of-order event time; the integer-arithmetic
+    // payload lets DuckDB replay the whole stream over range(n), so the
+    // connector's end-to-end path carries a full hash oracle
+    "stream_bus_source" -> EventStreams.busWindowedCountsSql(),
     // bucket counting is order-insensitive, so the streamed HDR bucket
     // table — and every quantile read from it — equals batch exactly
     "stream_quantile_hist" -> EventStreams.streamingQuantileHistSql,

@@ -1,0 +1,201 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** A real OFFSET-TRACKED streaming connector (DataSource V2
+  * MicroBatchStream) — the Kafka-shaped capability the file-replay
+  * harness cannot exercise: offsets are logical row positions, each
+  * trigger admits `batchRows` more (SupportsAdmissionControl, the
+  * Kafka/rate-source pattern), the engine persists them in its offset
+  * log, and a restarted query RESUMES from the committed offset through
+  * [[BusMicroBatchStream.deserializeOffset]] — exactly-once across
+  * restarts, proven in BusSourceSpec with a file sink.
+  *
+  * The payload is a seeded synthetic event bus with BOUNDED OUT-OF-ORDER
+  * event time: within each block of [[BusSource.Block]] consecutive rows,
+  * arrival order is a fixed permutation (pos * 7919 mod Block — a
+  * bijection, 7919 prime > Block) of event-time order, so event times
+  * arrive scrambled with lateness bounded by one block span while blocks
+  * themselves advance — the disorder shape a partitioned bus delivers.
+  * Every field is PURE INTEGER arithmetic on the row index, so DuckDB
+  * replays the whole stream relationally (`range(n)`) and aggregation
+  * queries over the bus carry full hash oracles ([[BusSource.oracleCte]]).
+  *
+  * The final two rows (one per trigger, enforced by the admission
+  * control) are far-future watermark sentinels (user_id -1) — the staged
+  * replay's flush discipline, generated here by the source itself.
+  *
+  * Row schema matches the events table, so every transform behind the
+  * [[graft.streaming.EventStreams.EventSource]] seam runs on the bus
+  * unchanged — that is the seam's claim made executable.
+  */
+object BusSource {
+  val Block = 1000
+  val Mult = 7919L // prime, > Block => (pos * Mult) % Block is a bijection
+  val Epoch0Micros = 1704067200000000L // 2024-01-01T00:00:00Z
+  val StepMicros = 1000000L // one event-time second per row
+  val NTypes = 4
+  val Types: Array[String] = Array("view", "click", "purchase", "error")
+
+  val schema: StructType = StructType(Seq(
+    StructField("event_id", LongType, nullable = false),
+    StructField("ts", TimestampType, nullable = false),
+    StructField("user_id", LongType, nullable = false),
+    StructField("event_type", StringType, nullable = false),
+    StructField("value", DoubleType, nullable = false),
+    StructField("props", StringType, nullable = false)))
+
+  /** Event-time micros of row i: block-local permutation of the global
+    * second grid. Rows >= realRows are the two far-future sentinels. */
+  def tsMicros(i: Long, realRows: Long): Long =
+    if (i >= realRows)
+      Epoch0Micros + (realRows + 10L * Block + (i - realRows) * Block) * StepMicros
+    else {
+      val block = i / Block
+      val pos = i % Block
+      Epoch0Micros + (block * Block + (pos * Mult) % Block) * StepMicros
+    }
+
+  def userId(i: Long, realRows: Long, nUsers: Int): Long =
+    if (i >= realRows) -1L else i % nUsers
+
+  def eventType(i: Long, realRows: Long): String =
+    if (i >= realRows) "__sentinel__" else Types((i % NTypes).toInt)
+
+  def value(i: Long): Double = ((i * 37L) % 10000L) / 100.0
+
+  /** DuckDB spelling of the REAL rows (sentinels excluded) — the oracle
+    * prefix every bus query builds on. Column names match the events
+    * schema. */
+  def oracleCte(realRows: Long, nUsers: Int): String =
+    s"""bus AS (
+       |  SELECT i AS event_id,
+       |    $Epoch0Micros + ((i // $Block) * $Block
+       |      + ((i % $Block) * $Mult) % $Block) * $StepMicros AS ts_micros,
+       |    i % $nUsers AS user_id,
+       |    CASE (i % $NTypes) WHEN 0 THEN 'view' WHEN 1 THEN 'click'
+       |      WHEN 2 THEN 'purchase' ELSE 'error' END AS event_type,
+       |    ((i * 37) % 10000) / 100.0 AS value
+       |  FROM range(0, $realRows) t(i)
+       |)""".stripMargin
+}
+
+/** `spark.readStream.format(classOf[BusSource].getName)` entry point.
+  * Options: rows (real rows), users, batchRows (admission per trigger),
+  * partitions (reader parallelism). */
+class BusSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    BusSource.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new BusTable(properties.asScala.toMap)
+}
+
+final class BusTable(props: Map[String, String]) extends Table with SupportsRead {
+  private def longOpt(k: String, d: Long) = props.get(k).map(_.toLong).getOrElse(d)
+  override def name(): String = "graft_bus"
+  override def schema(): StructType = BusSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.MICRO_BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = BusSource.schema
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+          new BusMicroBatchStream(
+            realRows = longOpt("rows", 100000L),
+            nUsers = longOpt("users", 64L).toInt,
+            batchRows = longOpt("batchrows", 25000L),
+            partitions = longOpt("partitions", 8L).toInt)
+      }
+    }
+}
+
+final class BusOffset(val pos: Long) extends Offset {
+  override def json(): String = pos.toString
+}
+
+/** Offset = row position. Admission control serves `batchRows` per
+  * trigger over the real rows, then exactly ONE sentinel row per trigger
+  * (each sentinel must be its own micro-batch: the watermark a batch
+  * observes comes from the PREVIOUS batch, so sentinel 2's batch is what
+  * flushes state under sentinel 1's far-future watermark). */
+final class BusMicroBatchStream(realRows: Long, nUsers: Int, batchRows: Long,
+    partitions: Int) extends MicroBatchStream with SupportsAdmissionControl {
+
+  private val totalRows = realRows + 2
+
+  override def initialOffset(): Offset = new BusOffset(0L)
+  override def deserializeOffset(json: String): Offset =
+    new BusOffset(json.trim.toLong)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(batchRows)
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "BusMicroBatchStream implements SupportsAdmissionControl; the " +
+        "engine must call latestOffset(start, limit)")
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[BusOffset].pos
+    val end =
+      if (s < realRows) math.min(s + batchRows, realRows)
+      else math.min(s + 1, totalRows)
+    new BusOffset(end)
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[BusOffset].pos
+    val e = end.asInstanceOf[BusOffset].pos
+    val n = math.max(e - s, 0L)
+    if (n == 0) Array.empty
+    else {
+      val chunk = (n + partitions - 1) / partitions
+      (0L until partitions.toLong).flatMap { p =>
+        val ps = s + p * chunk
+        val pe = math.min(ps + chunk, e)
+        if (ps < pe) Some(BusInputPartition(ps, pe, realRows, nUsers)) else None
+      }.toArray
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+        val bp = partition.asInstanceOf[BusInputPartition]
+        new BusPartitionReader(bp)
+      }
+    }
+}
+
+final case class BusInputPartition(start: Long, end: Long, realRows: Long,
+    nUsers: Int) extends InputPartition
+
+final class BusPartitionReader(p: BusInputPartition)
+    extends PartitionReader[InternalRow] {
+  private var i = p.start - 1
+  private val props = UTF8String.fromString("{}")
+  override def next(): Boolean = { i += 1; i < p.end }
+  override def get(): InternalRow = new GenericInternalRow(Array[Any](
+    i,
+    BusSource.tsMicros(i, p.realRows),
+    BusSource.userId(i, p.realRows, p.nUsers),
+    UTF8String.fromString(BusSource.eventType(i, p.realRows)),
+    BusSource.value(i),
+    props))
+  override def close(): Unit = ()
+}

@@ -99,6 +99,47 @@ object EventStreams {
           lit("{}").as("props"))
   }
 
+  /** The OFFSET-TRACKED custom connector ([[graft.sources.BusSource]])
+    * behind the same seam: unbounded-shaped, admission-controlled,
+    * checkpoint-recoverable, delivering bounded out-of-order event time.
+    * The third source proof after file replay and rate. */
+  final case class BusEventSource(rows: Long = 100000L, nUsers: Int = 64)
+      extends EventSource {
+    def load(spark: SparkSession): DataFrame =
+      spark.readStream.format(classOf[graft.sources.BusSource].getName)
+        .option("rows", rows.toString)
+        .option("users", nUsers.toString)
+        .load()
+  }
+
+  /** Windowed counts over the bus connector, Append mode with a
+    * lateness-covering watermark (one permutation-block span): the
+    * scrambled arrival order must still produce the exact per-hour
+    * aggregate, and the bus's integer-arithmetic payload gives DuckDB a
+    * full hash oracle over `range(n)` — an END-TO-END correctness gate
+    * for a from-scratch DSv2 connector (offsets, admission control,
+    * partition readers, watermark interplay), not just a unit test. */
+  def busWindowedCounts(spark: SparkSession, rows: Long = 100000L,
+      nUsers: Int = 64): DataFrame = {
+    val agg = BusEventSource(rows, nUsers).load(spark)
+      .withWatermark("ts", s"${graft.sources.BusSource.Block} seconds")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+    runToCompletion(agg, OutputMode.Append())
+      .filter(col("event_type") =!= "__sentinel__")
+      .select(unix_timestamp(col("window.start")).as("bucket"),
+        col("event_type"), col("n_events"), col("sum_value"))
+      .orderBy("bucket", "event_type")
+  }
+
+  def busWindowedCountsSql(rows: Long = 100000L, nUsers: Int = 64): String =
+    s"""WITH ${graft.sources.BusSource.oracleCte(rows, nUsers)}
+       |SELECT (ts_micros // 3600000000) * 3600 AS bucket, event_type,
+       |  COUNT(*) AS n_events,
+       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+       |FROM bus GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin
+
   /** Stage a temp directory for the file source. With `sentinelGapMs`
     * set, additionally writes a one-row far-future sentinel file (user_id
     * -1, ts = max(ts) + gap + 1s): once that batch is processed the
@@ -239,6 +280,11 @@ object EventStreams {
     }
     spark.table(name)
   }
+
+  /** Test seam: run an arbitrary streaming frame through the shared
+    * memory-sink completion harness (BusSourceSpec's passthrough). */
+  private[graft] def runToCompletionForTest(df: DataFrame,
+      mode: OutputMode): DataFrame = runToCompletion(df, mode)
 
   // ---------------------------------------------------- ts-span canary
   /** Canary: the event-time span and row count as seen by the STREAMING
