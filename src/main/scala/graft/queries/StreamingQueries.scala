@@ -27,6 +27,7 @@ object StreamingQueries {
     "stream_top_users" -> ((s, d) => EventStreams.streamingTopUsers(s, d)),
     "stream_ts_canary" -> ((s, d) => EventStreams.tsSpanCanary(s, d)),
     "stream_bus_source" -> ((s, _) => EventStreams.busWindowedCounts(s)),
+    "stream_bus_features_pit" -> ((s, _) => EventStreams.busPitFeatures(s)),
     "stream_enrich" -> ((s, d) => EventStreams.streamingEnrich(s, d)),
     "stream_restart_dedup" -> ((s, d) => EventStreams.restartRecoveryDedup(s, d)),
     "stream_upsert" -> ((s, d) => EventStreams.streamingUpsert(s, d)),
@@ -93,6 +94,10 @@ object StreamingQueries {
     // payload lets DuckDB replay the whole stream over range(n), so the
     // connector's end-to-end path carries a full hash oracle
     "stream_bus_source" -> EventStreams.busWindowedCountsSql(),
+    // the capstone composition: watermark-buffered PIT features consumed
+    // from the offset-tracked out-of-order bus — oracled by a relational
+    // window replay of the same integer generator
+    "stream_bus_features_pit" -> EventStreams.busPitFeaturesSql(),
     // bucket counting is order-insensitive, so the streamed HDR bucket
     // table — and every quantile read from it — equals batch exactly
     "stream_quantile_hist" -> EventStreams.streamingQuantileHistSql,

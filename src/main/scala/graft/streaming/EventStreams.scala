@@ -919,10 +919,6 @@ object EventStreams {
     * the one contract a watermarked pipeline must still enforce. */
   def streamingPitFeaturesBuffered(spark: SparkSession, sfDir: String,
       slices: Int = 6): DataFrame = {
-    import spark.implicits._
-    def micros(t: java.sql.Timestamp): Long =
-      math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
-
     // replay lateness bound: a swapped slice arrives <= 2 slice-spans
     // after a later-timestamped event; delay = 2.5 spans covers it with
     // margin (the sentinel gap must then exceed the delay so the final
@@ -933,6 +929,65 @@ object EventStreams {
     val sliceSpanMicros = (mm.getLong(1) - mm.getLong(0)) / slices + 1
     val delayMs = (sliceSpanMicros * 5 / 2) / 1000L + 1000L
     val gapMs = delayMs + 3600000L
+    runToCompletion(
+      pitFeaturesBufferedTransform(
+        readEventStreamOutOfOrder(spark, sfDir, slices, gapMs), delayMs),
+      OutputMode.Append())
+      .orderBy("event_id")
+  }
+
+  /** [[streamingPitFeaturesBuffered]] fed by the OFFSET-TRACKED bus
+    * connector ([[graft.sources.BusSource]]) — the two round-8
+    * capabilities composed: a real unbounded-shaped source delivering
+    * block-permuted out-of-order events, absorbed by the watermark-
+    * buffered fold into features that equal the offline spelling
+    * EXACTLY. The bus payload is integer arithmetic, so the whole
+    * composition carries a full DuckDB hash oracle
+    * ([[busPitFeaturesSql]]) — the training-serving-skew guarantee
+    * demonstrated against the source class a production feature store
+    * actually consumes. Lateness bound = one permutation block span. */
+  def busPitFeatures(spark: SparkSession, rows: Long = 100000L,
+      nUsers: Int = 64): DataFrame = {
+    val delayMs = graft.sources.BusSource.Block.toLong *
+      graft.sources.BusSource.StepMicros / 1000L + 1000L
+    runToCompletion(
+      pitFeaturesBufferedTransform(
+        BusEventSource(rows, nUsers).load(spark), delayMs),
+      OutputMode.Append())
+      .orderBy("event_id")
+  }
+
+  def busPitFeaturesSql(rows: Long = 100000L, nUsers: Int = 64): String =
+    s"""WITH ${graft.sources.BusSource.oracleCte(rows, nUsers)},
+       |ev AS (
+       |  SELECT event_id, user_id, event_type, ts_micros AS tsm,
+       |    (event_id * 37) % 10000 AS cents
+       |  FROM bus
+       |), feat AS (
+       |  SELECT event_id, user_id, event_type, tsm,
+       |    COUNT(*) OVER prior AS n_prior,
+       |    CAST(COALESCE(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+       |      OVER prior, 0) AS BIGINT) AS n_prior_views,
+       |    CAST(COALESCE(SUM(cents) OVER prior, 0) AS BIGINT) AS sum_prior_cents,
+       |    COALESCE((tsm - LAG(tsm) OVER w) // 1000000, -1) AS sec_since_prev
+       |  FROM ev
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY tsm, event_id),
+       |    prior AS (PARTITION BY user_id ORDER BY tsm, event_id
+       |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |)
+       |SELECT event_id, user_id, tsm, n_prior, n_prior_views,
+       |  sum_prior_cents, sec_since_prev
+       |FROM feat WHERE event_type = 'purchase'
+       |ORDER BY event_id""".stripMargin
+
+  /** The watermark-buffered PIT fold over ANY events-schema stream (the
+    * source seam applied to the round's reordering capability). */
+  private[graft] def pitFeaturesBufferedTransform(events: DataFrame,
+      delayMs: Long): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    def micros(t: java.sql.Timestamp): Long =
+      math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
 
     def update(userId: Long, events: Iterator[PitInput],
         state: GroupState[PitBufState]): Iterator[PitFeat] = {
@@ -967,7 +1022,7 @@ object EventStreams {
       out.iterator
     }
 
-    val feats = readEventStreamOutOfOrder(spark, sfDir, slices, gapMs)
+    events
       .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
         // same null-tolerant cents spelling as the strict twin
         (coalesce(col("value"), lit(0.0)).cast("decimal(18,2)") * 100)
@@ -977,8 +1032,7 @@ object EventStreams {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append(),
         GroupStateTimeout.EventTimeTimeout())(update)
-    runToCompletion(feats.toDF(), OutputMode.Append())
-      .orderBy("event_id")
+      .toDF()
   }
 
   // ------------------------------------------- batch sessionization (oracle)

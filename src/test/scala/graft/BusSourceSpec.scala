@@ -85,6 +85,43 @@ class BusSourceSpec extends SparkSpec {
     }
   }
 
+  test("buffered PIT features over the bus equal the relational window replay") {
+    // the capstone composition: the offset-tracked OOO connector feeding
+    // the watermark-buffered fold must equal the batch window spelling
+    // computed from the same integer generator
+    import org.apache.spark.sql.expressions.Window
+    val rows = 50000L
+    val streamRes = EventStreams.busPitFeatures(spark, rows).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+    val ev = spark.range(rows).toDF("i").selectExpr(
+      "i AS event_id",
+      s"(${BusSource.Epoch0Micros}L + ((i div ${BusSource.Block}) * ${BusSource.Block} " +
+        s"+ ((i % ${BusSource.Block}) * ${BusSource.Mult}L) % ${BusSource.Block}) " +
+        s"* ${BusSource.StepMicros}L) AS tsm",
+      "i % 64 AS user_id",
+      "CASE CAST(i % 4 AS INT) WHEN 0 THEN 'view' WHEN 1 THEN 'click' " +
+        "WHEN 2 THEN 'purchase' ELSE 'error' END AS event_type",
+      "(i * 37) % 10000 AS cents")
+    val w = Window.partitionBy("user_id").orderBy("tsm", "event_id")
+    val prior = w.rowsBetween(Window.unboundedPreceding, -1)
+    val batch = ev
+      .withColumn("n_prior", count(lit(1)).over(prior))
+      .withColumn("n_prior_views", coalesce(
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).over(prior), lit(0L)))
+      .withColumn("sum_prior_cents", coalesce(sum("cents").over(prior), lit(0L)))
+      .withColumn("sec_since_prev", coalesce(
+        floor((col("tsm") - lag("tsm", 1).over(w)) / 1000000L).cast("long"), lit(-1L)))
+      .filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "tsm", "n_prior", "n_prior_views",
+        "sum_prior_cents", "sec_since_prev")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+    assert(streamRes.nonEmpty && streamRes == batch,
+      s"stream-only=${(streamRes -- batch).take(3)} batch-only=${(batch -- streamRes).take(3)}")
+  }
+
   test("windowed counts over the bus equal the batch aggregate (seam claim)") {
     // the same aggregation computed from a batch range() with the same
     // integer formulas — the in-JVM twin of the DuckDB oracle
