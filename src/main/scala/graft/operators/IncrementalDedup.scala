@@ -137,7 +137,14 @@ object IncrementalDedup {
     * sinks). Output is identical to [[flagBatch]] and shares its oracle. */
   def flagBatchStaged(spark: org.apache.spark.sql.SparkSession, sfDir: String,
       corpus: DataFrame, batch: DataFrame, n: Int = 5,
-      tau: Double = 0.5, maxDocFreq: Int = 500): DataFrame = {
+      tau: Double = 0.5, maxDocFreq: Int = 500): DataFrame =
+    probeIndex(stagedIndex(spark, sfDir, corpus, n, maxDocFreq), batch, n, tau)
+
+  /** The persisted corpus index behind [[flagBatchStaged]], exposed so
+    * the STREAMING consumer ([[graft.streaming.CorpusStreams]]) can probe
+    * the same asset per micro-batch without restaging. */
+  def stagedIndex(spark: org.apache.spark.sql.SparkSession, sfDir: String,
+      corpus: DataFrame, n: Int = 5, maxDocFreq: Int = 500): CorpusIndex = {
     import java.nio.file.{Files, Paths}
     val target = Paths.get(sfDir, "documents.parquet").toAbsolutePath.normalize
     val mtime = Files.getLastModifiedTime(target).toMillis
@@ -157,12 +164,11 @@ object IncrementalDedup {
       idx.hot.write.mode("overwrite").parquet(dir.resolve("hot").toString)
       Files.writeString(dir.resolve("_DONE"), "ok")
     }
-    val idx = CorpusIndex(
+    CorpusIndex(
       spark.read.parquet(dir.resolve("md5").toString),
       spark.read.parquet(dir.resolve("shingles").toString),
       spark.read.parquet(dir.resolve("sizes").toString),
       spark.read.parquet(dir.resolve("hot").toString))
-    probeIndex(idx, batch, n, tau)
   }
 
   /** DuckDB replay of [[flagBatch]] where corpus/batch are SQL-defined

@@ -131,6 +131,7 @@ object PipelineQueries {
     "text_scrub_dup_spans" -> Seq("doc_id"),
     "text_pii_scrub" -> Seq("doc_id"),
     "report_filter_reasons" -> Seq("rule"),
+    "sink_zonemap_skip" -> Seq("event_type"),
     "ann_topk" -> Seq("query_id", "rank"),
     "ann_near_dup" -> Seq("vec_a", "vec_b"),
     "ann_lsh" -> Seq("query_id", "rank"),
@@ -334,6 +335,9 @@ object PipelineQueries {
     // --- partitioned sink + planning-time partition pruning ---
     "sink_partition_prune" -> ((s, d) => PartitionedSink.prunedDailyAgg(s, d)),
     "sink_partition_overwrite" -> ((s, d) => PartitionedSink.dynamicOverwriteSummary(s, d)),
+    // file-level min/max skipping over a range-clustered layout — the
+    // RANGE-predicate sibling of partition pruning's categorical dirs
+    "sink_zonemap_skip" -> ((s, d) => ZoneMaps.windowAgg(s, d)),
     "layout_zorder" -> (Layout.zOrderKeys _),
     "sink_compact" -> (Compaction.roundTripAgg _),
     "sink_bucketed_join" -> ((s, d) => BucketedSink.bucketedJoin(s, d)),
@@ -510,6 +514,8 @@ object PipelineQueries {
     "pack_sequences" -> SequencePacking.packDocsSql(),
     // partitioned round-trip must be lossless: oracle reads the raw table
     "sink_partition_prune" -> PartitionedSink.prunedDailyAggSql(),
+    // zone-mapped route must be answer-invisible: oracle reads raw events
+    "sink_zonemap_skip" -> ZoneMaps.windowAggSql,
     // untouched partitions survive byte-exact, the rewritten one shows
     // the redaction — exactly what dynamic overwrite must guarantee
     "sink_partition_overwrite" -> PartitionedSink.dynamicOverwriteSummarySql,

@@ -37,6 +37,9 @@ object StreamingQueries {
     "stream_interval_join_outer" -> ((s, d) => EventStreams.streamingIntervalJoinOuter(s, d)),
     "stream_features_pit" -> ((s, d) => EventStreams.streamingPitFeatures(s, d)),
     "stream_features_pit_ooo" -> ((s, d) => EventStreams.streamingPitFeaturesBuffered(s, d)),
+    "stream_dedup_incremental" -> ((s, d) =>
+      graft.streaming.CorpusStreams.streamingIncrementalDedup(s, d)),
+    "stream_txn_append" -> ((s, d) => EventStreams.streamingTxnAppend(s, d)),
     "q11_sessionize" -> ((s, d) => EventStreams.sessionizeBatch(Tables.events(s, d))),
     "q12_asof_join" -> ((s, d) => AsOfJoin.errorToLastClick(Tables.events(s, d))),
     "q32_asof_forward" -> ((s, d) => AsOfJoin.errorToNextClick(Tables.events(s, d))),
@@ -121,6 +124,15 @@ object StreamingQueries {
     // key-disjoint change batches make the CDC-applied table equal the
     // one-shot merge, so the stream shares sink_upsert's oracle
     "stream_upsert" -> PipelineQueries.upsertOrdersSql,
+    // every verdict is a function of (one arrival doc, corpus index) —
+    // arrivals never compare to each other — so the micro-batched probe
+    // union equals the one-shot batch probe and shares its oracle
+    "stream_dedup_incremental" ->
+      graft.streaming.CorpusStreams.streamingIncrementalDedupSql(),
+    // a batchId-transactional append survives a FORGED engine replay
+    // (newest streaming commit deleted mid-run) — any double-append
+    // breaks this GROUP BY oracle
+    "stream_txn_append" -> EventStreams.streamingTxnAppendSql,
     "q11_sessionize" -> EventStreams.sessionizeBatchSql(),
     "q12_asof_join" -> AsOfJoin.errorToLastClickSql,
     // forward direction + tolerance: DuckDB's native forward ASOF is the

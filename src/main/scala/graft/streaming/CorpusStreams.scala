@@ -1,0 +1,97 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators.IncrementalDedup
+
+/** Streaming corpus-ingest operators — the STREAMING twin of the batch
+  * incremental-dedup path ([[IncrementalDedup]]): documents arrive on an
+  * unbounded source and each micro-batch is probed against the standing
+  * corpus's persisted dedup index before admission.
+  *
+  * This is the production ingest shape at 100 TB: the corpus index (md5
+  * + capped shingle postings) is a maintained asset; arrivals NEVER scan
+  * the corpus — each micro-batch pays |batch shingles| x posting length,
+  * independent of both corpus size (through the hot-cap) and of how the
+  * arrivals were chopped into micro-batches. That last property is the
+  * correctness argument: every verdict in [[IncrementalDedup.probeIndex]]
+  * is a function of (one batch doc, corpus index) alone — batch docs are
+  * never compared to each other — so the union of per-micro-batch probes
+  * equals the one-shot batch probe EXACTLY, and the stream shares
+  * dedup_incremental's DuckDB oracle bit-for-bit.
+  */
+object CorpusStreams {
+
+  /** Replay the dedup_incremental arrival set (doc_id % 10 == 7) as a
+    * 4-file micro-batch stream and probe each micro-batch against the
+    * staged corpus index via foreachBatch. Output: the same
+    * (doc_id, dup_exact_of, near_of, near_jaccard, verdict) contract as
+    * [[IncrementalDedup.probeIndex]], ordered for the oracle compare.
+    *
+    * foreachBatch (not a built-in sink) because the probe is a
+    * multi-join batch program — exactly the documented use of the
+    * micro-batch escape hatch; the per-batch parquet append keyed under
+    * a fresh checkpointed output dir keeps the run restart-safe.
+    */
+  def streamingIncrementalDedup(spark: SparkSession, sfDir: String,
+      n: Int = 5, tau: Double = 0.5, maxDocFreq: Int = 500): DataFrame = {
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+    val corpus = docs.filter(col("doc_id") % 10 =!= 7)
+    val arrivals = docs.filter(col("doc_id") % 10 === 7)
+
+    // one staged-asset build per (documents file, corpus slice) — the
+    // stream probes the SAME persisted index as the batch twin
+    val idx = IncrementalDedup.stagedIndex(spark, sfDir, corpus, n, maxDocFreq)
+
+    // memoized replay keyed on the input file's identity, the same
+    // discipline as restartRecoveryDedup: the streaming run is the
+    // evidence; re-invocations read the completed sink
+    val target = Paths.get(sfDir, "documents.parquet").toAbsolutePath.normalize
+    val mtime = Files.getLastModifiedTime(target).toMillis
+    val key = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s"$target:$mtime:$n:$tau:$maxDocFreq".getBytes("UTF-8"))
+      .take(8).map("%02x".format(_)).mkString
+    val base = Paths.get(sys.props("java.io.tmpdir"), s"graft_streamdedup_$key")
+    val (src, out, chk) = (base.resolve("src"), base.resolve("out"), base.resolve("chk"))
+    val done = base.resolve("_DONE")
+
+    if (!Files.exists(done)) {
+      Files.createDirectories(src)
+      // four disjoint arrival files (doc_id % 40 ∈ {7,17,27,37}) — the
+      // stream sees them as four micro-batches in file order
+      (0 until 4).foreach { i =>
+        arrivals.filter(pmod(col("doc_id"), lit(40)) === (7 + 10 * i))
+          .coalesce(1).write.mode("append").parquet(src.toString)
+      }
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType)))
+      val q = spark.readStream
+        .schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src.toString)
+        .writeStream
+        .option("checkpointLocation", chk.toString)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val flagged = IncrementalDedup.probeIndex(idx, batch, n, tau)
+          flagged.write.mode("append").parquet(out.toString)
+          flagged.unpersist(): Unit
+        }
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      Files.writeString(done, "ok")
+    }
+    spark.read.parquet(out.toString).orderBy("doc_id")
+  }
+
+  /** Shared with the batch twin — see the header's order-insensitivity
+    * argument for why the finite replay equals the one-shot probe. */
+  def streamingIncrementalDedupSql(n: Int = 5, tau: Double = 0.5,
+      maxDocFreq: Int = 500): String =
+    IncrementalDedup.flagBatchSql("doc_id % 10 = 7", n, tau, maxDocFreq)
+}

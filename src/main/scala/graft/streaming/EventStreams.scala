@@ -1430,6 +1430,127 @@ object EventStreams {
     spark.read.parquet(out.toString).orderBy("user_id", "event_type")
   }
 
+  // --------------------------- batchId-transactional foreachBatch sink
+  /** Times a foreachBatch SKIPPED a batch because its commit marker
+    * already existed — the replay-evidence counter TxnSinkSpec asserts. */
+  private[graft] val txnSkips = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Exactly-once for NON-idempotent foreachBatch sinks. The file sink
+    * gets exactly-once from `_spark_metadata`; CDC merge is key-idempotent
+    * by construction; a plain APPEND sink is NEITHER — if the engine
+    * replays a batch (crash after the sink write, before the streaming
+    * commit is recorded), appended rows duplicate. The production fix is
+    * the (batchId, target) transaction log: write to a staging dir, move
+    * atomically into place, then mark the batchId committed; a replayed
+    * batchId is a no-op. Returns false when skipped. */
+  private[graft] def txnAppend(dataDir: java.nio.file.Path, batchId: Long)(
+      write: java.nio.file.Path => Unit): Boolean = {
+    import java.nio.file.Files
+    val marker = dataDir.resolve(s"_committed_$batchId")
+    if (Files.exists(marker)) {
+      txnSkips.incrementAndGet()
+      // persistent replay evidence (TxnSink test reads it across JVMs —
+      // the staged run happens once, the assertion must not go vacuous)
+      Files.writeString(dataDir.resolve(s"_replayed_$batchId"), "skipped")
+      false
+    }
+    else {
+      val staging = dataDir.resolveSibling(
+        dataDir.getFileName.toString + s"_staging_$batchId")
+      write(staging)
+      val slot = dataDir.resolve(s"b$batchId")
+      // a crashed PREVIOUS attempt may have moved the slot but died
+      // before the marker: the slot content is complete (staging moves
+      // are atomic), so adopt it and just mark
+      if (!Files.exists(slot)) Files.move(staging, slot)
+      Files.writeString(marker, "ok")
+      true
+    }
+  }
+
+  /** Per-bucket event-type counts APPENDED one micro-batch at a time
+    * through [[txnAppend]], with an ENGINE-LEVEL REPLAY forced mid-run:
+    * after phase 1 the checkpoint's newest commit marker is deleted, so
+    * the restarted query re-delivers that batch (same batchId, same rows
+    * from the recorded offsets) — the transaction log must swallow it or
+    * the append duplicates and the GROUP BY oracle breaks. Buckets are
+    * data-derived (event_id % 4 is constant within each staged file), so
+    * the final table equals the batch GROUP BY regardless of delivery
+    * order or replay count. */
+  def streamingTxnAppend(spark: SparkSession, sfDir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val target = Paths.get(sfDir, "events.parquet").toAbsolutePath.normalize
+    val mtime = Files.getLastModifiedTime(target).toMillis
+    val key = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s"$target:$mtime:txn:v1".getBytes("UTF-8"))
+      .take(8).map("%02x".format(_)).mkString
+    val base = Paths.get(sys.props("java.io.tmpdir"), s"graft_txn_$key")
+    val (src, data, chk) =
+      (base.resolve("src"), base.resolve("data"), base.resolve("chk"))
+    val done = base.resolve("_DONE")
+
+    if (!Files.exists(done)) {
+      Files.createDirectories(src)
+      Files.createDirectories(data)
+      val events = graft.Tables.events(spark, sfDir)
+        .select(col("event_id"), col("event_type"))
+      def writeSplit(i: Int): Unit =
+        events.filter(pmod(col("event_id"), lit(4)) === i)
+          .coalesce(1).write.mode("append").parquet(src.toString)
+      def runOnce(): Unit = {
+        val q = spark.readStream
+          .schema(events.schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(src.toString)
+          .writeStream
+          .option("checkpointLocation", chk.toString)
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            val counts = batch
+              .groupBy(pmod(col("event_id"), lit(4)).as("bucket"), col("event_type"))
+              .agg(count(lit(1)).as("n"))
+            txnAppend(data, batchId) { staging =>
+              counts.write.mode("overwrite").parquet(staging.toString)
+            }
+            ()
+          }
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      writeSplit(0); writeSplit(1)
+      runOnce() // phase 1: batches 0 and 1 committed, query stopped
+      // forge the replay: drop the newest STREAMING commit (the sink's
+      // txn marker for that batch stays) — exactly the crash window
+      // between sink write and streaming commit
+      val commits = chk.resolve("commits")
+      val newest = { val l = Files.list(commits)
+        try l.filter(p => !p.getFileName.toString.startsWith("."))
+          .max(java.util.Comparator.comparing[java.nio.file.Path, Long](
+            p => p.getFileName.toString.toLong, java.lang.Long.compare _))
+          .get()
+        finally l.close() }
+      Files.delete(newest)
+      // the local checkpoint FS is checksummed: a stale .N.crc makes the
+      // re-commit's rename half-fail and trip the concurrent-writer guard
+      Files.deleteIfExists(
+        newest.resolveSibling("." + newest.getFileName.toString + ".crc"))
+      writeSplit(2); writeSplit(3)
+      runOnce() // phase 2: batch 1 REPLAYED (skipped by the txn log), 2-3 fresh
+      Files.writeString(done, "ok")
+    }
+    spark.read
+      .parquet({ val l = Files.list(data)
+        try l.filter(p => p.getFileName.toString.startsWith("b"))
+          .map[String](_.toString).toArray(n => new Array[String](n)).toSeq
+        finally l.close() }: _*)
+      .orderBy("bucket", "event_type")
+  }
+
+  /** Replay-count-invisible by construction: the final table must be the
+    * plain batch GROUP BY. */
+  def streamingTxnAppendSql: String =
+    """SELECT event_id % 4 AS bucket, event_type, COUNT(*) AS n
+      |FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin
+
   // ------------------------------------- stream-static enrichment join
   /** Stream-static broadcast enrichment — the remaining Structured
     * Streaming join class next to keyed-state as-of and the two-sided

@@ -72,4 +72,40 @@ class LayoutSpec extends SparkSpec {
       s"expected a range partitioning exchange, got:\n$plan")
     assert(zed.count() == li.count())
   }
+
+  test("zone maps: footer manifest admits a strict file subset and loses no row") {
+    import graft.operators.ZoneMaps
+    val day = 86400000000L
+    val t0 = Tables.events(spark, sf)
+      .agg(min(expr("unix_micros(ts)"))).head.getLong(0)
+    val (scan, admitted, total) = ZoneMaps.skipScan(spark, sf, t0 + 2 * day, t0 + 4 * day - 1)
+    assert(total > 1, "staging must produce multiple range-clustered files")
+    assert(admitted < total, s"no skipping: $admitted/$total files admitted")
+    assert(admitted > 0)
+    // the skipped route must equal the raw-table filter row-for-row
+    val viaZoneMap = scan.collect().map(_.toString).sorted
+    val raw = Tables.events(spark, sf)
+      .select(expr("unix_micros(ts)").as("ts_us"), col("event_type"), col("value"))
+      .filter(col("ts_us").between(t0 + 2 * day, t0 + 4 * day - 1))
+      .collect().map(_.toString).sorted
+    assert(viaZoneMap.nonEmpty)
+    assert(viaZoneMap.sameElements(raw),
+      s"zone-mapped scan diverges: ${viaZoneMap.length} vs ${raw.length} rows")
+  }
+
+  test("zone maps: manifest bands are range-disjoint under the clustered layout") {
+    import graft.operators.ZoneMaps
+    val dir = ZoneMaps.stagedDir(spark, sf)
+    val bands = ZoneMaps.footerManifest(spark, dir).map { case (_, lo, hi) => (lo, hi) }
+      .sortBy(_._1)
+    assert(bands.forall { case (lo, hi) => lo <= hi })
+    // repartitionByRange gives non-overlapping bands (boundary duplicates
+    // of a single key value aside) — the property that makes range
+    // predicates prune well; allow touching endpoints, forbid containment
+    bands.sliding(2).foreach {
+      case Seq((_, hi1), (lo2, _)) => assert(lo2 >= hi1,
+        s"overlapping zone bands: ($hi1) vs ($lo2) — clustering broken")
+      case _ =>
+    }
+  }
 }

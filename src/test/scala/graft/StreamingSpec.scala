@@ -500,4 +500,50 @@ class StreamingSpec extends SparkSpec {
       s"maintained and one-shot rollups diverge: ${maintained.size} vs ${oneShot.size}")
     assert(maintained.values.sum == Tables.events(spark, sf).count())
   }
+
+  test("streaming incremental dedup equals the one-shot batch probe") {
+    // micro-batch chopping must be invisible: each arrival's verdict is a
+    // function of (that doc, corpus index) alone, so the 4-micro-batch
+    // stream must reproduce the one-shot probe row-for-row
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val streamed = graft.streaming.CorpusStreams
+      .streamingIncrementalDedup(spark, sf)
+      .collect().map(_.toString).sorted
+    val oneShot = graft.operators.IncrementalDedup.flagBatchStaged(
+      spark, sf,
+      docs.filter(col("doc_id") % 10 =!= 7),
+      docs.filter(col("doc_id") % 10 === 7))
+      .collect().map(_.toString).sorted
+    assert(streamed.nonEmpty)
+    assert(streamed.sameElements(oneShot),
+      s"stream/batch divergence: ${streamed.length} vs ${oneShot.length} rows")
+  }
+
+  test("txn append sink swallows a forged engine replay (exactly-once)") {
+    // streamingTxnAppend deletes the newest streaming commit between its
+    // two phases, so the restarted query RE-DELIVERS that batch with the
+    // same batchId; the per-batch transaction log must skip it — the
+    // GROUP BY equality below fails on any double-append, and the skip
+    // counter proves the replay actually happened (a silently-absent
+    // replay would make this test vacuous)
+    val result = EventStreams.streamingTxnAppend(spark, sf)
+    val streamed = result
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val batch = Tables.events(spark, sf)
+      .groupBy(pmod(col("event_id"), lit(4)).as("bucket"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(streamed == batch,
+      s"append duplicated or lost rows: ${streamed.size} vs ${batch.size} groups")
+    // persistent replay evidence: the staged run writes _replayed_* when
+    // the txn log skipped the re-delivered batch — it must exist, or the
+    // forged replay never happened and the equality above is vacuous
+    val dataDir = java.nio.file.Paths.get(
+      result.inputFiles.head.stripPrefix("file:")).getParent.getParent
+    val replayed = { val l = java.nio.file.Files.list(dataDir)
+      try l.filter(_.getFileName.toString.startsWith("_replayed_")).count()
+      finally l.close() }
+    assert(replayed > 0, s"no replay marker under $dataDir — test vacuous")
+  }
 }
