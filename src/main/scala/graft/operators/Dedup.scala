@@ -49,8 +49,12 @@ object Dedup {
     // per-document dedup happens INSIDE the row (array_distinct before the
     // explode): same output as a global distinct on (doc_id, shingle) when
     // doc_id is a key — which it is at every call site — but a narrow
-    // codegen'd map instead of a corpus-sized string shuffle
-    docs.select(
+    // codegen'd map instead of a corpus-sized string shuffle.
+    // NULL text has NO shingles: Spark's null-skipping `greatest` would
+    // otherwise turn size(NULL)-n into 0 and mint a '' shingle — pairing
+    // null docs with genuinely-empty ones — while the DuckDB replay's
+    // NULL-propagating greatest() yields no rows; drop nulls to agree.
+    docs.filter(col("text").isNotNull).select(
       col("doc_id"),
       explode(
         array_distinct(transform(
@@ -212,7 +216,10 @@ object Dedup {
     // distinct recomputes ~5x (measured: dominated the operator). Hashing
     // BEFORE the distinct keeps every shuffle in this operator on longs.
     val words = split(trim(col("text")), "\\s+")
-    val sh0 = reps.select(
+    // null text: no shingles (same rule as `shingles()` — the
+    // null-skipping greatest would otherwise mint a '' shingle and pair
+    // the null rep with genuinely-empty docs, which the oracle never does)
+    val sh0 = reps.filter(col("text").isNotNull).select(
       col("doc_id"),
       explode(transform(
         sequence(lit(0), greatest(size(words) - n, lit(0))),
@@ -365,7 +372,11 @@ object Dedup {
     // verified with exact Jaccard), so a JVM-stable hash is sufficient.
     val spark = docs.sparkSession
     import spark.implicits._
-    val banded = reps.select(col("doc_id"), col("text")).as[(Long, String)]
+    // null text = no shingles = no signature (the relational `shingles()`
+    // and the DuckDB replay both drop null docs the same way) — such docs
+    // stay in `members` as exact-dup singletons but cannot near-match
+    val banded = reps.select(col("doc_id"), col("text"))
+      .filter(col("text").isNotNull).as[(Long, String)]
       .mapPartitions { it =>
         it.flatMap { case (id, text) =>
           val mins = minhashSignature(text, n, numHashes, seed)
@@ -546,7 +557,10 @@ object Dedup {
   def simhashSignatures(docs: DataFrame, n: Int = 5): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+    docs.select(col("doc_id"), col("text"))
+      // null text = no terms = no signature, matching the SQL replay's
+      // shingle-table absence (minhashLsh applies the same rule)
+      .filter(col("text").isNotNull).as[(Long, String)]
       .map { case (id, text) =>
         // trimSpaces, not String.trim: must shingle identically to the
         // SQL replay (simhashPairsSql trims spaces only)

@@ -67,13 +67,24 @@ object Multimodal {
       (width, height, channels, features)
     }
 
-    /** Fake frame sampler: fixed-size character windows stand in for
-      * frames (the testdata corpus is ASCII, so chars == bytes; a real
-      * codec would window bytes/containers). */
-    def sampleFrames(text: String, frameChars: Int, everyN: Int): Seq[(Long, String)] =
-      text.grouped(frameChars).zipWithIndex
-        .collect { case (chunk, idx) if idx % everyN == 0 => ((idx / everyN).toLong, chunk) }
-        .toSeq
+    /** Fake frame sampler: fixed-size CODEPOINT windows stand in for
+      * frames (a real codec would window bytes/containers). Codepoints,
+      * not UTF-16 units: the DuckDB replay windows with substr()/length()
+      * which count codepoints, so a surrogate-pair emoji must not shift
+      * the frame boundary in one engine only. */
+    def sampleFrames(text: String, frameChars: Int, everyN: Int): Seq[(Long, String)] = {
+      val out = Seq.newBuilder[(Long, String)]
+      var idx = 0
+      var start = 0
+      while (start < text.length) {
+        val take = math.min(frameChars, text.codePointCount(start, text.length))
+        val end = text.offsetByCodePoints(start, take)
+        if (idx % everyN == 0) out += (((idx / everyN).toLong, text.substring(start, end)))
+        idx += 1
+        start = end
+      }
+      out.result()
+    }
   }
 
   /** ======= REAL codec: pure-JVM image decode =======
@@ -302,7 +313,11 @@ object Multimodal {
   def decodeFeatures(assets: DataFrame): DataFrame = {
     val spark = assets.sparkSession
     import spark.implicits._
-    assets.select(col("asset_id"), col("media")).as[(Long, Array[Byte])]
+    // a NULL payload is an undecodable asset, not a zero-byte one: it is
+    // dropped here, and every oracle derives its rows from non-null text
+    // the same way (md5(NULL) is NULL in both engines)
+    assets.select(col("asset_id"), col("media"))
+      .filter(col("media").isNotNull).as[(Long, Array[Byte])]
       .mapPartitions { it =>
         val md = MessageDigest.getInstance("MD5") // reused across the batch
         it.map { case (id, bytes) =>
@@ -320,7 +335,8 @@ object Multimodal {
     val fs = (0 until 8)
       .map(j => s"CAST(${hv(17 + 2 * j, 2)} AS DOUBLE)/255.0 AS f$j").mkString(", ")
     s"""WITH h AS (SELECT doc_id AS asset_id, md5(text) AS hex,
-       |                  octet_length(CAST(text AS BLOB)) AS n_bytes FROM documents)
+       |                  octet_length(encode(text)) AS n_bytes
+       |           FROM documents WHERE text IS NOT NULL)
        |SELECT asset_id, CAST(64 + ${hv(1, 3)} % 1024 AS BIGINT) AS width,
        |       CAST(64 + ${hv(4, 3)} % 1024 AS BIGINT) AS height,
        |       CAST(1 + ${hv(7, 1)} % 4 AS BIGINT) AS channels, n_bytes, $fs
@@ -337,7 +353,8 @@ object Multimodal {
       everyN: Int = 2): DataFrame = {
     val spark = assets.sparkSession
     import spark.implicits._
-    assets.select(col("asset_id"), col("media")).as[(Long, Array[Byte])]
+    assets.select(col("asset_id"), col("media"))
+      .filter(col("media").isNotNull).as[(Long, Array[Byte])]
       .mapPartitions { it =>
         val md = MessageDigest.getInstance("MD5")
         it.flatMap { case (id, bytes) =>
@@ -345,7 +362,10 @@ object Multimodal {
           StubCodec.sampleFrames(text, frameChars, everyN).map { case (idx, frame) =>
             val fb = frame.getBytes(StandardCharsets.UTF_8)
             val (w, h, _, f) = StubCodec.decode(md, fb)
-            (id, idx, w.toLong, h.toLong, frame.length.toLong,
+            // codepoint count, not String.length: DuckDB's length() —
+            // the oracle's frame_chars — counts codepoints
+            (id, idx, w.toLong, h.toLong,
+              frame.codePointCount(0, frame.length).toLong,
               f(0), f(1), f(2), f(3), f(4), f(5), f(6), f(7))
           }
         }
@@ -363,7 +383,7 @@ object Multimodal {
        |         substr(text, CAST(i*$frameChars+1 AS INTEGER), $frameChars) AS frame
        |  FROM (SELECT doc_id, text,
        |          unnest(range(0, CAST(ceil(length(text)/$frameChars.0) AS BIGINT))) AS i
-       |        FROM documents)
+       |        FROM documents WHERE text IS NOT NULL)
        |  WHERE i % $everyN = 0
        |), h AS (SELECT asset_id, frame_idx, md5(frame) AS hex,
        |                CAST(length(frame) AS BIGINT) AS frame_chars FROM chunks)
@@ -406,7 +426,8 @@ object Multimodal {
   def featureNearDupSql(tau: Double = 0.99): String = {
     def hv(pos: Int) = OracleSql.hexVal("md5(text)", pos, 2)
     val vec = (0 until 8).map(j => s"CAST(${hv(17 + 2 * j)} AS DOUBLE)/255.0").mkString("[", ", ", "]")
-    s"""WITH f AS (SELECT doc_id AS asset_id, CAST($vec AS FLOAT[]) AS v FROM documents)
+    s"""WITH f AS (SELECT doc_id AS asset_id, CAST($vec AS FLOAT[]) AS v
+       |           FROM documents WHERE text IS NOT NULL)
        |SELECT a.asset_id AS asset_a, b.asset_id AS asset_b
        |FROM f a JOIN f b ON a.asset_id < b.asset_id
        |WHERE list_cosine_similarity(CAST(a.v AS DOUBLE[]), CAST(b.v AS DOUBLE[])) >= $tau
@@ -439,7 +460,8 @@ object Multimodal {
   def featureNearDupLshSql(tau: Double = 0.99): String = {
     def hv(pos: Int) = OracleSql.hexVal("md5(text)", pos, 2)
     val vec = (0 until 8).map(j => s"CAST(${hv(17 + 2 * j)} AS DOUBLE)/255.0").mkString("[", ", ", "]")
-    s"""WITH vecs AS (SELECT doc_id AS vec_id, CAST($vec AS FLOAT[]) AS v FROM documents),
+    s"""WITH vecs AS (SELECT doc_id AS vec_id, CAST($vec AS FLOAT[]) AS v
+       |              FROM documents WHERE text IS NOT NULL),
        |${OracleSql.lshCandidatesSql(dim = 8, nTables = 8, bitsPerTable = 16, seed = 42L, center = true)}
        |SELECT c.vec_a AS asset_a, c.vec_b AS asset_b
        |FROM cands c

@@ -28,7 +28,10 @@ object SequencePacking {
     import spark.implicits._
     val sorted = docs
       .select(col("doc_id"),
-        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+        // null text packs zero tokens (the oracle COALESCEs identically);
+        // empty text is [''] = 1 token in BOTH engines, left as-is
+        coalesce(size(split(trim(col("text")), "\\s+")).cast("long"), lit(0L))
+          .as("n_tokens"))
       .orderBy("doc_id")
       .as[(Long, Long)]
       .rdd
@@ -58,8 +61,8 @@ object SequencePacking {
        |  CAST(floor(CAST(cum - n_tokens AS DOUBLE) / $budgetTokens) AS BIGINT) AS bin
        |FROM (
        |  SELECT doc_id,
-       |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
-       |    SUM(CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)) OVER (
+       |    COALESCE(CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT), 0) AS n_tokens,
+       |    SUM(COALESCE(CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT), 0)) OVER (
        |      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
        |  FROM documents)
        |ORDER BY doc_id""".stripMargin

@@ -73,8 +73,12 @@ object ShardedSink {
   def provenance(spark: SparkSession, sfDir: String, nShards: Int = 16): DataFrame =
     spark.read.parquet(stagedDir(spark, sfDir, nShards))
       .select(col("text"), col("n_chars"),
-        regexp_extract(col("_metadata").getField("file_path"),
-          "shard=(\\d+)/", 1).cast("long").as("shard"))
+        // null-text rows hash to a NULL shard and land in the Hive
+        // default partition — no digits in the path, so the extract
+        // yields '' and must become a NULL shard (matching the oracle's
+        // md5(NULL) group), not an ANSI cast failure
+        nullif(regexp_extract(col("_metadata").getField("file_path"),
+          "shard=(\\d+)/", 1), lit("")).cast("long").as("shard"))
       .groupBy("shard")
       .agg(
         count(lit(1)).as("n_docs"),

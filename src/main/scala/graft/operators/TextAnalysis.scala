@@ -306,7 +306,9 @@ object TextAnalysis {
     */
   def repetition(docs: DataFrame): DataFrame = {
     val words = wsTokens
-    val nWords = size(words)
+    // null text measures as zero words (all-zero metrics row, the same
+    // COALESCE contract as the oracle) — size(NULL) is NULL, not 0
+    val nWords = coalesce(size(words), lit(0))
 
     def grams(n: Int) =
       when(nWords < n, array().cast("array<string>"))
@@ -333,7 +335,8 @@ object TextAnalysis {
     docs.select(
       col("doc_id"),
       nWords.cast("long").as("n_words"),
-      (nWords - size(array_distinct(words))).cast("long").as("n_dup_words"),
+      coalesce(nWords - size(array_distinct(words)), lit(0))
+        .cast("long").as("n_dup_words"),
       grams(2).as("g2"), grams(3).as("g3"))
       .select(
         col("doc_id"), col("n_words"),
@@ -423,8 +426,8 @@ object TextAnalysis {
       |tc AS (SELECT doc_id, g, COUNT(*) AS c FROM t GROUP BY doc_id, g),
       |ttop AS (SELECT doc_id, MAX(c) AS top3, SUM(c) AS n3 FROM tc GROUP BY doc_id)
       |SELECT base.doc_id,
-      |  CAST(n_words AS BIGINT) AS n_words,
-      |  CASE WHEN n_words = 0 THEN 0.0
+      |  CAST(COALESCE(n_words, 0) AS BIGINT) AS n_words,
+      |  CASE WHEN COALESCE(n_words, 0) = 0 THEN 0.0
       |       ELSE ROUND(CAST(n_dup_words AS DOUBLE) / n_words, 6) END AS dup_word_ratio,
       |  CAST(COALESCE(n2, 0) AS BIGINT) AS n_bigrams,
       |  CAST(COALESCE(top2, 0) AS BIGINT) AS top_bigram_count,
@@ -456,8 +459,11 @@ object TextAnalysis {
     // materialize the hash array in its OWN projection: the sliding-window
     // stage references it once per window, and inlining (project collapse)
     // would re-run the whole md5 pipeline per window — O(len^2) hashing
-    // per doc (measured: 263 s vs ~1 s at sf0.1)
-    val hashed = docs.select(col("doc_id"), hashes.as("hs"))
+    // per doc (measured: 263 s vs ~1 s at sf0.1).
+    // null text has no fingerprint (the oracle filters identically) —
+    // unfiltered, Spark's null-skipping greatest would mint hash('')
+    val hashed = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), hashes.as("hs"))
     val hs = col("hs")
     val picks = when(size(hs) <= w, array(array_min(hs)))
       .otherwise(array_distinct(transform(
@@ -488,7 +494,10 @@ object TextAnalysis {
     val grams = transform(
       sequence(lit(0), greatest(size(words) - k, lit(0))),
       i => concat_ws(" ", slice(words, i + 1, lit(k))))
-    val positional = docs
+    // gram minting skips null text (the null-skipping greatest would
+    // otherwise mint a '' gram and inflate the '' doc-frequency by one
+    // relative to the oracle's NULL-propagating replay)
+    val positional = docs.filter(col("text").isNotNull)
       .select(col("doc_id"), posexplode(grams).as(Seq("pos", "gram")))
       .select(col("doc_id"), col("pos"),
         Dedup.hash64Col(col("gram")).as("h"))
@@ -532,7 +541,10 @@ object TextAnalysis {
     val grams = transform(
       sequence(lit(0), greatest(size(words) - k, lit(0))),
       i => concat_ws(" ", slice(words, i + 1, lit(k))))
-    val positional = docs
+    // gram minting skips null text (the null-skipping greatest would
+    // otherwise mint a '' gram and inflate the '' doc-frequency by one
+    // relative to the oracle's NULL-propagating replay)
+    val positional = docs.filter(col("text").isNotNull)
       .select(col("doc_id"), posexplode(grams).as(Seq("pos", "gram")))
       .select(col("doc_id"), col("pos"),
         Dedup.hash64Col(col("gram")).as("h"))
@@ -622,7 +634,8 @@ object TextAnalysis {
 
   def winnowingSql(k: Int = 5, w: Int = 4): String = {
     val h = OracleSql.hexVal("md5(gram)", 1, 8)
-    s"""WITH words AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+    s"""WITH words AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+       |               FROM documents WHERE text IS NOT NULL),
        |grams AS (
        |  SELECT doc_id, i, array_to_string(w[i:i+${k - 1}], ' ') AS gram
        |  FROM (SELECT doc_id, w, unnest(range(1, greatest(len(w)-${k - 1},1)+1)) AS i FROM words)

@@ -37,7 +37,9 @@ object BinaryFiles {
   private[graft] def stagedDir(spark: SparkSession, sfDir: String): String = {
     val src = Paths.get(sfDir, "documents.parquet").toAbsolutePath.normalize
     val key = java.security.MessageDigest.getInstance("SHA-256")
-      .digest(s"binfiles:$src:${Files.getLastModifiedTime(src).toMillis}".getBytes("UTF-8"))
+      // v2 = staging rule version (empty/null blobs excluded): a rule
+      // change must bust the stage or a reused dir silently diverges
+      .digest(s"binfiles:v2:$src:${Files.getLastModifiedTime(src).toMillis}".getBytes("UTF-8"))
       .take(8).map("%02x".format(_)).mkString
     val dir = Paths.get(sys.props("java.io.tmpdir"), s"graft_binfiles_$key")
     if (!Files.exists(dir.resolve("_DONE"))) {
@@ -45,8 +47,13 @@ object BinaryFiles {
       val dirStr = dir.toString
       // executor-side writes (local-FS staging; a cluster points this at
       // DFS) — one file per row, names carry the key so reruns are moot
+      // zero-byte blobs are not ingestible assets — Spark's file listing
+      // plans no split for an empty file, so staging one would make the
+      // manifest silently shorter than the oracle; null text cannot
+      // stage at all. Both predicates replay in the oracle.
       Tables.documents(spark, sfDir)
-        .filter(col("doc_id") % Stride === 0)
+        .filter(col("doc_id") % Stride === 0 &&
+          col("text").isNotNull && length(col("text")) > 0)
         .select(col("doc_id"), col("text"))
         .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
           it.foreach { r =>
@@ -77,7 +84,8 @@ object BinaryFiles {
     s"""SELECT 'doc_' || doc_id AS name,
        |  CAST(strlen(text) AS BIGINT) AS bytes,
        |  CAST($hv AS BIGINT) AS h
-       |FROM documents WHERE doc_id % $Stride = 0
+       |FROM documents
+       |WHERE doc_id % $Stride = 0 AND text IS NOT NULL AND strlen(text) > 0
        |ORDER BY name""".stripMargin
   }
 }

@@ -31,15 +31,22 @@ object CsvLines {
   private[graft] def stagedDir(spark: SparkSession, sfDir: String): String = {
     val src = Paths.get(sfDir, "documents.parquet").toAbsolutePath.normalize
     val key = java.security.MessageDigest.getInstance("SHA-256")
-      .digest(s"csv:v2:$src:${Files.getLastModifiedTime(src).toMillis}".getBytes("UTF-8"))
+      .digest(s"csv:v3:$src:${Files.getLastModifiedTime(src).toMillis}".getBytes("UTF-8"))
       .take(8).map("%02x".format(_)).mkString
     val dir = Paths.get(sys.props("java.io.tmpdir"), s"graft_csv_$key")
     if (!Files.exists(dir.resolve("_SUCCESS"))) {
       // the WRITE path defaults ignoreLeading/TrailingWhiteSpace to TRUE
       // (silent field trimming — a lossy default the checksum would catch
       // only on data that HAS edge whitespace); pin both off explicitly
+      // CSV's classic lossiness is the empty-vs-null ambiguity: with the
+      // defaults an empty STRING and a NULL both serialize to an empty
+      // field and both read back as NULL. Pin an explicit null token so
+      // the round trip is a bijection (the md5 checksum caught this on
+      // the adversarial fixture — '' docs came back NULL)
       Tables.documents(spark, sfDir).write.mode("overwrite")
         .option("header", "true")
+        .option("nullValue", "\\N")
+        .option("emptyValue", "\"\"")
         .option("ignoreLeadingWhiteSpace", "false")
         .option("ignoreTrailingWhiteSpace", "false")
         .csv(dir.toString)
@@ -56,6 +63,8 @@ object CsvLines {
       .schema(JsonLines.documentsSchema)
       .option("header", "true")
       .option("mode", "FAILFAST")
+      .option("nullValue", "\\N")
+      .option("emptyValue", "")
       .csv(stagedDir(spark, sfDir))
       .groupBy("lang", "source")
       .agg(
