@@ -132,6 +132,7 @@ object PipelineQueries {
     "text_pii_scrub" -> Seq("doc_id"),
     "report_filter_reasons" -> Seq("rule"),
     "sink_zonemap_skip" -> Seq("event_type"),
+    "source_quarantine" -> Seq("status"),
     "ann_topk" -> Seq("query_id", "rank"),
     "ann_near_dup" -> Seq("vec_a", "vec_b"),
     "ann_lsh" -> Seq("query_id", "rank"),
@@ -362,6 +363,10 @@ object PipelineQueries {
     "source_jsonl" -> ((s, d) => graft.sources.JsonLines.roundTripAgg(s, d)),
     // --- CSV source round-trip (same contract, shared oracle) ---
     "source_csv" -> ((s, d) => graft.sources.CsvLines.roundTripAgg(s, d)),
+    // PERMISSIVE + _corrupt_record routing: corrupt lines quarantined,
+    // clean rows checksummed — the ingest stance FAILFAST cannot take
+    "source_quarantine" -> ((s, d) =>
+      graft.sources.JsonQuarantine.quarantineReport(s, d)),
     // --- ORC source round-trip (columnar twin; schema as a CHECK) ---
     "source_orc" -> ((s, d) => graft.sources.OrcSource.roundTripAgg(s, d)),
     // additive schema evolution: mergeSchema union, old files null-fill
@@ -540,6 +545,7 @@ object PipelineQueries {
     // content checksum proves the JSONL round-trip is lossless
     "source_jsonl" -> graft.sources.JsonLines.roundTripAggSql,
     "source_csv" -> graft.sources.CsvLines.roundTripAggSql,
+    "source_quarantine" -> graft.sources.JsonQuarantine.quarantineReportSql,
     "source_orc" -> graft.sources.OrcSource.roundTripAggSql,
     "source_schema_evolution" -> graft.sources.SchemaEvolution.evolvedReadSql,
     "source_binary" -> graft.sources.BinaryFiles.binaryManifestSql,

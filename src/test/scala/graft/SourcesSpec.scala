@@ -139,4 +139,24 @@ class SourcesSpec extends SparkSpec {
     val fromFiles = m.map(r => r.getAs[Long]("shard") -> r.getAs[Long]("n_docs")).toMap
     assert(fromFiles == direct)
   }
+
+  test("quarantine routing: nothing dropped, nothing poisoned, clean side byte-true") {
+    val (clean, quarantine) = graft.sources.JsonQuarantine.route(spark, sf)
+    val docs = Tables.documents(spark, sf)
+    // conservation: every staged line is exactly one of clean/quarantined
+    assert(clean.count() + quarantine.count() == docs.count())
+    // the routing decision is exactly the staged corruption rule
+    val cleanIds = clean.select("doc_id").collect().map(_.getLong(0)).toSet
+    val expected = docs.filter(col("doc_id") % 37 =!= 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(cleanIds == expected, "routing decision diverged from the corruption rule")
+    // clean rows survive parse byte-true (PERMISSIVE must not null-pad
+    // fields of VALID lines)
+    val back = clean.select("doc_id", "text", "lang", "source", "n_chars")
+    val orig = docs.filter(col("doc_id") % 37 =!= 0)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    assert(back.exceptAll(orig).isEmpty && orig.exceptAll(back).isEmpty)
+    // quarantined lines carry the raw offending bytes, not nulls
+    assert(quarantine.filter(col("raw_line").isNull).isEmpty)
+  }
 }
