@@ -155,7 +155,10 @@ object Evaluate {
       f"meanRank=${row.getAs[Double]("mean_rank")}%.2f " +
       f"meanRankHead=${row.getAs[Double]("mean_rank_head")}%.2f " +
       f"meanRankTail=${row.getAs[Double]("mean_rank_tail")}%.2f " +
-      f"hits@$hitsK=${row.getAs[Double](s"hits_at_$hitsK") * 100}%.2f%%")
+      f"hits@$hitsK=${row.getAs[Double](s"hits_at_$hitsK") * 100}%.2f%% " +
+      f"mrr=${row.getAs[Double]("mrr")}%.4f " +
+      f"hits@1=${row.getAs[Double]("hits_at_1") * 100}%.2f%% " +
+      f"hits@3=${row.getAs[Double]("hits_at_3") * 100}%.2f%%")
     if (owned) spark.stop()
   }
 }

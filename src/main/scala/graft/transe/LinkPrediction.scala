@@ -395,13 +395,27 @@ object LinkPrediction {
     metrics(rankTriples(test, model).toDF(), hitsK)
 
   private def metrics(ranks: DataFrame, hitsK: Int): DataFrame = {
+    def hitsAt(k: Int) =
+      ((avg(when(col("rank_head") <= k, 1.0).otherwise(0.0)) +
+        avg(when(col("rank_tail") <= k, 1.0).otherwise(0.0))) / 2)
+        .as(s"hits_at_$k")
     ranks.agg(
       ((avg(col("rank_head")) + avg(col("rank_tail"))) / 2).as("mean_rank"),
       avg(col("rank_head")).as("mean_rank_head"),
       avg(col("rank_tail")).as("mean_rank_tail"),
-      ((avg(when(col("rank_head") <= hitsK, 1.0).otherwise(0.0)) +
-        avg(when(col("rank_tail") <= hitsK, 1.0).otherwise(0.0))) / 2)
-        .as(s"hits_at_$hitsK"),
-      (count(lit(1)) * 2).as("n_ranks"))
+      hitsAt(hitsK),
+      (count(lit(1)) * 2).as("n_ranks"),
+      // the post-Bordes reporting protocol (columns APPENDED: the golden
+      // gates read 0-4 positionally): MRR + the standard hits ladder.
+      // Reciprocals ride a fixed-scale DECIMAL (the q1 carrier
+      // discipline): double summation order varies with partitioning and
+      // moved the broadcast-vs-partitioned bit-equality gate by 2 ULPs;
+      // per-element double reciprocal -> decimal cast is deterministic
+      // and decimal SUM is exact, so the mean is partitioning-blind
+      ((avg((lit(1.0) / col("rank_head")).cast("decimal(28,20)")) +
+        avg((lit(1.0) / col("rank_tail")).cast("decimal(28,20)"))) / 2)
+        .cast("double").as("mrr"),
+      hitsAt(1),
+      hitsAt(3))
   }
 }

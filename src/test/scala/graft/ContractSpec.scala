@@ -73,6 +73,17 @@ class ContractSpec extends SparkSpec {
       case (a, b) => assert(math.abs(a - b) <= 1e-9 * math.max(1.0, math.abs(b)),
         s"eval metrics drifted: got $got")
     }
+    // appended protocol columns (round 8): MRR + hits ladder. Properties,
+    // not goldens — each is a mathematical consequence of rank validity:
+    // AM-HM gives mrr >= 1/mean_rank; the ladder is monotone by
+    // definition; all live in (0, 1].
+    val (mrr, h1, h3) =
+      (row.getAs[Double]("mrr"), row.getAs[Double]("hits_at_1"),
+        row.getAs[Double]("hits_at_3"))
+    assert(mrr > 0.0 && mrr <= 1.0, s"mrr out of range: $mrr")
+    assert(mrr >= 1.0 / row.getDouble(0) - 1e-12, s"AM-HM violated: $mrr vs $mr")
+    assert(h1 <= h3 + 1e-12 && h3 <= row.getDouble(3) + 1e-12,
+      s"hits ladder not monotone: $h1 / $h3 / ${row.getDouble(3)}")
   }
 
   test("golden gate: filtered eval matches its recording and dominates raw") {
