@@ -325,6 +325,33 @@ object TransEQueries {
        |SELECT id, CAST(${evalParams.dim} AS BIGINT) AS dim, CAST(1.0 AS DOUBLE) AS l2_norm
        |FROM ents ORDER BY id""".stripMargin
 
+  // --------------------------------------- transe_relation_categories
+  /** Bordes §4 relation cardinality classification over the raw KG —
+    * integer-ppm ratios, full hash oracle. The per-category EVAL slice
+    * ([[LinkPrediction.evaluateByCategory]]) builds on this table;
+    * SyntheticKgSpec exercises it where multiple categories exist. */
+  def relationCategories(spark: SparkSession, dir: String): DataFrame =
+    LinkPrediction.relationCategories(kgTriples(spark, dir)).orderBy("l")
+
+  val relationCategoriesSql: String =
+    s"""WITH kg AS (\n$kgSqlBody\n),
+       |agg AS (
+       |  SELECT l, COUNT(*) AS n_triples,
+       |    COUNT(DISTINCT h) AS n_heads, COUNT(DISTINCT t) AS n_tails
+       |  FROM kg GROUP BY l)
+       |SELECT l, CAST(n_triples AS BIGINT) AS n_triples,
+       |  CAST(n_heads AS BIGINT) AS n_heads, CAST(n_tails AS BIGINT) AS n_tails,
+       |  CAST(n_triples * 1000000 // n_heads AS BIGINT) AS tph_ppm,
+       |  CAST(n_triples * 1000000 // n_tails AS BIGINT) AS hpt_ppm,
+       |  CASE WHEN n_triples * 1000000 // n_heads < 1500000
+       |         AND n_triples * 1000000 // n_tails < 1500000 THEN '1-1'
+       |       WHEN n_triples * 1000000 // n_heads >= 1500000
+       |         AND n_triples * 1000000 // n_tails < 1500000 THEN '1-N'
+       |       WHEN n_triples * 1000000 // n_heads < 1500000
+       |         AND n_triples * 1000000 // n_tails >= 1500000 THEN 'N-1'
+       |       ELSE 'N-N' END AS category
+       |FROM agg ORDER BY l""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "kg_triples" -> (kgTriplesSorted _),
     "kg_encode"  -> (kgEncode _),
@@ -333,10 +360,12 @@ object TransEQueries {
     "transe_eval" -> (transeEval _),
     "transe_eval_filtered" -> (transeEvalFiltered _),
     "transe_eval_partitioned" -> (transeEvalPartitioned _),
+    "transe_relation_categories" -> (relationCategories _),
     "transe_embeddings" -> (transeEmbeddings _))
 
   val oracles: Map[String, String] = Map(
     "kg_triples" -> kgTriplesSql,
     "kg_encode"  -> kgEncodeSql,
+    "transe_relation_categories" -> relationCategoriesSql,
     "transe_embeddings" -> transeEmbeddingsSql)
 }

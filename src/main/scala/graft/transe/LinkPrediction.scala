@@ -23,9 +23,11 @@ import org.apache.spark.sql.functions._
   */
 object LinkPrediction {
 
-  final case class Ranks(rank_head: Long, rank_tail: Long)
+  final case class Ranks(l: Int, rank_head: Long, rank_tail: Long)
 
-  /** Per-triple head and tail ranks (1-based, optimistic tie-handling). */
+  /** Per-triple head and tail ranks (1-based, optimistic tie-handling);
+    * `l` carries the relation so metrics can slice by cardinality
+    * category (the paper's Table-4 protocol). */
   def rankTriples(test: Dataset[Triple], model: TransEModel): Dataset[Ranks] = {
     val spark = test.sparkSession
     import spark.implicits._
@@ -85,7 +87,7 @@ object LinkPrediction {
         }
 
         val (lessH, lessT) = fusedCounts(ent, end, k, u, v, dTrueHead, dTrueTail, l1)
-        Ranks(lessH + 1, lessT + 1)
+        Ranks(tr.l, lessH + 1, lessT + 1)
       }
     }
   }
@@ -243,7 +245,7 @@ object LinkPrediction {
           else while (j < k) { val b = v(j) - ent(off + j); s += b.toDouble * b; j += 1 }
           if (s < dTrueTail) lessT -= 1
         })
-        Ranks(lessH + 1, lessT + 1)
+        Ranks(tl, lessH + 1, lessT + 1)
       }
     }
   }
@@ -353,7 +355,7 @@ object LinkPrediction {
         })
     bc.destroy()
     spark.createDataset(
-      (0 until m).map(p => Ranks(lessH(p) + 1, lessT(p) + 1)))
+      (0 until m).map(p => Ranks(triples(p).l, lessH(p) + 1, lessT(p) + 1)))
   }
 
   /** [[evaluate]] over a distributed entity matrix — metrics from
@@ -417,5 +419,45 @@ object LinkPrediction {
         .cast("double").as("mrr"),
       hitsAt(1),
       hitsAt(3))
+  }
+
+  // ------------------------- relation cardinality categories (Table 4)
+  /** Bordes et al. §4's relation classification: per relation, the
+    * averaged tails-per-head (tph = triples / distinct heads) and
+    * heads-per-tail (hpt = triples / distinct tails), thresholded at 1.5
+    * into 1-1 / 1-N / N-1 / N-N. Ratios are integer ppm (matching the
+    * engine's DuckDB-replay discipline), so the table is a full hash
+    * oracle over any (h, l, t) frame — raw string KG or encoded ids.
+    * One |triples| shuffle keyed on l; the output is |relations|-sized. */
+  def relationCategories(triples: DataFrame): DataFrame =
+    triples.groupBy("l").agg(
+      count(lit(1)).as("n_triples"),
+      countDistinct(col("h")).as("n_heads"),
+      countDistinct(col("t")).as("n_tails"))
+      .withColumn("tph_ppm", expr("n_triples * 1000000 DIV n_heads"))
+      .withColumn("hpt_ppm", expr("n_triples * 1000000 DIV n_tails"))
+      .withColumn("category",
+        when(col("tph_ppm") < 1500000L && col("hpt_ppm") < 1500000L, "1-1")
+          .when(col("tph_ppm") >= 1500000L && col("hpt_ppm") < 1500000L, "1-N")
+          .when(col("tph_ppm") < 1500000L && col("hpt_ppm") >= 1500000L, "N-1")
+          .otherwise("N-N"))
+
+  /** The paper's Table-4 breakdown: hits@k split by predicted side AND
+    * the relation's cardinality category (computed from `train` — the
+    * graph the model saw). A 1-N relation is easy on the 1 side and hard
+    * on the N side; this table is where that asymmetry becomes visible.
+    * Output: one row per category present in the test set —
+    * (category, n_triples, hits_head, hits_tail). */
+  def evaluateByCategory(test: Dataset[Triple], model: TransEModel,
+      train: Dataset[Triple], hitsK: Int = 10): DataFrame = {
+    val cats = relationCategories(train.toDF()).select("l", "category")
+    rankTriples(test, model).toDF()
+      .join(broadcast(cats), Seq("l"), "left")
+      .na.fill("unseen", Seq("category")) // test-only relations: loud, not dropped
+      .groupBy("category")
+      .agg(
+        count(lit(1)).as("n_triples"),
+        avg(when(col("rank_head") <= hitsK, 1.0).otherwise(0.0)).as("hits_head"),
+        avg(when(col("rank_tail") <= hitsK, 1.0).otherwise(0.0)).as("hits_tail"))
   }
 }

@@ -65,5 +65,37 @@ class SyntheticKgSpec extends SparkSpec {
     assert(head < random / 22, s"head mean rank $head not reference-grade")
     // hits@10: reference-grade is 0.37; the learnable chain should beat it
     assert(hits > 0.5, s"hits@10 $hits below reference grade")
+
+    // ------- Table-4 protocol: per-cardinality-category breakdown -------
+    // the chain relations are strictly functional both ways, so the
+    // classifier must call them 1-1; the weighted per-category hits must
+    // re-compose to the overall metric (internal consistency, no golden)
+    val cats = LinkPrediction.relationCategories(
+      DictionaryEncoder.encode(all, ents, labs).toDF())
+      .collect().map(r => r.getAs[Int]("l") -> r.getAs[String]("category")).toMap
+    assert(cats.values.toSet == Set("1-1"),
+      s"chain relations are functional both ways, got $cats")
+    val byCat = LinkPrediction.evaluateByCategory(test, model, train).collect()
+    assert(byCat.map(_.getAs[Long]("n_triples")).sum == test.count())
+    val recomposed = byCat.map(r =>
+      (r.getAs[Double]("hits_head") + r.getAs[Double]("hits_tail")) / 2 *
+        r.getAs[Long]("n_triples")).sum / test.count()
+    assert(math.abs(recomposed - hits) < 1e-9,
+      s"per-category hits do not recompose to the overall metric: $recomposed vs $hits")
+  }
+
+  test("relation categories: hand-built KG hits all four cardinality classes") {
+    import spark.implicits._
+    // f: functional both ways (1-1); one_to_n: each head fans to 3 tails;
+    // n_to_one: 3 heads converge per tail; m: full bipartite 3x3 (N-N)
+    val triples =
+      (0 until 4).map(i => ("a" + i, "f", "b" + i)) ++
+        (0 until 3).flatMap(i => (0 until 3).map(j => (s"h$i", "one_to_n", s"t${i}_$j"))) ++
+        (0 until 3).flatMap(i => (0 until 3).map(j => (s"x${i}_$j", "n_to_one", s"y$i"))) ++
+        (0 until 3).flatMap(i => (0 until 3).map(j => (s"p$i", "m", s"q$j")))
+    val got = LinkPrediction.relationCategories(triples.toDF("h", "l", "t"))
+      .collect().map(r => r.getAs[String]("l") -> r.getAs[String]("category")).toMap
+    assert(got == Map("f" -> "1-1", "one_to_n" -> "1-N",
+      "n_to_one" -> "N-1", "m" -> "N-N"), got.toString)
   }
 }
