@@ -133,6 +133,7 @@ object PipelineQueries {
     "report_filter_reasons" -> Seq("rule"),
     "sink_zonemap_skip" -> Seq("event_type"),
     "source_quarantine" -> Seq("status"),
+    "embed_validate" -> Seq("vec_id"),
     "ann_topk" -> Seq("query_id", "rank"),
     "ann_near_dup" -> Seq("vec_a", "vec_b"),
     "ann_lsh" -> Seq("query_id", "rank"),
@@ -223,6 +224,13 @@ object PipelineQueries {
         strategy = DedupComponents.LargeSmallStar, localThreshold = 0)),
     "dedup_semantic" -> ((s, d) =>
       SemanticDedup.clusters(Tables.embeddings(s, d))),
+    // the ingest gate of the vector family: classify every vector once
+    // (null/empty/ragged/nonfinite/zero), downstream operators assume a
+    // validated corpus (EmbeddingQuality scaladoc: validate-then-assume)
+    "embed_validate" -> ((s, d) => {
+      val vecs = Tables.embeddings(s, d)
+      EmbeddingQuality.validate(vecs, EmbeddingQuality.inferDim(vecs))
+    }),
     // the decision step after components: per cluster keep the highest-
     // QUALITY member, not the smallest id; singletons always kept
     "dedup_retention" -> ((s, d) =>
@@ -546,6 +554,7 @@ object PipelineQueries {
     "source_jsonl" -> graft.sources.JsonLines.roundTripAggSql,
     "source_csv" -> graft.sources.CsvLines.roundTripAggSql,
     "source_quarantine" -> graft.sources.JsonQuarantine.quarantineReportSql,
+    "embed_validate" -> EmbeddingQuality.validateSql,
     "source_orc" -> graft.sources.OrcSource.roundTripAggSql,
     "source_schema_evolution" -> graft.sources.SchemaEvolution.evolvedReadSql,
     "source_binary" -> graft.sources.BinaryFiles.binaryManifestSql,
