@@ -189,6 +189,77 @@ object IvfAnn {
     out
   }
 
+  /** The probe half of the index-build/probe split, over an ALREADY
+    * assigned corpus: queries route to their `nProbe` nearest cells and
+    * rank only that candidate set — the per-query cost a serving path
+    * pays. Factored out so the STREAMING consumer can assign the corpus
+    * ONCE and probe every micro-batch against it. */
+  def probeAssigned(assigned: DataFrame, centroids: Array[Array[Long]],
+      queries: DataFrame, nProbe: Int = 4, k: Int = 5): DataFrame = {
+    val spark = assigned.sparkSession
+    val probes = probeCells(queries, centroids, nProbe)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("cell"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    probes.join(assigned.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("n_emb"), col("cell")), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", graft.functions.VectorFunctions.cosine(spark,
+        col("q_emb"), col("n_emb")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"))
+  }
+
+  /** IVF top-k of QUERIES against a SEPARATE corpus (the index-build /
+    * probe split of [[topK]]'s self-ANN): centroids train on the corpus
+    * only — queries must not shape the index they probe — and each
+    * query ranks the corpus vectors in its `nProbe` nearest cells.
+    * Ids are assumed disjoint (the self-pair guard stays as a belt). */
+  def topKAgainst(corpus: DataFrame, queries: DataFrame, nCells: Int = 16,
+      nProbe: Int = 4, k: Int = 5, iters: Int = 2): DataFrame = {
+    val centroids = trainCentroids(corpus, nCells, iters)
+    val assigned = assign(corpus, centroids).persist()
+    val out = probeAssigned(assigned, centroids, queries, nProbe, k).persist()
+    out.count() // materialize, then drop the cell-assignment cache
+    assigned.unpersist()
+    out
+  }
+
+  /** DuckDB replay of [[topKAgainst]] where corpus/queries are SQL
+    * slices of the embeddings table (`queryPred` selects the queries):
+    * centroids train on the corpus slice, query vectors rank the same
+    * probed candidates. */
+  def topKAgainstSql(dim: Int, queryPred: String, nCells: Int = 16,
+      nProbe: Int = 4, k: Int = 5, iters: Int = 2): String = {
+    s"""WITH corpus_src AS (SELECT * FROM embeddings WHERE NOT ($queryPred)),
+       |${assignCtesSql(dim, nCells, iters, src = "corpus_src")},
+       |aq AS (SELECT vec_id, embedding AS v FROM embeddings WHERE $queryPred),
+       |aqv AS (SELECT vec_id, CAST(ri.i AS INTEGER) AS i,
+       |    CAST(floor(CAST(v[CAST(ri.i + 1 AS INTEGER)] AS DOUBLE) * 1048576.0) AS BIGINT) AS q
+       |  FROM aq, range($dim) AS ri(i)),
+       |adF AS (SELECT aqv.vec_id, c.c, SUM((aqv.q - c.cv) * (aqv.q - c.cv)) AS dist
+       |  FROM aqv JOIN c$iters c USING (i) GROUP BY aqv.vec_id, c.c),
+       |probes AS (SELECT vec_id AS query_id, c AS cell FROM (
+       |    SELECT vec_id, c, ROW_NUMBER() OVER (
+       |      PARTITION BY vec_id ORDER BY dist, c) AS rn FROM adF)
+       |  WHERE rn <= $nProbe),
+       |scored AS (
+       |  SELECT p.query_id, a.vec_id AS neighbor_id, ROW_NUMBER() OVER (
+       |      PARTITION BY p.query_id
+       |      ORDER BY list_cosine_similarity(CAST(q.v AS DOUBLE[]),
+       |                                      CAST(n.v AS DOUBLE[])) DESC,
+       |               a.vec_id ASC) AS rank
+       |  FROM probes p
+       |  JOIN assigned a ON a.cell = p.cell AND a.vec_id <> p.query_id
+       |  JOIN aq q ON q.vec_id = p.query_id
+       |  JOIN vecs n ON n.vec_id = a.vec_id)
+       |SELECT query_id, rank, neighbor_id FROM scored
+       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
   /** K-means clustering as a first-class operator (the quantizer exposed
     * directly — corpus organization, topic bucketing, SemDeDup's cell
     * step): each vector's cluster, its EXACT integer squared distance to
@@ -245,7 +316,7 @@ object IvfAnn {
     * collision-free CTE names) `Quantization.pqCodesSql`'s per-subspace
     * codebooks. */
   private[operators] def assignCtesSql(dim: Int, nCells: Int, iters: Int,
-      offset: Int = 0, prefix: String = ""): String = {
+      offset: Int = 0, prefix: String = "", src: String = "embeddings"): String = {
     val p = prefix
     // one assign+update round: reads centroid CTE `cin`, emits `cout`
     def round(cin: String, cout: String, n: Int) =
@@ -262,7 +333,7 @@ object IvfAnn {
          |  FROM $cin g LEFT JOIN ${p}m$n m ON m.c = g.c AND m.i = g.i)""".stripMargin
     val rounds = (1 to iters).map(n => round(s"${p}c${n - 1}", s"${p}c$n", n)).mkString(",\n")
     val cFinal = s"${p}c$iters"
-    s"""${p}vecs AS (SELECT vec_id, embedding AS v FROM embeddings),
+    s"""${p}vecs AS (SELECT vec_id, embedding AS v FROM $src),
        |${p}qv AS (SELECT vec_id, CAST(ri.i AS INTEGER) AS i,
        |    CAST(floor(CAST(v[CAST(ri.i + 1 + $offset AS INTEGER)] AS DOUBLE) * 1048576.0) AS BIGINT) AS q
        |  FROM ${p}vecs, range($dim) AS ri(i)),

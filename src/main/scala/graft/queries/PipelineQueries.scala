@@ -138,6 +138,7 @@ object PipelineQueries {
     "ann_near_dup" -> Seq("vec_a", "vec_b"),
     "ann_lsh" -> Seq("query_id", "rank"),
     "ann_ivf" -> Seq("query_id", "rank"),
+    "ann_ivf_probe" -> Seq("query_id", "rank"),
     "cluster_kmeans" -> Seq("vec_id"),
     "embed_random_projection" -> Seq("vec_id"),
     "quantize_int8" -> Seq("vec_id", "i"),
@@ -255,6 +256,14 @@ object PipelineQueries {
     // on hyperplaneBuckets (n <= 5000 -> 12 bits = 4096 buckets/table)
     "ann_lsh" -> ((s, d) => SimilaritySearch.randomHyperplaneAnn(Tables.embeddings(s, d), bitsPerTable = 12)),
     "ann_ivf" -> ((s, d) => IvfAnn.topK(Tables.embeddings(s, d))),
+    // the index-build / probe split: queries rank a corpus they did not
+    // shape — the batch twin of stream_ann_probe (shared oracle)
+    "ann_ivf_probe" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      IvfAnn.topKAgainst(emb.filter(col("vec_id") % 10 =!= 7),
+        emb.filter(col("vec_id") % 10 === 7))
+    }),
     // --- clustering + embedding compression (the IVF-PQ scale layout) ---
     "cluster_kmeans" -> ((s, d) => IvfAnn.clusters(Tables.embeddings(s, d))),
     "embed_random_projection" -> ((s, d) => RandomProjection.project(Tables.embeddings(s, d))),
@@ -463,6 +472,7 @@ object PipelineQueries {
     // IVF too is deterministic end-to-end (md5 seeds + integer Lloyd),
     // so DuckDB replays the full quantizer training and probe
     "ann_ivf" -> IvfAnn.topKSql(dim = 64),
+    "ann_ivf_probe" -> IvfAnn.topKAgainstSql(dim = 64, "vec_id % 10 = 7"),
     // k-means/int8/PQ share IVF's determinism contract (md5 seeds +
     // integer Lloyd; exact IEEE double scalar quantize) — full oracles
     "cluster_kmeans" -> IvfAnn.clustersSql(dim = 64),

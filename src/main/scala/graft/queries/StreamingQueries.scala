@@ -40,6 +40,8 @@ object StreamingQueries {
     "stream_dedup_incremental" -> ((s, d) =>
       graft.streaming.CorpusStreams.streamingIncrementalDedup(s, d)),
     "stream_txn_append" -> ((s, d) => EventStreams.streamingTxnAppend(s, d)),
+    "stream_ann_probe" -> ((s, d) =>
+      graft.streaming.CorpusStreams.streamingAnnProbe(s, d)),
     "q11_sessionize" -> ((s, d) => EventStreams.sessionizeBatch(Tables.events(s, d))),
     "q12_asof_join" -> ((s, d) => AsOfJoin.errorToLastClick(Tables.events(s, d))),
     "q32_asof_forward" -> ((s, d) => AsOfJoin.errorToNextClick(Tables.events(s, d))),
@@ -133,6 +135,11 @@ object StreamingQueries {
     // (newest streaming commit deleted mid-run) — any double-append
     // breaks this GROUP BY oracle
     "stream_txn_append" -> EventStreams.streamingTxnAppendSql,
+    // per-query results depend only on (query vector, corpus index), so
+    // the micro-batched probe union equals the one-shot batch probe and
+    // shares ann_ivf_probe's oracle
+    "stream_ann_probe" ->
+      graft.streaming.CorpusStreams.streamingAnnProbeSql(),
     "q11_sessionize" -> EventStreams.sessionizeBatchSql(),
     "q12_asof_join" -> AsOfJoin.errorToLastClickSql,
     // forward direction + tolerance: DuckDB's native forward ASOF is the

@@ -94,4 +94,64 @@ object CorpusStreams {
   def streamingIncrementalDedupSql(n: Int = 5, tau: Double = 0.5,
       maxDocFreq: Int = 500): String =
     IncrementalDedup.flagBatchSql("doc_id % 10 = 7", n, tau, maxDocFreq)
+
+  /** Streaming vector-ingest enrichment: arriving embeddings (vec_id %
+    * 10 == 7) probe the IVF index of the standing corpus per micro-batch
+    * — the serving shape of [[graft.operators.IvfAnn.topKAgainst]].
+    * The index (centroids + cell assignment) is built ONCE outside the
+    * stream; each batch pays |batch| x (corpus/nCells x nProbe) exactly
+    * like the batch twin, and per-query results depend only on (query
+    * vector, corpus index), so the micro-batched union equals the
+    * one-shot probe and shares its DuckDB oracle. */
+  def streamingAnnProbe(spark: SparkSession, sfDir: String,
+      nCells: Int = 16, nProbe: Int = 4, k: Int = 5, iters: Int = 2): DataFrame = {
+    import graft.operators.IvfAnn
+    val emb = graft.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    val corpus = emb.filter(col("vec_id") % 10 =!= 7)
+    val arrivals = emb.filter(col("vec_id") % 10 === 7)
+
+    val target = Paths.get(sfDir, "embeddings.parquet").toAbsolutePath.normalize
+    val mtime = Files.getLastModifiedTime(target).toMillis
+    val key = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s"$target:$mtime:annprobe:$nCells:$nProbe:$k:$iters".getBytes("UTF-8"))
+      .take(8).map("%02x".format(_)).mkString
+    val base = Paths.get(sys.props("java.io.tmpdir"), s"graft_annprobe_$key")
+    val (src, out, chk) = (base.resolve("src"), base.resolve("out"), base.resolve("chk"))
+    val done = base.resolve("_DONE")
+
+    if (!Files.exists(done)) {
+      val centroids = IvfAnn.trainCentroids(corpus, nCells, iters)
+      val assigned = IvfAnn.assign(corpus, centroids).persist()
+      assigned.count()
+      Files.createDirectories(src)
+      (0 until 4).foreach { i =>
+        arrivals.filter(pmod(col("vec_id"), lit(40)) === (7 + 10 * i))
+          .coalesce(1).write.mode("append").parquet(src.toString)
+      }
+      val schema = arrivals.schema
+      val q = spark.readStream
+        .schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src.toString)
+        .writeStream
+        .option("checkpointLocation", chk.toString)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          IvfAnn.probeAssigned(assigned, centroids, batch, nProbe, k)
+            .write.mode("append").parquet(out.toString)
+          ()
+        }
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      assigned.unpersist()
+      Files.writeString(done, "ok")
+    }
+    spark.read.parquet(out.toString).orderBy("query_id", "rank")
+  }
+
+  def streamingAnnProbeSql(nCells: Int = 16, nProbe: Int = 4, k: Int = 5,
+      iters: Int = 2): String =
+    graft.operators.IvfAnn.topKAgainstSql(64, "vec_id % 10 = 7",
+      nCells, nProbe, k, iters)
 }

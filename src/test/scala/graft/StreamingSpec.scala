@@ -546,4 +546,21 @@ class StreamingSpec extends SparkSpec {
       finally l.close() }
     assert(replayed > 0, s"no replay marker under $dataDir — test vacuous")
   }
+
+  test("streaming ANN probe equals the one-shot batch probe") {
+    // per-query results are functions of (query vector, corpus index)
+    // alone, so micro-batch chopping must be invisible — the serving
+    // stream reproduces the batch index-build/probe split row-for-row
+    val streamed = graft.streaming.CorpusStreams.streamingAnnProbe(spark, sf)
+      .collect().map(_.toString).sorted
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+    val oneShot = graft.operators.IvfAnn.topKAgainst(
+      emb.filter(col("vec_id") % 10 =!= 7),
+      emb.filter(col("vec_id") % 10 === 7))
+      .collect().map(_.toString).sorted
+    assert(streamed.nonEmpty)
+    assert(streamed.sameElements(oneShot),
+      s"stream/batch ANN divergence: ${streamed.length} vs ${oneShot.length} rows")
+  }
 }
