@@ -114,7 +114,11 @@ object Bench {
       "transe_eval_filtered", "transe_eval_partitioned", "transe_embeddings",
       "dedup_minhash_lsh", "dedup_components", "dedup_components_star",
       "dedup_retention", "pipeline_train_corpus", "sample_split_grouped",
-      "vocab_bpe_merges", "vocab_bpe_pieces", "tokenize_bpe")
+      "vocab_bpe_merges", "vocab_bpe_pieces", "tokenize_bpe",
+      // staged streaming runs: the stream executes once per (file, mtime)
+      // key; re-invocations read the completed sink
+      "stream_dedup_incremental", "stream_txn_append", "stream_ann_probe",
+      "stream_restart_dedup", "stream_upsert")
       .filter(n => results.exists(_._1 == n)).sorted
     val failed = results.collect { case (n, (mn, _)) if mn < 0 => n }
     val qs = obj(results.map { case (n, (mn, _)) => n -> mn } ++ headline)
