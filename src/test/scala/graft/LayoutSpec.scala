@@ -82,6 +82,10 @@ class LayoutSpec extends SparkSpec {
     assert(total > 1, "staging must produce multiple range-clustered files")
     assert(admitted < total, s"no skipping: $admitted/$total files admitted")
     assert(admitted > 0)
+    // the skipping is REAL at the scan level: Spark's planned input file
+    // set is exactly the admitted subset, not the whole directory
+    assert(scan.inputFiles.length == admitted,
+      s"scan reads ${scan.inputFiles.length} files, manifest admitted $admitted")
     // the skipped route must equal the raw-table filter row-for-row
     val viaZoneMap = scan.collect().map(_.toString).sorted
     val raw = Tables.events(spark, sf)
