@@ -547,6 +547,33 @@ class StreamingSpec extends SparkSpec {
     assert(replayed > 0, s"no replay marker under $dataDir — test vacuous")
   }
 
+  test("txnAppend adopts a crash-orphaned slot instead of duplicating it") {
+    // the crash window INSIDE the sink: previous attempt moved the slot
+    // into place but died before writing the marker — the retry must
+    // adopt the completed slot (staging moves are atomic) and only mark
+    import java.nio.file.Files
+    val data = Files.createTempDirectory("graft_txn_unit")
+    var writes = 0
+    def write(p: java.nio.file.Path): Unit = {
+      writes += 1
+      Files.createDirectories(p)
+      Files.writeString(p.resolve("payload"), s"attempt$writes")
+    }
+    // simulate the orphan: slot b7 exists with attempt1's payload, no marker
+    assert(EventStreams.txnAppend(data, 7L)(write))
+    Files.delete(data.resolve("_committed_7"))
+    // retry re-runs the write (attempt2 lands in staging) but must NOT
+    // replace the completed slot
+    assert(EventStreams.txnAppend(data, 7L)(write))
+    assert(writes == 2)
+    assert(Files.readString(data.resolve("b7").resolve("payload")) == "attempt1",
+      "retry replaced a completed slot instead of adopting it")
+    assert(Files.exists(data.resolve("_committed_7")))
+    // a marked batch is a pure no-op: no write at all
+    assert(!EventStreams.txnAppend(data, 7L)(write))
+    assert(writes == 2)
+  }
+
   test("streaming ANN probe equals the one-shot batch probe") {
     // per-query results are functions of (query vector, corpus index)
     // alone, so micro-batch chopping must be invisible — the serving
