@@ -1461,8 +1461,15 @@ object EventStreams {
       val slot = dataDir.resolve(s"b$batchId")
       // a crashed PREVIOUS attempt may have moved the slot but died
       // before the marker: the slot content is complete (staging moves
-      // are atomic), so adopt it and just mark
+      // are atomic), so adopt it — and discard the retry's staging dir
+      // rather than leak it
       if (!Files.exists(slot)) Files.move(staging, slot)
+      else if (Files.exists(staging)) {
+        val walk = Files.walk(staging)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.deleteIfExists(p))
+        finally walk.close()
+      }
       Files.writeString(marker, "ok")
       true
     }

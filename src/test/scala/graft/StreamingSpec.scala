@@ -569,6 +569,12 @@ class StreamingSpec extends SparkSpec {
     assert(Files.readString(data.resolve("b7").resolve("payload")) == "attempt1",
       "retry replaced a completed slot instead of adopting it")
     assert(Files.exists(data.resolve("_committed_7")))
+    // the adopt path discards the retry's staging dir instead of leaking it
+    val leaked = { val l = Files.list(data.getParent)
+      try l.filter(_.getFileName.toString ==
+        data.getFileName.toString + "_staging_7").count()
+      finally l.close() }
+    assert(leaked == 0, "adopt path leaked the retry's staging directory")
     // a marked batch is a pure no-op: no write at all
     assert(!EventStreams.txnAppend(data, 7L)(write))
     assert(writes == 2)
