@@ -134,6 +134,8 @@ object PipelineQueries {
     "sink_zonemap_skip" -> Seq("event_type"),
     "source_quarantine" -> Seq("status"),
     "embed_validate" -> Seq("vec_id"),
+    "embed_hash_vectors" -> Seq("doc_id", "bucket"),
+    "dedup_hashvec" -> Seq("doc_a", "doc_b"),
     "ann_topk" -> Seq("query_id", "rank"),
     "ann_near_dup" -> Seq("vec_a", "vec_b"),
     "ann_lsh" -> Seq("query_id", "rank"),
@@ -228,6 +230,12 @@ object PipelineQueries {
     // the ingest gate of the vector family: classify every vector once
     // (null/empty/ragged/nonfinite/zero), downstream operators assume a
     // validated corpus (EmbeddingQuality scaladoc: validate-then-assume)
+    // model-free text vectorization (feature hashing) + its near-dup
+    // consumer: the documents -> vector-family bridge
+    "embed_hash_vectors" -> ((s, d) =>
+      TextVectorize.hashVectors(Tables.documents(s, d))),
+    "dedup_hashvec" -> ((s, d) =>
+      TextVectorize.hashVecNearDup(Tables.documents(s, d))),
     "embed_validate" -> ((s, d) => {
       val vecs = Tables.embeddings(s, d)
       EmbeddingQuality.validate(vecs, EmbeddingQuality.inferDim(vecs))
@@ -565,6 +573,8 @@ object PipelineQueries {
     "source_csv" -> graft.sources.CsvLines.roundTripAggSql,
     "source_quarantine" -> graft.sources.JsonQuarantine.quarantineReportSql,
     "embed_validate" -> EmbeddingQuality.validateSql,
+    "embed_hash_vectors" -> TextVectorize.hashVectorsSql(),
+    "dedup_hashvec" -> TextVectorize.hashVecNearDupSql(),
     "source_orc" -> graft.sources.OrcSource.roundTripAggSql,
     "source_schema_evolution" -> graft.sources.SchemaEvolution.evolvedReadSql,
     "source_binary" -> graft.sources.BinaryFiles.binaryManifestSql,

@@ -124,6 +124,31 @@ class AdversarialDocsSpec extends SparkSpec {
       "content checksums diverged through the CSV round trip (lossy quoting/null handling)")
   }
 
+  test("hashed-vector near-dup is sharp on separable text") {
+    // the planted pairs use a vocabulary disjoint from the base corpus,
+    // so bag-cosine must recover them (the homogeneous sf testdata is the
+    // documented weak-separator regime; this is the sharp one). tau=0.85:
+    // the one-word-edit twins score ~0.873 — the edited token is the
+    // rarest in the corpus, so tf-idf doubles its weight relative to the
+    // unchanged tokens (idf amplification, the designed behavior)
+    val pairs = graft.operators.TextVectorize.hashVecNearDup(docs, tau = 0.85)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((ExactDupA, ExactDupB)),
+      "identical docs must be cosine-1 pairs")
+    assert(pairs.contains((NearDupA, NearDupB)),
+      "one-word-edit twins must clear tau on disjoint vocabulary")
+    assert(pairs.contains((ExactDupA, PaddedCopy)),
+      "whitespace padding must not move the bag vector")
+    assert(!pairs.exists(p => p._1 == NullTextDoc || p._2 == NullTextDoc))
+    // separability: no planted doc pairs with the spam doc or any
+    // base-corpus doc — disjoint vocabularies share no bucket mass
+    // beyond hash collisions
+    assert(!pairs.exists(p => p._1 == RepetitionDoc || p._2 == RepetitionDoc))
+    assert(!pairs.exists(p =>
+      (p._1 < 900000L) != (p._2 < 900000L)),
+      "cross-vocabulary pair cleared tau — hashing lost separability")
+  }
+
   test("text family runs green end-to-end on the adversarial fixture") {
     assert(TextAnalysis.tokenCounts(docs).count() == docs.count())
     assert(TextAnalysis.qualityScore(docs).count() == docs.count())
