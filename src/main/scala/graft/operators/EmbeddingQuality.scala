@@ -26,27 +26,36 @@ object EmbeddingQuality {
   /** The expected dimensionality: taken from the first valid vector by
     * id order — deterministic, and the right default when the feed is
     * SUPPOSED to be homogeneous (pass `dim` explicitly when the
-    * contract says otherwise). */
+    * contract says otherwise). Returns -1 (= "no expectation": the
+    * ragged check is skipped) on a feed with no valid vector — the
+    * all-garbage input this gate exists to classify must not crash it,
+    * and the SQL replay's empty scalar subquery skips ragged the same
+    * way (NULL comparisons). */
   def inferDim(vecs: DataFrame, col0: String = "embedding"): Int =
     vecs.filter(col(col0).isNotNull && size(col(col0)) > 0)
-      .orderBy("vec_id").select(size(col(col0))).head().getInt(0)
+      .orderBy("vec_id").select(size(col(col0))).head(1)
+      .headOption.map(_.getInt(0)).getOrElse(-1)
+
+  // the ONE spelling of each check — validate (the classifier) and
+  // valid (the router) must never disagree
+  private def nonfiniteExpr = exists(col("embedding"),
+    x => isnan(x) || x === lit(Float.PositiveInfinity) ||
+      x === lit(Float.NegativeInfinity))
+  private def sumSqExpr = aggregate(col("embedding"), lit(0.0),
+    (acc, x) => acc + x.cast("double") * x.cast("double"))
 
   /** Per-vector verdict table: (vec_id, n_dims, verdict). `n_dims` is -1
     * for a NULL embedding (the oracle COALESCEs identically). */
   def validate(vecs: DataFrame, dim: Int): DataFrame = {
     val e = col("embedding")
-    val nonfinite = exists(e, x => isnan(x) || x === lit(Float.PositiveInfinity) ||
-      x === lit(Float.NegativeInfinity))
-    val sumSq = aggregate(e, lit(0.0),
-      (acc, x) => acc + x.cast("double") * x.cast("double"))
     vecs.select(
       col("vec_id"),
       coalesce(size(e).cast("long"), lit(-1L)).as("n_dims"),
       when(e.isNull, "null")
         .when(size(e) === 0, "empty")
-        .when(size(e) =!= dim, "ragged")
-        .when(nonfinite, "nonfinite")
-        .when(sumSq === 0.0, "zero")
+        .when(lit(dim >= 0) && size(e) =!= dim, "ragged")
+        .when(nonfiniteExpr, "nonfinite")
+        .when(sumSqExpr === 0.0, "zero")
         .otherwise("ok").as("verdict"))
   }
 
@@ -54,11 +63,8 @@ object EmbeddingQuality {
     * shape, finite, and normalizable. */
   def valid(vecs: DataFrame, dim: Int): DataFrame = {
     val e = col("embedding")
-    val nonfinite = exists(e, x => isnan(x) || x === lit(Float.PositiveInfinity) ||
-      x === lit(Float.NegativeInfinity))
-    val sumSq = aggregate(e, lit(0.0),
-      (acc, x) => acc + x.cast("double") * x.cast("double"))
-    vecs.filter(e.isNotNull && size(e) === dim && !nonfinite && sumSq =!= 0.0)
+    vecs.filter(e.isNotNull && size(e) === dim &&
+      !nonfiniteExpr && sumSqExpr =!= 0.0)
   }
 
   /** Static-SQL replay: the expected dim is the same first-valid-by-id

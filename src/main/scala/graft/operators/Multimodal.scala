@@ -74,14 +74,18 @@ object Multimodal {
       * the frame boundary in one engine only. */
     def sampleFrames(text: String, frameChars: Int, everyN: Int): Seq[(Long, String)] = {
       val out = Seq.newBuilder[(Long, String)]
+      // count codepoints ONCE and decrement — per-window recounting of
+      // the remaining string is O(len^2/frameChars) per document
+      var remaining = text.codePointCount(0, text.length)
       var idx = 0
       var start = 0
       while (start < text.length) {
-        val take = math.min(frameChars, text.codePointCount(start, text.length))
+        val take = math.min(frameChars, remaining)
         val end = text.offsetByCodePoints(start, take)
         if (idx % everyN == 0) out += (((idx / everyN).toLong, text.substring(start, end)))
         idx += 1
         start = end
+        remaining -= take
       }
       out.result()
     }

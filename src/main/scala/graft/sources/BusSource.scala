@@ -152,11 +152,27 @@ final class BusMicroBatchStream(realRows: Long, nUsers: Int, batchRows: Long,
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[BusOffset].pos
+    // honor the ENGINE-SUPPLIED limit (the SupportsAdmissionControl
+    // contract): Trigger.AvailableNow wraps the source and passes its own
+    // ReadLimit — ignoring it in favor of the captured batchRows would
+    // under-admit and let the wrapper declare the stream caught up early.
+    // Sentinels still go one per trigger regardless of the cap (they are
+    // watermark advancement, not data).
+    val cap = limit match {
+      case rl: org.apache.spark.sql.connector.read.streaming.ReadMaxRows =>
+        rl.maxRows()
+      case _: org.apache.spark.sql.connector.read.streaming.ReadAllAvailable =>
+        Long.MaxValue
+      case _ => batchRows
+    }
     val end =
-      if (s < realRows) math.min(s + batchRows, realRows)
+      if (s < realRows) math.min(saturatingAdd(s, cap), realRows)
       else math.min(s + 1, totalRows)
     new BusOffset(end)
   }
+
+  private def saturatingAdd(a: Long, b: Long): Long =
+    if (a > Long.MaxValue - b) Long.MaxValue else a + b
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[BusOffset].pos

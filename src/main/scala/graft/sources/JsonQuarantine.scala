@@ -63,10 +63,12 @@ object JsonQuarantine {
     dir.toString
   }
 
-  /** PERMISSIVE read + routing split. Returns (clean, quarantine):
-    * clean carries the document schema; quarantine carries the raw
-    * offending lines. */
-  def route(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
+  /** PERMISSIVE read + routing split. Returns (clean, quarantine,
+    * release): both frames read through a cached parse (the SPARK-21610
+    * materialization), and the corpus-sized cache would otherwise
+    * outlive the routing — the CALLER invokes `release()` after its
+    * last action over the routed frames. */
+  def route(spark: SparkSession, sfDir: String): (DataFrame, DataFrame, () => Unit) = {
     val parsed = spark.read
       .schema(readSchema)
       .option("mode", "PERMISSIVE")
@@ -78,7 +80,7 @@ object JsonQuarantine {
       .drop("_corrupt_record")
     val quarantine = parsed.filter(col("_corrupt_record").isNotNull)
       .select(col("_corrupt_record").as("raw_line"))
-    (clean, quarantine)
+    (clean, quarantine, () => { parsed.unpersist(); () })
   }
 
   /** The accounting the pipeline owner alerts on: one row per status
@@ -86,16 +88,19 @@ object JsonQuarantine {
     * checksum as NULL — their content is engine-serialization-specific
     * (Spark's to_json spelling), while the ROUTING decision is not. */
   def quarantineReport(spark: SparkSession, sfDir: String): DataFrame = {
-    val (clean, quarantine) = route(spark, sfDir)
-    val cleanAgg = clean.agg(
+    val (clean, quarantine, release) = route(spark, sfDir)
+    // aggregate to DRIVER VALUES first so the corpus-sized parse cache
+    // can be released before the (2-row) result leaves this method
+    val c = clean.agg(
       count(lit(1)).as("n_rows"),
       sum(conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long"))
-        .as("content_sum"))
-      .select(lit("clean").as("status"), col("n_rows"), col("content_sum"))
-    val qAgg = quarantine.agg(count(lit(1)).as("n_rows"))
-      .select(lit("quarantined").as("status"), col("n_rows"),
-        lit(null).cast("long").as("content_sum"))
-    cleanAgg.unionByName(qAgg)
+        .as("content_sum")).head()
+    val qn = quarantine.count()
+    release()
+    import spark.implicits._
+    Seq(("clean", c.getLong(0), Option(c.get(1)).map(_ => c.getLong(1))),
+      ("quarantined", qn, None: Option[Long]))
+      .toDF("status", "n_rows", "content_sum")
   }
 
   /** Oracle: the routing decision replayed off the raw table — corrupt

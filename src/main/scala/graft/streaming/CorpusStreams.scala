@@ -61,6 +61,9 @@ object CorpusStreams {
     val done = base.resolve("_DONE")
 
     if (!Files.exists(done)) {
+      // a crash-interrupted previous attempt left a poisoned half-state:
+      // wipe and rebuild (StagedRuns scaladoc — _DONE is the commit point)
+      StagedRuns.freshBase(base, done)
       Files.createDirectories(src)
       // four disjoint arrival files (doc_id % 40 ∈ {7,17,27,37}) — the
       // stream sees them as four micro-batches in file order
@@ -121,6 +124,8 @@ object CorpusStreams {
     val done = base.resolve("_DONE")
 
     if (!Files.exists(done)) {
+      // crash discipline: _DONE is the commit point, a half-state is wiped
+      StagedRuns.freshBase(base, done)
       val centroids = IvfAnn.trainCentroids(corpus, nCells, iters)
       val assigned = IvfAnn.assign(corpus, centroids).persist()
       assigned.count()

@@ -799,13 +799,17 @@ object EventStreams {
     import java.nio.file.{Files, Paths}
     import spark.implicits._
     val target = Paths.get(sfDir, "events.parquet").toAbsolutePath.normalize
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawTsType = rawSchema("ts").dataType
+    // the PARAMETERS are part of the directory key (not just the stamp):
+    // two consumers with different (slices, gap) — the buffered PIT fold
+    // vs the OOO sessionizer — must not evict each other's staging on
+    // every alternation (each restage is a full events rewrite)
     val key = java.security.MessageDigest.getInstance("SHA-256")
-      .digest(target.toString.getBytes("UTF-8"))
+      .digest(s"$target:$slices:$sentinelGapMs".getBytes("UTF-8"))
       .take(8).map("%02x".format(_)).mkString
     val dir = Paths.get(sys.props("java.io.tmpdir"), s"graft_events_ooo_$key")
     Files.createDirectories(dir)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val rawTsType = rawSchema("ts").dataType
     val targetMtime = Files.getLastModifiedTime(target).toMillis
     val stamp = s"$targetMtime:${rawTsType.simpleString}:$slices:$sentinelGapMs"
     val marker = dir.resolve("_graft_ooo_stamp")
@@ -914,9 +918,19 @@ object EventStreams {
     *
     * State per user = four running longs + the events inside the
     * lateness window (watermark delay) — the honest production bound for
-    * out-of-order absorption. The strict twin's throw REMAINS the guard
-    * here too: it now means "lateness exceeded the watermark delay",
-    * the one contract a watermarked pipeline must still enforce. */
+    * out-of-order absorption.
+    *
+    * Beyond-delay lateness contract (the honest one): an event LATER
+    * than the watermark delay never reaches this fold — Spark's
+    * flatMapGroupsWithState filters rows older than the watermark before
+    * the user function under EventTimeTimeout — so it is DROPPED by the
+    * engine, the standard watermark data-loss semantics every
+    * watermarked pipeline accepts. The regression throw inside the fold
+    * is therefore a defense-in-depth invariant (it would fire only if
+    * the engine's late-row filter ever stopped holding), NOT a
+    * reachable lateness alarm; a deployment that must DETECT beyond-
+    * delay drops compares the streaming row census against the batch
+    * count (the stream_ts_canary pattern), it does not get a throw. */
   def streamingPitFeaturesBuffered(spark: SparkSession, sfDir: String,
       slices: Int = 6): DataFrame = {
     // replay lateness bound: a swapped slice arrives <= 2 slice-spans
@@ -1001,12 +1015,16 @@ object EventStreams {
       val out = scala.collection.mutable.ArrayBuffer.empty[PitFeat]
       var cur = prior.agg
       ready.sortBy(e => (e.tsm, e.event_id)).foreach { e =>
+        // defense-in-depth invariant, not a lateness alarm: the engine's
+        // late-row filter (EventTimeTimeout) drops beyond-delay events
+        // BEFORE this fold, so every delivered tsm >= the watermark that
+        // finalized cur.lastTsm — see the scaladoc's lateness contract
         if (cur.lastTsm != Long.MinValue && e.tsm < cur.lastTsm)
           throw new IllegalStateException(
-            s"streamingPitFeaturesBuffered: lateness exceeded the " +
-              s"watermark delay for user $userId (event ${e.event_id} at " +
-              s"${e.tsm} < finalized ${cur.lastTsm}) — widen the delay or " +
-              "fix the source; silently skewed features are not an option")
+            s"streamingPitFeaturesBuffered: finalized-order invariant " +
+              s"broken for user $userId (event ${e.event_id} at ${e.tsm} " +
+              s"< finalized ${cur.lastTsm}) — the engine's late-row " +
+              "filter should have made this unreachable")
         if (e.event_type == "purchase")
           out += PitFeat(e.event_id, userId, e.tsm, cur.n, cur.nViews,
             cur.sumCents,
@@ -1184,6 +1202,9 @@ object EventStreams {
     val done = base.resolve("_DONE")
 
     if (!Files.exists(done)) {
+      // a crash-interrupted previous attempt left a poisoned half-state:
+      // wipe and rebuild (StagedRuns scaladoc — _DONE is the commit point)
+      StagedRuns.freshBase(base, done)
       Files.createDirectories(src)
       val snap = graft.Tables.orders(spark, sfDir)
         .select("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
@@ -1309,6 +1330,9 @@ object EventStreams {
     val done = base.resolve("_DONE")
 
     if (!Files.exists(done)) {
+      // a crash-interrupted previous attempt left a poisoned half-state:
+      // wipe and rebuild (StagedRuns scaladoc — _DONE is the commit point)
+      StagedRuns.freshBase(base, done)
       Files.createDirectories(src)
       // four event micro-batches (hash split on event_id — any
       // partitioning works: counts are additive)
@@ -1400,6 +1424,9 @@ object EventStreams {
     val done = base.resolve("_DONE")
 
     if (!Files.exists(done)) {
+      // a crash-interrupted previous attempt left a poisoned half-state:
+      // wipe and rebuild (StagedRuns scaladoc — _DONE is the commit point)
+      StagedRuns.freshBase(base, done)
       Files.createDirectories(src)
       val events = graft.Tables.events(spark, sfDir)
         .select(col("user_id"), col("event_type"), col("event_id"))
@@ -1497,6 +1524,9 @@ object EventStreams {
     val done = base.resolve("_DONE")
 
     if (!Files.exists(done)) {
+      // a crash-interrupted previous attempt left a poisoned half-state:
+      // wipe and rebuild (StagedRuns scaladoc — _DONE is the commit point)
+      StagedRuns.freshBase(base, done)
       Files.createDirectories(src)
       Files.createDirectories(data)
       val events = graft.Tables.events(spark, sfDir)

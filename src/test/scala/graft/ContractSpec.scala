@@ -196,6 +196,7 @@ class ContractSpec extends SparkSpec {
     * bounded by design, not corpus-shaped. */
   private val cartesianWhitelist = Set(
     "ann_near_dup", "mm_feature_near_dup",
+    "dedup_hashvec", // exact all-pairs oracle carrier, cap-guarded like ann_near_dup
     "text_length_quantiles", "sample_mix_sources", "sample_mix_temperature",
     "text_tfidf_topterms", // 1-row n_docs total as a broadcast cross join
     "search_tfidf_topk",   // same 1-row n_docs pattern

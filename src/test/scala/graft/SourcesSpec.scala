@@ -141,7 +141,7 @@ class SourcesSpec extends SparkSpec {
   }
 
   test("quarantine routing: nothing dropped, nothing poisoned, clean side byte-true") {
-    val (clean, quarantine) = graft.sources.JsonQuarantine.route(spark, sf)
+    val (clean, quarantine, release) = graft.sources.JsonQuarantine.route(spark, sf)
     val docs = Tables.documents(spark, sf)
     // conservation: every staged line is exactly one of clean/quarantined
     assert(clean.count() + quarantine.count() == docs.count())
@@ -158,5 +158,6 @@ class SourcesSpec extends SparkSpec {
     assert(back.exceptAll(orig).isEmpty && orig.exceptAll(back).isEmpty)
     // quarantined lines carry the raw offending bytes, not nulls
     assert(quarantine.filter(col("raw_line").isNull).isEmpty)
+    release() // the routed frames' parse cache is caller-owned
   }
 }
