@@ -33,8 +33,10 @@ object TextVectorize {
       .select(col("doc_id"),
         explode(split(trim(col("text")), "\\s+")).as("tok"))
     val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-    val df = toks.groupBy("tok")
-      .agg(countDistinct(col("doc_id")).as("df"))
+    // df DERIVES from tf (one row per (doc, tok) already): a row count
+    // per token — not a second countDistinct pass over the exploded
+    // corpus, which would re-run the scan+explode end to end
+    val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
     tf.join(df, "tok")
       .select(
         col("doc_id"),
@@ -56,7 +58,7 @@ object TextVectorize {
        |  FROM documents WHERE text IS NOT NULL),
        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
        |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
-       |df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+       |df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
        |w AS (
        |  SELECT tf.doc_id,
        |    ((($h) % $dim) + $dim) % $dim AS bucket,
@@ -93,7 +95,7 @@ object TextVectorize {
        |  FROM documents WHERE text IS NOT NULL),
        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
        |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
-       |df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+       |df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
        |w AS (
        |  SELECT tf.doc_id,
        |    ((($h) % $dim) + $dim) % $dim AS bucket,
