@@ -158,16 +158,19 @@ final class BusMicroBatchStream(realRows: Long, nUsers: Int, batchRows: Long,
     // under-admit and let the wrapper declare the stream caught up early.
     // Sentinels still go one per trigger regardless of the cap (they are
     // watermark advancement, not data).
-    val cap = limit match {
-      case rl: org.apache.spark.sql.connector.read.streaming.ReadMaxRows =>
-        rl.maxRows()
+    val end = limit match {
       case _: org.apache.spark.sql.connector.read.streaming.ReadAllAvailable =>
-        Long.MaxValue
-      case _ => batchRows
+        // "everything available now" includes the self-generated
+        // sentinels: Trigger.AvailableNow captures THIS as its target
+        // offset once, so stopping at realRows would strand them
+        totalRows
+      case rl: org.apache.spark.sql.connector.read.streaming.ReadMaxRows =>
+        if (s < realRows) math.min(saturatingAdd(s, rl.maxRows()), realRows)
+        else math.min(s + 1, totalRows) // sentinels: one per trigger
+      case _ =>
+        if (s < realRows) math.min(s + batchRows, realRows)
+        else math.min(s + 1, totalRows)
     }
-    val end =
-      if (s < realRows) math.min(saturatingAdd(s, cap), realRows)
-      else math.min(s + 1, totalRows)
     new BusOffset(end)
   }
 

@@ -52,6 +52,30 @@ class BusSourceSpec extends SparkSpec {
       "expected exactly the two sentinel rows")
   }
 
+  test("Trigger.AvailableNow drains the whole bus (engine ReadLimit honored)") {
+    // the AvailableNow wrapper passes its own ReadLimit to
+    // latestOffset(start, limit); a source that ignores it in favor of
+    // its captured batchRows under-admits and the wrapper declares the
+    // stream caught up after one batch — the census then comes up short
+    val rows = 30000L
+    val out = Files.createTempDirectory("graft_bus_an_out").toString
+    val chk = Files.createTempDirectory("graft_bus_an_chk").toString
+    val q = busStream(rows, 7000L).writeStream
+      .format("parquet").option("path", out)
+      .option("checkpointLocation", chk)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val deadline = System.currentTimeMillis() + 120000
+      while (q.isActive && System.currentTimeMillis() < deadline)
+        Thread.sleep(200)
+      assert(!q.isActive, "AvailableNow query did not terminate")
+    } finally q.stop()
+    val got = spark.read.parquet(out)
+    assert(got.count() == rows + 2,
+      s"AvailableNow under-drained: ${got.count()} != ${rows + 2}")
+  }
+
   test("bus rows equal the integer-arithmetic generator (disorder is bounded)") {
     import spark.implicits._
     val rows = 20000L
