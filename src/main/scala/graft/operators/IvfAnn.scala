@@ -225,6 +225,7 @@ object IvfAnn {
     val out = probeAssigned(assigned, centroids, queries, nProbe, k).persist()
     out.count() // materialize, then drop the cell-assignment cache
     assigned.unpersist()
+    SimilaritySearch.unpersistAfterFirstAction(out)
     out
   }
 

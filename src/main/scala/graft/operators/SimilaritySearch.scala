@@ -287,7 +287,7 @@ object SimilaritySearch {
     * first materialization of a plan derived from it. One-shot: fires
     * once, then unregisters. Listener callbacks are asynchronous, so the
     * release lands shortly after the action returns, never during it. */
-  private def unpersistAfterFirstAction(cached: DataFrame): Unit = {
+  private[operators] def unpersistAfterFirstAction(cached: DataFrame): Unit = {
     val spark = cached.sparkSession
     val target = cached.queryExecution.analyzed
     val lm = spark.listenerManager

@@ -41,7 +41,9 @@ object TextVectorize {
       .select(
         col("doc_id"),
         Dedup.hash64Col(col("tok")).as("h"),
-        (col("tf") * (lit(nDocs) / col("df")).cast("long")).as("wt"))
+        // DIV, not `/`-then-cast: a double quotient at an exact integer
+        // boundary could truncate off the oracle's exact floor (`//`)
+        expr(s"tf * (${nDocs}L DIV df)").as("wt"))
       .select(
         col("doc_id"),
         pmod(col("h"), lit(dim.toLong)).as("bucket"),
@@ -133,6 +135,9 @@ object TextVectorize {
       .persist()
     out.count()
     vecs.unpersist()
+    // release the (materialized) result cache on the CALLER's first
+    // action — a pinned-forever block per invocation otherwise
+    SimilaritySearch.unpersistAfterFirstAction(out)
     out
   }
 

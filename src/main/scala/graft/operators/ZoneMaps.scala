@@ -139,8 +139,16 @@ object ZoneMaps {
     * oracle computes it identically in SQL). */
   def windowAgg(spark: SparkSession, sfDir: String): DataFrame = {
     val day = 86400000000L // micros
-    val t0 = Tables.events(spark, sfDir)
-      .agg(min(expr("unix_micros(ts)"))).head.getLong(0)
+    // t0 from the MANIFEST, not a raw-table scan: the footer stats are
+    // exact INT64 minima over the same rows, so min(lo) IS min(ts_us) —
+    // the metadata-only discipline the operator exists to demonstrate.
+    // Poisoned entries (unusable stats => MinValue) fall back to a scan.
+    val dir = stagedDir(spark, sfDir)
+    val los = readManifest(dir).map(_._2).filter(_ != Long.MinValue)
+    val t0 =
+      if (los.nonEmpty) los.min
+      else Tables.events(spark, sfDir)
+        .agg(min(expr("unix_micros(ts)"))).head.getLong(0)
     val (scan, admitted, total) = skipScan(spark, sfDir, t0 + 2 * day, t0 + 4 * day - 1)
     require(admitted < total,
       s"zone map admitted every file ($admitted/$total) — clustering broken")

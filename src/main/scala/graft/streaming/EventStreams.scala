@@ -617,14 +617,33 @@ object EventStreams {
     * until the sentinels arrive (the watermark lags max ts by the
     * delay) — fine for a finite replay; state is bounded by the open
     * session count. */
+  /** OOO replay lateness bounds, shared by every out-of-order consumer
+    * AND kept in lockstep with stagedOutOfOrderDir's slice-span formula
+    * ((max - min) / slices + 1): a swapped slice arrives <= 2 slice-spans
+    * after a later-timestamped event, so delay = 2.5 spans + margin
+    * covers it. Memoized per (events file, mtime, slices) — the min/max
+    * probe is one scan the three former copies each paid separately. */
+  private val oooBoundsCache =
+    scala.collection.concurrent.TrieMap.empty[String, (Long, Long)]
+  private[streaming] def oooLatenessBounds(spark: SparkSession,
+      sfDir: String, slices: Int): (Long, Long) = {
+    val target = java.nio.file.Paths.get(sfDir, "events.parquet")
+      .toAbsolutePath.normalize
+    val mtime = java.nio.file.Files.getLastModifiedTime(target).toMillis
+    oooBoundsCache.getOrElseUpdate(s"$target:$mtime:$slices", {
+      val mm = graft.Tables.events(spark, sfDir)
+        .agg(min(unix_micros(col("ts"))).as("a"),
+          max(unix_micros(col("ts"))).as("b")).head()
+      val sliceSpanMicros = (mm.getLong(1) - mm.getLong(0)) / slices + 1
+      val delayMs = (sliceSpanMicros * 5 / 2) / 1000L + 1000L
+      (sliceSpanMicros, delayMs)
+    })
+  }
+
   def sessionizeNativeOoo(spark: SparkSession, sfDir: String,
       gapMinutes: Int = 30, slices: Int = 6): DataFrame = {
     val gapSec = gapMinutes * 60L
-    val mm = graft.Tables.events(spark, sfDir)
-      .agg(min(unix_micros(col("ts"))).as("a"),
-        max(unix_micros(col("ts"))).as("b")).head()
-    val sliceSpanMicros = (mm.getLong(1) - mm.getLong(0)) / slices + 1
-    val delayMs = (sliceSpanMicros * 5 / 2) / 1000L + 1000L
+    val (_, delayMs) = oooLatenessBounds(spark, sfDir, slices)
     val sentinelGapMs = delayMs + 2L * gapMinutes * 60L * 1000L + 3600000L
     val agg = readEventStreamOutOfOrder(spark, sfDir, slices, sentinelGapMs)
       .select(col("user_id"),
@@ -937,11 +956,7 @@ object EventStreams {
     // after a later-timestamped event; delay = 2.5 spans covers it with
     // margin (the sentinel gap must then exceed the delay so the final
     // watermark clears every real event)
-    val mm = graft.Tables.events(spark, sfDir)
-      .agg(min(unix_micros(col("ts"))).as("a"),
-        max(unix_micros(col("ts"))).as("b")).head()
-    val sliceSpanMicros = (mm.getLong(1) - mm.getLong(0)) / slices + 1
-    val delayMs = (sliceSpanMicros * 5 / 2) / 1000L + 1000L
+    val (_, delayMs) = oooLatenessBounds(spark, sfDir, slices)
     val gapMs = delayMs + 3600000L
     runToCompletion(
       pitFeaturesBufferedTransform(

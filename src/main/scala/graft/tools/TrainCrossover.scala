@@ -64,7 +64,18 @@ object TrainCrossover {
         val (entRdd, _) = pt.fitDistributed(kg, nEnt, nLab)
         val s = (System.nanoTime() - t1) / 1e9 / epochs
         entRdd.unpersist()
-        Thread.sleep(2000) // drain the async listener bus
+        // drain the async listener bus by POLLING until the counters go
+        // quiet (GraphSpec.probe's discipline) — a fixed sleep silently
+        // under-reports on a loaded box, the exact untrustworthiness this
+        // probe exists to remove
+        var last = (shufRead.get, shufRecs.get)
+        var quietMs = 0
+        val deadline = System.currentTimeMillis() + 30000
+        while (quietMs < 1500 && System.currentTimeMillis() < deadline) {
+          Thread.sleep(250)
+          val cur = (shufRead.get, shufRecs.get)
+          if (cur == last) quietMs += 250 else { quietMs = 0; last = cur }
+        }
         spark.sparkContext.removeSparkListener(probe)
         s
       } else -1.0
