@@ -34,19 +34,23 @@ object Bench {
     // k=50, n_batches=2, L1 on 272k triples / 1 worker): measured before
     // the query sweep so host-throttling of long runs doesn't skew the
     // headline metric. 3 epochs at the reference hyperparameters.
-    val (epochSec, epochSecMin) = try {
+    val (epochSecMin, epochSecSpread) = try {
       val (enc, _, _, nEnt, nLab) =
         graft.queries.TransEQueries.encodedKg(spark, sfDir)
       enc.count() // materialize the persisted encode lineage OUTSIDE the timer
       val p = graft.transe.TransEParams(epochs = 3, batches = 2,
         margin = 1.0f, lr = 0.01f, dim = 50, distance = graft.transe.L1)
       val trainer = new graft.transe.TransETrainer(p)
-      val t0 = System.nanoTime()
       trainer.fit(enc, nEnt, nLab)
-      val mean = (System.nanoTime() - t0) / 1e9 / p.epochs
       // the sandbox throttles sustained CPU (3-65 s/epoch swings measured
-      // on identical code); min-of-epochs is the steady-state number
-      (mean, trainer.epochSecsHistory.min)
+      // on identical code); min-of-epochs is the steady-state number. The
+      // sf0.1 epoch MEAN was dropped from the headline (VERDICT r8 #7):
+      // it is dominated by the throttle lottery and was repeatedly
+      // misread as a regression — the spread field makes the instability
+      // explicit, and transe_epoch_sec_fb15kshape_min is the
+      // baseline-comparable figure.
+      val hist = trainer.epochSecsHistory
+      (hist.min, hist.max - hist.min)
     } catch { case _: Throwable => (-1.0, -1.0) }
 
     // FB15k-237-SHAPED stress (VERDICT r2 #5): the baseline epoch number
@@ -72,25 +76,37 @@ object Bench {
       (mean, trainer.epochSecsHistory.min)
     } catch { case _: Throwable => (-1.0, -1.0) }
 
-    // MIN-OF-3 per query (VERDICT r5 #3): the sandbox's CPU-throttle
-    // lottery swings identical code 2-3x run-to-run, so regression triage
-    // needs the steady-state number, not one sample. The headline
-    // "queries" map carries the MIN (the throttle-free figure, same
-    // discipline as transe_epoch_sec_min); "queries_mean" carries the
-    // mean of the 3 runs for wobble visibility. Failed queries record the
-    // -1 sentinel and are excluded from `total` (a thrown count() must
-    // not read as a fast successful run).
-    val runs = 3
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val secs = (1 to runs).flatMap { _ =>
+    // MIN-OF-3 per query (VERDICT r5 #3), taken across INTERLEAVED full
+    // sweep passes (VERDICT r8 #1): three consecutive runs of one query
+    // sit inside the same few seconds, so a single sandbox CPU-throttle
+    // window poisons all three samples and min-of-3 stops protecting —
+    // r8 recorded fake 5-30x "regressions" that way (report_filter_reasons
+    // 14.0 s sweep-min vs 1.3 s standalone). Running pass-by-pass over the
+    // whole query list separates a query's samples by the full sweep
+    // duration, so one throttle window can poison at most ONE sample and
+    // the min stays a steady-state figure. A representative session-warmup
+    // query runs before pass 1 so first-query codegen/session cost isn't
+    // billed to whichever query sorts first. The headline "queries" map
+    // carries the MIN; "queries_mean" the mean of the 3 passes. Failed
+    // queries record the -1 sentinel and are excluded from `total` (a
+    // thrown count() must not read as a fast successful run).
+    val passes = 3
+    val named = SparkEntry.queries.toSeq.sortBy(_._1)
+    try SparkEntry.queries("q1_agg")(spark, sfDir).count()
+    catch { case _: Throwable => () }
+    val samples: Seq[Seq[(String, Option[Double])]] = (1 to passes).map { _ =>
+      named.map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+        name -> (try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
         catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}"); None
-        }
+        })
       }
-      name -> (if (secs.length == runs) (secs.min, secs.sum / runs) else (-1.0, -1.0))
+    }
+    val results = named.map { case (name, _) =>
+      val secs = samples.flatMap(_.collectFirst { case (`name`, Some(s)) => s })
+      name -> (if (secs.length == passes) (secs.min, secs.sum / passes) else (-1.0, -1.0))
     }
     // 3 decimals: 17-digit IEEE doubles tripled the line length for
     // sub-millisecond noise
@@ -100,8 +116,8 @@ object Bench {
     def arr(names: Seq[String]): String =
       names.map("\"" + _ + "\"").mkString("[", ",", "]")
     val headline = Seq(
-      "transe_epoch_sec" -> epochSec,
       "transe_epoch_sec_min" -> epochSecMin,
+      "transe_epoch_sec_spread" -> epochSecSpread,
       "transe_epoch_sec_fb15kshape" -> fbShapeSec,
       "transe_epoch_sec_fb15kshape_min" -> fbShapeSecMin)
     // Queries whose timing shares memoized upstream work (model fit, KG

@@ -144,14 +144,30 @@ object ZoneMaps {
     // the metadata-only discipline the operator exists to demonstrate.
     // Poisoned entries (unusable stats => MinValue) fall back to a scan.
     val dir = stagedDir(spark, sfDir)
-    val los = readManifest(dir).map(_._2).filter(_ != Long.MinValue)
+    val manifest = readManifest(dir)
+    val los = manifest.map(_._2)
+    // ANY poisoned entry forces the raw-table fallback: the one file with
+    // unusable footer stats could be exactly the file holding the true
+    // minimum, and a silently-too-large t0 would shift the whole window.
     val t0 =
-      if (los.nonEmpty) los.min
+      if (los.nonEmpty && los.forall(_ != Long.MinValue)) los.min
       else Tables.events(spark, sfDir)
         .agg(min(expr("unix_micros(ts)"))).head.getLong(0)
     val (scan, admitted, total) = skipScan(spark, sfDir, t0 + 2 * day, t0 + 4 * day - 1)
-    require(admitted < total,
-      s"zone map admitted every file ($admitted/$total) — clustering broken")
+    // "admitted everything" is only a clustering defect when the corpus
+    // span is actually wide enough that disjoint bands SHOULD fall outside
+    // the 2-day window — on a tiny scale factor whose whole span fits in
+    // ~the window, full admission is the correct answer, not a failure.
+    // A poisoned manifest (unusable footer stats) fails OPEN by design, so
+    // it must never trip this guard either.
+    val clean = los.forall(_ != Long.MinValue) &&
+      manifest.map(_._3).forall(_ != Long.MaxValue)
+    if (admitted == total && total > 1 && clean &&
+        manifest.map(_._3).max - los.min > 4 * day)
+      throw new IllegalStateException(
+        s"zone map admitted every file ($admitted/$total) over a " +
+          s"${(manifest.map(_._3).max - los.min) / day}-day corpus — " +
+          "clustering broken")
     scan.groupBy("event_type")
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))

@@ -43,6 +43,15 @@ object MakeAdversarialDocs {
         Files.createSymbolicLink(link, Paths.get(baseSf, s"$t.parquet").toAbsolutePath)
     }
     val base = graft.Tables.documents(spark, baseSf)
+    // The extras below use reserved fixed ids (ExactDupA..PaddedCopy, all
+    // >= 900001) that specs reference as compile-time constants. A big
+    // enough base corpus would collide with them and silently break the
+    // doc_id-is-a-key invariant every dedup operator relies on — so
+    // refuse loudly instead.
+    val baseMax = base.agg(max(col("doc_id"))).head.getLong(0)
+    require(baseMax < ExactDupA,
+      s"base corpus max doc_id $baseMax collides with the reserved " +
+        s"adversarial-extra id range starting at $ExactDupA")
     val mutated = base
       .withColumn("text",
         when(col("doc_id") % 41 === 0, lit(""))

@@ -16,6 +16,11 @@ object TimeQuery {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Untimed session warmup (VERDICT r8 nit): the first query in a fresh
+    // session absorbs ~8 s of one-time cost (Tables normalization probe +
+    // codegen warmup), which made ad-hoc single-query triage misleading.
+    try graft.SparkEntry.queries("q1_agg")(spark, sfDir).count()
+    catch { case _: Throwable => () }
     names.foreach { name =>
       val t0 = System.nanoTime()
       val n = graft.SparkEntry.queries(name)(spark, sfDir).count()
