@@ -290,6 +290,29 @@ object TransEQueries {
       fit.model.params.distance, hitsK = 10)
   }
 
+  // ------------------------------------------------ transe_eval_quantized
+  /** The eval rank math under a FULL HASH ORACLE (VERDICT r8 #2): per-test-
+    * triple head/tail ranks computed in exact int64 arithmetic over the
+    * `floor(x*2^20)`-quantized checkpointed matrix, staged to parquet so
+    * DuckDB replays the identical strict-less counts ([[QuantizedEval]]).
+    * Unlike transe_eval's float metrics (summation-order ULPs, rows-only),
+    * this surface is bit-deterministic end to end; TransESpec gates its
+    * agreement with the float eval. */
+  def transeEvalQuantized(spark: SparkSession, dir: String): DataFrame = {
+    val (fit, test) = fitted(spark, dir)
+    QuantizedEval.run(spark, dir, fit.model, test)
+  }
+
+  /** [[transeEvalQuantized]] under the FILTERED protocol — the oracle
+    * replays the raw strict-less count minus an anti-join against the
+    * relationally re-derived encoded KG (same spelling as kg_encode's
+    * hash-exact oracle, so the ids provably line up). */
+  def transeEvalQuantizedFiltered(spark: SparkSession, dir: String): DataFrame = {
+    val (fit, test) = fitted(spark, dir)
+    val (encodedAll, _, _, _, _) = encodedKg(spark, dir)
+    QuantizedEval.runFiltered(spark, dir, fit.model, test, encodedAll)
+  }
+
   // ----------------------------------------- transe_entity_embeddings
   /** Trained entity embeddings as a relational surface — the reference's
     * checkpoint (`utils.py:44-49`) as a queryable table. Export contract:
@@ -360,12 +383,18 @@ object TransEQueries {
     "transe_eval" -> (transeEval _),
     "transe_eval_filtered" -> (transeEvalFiltered _),
     "transe_eval_partitioned" -> (transeEvalPartitioned _),
+    "transe_eval_quantized" -> (transeEvalQuantized _),
+    "transe_eval_quantized_filtered" -> (transeEvalQuantizedFiltered _),
     "transe_relation_categories" -> (relationCategories _),
     "transe_embeddings" -> (transeEmbeddings _))
 
-  val oracles: Map[String, String] = Map(
+  // oracles is a def: transe_eval_quantized's SQL embeds the staging dir
+  // of the checkpoint the query just ranked (Verify dumps AFTER running)
+  def oracles: Map[String, String] = Map(
     "kg_triples" -> kgTriplesSql,
     "kg_encode"  -> kgEncodeSql,
+    "transe_eval_quantized" -> QuantizedEval.oracleSql,
+    "transe_eval_quantized_filtered" -> QuantizedEval.oracleSqlFiltered(kgEncodeSql),
     "transe_relation_categories" -> relationCategoriesSql,
     "transe_embeddings" -> transeEmbeddingsSql)
 }

@@ -95,6 +95,61 @@ class TransESpec extends SparkSpec {
       s"combined mean rank $meanRank not better than random ($random)")
   }
 
+  test("quantized eval agrees with the float eval (the oracle bridge's tolerance gate)") {
+    import spark.implicits._
+    val (fit, test) = TransEQueries.fitted(spark, sf)
+    val fRow = LinkPrediction.evaluate(test, fit.model, hitsK = 10).collect().head
+    val triples = test.collect()
+    val entQ = QuantizedEval.quantize(fit.model.entity)
+    val entDf = spark.sparkContext
+      .parallelize(entQ.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toIndexedSeq)
+      .toDF("id", "vec")
+    val q = QuantizedEval.rankQuantized(entDf,
+      QuantizedEval.quantize(fit.model.label), triples,
+      l1 = fit.model.params.distance == L1)
+    val m = q.length
+    assert(m == triples.length)
+    val qMeanRank = q.map { case (_, rh, rt) => rh + rt }.sum.toDouble / (2 * m)
+    val qHits10 = q.map { case (_, rh, rt) =>
+      (if (rh <= 10) 1 else 0) + (if (rt <= 10) 1 else 0) }.sum.toDouble / (2 * m)
+    val fMeanRank = fRow.getAs[Double]("mean_rank")
+    val fHits10 = fRow.getAs[Double]("hits_at_10")
+    // 2^-20 quantization flips a rank only when two candidates score
+    // within a micro-unit — metric drift must stay in the noise
+    assert(math.abs(qMeanRank - fMeanRank) <= math.max(1.0, fMeanRank * 0.01),
+      s"quantized MeanRank $qMeanRank vs float $fMeanRank")
+    assert(math.abs(qHits10 - fHits10) <= 0.02,
+      s"quantized hits@10 $qHits10 vs float $fHits10")
+  }
+
+  test("quantized filtered ranks dominate quantized raw pointwise; both deterministic") {
+    val raw = TransEQueries.transeEvalQuantized(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) ->
+        (r.getAs[Long]("rank_head"), r.getAs[Long]("rank_tail"))).toMap
+    val filt = TransEQueries.transeEvalQuantizedFiltered(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) ->
+        (r.getAs[Long]("rank_head"), r.getAs[Long]("rank_tail"))).toMap
+    assert(raw.keySet == filt.keySet && raw.nonEmpty)
+    raw.foreach { case (key, (rh, rt)) =>
+      val (fh, ft) = filt(key)
+      assert(fh <= rh && ft <= rt, s"filtered rank worse than raw at $key")
+      assert(fh >= 1 && ft >= 1, s"filtered rank fell below 1 at $key")
+    }
+  }
+
+  test("transe_eval_quantized: deterministic per-triple ranks, stable across reruns") {
+    val a = TransEQueries.transeEvalQuantized(spark, sf).collect().toSeq
+    val b = TransEQueries.transeEvalQuantized(spark, sf).collect().toSeq
+    assert(a == b)
+    assert(a.nonEmpty && a.length <= QuantizedEval.SampleN)
+    // ranks are 1-based and bounded by the entity inventory
+    val (fit, _) = TransEQueries.fitted(spark, sf)
+    a.foreach { r =>
+      val rh = r.getAs[Long]("rank_head"); val rt = r.getAs[Long]("rank_tail")
+      assert(rh >= 1 && rh <= fit.nEntities && rt >= 1 && rt <= fit.nEntities)
+    }
+  }
+
   test("bern corruption: probabilities from relation stats; trainers stay bit-equal") {
     import spark.implicits._
     // relation 0 is 1-to-N (one head, 4 tails): tph=4, hpt=1 ->
