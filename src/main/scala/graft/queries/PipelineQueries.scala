@@ -394,6 +394,9 @@ object PipelineQueries {
       graft.sources.JsonQuarantine.quarantineReport(s, d)),
     // --- ORC source round-trip (columnar twin; schema as a CHECK) ---
     "source_orc" -> ((s, d) => graft.sources.OrcSource.roundTripAgg(s, d)),
+    // from-scratch Avro reader/writer on the avro core lib (the spark-avro
+    // module isn't in this distribution): DSv2 batch source, same checksum
+    "source_avro" -> ((s, d) => graft.sources.AvroSource.roundTripAgg(s, d)),
     // additive schema evolution: mergeSchema union, old files null-fill
     "source_schema_evolution" -> ((s, d) =>
       graft.sources.SchemaEvolution.evolvedRead(s, d)),
@@ -576,6 +579,7 @@ object PipelineQueries {
     "embed_hash_vectors" -> TextVectorize.hashVectorsSql(),
     "dedup_hashvec" -> TextVectorize.hashVecNearDupSql(),
     "source_orc" -> graft.sources.OrcSource.roundTripAggSql,
+    "source_avro" -> graft.sources.AvroSource.roundTripAggSql,
     "source_schema_evolution" -> graft.sources.SchemaEvolution.evolvedReadSql,
     "source_binary" -> graft.sources.BinaryFiles.binaryManifestSql,
     "mv_event_totals" -> Summaries.eventTypeTotalsSql,

@@ -123,6 +123,43 @@ class SourcesSpec extends SparkSpec {
     assert(back.exceptAll(original).isEmpty && original.exceptAll(back).isEmpty)
   }
 
+  test("avro round-trip preserves every row and every text byte") {
+    val original = Tables.documents(spark, sf)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    val back = spark.read
+      .format(classOf[graft.sources.AvroSource].getName)
+      .load(graft.sources.AvroSource.stagedDir(spark, sf))
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    assert(back.count() == original.count())
+    assert(back.exceptAll(original).isEmpty && original.exceptAll(back).isEmpty)
+  }
+
+  test("avro source: nulls, unicode, binary, and all primitive types survive") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_avro_prims").toString
+    val df = Seq(
+      (1L, Some("héllo 世界 🚀 \"quoted\"\nnewline"), Some(1.5), Some(2.5f),
+        Some(true), Some(7), Some(Array[Byte](0, 1, -128, 127))),
+      (2L, None: Option[String], None: Option[Double], None: Option[Float],
+        None: Option[Boolean], None: Option[Int], None: Option[Array[Byte]]))
+      .toDF("id", "s", "d", "f", "b", "i", "bin")
+    graft.sources.AvroSource.write(df, dir)
+    val back = spark.read
+      .format(classOf[graft.sources.AvroSource].getName).load(dir)
+    assert(back.schema.fieldNames.sameElements(df.schema.fieldNames))
+    assert(back.count() == 2)
+    assert(back.exceptAll(df).isEmpty && df.exceptAll(back).isEmpty)
+    // drifted file schema fails the scan loudly (positional-transpose trap)
+    val otherDir = Files.createTempDirectory("graft_avro_drift").toString
+    graft.sources.AvroSource.write(df.withColumnRenamed("s", "renamed"), otherDir)
+    val schemaOfFirst = graft.sources.AvroSource.readSchema(dir)
+    val mixed = spark.read
+      .format(classOf[graft.sources.AvroSource].getName)
+      .schema(schemaOfFirst).load(otherDir)
+    val e = intercept[Exception](mixed.collect())
+    assert(e.getMessage != null)
+  }
+
   test("sharded sink: shards partition the corpus; assignment is content-keyed") {
     val m = graft.operators.ShardedSink.manifest(spark, sf).collect()
     val docs = Tables.documents(spark, sf)
