@@ -44,6 +44,45 @@ import org.apache.spark.unsafe.types.UTF8String
 object BusSource {
   val Block = 1000
   val Mult = 7919L // prime, > Block => (pos * Mult) % Block is a bijection
+  /** Default lane (source-partition) count. Lanes are the Kafka-shaped
+    * unit of offset tracking: global row i lives on lane i % lanes, and
+    * the committed offset is a PER-LANE position vector. Must divide
+    * [[Block]] so the skewed serving order (see [[frontier]]) never
+    * interleaves permutation blocks — the lateness bound stays one block
+    * span and every downstream watermark keeps covering it. */
+  val DefaultLanes = 4
+
+  /** Rows of lane l in a stream of `realRows`: ids i ≡ l (mod lanes). */
+  def laneRows(realRows: Long, lanes: Int, l: Int): Long =
+    if (realRows <= l) 0L else (realRows - l - 1) / lanes + 1
+
+  /** The deterministic skewed serving frontier: per-lane positions after
+    * T total rows served. Serving order is block-by-block (all of block g
+    * before any of block g+1 — so cross-lane skew NEVER widens event-time
+    * disorder past one block span), and within a block the HIGHEST lane
+    * drains first: a mid-block restart therefore recovers lanes at
+    * genuinely different positions, which is the Kafka-shaped recovery
+    * case the offset vector exists for. */
+  def frontier(t: Long, realRows: Long, lanes: Int): Array[Long] = {
+    require(Block % lanes == 0, s"lanes=$lanes must divide Block=$Block")
+    val pos = new Array[Long](lanes)
+    val chunk = Block / lanes
+    var remaining = math.min(t, realRows)
+    var g = 0L
+    while (remaining > 0) {
+      var l = lanes - 1
+      while (l >= 0 && remaining > 0) {
+        val cap = math.max(0L,
+          math.min(laneRows(realRows, lanes, l) - g * chunk, chunk.toLong))
+        val take = math.min(cap, remaining)
+        pos(l) += take
+        remaining -= take
+        l -= 1
+      }
+      g += 1
+    }
+    pos
+  }
   val Epoch0Micros = 1704067200000000L // 2024-01-01T00:00:00Z
   val StepMicros = 1000000L // one event-time second per row
   val NTypes = 4
