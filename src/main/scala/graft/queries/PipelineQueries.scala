@@ -397,6 +397,10 @@ object PipelineQueries {
     // from-scratch Avro reader/writer on the avro core lib (the spark-avro
     // module isn't in this distribution): DSv2 batch source, same checksum
     "source_avro" -> ((s, d) => graft.sources.AvroSource.roundTripAgg(s, d)),
+    // logical-type surface of the same connector: timestamp-micros +
+    // decimal(12,2) through the events table (VERDICT r9 #3)
+    "source_avro_events" -> ((s, d) =>
+      graft.sources.AvroSource.eventsRoundTripAgg(s, d)),
     // additive schema evolution: mergeSchema union, old files null-fill
     "source_schema_evolution" -> ((s, d) =>
       graft.sources.SchemaEvolution.evolvedRead(s, d)),
@@ -580,6 +584,7 @@ object PipelineQueries {
     "dedup_hashvec" -> TextVectorize.hashVecNearDupSql(),
     "source_orc" -> graft.sources.OrcSource.roundTripAggSql,
     "source_avro" -> graft.sources.AvroSource.roundTripAggSql,
+    "source_avro_events" -> graft.sources.AvroSource.eventsRoundTripAggSql,
     "source_schema_evolution" -> graft.sources.SchemaEvolution.evolvedReadSql,
     "source_binary" -> graft.sources.BinaryFiles.binaryManifestSql,
     "mv_event_totals" -> Summaries.eventTypeTotalsSql,

@@ -389,12 +389,15 @@ object TransEQueries {
     "transe_embeddings" -> (transeEmbeddings _))
 
   // oracles is a def: transe_eval_quantized's SQL embeds the staging dir
-  // of the checkpoint the query just ranked (Verify dumps AFTER running)
+  // of the checkpoint the query just ranked (Verify dumps AFTER running);
+  // until a quantized query runs in this JVM the two entries are OMITTED
+  // (weaker rows-only check) rather than pointed at a guessed directory
   def oracles: Map[String, String] = Map(
     "kg_triples" -> kgTriplesSql,
     "kg_encode"  -> kgEncodeSql,
-    "transe_eval_quantized" -> QuantizedEval.oracleSql,
-    "transe_eval_quantized_filtered" -> QuantizedEval.oracleSqlFiltered(kgEncodeSql),
     "transe_relation_categories" -> relationCategoriesSql,
-    "transe_embeddings" -> transeEmbeddingsSql)
+    "transe_embeddings" -> transeEmbeddingsSql) ++
+    QuantizedEval.oracleSqlOpt.map("transe_eval_quantized" -> _) ++
+    QuantizedEval.oracleSqlFilteredOpt(kgEncodeSql)
+      .map("transe_eval_quantized_filtered" -> _)
 }

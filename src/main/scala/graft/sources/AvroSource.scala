@@ -46,8 +46,11 @@ import graft.Tables
   * the parquet sinks do.
   *
   * Supported types (both directions): LONG, INT, STRING, DOUBLE, FLOAT,
-  * BOOLEAN, BYTES, each optionally nullable via UNION(null, T) — the
-  * relational core; nested records are out of contract (throw loudly).
+  * BOOLEAN, BYTES, plus the LOGICAL types a landing format meets first
+  * (round 10, VERDICT r9 #3): TIMESTAMP as long + timestamp-micros (the
+  * events table's `ts`), DATE as int + date, DECIMAL(p,s) as bytes +
+  * decimal — each optionally nullable via UNION(null, T). Nested records
+  * are out of contract (throw loudly).
   */
 object AvroSource {
 
@@ -63,6 +66,17 @@ object AvroSource {
         case FloatType   => Schema.create(Schema.Type.FLOAT)
         case BooleanType => Schema.create(Schema.Type.BOOLEAN)
         case BinaryType  => Schema.create(Schema.Type.BYTES)
+        // logical types: annotated primitives, readable by any avro
+        // consumer (spec §Logical Types) — micros matches Spark's own
+        // internal timestamp/date representation, so the reader is a
+        // passthrough
+        case TimestampType => org.apache.avro.LogicalTypes.timestampMicros()
+          .addToSchema(Schema.create(Schema.Type.LONG))
+        case DateType => org.apache.avro.LogicalTypes.date()
+          .addToSchema(Schema.create(Schema.Type.INT))
+        case d: DecimalType => org.apache.avro.LogicalTypes
+          .decimal(d.precision, d.scale)
+          .addToSchema(Schema.create(Schema.Type.BYTES))
         case dt => throw new IllegalArgumentException(
           s"avro sink: unsupported Spark type $dt for field ${f.name}")
       }
@@ -76,21 +90,30 @@ object AvroSource {
     fields.endRecord()
   }
 
-  def toSparkType(s: Schema): (DataType, Boolean) = s.getType match {
-    case Schema.Type.LONG    => (LongType, false)
-    case Schema.Type.INT     => (IntegerType, false)
-    case Schema.Type.STRING  => (StringType, false)
-    case Schema.Type.DOUBLE  => (DoubleType, false)
-    case Schema.Type.FLOAT   => (FloatType, false)
-    case Schema.Type.BOOLEAN => (BooleanType, false)
-    case Schema.Type.BYTES   => (BinaryType, false)
-    case Schema.Type.UNION =>
+  def toSparkType(s: Schema): (DataType, Boolean) = (s.getType, s.getLogicalType) match {
+    case (Schema.Type.LONG, _: org.apache.avro.LogicalTypes.TimestampMicros) =>
+      (TimestampType, false)
+    case (Schema.Type.INT, _: org.apache.avro.LogicalTypes.Date) =>
+      (DateType, false)
+    case (Schema.Type.BYTES, d: org.apache.avro.LogicalTypes.Decimal) =>
+      (DecimalType(d.getPrecision, d.getScale), false)
+    case (t, lt) if lt != null => throw new IllegalArgumentException(
+      s"avro source: unsupported logical type $lt on $t (in contract: " +
+        "timestamp-micros on long, date on int, decimal on bytes)")
+    case (Schema.Type.LONG, _)    => (LongType, false)
+    case (Schema.Type.INT, _)     => (IntegerType, false)
+    case (Schema.Type.STRING, _)  => (StringType, false)
+    case (Schema.Type.DOUBLE, _)  => (DoubleType, false)
+    case (Schema.Type.FLOAT, _)   => (FloatType, false)
+    case (Schema.Type.BOOLEAN, _) => (BooleanType, false)
+    case (Schema.Type.BYTES, _)   => (BinaryType, false)
+    case (Schema.Type.UNION, _) =>
       val branches = s.getTypes.asScala
       val nonNull = branches.filter(_.getType != Schema.Type.NULL)
       require(nonNull.size == 1 && branches.size <= 2,
         s"avro source: only UNION(null, T) unions are in contract, got $s")
       (toSparkType(nonNull.head)._1, true)
-    case t => throw new IllegalArgumentException(
+    case (t, _) => throw new IllegalArgumentException(
       s"avro source: unsupported avro type $t")
   }
 
@@ -136,11 +159,18 @@ object AvroSource {
     Files.createDirectories(d)
     df.rdd.mapPartitionsWithIndex { (idx, it) =>
       val avroSchema = new Schema.Parser().parse(avroJson)
-      val file = new File(dir, f"part-$idx%05d.avro")
+      // task-commit protocol (ADVICE r9 #4): encode into an attempt-
+      // suffixed temp file and atomically rename on task success, so a
+      // retried or speculative attempt can never leave a truncated
+      // container under the final name for _SUCCESS to bless
+      val attempt = Option(org.apache.spark.TaskContext.get())
+        .map(_.taskAttemptId()).getOrElse(0L)
+      val finalFile = new File(dir, f"part-$idx%05d.avro")
+      val tmpFile = new File(dir, f"part-$idx%05d.avro.$attempt.tmp")
       val w = new DataFileWriter[GenericRecord](
         new GenericDatumWriter[GenericRecord](avroSchema))
       w.setCodec(org.apache.avro.file.CodecFactory.deflateCodec(6))
-      w.create(avroSchema, file)
+      w.create(avroSchema, tmpFile)
       var n = 0L
       try {
         it.foreach { row =>
@@ -153,7 +183,11 @@ object AvroSource {
           w.append(rec)
           n += 1
         }
-      } finally w.close()
+        w.close()
+        Files.move(tmpFile.toPath, finalFile.toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      } finally { w.close(); Files.deleteIfExists(tmpFile.toPath) }
       Iterator.single(n)
     }.collect() // materialize the write; per-task row counts back
     Files.write(d.resolve("_SUCCESS"), Array.emptyByteArray)
@@ -169,6 +203,23 @@ object AvroSource {
       case FloatType   => java.lang.Float.valueOf(row.getFloat(i))
       case BooleanType => java.lang.Boolean.valueOf(row.getBoolean(i))
       case BinaryType  => java.nio.ByteBuffer.wrap(row.getAs[Array[Byte]](i))
+      case TimestampType =>
+        // external Row timestamps are java.sql.Timestamp; micros from the
+        // floored epoch-second + the full sub-second nanos field (getTime
+        // already contains the millis of getNanos — don't double-count)
+        val t = row.getAs[java.sql.Timestamp](i)
+        java.lang.Long.valueOf(
+          Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L)
+      case DateType =>
+        java.lang.Integer.valueOf(
+          row.getAs[java.sql.Date](i).toLocalDate.toEpochDay.toInt)
+      case d: DecimalType =>
+        // avro decimal = two's-complement unscaled bytes at the SCHEMA's
+        // scale; setScale pins it so a rescaled JVM BigDecimal can't
+        // silently shift the decimal point
+        val dec = row.getAs[java.math.BigDecimal](i)
+        java.nio.ByteBuffer.wrap(
+          dec.setScale(d.scale).unscaledValue().toByteArray)
       case other => throw new IllegalArgumentException(s"unsupported $other")
     }
 
@@ -186,6 +237,51 @@ object AvroSource {
     }
     dir.toString
   }
+
+  /** Write-once Avro staging of the EVENTS table with the logical-type
+    * columns a landing format actually carries: `ts` as timestamp-micros
+    * and `amount` as decimal(12,2) (VERDICT r9 #3 — the reference-shaped
+    * event-data gap). Keyed by (source path, mtime) like the documents
+    * twin. */
+  private[graft] def stagedEventsDir(spark: SparkSession, sfDir: String): String = {
+    val src = Paths.get(sfDir, "events.parquet").toAbsolutePath.normalize
+    val key = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s"avroev:$src:${Files.getLastModifiedTime(src).toMillis}".getBytes("UTF-8"))
+      .take(8).map("%02x".format(_)).mkString
+    val dir = Paths.get(sys.props("java.io.tmpdir"), s"graft_avro_ev_$key")
+    if (!Files.exists(dir.resolve("_SUCCESS"))) {
+      write(Tables.events(spark, sfDir)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+          col("value").cast("decimal(12,2)").as("amount")),
+        dir.toString)
+    }
+    dir.toString
+  }
+
+  /** Logical-type round trip: events → Avro (timestamp-micros + decimal
+    * bytes) → scan → aggregate. Any micros truncation moves the min/max
+    * timestamps; any unscaled-bytes slip moves the EXACT decimal sum. */
+  def eventsRoundTripAgg(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.format(classOf[AvroSource].getName)
+      .load(stagedEventsDir(spark, sfDir))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("amount")).cast("double").as("sum_amount"),
+        min(unix_micros(col("ts"))).as("min_ts_us"),
+        max(unix_micros(col("ts"))).as("max_ts_us"))
+      .orderBy("event_type")
+
+  /** DuckDB replay straight off the raw events table — the Avro encode/
+    * decode must be invisible to the answer. Decimal sums are exact in
+    * both engines, so the double cast at the END cannot mask drift. */
+  def eventsRoundTripAggSql: String =
+    """SELECT event_type,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_amount,
+      |  MIN(CAST(epoch_us(ts) AS BIGINT)) AS min_ts_us,
+      |  MAX(CAST(epoch_us(ts) AS BIGINT)) AS max_ts_us
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   /** Round-trip proof with the same output contract (and oracle) as the
     * JSONL/CSV/ORC round trips: any encode/decode loss moves the
@@ -252,13 +348,18 @@ final class AvroPartitionReader(path: String, schema: StructType)
   private val reader = new DataFileReader[GenericRecord](new File(path),
     new GenericDatumReader[GenericRecord]())
   // positional mapping validated once per file: the embedded schema's
-  // field names must match the expected read schema — a drifted file
-  // fails the scan loudly instead of silently transposing columns
+  // field NAMES AND TYPES must match the expected read schema — a
+  // name-drifted file would silently transpose columns, a type-drifted
+  // one (long vs int, double vs float) would surface as an opaque
+  // ClassCastException deep in row access since numeric values pass
+  // through boxed (ADVICE r9 #2). Nullability stays advisory: a file
+  // whose field is non-null under a nullable read schema is safe.
   locally {
     val got = AvroSource.toStructType(reader.getSchema)
-    require(got.fieldNames.sameElements(schema.fieldNames),
-      s"avro file $path fields ${got.fieldNames.mkString(",")} != " +
-        s"expected ${schema.fieldNames.mkString(",")}")
+    def sig(s: StructType) = s.fields.map(f => (f.name, f.dataType)).toSeq
+    require(sig(got) == sig(schema),
+      s"avro file $path schema ${got.simpleString} != " +
+        s"expected ${schema.simpleString}")
   }
   private var rec: GenericRecord = _
   override def next(): Boolean = {
@@ -286,7 +387,17 @@ final class AvroPartitionReader(path: String, schema: StructType)
           val out = new Array[Byte](b.remaining()); b.duplicate().get(out); out
         case a: Array[Byte] => a
       }
-      case _ => v // numeric/boolean primitives pass through boxed
+      case d: DecimalType =>
+        val bytes = v match {
+          case b: java.nio.ByteBuffer =>
+            val out = new Array[Byte](b.remaining()); b.duplicate().get(out); out
+          case a: Array[Byte] => a
+        }
+        Decimal(new java.math.BigDecimal(
+          new java.math.BigInteger(bytes), d.scale), d.precision, d.scale)
+      // numeric/boolean primitives pass through boxed; timestamp-micros
+      // and date arrive as the Long/Int Spark's internal rows use anyway
+      case _ => v
     }
   override def close(): Unit = reader.close()
 }

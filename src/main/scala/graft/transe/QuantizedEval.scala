@@ -269,9 +269,16 @@ object QuantizedEval {
   /** The DuckDB replay: identical integer strict-less counts from the
     * staged checkpoint. `vec[i]` is 1-based list indexing; the lambda
     * sums are exact (BIGINT in, int128 accumulation in DuckDB — compared
-    * against values that fit in int64 anyway). */
-  def oracleSql: String = {
-    val dir = lastDir.getOrElse(stagedDir("/root/testdata/sf0.01"))
+    * against values that fit in int64 anyway).
+    *
+    * None until a quantized query has run IN THIS JVM: the SQL embeds the
+    * staging dir of the checkpoint the query actually ranked, so a
+    * filtered Verify run that skipped the quantized queries must OMIT
+    * these oracles rather than point DuckDB at a stale or nonexistent
+    * checkpoint from some earlier run (ADVICE r9 #3). */
+  def oracleSqlOpt: Option[String] = lastDir.map(oracleSqlAt)
+
+  private def oracleSqlAt(dir: String): String = {
     val k = lastDim
     val rng = s"range(1, ${k + 1})"
     def sq(e: String) = if (lastL1) s"abs($e)" else s"($e) * ($e)"
@@ -309,9 +316,12 @@ object QuantizedEval {
     * anti-join against the relationally re-derived encoded KG (`kgSql`,
     * the same spelling the hash-exact kg_encode oracle uses — so the ids
     * provably match the staged matrix's). A candidate only counts when
-    * it scores strictly less AND its triple is not a known true one. */
-  def oracleSqlFiltered(kgSql: String): String = {
-    val dir = lastDir.getOrElse(stagedDir("/root/testdata/sf0.01"))
+    * it scores strictly less AND its triple is not a known true one.
+    * None until a quantized query ran in this JVM — see [[oracleSqlOpt]]. */
+  def oracleSqlFilteredOpt(kgSql: String): Option[String] =
+    lastDir.map(oracleSqlFilteredAt(_, kgSql))
+
+  private def oracleSqlFilteredAt(dir: String, kgSql: String): String = {
     val k = lastDim
     val rng = s"range(1, ${k + 1})"
     def sq(e: String) = if (lastL1) s"abs($e)" else s"($e) * ($e)"

@@ -31,8 +31,11 @@ class ContractSpec extends SparkSpec {
   test("the rows-only set is exactly the five SGD training metrics") {
     // embed_pca_project's oracle is DYNAMIC (trained-literal SQL,
     // published once a model trains in this JVM) — train first so the
-    // assertion sees the steady-state oracle surface
+    // assertion sees the steady-state oracle surface. Same for the two
+    // quantized-eval oracles, whose SQL embeds the staging dir of the
+    // checkpoint the query just ranked (None until that run happens).
     graft.operators.Pca.project(Tables.embeddings(spark, sf)).count()
+    graft.queries.TransEQueries.transeEvalQuantized(spark, sf).count()
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(rowsOnly == Set("transe_eval", "transe_eval_partitioned",
       "transe_eval_filtered", "transe_fit", "transe_fit_partitioned"),

@@ -160,6 +160,61 @@ class SourcesSpec extends SparkSpec {
     assert(e.getMessage != null)
   }
 
+  test("avro logical types: timestamp-micros, date, decimal round-trip exactly") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_avro_logical").toString
+    val df = Seq(
+      (1L, Some(java.sql.Timestamp.valueOf("2024-03-01 12:34:56.123456")),
+        Some(java.sql.Date.valueOf("2024-03-01")),
+        Some(new java.math.BigDecimal("12345.67"))),
+      // negative unscaled decimal: two's-complement bytes path
+      (2L, Some(java.sql.Timestamp.valueOf("1969-12-31 23:59:59.999999")),
+        Some(java.sql.Date.valueOf("1969-12-31")),
+        Some(new java.math.BigDecimal("-0.01"))),
+      (3L, None: Option[java.sql.Timestamp], None: Option[java.sql.Date],
+        None: Option[java.math.BigDecimal]))
+      .toDF("id", "ts", "day", "amt")
+      .withColumn("amt", col("amt").cast("decimal(12,2)"))
+    graft.sources.AvroSource.write(df, dir)
+    // the EMBEDDED schema carries the logical annotations back
+    val inferred = graft.sources.AvroSource.readSchema(dir)
+    assert(inferred("ts").dataType == org.apache.spark.sql.types.TimestampType)
+    assert(inferred("day").dataType == org.apache.spark.sql.types.DateType)
+    assert(inferred("amt").dataType ==
+      org.apache.spark.sql.types.DecimalType(12, 2))
+    val back = spark.read
+      .format(classOf[graft.sources.AvroSource].getName).load(dir)
+    assert(back.count() == 3)
+    assert(back.exceptAll(df).isEmpty && df.exceptAll(back).isEmpty)
+    // TYPE drift (same names, long vs timestamp) fails loudly too — the
+    // r9 check compared names only and let this reach row access
+    // (ADVICE r9 #2)
+    val driftDir = Files.createTempDirectory("graft_avro_tdrift").toString
+    graft.sources.AvroSource.write(
+      df.withColumn("ts", unix_micros(col("ts"))), driftDir)
+    val mixed = spark.read
+      .format(classOf[graft.sources.AvroSource].getName)
+      .schema(graft.sources.AvroSource.readSchema(dir)).load(driftDir)
+    val e = intercept[Exception](mixed.collect())
+    assert(e.getMessage.contains("schema") || e.getMessage.contains("avro"),
+      s"expected a loud per-file schema message, got: ${e.getMessage}")
+  }
+
+  test("avro events twin: logical-type aggregate equals the raw-parquet spelling") {
+    // the registered source_avro_events query vs the same aggregate off
+    // the raw events table — the in-JVM twin of its DuckDB oracle
+    val viaAvro = graft.sources.AvroSource.eventsRoundTripAgg(spark, sf).collect()
+    val raw = Tables.events(spark, sf)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(12,2)")).cast("double").as("sum_amount"),
+        min(unix_micros(col("ts"))).as("min_ts_us"),
+        max(unix_micros(col("ts"))).as("max_ts_us"))
+      .orderBy("event_type").collect()
+    assert(viaAvro.nonEmpty && viaAvro.sameElements(raw),
+      s"avro=${viaAvro.mkString(";")} raw=${raw.mkString(";")}")
+  }
+
   test("sharded sink: shards partition the corpus; assignment is content-keyed") {
     val m = graft.operators.ShardedSink.manifest(spark, sf).collect()
     val docs = Tables.documents(spark, sf)
