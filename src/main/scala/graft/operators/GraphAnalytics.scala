@@ -390,7 +390,16 @@ object GraphAnalytics {
     *
     * Output: (id, core_deg) for vertices in the k-core, where core_deg
     * is the vertex's degree WITHIN the core (>= k by construction). */
-  def kcore(edges: DataFrame, k: Int = 4, maxRounds: Int = 64): DataFrame = {
+  def kcore(edges: DataFrame, k: Int = 4, maxRounds: Int = 64): DataFrame =
+    kcoreWithRounds(edges, k, maxRounds)._1
+
+  /** [[kcore]] plus the number of peel rounds actually run — the
+    * STRUCTURAL cost figure the bench's wall-clock cannot give reliably
+    * (VERDICT r9 #2: iterative-family seconds are throttle-dominated;
+    * regressions must be caught in invariants like round count, not
+    * seconds). */
+  def kcoreWithRounds(edges: DataFrame, k: Int = 4,
+      maxRounds: Int = 64): (DataFrame, Int) = {
     // store each undirected edge ONCE, canonically (a < b) — halves every
     // per-round checkpoint and semi-join vs the doubled representation;
     // degrees tally both endpoints at aggregation time only
@@ -424,8 +433,8 @@ object GraphAnalytics {
       // is the identity, so stopping cannot change the answer
       if (n == nEdges) converged = true else { e = next; nEdges = n }
     }
-    e.select(col("a").as("id")).unionAll(e.select(col("b").as("id")))
-      .groupBy("id").agg(count(lit(1)).as("core_deg"))
+    (e.select(col("a").as("id")).unionAll(e.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("core_deg")), round)
   }
 
   /** Fixed-round CTE unroll with an identity tail: `rounds` here is a

@@ -132,8 +132,9 @@ object BusSource {
 }
 
 /** `spark.readStream.format(classOf[BusSource].getName)` entry point.
-  * Options: rows (real rows), users, batchRows (admission per trigger),
-  * partitions (reader parallelism). */
+  * Options: rows (real rows), users, batchrows (admission per trigger),
+  * lanes (source partitions — the Kafka-shaped unit of offset tracking
+  * AND reader parallelism; must divide [[BusSource.Block]]). */
 class BusSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     BusSource.schema
@@ -157,28 +158,48 @@ final class BusTable(props: Map[String, String]) extends Table with SupportsRead
             realRows = longOpt("rows", 100000L),
             nUsers = longOpt("users", 64L).toInt,
             batchRows = longOpt("batchrows", 25000L),
-            partitions = longOpt("partitions", 8L).toInt)
+            lanes = longOpt("lanes", BusSource.DefaultLanes.toLong).toInt)
       }
     }
 }
 
-final class BusOffset(val pos: Long) extends Offset {
-  override def json(): String = pos.toString
+/** The committed offset is a PER-LANE position vector plus a sentinel
+  * counter — the Kafka shape ({topicPartition -> offset}), serialized as
+  * `p0,p1,...,pk|sent`. Base-class equality compares the json, so two
+  * offsets are equal iff every lane position and the sentinel count
+  * agree. */
+final class BusOffset(val lanePos: Array[Long], val sent: Int) extends Offset {
+  def served: Long = lanePos.sum
+  override def json(): String = lanePos.mkString(",") + "|" + sent
 }
 
-/** Offset = row position. Admission control serves `batchRows` per
-  * trigger over the real rows, then exactly ONE sentinel row per trigger
-  * (each sentinel must be its own micro-batch: the watermark a batch
-  * observes comes from the PREVIOUS batch, so sentinel 2's batch is what
-  * flushes state under sentinel 1's far-future watermark). */
+object BusOffset {
+  def zero(lanes: Int): BusOffset = new BusOffset(new Array[Long](lanes), 0)
+  def parse(json: String): BusOffset = {
+    val Array(vec, s) = json.trim.split('|')
+    new BusOffset(vec.split(',').map(_.toLong), s.toInt)
+  }
+}
+
+/** Admission control serves `batchRows` more rows per trigger along the
+  * deterministic skewed frontier ([[BusSource.frontier]] — block-ordered,
+  * highest lane drains first within a block, so lanes genuinely sit at
+  * DIFFERENT positions at every mid-block boundary), then exactly ONE
+  * sentinel row per trigger (each sentinel must be its own micro-batch:
+  * the watermark a batch observes comes from the PREVIOUS batch, so
+  * sentinel 2's batch is what flushes state under sentinel 1's far-future
+  * watermark). Each batch plans ONE InputPartition PER LANE with
+  * unserved rows — a skewed backlog drains in parallel exactly like
+  * Kafka partitions, and a restart resumes every lane from its own
+  * committed position. */
 final class BusMicroBatchStream(realRows: Long, nUsers: Int, batchRows: Long,
-    partitions: Int) extends MicroBatchStream with SupportsAdmissionControl {
+    lanes: Int) extends MicroBatchStream with SupportsAdmissionControl {
 
-  private val totalRows = realRows + 2
+  require(BusSource.Block % lanes == 0,
+    s"lanes=$lanes must divide Block=${BusSource.Block} (the lateness bound)")
 
-  override def initialOffset(): Offset = new BusOffset(0L)
-  override def deserializeOffset(json: String): Offset =
-    new BusOffset(json.trim.toLong)
+  override def initialOffset(): Offset = BusOffset.zero(lanes)
+  override def deserializeOffset(json: String): Offset = BusOffset.parse(json)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 
@@ -189,70 +210,89 @@ final class BusMicroBatchStream(realRows: Long, nUsers: Int, batchRows: Long,
       "BusMicroBatchStream implements SupportsAdmissionControl; the " +
         "engine must call latestOffset(start, limit)")
 
+  private def dataOffset(tEnd: Long, sent: Int): BusOffset =
+    new BusOffset(BusSource.frontier(tEnd, realRows, lanes), sent)
+
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val s = start.asInstanceOf[BusOffset].pos
+    val s = start.asInstanceOf[BusOffset]
+    val t = s.served
     // honor the ENGINE-SUPPLIED limit (the SupportsAdmissionControl
     // contract): Trigger.AvailableNow wraps the source and passes its own
     // ReadLimit — ignoring it in favor of the captured batchRows would
     // under-admit and let the wrapper declare the stream caught up early.
     // Sentinels still go one per trigger regardless of the cap (they are
     // watermark advancement, not data).
-    val end = limit match {
+    limit match {
       case _: org.apache.spark.sql.connector.read.streaming.ReadAllAvailable =>
         // "everything available now" includes the self-generated
         // sentinels: Trigger.AvailableNow captures THIS as its target
         // offset once, so stopping at realRows would strand them
-        totalRows
+        dataOffset(realRows, 2)
       case rl: org.apache.spark.sql.connector.read.streaming.ReadMaxRows =>
-        if (s < realRows) math.min(saturatingAdd(s, rl.maxRows()), realRows)
-        else math.min(s + 1, totalRows) // sentinels: one per trigger
+        if (t < realRows)
+          dataOffset(math.min(saturatingAdd(t, rl.maxRows()), realRows), s.sent)
+        else dataOffset(realRows, math.min(s.sent + 1, 2))
       case _ =>
-        if (s < realRows) math.min(s + batchRows, realRows)
-        else math.min(s + 1, totalRows)
+        if (t < realRows)
+          dataOffset(math.min(t + batchRows, realRows), s.sent)
+        else dataOffset(realRows, math.min(s.sent + 1, 2))
     }
-    new BusOffset(end)
   }
 
   private def saturatingAdd(a: Long, b: Long): Long =
     if (a > Long.MaxValue - b) Long.MaxValue else a + b
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val s = start.asInstanceOf[BusOffset].pos
-    val e = end.asInstanceOf[BusOffset].pos
-    val n = math.max(e - s, 0L)
-    if (n == 0) Array.empty
-    else {
-      val chunk = (n + partitions - 1) / partitions
-      (0L until partitions.toLong).flatMap { p =>
-        val ps = s + p * chunk
-        val pe = math.min(ps + chunk, e)
-        if (ps < pe) Some(BusInputPartition(ps, pe, realRows, nUsers)) else None
-      }.toArray
+    val s = start.asInstanceOf[BusOffset]
+    val e = end.asInstanceOf[BusOffset]
+    // one partition per lane with unserved rows: a skewed frontier (lanes
+    // at different positions after a mid-block stop) yields >= 2 CONCURRENT
+    // tasks, each resuming its own lane — never a single serialized range
+    val laneParts: Seq[InputPartition] = (0 until lanes).flatMap { l =>
+      if (s.lanePos(l) < e.lanePos(l))
+        Some(BusLanePartition(l, lanes, s.lanePos(l), e.lanePos(l),
+          realRows, nUsers))
+      else None
     }
+    val sentinelParts: Seq[InputPartition] =
+      if (e.sent > s.sent)
+        Seq(BusSentinelPartition(realRows + s.sent, realRows + e.sent, realRows))
+      else Nil
+    (laneParts ++ sentinelParts).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new PartitionReaderFactory {
-      override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-        val bp = partition.asInstanceOf[BusInputPartition]
-        new BusPartitionReader(bp)
-      }
+      override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+        partition match {
+          case lp: BusLanePartition =>
+            new BusRangeReader(lp.lane + lp.from * lp.lanes,
+              lp.lane + lp.to * lp.lanes, lp.lanes.toLong, lp.realRows, lp.nUsers)
+          case sp: BusSentinelPartition =>
+            new BusRangeReader(sp.start, sp.end, 1L, sp.realRows, 64)
+        }
     }
 }
 
-final case class BusInputPartition(start: Long, end: Long, realRows: Long,
-    nUsers: Int) extends InputPartition
+/** Lane-local positions [from, to) of lane `lane`: global row ids
+  * lane + j*lanes — exactly the Kafka (partition, offset-range) block. */
+final case class BusLanePartition(lane: Int, lanes: Int, from: Long, to: Long,
+    realRows: Long, nUsers: Int) extends InputPartition
 
-final class BusPartitionReader(p: BusInputPartition)
-    extends PartitionReader[InternalRow] {
-  private var i = p.start - 1
+final case class BusSentinelPartition(start: Long, end: Long,
+    realRows: Long) extends InputPartition
+
+/** Strided global-id reader: ids start, start+step, ... (< end). */
+final class BusRangeReader(start: Long, end: Long, step: Long,
+    realRows: Long, nUsers: Int) extends PartitionReader[InternalRow] {
+  private var i = start - step
   private val props = UTF8String.fromString("{}")
-  override def next(): Boolean = { i += 1; i < p.end }
+  override def next(): Boolean = { i += step; i < end }
   override def get(): InternalRow = new GenericInternalRow(Array[Any](
     i,
-    BusSource.tsMicros(i, p.realRows),
-    BusSource.userId(i, p.realRows, p.nUsers),
-    UTF8String.fromString(BusSource.eventType(i, p.realRows)),
+    BusSource.tsMicros(i, realRows),
+    BusSource.userId(i, realRows, nUsers),
+    UTF8String.fromString(BusSource.eventType(i, realRows)),
     BusSource.value(i),
     props))
   override def close(): Unit = ()
