@@ -401,6 +401,10 @@ object PipelineQueries {
     // decimal(12,2) through the events table (VERDICT r9 #3)
     "source_avro_events" -> ((s, d) =>
       graft.sources.AvroSource.eventsRoundTripAgg(s, d)),
+    // ARRAY-typed surface: embeddings (array<float>) through the same
+    // connector with a quantized-int64 element checksum
+    "source_avro_embeddings" -> ((s, d) =>
+      graft.sources.AvroSource.embeddingsRoundTripAgg(s, d)),
     // additive schema evolution: mergeSchema union, old files null-fill
     "source_schema_evolution" -> ((s, d) =>
       graft.sources.SchemaEvolution.evolvedRead(s, d)),
@@ -585,6 +589,7 @@ object PipelineQueries {
     "source_orc" -> graft.sources.OrcSource.roundTripAggSql,
     "source_avro" -> graft.sources.AvroSource.roundTripAggSql,
     "source_avro_events" -> graft.sources.AvroSource.eventsRoundTripAggSql,
+    "source_avro_embeddings" -> graft.sources.AvroSource.embeddingsRoundTripAggSql,
     "source_schema_evolution" -> graft.sources.SchemaEvolution.evolvedReadSql,
     "source_binary" -> graft.sources.BinaryFiles.binaryManifestSql,
     "mv_event_totals" -> Summaries.eventTypeTotalsSql,

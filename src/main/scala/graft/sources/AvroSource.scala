@@ -49,36 +49,52 @@ import graft.Tables
   * BOOLEAN, BYTES, plus the LOGICAL types a landing format meets first
   * (round 10, VERDICT r9 #3): TIMESTAMP as long + timestamp-micros (the
   * events table's `ts`), DATE as int + date, DECIMAL(p,s) as bytes +
-  * decimal — each optionally nullable via UNION(null, T). Nested records
-  * are out of contract (throw loudly).
+  * decimal — plus ARRAY(T) with recursive element mapping (the
+  * embeddings table's array<float>), each optionally nullable via
+  * UNION(null, T). Nested records are out of contract (throw loudly).
   */
 object AvroSource {
 
   // ------------------------------------------------------- schema mapping
+  /** Non-null Avro schema of a Spark type (nullability wraps at the use
+    * site — field level or array-element level — as UNION(null, T)). */
+  private def avroTypeOf(dt: DataType): Schema = dt match {
+    case LongType    => Schema.create(Schema.Type.LONG)
+    case IntegerType => Schema.create(Schema.Type.INT)
+    case StringType  => Schema.create(Schema.Type.STRING)
+    case DoubleType  => Schema.create(Schema.Type.DOUBLE)
+    case FloatType   => Schema.create(Schema.Type.FLOAT)
+    case BooleanType => Schema.create(Schema.Type.BOOLEAN)
+    case BinaryType  => Schema.create(Schema.Type.BYTES)
+    // logical types: annotated primitives, readable by any avro
+    // consumer (spec §Logical Types) — micros matches Spark's own
+    // internal timestamp/date representation, so the reader is a
+    // passthrough
+    case TimestampType => org.apache.avro.LogicalTypes.timestampMicros()
+      .addToSchema(Schema.create(Schema.Type.LONG))
+    case DateType => org.apache.avro.LogicalTypes.date()
+      .addToSchema(Schema.create(Schema.Type.INT))
+    case d: DecimalType => org.apache.avro.LogicalTypes
+      .decimal(d.precision, d.scale)
+      .addToSchema(Schema.create(Schema.Type.BYTES))
+    // arrays recurse (the embeddings table's array<float> is the
+    // landing-format case); element nullability via UNION like fields
+    case ArrayType(et, containsNull) =>
+      val elem = avroTypeOf(et)
+      Schema.createArray(
+        if (containsNull)
+          Schema.createUnion(Schema.create(Schema.Type.NULL), elem)
+        else elem)
+    case other => throw new IllegalArgumentException(
+      s"avro sink: unsupported Spark type $other")
+  }
+
   def toAvroSchema(schema: StructType, name: String = "row"): Schema = {
     var fields = SchemaBuilder.record(name).namespace("graft").fields()
     schema.fields.foreach { f =>
-      val base = f.dataType match {
-        case LongType    => Schema.create(Schema.Type.LONG)
-        case IntegerType => Schema.create(Schema.Type.INT)
-        case StringType  => Schema.create(Schema.Type.STRING)
-        case DoubleType  => Schema.create(Schema.Type.DOUBLE)
-        case FloatType   => Schema.create(Schema.Type.FLOAT)
-        case BooleanType => Schema.create(Schema.Type.BOOLEAN)
-        case BinaryType  => Schema.create(Schema.Type.BYTES)
-        // logical types: annotated primitives, readable by any avro
-        // consumer (spec §Logical Types) — micros matches Spark's own
-        // internal timestamp/date representation, so the reader is a
-        // passthrough
-        case TimestampType => org.apache.avro.LogicalTypes.timestampMicros()
-          .addToSchema(Schema.create(Schema.Type.LONG))
-        case DateType => org.apache.avro.LogicalTypes.date()
-          .addToSchema(Schema.create(Schema.Type.INT))
-        case d: DecimalType => org.apache.avro.LogicalTypes
-          .decimal(d.precision, d.scale)
-          .addToSchema(Schema.create(Schema.Type.BYTES))
-        case dt => throw new IllegalArgumentException(
-          s"avro sink: unsupported Spark type $dt for field ${f.name}")
+      val base = try avroTypeOf(f.dataType) catch {
+        case e: IllegalArgumentException => throw new IllegalArgumentException(
+          s"${e.getMessage} for field ${f.name}")
       }
       fields =
         if (f.nullable)
@@ -107,6 +123,9 @@ object AvroSource {
     case (Schema.Type.FLOAT, _)   => (FloatType, false)
     case (Schema.Type.BOOLEAN, _) => (BooleanType, false)
     case (Schema.Type.BYTES, _)   => (BinaryType, false)
+    case (Schema.Type.ARRAY, _) =>
+      val (elemDt, elemNullable) = toSparkType(s.getElementType)
+      (ArrayType(elemDt, elemNullable), false)
     case (Schema.Type.UNION, _) =>
       val branches = s.getTypes.asScala
       val nonNull = branches.filter(_.getType != Schema.Type.NULL)
@@ -194,32 +213,37 @@ object AvroSource {
   }
 
   private def toAvroValue(row: Row, i: Int, dt: DataType): AnyRef =
-    if (row.isNullAt(i)) null
+    if (row.isNullAt(i)) null else fromExternal(row.get(i), dt)
+
+  /** External (Row-side) value → Avro generic value, recursive so array
+    * elements reuse the scalar paths. */
+  private def fromExternal(v: Any, dt: DataType): AnyRef =
+    if (v == null) null
     else dt match {
-      case LongType    => java.lang.Long.valueOf(row.getLong(i))
-      case IntegerType => java.lang.Integer.valueOf(row.getInt(i))
-      case StringType  => row.getString(i)
-      case DoubleType  => java.lang.Double.valueOf(row.getDouble(i))
-      case FloatType   => java.lang.Float.valueOf(row.getFloat(i))
-      case BooleanType => java.lang.Boolean.valueOf(row.getBoolean(i))
-      case BinaryType  => java.nio.ByteBuffer.wrap(row.getAs[Array[Byte]](i))
+      case LongType | IntegerType | DoubleType | FloatType | BooleanType |
+           StringType => v.asInstanceOf[AnyRef] // already the boxed/jvm form
+      case BinaryType => java.nio.ByteBuffer.wrap(v.asInstanceOf[Array[Byte]])
       case TimestampType =>
         // external Row timestamps are java.sql.Timestamp; micros from the
         // floored epoch-second + the full sub-second nanos field (getTime
         // already contains the millis of getNanos — don't double-count)
-        val t = row.getAs[java.sql.Timestamp](i)
+        val t = v.asInstanceOf[java.sql.Timestamp]
         java.lang.Long.valueOf(
           Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L)
       case DateType =>
         java.lang.Integer.valueOf(
-          row.getAs[java.sql.Date](i).toLocalDate.toEpochDay.toInt)
+          v.asInstanceOf[java.sql.Date].toLocalDate.toEpochDay.toInt)
       case d: DecimalType =>
         // avro decimal = two's-complement unscaled bytes at the SCHEMA's
         // scale; setScale pins it so a rescaled JVM BigDecimal can't
         // silently shift the decimal point
-        val dec = row.getAs[java.math.BigDecimal](i)
-        java.nio.ByteBuffer.wrap(
-          dec.setScale(d.scale).unscaledValue().toByteArray)
+        java.nio.ByteBuffer.wrap(v.asInstanceOf[java.math.BigDecimal]
+          .setScale(d.scale).unscaledValue().toByteArray)
+      case ArrayType(et, _) =>
+        val seq = v.asInstanceOf[scala.collection.Seq[Any]]
+        val out = new java.util.ArrayList[AnyRef](seq.length)
+        seq.foreach(e => out.add(fromExternal(e, et)))
+        out
       case other => throw new IllegalArgumentException(s"unsupported $other")
     }
 
@@ -282,6 +306,51 @@ object AvroSource {
       |  MIN(CAST(epoch_us(ts) AS BIGINT)) AS min_ts_us,
       |  MAX(CAST(epoch_us(ts) AS BIGINT)) AS max_ts_us
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Write-once Avro staging of the EMBEDDINGS table — the ARRAY-typed
+    * landing case (vec_id, embedding array<float>, label). */
+  private[graft] def stagedEmbeddingsDir(spark: SparkSession, sfDir: String): String = {
+    val src = Paths.get(sfDir, "embeddings.parquet").toAbsolutePath.normalize
+    val key = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s"avroemb:$src:${Files.getLastModifiedTime(src).toMillis}".getBytes("UTF-8"))
+      .take(8).map("%02x".format(_)).mkString
+    val dir = Paths.get(sys.props("java.io.tmpdir"), s"graft_avro_emb_$key")
+    if (!Files.exists(dir.resolve("_SUCCESS"))) {
+      write(Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("embedding"), col("label")), dir.toString)
+    }
+    dir.toString
+  }
+
+  /** Array round trip: embeddings → Avro ARRAY(float) → scan → per-label
+    * aggregate with a QUANTIZED element checksum. floor(x·2^20) on a
+    * float promoted to double is exact in both engines (×2^20 is an
+    * exponent shift), so any element lost, reordered into another row,
+    * or altered by even one ULP moves the int64 sum — a full hash oracle
+    * over the float payload without float summation anywhere. */
+  def embeddingsRoundTripAgg(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.format(classOf[AvroSource].getName)
+      .load(stagedEmbeddingsDir(spark, sfDir))
+      .groupBy(col("label").cast("long").as("label"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        sum(size(col("embedding")).cast("long")).as("n_elems"),
+        sum(expr("aggregate(embedding, CAST(0 AS BIGINT), " +
+          "(acc, x) -> acc + CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT))"))
+          .as("q_sum"),
+        min(col("vec_id")).as("min_id"),
+        max(col("vec_id")).as("max_id"))
+      .orderBy("label")
+
+  def embeddingsRoundTripAggSql: String =
+    """SELECT CAST(label AS BIGINT) AS label,
+      |  COUNT(*) AS n_vecs,
+      |  CAST(SUM(len(embedding)) AS BIGINT) AS n_elems,
+      |  CAST(SUM(list_sum(list_transform(embedding,
+      |    x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)))) AS BIGINT) AS q_sum,
+      |  MIN(vec_id) AS min_id,
+      |  MAX(vec_id) AS max_id
+      |FROM embeddings GROUP BY label ORDER BY label""".stripMargin
 
   /** Round-trip proof with the same output contract (and oracle) as the
     * JSONL/CSV/ORC round trips: any encode/decode loss moves the
@@ -395,6 +464,13 @@ final class AvroPartitionReader(path: String, schema: StructType)
         }
         Decimal(new java.math.BigDecimal(
           new java.math.BigInteger(bytes), d.scale), d.precision, d.scale)
+      case ArrayType(et, _) =>
+        val coll = v.asInstanceOf[java.util.Collection[AnyRef]]
+        val out = new Array[Any](coll.size())
+        val it = coll.iterator()
+        var i = 0
+        while (it.hasNext) { out(i) = fromAvroValue(it.next(), et); i += 1 }
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
       // numeric/boolean primitives pass through boxed; timestamp-micros
       // and date arrive as the Long/Int Spark's internal rows use anyway
       case _ => v

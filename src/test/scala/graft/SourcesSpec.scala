@@ -200,6 +200,45 @@ class SourcesSpec extends SparkSpec {
       s"expected a loud per-file schema message, got: ${e.getMessage}")
   }
 
+  test("avro arrays: array<float> round-trips exactly, incl. nullable elements") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_avro_arr").toString
+    val df = Seq(
+      (1L, Some(Seq(1.5f, -2.25f, 0.0f)), Seq(Some(7L), None, Some(-1L))),
+      (2L, Some(Seq.empty[Float]), Seq[Option[Long]]()),
+      (3L, None: Option[Seq[Float]], Seq(Some(42L))))
+      .toDF("id", "fvec", "lvec")
+    graft.sources.AvroSource.write(df, dir)
+    val inferred = graft.sources.AvroSource.readSchema(dir)
+    assert(inferred("fvec").dataType ==
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType, containsNull = false))
+    assert(inferred("lvec").dataType ==
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType, containsNull = true))
+    val back = spark.read
+      .format(classOf[graft.sources.AvroSource].getName).load(dir)
+    assert(back.count() == 3)
+    assert(back.exceptAll(df).isEmpty && df.exceptAll(back).isEmpty)
+  }
+
+  test("avro embeddings twin: quantized array checksum equals the raw-parquet spelling") {
+    val viaAvro = graft.sources.AvroSource
+      .embeddingsRoundTripAgg(spark, sf).collect()
+    val raw = Tables.embeddings(spark, sf)
+      .groupBy(col("label").cast("long").as("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(size(col("embedding")).cast("long")).as("n_elems"),
+        sum(expr("aggregate(embedding, CAST(0 AS BIGINT), " +
+          "(acc, x) -> acc + CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT))"))
+          .as("q_sum"),
+        min(col("vec_id")).as("min_id"),
+        max(col("vec_id")).as("max_id"))
+      .orderBy("label").collect()
+    assert(viaAvro.nonEmpty && viaAvro.sameElements(raw),
+      s"avro=${viaAvro.take(2).mkString(";")} raw=${raw.take(2).mkString(";")}")
+  }
+
   test("avro events twin: logical-type aggregate equals the raw-parquet spelling") {
     // the registered source_avro_events query vs the same aggregate off
     // the raw events table — the in-JVM twin of its DuckDB oracle
