@@ -153,6 +153,17 @@ object Bench {
       }
       fam -> (if (perPass.forall(_ >= 0) && perPass.nonEmpty) perPass.min else -1.0)
     }
+    // Long ITERATIVE queries (many jobs, ~10 s span) cross multiple host
+    // CPU-throttle windows inside one sample, so even interleaved
+    // min-of-3 stays inflated (r9: graph mins drifted +30% on untouched
+    // code). Their seconds are ADVISORY; regressions in this family are
+    // gated structurally instead (GraphSpec: per-iteration shuffle-record
+    // budget, constant plan depth, recorded kcore peel rounds).
+    val variancePron = Seq(
+      "graph_components", "graph_pagerank", "graph_kcore",
+      "graph_similar_suppliers", "stream_interval_join",
+      "stream_interval_join_outer", "stream_sessionize_ooo")
+      .filter(n => results.exists(_._1 == n)).sorted
     val failed = results.collect { case (n, (mn, _)) if mn < 0 => n }
     val nonMemoized = results.filterNot { case (n, _) => memoized.contains(n) }
     val qs = obj(nonMemoized.map { case (n, (mn, _)) => n -> mn } ++ headline)
@@ -160,7 +171,7 @@ object Bench {
     val total = results.map(_._2._1).filter(_ >= 0).sum
     val fams = obj(familyCosts)
     val full =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"queries_mean":$qsMean,"families":$fams,"failed":${arr(failed)},"memoized":${arr(memoized)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"queries_mean":$qsMean,"families":$fams,"failed":${arr(failed)},"memoized":${arr(memoized)},"variance_prone":${arr(variancePron)},"sf":"$sfDir"}"""
     // The full line (170+ queries) exceeds the driver's 2 KB stdout-tail
     // capture, which is why BENCH_r4-r6 recorded parsed:null. Persist the
     // full sweep to a repo file, print it for the log, then END stdout

@@ -405,6 +405,9 @@ object PipelineQueries {
     // connector with a quantized-int64 element checksum
     "source_avro_embeddings" -> ((s, d) =>
       graft.sources.AvroSource.embeddingsRoundTripAgg(s, d)),
+    // nested STRUCT surface: events re-shaped with a typed payload record
+    "source_avro_nested" -> ((s, d) =>
+      graft.sources.AvroSource.nestedRoundTripAgg(s, d)),
     // additive schema evolution: mergeSchema union, old files null-fill
     "source_schema_evolution" -> ((s, d) =>
       graft.sources.SchemaEvolution.evolvedRead(s, d)),
@@ -590,6 +593,7 @@ object PipelineQueries {
     "source_avro" -> graft.sources.AvroSource.roundTripAggSql,
     "source_avro_events" -> graft.sources.AvroSource.eventsRoundTripAggSql,
     "source_avro_embeddings" -> graft.sources.AvroSource.embeddingsRoundTripAggSql,
+    "source_avro_nested" -> graft.sources.AvroSource.nestedRoundTripAggSql,
     "source_schema_evolution" -> graft.sources.SchemaEvolution.evolvedReadSql,
     "source_binary" -> graft.sources.BinaryFiles.binaryManifestSql,
     "mv_event_totals" -> Summaries.eventTypeTotalsSql,

@@ -49,16 +49,19 @@ import graft.Tables
   * BOOLEAN, BYTES, plus the LOGICAL types a landing format meets first
   * (round 10, VERDICT r9 #3): TIMESTAMP as long + timestamp-micros (the
   * events table's `ts`), DATE as int + date, DECIMAL(p,s) as bytes +
-  * decimal — plus ARRAY(T) with recursive element mapping (the
-  * embeddings table's array<float>), each optionally nullable via
-  * UNION(null, T). Nested records are out of contract (throw loudly).
+  * decimal — plus ARRAY(T) and nested STRUCT records, mapped recursively
+  * (the embeddings table's array<float>; event payloads with typed
+  * sub-objects), each optionally nullable via UNION(null, T). MAP and
+  * ENUM remain out of contract (throw loudly).
   */
 object AvroSource {
 
   // ------------------------------------------------------- schema mapping
   /** Non-null Avro schema of a Spark type (nullability wraps at the use
-    * site — field level or array-element level — as UNION(null, T)). */
-  private def avroTypeOf(dt: DataType): Schema = dt match {
+    * site — field level or array-element level — as UNION(null, T)).
+    * `path` uniquifies nested record names (Avro requires distinct names
+    * per schema document). */
+  private def avroTypeOf(dt: DataType, path: String): Schema = dt match {
     case LongType    => Schema.create(Schema.Type.LONG)
     case IntegerType => Schema.create(Schema.Type.INT)
     case StringType  => Schema.create(Schema.Type.STRING)
@@ -80,11 +83,14 @@ object AvroSource {
     // arrays recurse (the embeddings table's array<float> is the
     // landing-format case); element nullability via UNION like fields
     case ArrayType(et, containsNull) =>
-      val elem = avroTypeOf(et)
+      val elem = avroTypeOf(et, s"${path}_elem")
       Schema.createArray(
         if (containsNull)
           Schema.createUnion(Schema.create(Schema.Type.NULL), elem)
         else elem)
+    // nested records: the remaining landing-format shape (event payloads
+    // with typed sub-objects); names path-derived for uniqueness
+    case st: StructType => toAvroSchema(st, path)
     case other => throw new IllegalArgumentException(
       s"avro sink: unsupported Spark type $other")
   }
@@ -92,7 +98,7 @@ object AvroSource {
   def toAvroSchema(schema: StructType, name: String = "row"): Schema = {
     var fields = SchemaBuilder.record(name).namespace("graft").fields()
     schema.fields.foreach { f =>
-      val base = try avroTypeOf(f.dataType) catch {
+      val base = try avroTypeOf(f.dataType, s"${name}_${f.name}") catch {
         case e: IllegalArgumentException => throw new IllegalArgumentException(
           s"${e.getMessage} for field ${f.name}")
       }
@@ -126,6 +132,7 @@ object AvroSource {
     case (Schema.Type.ARRAY, _) =>
       val (elemDt, elemNullable) = toSparkType(s.getElementType)
       (ArrayType(elemDt, elemNullable), false)
+    case (Schema.Type.RECORD, _) => (toStructType(s), false)
     case (Schema.Type.UNION, _) =>
       val branches = s.getTypes.asScala
       val nonNull = branches.filter(_.getType != Schema.Type.NULL)
@@ -196,7 +203,10 @@ object AvroSource {
           val rec = new GenericData.Record(avroSchema)
           var i = 0
           while (i < schema.length) {
-            rec.put(i, toAvroValue(row, i, schema.fields(i).dataType))
+            rec.put(i,
+              if (row.isNullAt(i)) null
+              else fromExternal(row.get(i), schema.fields(i).dataType,
+                avroSchema.getFields.get(i).schema()))
             i += 1
           }
           w.append(rec)
@@ -212,39 +222,57 @@ object AvroSource {
     Files.write(d.resolve("_SUCCESS"), Array.emptyByteArray)
   }
 
-  private def toAvroValue(row: Row, i: Int, dt: DataType): AnyRef =
-    if (row.isNullAt(i)) null else fromExternal(row.get(i), dt)
-
   /** External (Row-side) value → Avro generic value, recursive so array
-    * elements reuse the scalar paths. */
-  private def fromExternal(v: Any, dt: DataType): AnyRef =
+    * elements and nested-record fields reuse the scalar paths. `s` is the
+    * value's Avro schema (possibly a nullable UNION — resolved here)
+    * because nested `GenericData.Record`s must be built against their
+    * exact schema node. */
+  private def fromExternal(v: Any, dt: DataType, s: Schema): AnyRef =
     if (v == null) null
-    else dt match {
-      case LongType | IntegerType | DoubleType | FloatType | BooleanType |
-           StringType => v.asInstanceOf[AnyRef] // already the boxed/jvm form
-      case BinaryType => java.nio.ByteBuffer.wrap(v.asInstanceOf[Array[Byte]])
-      case TimestampType =>
-        // external Row timestamps are java.sql.Timestamp; micros from the
-        // floored epoch-second + the full sub-second nanos field (getTime
-        // already contains the millis of getNanos — don't double-count)
-        val t = v.asInstanceOf[java.sql.Timestamp]
-        java.lang.Long.valueOf(
-          Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L)
-      case DateType =>
-        java.lang.Integer.valueOf(
-          v.asInstanceOf[java.sql.Date].toLocalDate.toEpochDay.toInt)
-      case d: DecimalType =>
-        // avro decimal = two's-complement unscaled bytes at the SCHEMA's
-        // scale; setScale pins it so a rescaled JVM BigDecimal can't
-        // silently shift the decimal point
-        java.nio.ByteBuffer.wrap(v.asInstanceOf[java.math.BigDecimal]
-          .setScale(d.scale).unscaledValue().toByteArray)
-      case ArrayType(et, _) =>
-        val seq = v.asInstanceOf[scala.collection.Seq[Any]]
-        val out = new java.util.ArrayList[AnyRef](seq.length)
-        seq.foreach(e => out.add(fromExternal(e, et)))
-        out
-      case other => throw new IllegalArgumentException(s"unsupported $other")
+    else {
+      val base =
+        if (s.getType == Schema.Type.UNION)
+          s.getTypes.asScala.find(_.getType != Schema.Type.NULL).get
+        else s
+      dt match {
+        case LongType | IntegerType | DoubleType | FloatType | BooleanType |
+             StringType => v.asInstanceOf[AnyRef] // already the boxed/jvm form
+        case BinaryType => java.nio.ByteBuffer.wrap(v.asInstanceOf[Array[Byte]])
+        case TimestampType =>
+          // external Row timestamps are java.sql.Timestamp; micros from the
+          // floored epoch-second + the full sub-second nanos field (getTime
+          // already contains the millis of getNanos — don't double-count)
+          val t = v.asInstanceOf[java.sql.Timestamp]
+          java.lang.Long.valueOf(
+            Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L)
+        case DateType =>
+          java.lang.Integer.valueOf(
+            v.asInstanceOf[java.sql.Date].toLocalDate.toEpochDay.toInt)
+        case d: DecimalType =>
+          // avro decimal = two's-complement unscaled bytes at the SCHEMA's
+          // scale; setScale pins it so a rescaled JVM BigDecimal can't
+          // silently shift the decimal point
+          java.nio.ByteBuffer.wrap(v.asInstanceOf[java.math.BigDecimal]
+            .setScale(d.scale).unscaledValue().toByteArray)
+        case ArrayType(et, _) =>
+          val seq = v.asInstanceOf[scala.collection.Seq[Any]]
+          val out = new java.util.ArrayList[AnyRef](seq.length)
+          seq.foreach(e => out.add(fromExternal(e, et, base.getElementType)))
+          out
+        case st: StructType =>
+          val row = v.asInstanceOf[Row]
+          val rec = new GenericData.Record(base)
+          var i = 0
+          while (i < st.length) {
+            rec.put(i,
+              if (row.isNullAt(i)) null
+              else fromExternal(row.get(i), st.fields(i).dataType,
+                base.getFields.get(i).schema()))
+            i += 1
+          }
+          rec
+        case other => throw new IllegalArgumentException(s"unsupported $other")
+      }
     }
 
   // ------------------------------------------------- staged documents twin
@@ -351,6 +379,48 @@ object AvroSource {
       |  MIN(vec_id) AS min_id,
       |  MAX(vec_id) AS max_id
       |FROM embeddings GROUP BY label ORDER BY label""".stripMargin
+
+  /** Write-once Avro staging of events re-shaped with a NESTED payload
+    * record — (event_id, ts, meta STRUCT(event_type, amount, user_id)) —
+    * the typed sub-object shape real event buses land. */
+  private[graft] def stagedNestedDir(spark: SparkSession, sfDir: String): String = {
+    val src = Paths.get(sfDir, "events.parquet").toAbsolutePath.normalize
+    val key = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s"avronest:$src:${Files.getLastModifiedTime(src).toMillis}".getBytes("UTF-8"))
+      .take(8).map("%02x".format(_)).mkString
+    val dir = Paths.get(sys.props("java.io.tmpdir"), s"graft_avro_nest_$key")
+    if (!Files.exists(dir.resolve("_SUCCESS"))) {
+      write(Tables.events(spark, sfDir)
+        .select(col("event_id"), col("ts"),
+          struct(col("event_type"),
+            col("value").cast("decimal(12,2)").as("amount"),
+            col("user_id")).as("meta")),
+        dir.toString)
+    }
+    dir.toString
+  }
+
+  /** Nested-record round trip: the aggregate reads every meta field back
+    * THROUGH the struct (decimal-exact sums, micros max), so a field
+    * transposed or lost inside the nested record moves the answer. */
+  def nestedRoundTripAgg(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.format(classOf[AvroSource].getName)
+      .load(stagedNestedDir(spark, sfDir))
+      .groupBy(col("meta.event_type").as("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("meta.amount")).cast("double").as("sum_amount"),
+        countDistinct(col("meta.user_id")).as("n_users"),
+        max(unix_micros(col("ts"))).as("max_ts_us"))
+      .orderBy("event_type")
+
+  def nestedRoundTripAggSql: String =
+    """SELECT event_type,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_amount,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+      |  MAX(CAST(epoch_us(ts) AS BIGINT)) AS max_ts_us
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   /** Round-trip proof with the same output contract (and oracle) as the
     * JSONL/CSV/ORC round trips: any encode/decode loss moves the
@@ -471,6 +541,15 @@ final class AvroPartitionReader(path: String, schema: StructType)
         var i = 0
         while (it.hasNext) { out(i) = fromAvroValue(it.next(), et); i += 1 }
         new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+      case st: StructType =>
+        val rec = v.asInstanceOf[GenericRecord]
+        val out = new Array[Any](st.length)
+        var i = 0
+        while (i < st.length) {
+          out(i) = fromAvroValue(rec.get(i), st.fields(i).dataType)
+          i += 1
+        }
+        new GenericInternalRow(out)
       // numeric/boolean primitives pass through boxed; timestamp-micros
       // and date arrive as the Long/Int Spark's internal rows use anyway
       case _ => v

@@ -239,6 +239,44 @@ class SourcesSpec extends SparkSpec {
       s"avro=${viaAvro.take(2).mkString(";")} raw=${raw.take(2).mkString(";")}")
   }
 
+  test("avro nested records: struct fields round-trip exactly, incl. null structs") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_avro_nest").toString
+    val df = Seq(
+      (1L, Some(("alpha", 2.5, Some(7L)))),
+      (2L, Some(("beta", -1.0, None: Option[Long]))),
+      (3L, None: Option[(String, Double, Option[Long])]))
+      .toDF("id", "meta")
+    graft.sources.AvroSource.write(df, dir)
+    val inferred = graft.sources.AvroSource.readSchema(dir)
+    assert(inferred("meta").dataType.isInstanceOf[org.apache.spark.sql.types.StructType])
+    val back = spark.read
+      .format(classOf[graft.sources.AvroSource].getName).load(dir)
+    assert(back.count() == 3)
+    assert(back.exceptAll(df).isEmpty && df.exceptAll(back).isEmpty)
+    // and a struct INSIDE an array (chunked-payload shape) survives too
+    val dir2 = Files.createTempDirectory("graft_avro_nestarr").toString
+    val df2 = Seq((1L, Seq(("x", 1L), ("y", 2L))), (2L, Seq.empty[(String, Long)]))
+      .toDF("id", "parts")
+    graft.sources.AvroSource.write(df2, dir2)
+    val back2 = spark.read
+      .format(classOf[graft.sources.AvroSource].getName).load(dir2)
+    assert(back2.exceptAll(df2).isEmpty && df2.exceptAll(back2).isEmpty)
+  }
+
+  test("avro nested twin: struct-field aggregate equals the raw-parquet spelling") {
+    val viaAvro = graft.sources.AvroSource.nestedRoundTripAgg(spark, sf).collect()
+    val raw = Tables.events(spark, sf)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(12,2)")).cast("double").as("sum_amount"),
+        countDistinct(col("user_id")).as("n_users"),
+        max(unix_micros(col("ts"))).as("max_ts_us"))
+      .orderBy("event_type").collect()
+    assert(viaAvro.nonEmpty && viaAvro.sameElements(raw),
+      s"avro=${viaAvro.take(2).mkString(";")} raw=${raw.take(2).mkString(";")}")
+  }
+
   test("avro events twin: logical-type aggregate equals the raw-parquet spelling") {
     // the registered source_avro_events query vs the same aggregate off
     // the raw events table — the in-JVM twin of its DuckDB oracle
