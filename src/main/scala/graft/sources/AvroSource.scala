@@ -34,9 +34,12 @@ import graft.Tables
   * batch-side) — one `InputPartition` per container file (Avro splits on
   * sync markers only within a file; file granularity is the natural unit
   * at 128 MB-ish files), each `PartitionReader` streaming GenericRecords
-  * straight into `InternalRow`s. No column pruning is pushed down — Avro
-  * is row-major, so a narrower read schema saves deserialization CPU but
-  * zero IO; the engine's projection prunes after decode.
+  * straight into `InternalRow`s. COLUMN PRUNING pushes down as a pruned
+  * avro reader schema (round 10): Avro is row-major so a narrow read
+  * saves zero IO, but the schema resolver then SKIPS non-required fields
+  * at decode time (no string/array materialization) — the per-field
+  * deserialization CPU, which IS the row-major scan cost, tracks the
+  * projection. Plan-asserted in SourcesSpec.
   *
   * Writer: distributed `foreachPartition` — each task encodes its
   * partition into `part-NNNNN.avro` with deflate compression. This is the
@@ -458,9 +461,23 @@ final class AvroTable(dir: String, tableSchema: StructType)
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder {
+    new ScanBuilder
+      with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+      // COLUMN PRUNING pushdown (round 10): Avro is row-major so a
+      // narrower read saves zero IO, but the DESERIALIZATION cost is
+      // per-field — the reader hands avro's schema resolver a pruned
+      // expected schema, and skipped fields are decoder `skip()`s (no
+      // string/array materialization) instead of materialized values.
+      // Top-level fields only, kept in TABLE order so the positional
+      // reader stays aligned with the file's filtered field order.
+      private var required: StructType = tableSchema
+      override def pruneColumns(requiredSchema: StructType): Unit = {
+        val keep = requiredSchema.fieldNames.toSet
+        required = StructType(tableSchema.fields.filter(f => keep.contains(f.name)))
+      }
       override def build(): Scan = new Scan {
-        override def readSchema(): StructType = tableSchema
+        private val req = required
+        override def readSchema(): StructType = req
         override def toBatch: Batch = new Batch {
           override def planInputPartitions(): Array[InputPartition] =
             AvroSource.listAvroFiles(dir)
@@ -468,7 +485,7 @@ final class AvroTable(dir: String, tableSchema: StructType)
           override def createReaderFactory(): PartitionReaderFactory =
             // a top-level case class: the factory ships to executors, so
             // it must not capture the (non-serializable) Scan/Batch outers
-            AvroReaderFactory(tableSchema)
+            AvroReaderFactory(tableSchema, req)
         }
       }
     }
@@ -476,18 +493,20 @@ final class AvroTable(dir: String, tableSchema: StructType)
 
 final case class AvroInputPartition(path: String) extends InputPartition
 
-final case class AvroReaderFactory(schema: StructType)
+final case class AvroReaderFactory(full: StructType, required: StructType)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new AvroPartitionReader(p.asInstanceOf[AvroInputPartition].path, schema)
+    new AvroPartitionReader(p.asInstanceOf[AvroInputPartition].path,
+      full, required)
 }
 
-final class AvroPartitionReader(path: String, schema: StructType)
-    extends PartitionReader[InternalRow] {
+final class AvroPartitionReader(path: String, full: StructType,
+    schema: StructType) extends PartitionReader[InternalRow] {
+  private val datumReader = new GenericDatumReader[GenericRecord]()
   private val reader = new DataFileReader[GenericRecord](new File(path),
-    new GenericDatumReader[GenericRecord]())
+    datumReader)
   // positional mapping validated once per file: the embedded schema's
-  // field NAMES AND TYPES must match the expected read schema — a
+  // field NAMES AND TYPES must match the expected FULL table schema — a
   // name-drifted file would silently transpose columns, a type-drifted
   // one (long vs int, double vs float) would surface as an opaque
   // ClassCastException deep in row access since numeric values pass
@@ -496,9 +515,22 @@ final class AvroPartitionReader(path: String, schema: StructType)
   locally {
     val got = AvroSource.toStructType(reader.getSchema)
     def sig(s: StructType) = s.fields.map(f => (f.name, f.dataType)).toSeq
-    require(sig(got) == sig(schema),
+    require(sig(got) == sig(full),
       s"avro file $path schema ${got.simpleString} != " +
-        s"expected ${schema.simpleString}")
+        s"expected ${full.simpleString}")
+    // pruned read: the expected schema is the FILE's own record filtered
+    // to the required fields (same name/namespace, so avro's resolver
+    // matches structurally and skips the rest at decode time)
+    if (schema.length != full.length) {
+      val keep = schema.fieldNames.toSet
+      val w = reader.getSchema
+      val pruned = Schema.createRecord(w.getName, w.getDoc, w.getNamespace,
+        false,
+        w.getFields.asScala.filter(f => keep.contains(f.name()))
+          .map(f => new Schema.Field(f.name(), f.schema(), f.doc(), f.defaultVal()))
+          .asJava)
+      datumReader.setExpected(pruned)
+    }
   }
   private var rec: GenericRecord = _
   override def next(): Boolean = {

@@ -239,6 +239,33 @@ class SourcesSpec extends SparkSpec {
       s"avro=${viaAvro.take(2).mkString(";")} raw=${raw.take(2).mkString(";")}")
   }
 
+  test("avro column pruning: projection reaches the scan's read schema") {
+    // row-major avro saves no IO from pruning, but the per-field decode
+    // CPU tracks the scan's read schema — assert the pushdown actually
+    // lands (ReadSchema narrowed) and the narrow read stays correct
+    val dir = graft.sources.AvroSource.stagedDir(spark, sf)
+    val narrow = spark.read
+      .format(classOf[graft.sources.AvroSource].getName).load(dir)
+      .select("lang")
+    val scan = narrow.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.head
+    assert(scan.scan.readSchema().fieldNames.sameElements(Array("lang")),
+      s"pruning did not reach the avro scan: ${scan.scan.readSchema()}")
+    val full = spark.read
+      .format(classOf[graft.sources.AvroSource].getName).load(dir)
+    assert(narrow.groupBy("lang").count().collect().toSet ==
+      full.groupBy("lang").count().collect().toSet)
+    // count(*) prunes to ZERO columns and still counts every row
+    val empty = full.select()
+    val emptyScan = empty.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.head
+    assert(emptyScan.scan.readSchema().isEmpty,
+      s"zero-column read not pruned: ${emptyScan.scan.readSchema()}")
+    assert(full.count() == Tables.documents(spark, sf).count())
+  }
+
   test("avro nested records: struct fields round-trip exactly, incl. null structs") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_avro_nest").toString
