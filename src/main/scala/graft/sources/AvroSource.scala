@@ -54,8 +54,9 @@ import graft.Tables
   * events table's `ts`), DATE as int + date, DECIMAL(p,s) as bytes +
   * decimal — plus ARRAY(T) and nested STRUCT records, mapped recursively
   * (the embeddings table's array<float>; event payloads with typed
-  * sub-objects), each optionally nullable via UNION(null, T). MAP and
-  * ENUM remain out of contract (throw loudly).
+  * sub-objects), plus string-keyed MAP(T) (avro maps are string-keyed by
+  * spec — the tag/property-bag shape), each optionally nullable via
+  * UNION(null, T). ENUM/FIXED remain out of contract (throw loudly).
   */
 object AvroSource {
 
@@ -94,6 +95,16 @@ object AvroSource {
     // nested records: the remaining landing-format shape (event payloads
     // with typed sub-objects); names path-derived for uniqueness
     case st: StructType => toAvroSchema(st, path)
+    // maps: avro maps are string-keyed by spec — exactly the Spark
+    // map<string, T> that tag/property bags land as
+    case MapType(StringType, vt, valueContainsNull) =>
+      val value = avroTypeOf(vt, s"${path}_value")
+      Schema.createMap(
+        if (valueContainsNull)
+          Schema.createUnion(Schema.create(Schema.Type.NULL), value)
+        else value)
+    case MapType(kt, _, _) => throw new IllegalArgumentException(
+      s"avro sink: map keys must be STRING (avro spec), got $kt")
     case other => throw new IllegalArgumentException(
       s"avro sink: unsupported Spark type $other")
   }
@@ -136,6 +147,9 @@ object AvroSource {
       val (elemDt, elemNullable) = toSparkType(s.getElementType)
       (ArrayType(elemDt, elemNullable), false)
     case (Schema.Type.RECORD, _) => (toStructType(s), false)
+    case (Schema.Type.MAP, _) =>
+      val (valueDt, valueNullable) = toSparkType(s.getValueType)
+      (MapType(StringType, valueDt, valueNullable), false)
     case (Schema.Type.UNION, _) =>
       val branches = s.getTypes.asScala
       val nonNull = branches.filter(_.getType != Schema.Type.NULL)
@@ -261,6 +275,14 @@ object AvroSource {
           val seq = v.asInstanceOf[scala.collection.Seq[Any]]
           val out = new java.util.ArrayList[AnyRef](seq.length)
           seq.foreach(e => out.add(fromExternal(e, et, base.getElementType)))
+          out
+        case MapType(_, vt, _) =>
+          val m = v.asInstanceOf[scala.collection.Map[String, Any]]
+          val out = new java.util.HashMap[String, AnyRef](m.size * 2)
+          m.foreach { case (k, mv) =>
+            out.put(k, if (mv == null) null
+              else fromExternal(mv, vt, base.getValueType))
+          }
           out
         case st: StructType =>
           val row = v.asInstanceOf[Row]
@@ -582,6 +604,21 @@ final class AvroPartitionReader(path: String, full: StructType,
           i += 1
         }
         new GenericInternalRow(out)
+      case MapType(_, vt, _) =>
+        val m = v.asInstanceOf[java.util.Map[AnyRef, AnyRef]]
+        val keys = new Array[Any](m.size())
+        val vals = new Array[Any](m.size())
+        val it = m.entrySet().iterator()
+        var i = 0
+        while (it.hasNext) {
+          val e = it.next()
+          keys(i) = fromAvroValue(e.getKey, StringType)
+          vals(i) = fromAvroValue(e.getValue, vt)
+          i += 1
+        }
+        new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(keys),
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(vals))
       // numeric/boolean primitives pass through boxed; timestamp-micros
       // and date arrive as the Long/Int Spark's internal rows use anyway
       case _ => v

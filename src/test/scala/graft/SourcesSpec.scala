@@ -266,6 +266,34 @@ class SourcesSpec extends SparkSpec {
     assert(full.count() == Tables.documents(spark, sf).count())
   }
 
+  test("avro maps: string-keyed map<string,long> round-trips exactly") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_avro_map").toString
+    val df = Seq(
+      (1L, Map("a" -> 1L, "b" -> -2L)),
+      (2L, Map.empty[String, Long]),
+      (3L, Map("只" -> 42L)))
+      .toDF("id", "tags")
+    graft.sources.AvroSource.write(df, dir)
+    val inferred = graft.sources.AvroSource.readSchema(dir)
+    assert(inferred("tags").dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
+    val back = spark.read
+      .format(classOf[graft.sources.AvroSource].getName).load(dir)
+    // map columns can't join set operations — compare as collected maps
+    def toMaps(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => r.getLong(0) -> r.getMap[String, Long](1).toMap).toMap
+    assert(toMaps(back) == toMaps(df))
+    // null map values survive the UNION(null, T) value branch
+    val dir2 = Files.createTempDirectory("graft_avro_mapnull").toString
+    val df2 = Seq((1L, Map("x" -> Some(5L), "y" -> (None: Option[Long]))))
+      .toDF("id", "tags")
+    graft.sources.AvroSource.write(df2, dir2)
+    val back2 = spark.read
+      .format(classOf[graft.sources.AvroSource].getName).load(dir2)
+    val m = back2.collect().head.getMap[String, Any](1).toMap
+    assert(m == Map("x" -> 5L, "y" -> null), m.toString)
+  }
+
   test("avro nested records: struct fields round-trip exactly, incl. null structs") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_avro_nest").toString
