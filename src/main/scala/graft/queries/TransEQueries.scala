@@ -109,6 +109,60 @@ object TransEQueries {
        |JOIN ents et ON tr.t = et.name
        |ORDER BY h, l, t""".stripMargin
 
+  // -------------------------------------------------- kg_encode_incremental
+  /** INCREMENTAL dictionary growth under a full hash oracle: the KG is
+    * split by content hash into an OLD corpus (~90%) and a NEWLY-ARRIVED
+    * batch (~10%); dictionaries build on OLD, then
+    * [[DictionaryEncoder.extendDictionary]] grows them with the new
+    * batch's vocabulary — old names keep their ids VERBATIM (the
+    * continual-training contract: matrix row i keeps meaning row i), new
+    * names get dense ids from the old count up, same deterministic
+    * sorted assignment. The reference rebuilds dictionaries from scratch
+    * per file (`utils.py:6-28`) — new entities mean a full retrain.
+    * Output: the extended ENTITY dictionary (name, id), ordered by id. */
+  def kgEncodeIncremental(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val raw = kgTriples(spark, dir)
+    val bucket = (conv(substring(md5(
+      concat_ws("|", col("h"), col("l"), col("t"))), 1, 6), 16, 10)
+      .cast("long") % 10)
+    val oldRaw = raw.filter(bucket < 9).as[RawTriple].persist()
+    val newRaw = raw.filter(bucket >= 9).as[RawTriple]
+    val (oldEnts, oldLabs) = DictionaryEncoder.buildDictionaries(oldRaw)
+    val (ents, _) = DictionaryEncoder.extendDictionaries(
+      oldEnts.persist(), oldLabs.persist(), newRaw)
+    ents.select(col("name"), col("id").cast("long").as("id")).orderBy("id")
+  }
+
+  val kgEncodeIncrementalSql: String = {
+    val hash = graft.operators.OracleSql.hexVal(
+      "md5(h || '|' || l || '|' || t)", 1, 6)
+    s"""WITH triples AS (
+       |$kgSqlBody
+       |), b AS (
+       |  SELECT h, l, t, ($hash) % 10 AS bucket FROM triples
+       |), oldt AS (SELECT h, l, t FROM b WHERE bucket < 9),
+       |newt AS (SELECT h, l, t FROM b WHERE bucket >= 9),
+       |oldnames AS (
+       |  SELECT DISTINCT name FROM (
+       |    SELECT h AS name FROM oldt UNION ALL SELECT t FROM oldt)
+       |), olddict AS (
+       |  SELECT name, CAST(ROW_NUMBER() OVER (ORDER BY name NULLS FIRST) - 1 AS BIGINT) AS id
+       |  FROM oldnames
+       |), newnames AS (
+       |  SELECT DISTINCT name FROM (
+       |    SELECT h AS name FROM newt UNION ALL SELECT t FROM newt)
+       |  WHERE name NOT IN (SELECT name FROM oldnames)
+       |), newdict AS (
+       |  SELECT name, CAST((SELECT COUNT(*) FROM oldnames)
+       |    + ROW_NUMBER() OVER (ORDER BY name NULLS FIRST) - 1 AS BIGINT) AS id
+       |  FROM newnames
+       |)
+       |SELECT name, id
+       |FROM (SELECT * FROM olddict UNION ALL SELECT * FROM newdict)
+       |ORDER BY id""".stripMargin
+  }
+
   // ------------------------------------------- shared trained model cache
   /** Evaluation params: small dim / few epochs so the verify gate stays
     * fast while still showing loss decrease and better-than-random ranks. */
@@ -378,6 +432,7 @@ object TransEQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "kg_triples" -> (kgTriplesSorted _),
     "kg_encode"  -> (kgEncode _),
+    "kg_encode_incremental" -> (kgEncodeIncremental _),
     "transe_fit" -> (transeFit _),
     "transe_fit_partitioned" -> (transeFitPartitioned _),
     "transe_eval" -> (transeEval _),
@@ -395,6 +450,7 @@ object TransEQueries {
   def oracles: Map[String, String] = Map(
     "kg_triples" -> kgTriplesSql,
     "kg_encode"  -> kgEncodeSql,
+    "kg_encode_incremental" -> kgEncodeIncrementalSql,
     "transe_relation_categories" -> relationCategoriesSql,
     "transe_embeddings" -> transeEmbeddingsSql) ++
     QuantizedEval.oracleSqlOpt.map("transe_eval_quantized" -> _) ++

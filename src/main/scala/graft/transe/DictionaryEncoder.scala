@@ -66,6 +66,43 @@ object DictionaryEncoder {
       .as[Triple]
   }
 
+  /** INCREMENTAL vocabulary growth (round 10): names already in
+    * `existing` keep their ids VERBATIM (id stability is the continual-
+    * training contract — row i of a trained embedding matrix must keep
+    * meaning row i), and only genuinely new names get fresh dense ids
+    * starting at the old count, assigned with the same deterministic
+    * sorted-zipWithIndex discipline as [[buildDictionary]]. The reference
+    * has no incremental path at all — new entities mean a full retrain
+    * (`utils.py:6-28` rebuilds both dictionaries from scratch per file).
+    * One anti-join + one sort shuffle over the NEW names only; the
+    * existing dictionary is never rewritten. */
+  def extendDictionary(existing: DataFrame, names: DataFrame): DataFrame = {
+    val spark = existing.sparkSession
+    import spark.implicits._
+    val offset = existing.count()
+    val fresh = names.select(col(names.columns.head).as("name"))
+      .distinct()
+      .join(broadcast(existing.select("name")), Seq("name"), "left_anti")
+      .orderBy("name")
+      .as[String]
+      .rdd
+      .zipWithIndex()
+      .map { case (n, i) => (n, (offset + i).toInt) }
+      .toDF("name", "id")
+    existing.unionAll(fresh)
+  }
+
+  /** Extend BOTH dictionaries with the vocabulary of newly-arrived raw
+    * triples. Returns (entities, labels) with old ids untouched. */
+  def extendDictionaries(oldEntities: DataFrame, oldLabels: DataFrame,
+      raw: Dataset[RawTriple]): (DataFrame, DataFrame) = {
+    val heads = raw.select(col("h").as("name"))
+    val tails = raw.select(col("t").as("name"))
+    val ents = extendDictionary(oldEntities, heads.union(tails).toDF("name"))
+    val labs = extendDictionary(oldLabels, raw.select(col("l").as("name")))
+    (ents, labs)
+  }
+
   /** Convenience: dictionaries + encoded triples in one call. The raw
     * triple set is read by the entity dictionary (twice: heads + tails),
     * the label dictionary, and the encode join — cache it once instead of

@@ -183,6 +183,32 @@ class TransETrainer(params: TransEParams) extends Serializable {
 
 object TransETrainer {
 
+  /** CONTINUAL-TRAINING model growth (round 10): pad a trained model to a
+    * larger vocabulary so `fit(warmStart = extended)` resumes with every
+    * old row's learned weights intact and only the appended rows at
+    * seeded fresh init (the same U(±6/√k) as cold start; new label rows
+    * normalized once like init, new entity rows by fit's own epoch-start
+    * normalization). Pairs with [[DictionaryEncoder.extendDictionary]]'s
+    * id-stability contract: old id i is old matrix row i before and
+    * after. The init seed is displaced by the OLD sizes so the appended
+    * rows never replay the exact cold-start stream of the original
+    * training (which rows 0..oldN-1 already consumed). */
+  def extendModel(model: TransEModel, nEntities: Int, nLabels: Int): TransEModel = {
+    require(nEntities >= model.nEntities && nLabels >= model.nLabels,
+      s"extendModel cannot shrink: (${model.nEntities},${model.nLabels}) -> " +
+        s"($nEntities,$nLabels)")
+    val p = model.params
+    val newEnt = Kernels.uniformInit(nEntities - model.nEntities, p.dim,
+      p.seed + 2 + model.nEntities.toLong)
+    val newLab = Kernels.uniformInit(nLabels - model.nLabels, p.dim,
+      p.seed + 3 + model.nLabels.toLong)
+    Kernels.normalizeAll(newLab)
+    TransEModel(
+      model.entity.map(_.clone()) ++ newEnt,
+      model.label.map(_.clone()) ++ newLab,
+      p)
+  }
+
   private[transe] def requireWarmStartShape(p: TransEParams, nEntities: Int,
       nLabels: Int, warmStart: Option[TransEModel]): Unit =
     warmStart.foreach { m =>
