@@ -16,15 +16,25 @@ import graft.transe._
   *     [--corruption uniform|bern]   # bern = Wang et al. 2014 sampling
   *     [--checkpoint-every 50] [--warm-start <modelDir>]
   *     [--warm-start-epoch <n>]   # restore <modelDir>/checkpoint/epoch=<n>
+  *     [--extend <modelDir>]      # CONTINUAL: grow vocab + warm-continue
   *     [--exec broadcast|partitioned]
+  *
+  * `--extend <modelDir>` is the CONTINUAL-TRAINING route (round 10; the
+  * reference retrains from scratch when new entities arrive): the old
+  * model and dictionaries load from <modelDir>, the new TSV's vocabulary
+  * EXTENDS the dictionaries (old ids verbatim — matrix row i keeps
+  * meaning row i), the model pads with fresh seeded rows, and training
+  * warm-continues on the provided triples. Include replayed old triples
+  * in the TSV to protect against forgetting, or only the new batch for a
+  * cheap delta update — the file's content is the curriculum.
   *
   * `--exec partitioned` trains with [[TransEPartitionedTrainer]]: the
   * entity matrix lives as a distributed (id, vec) RDD end-to-end and is
   * written with `saveDistributed` — never collected to the driver. The
   * route for entity inventories past the broadcast budget (SCALE.md);
   * loss-curve-identical to the broadcast trainer by contract
-  * (ContractSpec golden gates). Warm start is broadcast-only for now
-  * (restore requires the driver-matrix form).
+  * (ContractSpec golden gates). Warm start / extend are broadcast-only
+  * for now (restore requires the driver-matrix form).
   */
 object Train {
   def main(args: Array[String]): Unit = {
@@ -50,16 +60,33 @@ object Train {
     // O1 (reference TransE.py:88): randomize row->partition assignment once
     // so partitions are balanced regardless of input file order
     val shuffled = raw.orderBy(rand(params.seed)).as[RawTriple]
-    val (encoded, ents, labs) = DictionaryEncoder.encodeAll(shuffled)
-    val nEnt = ents.count().toInt
-    val nLab = labs.count().toInt
 
-    // --warm-start takes a model root (final matrices) or, with
-    // --warm-start-epoch n, a specific versioned checkpoint epoch
-    val warm = opts.get("warm-start").map { dir =>
-      val src = opts.get("warm-start-epoch")
-        .map(n => s"$dir/checkpoint/epoch=$n").getOrElse(dir)
-      EmbeddingIO.loadModel(spark, src, params)
+    require(opts.get("extend").isEmpty || opts.get("warm-start").isEmpty,
+      "--extend and --warm-start are mutually exclusive (extend IS a warm " +
+        "start over a grown vocabulary)")
+    val (encoded, ents, labs, nEnt, nLab, warm) = opts.get("extend") match {
+      case Some(oldDir) =>
+        // continual route: grow the old dictionaries with the new file's
+        // vocabulary (old ids verbatim), pad the old model, warm-continue
+        val oldEnts = spark.read.parquet(s"$oldDir/entity_dict").persist()
+        val oldLabs = spark.read.parquet(s"$oldDir/label_dict").persist()
+        val cached = shuffled.persist()
+        val (e, l) = DictionaryEncoder.extendDictionaries(oldEnts, oldLabs, cached)
+        val eP = e.persist(); val lP = l.persist()
+        val (nE, nL) = (eP.count().toInt, lP.count().toInt)
+        val oldModel = EmbeddingIO.loadModel(spark, oldDir, params)
+        val grown = TransETrainer.extendModel(oldModel, nE, nL)
+        (DictionaryEncoder.encode(cached, eP, lP), eP, lP, nE, nL, Some(grown))
+      case None =>
+        val (enc, e, l) = DictionaryEncoder.encodeAll(shuffled)
+        // --warm-start takes a model root (final matrices) or, with
+        // --warm-start-epoch n, a specific versioned checkpoint epoch
+        val w = opts.get("warm-start").map { dir =>
+          val src = opts.get("warm-start-epoch")
+            .map(n => s"$dir/checkpoint/epoch=$n").getOrElse(dir)
+          EmbeddingIO.loadModel(spark, src, params)
+        }
+        (enc, e, l, e.count().toInt, l.count().toInt, w)
     }
 
     val execMode = opts.str("exec", "broadcast")
@@ -67,7 +94,8 @@ object Train {
     val lossHistory = execMode match {
       case "partitioned" =>
         require(warm.isEmpty,
-          "--warm-start requires --exec broadcast (restore needs the driver-matrix form)")
+          "--warm-start/--extend require --exec broadcast (restore needs " +
+            "the driver-matrix form)")
         val trainer = new TransEPartitionedTrainer(params)
         val (entRdd, label) = trainer.fitDistributed(encoded, nEnt, nLab)
         // the entity matrix is written straight from the distributed
