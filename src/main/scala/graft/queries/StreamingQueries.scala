@@ -39,6 +39,8 @@ object StreamingQueries {
     "stream_features_pit_ooo" -> ((s, d) => EventStreams.streamingPitFeaturesBuffered(s, d)),
     "stream_dedup_incremental" -> ((s, d) =>
       graft.streaming.CorpusStreams.streamingIncrementalDedup(s, d)),
+    "stream_vocab_growth" -> ((s, d) =>
+      graft.streaming.VocabStreams.streamingVocabGrowth(s, d)),
     "stream_txn_append" -> ((s, d) => EventStreams.streamingTxnAppend(s, d)),
     "stream_ann_probe" -> ((s, d) =>
       graft.streaming.CorpusStreams.streamingAnnProbe(s, d)),
@@ -131,6 +133,11 @@ object StreamingQueries {
     // union equals the one-shot batch probe and shares its oracle
     "stream_dedup_incremental" ->
       graft.streaming.CorpusStreams.streamingIncrementalDedupSql(),
+    // id assignment DEPENDS on arrival order here (unlike the probes
+    // above): the stream pins a deterministic content-defined batch
+    // sequence and the oracle replays it as a fixed CTE chain
+    "stream_vocab_growth" ->
+      graft.streaming.VocabStreams.streamingVocabGrowthSql,
     // a batchId-transactional append survives a FORGED engine replay
     // (newest streaming commit deleted mid-run) — any double-append
     // breaks this GROUP BY oracle

@@ -68,6 +68,10 @@ object TransEQueries {
   def kgTriplesSorted(spark: SparkSession, dir: String): DataFrame =
     kgTriples(spark, dir).orderBy("h", "l", "t")
 
+  /** The KG derivation SQL, exposed for oracles OUTSIDE this pack (the
+    * streaming vocabulary-growth twin builds its arrival chain on it). */
+  def kgSqlForOracle: String = kgSqlBody
+
   private[queries] val kgSqlBody: String =
     """SELECT 'c:' || CAST(c_custkey AS VARCHAR) AS h, 'in_nation' AS l, 'n:' || CAST(c_nationkey AS VARCHAR) AS t FROM customer
       |UNION ALL SELECT 's:' || CAST(s_suppkey AS VARCHAR), 'in_nation', 'n:' || CAST(s_nationkey AS VARCHAR) FROM supplier

@@ -1,0 +1,176 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+import java.nio.file.attribute.FileTime
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.transe.DictionaryEncoder
+
+/** STREAMING vocabulary growth — the continual-training dictionary
+  * ([[DictionaryEncoder.extendDictionary]]) maintained as new triples
+  * land in micro-batches. Unlike the dedup probes (order-insensitive by
+  * construction), id assignment DEPENDS on arrival order: batch k's new
+  * names get ids after everything that arrived before them. The stream
+  * therefore pins arrival order deterministically (one file per
+  * micro-batch, explicitly-set ascending mtimes so the file source's
+  * timestamp ordering is never a tie-break lottery), and the DuckDB
+  * oracle replays the SAME content-defined batch sequence as a fixed
+  * chain of CTEs — a full hash oracle over ids whose values encode the
+  * arrival history. Old ids never move (the continual contract), so a
+  * restart that replays a batch is idempotent: every name it would add
+  * is already present and the anti-join admits nothing.
+  */
+object VocabStreams {
+
+  /** The kg_encode_incremental split, streamed: the ~10% arriving slice
+    * is delivered as 3 content-defined micro-batches (sub-bucket
+    * (hash div 10) mod 3, one file each, forced ascending mtimes); each
+    * batch extends the persisted entity dictionary via foreachBatch.
+    * Output: the final extended entity dictionary (name, id BIGINT),
+    * ordered by id — ids 0..|old|-1 are the old corpus dictionary
+    * verbatim, then each batch's new names in sorted order. */
+  def streamingVocabGrowth(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val raw = graft.queries.TransEQueries.kgTriples(spark, sfDir)
+    val hv = conv(substring(md5(
+      concat_ws("|", col("h"), col("l"), col("t"))), 1, 6), 16, 10)
+      .cast("long")
+    // DIV, not `/`: Column `/` is ALWAYS fractional (double) division in
+    // Spark, so (hv / 10) % 3 yields non-integral k values that match no
+    // equality filter — integral DIV keeps the sub-bucket exact and
+    // engine-identical to DuckDB's `//`
+    val withK = raw.select(col("h"), col("l"), col("t"), hv.as("hv"))
+      .select(col("h"), col("l"), col("t"),
+        (col("hv") % 10).as("bucket"), expr("(hv DIV 10) % 3").as("k"))
+
+    val target = Paths.get(sfDir, "events.parquet").getParent
+      .resolve("lineitem.parquet").toAbsolutePath.normalize
+    val mtime = Files.getLastModifiedTime(target).toMillis
+    val key = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s"vocabstream:v2:$target:$mtime".getBytes("UTF-8"))
+      .take(8).map("%02x".format(_)).mkString
+    val base = Paths.get(sys.props("java.io.tmpdir"), s"graft_vocabstream_$key")
+    val (src, out, chk) =
+      (base.resolve("src"), base.resolve("out"), base.resolve("chk"))
+    val done = base.resolve("_DONE")
+
+    if (!Files.exists(done)) {
+      StagedRuns.freshBase(base, done)
+      Files.createDirectories(src)
+      // one file per content-defined sub-batch, mtimes forced ascending
+      // so the file source's timestamp order IS the batch order
+      (0 until 3).foreach { k =>
+        val tmp = base.resolve(s"tmp$k")
+        withK.filter(col("bucket") >= 9 && col("k") === k)
+          .select("h", "l", "t")
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = {
+          val s = Files.list(tmp)
+          try s.filter(p => p.getFileName.toString.endsWith(".parquet"))
+            .findFirst().get()
+          finally s.close()
+        }
+        val dst = src.resolve(f"b$k%03d.parquet")
+        Files.copy(part, dst)
+        Files.setLastModifiedTime(dst,
+          FileTime.fromMillis(1700000000000L + k * 60000L))
+      }
+
+      // the standing dictionary: built once from the old corpus
+      val oldRaw = withK.filter(col("bucket") < 9)
+        .select("h", "l", "t").as[graft.transe.RawTriple]
+      var ents = DictionaryEncoder.buildDictionary(
+        oldRaw.select(col("h").as("name"))
+          .unionAll(oldRaw.select(col("t").as("name")))).persist()
+      ents.count()
+
+      val schema = StructType(Seq(
+        StructField("h", StringType), StructField("l", StringType),
+        StructField("t", StringType)))
+      val q = spark.readStream
+        .schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src.toString)
+        .writeStream
+        .option("checkpointLocation", chk.toString)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val names = batch.select(col("h").as("name"))
+            .unionAll(batch.select(col("t").as("name")))
+          val grown = DictionaryEncoder.extendDictionary(ents, names).persist()
+          grown.count() // materialize while the micro-batch is still live
+          ents.unpersist()
+          ents = grown
+          ()
+        }
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      ents.write.mode("overwrite").parquet(out.toString)
+      Files.writeString(done, "ok")
+    }
+    spark.read.parquet(out.toString)
+      .select(col("name"), col("id").cast("long").as("id"))
+      .orderBy("id")
+  }
+
+  /** Fixed 3-batch CTE chain replaying the same content-defined arrival
+    * order: names(k) = new names of sub-batch k not seen in the old
+    * corpus or any earlier batch; ids continue from the running count. */
+  def streamingVocabGrowthSql: String = {
+    val hash = graft.operators.OracleSql.hexVal(
+      "md5(h || '|' || l || '|' || t)", 1, 6)
+    s"""WITH triples AS (
+       |${graft.queries.TransEQueries.kgSqlForOracle}
+       |), b AS (
+       |  SELECT h, l, t, ($hash) % 10 AS bucket, (($hash) // 10) % 3 AS k
+       |  FROM triples
+       |), oldnames AS (
+       |  SELECT DISTINCT name FROM (
+       |    SELECT h AS name FROM b WHERE bucket < 9
+       |    UNION ALL SELECT t FROM b WHERE bucket < 9)
+       |), d0 AS (
+       |  SELECT name, CAST(ROW_NUMBER() OVER (ORDER BY name NULLS FIRST) - 1 AS BIGINT) AS id
+       |  FROM oldnames
+       |), arr AS (
+       |  SELECT h, t, k FROM b WHERE bucket >= 9
+       |), n1 AS (
+       |  SELECT DISTINCT name FROM (
+       |    SELECT h AS name FROM arr WHERE k = 0
+       |    UNION ALL SELECT t FROM arr WHERE k = 0)
+       |  WHERE name NOT IN (SELECT name FROM d0)
+       |), d1 AS (
+       |  SELECT name, CAST((SELECT COUNT(*) FROM d0)
+       |    + ROW_NUMBER() OVER (ORDER BY name NULLS FIRST) - 1 AS BIGINT) AS id
+       |  FROM n1
+       |), n2 AS (
+       |  SELECT DISTINCT name FROM (
+       |    SELECT h AS name FROM arr WHERE k = 1
+       |    UNION ALL SELECT t FROM arr WHERE k = 1)
+       |  WHERE name NOT IN (SELECT name FROM d0)
+       |    AND name NOT IN (SELECT name FROM d1)
+       |), d2 AS (
+       |  SELECT name, CAST((SELECT COUNT(*) FROM d0) + (SELECT COUNT(*) FROM d1)
+       |    + ROW_NUMBER() OVER (ORDER BY name NULLS FIRST) - 1 AS BIGINT) AS id
+       |  FROM n2
+       |), n3 AS (
+       |  SELECT DISTINCT name FROM (
+       |    SELECT h AS name FROM arr WHERE k = 2
+       |    UNION ALL SELECT t FROM arr WHERE k = 2)
+       |  WHERE name NOT IN (SELECT name FROM d0)
+       |    AND name NOT IN (SELECT name FROM d1)
+       |    AND name NOT IN (SELECT name FROM d2)
+       |), d3 AS (
+       |  SELECT name, CAST((SELECT COUNT(*) FROM d0) + (SELECT COUNT(*) FROM d1)
+       |    + (SELECT COUNT(*) FROM d2)
+       |    + ROW_NUMBER() OVER (ORDER BY name NULLS FIRST) - 1 AS BIGINT) AS id
+       |  FROM n3
+       |)
+       |SELECT name, id FROM (
+       |  SELECT * FROM d0 UNION ALL SELECT * FROM d1
+       |  UNION ALL SELECT * FROM d2 UNION ALL SELECT * FROM d3)
+       |ORDER BY id""".stripMargin
+  }
+}

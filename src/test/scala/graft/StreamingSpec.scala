@@ -596,4 +596,34 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.sameElements(oneShot),
       s"stream/batch ANN divergence: ${streamed.length} vs ${oneShot.length} rows")
   }
+
+  test("streaming vocab growth: old ids verbatim, ids dense, same vocabulary as one-shot") {
+    import spark.implicits._
+    val streamed = graft.streaming.VocabStreams.streamingVocabGrowth(spark, sf)
+      .as[(String, Long)].collect()
+    // dense 0..n-1 (ids index an embedding matrix)
+    assert(streamed.map(_._2).sorted.sameElements(streamed.indices.map(_.toLong)),
+      "streamed dictionary ids not dense")
+    // the one-shot extension covers the SAME vocabulary (ids may differ
+    // for NEW names: the stream assigns per arrival batch, the one-shot
+    // sorts all new names together — both are valid continual histories)
+    val oneShot = graft.queries.TransEQueries.kgEncodeIncremental(spark, sf)
+      .as[(String, Long)].collect()
+    assert(streamed.map(_._1).toSet == oneShot.map(_._1).toSet,
+      "stream and one-shot extension disagree on the vocabulary")
+    // old-corpus names (ids below the old count in the one-shot run,
+    // which keeps them verbatim) carry the SAME ids in the stream — the
+    // id-stability contract under micro-batch chopping
+    val streamMap = streamed.toMap
+    val newNames = graft.queries.TransEQueries.kgTriples(spark, sf)
+      .selectExpr("h", "l", "t",
+        "conv(substring(md5(concat_ws('|', h, l, t)), 1, 6), 16, 10) % 10 AS b")
+      .filter(col("b") < 9)
+    val oldVocab = newNames.select(col("h").as("name"))
+      .unionAll(newNames.select(col("t").as("name")))
+      .distinct().as[String].collect().toSet
+    oneShot.filter(n => oldVocab.contains(n._1)).foreach { case (n, i) =>
+      assert(streamMap(n) == i, s"old id moved in the stream: $n $i -> ${streamMap(n)}")
+    }
+  }
 }
