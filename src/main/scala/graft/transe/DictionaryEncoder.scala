@@ -80,9 +80,15 @@ object DictionaryEncoder {
     val spark = existing.sparkSession
     import spark.implicits._
     val offset = existing.count()
+    // no broadcast hint: the standing dictionary GROWS without bound over
+    // a deployment's life — AQE auto-broadcasts while it fits and falls
+    // back to a shuffled anti-join (keyed on name, new-names-sized left
+    // side) once it doesn't; forcing broadcast would cap the design at
+    // the driver/executor memory exactly like the reference's collected
+    // dict
     val fresh = names.select(col(names.columns.head).as("name"))
       .distinct()
-      .join(broadcast(existing.select("name")), Seq("name"), "left_anti")
+      .join(existing.select("name"), Seq("name"), "left_anti")
       .orderBy("name")
       .as[String]
       .rdd
