@@ -56,7 +56,9 @@ import graft.Tables
   * (the embeddings table's array<float>; event payloads with typed
   * sub-objects), plus string-keyed MAP(T) (avro maps are string-keyed by
   * spec — the tag/property-bag shape), each optionally nullable via
-  * UNION(null, T). ENUM/FIXED remain out of contract (throw loudly).
+  * UNION(null, T). ENUM (as string) and FIXED (as binary, or decimal
+  * when annotated) are READ-side interop for foreign producers; the
+  * writer emits only the Spark-type subset.
   */
 object AvroSource {
 
@@ -133,6 +135,8 @@ object AvroSource {
       (DateType, false)
     case (Schema.Type.BYTES, d: org.apache.avro.LogicalTypes.Decimal) =>
       (DecimalType(d.getPrecision, d.getScale), false)
+    case (Schema.Type.FIXED, d: org.apache.avro.LogicalTypes.Decimal) =>
+      (DecimalType(d.getPrecision, d.getScale), false)
     case (t, lt) if lt != null => throw new IllegalArgumentException(
       s"avro source: unsupported logical type $lt on $t (in contract: " +
         "timestamp-micros on long, date on int, decimal on bytes)")
@@ -147,6 +151,13 @@ object AvroSource {
       val (elemDt, elemNullable) = toSparkType(s.getElementType)
       (ArrayType(elemDt, elemNullable), false)
     case (Schema.Type.RECORD, _) => (toStructType(s), false)
+    // READ-side interop for shapes our writer never emits: foreign
+    // producers use ENUM for closed string sets and FIXED for
+    // constant-width blobs (and decimal above) — map them to the Spark
+    // types any consumer expects; the writer keeps emitting the plain
+    // Spark-type subset
+    case (Schema.Type.ENUM, _)  => (StringType, false)
+    case (Schema.Type.FIXED, _) => (BinaryType, false)
     case (Schema.Type.MAP, _) =>
       val (valueDt, valueNullable) = toSparkType(s.getValueType)
       (MapType(StringType, valueDt, valueNullable), false)
@@ -578,12 +589,14 @@ final class AvroPartitionReader(path: String, full: StructType,
       case BinaryType => v match {
         case b: java.nio.ByteBuffer =>
           val out = new Array[Byte](b.remaining()); b.duplicate().get(out); out
+        case f: org.apache.avro.generic.GenericFixed => f.bytes()
         case a: Array[Byte] => a
       }
       case d: DecimalType =>
         val bytes = v match {
           case b: java.nio.ByteBuffer =>
             val out = new Array[Byte](b.remaining()); b.duplicate().get(out); out
+          case f: org.apache.avro.generic.GenericFixed => f.bytes()
           case a: Array[Byte] => a
         }
         Decimal(new java.math.BigDecimal(

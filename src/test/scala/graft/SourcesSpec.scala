@@ -266,6 +266,60 @@ class SourcesSpec extends SparkSpec {
     assert(full.count() == Tables.documents(spark, sf).count())
   }
 
+  test("avro foreign shapes: ENUM and FIXED files from other producers read correctly") {
+    // hand-write a container the way a FOREIGN producer would — enum for
+    // a closed string set, fixed(4) for a constant-width blob, fixed(6)
+    // with a decimal annotation — none of which our writer emits
+    import org.apache.avro.{Schema, SchemaBuilder}
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    import org.apache.avro.file.DataFileWriter
+    val dir = Files.createTempDirectory("graft_avro_foreign")
+    val schema: Schema = SchemaBuilder.record("ev").namespace("ext").fields()
+      .requiredLong("id")
+      .name("status").`type`(SchemaBuilder.enumeration("status_t")
+        .namespace("ext").symbols("OPEN", "CLOSED")).noDefault()
+      .name("tag").`type`(SchemaBuilder.fixed("tag_t").namespace("ext")
+        .size(4)).noDefault()
+      .name("amt").`type`(org.apache.avro.LogicalTypes.decimal(12, 2)
+        .addToSchema(SchemaBuilder.fixed("amt_t").namespace("ext").size(6)))
+      .noDefault()
+      .endRecord()
+    val f = dir.resolve("part-0.avro").toFile
+    val w = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](schema))
+    w.create(schema, f)
+    def rec(id: Long, st: String, tag: Array[Byte], unscaled: Long) = {
+      val r = new GenericData.Record(schema)
+      r.put(0, java.lang.Long.valueOf(id))
+      r.put(1, new GenericData.EnumSymbol(schema.getField("status").schema(), st))
+      r.put(2, new GenericData.Fixed(schema.getField("tag").schema(), tag))
+      val dec = java.math.BigDecimal.valueOf(unscaled, 2)
+      val bytes = dec.unscaledValue().toByteArray
+      val padded = new Array[Byte](6)
+      // sign-extend into the fixed width (avro decimal-on-fixed contract)
+      val fill: Byte = if (dec.signum() < 0) -1 else 0
+      java.util.Arrays.fill(padded, fill)
+      System.arraycopy(bytes, 0, padded, 6 - bytes.length, bytes.length)
+      r.put(3, new GenericData.Fixed(schema.getField("amt").schema(), padded))
+      r
+    }
+    w.append(rec(1L, "OPEN", Array[Byte](1, 2, 3, 4), 123456L))
+    w.append(rec(2L, "CLOSED", Array[Byte](-1, 0, 1, 2), -99L))
+    w.close()
+    val back = spark.read
+      .format(classOf[graft.sources.AvroSource].getName)
+      .load(dir.toString)
+    assert(back.schema("status").dataType == org.apache.spark.sql.types.StringType)
+    assert(back.schema("tag").dataType == org.apache.spark.sql.types.BinaryType)
+    assert(back.schema("amt").dataType ==
+      org.apache.spark.sql.types.DecimalType(12, 2))
+    val rows = back.orderBy("id").collect()
+    assert(rows(0).getString(1) == "OPEN" && rows(1).getString(1) == "CLOSED")
+    assert(rows(0).getAs[Array[Byte]](2).sameElements(Array[Byte](1, 2, 3, 4)))
+    assert(rows(0).getDecimal(3) == new java.math.BigDecimal("1234.56"))
+    assert(rows(1).getDecimal(3) == new java.math.BigDecimal("-0.99"))
+  }
+
   test("avro maps: string-keyed map<string,long> round-trips exactly") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_avro_map").toString
