@@ -597,6 +597,23 @@ class StreamingSpec extends SparkSpec {
       s"stream/batch ANN divergence: ${streamed.length} vs ${oneShot.length} rows")
   }
 
+  test("structural state gate: interval-join state stays watermark-bounded") {
+    // the streaming twin of the graph family's record-count gates
+    // (VERDICT r9 #2): interval-join seconds are throttle-dominated, so
+    // the eviction claim gets a STATE-ROWS invariant — peak buffered rows
+    // must stay well under the total input (a broken watermark buffers
+    // everything and blows straight past it)
+    val n = Tables.events(spark, sf).count()
+    EventStreams.streamingIntervalJoin(spark, sf).collect()
+    val peak = EventStreams.lastStateRowsPeak.get()
+    info(s"interval-join state peak: $peak rows over $n input events")
+    assert(peak > 0, "no state reported")
+    // measured 412/1000 at sf0.001; 0.7n leaves headroom while a broken
+    // watermark (buffers both sides whole) lands at ~2n
+    assert(peak < (n * 7) / 10,
+      s"state peak $peak vs input $n — watermark eviction regressed")
+  }
+
   test("streaming vocab growth: old ids verbatim, ids dense, same vocabulary as one-shot") {
     import spark.implicits._
     val streamed = graft.streaming.VocabStreams.streamingVocabGrowth(spark, sf)
