@@ -256,29 +256,35 @@ object GraphAnalytics {
   def pagerankIntSql(edgesSql: String, iters: Int = 5,
       dampNum: Long = 85L, dampDen: Long = 100L,
       scale: Long = 1000000000000L): String = {
+    // every CTE MATERIALIZED (the kcoreSql discipline): the edge
+    // derivation is a 7-way union with DISTINCTs over the fact tables,
+    // and r_{i-1}/edges/outd are each referenced by several later CTEs —
+    // without the hint DuckDB may inline and RE-EVALUATE them per
+    // reference, which at sf0.1 spilled >40 GB of temp and could exhaust
+    // the disk; materialized, the replay is |V|/|E|-sized per step
     val prelude =
-      s"""WITH edges AS ($edgesSql),
-         |outd AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
-         |verts AS (
+      s"""WITH edges AS MATERIALIZED ($edgesSql),
+         |outd AS MATERIALIZED (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+         |verts AS MATERIALIZED (
          |  SELECT DISTINCT id FROM (
          |    SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)
-         |), nn AS (SELECT COUNT(*) AS n FROM verts),
-         |r0 AS (
+         |), nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM verts),
+         |r0 AS MATERIALIZED (
          |  SELECT id, CAST($scale AS BIGINT) // (SELECT n FROM nn) AS rank
          |  FROM verts
          |)""".stripMargin
     val steps = (1 to iters).map { i =>
       val prev = s"r${i - 1}"
-      s"""d$i AS (
+      s"""d$i AS MATERIALIZED (
          |  SELECT COALESCE(SUM(r.rank), CAST(0 AS BIGINT)) AS dang
          |  FROM $prev r ANTI JOIN outd o ON r.id = o.src
-         |), c$i AS (
+         |), c$i AS MATERIALIZED (
          |  SELECT e.dst AS id, SUM(r.rank // o.outdeg) AS contrib
          |  FROM edges e
          |  JOIN $prev r ON e.src = r.id
          |  JOIN outd o ON e.src = o.src
          |  GROUP BY e.dst
-         |), r$i AS (
+         |), r$i AS MATERIALIZED (
          |  SELECT v.id,
          |    (CAST($scale AS BIGINT) - ($dampNum * CAST($scale AS BIGINT)) // $dampDen)
          |        // (SELECT n FROM nn)
