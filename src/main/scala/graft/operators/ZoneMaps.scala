@@ -71,6 +71,21 @@ object ZoneMaps {
     * statistics only — no row is read. Multi-row-group files fold their
     * per-block stats; a chunk with unusable stats poisons the file to
     * (MinValue, MaxValue), i.e. "always admit" (skipping must fail open). */
+  /** Overlapping-band count under a RUNNING max-hi sweep over the
+    * lo-sorted bands — not the immediate predecessor's hi: one wide band
+    * that blankets many later disjoint bands must count once PER band it
+    * covers, or a broken layout stays under the majority threshold the
+    * clustering-defect guard uses (ADVICE r10). */
+  private[graft] def overlapCount(bands: Seq[(Long, Long)]): Int = {
+    var maxHi = Long.MinValue
+    var n = 0
+    bands.sorted.foreach { case (lo, hi) =>
+      if (maxHi != Long.MinValue && lo < maxHi) n += 1
+      if (hi > maxHi) maxHi = hi
+    }
+    n
+  }
+
   private[graft] def footerManifest(spark: SparkSession,
       dir: String): Seq[(String, Long, Long)] = {
     val conf: Configuration = spark.sparkContext.hadoopConfiguration
@@ -166,11 +181,8 @@ object ZoneMaps {
     // it must never trip this guard either.
     val clean = los.forall(_ != Long.MinValue) &&
       manifest.map(_._3).forall(_ != Long.MaxValue)
-    val bands = manifest.map { case (_, lo, hi) => (lo, hi) }.sorted
-    val overlaps = bands.sliding(2).count {
-      case Seq((_, hiPrev), (lo, _)) => lo < hiPrev
-      case _ => false
-    }
+    val overlaps = ZoneMaps.overlapCount(
+      manifest.map { case (_, lo, hi) => (lo, hi) })
     if (clean && total > 1 && overlaps > (total - 1) / 2)
       throw new IllegalStateException(
         s"zone map bands overlap at $overlaps/${total - 1} consecutive " +

@@ -175,9 +175,42 @@ final class BusOffset(val lanePos: Array[Long], val sent: Int) extends Offset {
 
 object BusOffset {
   def zero(lanes: Int): BusOffset = new BusOffset(new Array[Long](lanes), 0)
-  def parse(json: String): BusOffset = {
-    val Array(vec, s) = json.trim.split('|')
-    new BusOffset(vec.split(',').map(_.toLong), s.toInt)
+
+  /** Parse a committed offset, failing DESCRIPTIVELY on foreign shapes.
+    * A checkpoint written by an older scalar-offset build (`"12345"`) or
+    * with a different lane count must name the expected
+    * `p0,...,pk|sent` format instead of dying with a MatchError —
+    * that's the difference between "reconfigure your lanes" and a
+    * stack-trace hunt at restart time (ADVICE r10). `expectedLanes < 0`
+    * skips the lane-count check (shape-only validation). */
+  def parse(json: String, expectedLanes: Int = -1): BusOffset = {
+    val parts = json.trim.split('|')
+    if (parts.length != 2)
+      throw new IllegalArgumentException(
+        s"BusOffset: expected 'p0,...,pk|sent' (per-lane positions + " +
+          s"sentinel count), got '$json' — a scalar offset from an old " +
+          "checkpoint is not resumable; clear the checkpoint directory")
+    val vec =
+      try parts(0).split(',').map(_.trim.toLong)
+      catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"BusOffset: non-numeric lane position in '${parts(0)}' — " +
+            "expected 'p0,...,pk|sent'")
+      }
+    val sent =
+      try parts(1).trim.toInt
+      catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"BusOffset: non-numeric sentinel count '${parts(1)}' — " +
+            "expected 'p0,...,pk|sent'")
+      }
+    if (expectedLanes >= 0 && vec.length != expectedLanes)
+      throw new IllegalArgumentException(
+        s"BusOffset: checkpoint has ${vec.length} lanes but the source " +
+          s"is configured with $expectedLanes — lane count cannot change " +
+          "across restart; clear the checkpoint or restore lanes=" +
+          vec.length)
+    new BusOffset(vec, sent)
   }
 }
 
@@ -199,7 +232,8 @@ final class BusMicroBatchStream(realRows: Long, nUsers: Int, batchRows: Long,
     s"lanes=$lanes must divide Block=${BusSource.Block} (the lateness bound)")
 
   override def initialOffset(): Offset = BusOffset.zero(lanes)
-  override def deserializeOffset(json: String): Offset = BusOffset.parse(json)
+  override def deserializeOffset(json: String): Offset =
+    BusOffset.parse(json, expectedLanes = lanes)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 

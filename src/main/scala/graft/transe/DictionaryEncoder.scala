@@ -93,7 +93,20 @@ object DictionaryEncoder {
       .as[String]
       .rdd
       .zipWithIndex()
-      .map { case (n, i) => (n, (offset + i).toInt) }
+      .map { case (n, i) =>
+        // The standing dictionary grows without bound by design — fail
+        // LOUDLY at the 2^31 id ceiling instead of silently wrapping a
+        // new entity to a negative id that would alias into the trained
+        // matrix (ADVICE r10). Checked per-row on executors because the
+        // driver only knows `offset`, not the new-name count, without an
+        // extra job.
+        val id = offset + i
+        if (id > Int.MaxValue) throw new IllegalStateException(
+          s"dictionary id overflow: entry '$n' would get id $id > " +
+            "Int.MaxValue — the Int id space is exhausted; re-encode " +
+            "with 64-bit ids")
+        (n, id.toInt)
+      }
       .toDF("name", "id")
     existing.unionAll(fresh)
   }

@@ -162,6 +162,24 @@ class BusSourceSpec extends SparkSpec {
       s"coverage broke: ${seen.length} rows, dupes=${seen.groupBy(identity).count(_._2.length > 1)}")
   }
 
+  test("foreign checkpoint offsets fail with a descriptive error, not a MatchError") {
+    import graft.sources.BusOffset
+    // round trip of the current format first
+    val ok = BusOffset.parse("3,5,0,2|1", expectedLanes = 4)
+    assert(ok.lanePos.toSeq == Seq(3L, 5L, 0L, 2L) && ok.sent == 1)
+    // an old scalar-offset checkpoint must NAME the expected format
+    val e1 = intercept[IllegalArgumentException](BusOffset.parse("12345"))
+    assert(e1.getMessage.contains("p0,...,pk|sent"), e1.getMessage)
+    // a lane-count change across restart must name both counts
+    val e2 = intercept[IllegalArgumentException](
+      BusOffset.parse("1,2|0", expectedLanes = 4))
+    assert(e2.getMessage.contains("2 lanes") &&
+      e2.getMessage.contains("4"), e2.getMessage)
+    // garbage positions fail descriptively too
+    val e3 = intercept[IllegalArgumentException](BusOffset.parse("a,b|0"))
+    assert(e3.getMessage.contains("non-numeric"), e3.getMessage)
+  }
+
   test("bus rows equal the integer-arithmetic generator (disorder is bounded)") {
     import spark.implicits._
     val rows = 20000L

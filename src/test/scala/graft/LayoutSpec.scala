@@ -112,4 +112,20 @@ class LayoutSpec extends SparkSpec {
       case _ =>
     }
   }
+
+  test("zone maps: overlap sweep counts every band a wide band blankets") {
+    import graft.operators.ZoneMaps.overlapCount
+    // disjoint bands: zero overlaps; touching endpoints don't count
+    assert(overlapCount(Seq((0L, 10L), (10L, 20L), (20L, 30L))) == 0)
+    // the ADVICE r10 case: one wide band containing many later disjoint
+    // bands — the pairwise-predecessor check saw ONE overlap here and a
+    // broken layout stayed under the majority threshold; the running
+    // max-hi sweep counts all five
+    val wide = Seq((0L, 100L), (10L, 12L), (20L, 22L), (30L, 32L),
+      (40L, 42L), (50L, 52L))
+    assert(overlapCount(wide) == 5, s"got ${overlapCount(wide)}")
+    // fully random layout: nearly every consecutive pair overlaps
+    assert(overlapCount(Seq((0L, 50L), (25L, 75L), (50L, 100L),
+      (75L, 125L))) == 3)
+  }
 }
