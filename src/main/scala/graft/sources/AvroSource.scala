@@ -56,9 +56,14 @@ import graft.Tables
   * (the embeddings table's array<float>; event payloads with typed
   * sub-objects), plus string-keyed MAP(T) (avro maps are string-keyed by
   * spec — the tag/property-bag shape), each optionally nullable via
-  * UNION(null, T). ENUM (as string) and FIXED (as binary, or decimal
-  * when annotated) are READ-side interop for foreign producers; the
-  * writer emits only the Spark-type subset.
+  * UNION(null, T). READ-side interop for foreign producers (the writer
+  * emits only the Spark-type subset): ENUM as string, FIXED as binary
+  * (or decimal when annotated), non-nullable and multi-branch UNIONs
+  * ([int,long] widens to bigint, [float,double] to double, anything
+  * else becomes a one-of memberN struct — the de-facto public
+  * convention), unrecognized logical annotations fall back to the
+  * underlying type per the Avro spec, and any container codec the avro
+  * core dispatches (deflate/snappy/null are writable too, round 11).
   */
 object AvroSource {
 
@@ -137,9 +142,12 @@ object AvroSource {
       (DecimalType(d.getPrecision, d.getScale), false)
     case (Schema.Type.FIXED, d: org.apache.avro.LogicalTypes.Decimal) =>
       (DecimalType(d.getPrecision, d.getScale), false)
-    case (t, lt) if lt != null => throw new IllegalArgumentException(
-      s"avro source: unsupported logical type $lt on $t (in contract: " +
-        "timestamp-micros on long, date on int, decimal on bytes)")
+    // Any OTHER logical annotation (timestamp-millis, uuid,
+    // local-timestamp-*, time-*, duration, …): the Avro spec says readers
+    // that don't recognize a logical type must IGNORE it and use the
+    // underlying type — rejecting the file would block exactly the
+    // foreign-producer interop ENUM/FIXED exist for (ADVICE r10). Fall
+    // through to the primitive cases below.
     case (Schema.Type.LONG, _)    => (LongType, false)
     case (Schema.Type.INT, _)     => (IntegerType, false)
     case (Schema.Type.STRING, _)  => (StringType, false)
@@ -162,11 +170,24 @@ object AvroSource {
       val (valueDt, valueNullable) = toSparkType(s.getValueType)
       (MapType(StringType, valueDt, valueNullable), false)
     case (Schema.Type.UNION, _) =>
+      // READ-side union mapping beyond UNION(null, T) — the next shape a
+      // foreign producer emits (r10 #5). Follows the de-facto public
+      // convention (spark-avro): numeric widenings collapse to the wider
+      // type; anything else becomes a struct with one nullable memberN
+      // field per non-null branch, exactly one of which is set per row.
       val branches = s.getTypes.asScala
+      val hasNull = branches.exists(_.getType == Schema.Type.NULL)
       val nonNull = branches.filter(_.getType != Schema.Type.NULL)
-      require(nonNull.size == 1 && branches.size <= 2,
-        s"avro source: only UNION(null, T) unions are in contract, got $s")
-      (toSparkType(nonNull.head)._1, true)
+      require(nonNull.nonEmpty, s"avro source: union of only null: $s")
+      val kinds = nonNull.map(_.getType).toSet
+      val dt: DataType =
+        if (nonNull.size == 1) toSparkType(nonNull.head)._1
+        else if (kinds == Set(Schema.Type.INT, Schema.Type.LONG)) LongType
+        else if (kinds == Set(Schema.Type.FLOAT, Schema.Type.DOUBLE)) DoubleType
+        else StructType(nonNull.zipWithIndex.map { case (b, i) =>
+          StructField(s"member$i", toSparkType(b)._1, nullable = true)
+        }.toSeq)
+      (dt, hasNull)
     case (t, _) => throw new IllegalArgumentException(
       s"avro source: unsupported avro type $t")
   }
@@ -201,7 +222,13 @@ object AvroSource {
   /** Distributed write of `df` as Avro container files under `dir`
     * (overwrite). Values are encoded generically from Row fields; the
     * Spark-to-Avro field order is the DataFrame schema's. */
-  def write(df: DataFrame, dir: String): Unit = {
+  def write(df: DataFrame, dir: String): Unit = write(df, dir, "deflate")
+
+  /** As [[write]] with an explicit container codec: "deflate" (default),
+    * "snappy" (snappy-java rides on the Spark classpath), or "null"
+    * (uncompressed). Reading needs nothing — `DataFileReader` dispatches
+    * on the codec name in the container header. */
+  def write(df: DataFrame, dir: String, codec: String): Unit = {
     val schema = df.schema
     val avroJson = toAvroSchema(schema).toString // Schema isn't Serializable
     val d = Paths.get(dir)
@@ -223,7 +250,13 @@ object AvroSource {
       val tmpFile = new File(dir, f"part-$idx%05d.avro.$attempt.tmp")
       val w = new DataFileWriter[GenericRecord](
         new GenericDatumWriter[GenericRecord](avroSchema))
-      w.setCodec(org.apache.avro.file.CodecFactory.deflateCodec(6))
+      w.setCodec(codec match {
+        case "deflate" => org.apache.avro.file.CodecFactory.deflateCodec(6)
+        case "snappy"  => org.apache.avro.file.CodecFactory.snappyCodec()
+        case "null"    => org.apache.avro.file.CodecFactory.nullCodec()
+        case other => throw new IllegalArgumentException(
+          s"avro sink: unknown codec '$other' (deflate|snappy|null)")
+      })
       w.create(avroSchema, tmpFile)
       var n = 0L
       try {
@@ -565,6 +598,15 @@ final class AvroPartitionReader(path: String, full: StructType,
       datumReader.setExpected(pruned)
     }
   }
+  // avro schema per OUTPUT field (pruned order) — the decoder needs the
+  // writer's schema alongside the Spark type to resolve UNION branches
+  // and widen [int,long]/[float,double] values (type-direction alone
+  // cannot tell a union-struct from a record)
+  private val fieldSchemas: Array[Schema] = {
+    val keep = schema.fieldNames.toSet
+    reader.getSchema.getFields.asScala
+      .filter(f => keep.contains(f.name())).map(_.schema()).toArray
+  }
   private var rec: GenericRecord = _
   override def next(): Boolean = {
     if (reader.hasNext) { rec = reader.next(rec); true } else false
@@ -573,13 +615,35 @@ final class AvroPartitionReader(path: String, full: StructType,
     val arr = new Array[Any](schema.length)
     var i = 0
     while (i < schema.length) {
-      arr(i) = fromAvroValue(rec.get(i), schema.fields(i).dataType)
+      arr(i) = fromAvroValue(rec.get(i), schema.fields(i).dataType,
+        fieldSchemas(i))
       i += 1
     }
     new GenericInternalRow(arr)
   }
-  private def fromAvroValue(v: AnyRef, dt: DataType): Any =
+  private def fromAvroValue(v: AnyRef, dt: DataType, s: Schema): Any =
     if (v == null) null
+    else if (s.getType == Schema.Type.UNION) {
+      val branches = s.getTypes.asScala
+      val nonNull = branches.filter(_.getType != Schema.Type.NULL)
+      if (nonNull.size == 1) fromAvroValue(v, dt, nonNull.head)
+      else dt match {
+        // numeric-widening unions collapsed at schema time
+        case LongType => v.asInstanceOf[Number].longValue()
+        case DoubleType => v.asInstanceOf[Number].doubleValue()
+        // general union -> memberN struct: resolve the branch the writer
+        // took for THIS value and set only that member
+        case st: StructType =>
+          val bi = GenericData.get().resolveUnion(s, v)
+          val branch = branches(bi)
+          val mi = nonNull.indexOf(branch)
+          val out = new Array[Any](st.length)
+          out(mi) = fromAvroValue(v, st.fields(mi).dataType, branch)
+          new GenericInternalRow(out)
+        case other => throw new IllegalStateException(
+          s"avro source: union $s mapped to unexpected Spark type $other")
+      }
+    }
     else dt match {
       case StringType => v match {
         case u: org.apache.avro.util.Utf8 =>
@@ -606,14 +670,17 @@ final class AvroPartitionReader(path: String, full: StructType,
         val out = new Array[Any](coll.size())
         val it = coll.iterator()
         var i = 0
-        while (it.hasNext) { out(i) = fromAvroValue(it.next(), et); i += 1 }
+        while (it.hasNext) {
+          out(i) = fromAvroValue(it.next(), et, s.getElementType); i += 1
+        }
         new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
       case st: StructType =>
         val rec = v.asInstanceOf[GenericRecord]
         val out = new Array[Any](st.length)
         var i = 0
         while (i < st.length) {
-          out(i) = fromAvroValue(rec.get(i), st.fields(i).dataType)
+          out(i) = fromAvroValue(rec.get(i), st.fields(i).dataType,
+            s.getFields.get(i).schema())
           i += 1
         }
         new GenericInternalRow(out)
@@ -625,8 +692,9 @@ final class AvroPartitionReader(path: String, full: StructType,
         var i = 0
         while (it.hasNext) {
           val e = it.next()
-          keys(i) = fromAvroValue(e.getKey, StringType)
-          vals(i) = fromAvroValue(e.getValue, vt)
+          keys(i) = fromAvroValue(e.getKey, StringType,
+            Schema.create(Schema.Type.STRING))
+          vals(i) = fromAvroValue(e.getValue, vt, s.getValueType)
           i += 1
         }
         new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(

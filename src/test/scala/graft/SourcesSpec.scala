@@ -320,6 +320,105 @@ class SourcesSpec extends SparkSpec {
     assert(rows(1).getDecimal(3) == new java.math.BigDecimal("-0.99"))
   }
 
+  test("avro foreign shapes: non-nullable and multi-branch unions read correctly") {
+    // the next thing a real producer emits past ENUM/FIXED (VERDICT r10
+    // #5): numeric-widening unions collapse to the wider type; a mixed
+    // union becomes a memberN struct with exactly one branch set per row
+    import org.apache.avro.{Schema, SchemaBuilder}
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft_avro_union")
+    def u(ts: Schema.Type*) = Schema.createUnion(ts.map(Schema.create): _*)
+    val schema: Schema = SchemaBuilder.record("ev").namespace("ext").fields()
+      .requiredLong("id")
+      .name("n").`type`(u(Schema.Type.INT, Schema.Type.LONG)).noDefault()
+      .name("x").`type`(u(Schema.Type.FLOAT, Schema.Type.DOUBLE)).noDefault()
+      .name("mix").`type`(
+        u(Schema.Type.NULL, Schema.Type.STRING, Schema.Type.LONG)).noDefault()
+      .endRecord()
+    val f = dir.resolve("part-0.avro").toFile
+    val w = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](schema))
+    w.create(schema, f)
+    def rec(id: Long, n: AnyRef, x: AnyRef, mix: AnyRef) = {
+      val r = new GenericData.Record(schema)
+      r.put(0, java.lang.Long.valueOf(id)); r.put(1, n); r.put(2, x)
+      r.put(3, mix); r
+    }
+    w.append(rec(1L, java.lang.Integer.valueOf(7),
+      java.lang.Float.valueOf(1.5f), new org.apache.avro.util.Utf8("hi")))
+    w.append(rec(2L, java.lang.Long.valueOf(1L << 40),
+      java.lang.Double.valueOf(2.25), java.lang.Long.valueOf(99L)))
+    w.append(rec(3L, java.lang.Integer.valueOf(-3),
+      java.lang.Double.valueOf(-0.5), null))
+    w.close()
+    val back = spark.read
+      .format(classOf[graft.sources.AvroSource].getName)
+      .load(dir.toString)
+    // schema mapping: widened numerics; mixed union -> nullable memberN
+    assert(back.schema("n").dataType == LongType &&
+      !back.schema("n").nullable)
+    assert(back.schema("x").dataType == DoubleType)
+    assert(back.schema("mix").nullable)
+    assert(back.schema("mix").dataType ==
+      StructType(Seq(StructField("member0", StringType),
+        StructField("member1", LongType))))
+    val rows = back.orderBy("id").collect()
+    assert(rows.map(_.getLong(1)).sameElements(Array(7L, 1L << 40, -3L)))
+    assert(rows.map(_.getDouble(2)).sameElements(Array(1.5, 2.25, -0.5)))
+    val m0 = rows(0).getStruct(3)
+    assert(m0.getString(0) == "hi" && m0.isNullAt(1))
+    val m1 = rows(1).getStruct(3)
+    assert(m1.isNullAt(0) && m1.getLong(1) == 99L)
+    assert(rows(2).isNullAt(3))
+  }
+
+  test("avro codecs: snappy and uncompressed containers read back exactly") {
+    import spark.implicits._
+    val df = (1L to 500L).map(i => (i, s"doc_$i", i * 1.5)).toDF("id", "s", "v")
+    for (codec <- Seq("snappy", "null")) {
+      val dir = Files.createTempDirectory(s"graft_avro_$codec").toString
+      graft.sources.AvroSource.write(df, dir, codec)
+      val back = spark.read
+        .format(classOf[graft.sources.AvroSource].getName).load(dir)
+      assert(back.collect().map(_.toString).sorted
+        .sameElements(df.collect().map(_.toString).sorted),
+        s"$codec round trip diverged")
+    }
+  }
+
+  test("avro unrecognized logical types fall back to the underlying type") {
+    // spec: a reader that doesn't recognize a logical annotation must
+    // IGNORE it and use the base type — rejecting blocks interop
+    import org.apache.avro.{Schema, SchemaBuilder}
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft_avro_ltfallback")
+    val schema: Schema = SchemaBuilder.record("ev").namespace("ext").fields()
+      .name("t_ms").`type`(org.apache.avro.LogicalTypes.timestampMillis()
+        .addToSchema(Schema.create(Schema.Type.LONG))).noDefault()
+      .name("u").`type`(org.apache.avro.LogicalTypes.uuid()
+        .addToSchema(Schema.create(Schema.Type.STRING))).noDefault()
+      .endRecord()
+    val f = dir.resolve("part-0.avro").toFile
+    val w = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](schema))
+    w.create(schema, f)
+    val r = new GenericData.Record(schema)
+    r.put(0, java.lang.Long.valueOf(1723680000123L))
+    r.put(1, new org.apache.avro.util.Utf8("0-1-2-3-4"))
+    w.append(r); w.close()
+    val back = spark.read
+      .format(classOf[graft.sources.AvroSource].getName)
+      .load(dir.toString)
+    assert(back.schema("t_ms").dataType == LongType)
+    assert(back.schema("u").dataType == StringType)
+    val row = back.collect().head
+    assert(row.getLong(0) == 1723680000123L && row.getString(1) == "0-1-2-3-4")
+  }
+
   test("avro maps: string-keyed map<string,long> round-trips exactly") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_avro_map").toString
