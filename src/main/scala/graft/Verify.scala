@@ -64,7 +64,11 @@ object Verify {
       "transe_eval_filtered" -> ("transe_eval_quantized_filtered (hash-" +
         "oracled twin) + ContractSpec.goldenEvalFiltered"),
       "transe_eval_partitioned" -> ("transe_eval_quantized + ContractSpec " +
-        "exact-equality gate vs transe_eval"))
+        "exact-equality gate vs transe_eval"),
+      "stream_continual_train" -> ("StreamingSpec continual-trainer gate " +
+        "(chain-KG twin: old ids verbatim, old rows carried, new region " +
+        "learned, old region not forgotten) + TransESpec continual " +
+        "contract + stream_vocab_growth (hash-oracled dictionary twin)"))
     Files.writeString(Paths.get(s"$outDir/gating.json"),
       gating.map { case (k, v) => s"${q(k)}: {${q("gated_by")}: ${q(v)}}" }
         .mkString("{", ",", "}"))

@@ -41,6 +41,10 @@ object StreamingQueries {
       graft.streaming.CorpusStreams.streamingIncrementalDedup(s, d)),
     "stream_vocab_growth" -> ((s, d) =>
       graft.streaming.VocabStreams.streamingVocabGrowth(s, d)),
+    // rows-only (SGD floats — SQL cannot train); behavioral gate in
+    // StreamingSpec's continual-contract twin, pointer in gating.json
+    "stream_continual_train" -> ((s, d) =>
+      graft.streaming.VocabStreams.streamingContinualTrain(s, d)),
     "stream_txn_append" -> ((s, d) => EventStreams.streamingTxnAppend(s, d)),
     "stream_ann_probe" -> ((s, d) =>
       graft.streaming.CorpusStreams.streamingAnnProbe(s, d)),

@@ -116,6 +116,174 @@ object VocabStreams {
       .orderBy("id")
   }
 
+  /** STREAMING CONTINUAL TRAINER (VERDICT r10 #3) — the foreachBatch
+    * composition of the round-10 continual pieces that previously only
+    * existed separately: per arriving micro-batch of raw triples,
+    * (1) extend BOTH dictionaries with the batch's new names — old ids
+    * verbatim ([[DictionaryEncoder.extendDictionaries]]); (2) pad the
+    * trained model with seeded fresh rows for the grown vocabulary
+    * ([[graft.transe.TransETrainer.extendModel]]); (3) warm-continue
+    * training on the newly-encoded batch plus a deterministic 5%
+    * experience-replay slice of the old corpus (replay anchors the old
+    * region against catastrophic forgetting — the not-forgotten gate in
+    * StreamingSpec checks exactly that). This is the streaming twin of
+    * the `Train --extend` CLI; the reference can only warm-start at a
+    * FIXED vocabulary (`TransE.py:28-29,73-76` restores matrices whose
+    * shape must match), so vocabulary growth there means full retrain.
+    *
+    * Arrival order and batch content are the SAME content-defined split
+    * as [[streamingVocabGrowth]] (bucket >= 9 sliced by (hash div 10) %
+    * 3, one file per micro-batch, forced ascending mtimes). Output: one
+    * row per training stage — the initial fit (k = -1) and each
+    * micro-batch — with the vocabulary sizes, the new-name count, the
+    * training-set size, and the final hinge loss of that stage's warm
+    * continuation. SGD floats make it rows-only (SQL cannot train);
+    * the behavioral gate lives in StreamingSpec's continual-contract
+    * twin (see `gating.json`). Deterministic end-to-end (seeded SGD over
+    * content-defined batches), memoized on disk like the growth query. */
+  def streamingContinualTrain(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.transe.{RawTriple, TransEParams, L2Squared}
+
+    val target = Paths.get(sfDir, "events.parquet").getParent
+      .resolve("lineitem.parquet").toAbsolutePath.normalize
+    val mtime = Files.getLastModifiedTime(target).toMillis
+    val key = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s"contstream:v1:$target:$mtime".getBytes("UTF-8"))
+      .take(8).map("%02x".format(_)).mkString
+    val base = Paths.get(sys.props("java.io.tmpdir"), s"graft_contstream_$key")
+    val (src, out, chk) =
+      (base.resolve("src"), base.resolve("out"), base.resolve("chk"))
+    val done = base.resolve("_DONE")
+
+    if (!Files.exists(done)) {
+      StagedRuns.freshBase(base, done)
+      Files.createDirectories(src)
+      val raw = graft.queries.TransEQueries.kgTriples(spark, sfDir)
+      val hv = conv(substring(md5(
+        concat_ws("|", col("h"), col("l"), col("t"))), 1, 6), 16, 10)
+        .cast("long")
+      val withK = raw.select(col("h"), col("l"), col("t"), hv.as("hv"))
+        .select(col("h"), col("l"), col("t"),
+          (col("hv") % 10).as("bucket"), expr("(hv DIV 10) % 3").as("k"),
+          col("hv"))
+      (0 until 3).foreach { k =>
+        val tmp = base.resolve(s"tmp$k")
+        withK.filter(col("bucket") >= 9 && col("k") === k)
+          .select("h", "l", "t")
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = {
+          val s = Files.list(tmp)
+          try s.filter(p => p.getFileName.toString.endsWith(".parquet"))
+            .findFirst().get()
+          finally s.close()
+        }
+        val dst = src.resolve(f"b$k%03d.parquet")
+        Files.copy(part, dst)
+        Files.setLastModifiedTime(dst,
+          FileTime.fromMillis(1700000000000L + k * 60000L))
+      }
+
+      // old corpus: dictionaries + initial fit (seeded, small budget —
+      // the query proves the continual PLUMBING; learning quality is
+      // gated on the analytic chain KG in StreamingSpec)
+      val p = TransEParams(epochs = 2, batches = 2, margin = 1.0f,
+        lr = 0.05f, dim = 32, distance = L2Squared, seed = 42L)
+      val oldRaw = withK.filter(col("bucket") < 9)
+        .select($"h", $"l", $"t").as[RawTriple]
+      // deterministic 5% replay slice, fixed for the run
+      val replay = withK.filter(col("bucket") < 9 && col("hv") % 20 === 0)
+        .select($"h", $"l", $"t").as[RawTriple]
+      val outcome = runContinualStream(spark, src.toString, chk.toString,
+        oldRaw, replay, p, batchEpochs = 1)
+      outcome.entities.unpersist(); outcome.labels.unpersist()
+      outcome.stages
+        .toDF("k", "n_entities", "n_labels", "n_new_entities",
+          "n_train_triples", "hinge_loss")
+        .coalesce(1).write.mode("overwrite").parquet(out.toString)
+      Files.writeString(done, "ok")
+    }
+    spark.read.parquet(out.toString).orderBy("k")
+  }
+
+  /** Final state of a continual-training stream run: per-stage metric
+    * rows, the grown dictionaries (persisted — caller unpersists), and
+    * the warm-continued model. */
+  private[graft] final case class ContinualOutcome(
+      stages: Seq[(Long, Long, Long, Long, Long, Double)],
+      entities: DataFrame, labels: DataFrame,
+      model: graft.transe.TransEModel)
+
+  /** The continual-training foreachBatch core, separated from the
+    * sfDir-specific staging so StreamingSpec can drive it with the
+    * analytic chain KG (TransESpec's continual contract, streamed).
+    * Reads `srcDir` one file per micro-batch; trains `p.epochs` initial
+    * epochs on `oldRaw`, then per batch extends dictionaries + model and
+    * warm-continues `batchEpochs` epochs on batch + replay. */
+  private[graft] def runContinualStream(spark: SparkSession, srcDir: String,
+      chkDir: String, oldRaw: org.apache.spark.sql.Dataset[graft.transe.RawTriple],
+      replay: org.apache.spark.sql.Dataset[graft.transe.RawTriple],
+      p: graft.transe.TransEParams, batchEpochs: Int): ContinualOutcome = {
+    import spark.implicits._
+    import graft.transe.{RawTriple, TransETrainer}
+    val oldP = oldRaw.persist(); oldP.count()
+    var (ents, labs) = DictionaryEncoder.buildDictionaries(oldP)
+    ents = ents.persist(); labs = labs.persist()
+    var nEnt = ents.count().toInt
+    var nLab = labs.count().toInt
+    val replayP = replay.persist(); replayP.count()
+    val enc0 = DictionaryEncoder.encode(oldP, ents, labs).persist()
+    val n0 = enc0.count()
+    val trainer0 = new TransETrainer(p)
+    var model = trainer0.fit(enc0, nEnt, nLab)
+    enc0.unpersist(); oldP.unpersist()
+    val rows = scala.collection.mutable.ArrayBuffer(
+      (-1L, nEnt.toLong, nLab.toLong, nEnt.toLong, n0,
+        trainer0.lossHistory.last))
+
+    val schema = StructType(Seq(
+      StructField("h", StringType), StructField("l", StringType),
+      StructField("t", StringType)))
+    val q = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+      .writeStream
+      .option("checkpointLocation", chkDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // foreachBatch bodies run serially on the driver; every grown
+        // frame is materialized while its micro-batch is live (the
+        // vocab-growth query documents the same contract)
+        val rawBatch = batch.select(col("h"), col("l"), col("t"))
+          .as[RawTriple].persist()
+        rawBatch.count()
+        val (e2, l2) = DictionaryEncoder.extendDictionaries(ents, labs, rawBatch)
+        val e2p = e2.persist(); val l2p = l2.persist()
+        val nEnt2 = e2p.count().toInt
+        val nLab2 = l2p.count().toInt
+        // grow the matrices: old rows verbatim, fresh seeded init for
+        // the new id range
+        model = TransETrainer.extendModel(model, nEnt2, nLab2)
+        // warm-continue on the batch + the fixed replay slice
+        val trainEnc = DictionaryEncoder
+          .encode(rawBatch.unionAll(replayP), e2p, l2p).persist()
+        val nTrain = trainEnc.count()
+        val trainer = new TransETrainer(p.copy(epochs = batchEpochs))
+        model = trainer.fit(trainEnc, nEnt2, nLab2, warmStart = Some(model))
+        rows += ((batchId, nEnt2.toLong, nLab2.toLong,
+          (nEnt2 - nEnt).toLong, nTrain, trainer.lossHistory.last))
+        trainEnc.unpersist(); rawBatch.unpersist()
+        ents.unpersist(); labs.unpersist()
+        ents = e2p; labs = l2p; nEnt = nEnt2; nLab = nLab2
+        ()
+      }
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    replayP.unpersist()
+    ContinualOutcome(rows.toSeq, ents, labs, model)
+  }
+
   /** Fixed 3-batch CTE chain replaying the same content-defined arrival
     * order: names(k) = new names of sub-batch k not seen in the old
     * corpus or any earlier batch; ids continue from the running count. */

@@ -28,7 +28,7 @@ class ContractSpec extends SparkSpec {
     assert(orphans.isEmpty, s"oracles without queries: $orphans")
   }
 
-  test("the rows-only set is exactly the five SGD training metrics") {
+  test("the rows-only set is exactly the six SGD training metrics") {
     // embed_pca_project's oracle is DYNAMIC (trained-literal SQL,
     // published once a model trains in this JVM) — train first so the
     // assertion sees the steady-state oracle surface. Same for the two
@@ -38,7 +38,8 @@ class ContractSpec extends SparkSpec {
     graft.queries.TransEQueries.transeEvalQuantized(spark, sf).count()
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(rowsOnly == Set("transe_eval", "transe_eval_partitioned",
-      "transe_eval_filtered", "transe_fit", "transe_fit_partitioned"),
+      "transe_eval_filtered", "transe_fit", "transe_fit_partitioned",
+      "stream_continual_train"),
       s"unexpected rows-only queries: $rowsOnly")
   }
 
