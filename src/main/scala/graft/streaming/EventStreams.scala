@@ -33,6 +33,44 @@ object EventStreams {
   private[graft] val lastStateRowsPeak =
     new java.util.concurrent.atomic.AtomicLong(-1L)
 
+  /** Stateful-operator row count AFTER the last micro-batch of the LAST
+    * [[runToCompletion]] run (-1 if stateless). On the staged replays the
+    * final sentinel pushes the watermark past every real row, so working
+    * eviction leaves ~0 rows here while a broken watermark leaves the
+    * whole corpus — the invariant the PEAK cannot see on a short replay
+    * where everything legitimately buffers before the flush. */
+  private[graft] val lastStateRowsFinal =
+    new java.util.concurrent.atomic.AtomicLong(-1L)
+
+  /** Micro-batches with input rows in the LAST [[runToCompletion]] run —
+    * a deterministic function of the staged replay (files + sentinels),
+    * so a gate on it catches trigger/staging drift that seconds cannot
+    * (VERDICT r10 #2). Always recorded (free: derived from progress). */
+  private[graft] val lastMicroBatchCount =
+    new java.util.concurrent.atomic.AtomicLong(-1L)
+
+  /** Total shuffle-write records during the LAST probed run (-1 when the
+    * probe was off). Only measured when [[structuralProbe]] is set —
+    * the listener drain adds ~0.2 s per run, which would distort bench
+    * seconds if always on. */
+  private[graft] val lastShuffleRecords =
+    new java.util.concurrent.atomic.AtomicLong(-1L)
+
+  /** Opt-in switch for the shuffle-record listener (StreamingSpec's
+    * structural gates set it around their calls; bench leaves it off). */
+  private[graft] val structuralProbe =
+    new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  private final class ShuffleProbe extends org.apache.spark.scheduler.SparkListener {
+    val records = new java.util.concurrent.atomic.AtomicLong(0L)
+    override def onStageCompleted(
+        e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+      records.addAndGet(
+        e.stageInfo.taskMetrics.shuffleWriteMetrics.recordsWritten)
+      ()
+    }
+  }
+
   /** File-source stream over the static events parquet (one micro-batch
     * per file by default — the standard replay harness for testing
     * streaming semantics on deterministic input). The file source needs a
@@ -258,6 +296,12 @@ object EventStreams {
     }
     val name = s"graft_sink_${sinkId.incrementAndGet()}"
     liveSinks.add(name)
+    val shuffleProbe =
+      if (structuralProbe.get()) {
+        val p = new ShuffleProbe
+        spark.sparkContext.addSparkListener(p)
+        Some(p)
+      } else None
     val q = df.writeStream
       .format("memory")
       .queryName(name)
@@ -269,6 +313,20 @@ object EventStreams {
       // peak stateful-operator rows across the run's micro-batches
       val st = q.recentProgress.flatMap(_.stateOperators).map(_.numRowsTotal)
       lastStateRowsPeak.set(if (st.isEmpty) -1L else st.max)
+      val fin = q.recentProgress.lastOption.toSeq
+        .flatMap(_.stateOperators).map(_.numRowsTotal)
+      lastStateRowsFinal.set(if (fin.isEmpty) -1L else fin.sum)
+      lastMicroBatchCount.set(q.recentProgress.count(_.numInputRows > 0).toLong)
+      shuffleProbe.foreach { p =>
+        // the listener bus is async — poll until the counter goes quiet
+        var last = -1L
+        var cur = p.records.get()
+        var i = 0
+        while (cur != last && i < 100) {
+          Thread.sleep(100); last = cur; cur = p.records.get(); i += 1
+        }
+        lastShuffleRecords.set(cur)
+      }
       if (sys.env.contains("GRAFT_STREAM_DEBUG")) {
         q.recentProgress.foreach { p =>
           System.err.println(s"[stream-debug] batch=${p.batchId} rows=${p.numInputRows} " +
@@ -277,6 +335,7 @@ object EventStreams {
       }
     } finally {
       q.stop()
+      shuffleProbe.foreach(spark.sparkContext.removeSparkListener(_))
     }
     spark.table(name)
   }

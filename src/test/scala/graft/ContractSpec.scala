@@ -4,7 +4,7 @@ package graft
   * consistent. `Map ++` silently shadows duplicate keys, so a name
   * reused across query packs would drop an operator from the driver's
   * sweep without any compile-time signal — this spec is that signal. */
-class ContractSpec extends SparkSpec {
+class ContractSpec extends SparkSpec with PerfProbing {
 
   test("query names are unique across all packs (no silent shadowing)") {
     val packs = Seq(
@@ -64,6 +64,43 @@ class ContractSpec extends SparkSpec {
       assert(math.abs(a - b) <= 1e-6 * math.max(1.0, math.abs(b)),
         s"loss[$i] drifted: got $a want $b\nfull curve: ${losses.mkString(", ")}")
     }
+  }
+
+  test("structural gate: an epoch adds jobs-constant, shuffle-free work") {
+    // VERDICT r10 #4: transe_epoch_sec swung 1.05 -> 1.47 s (spread
+    // 9.6 s) on an UNTOUCHED epoch path — pure host throttle — so the
+    // baseline-comparable metric gets a SHAPE invariant beside the golden
+    // loss curve: the broadcast trainer moves parameters by broadcast +
+    // collect only, so each extra epoch must add a CONSTANT number of
+    // jobs (one collect per batch) and ZERO shuffle (relayout/membership
+    // shuffles happen once per fit, identical across runs and cancelled
+    // by the delta). A lineage re-run or a sneaked-in repartition breaks
+    // either immediately; epoch SECONDS are advisory (variance_prone).
+    val (data, _, _, nEnt, nLab) = queries.TransEQueries.encodedKg(spark, sf)
+    val p = queries.TransEQueries.evalParams
+    def run(epochs: Int): (Int, Long, Long) = probeJobs {
+      new transe.TransETrainer(p.copy(epochs = epochs)).fit(data, nEnt, nLab)
+    }
+    run(1) // warm source/encode caches out of the measurement
+    val (j2, b2, r2) = run(2)
+    val (j4, b4, r4) = run(4)
+    val (j6, b6, r6) = run(6)
+    info(s"epoch shape: jobs $j2/$j4/$j6, shuffleBytes $b2/$b4/$b6, " +
+      s"shuffleRecords $r2/$r4/$r6")
+    val dj1 = j4 - j2
+    val dj2 = j6 - j4
+    assert(dj1 == dj2, s"jobs per epoch drifted: +$dj1 then +$dj2 " +
+      s"($j2/$j4/$j6) — an epoch is scheduling extra work")
+    assert(dj1 == 2 * p.batches,
+      s"expected ${p.batches} jobs (one collect per batch) per epoch, " +
+        s"got ${dj1 / 2.0}")
+    // extra epochs shuffle NOTHING: sampling filters the cached relayout,
+    // deltas travel by collect, parameters by broadcast
+    assert(r4 - r2 == 0 && r6 - r4 == 0,
+      s"epochs shuffled records: $r2/$r4/$r6 — cached relayout lost")
+    assert(b4 - b2 == 0 && b6 - b4 == 0,
+      s"epochs read shuffle bytes: $b2/$b4/$b6 — lineage re-run on the " +
+        "epoch path")
   }
 
   test("golden gate: transe_eval metrics match the fixed-seed recording (sf0.001)") {

@@ -614,6 +614,199 @@ class StreamingSpec extends SparkSpec {
       s"state peak $peak vs input $n — watermark eviction regressed")
   }
 
+  // ------------- structural perf gates for the sessionize family
+  // (VERDICT r10 #2): stream_sessionize regressed 37% on UNTOUCHED code —
+  // pure environmental throttle — so the family gets the same
+  // shape-not-seconds treatment as the graph iterations and the
+  // interval join: state-rows peak, micro-batch count, and shuffle
+  // records per run are invariants of the plan, immune to CPU throttle.
+
+  private def probeStream(body: => Unit): (Long, Long, Long, Long) = {
+    EventStreams.structuralProbe.set(true)
+    try body finally EventStreams.structuralProbe.set(false)
+    (EventStreams.lastStateRowsPeak.get(),
+      EventStreams.lastMicroBatchCount.get(),
+      EventStreams.lastShuffleRecords.get(),
+      EventStreams.lastStateRowsFinal.get())
+  }
+
+  test("structural gate: sessionize state is user-bounded, shuffle input-sized") {
+    val events = Tables.events(spark, sf)
+    val n = events.count()
+    val users = events.select("user_id").distinct().count()
+    val (peak, batches, shuffled, fin) =
+      probeStream(EventStreams.sessionize(spark, sf).collect())
+    info(s"sessionize: statePeak=$peak final=$fin users=$users " +
+      s"batches=$batches shuffled=$shuffled input=$n")
+    assert(peak > 0, "no state reported")
+    // EXACT structural bound: flatMapGroupsWithState holds at most ONE
+    // open SessionState per user; sentinel groups hold none. A state
+    // leak (timeout not firing, sessions never closed-and-removed)
+    // accumulates closed sessions and blows past the user count.
+    assert(peak <= users,
+      s"state peak $peak exceeds $users users — session state leaking")
+    // the final sentinel times every open session out: state must drain
+    assert(fin == 0, s"$fin session states survived the final watermark")
+    assert(batches >= 2, s"replay collapsed to $batches micro-batches")
+    // every input row crosses the groupByKey exchange ONCE per batch it
+    // arrives in; a plan that re-shuffles the whole corpus per batch
+    // lands at ~batches x n. 3n headroom covers sentinels + AQE stats.
+    assert(shuffled >= 0 && shuffled < 3 * n,
+      s"shuffled $shuffled records for $n input rows over $batches " +
+        "batches — corpus is being re-shuffled per micro-batch")
+  }
+
+  test("structural gate: native session_window state stays watermark-evicted") {
+    val nSessions = EventStreams.sessionizeBatch(Tables.events(spark, sf)).count()
+    val n = Tables.events(spark, sf).count()
+    val (peak, batches, shuffled, fin) =
+      probeStream(EventStreams.sessionizeNative(spark, sf).collect())
+    info(s"sessionize_native: statePeak=$peak final=$fin sessions=$nSessions " +
+      s"batches=$batches shuffled=$shuffled input=$n")
+    assert(peak > 0, "no state reported")
+    // On this short replay ALL sessions legitimately buffer before the
+    // sentinel flush (measured peak == nSessions over 3 batches), so the
+    // peak can only bound the LEAK class (duplicated/unmerged windows):
+    assert(peak <= nSessions + 2,
+      s"state peak $peak exceeds $nSessions sessions — window state leaking")
+    // …and EVICTION is gated on the final batch: once the sentinel
+    // watermark passes every session end, the store must drain. A broken
+    // watermark leaves all $nSessions rows here.
+    assert(fin <= 2, s"$fin session windows survived the final watermark " +
+      s"(of $nSessions) — eviction regressed")
+    assert(batches >= 2, s"replay collapsed to $batches micro-batches")
+    assert(shuffled >= 0 && shuffled < 3 * n,
+      s"shuffled $shuffled records for $n inputs — re-shuffling corpus")
+  }
+
+  test("structural gate: out-of-order sessionize buffers only the lateness bound") {
+    val nSessions = EventStreams.sessionizeBatch(Tables.events(spark, sf)).count()
+    val n = Tables.events(spark, sf).count()
+    val (peak, batches, shuffled, fin) =
+      probeStream(EventStreams.sessionizeNativeOoo(spark, sf).collect())
+    info(s"sessionize_ooo: statePeak=$peak final=$fin sessions=$nSessions " +
+      s"batches=$batches shuffled=$shuffled input=$n")
+    assert(peak > 0, "no state reported")
+    // the OOO replay spreads arrivals over enough micro-batches
+    // (measured 8) for MID-STREAM eviction to show: peak must stay
+    // strictly under the full session count (measured 555/946 = 0.59;
+    // 0.8 leaves drift headroom while broken eviction lands at 1.0)
+    assert(peak < (nSessions * 8) / 10,
+      s"state peak $peak vs $nSessions total sessions — nothing evicted " +
+        "mid-stream")
+    assert(fin <= 2, s"$fin session windows survived the final watermark")
+    assert(batches >= 2, s"replay collapsed to $batches micro-batches")
+    assert(shuffled >= 0 && shuffled < 3 * n,
+      s"shuffled $shuffled records for $n inputs — re-shuffling corpus")
+  }
+
+  test("structural gate: append windowed counts hold only open windows") {
+    val nGroups = queries.Relational.q10TimeBucket(spark, sf).count()
+    val n = Tables.events(spark, sf).count()
+    val (peak, batches, shuffled, fin) =
+      probeStream(EventStreams.windowedCountsAppend(spark, sf).collect())
+    info(s"windowed_counts_append: statePeak=$peak final=$fin " +
+      s"groups=$nGroups batches=$batches shuffled=$shuffled input=$n")
+    assert(peak > 0, "no state reported")
+    // On this short replay every (window x type) group legitimately
+    // buffers before the sentinel flush (measured peak == 868 = nGroups
+    // over 3 batches), so peak bounds only the LEAK class (sentinel
+    // groups = 2 windows at most):
+    assert(peak <= nGroups + 4,
+      s"state peak $peak exceeds $nGroups groups — group state leaking")
+    // eviction is the FINAL count: after the sentinel watermark passes
+    // every real window end, only the sentinels' own windows (nothing
+    // ever closes them) may remain
+    assert(fin <= 4, s"$fin window groups survived the final watermark " +
+      s"(of $nGroups) — Append-mode eviction regressed")
+    assert(batches >= 2, s"replay collapsed to $batches micro-batches")
+    // aggregation shuffles map-side PARTIALS (<= groups x partitions per
+    // batch), never raw events
+    assert(shuffled >= 0 && shuffled < 3 * n,
+      s"shuffled $shuffled records for $n inputs — partial agg lost")
+  }
+
+  test("streaming continual trainer: ids stable, new region learned, old region kept") {
+    // The TransESpec continual contract, STREAMED (VERDICT r10 #3): the
+    // chain KG's old corpus trains once, then the new region arrives as
+    // two micro-batches and the foreachBatch trainer must (a) keep every
+    // old dictionary id verbatim, (b) learn the new region to
+    // reference-grade ranks, (c) not forget the old region (the 5%
+    // replay slice anchors it).
+    import spark.implicits._
+    import graft.transe._
+    def chain(lo: Int, hi: Int): Seq[RawTriple] =
+      (lo until hi - 1).map(i => RawTriple(s"e$i", "next", s"e${i + 1}")) ++
+        (lo until hi - 2).map(i => RawTriple(s"e$i", "skip2", s"e${i + 2}"))
+    val oldRaw = spark.createDataset(chain(0, 500))
+    val arriving = chain(480, 600).filterNot(_.h.drop(1).toInt < 498)
+    // replay: a deterministic slice of the old corpus rides along with
+    // every arriving batch
+    val replay = spark.createDataset(chain(0, 500).filter(_.h.hashCode % 8 == 0))
+    val base = java.nio.file.Files.createTempDirectory("graft_contchain")
+    val src = base.resolve("src"); java.nio.file.Files.createDirectories(src)
+    arriving.grouped((arriving.size + 1) / 2).zipWithIndex.foreach {
+      case (part, k) =>
+        val tmp = base.resolve(s"tmp$k")
+        spark.createDataset(part).coalesce(1)
+          .write.mode("overwrite").parquet(tmp.toString)
+        val f = {
+          val s = java.nio.file.Files.list(tmp)
+          try s.filter(_.getFileName.toString.endsWith(".parquet"))
+            .findFirst().get()
+          finally s.close()
+        }
+        val dst = src.resolve(f"b$k%03d.parquet")
+        java.nio.file.Files.copy(f, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(
+            1700000000000L + k * 60000L))
+    }
+    val p = TransEParams(epochs = 40, batches = 2, margin = 1.0f, lr = 0.05f,
+      dim = 32, distance = L2Squared, seed = 42L)
+    val (oldEnts, _) = DictionaryEncoder.buildDictionaries(oldRaw)
+    val outcome = graft.streaming.VocabStreams.runContinualStream(spark,
+      src.toString, base.resolve("chk").toString, oldRaw, replay, p,
+      batchEpochs = 15)
+    // (a) id stability under micro-batch chopping
+    val extMap = outcome.entities.as[(String, Int)].collect().toMap
+    val oldMap = oldEnts.as[(String, Int)].collect().toMap
+    oldMap.foreach { case (n, i) =>
+      assert(extMap(n) == i, s"stream rewired old id: $n $i -> ${extMap(n)}")
+    }
+    assert(extMap.size == 600 && extMap("e599") >= oldMap.size)
+    // stage rows: init + 2 batches, vocab monotone
+    val ks = outcome.stages.map(_._1)
+    assert(ks == Seq(-1L, 0L, 1L), s"stage rows: $ks")
+    assert(outcome.stages.map(_._2) == outcome.stages.map(_._2).sorted,
+      "vocabulary shrank across micro-batches")
+    // (b) new region learned to reference-grade ranks
+    val nEnt = extMap.size
+    val random = nEnt / 2.0
+    val probes = spark.createDataset((500 until 590 by 7)
+      .map(i => RawTriple(s"e$i", "next", s"e${i + 1}")))
+    val probeEnc = DictionaryEncoder.encode(probes,
+      outcome.entities, outcome.labels)
+    val row = LinkPrediction.evaluate(probeEnc, outcome.model, hitsK = 10)
+      .collect().head
+    val (nh, nt) = (row.getDouble(1), row.getDouble(2))
+    info(f"streamed new-region ranks: head=$nh%.1f tail=$nt%.1f")
+    assert(nh < random / 10 && nt < random / 10,
+      s"new region not learned in-stream: head=$nh tail=$nt (random $random)")
+    // (c) old region not forgotten (replay anchored it)
+    val oldProbes = spark.createDataset((10 until 470 by 31)
+      .map(i => RawTriple(s"e$i", "next", s"e${i + 1}")))
+    val oldEnc = DictionaryEncoder.encode(oldProbes,
+      outcome.entities, outcome.labels)
+    val oldRow = LinkPrediction.evaluate(oldEnc, outcome.model, hitsK = 10)
+      .collect().head
+    val (oh, ot) = (oldRow.getDouble(1), oldRow.getDouble(2))
+    info(f"streamed old-region ranks: head=$oh%.1f tail=$ot%.1f")
+    assert(oh < random / 10 && ot < random / 10,
+      s"old region forgotten in-stream: head=$oh tail=$ot (random $random)")
+    outcome.entities.unpersist(); outcome.labels.unpersist()
+  }
+
   test("streaming vocab growth: old ids verbatim, ids dense, same vocabulary as one-shot") {
     import spark.implicits._
     val streamed = graft.streaming.VocabStreams.streamingVocabGrowth(spark, sf)
