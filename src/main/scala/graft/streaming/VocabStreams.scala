@@ -3,6 +3,8 @@ package graft.streaming
 import java.nio.file.{Files, Paths}
 import java.nio.file.attribute.FileTime
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -149,7 +151,7 @@ object VocabStreams {
       .resolve("lineitem.parquet").toAbsolutePath.normalize
     val mtime = Files.getLastModifiedTime(target).toMillis
     val key = java.security.MessageDigest.getInstance("SHA-256")
-      .digest(s"contstream:v1:$target:$mtime".getBytes("UTF-8"))
+      .digest(s"contstream:v2:$target:$mtime".getBytes("UTF-8"))
       .take(8).map("%02x".format(_)).mkString
     val base = Paths.get(sys.props("java.io.tmpdir"), s"graft_contstream_$key")
     val (src, out, chk) =
@@ -194,8 +196,11 @@ object VocabStreams {
       // deterministic 5% replay slice, fixed for the run
       val replay = withK.filter(col("bucket") < 9 && col("hv") % 20 === 0)
         .select($"h", $"l", $"t").as[RawTriple]
+      // durable per-stage state (base/state): a killed run resumes from
+      // the last committed stage instead of refitting the old corpus
       val outcome = runContinualStream(spark, src.toString, chk.toString,
-        oldRaw, replay, p, batchEpochs = 1)
+        oldRaw, replay, p, batchEpochs = 1,
+        stateDir = Some(base.resolve("state")))
       outcome.entities.unpersist(); outcome.labels.unpersist()
       outcome.stages
         .toDF("k", "n_entities", "n_labels", "n_new_entities",
@@ -214,32 +219,150 @@ object VocabStreams {
       entities: DataFrame, labels: DataFrame,
       model: graft.transe.TransEModel)
 
+  /** Times a continual-trainer foreachBatch SKIPPED a replayed batch
+    * because its state commit already existed — the replay-evidence
+    * counter StreamingSpec's kill/replay test asserts (the txnAppend
+    * pattern, applied to TRAINING state). */
+  private[graft] val continualSkips =
+    new java.util.concurrent.atomic.AtomicLong(0)
+
+  // ---------------- durable per-batch training state (restart safety)
+  // Layout: stateDir/batch=<id>/{entities,labels,model,stage.csv,_DONE},
+  // staged under batch=<id>.tmp and atomically renamed — the same
+  // stage-then-move commit protocol as the txnAppend sink, so a crash
+  // mid-persist never leaves a half-written state a restart could adopt.
+  // id = -1 is the initial (pre-stream) fit.
+
+  private def stageDone(stateDir: java.nio.file.Path, id: Long) =
+    stateDir.resolve(s"batch=$id").resolve("_DONE")
+
+  private def committedStages(stateDir: java.nio.file.Path): Seq[Long] = {
+    if (!Files.exists(stateDir)) Seq.empty
+    else {
+      val s = Files.list(stateDir)
+      try s.iterator().asScala.toList
+        .map(_.getFileName.toString)
+        .collect { case n if n.startsWith("batch=") && !n.endsWith(".tmp") =>
+          n.stripPrefix("batch=").toLong }
+        .filter(id => Files.exists(stageDone(stateDir, id)))
+        .sorted
+      finally s.close()
+    }
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    if (Files.exists(p)) {
+      val s = Files.walk(p)
+      try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => { Files.deleteIfExists(f); () })
+      finally s.close()
+    }
+
+  private def persistStage(spark: SparkSession, stateDir: java.nio.file.Path,
+      id: Long, ents: DataFrame, labs: DataFrame,
+      model: graft.transe.TransEModel,
+      row: (Long, Long, Long, Long, Long, Double)): Unit = {
+    val tmp = stateDir.resolve(s"batch=$id.tmp")
+    deleteRecursively(tmp)
+    Files.createDirectories(tmp)
+    ents.coalesce(1).write.mode("overwrite")
+      .parquet(tmp.resolve("entities").toString)
+    labs.coalesce(1).write.mode("overwrite")
+      .parquet(tmp.resolve("labels").toString)
+    graft.transe.EmbeddingIO.saveModel(spark, model,
+      tmp.resolve("model").toString)
+    Files.writeString(tmp.resolve("stage.csv"),
+      s"${row._1},${row._2},${row._3},${row._4},${row._5},${row._6}")
+    Files.writeString(tmp.resolve("_DONE"), "ok")
+    val dst = stateDir.resolve(s"batch=$id")
+    deleteRecursively(dst)
+    Files.move(tmp, dst, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  private def loadStage(spark: SparkSession, stateDir: java.nio.file.Path,
+      id: Long, p: graft.transe.TransEParams):
+      (DataFrame, DataFrame, graft.transe.TransEModel,
+        (Long, Long, Long, Long, Long, Double)) = {
+    val d = stateDir.resolve(s"batch=$id")
+    val ents = spark.read.parquet(d.resolve("entities").toString).persist()
+    val labs = spark.read.parquet(d.resolve("labels").toString).persist()
+    ents.count(); labs.count()
+    val model = graft.transe.EmbeddingIO.loadModel(spark,
+      d.resolve("model").toString, p)
+    val f = Files.readString(d.resolve("stage.csv")).trim.split(',')
+    (ents, labs, model, (f(0).toLong, f(1).toLong, f(2).toLong,
+      f(3).toLong, f(4).toLong, f(5).toDouble))
+  }
+
   /** The continual-training foreachBatch core, separated from the
     * sfDir-specific staging so StreamingSpec can drive it with the
     * analytic chain KG (TransESpec's continual contract, streamed).
     * Reads `srcDir` one file per micro-batch; trains `p.epochs` initial
     * epochs on `oldRaw`, then per batch extends dictionaries + model and
-    * warm-continues `batchEpochs` epochs on batch + replay. */
+    * warm-continues `batchEpochs` epochs on batch + replay.
+    *
+    * RESTART SAFETY (`stateDir`): when set, every completed stage —
+    * the initial fit and each micro-batch — commits (dictionaries,
+    * model, stage row) durably under the txnAppend stage-then-rename
+    * protocol, keyed by batchId. A restart loads the latest committed
+    * state instead of refitting (at 100 TB the old corpus is cold
+    * storage — recomputing is not recovery), the engine's checkpoint
+    * resumes the source where it left off, and a REPLAYED batch (crash
+    * between state commit and streaming commit) is detected by its
+    * already-committed batchId and skipped outright — training effects
+    * are exactly-once, not at-least-once, so the recovered model is
+    * BIT-IDENTICAL to an uninterrupted run (StreamingSpec proves it). */
   private[graft] def runContinualStream(spark: SparkSession, srcDir: String,
       chkDir: String, oldRaw: org.apache.spark.sql.Dataset[graft.transe.RawTriple],
       replay: org.apache.spark.sql.Dataset[graft.transe.RawTriple],
-      p: graft.transe.TransEParams, batchEpochs: Int): ContinualOutcome = {
+      p: graft.transe.TransEParams, batchEpochs: Int,
+      stateDir: Option[java.nio.file.Path] = None): ContinualOutcome = {
     import spark.implicits._
     import graft.transe.{RawTriple, TransETrainer}
-    val oldP = oldRaw.persist(); oldP.count()
-    var (ents, labs) = DictionaryEncoder.buildDictionaries(oldP)
-    ents = ents.persist(); labs = labs.persist()
-    var nEnt = ents.count().toInt
-    var nLab = labs.count().toInt
+    stateDir.foreach(Files.createDirectories(_))
+    val committed = scala.collection.mutable.SortedSet.empty[Long]
+    stateDir.foreach(d => committed ++= committedStages(d))
+    val rows = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Long, Long, Double)]
+
+    var ents: DataFrame = null
+    var labs: DataFrame = null
+    var nEnt = 0
+    var nLab = 0
+    var model: graft.transe.TransEModel = null
     val replayP = replay.persist(); replayP.count()
-    val enc0 = DictionaryEncoder.encode(oldP, ents, labs).persist()
-    val n0 = enc0.count()
-    val trainer0 = new TransETrainer(p)
-    var model = trainer0.fit(enc0, nEnt, nLab)
-    enc0.unpersist(); oldP.unpersist()
-    val rows = scala.collection.mutable.ArrayBuffer(
-      (-1L, nEnt.toLong, nLab.toLong, nEnt.toLong, n0,
-        trainer0.lossHistory.last))
+
+    if (committed.nonEmpty) {
+      // resume: replay the committed stage rows, load the LATEST state
+      val d = stateDir.get
+      committed.foreach { id =>
+        val f = Files.readString(
+          d.resolve(s"batch=$id").resolve("stage.csv")).trim.split(',')
+        rows += ((f(0).toLong, f(1).toLong, f(2).toLong, f(3).toLong,
+          f(4).toLong, f(5).toDouble))
+      }
+      val (e, l, m, _) = loadStage(spark, d, committed.max, p)
+      ents = e; labs = l; model = m
+      nEnt = ents.count().toInt; nLab = labs.count().toInt
+    } else {
+      val oldP = oldRaw.persist(); oldP.count()
+      val (e0, l0) = DictionaryEncoder.buildDictionaries(oldP)
+      ents = e0.persist(); labs = l0.persist()
+      nEnt = ents.count().toInt
+      nLab = labs.count().toInt
+      val enc0 = DictionaryEncoder.encode(oldP, ents, labs).persist()
+      val n0 = enc0.count()
+      val trainer0 = new TransETrainer(p)
+      model = trainer0.fit(enc0, nEnt, nLab)
+      enc0.unpersist(); oldP.unpersist()
+      val initRow = (-1L, nEnt.toLong, nLab.toLong, nEnt.toLong, n0,
+        trainer0.lossHistory.last)
+      rows += initRow
+      stateDir.foreach { d =>
+        persistStage(spark, d, -1L, ents, labs, model, initRow)
+        committed += -1L
+      }
+    }
 
     val schema = StructType(Seq(
       StructField("h", StringType), StructField("l", StringType),
@@ -251,6 +374,13 @@ object VocabStreams {
       .writeStream
       .option("checkpointLocation", chkDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // REPLAYED batch (restart after a crash between the state commit
+        // and the streaming commit): the training effects are already in
+        // the loaded state — skip, don't retrain (exactly-once, the
+        // txnAppend discipline applied to SGD state)
+        if (committed.contains(batchId)) {
+          continualSkips.incrementAndGet()
+        } else {
         // foreachBatch bodies run serially on the driver; every grown
         // frame is materialized while its micro-batch is live (the
         // vocab-growth query documents the same contract)
@@ -270,16 +400,28 @@ object VocabStreams {
         val nTrain = trainEnc.count()
         val trainer = new TransETrainer(p.copy(epochs = batchEpochs))
         model = trainer.fit(trainEnc, nEnt2, nLab2, warmStart = Some(model))
-        rows += ((batchId, nEnt2.toLong, nLab2.toLong,
-          (nEnt2 - nEnt).toLong, nTrain, trainer.lossHistory.last))
+        val stageRow = (batchId, nEnt2.toLong, nLab2.toLong,
+          (nEnt2 - nEnt).toLong, nTrain, trainer.lossHistory.last)
+        rows += stageRow
         trainEnc.unpersist(); rawBatch.unpersist()
         ents.unpersist(); labs.unpersist()
         ents = e2p; labs = l2p; nEnt = nEnt2; nLab = nLab2
+        // durable state commit BEFORE the engine records the streaming
+        // commit — a crash between the two replays this batchId, which
+        // the guard above then skips
+        stateDir.foreach { d =>
+          persistStage(spark, d, batchId, ents, labs, model, stageRow)
+          committed += batchId
+        }
+        }
         ()
       }
       .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
       .start()
-    try q.processAllAvailable() finally q.stop()
+    // stop() is asynchronous — await full termination before returning,
+    // or a restart reusing this checkpoint races the dying query
+    // ("Multiple streaming queries are concurrently using <chk>")
+    try q.processAllAvailable() finally { q.stop(); q.awaitTermination() }
     replayP.unpersist()
     ContinualOutcome(rows.toSeq, ents, labs, model)
   }

@@ -807,6 +807,99 @@ class StreamingSpec extends SparkSpec {
     outcome.entities.unpersist(); outcome.labels.unpersist()
   }
 
+  test("continual trainer restart: resume + replay are bit-identical to uninterrupted") {
+    // Kill-and-restart exactly-once for TRAINING STATE (the txnAppend
+    // discipline applied to SGD): a restart must LOAD the committed
+    // state, not refit (at 100 TB the old corpus is cold storage), and a
+    // replayed batch (crash between state commit and streaming commit)
+    // must be skipped, not retrained — proven by bit-identity of the
+    // final model against an uninterrupted run.
+    import spark.implicits._
+    import graft.transe._
+    import java.nio.file.{Files => F}
+    def chain(lo: Int, hi: Int): Seq[RawTriple] =
+      (lo until hi - 1).map(i => RawTriple(s"e$i", "next", s"e${i + 1}"))
+    val oldRaw = spark.createDataset(chain(0, 200))
+    val replay = spark.createDataset(chain(0, 200).filter(_.h.hashCode % 8 == 0))
+    val arriving = chain(198, 280)
+    val files = arriving.grouped((arriving.size + 1) / 2).toSeq
+    def stage(dir: java.nio.file.Path, upTo: Int): Unit = {
+      F.createDirectories(dir)
+      files.take(upTo).zipWithIndex.foreach { case (part, k) =>
+        val dst = dir.resolve(f"b$k%03d.parquet")
+        if (!F.exists(dst)) {
+          val tmp = dir.getParent.resolve(s"tmp$k")
+          spark.createDataset(part).coalesce(1)
+            .write.mode("overwrite").parquet(tmp.toString)
+          val f = {
+            val s = F.list(tmp)
+            try s.filter(_.getFileName.toString.endsWith(".parquet"))
+              .findFirst().get()
+            finally s.close()
+          }
+          F.copy(f, dst)
+          F.setLastModifiedTime(dst,
+            java.nio.file.attribute.FileTime.fromMillis(
+              1700000000000L + k * 60000L))
+        }
+      }
+    }
+    val p = TransEParams(epochs = 6, batches = 2, margin = 1.0f, lr = 0.05f,
+      dim = 16, distance = L2Squared, seed = 42L)
+
+    // A: uninterrupted — both files visible from the start
+    val baseA = F.createTempDirectory("graft_cont_a")
+    stage(baseA.resolve("src"), 2)
+    val a = graft.streaming.VocabStreams.runContinualStream(spark,
+      baseA.resolve("src").toString, baseA.resolve("chk").toString,
+      oldRaw, replay, p, batchEpochs = 3)
+
+    // B: killed after batch 0, restarted with durable state
+    val baseB = F.createTempDirectory("graft_cont_b")
+    val stateB = baseB.resolve("state")
+    stage(baseB.resolve("src"), 1)
+    val b1 = graft.streaming.VocabStreams.runContinualStream(spark,
+      baseB.resolve("src").toString, baseB.resolve("chk").toString,
+      oldRaw, replay, p, batchEpochs = 3, stateDir = Some(stateB))
+    b1.entities.unpersist(); b1.labels.unpersist()
+    stage(baseB.resolve("src"), 2) // the second file arrives after the kill
+    val b2 = graft.streaming.VocabStreams.runContinualStream(spark,
+      baseB.resolve("src").toString, baseB.resolve("chk").toString,
+      oldRaw, replay, p, batchEpochs = 3, stateDir = Some(stateB))
+    def dictMap(d: org.apache.spark.sql.DataFrame) =
+      d.as[(String, Int)].collect().toMap
+    assert(dictMap(b2.entities) == dictMap(a.entities),
+      "restarted dictionary diverged from the uninterrupted run")
+    def bitEqual(x: TransEModel, y: TransEModel): Boolean =
+      x.entity.length == y.entity.length &&
+        x.entity.indices.forall(i => x.entity(i).sameElements(y.entity(i))) &&
+        x.label.indices.forall(i => x.label(i).sameElements(y.label(i)))
+    assert(bitEqual(b2.model, a.model),
+      "restarted model is not bit-identical to the uninterrupted run")
+
+    // C: simulate a crash BETWEEN state commit and streaming commit by
+    // deleting the engine's commit marker for the last batch — the
+    // restart replays batch 1 and the skip guard must fire
+    val lastCommit = baseB.resolve("chk").resolve("commits").resolve("1")
+    assert(F.exists(lastCommit), s"checkpoint layout changed: $lastCommit")
+    F.delete(lastCommit)
+    // the local checksum FS keeps a .crc sibling; deleting only the
+    // marker makes the engine's re-commit rename fail on the stale crc
+    F.deleteIfExists(baseB.resolve("chk").resolve("commits").resolve(".1.crc"))
+    val skipsBefore = graft.streaming.VocabStreams.continualSkips.get()
+    b2.entities.unpersist(); b2.labels.unpersist()
+    val c = graft.streaming.VocabStreams.runContinualStream(spark,
+      baseB.resolve("src").toString, baseB.resolve("chk").toString,
+      oldRaw, replay, p, batchEpochs = 3, stateDir = Some(stateB))
+    assert(graft.streaming.VocabStreams.continualSkips.get() == skipsBefore + 1,
+      "replayed batch was not skipped — training effects duplicated")
+    assert(bitEqual(c.model, a.model),
+      "replay-recovered model is not bit-identical to the uninterrupted run")
+    assert(c.stages == b2.stages, "stage rows drifted across the replay")
+    a.entities.unpersist(); a.labels.unpersist()
+    c.entities.unpersist(); c.labels.unpersist()
+  }
+
   test("streaming vocab growth: old ids verbatim, ids dense, same vocabulary as one-shot") {
     import spark.implicits._
     val streamed = graft.streaming.VocabStreams.streamingVocabGrowth(spark, sf)
