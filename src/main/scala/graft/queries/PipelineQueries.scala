@@ -408,6 +408,10 @@ object PipelineQueries {
     // nested STRUCT surface: events re-shaped with a typed payload record
     "source_avro_nested" -> ((s, d) =>
       graft.sources.AvroSource.nestedRoundTripAgg(s, d)),
+    // additive schema evolution for AVRO: two generations in one scan
+    // through the merged schema, old files null-fill the added column
+    "source_avro_evolved" -> ((s, d) =>
+      graft.sources.AvroSource.evolvedReadAgg(s, d)),
     // additive schema evolution: mergeSchema union, old files null-fill
     "source_schema_evolution" -> ((s, d) =>
       graft.sources.SchemaEvolution.evolvedRead(s, d)),
@@ -594,6 +598,7 @@ object PipelineQueries {
     "source_avro_events" -> graft.sources.AvroSource.eventsRoundTripAggSql,
     "source_avro_embeddings" -> graft.sources.AvroSource.embeddingsRoundTripAggSql,
     "source_avro_nested" -> graft.sources.AvroSource.nestedRoundTripAggSql,
+    "source_avro_evolved" -> graft.sources.AvroSource.evolvedReadAggSql,
     "source_schema_evolution" -> graft.sources.SchemaEvolution.evolvedReadSql,
     "source_binary" -> graft.sources.BinaryFiles.binaryManifestSql,
     "mv_event_totals" -> Summaries.eventTypeTotalsSql,

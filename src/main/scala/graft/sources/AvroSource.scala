@@ -208,14 +208,51 @@ object AvroSource {
       .sortBy(_.getName)
   }
 
-  /** Embedded schema of the first container file — Avro is
-    * self-describing, like ORC. */
+  /** MERGED schema of every container file in the directory — Avro is
+    * self-describing like ORC, and a directory accumulated over a
+    * producer's lifetime holds several schema GENERATIONS (the parquet
+    * `mergeSchema` stance, applied to avro): additive evolution unions
+    * the fields in first-seen order, a field absent from any generation
+    * becomes NULLABLE (old files null-fill it at decode), and a TYPE
+    * conflict on a shared name fails loudly — silent coercion would
+    * corrupt, exactly the drift class ADVICE r9 #2 banned. Header-only
+    * reads: the planning cost is one footer-sized read per file, same
+    * as parquet's. */
   def readSchema(dir: String): StructType = {
-    val first = listAvroFiles(dir).headOption.getOrElse(
-      throw new IllegalArgumentException(s"avro source: no .avro files in $dir"))
-    val r = new DataFileReader[GenericRecord](first,
-      new GenericDatumReader[GenericRecord]())
-    try toStructType(r.getSchema) finally r.close()
+    val files = listAvroFiles(dir)
+    require(files.nonEmpty, s"avro source: no .avro files in $dir")
+    val fileSchemas = files.map { f =>
+      val r = new DataFileReader[GenericRecord](f,
+        new GenericDatumReader[GenericRecord]())
+      try (f.getName, toStructType(r.getSchema)) finally r.close()
+    }
+    mergeGenerations(fileSchemas)
+  }
+
+  /** First-seen field order; type conflicts loud; absence → nullable. */
+  private[sources] def mergeGenerations(
+      fileSchemas: Seq[(String, StructType)]): StructType = {
+    val order = scala.collection.mutable.LinkedHashMap.empty[String, StructField]
+    fileSchemas.foreach { case (name, st) =>
+      st.fields.foreach { f =>
+        order.get(f.name) match {
+          case None => order += f.name -> f
+          case Some(prev) =>
+            require(prev.dataType == f.dataType,
+              s"avro source: field ${f.name} is ${prev.dataType} in one " +
+                s"generation and ${f.dataType} in $name — type conflict, " +
+                "refusing to merge")
+            if (f.nullable && !prev.nullable)
+              order += f.name -> prev.copy(nullable = true)
+        }
+      }
+    }
+    StructType(order.values.toSeq.map { f =>
+      // a field missing from ANY generation must be nullable: the old
+      // files null-fill it
+      if (fileSchemas.forall(_._2.fieldNames.contains(f.name))) f
+      else f.copy(nullable = true)
+    })
   }
 
   // ----------------------------------------------------------------- sink
@@ -491,6 +528,72 @@ object AvroSource {
       |  MAX(CAST(epoch_us(ts) AS BIGINT)) AS max_ts_us
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Write-once TWO-GENERATION staging of the documents table: old-
+    * generation files (doc_id % 10 < 8) were written BEFORE the producer
+    * added the `lang` column; new-generation files carry it. The split
+    * is deterministic on doc_id so DuckDB replays which rows null-fill. */
+  private[graft] def stagedEvolvedDir(spark: SparkSession, sfDir: String): String = {
+    val src = Paths.get(sfDir, "documents.parquet").toAbsolutePath.normalize
+    val key = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s"avroevo:$src:${Files.getLastModifiedTime(src).toMillis}".getBytes("UTF-8"))
+      .take(8).map("%02x".format(_)).mkString
+    val dir = Paths.get(sys.props("java.io.tmpdir"), s"graft_avro_evo_$key")
+    if (!Files.exists(dir.resolve("_SUCCESS"))) {
+      val docs = Tables.documents(spark, sfDir)
+      val genDirs = Seq(
+        ("g1", docs.filter(col("doc_id") % 10 < 8)
+          .select("doc_id", "text", "source", "n_chars")),
+        ("g2", docs.filter(col("doc_id") % 10 >= 8)
+          .select("doc_id", "text", "lang", "source", "n_chars")))
+      Files.createDirectories(dir)
+      genDirs.foreach { case (gen, df) =>
+        val tmp = dir.resolve(s"tmp_$gen")
+        write(df, tmp.toString)
+        val parts = Files.list(tmp)
+        try parts.iterator().asScala.toList
+          .filter(_.getFileName.toString.endsWith(".avro"))
+          .foreach { p =>
+            Files.move(p, dir.resolve(s"$gen-${p.getFileName}"),
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          }
+        finally parts.close()
+        val rest = Files.list(tmp)
+        try rest.forEach(p => { Files.deleteIfExists(p); () })
+        finally rest.close()
+        Files.deleteIfExists(tmp)
+      }
+      Files.write(dir.resolve("_SUCCESS"), Array.emptyByteArray)
+    }
+    dir.toString
+  }
+
+  /** Evolved-directory read: both generations in ONE scan through the
+    * merged schema — old rows null-fill `lang`, new rows carry it, and
+    * the per-source aggregate checksums the lang payload so a transposed
+    * or dropped column moves the answer. The deterministic doc_id split
+    * lets DuckDB replay the null-fill exactly. */
+  def evolvedReadAgg(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.format(classOf[AvroSource].getName)
+      .load(stagedEvolvedDir(spark, sfDir))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count(col("lang")).as("n_lang"),
+        sum(coalesce(conv(substring(md5(col("lang")), 1, 6), 16, 10)
+          .cast("long"), lit(0L))).as("lang_sum"),
+        sum(col("n_chars")).as("sum_chars"))
+      .orderBy("source")
+
+  def evolvedReadAggSql: String = {
+    val hash = graft.operators.OracleSql.hexVal("md5(lang)", 1, 6)
+    s"""SELECT source,
+       |  COUNT(*) AS n_docs,
+       |  CAST(COUNT(CASE WHEN doc_id % 10 >= 8 THEN lang END) AS BIGINT) AS n_lang,
+       |  CAST(SUM(CASE WHEN doc_id % 10 >= 8 THEN ($hash) ELSE 0 END) AS BIGINT) AS lang_sum,
+       |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+       |FROM documents GROUP BY source ORDER BY source""".stripMargin
+  }
+
   /** Round-trip proof with the same output contract (and oracle) as the
     * JSONL/CSV/ORC round trips: any encode/decode loss moves the
     * md5-derived content checksum. */
@@ -571,41 +674,51 @@ final class AvroPartitionReader(path: String, full: StructType,
   private val datumReader = new GenericDatumReader[GenericRecord]()
   private val reader = new DataFileReader[GenericRecord](new File(path),
     datumReader)
-  // positional mapping validated once per file: the embedded schema's
-  // field NAMES AND TYPES must match the expected FULL table schema — a
-  // name-drifted file would silently transpose columns, a type-drifted
-  // one (long vs int, double vs float) would surface as an opaque
-  // ClassCastException deep in row access since numeric values pass
-  // through boxed (ADVICE r9 #2). Nullability stays advisory: a file
-  // whose field is non-null under a nullable read schema is safe.
-  locally {
-    val got = AvroSource.toStructType(reader.getSchema)
-    def sig(s: StructType) = s.fields.map(f => (f.name, f.dataType)).toSeq
-    require(sig(got) == sig(full),
-      s"avro file $path schema ${got.simpleString} != " +
-        s"expected ${full.simpleString}")
-    // pruned read: the expected schema is the FILE's own record filtered
-    // to the required fields (same name/namespace, so avro's resolver
-    // matches structurally and skips the rest at decode time)
-    if (schema.length != full.length) {
-      val keep = schema.fieldNames.toSet
-      val w = reader.getSchema
-      val pruned = Schema.createRecord(w.getName, w.getDoc, w.getNamespace,
-        false,
-        w.getFields.asScala.filter(f => keep.contains(f.name()))
-          .map(f => new Schema.Field(f.name(), f.schema(), f.doc(), f.defaultVal()))
-          .asJava)
-      datumReader.setExpected(pruned)
+  // Per-file schema resolution, validated once (ADVICE r9 #2: type drift
+  // must fail LOUDLY here, not as an opaque ClassCastException deep in
+  // row access). ADDITIVE EVOLUTION is allowed (the parquet
+  // SchemaEvolution stance, applied to avro): a field the table schema
+  // carries but this (older-generation) file lacks decodes as null —
+  // but only when the merged table schema marked it nullable; a
+  // non-nullable field missing from a file is a name drift and fails.
+  // Shared fields must match on TYPE exactly. Fields the file has
+  // beyond the read schema are skipped by the resolver (pruning path).
+  private val (outIdxToExp: Array[Int], expSchemas: Array[Schema]) = {
+    val fileFields = reader.getSchema.getFields.asScala.toSeq
+    val fileTypes = fileFields.map { f =>
+      f.name() -> AvroSource.toSparkType(f.schema())._1
+    }.toMap
+    schema.fields.foreach { f =>
+      fileTypes.get(f.name) match {
+        case Some(dt) => require(dt == f.dataType,
+          s"avro file $path field ${f.name}: type $dt != expected " +
+            s"${f.dataType} — type drift, refusing to decode")
+        case None => require(f.nullable,
+          s"avro file $path is missing non-nullable field ${f.name} " +
+            s"(file has ${fileFields.map(_.name()).mkString(", ")}) — " +
+            "name drift, not additive evolution")
+      }
     }
-  }
-  // avro schema per OUTPUT field (pruned order) — the decoder needs the
-  // writer's schema alongside the Spark type to resolve UNION branches
-  // and widen [int,long]/[float,double] values (type-direction alone
-  // cannot tell a union-struct from a record)
-  private val fieldSchemas: Array[Schema] = {
     val keep = schema.fieldNames.toSet
-    reader.getSchema.getFields.asScala
-      .filter(f => keep.contains(f.name())).map(_.schema()).toArray
+    // expected record = the file's own fields ∩ required names, in FILE
+    // order (same name/namespace, so avro's resolver matches
+    // structurally and decoder-skips the rest)
+    val expected = fileFields.filter(f => keep.contains(f.name()))
+    if (expected.size != fileFields.size) {
+      val w = reader.getSchema
+      datumReader.setExpected(Schema.createRecord(w.getName, w.getDoc,
+        w.getNamespace, false,
+        expected.map(f => new Schema.Field(f.name(), f.schema(), f.doc(),
+          f.defaultVal())).asJava))
+    }
+    // output position j -> position in the expected record (-1 = absent
+    // from this file generation, null-fill); decoder also needs the
+    // writer's avro schema per field to resolve UNION branches and widen
+    // [int,long]/[float,double] (type direction alone cannot tell a
+    // union-struct from a record)
+    val posOf = expected.map(_.name()).zipWithIndex.toMap
+    (schema.fields.map(f => posOf.getOrElse(f.name, -1)),
+      expected.map(_.schema()).toArray)
   }
   private var rec: GenericRecord = _
   override def next(): Boolean = {
@@ -615,8 +728,11 @@ final class AvroPartitionReader(path: String, full: StructType,
     val arr = new Array[Any](schema.length)
     var i = 0
     while (i < schema.length) {
-      arr(i) = fromAvroValue(rec.get(i), schema.fields(i).dataType,
-        fieldSchemas(i))
+      val e = outIdxToExp(i)
+      arr(i) =
+        if (e < 0) null // field added after this file generation
+        else fromAvroValue(rec.get(e), schema.fields(i).dataType,
+          expSchemas(e))
       i += 1
     }
     new GenericInternalRow(arr)

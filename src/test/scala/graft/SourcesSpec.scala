@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.Files
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 
 import graft.sources.JsonLines
@@ -149,15 +151,27 @@ class SourcesSpec extends SparkSpec {
     assert(back.schema.fieldNames.sameElements(df.schema.fieldNames))
     assert(back.count() == 2)
     assert(back.exceptAll(df).isEmpty && df.exceptAll(back).isEmpty)
-    // drifted file schema fails the scan loudly (positional-transpose trap)
+    // drift contract under additive evolution (the parquet stance):
+    // a file missing a NON-NULLABLE read-schema field is name drift and
+    // fails the scan loudly — null-filling a required column would be
+    // silent corruption
     val otherDir = Files.createTempDirectory("graft_avro_drift").toString
-    graft.sources.AvroSource.write(df.withColumnRenamed("s", "renamed"), otherDir)
+    graft.sources.AvroSource.write(df.withColumnRenamed("id", "renamed"), otherDir)
     val schemaOfFirst = graft.sources.AvroSource.readSchema(dir)
     val mixed = spark.read
       .format(classOf[graft.sources.AvroSource].getName)
       .schema(schemaOfFirst).load(otherDir)
     val e = intercept[Exception](mixed.collect())
-    assert(e.getMessage != null)
+    assert(e.getMessage.contains("missing non-nullable field id") ||
+      e.getMessage.contains("name drift"), e.getMessage)
+    // …while a missing NULLABLE field is additive evolution: it
+    // null-fills, exactly like a parquet read with a pinned schema
+    val nullableDrift = Files.createTempDirectory("graft_avro_ndrift").toString
+    graft.sources.AvroSource.write(df.drop("s"), nullableDrift)
+    val filled = spark.read
+      .format(classOf[graft.sources.AvroSource].getName)
+      .schema(schemaOfFirst).load(nullableDrift)
+    assert(filled.count() == 2 && filled.filter(col("s").isNotNull).count() == 0)
   }
 
   test("avro logical types: timestamp-micros, date, decimal round-trip exactly") {
@@ -417,6 +431,53 @@ class SourcesSpec extends SparkSpec {
     assert(back.schema("u").dataType == StringType)
     val row = back.collect().head
     assert(row.getLong(0) == 1723680000123L && row.getString(1) == "0-1-2-3-4")
+  }
+
+  test("avro additive evolution: old generations null-fill, type drift still loud") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    // generation 1: (id, text); generation 2 adds lang — merged schema
+    // must union the fields and mark lang nullable
+    val dir = Files.createTempDirectory("graft_avro_gen").toString
+    val g1 = Files.createTempDirectory("graft_avro_g1").toString
+    val g2 = Files.createTempDirectory("graft_avro_g2").toString
+    graft.sources.AvroSource.write(
+      Seq((1L, "alpha"), (2L, "beta")).toDF("id", "text"), g1)
+    graft.sources.AvroSource.write(
+      Seq((3L, "gamma", "en"), (4L, "delta", "fr")).toDF("id", "text", "lang"), g2)
+    def adopt(src: String, prefix: String): Unit = {
+      val s = Files.list(java.nio.file.Paths.get(src))
+      try s.iterator().asScala.toList
+        .filter(_.getFileName.toString.endsWith(".avro"))
+        .foreach(p => Files.copy(p,
+          java.nio.file.Paths.get(dir, s"$prefix-${p.getFileName}")))
+      finally s.close()
+    }
+    adopt(g1, "g1"); adopt(g2, "g2")
+    val merged = graft.sources.AvroSource.readSchema(dir)
+    assert(merged("lang").nullable, "added column must merge as nullable")
+    assert(!merged("id").nullable, "shared column must keep its nullability")
+    val back = spark.read
+      .format(classOf[graft.sources.AvroSource].getName).load(dir)
+      .orderBy("id").collect()
+    assert(back.map(_.getLong(0)).sameElements(Array(1L, 2L, 3L, 4L)))
+    assert(back(0).isNullAt(2) && back(1).isNullAt(2),
+      "old-generation rows must null-fill the added column")
+    assert(back(2).getString(2) == "en" && back(3).getString(2) == "fr")
+    // projection confined to the evolved column still works per file
+    val langs = spark.read
+      .format(classOf[graft.sources.AvroSource].getName).load(dir)
+      .select("lang").collect().map(r => Option(r.getString(0)))
+    assert(langs.count(_.isEmpty) == 2 && langs.flatten.sorted
+      .sameElements(Array("en", "fr")))
+    // TYPE drift on a shared name is still a loud merge failure
+    val g3 = Files.createTempDirectory("graft_avro_g3").toString
+    graft.sources.AvroSource.write(
+      Seq(("5", "epsilon")).toDF("id", "text"), g3)
+    adopt(g3, "g3")
+    val e = intercept[Exception](
+      graft.sources.AvroSource.readSchema(dir))
+    assert(e.getMessage.contains("type conflict"), e.getMessage)
   }
 
   test("avro maps: string-keyed map<string,long> round-trips exactly") {
