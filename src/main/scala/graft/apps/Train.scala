@@ -123,6 +123,80 @@ object Train {
   }
 }
 
+/** STREAMING continual-training entry point — `Train --extend`, taken to
+  * an unbounded feed. Watches a directory of triple TSVs (one file per
+  * micro-batch), drains everything available, and per batch: extends
+  * both dictionaries (old ids verbatim), pads the model with seeded
+  * fresh rows, and warm-continues training on the batch plus a
+  * deterministic 1-in-`--replay` experience-replay slice of the initial
+  * corpus. Every completed stage commits durably under
+  * `<out>/state/batch=<id>` (the txnAppend protocol), so re-running the
+  * SAME command after a kill resumes from the last commit instead of
+  * refitting, and a replayed batch is skipped — training effects are
+  * exactly-once (StreamingSpec proves bit-identity of the recovered
+  * model). The reference has no streaming and retrains from scratch
+  * when new entities arrive (`utils.py:6-28`).
+  *
+  * Usage: graft.apps.TrainStream --watch <tsvDir> --old <triples.tsv>
+  *   --out <modelDir> [--epochs 30] [--batch-epochs 1] [--replay 20]
+  *   [hyperparameters as Train: --batches --margin --lr --dim
+  *    --distance --seed]
+  *
+  * `--epochs` is the INITIAL fit budget on the old corpus (skipped on
+  * resume); `--batch-epochs` the warm budget per arriving batch. The
+  * final model + dictionaries land in `<out>` in Train's layout, so
+  * `Evaluate --model <out>` works unchanged.
+  */
+object TrainStream {
+  def main(args: Array[String]): Unit = {
+    val opts = Args.parse(args)
+    val watchDir = opts.required("watch")
+    val outDir = opts.required("out")
+    val params = TransEParams(
+      epochs = opts.int("epochs", 30),
+      batches = opts.int("batches", 2),
+      margin = opts.float("margin", 1.0f),
+      lr = opts.float("lr", 0.01f),
+      dim = opts.int("dim", 50),
+      distance = if (opts.str("distance", "L1") == "L2") L2Squared else L1,
+      seed = opts.long("seed", 42L))
+    val replayRate = opts.int("replay", 20)
+
+    val (spark, owned) = Args.session()
+    import spark.implicits._
+
+    val oldRaw = opts.get("old") match {
+      case Some(path) => TripleReader.readTsv(spark, path)
+      case None => spark.emptyDataset[RawTriple] // resume-only invocation
+    }
+    // deterministic content-keyed replay slice (1 in replayRate):
+    // splitmix64 over the triple's content hash, not hashCode (which is
+    // JVM-stable but weakly mixed for short strings)
+    val replay =
+      if (replayRate <= 0) spark.emptyDataset[RawTriple]
+      else oldRaw.filter((t: RawTriple) => math.floorMod(
+        StableHash.mix64(s"${t.h}|${t.l}|${t.t}".hashCode.toLong),
+        replayRate.toLong) == 0L)
+
+    val outcome = graft.streaming.VocabStreams.runContinualStream(spark,
+      watchDir, s"$outDir/chk", oldRaw, replay, params,
+      batchEpochs = opts.int("batch-epochs", 1),
+      stateDir = Some(java.nio.file.Paths.get(outDir, "state")),
+      format = "tsv")
+
+    EmbeddingIO.saveModel(spark, outcome.model, outDir)
+    outcome.entities.write.mode("overwrite").parquet(s"$outDir/entity_dict")
+    outcome.labels.write.mode("overwrite").parquet(s"$outDir/label_dict")
+    outcome.entities.unpersist(); outcome.labels.unpersist()
+    outcome.stages.foreach { case (k, nE, nL, nNew, nTrain, loss) =>
+      val stage = if (k < 0) "init" else s"batch $k"
+      println(f"[train-stream] $stage: entities=$nE labels=$nL new=$nNew " +
+        f"trained_on=$nTrain loss=$loss%.4f")
+    }
+    if (owned) spark.stop()
+  }
+}
+
 /** Evaluation entry point — the engine's `test.py` (reference
   * `test.py:105-126`): load the model + dictionaries, encode the test TSV
   * with the TRAINING dictionary (shared-dictionary fix, SURVEY J4), run

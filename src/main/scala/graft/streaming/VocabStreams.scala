@@ -316,7 +316,8 @@ object VocabStreams {
       chkDir: String, oldRaw: org.apache.spark.sql.Dataset[graft.transe.RawTriple],
       replay: org.apache.spark.sql.Dataset[graft.transe.RawTriple],
       p: graft.transe.TransEParams, batchEpochs: Int,
-      stateDir: Option[java.nio.file.Path] = None): ContinualOutcome = {
+      stateDir: Option[java.nio.file.Path] = None,
+      format: String = "parquet"): ContinualOutcome = {
     import spark.implicits._
     import graft.transe.{RawTriple, TransETrainer}
     stateDir.foreach(Files.createDirectories(_))
@@ -367,10 +368,20 @@ object VocabStreams {
     val schema = StructType(Seq(
       StructField("h", StringType), StructField("l", StringType),
       StructField("t", StringType)))
-    val q = spark.readStream
+    val reader = spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", "1")
-      .parquet(srcDir)
+    val stream = format match {
+      case "parquet" => reader.parquet(srcDir)
+      // the reference's own landing format (TripleReader parity: raw
+      // split-on-tab — quoting off so "1984" stays quoted and tabs never
+      // merge inside quoted fields)
+      case "tsv" => reader.option("sep", "\t").option("header", "false")
+        .option("quote", "").csv(srcDir)
+      case other => throw new IllegalArgumentException(
+        s"continual stream: unknown format '$other' (parquet|tsv)")
+    }
+    val q = stream
       .writeStream
       .option("checkpointLocation", chkDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>

@@ -174,6 +174,54 @@ class AppsSpec extends SparkSpec {
     assert(ent1.length < ent2.length)
   }
 
+  test("TrainStream drains a watch dir, resumes after a rerun, Evaluate loads it") {
+    import spark.implicits._
+    import java.nio.file.attribute.FileTime
+    // initial corpus + a watch dir with two arriving TSVs
+    val base = Files.createTempDirectory("trainstream")
+    val oldTsv = base.resolve("old.tsv")
+    Files.writeString(oldTsv,
+      (0 until 60).map(i => s"e$i\tnext\te${i + 1}").mkString("\n"))
+    val watch = base.resolve("watch")
+    Files.createDirectories(watch)
+    def arrive(k: Int, lines: Seq[String]): Unit = {
+      val f = watch.resolve(f"b$k%03d.tsv")
+      Files.writeString(f, lines.mkString("\n"))
+      Files.setLastModifiedTime(f,
+        FileTime.fromMillis(1700000000000L + k * 60000L))
+    }
+    arrive(0, (60 until 80).map(i => s"e$i\tnext\te${i + 1}"))
+    arrive(1, (80 until 100).map(i => s"e$i\tnext\te${i + 1}"))
+    val out = base.resolve("model").toString
+    graft.apps.TrainStream.main(Array(
+      "--watch", watch.toString, "--old", oldTsv.toString, "--out", out,
+      "--epochs", "4", "--batch-epochs", "2", "--dim", "8", "--batches", "2"))
+    val dict1 = spark.read.parquet(s"$out/entity_dict")
+      .as[(String, Int)].collect().toMap
+    // old corpus covers e0..e60 (61), each batch adds 20 new entities
+    assert(dict1.size == 101, s"${dict1.size}")
+    // durable stages: init + 2 batches committed
+    assert(Files.exists(java.nio.file.Paths.get(out, "state", "batch=-1", "_DONE")))
+    assert(Files.exists(java.nio.file.Paths.get(out, "state", "batch=1", "_DONE")))
+    // a third file arrives; the SAME command resumes from the last commit
+    arrive(2, (100 until 120).map(i => s"e$i\tnext\te${i + 1}"))
+    graft.apps.TrainStream.main(Array(
+      "--watch", watch.toString, "--old", oldTsv.toString, "--out", out,
+      "--epochs", "4", "--batch-epochs", "2", "--dim", "8", "--batches", "2"))
+    val dict2 = spark.read.parquet(s"$out/entity_dict")
+      .as[(String, Int)].collect().toMap
+    // old ids verbatim under the resume; only the new arrivals appended
+    assert(dict1.forall { case (n, i) => dict2(n) == i },
+      "resume rewired an existing id")
+    assert(dict2.size == dict1.size + 20, s"${dict2.size} vs ${dict1.size}")
+    assert(Files.exists(java.nio.file.Paths.get(out, "state", "batch=2", "_DONE")))
+    // the written layout is Train's: Evaluate loads it unchanged
+    val probe = base.resolve("probe.tsv")
+    Files.writeString(probe, "e110\tnext\te111\ne5\tnext\te6")
+    graft.apps.Evaluate.main(Array(
+      "--test", probe.toString, "--model", out))
+  }
+
   test("as-of join matches a hand-computed per-user trace") {
     import spark.implicits._
     val events = Seq(
