@@ -109,7 +109,7 @@ object VocabStreams {
         }
         .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
         .start()
-      try q.processAllAvailable() finally q.stop()
+      try q.processAllAvailable() finally { q.stop(); q.awaitTermination() }
       ents.write.mode("overwrite").parquet(out.toString)
       Files.writeString(done, "ok")
     }
@@ -375,9 +375,12 @@ object VocabStreams {
       case "parquet" => reader.parquet(srcDir)
       // the reference's own landing format (TripleReader parity: raw
       // split-on-tab — quoting off so "1984" stays quoted and tabs never
-      // merge inside quoted fields)
+      // merge inside quoted fields). PERMISSIVE (the csv default) would
+      // null-fill a short line and the null would become a DICTIONARY
+      // ENTRY with its own embedding row — drop malformed lines like the
+      // batch reader does, then belt-and-braces filter below.
       case "tsv" => reader.option("sep", "\t").option("header", "false")
-        .option("quote", "").csv(srcDir)
+        .option("quote", "").option("mode", "DROPMALFORMED").csv(srcDir)
       case other => throw new IllegalArgumentException(
         s"continual stream: unknown format '$other' (parquet|tsv)")
     }
@@ -396,6 +399,10 @@ object VocabStreams {
         // frame is materialized while its micro-batch is live (the
         // vocab-growth query documents the same contract)
         val rawBatch = batch.select(col("h"), col("l"), col("t"))
+          // a null in ANY position would otherwise become a dictionary
+          // entry with its own embedding row (guards parquet feeds too)
+          .filter(col("h").isNotNull && col("l").isNotNull &&
+            col("t").isNotNull)
           .as[RawTriple].persist()
         rawBatch.count()
         val (e2, l2) = DictionaryEncoder.extendDictionaries(ents, labs, rawBatch)

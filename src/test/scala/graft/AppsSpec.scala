@@ -203,8 +203,12 @@ class AppsSpec extends SparkSpec {
     // durable stages: init + 2 batches committed
     assert(Files.exists(java.nio.file.Paths.get(out, "state", "batch=-1", "_DONE")))
     assert(Files.exists(java.nio.file.Paths.get(out, "state", "batch=1", "_DONE")))
-    // a third file arrives; the SAME command resumes from the last commit
-    arrive(2, (100 until 120).map(i => s"e$i\tnext\te${i + 1}"))
+    // a third file arrives — with a malformed line (2 columns) and a
+    // null-bearing short line: neither may mint a dictionary entry (the
+    // batch reader's DROPMALFORMED contract, streamed); the SAME command
+    // resumes from the last commit
+    arrive(2, (100 until 120).map(i => s"e$i\tnext\te${i + 1}") ++
+      Seq("orphan\tnext", "loner"))
     graft.apps.TrainStream.main(Array(
       "--watch", watch.toString, "--old", oldTsv.toString, "--out", out,
       "--epochs", "4", "--batch-epochs", "2", "--dim", "8", "--batches", "2"))
@@ -214,6 +218,8 @@ class AppsSpec extends SparkSpec {
     assert(dict1.forall { case (n, i) => dict2(n) == i },
       "resume rewired an existing id")
     assert(dict2.size == dict1.size + 20, s"${dict2.size} vs ${dict1.size}")
+    assert(!dict2.contains("orphan") && !dict2.contains("loner") &&
+      !dict2.contains(null), "malformed TSV line minted a dictionary entry")
     assert(Files.exists(java.nio.file.Paths.get(out, "state", "batch=2", "_DONE")))
     // the written layout is Train's: Evaluate loads it unchanged
     val probe = base.resolve("probe.tsv")
