@@ -443,6 +443,108 @@ object GraphAnalytics {
       .groupBy("id").agg(count(lit(1)).as("core_deg")), round)
   }
 
+  // ------------------------------------------------------------ BFS
+  /** Multi-source BFS hop distance over the UNDIRECTED view of a
+    * directed edge list: every vertex reachable from the seed set gets
+    * its exact hop distance (seeds at 0). The canonical "blast radius"
+    * primitive of curation graph work — crawl-frontier depth from trusted
+    * seed domains, contamination spread from a flagged source, lineage
+    * distance in a provenance graph.
+    *
+    * Frontier algorithm, synchronous rounds to the fixpoint (an empty
+    * frontier proves every later round is the identity):
+    *   f_0 = seeds,  d_0 = seeds x {0}
+    *   f_i = neighbors(f_{i-1}) \ d_{i-1}     (anti-join),  d_i = d_{i-1} ∪ f_i x {i}
+    *
+    * Cost discipline (the pagerank/kcore rules):
+    *  - the undirected edge table is built, hash-partitioned by `a`, and
+    *    persisted ONCE; each round's expansion joins the |frontier|-sized
+    *    side into that layout (shuffle-hash hint — edges never move or
+    *    re-sort), so a round shuffles O(|frontier| + new ids), never |E|;
+    *  - distances and frontiers are lineage-truncated per round via the
+    *    Checkpoints seam, so plans stay round-count-free;
+    *  - round count is bounded by the graph's eccentricity from the
+    *    seeds, with `maxRounds` a runaway valve that THROWS rather than
+    *    returning truncated distances.
+    *
+    * Determinism: hop counts are integers; first-arrival round IS the
+    * unique hop distance (synchronous expansion), so no tie-breaking is
+    * needed and DuckDB replays the table exactly.
+    *
+    * Output: (id, dist) for REACHABLE vertices only (standard BFS
+    * contract; both engines agree by construction). */
+  def bfsLayers(edges: DataFrame, seeds: DataFrame,
+      maxRounds: Int = 64): DataFrame = bfsLayersWithRounds(edges, seeds, maxRounds)._1
+
+  /** [[bfsLayers]] plus the number of expansion rounds actually run —
+    * the structural cost figure for GraphSpec's invariant gates. */
+  def bfsLayersWithRounds(edges: DataFrame, seeds: DataFrame,
+      maxRounds: Int = 64): (DataFrame, Int) = {
+    val und = edges.select(col("src").as("a"), col("dst").as("b"))
+      .unionAll(edges.select(col("dst").as("a"), col("src").as("b")))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .repartition(col("a"))
+      .persist()
+    und.count()
+    var dist = seeds.select(col("id")).distinct()
+      .withColumn("dist", lit(0L)).truncateLineage
+    var frontier = dist.select("id")
+    var round = 0
+    var done = frontier.isEmpty
+    while (!done) {
+      round += 1
+      if (round > maxRounds)
+        throw new IllegalStateException(
+          s"bfsLayers: frontier still non-empty after $maxRounds rounds — " +
+            "raise maxRounds; refusing to return truncated distances")
+      val cand = und
+        .join(frontier.withColumnRenamed("id", "a").hint("shuffle_hash"), Seq("a"))
+        .select(col("b").as("id")).distinct()
+      val newFront = cand.join(dist, Seq("id"), "left_anti").truncateLineage
+      if (newFront.isEmpty) done = true
+      else {
+        dist = dist.unionAll(newFront.withColumn("dist", lit(round.toLong)))
+          .truncateLineage
+        frontier = newFront
+      }
+    }
+    und.unpersist()
+    (dist, round)
+  }
+
+  /** DuckDB replay of [[bfsLayers]]: fixed-round frontier unroll with an
+    * identity tail (the kcoreSql discipline — `rounds` is a replay
+    * margin, and an unroll shorter than the true eccentricity mismatches
+    * the hash loudly). `seedsSql` must produce a 1-column `id` set. */
+  def bfsLayersSql(edgesSql: String, seedsSql: String, rounds: Int = 8): String = {
+    val stepCtes = (1 to rounds).map { i =>
+      val p = i - 1
+      s"""f$i AS MATERIALIZED (
+         |  SELECT DISTINCT u.b AS id
+         |  FROM und u JOIN f$p f ON u.a = f.id
+         |  ANTI JOIN d$p d ON u.b = d.id
+         |),
+         |d$i AS MATERIALIZED (
+         |  SELECT id, dist FROM d$p
+         |  UNION ALL SELECT id, CAST($i AS BIGINT) FROM f$i
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH edges AS MATERIALIZED ($edgesSql),
+       |und AS MATERIALIZED (
+       |  SELECT DISTINCT a, b FROM (
+       |    SELECT src AS a, dst AS b FROM edges
+       |    UNION ALL SELECT dst, src FROM edges)
+       |  WHERE a <> b
+       |),
+       |d0 AS MATERIALIZED (
+       |  SELECT DISTINCT id, CAST(0 AS BIGINT) AS dist FROM ($seedsSql)
+       |),
+       |f0 AS MATERIALIZED (SELECT id FROM d0),
+       |$stepCtes
+       |SELECT id, dist FROM d$rounds ORDER BY id""".stripMargin
+  }
+
   /** Fixed-round CTE unroll with an identity tail: `rounds` here is a
     * REPLAY margin (identity rounds are free in DuckDB), not an engine
     * constant — the Spark side peels to its own fixpoint, so an unroll

@@ -93,4 +93,89 @@ object Search {
        |GROUP BY doc_id
        |ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
   }
+
+  /** Top-k docs under exact-rational Okapi BM25 (k1 = 6/5, b = 3/4;
+    * Robertson & Zaragoza 2009) — tf saturation AND length normalization,
+    * the two things the integer tf-idf above deliberately lacks. The one
+    * BM25 ingredient that is not cross-engine bit-stable is the idf's
+    * `ln`; it is monotone per term, so this keeps the idf's rational
+    * argument `(N - df + 1/2) / (df + 1/2)` un-logged and the whole score
+    * ladder stays fixed-point BIGINT that DuckDB replays exactly (the
+    * repo's transcendental-free oracle discipline — same move as the
+    * integer PageRank and Lloyd k-means).
+    *
+    * Fixed-point ladder (floor divisions; every operand non-negative, so
+    * Spark's truncating DIV == DuckDB's floor `//`):
+    *
+    *   avgdl_milli = (1000 * sum_dl) div N                [corpus stat]
+    *   tf1k = (22000 * tf * avgdl_milli)
+    *          div (10*avgdl_milli*tf + 3*avgdl_milli + 9000*dl)
+    *        [= floor(1000 * tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl)))
+    *         after clearing denominators with k1=6/5, b=3/4]
+    *   w    = (tf1k * (2N - 2df + 1)) div (2df + 1)
+    *   score = SUM(w) over the doc's matched terms  — exact integer sum.
+    *
+    * Overflow headroom: tf1k <= 2200 (tfpart <= k1+1), so `tf1k * (2N+1)`
+    * holds to N ~ 2e15 docs; the tf1k numerator `22000 * tf * avgdl_milli`
+    * holds to tf * avgdl ~ 4e11 (say 100k-token docs in a 4M-token-average
+    * corpus) — both far past any per-partition reality at 100 TB.
+    *
+    * Scale shape — identical to [[tfidfSearch]]: the term filter lands on
+    * the exploded token stream pre-shuffle, so only |terms| posting lists
+    * move; dl/avgdl ride as (a) a doc_id equi-join of the posting-sized tf
+    * table against per-doc lengths and (b) a broadcast 1-row corpus stat;
+    * the top-k is a TakeOrderedAndProject (per-partition heaps). */
+  def bm25Search(docs: DataFrame, terms: Seq[String], k: Int = 10): DataFrame = {
+    require(terms.nonEmpty)
+    val toks = tokens(docs)
+    val matched = toks.filter(col("tok").isin(terms: _*))
+    val tf = matched.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = docs.select(count(lit(1)).as("n_docs"))
+      .crossJoin(toks.select(count(lit(1)).as("sum_dl")))
+    tf.join(broadcast(df), Seq("tok"))
+      .join(dl, Seq("doc_id")) // posting-sized probe side; AQE broadcasts it
+      .join(broadcast(stats))
+      .withColumn("avgdl_milli", expr("(1000 * sum_dl) DIV n_docs"))
+      .withColumn("tf1k", expr(
+        "(22000 * tf * avgdl_milli) DIV " +
+          "(10 * avgdl_milli * tf + 3 * avgdl_milli + 9000 * dl)"))
+      .withColumn("w", expr(
+        "(tf1k * (2 * n_docs - 2 * df + 1)) DIV (2 * df + 1)"))
+      .groupBy("doc_id")
+      .agg(sum("w").as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** DuckDB replay of [[bm25Search]] — the identical integer ladder. */
+  def bm25SearchSql(terms: Seq[String], k: Int = 10): String = {
+    val list = terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(lower(text),
+       |    '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS tok
+       |  FROM documents
+       |), tf AS (
+       |  SELECT doc_id, tok, COUNT(*) AS tf FROM tok
+       |  WHERE tok IN ($list) GROUP BY doc_id, tok
+       |), df AS (
+       |  SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok
+       |), dl AS (
+       |  SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id
+       |), stats AS (
+       |  SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+       |         (SELECT COUNT(*) FROM tok) AS sum_dl
+       |), scored AS (
+       |  SELECT tf.doc_id,
+       |    ((22000 * tf * ((1000 * sum_dl) // n_docs)) //
+       |     (10 * ((1000 * sum_dl) // n_docs) * tf
+       |      + 3 * ((1000 * sum_dl) // n_docs) + 9000 * dl)
+       |     * (2 * n_docs - 2 * df + 1)) // (2 * df + 1) AS w
+       |  FROM tf JOIN df USING (tok) JOIN dl USING (doc_id) CROSS JOIN stats
+       |)
+       |SELECT doc_id, CAST(SUM(w) AS BIGINT) AS score
+       |FROM scored GROUP BY doc_id
+       |ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
+  }
 }

@@ -133,7 +133,17 @@ object GraphQueries {
       GraphAnalytics.neighborSimilarity(Tables.lineitem(s, d)
         .select(col("l_suppkey").as("src"), col("l_partkey").as("dst")))),
     // density filter: 6-round peel to the 4-core of the KG
-    "graph_kcore" -> ((s, d) => GraphAnalytics.kcore(kgEdges(s, d))))
+    "graph_kcore" -> ((s, d) => GraphAnalytics.kcore(kgEdges(s, d))),
+    // hop distance from the 5 region roots — the whole KG is within 4
+    // undirected hops (region<-nation<-cust/supp<-order<-part/status)
+    "graph_bfs_layers" -> ((s, d) => {
+      val e = kgEdges(s, d)
+      GraphAnalytics.bfsLayers(e, bfsSeeds(e))
+    }))
+
+  /** BFS roots: the region vertices (dst-only in the directed KG). */
+  private def bfsSeeds(edges: DataFrame): DataFrame =
+    edges.filter(col("dst").startsWith("r:")).select(col("dst").as("id"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     rawQueries.map { case (name, fn) =>
@@ -147,5 +157,7 @@ object GraphQueries {
     "graph_triangles" -> GraphAnalytics.triangleCountsSql(coPartEdgesSql),
     "graph_similar_suppliers" -> GraphAnalytics.neighborSimilaritySql(
       "SELECT l_suppkey AS src, l_partkey AS dst FROM lineitem"),
-    "graph_kcore" -> GraphAnalytics.kcoreSql(kgEdgesSql))
+    "graph_kcore" -> GraphAnalytics.kcoreSql(kgEdgesSql),
+    "graph_bfs_layers" -> GraphAnalytics.bfsLayersSql(kgEdgesSql,
+      "SELECT DISTINCT dst AS id FROM edges WHERE dst LIKE 'r:%'"))
 }

@@ -195,7 +195,9 @@ object PipelineQueries {
     "sample_split_grouped" -> Seq("doc_id"),
     "report_type_drift" -> Seq("event_type"),
     "search_keyword" -> Seq("doc_id"),
-    "search_tfidf_topk" -> Seq("doc_id"))
+    "search_tfidf_topk" -> Seq("doc_id"),
+    "search_bm25_topk" -> Seq("doc_id"),
+    "text_lm_fluency" -> Seq("doc_id"))
 
   /** The operator registrations as written — sorted only where the
     * operator itself has a semantic order. PlanSpec sweeps THESE plans
@@ -356,6 +358,8 @@ object PipelineQueries {
     // lexical retrieval: conjunctive term lookup + integer tf-idf ranking
     "search_keyword" -> ((s, d) => Search.keywordSearch(Tables.documents(s, d), searchTerms)),
     "search_tfidf_topk" -> ((s, d) => Search.tfidfSearch(Tables.documents(s, d), searchTerms)),
+    "search_bm25_topk" -> ((s, d) => Search.bm25Search(Tables.documents(s, d), searchTerms)),
+    "text_lm_fluency" -> ((s, d) => BigramLm.fluency(Tables.documents(s, d))),
     "decontaminate" -> ((s, d) => Decontaminate.flagContaminated(Tables.documents(s, d))),
     "pack_sequences" -> ((s, d) => SequencePacking.packDocs(Tables.documents(s, d))),
     // --- partitioned sink + planning-time partition pruning ---
@@ -558,6 +562,8 @@ object PipelineQueries {
     "report_type_drift" -> EventAnalytics.typeDriftSql(),
     "search_keyword" -> Search.keywordSearchSql(searchTerms),
     "search_tfidf_topk" -> Search.tfidfSearchSql(searchTerms),
+    "search_bm25_topk" -> Search.bm25SearchSql(searchTerms),
+    "text_lm_fluency" -> BigramLm.fluencySql(),
     "report_source_lang_lift" -> CorpusStats.sourceLangLiftSql,
     "decontaminate" -> Decontaminate.flagContaminatedSql(),
     "pack_sequences" -> SequencePacking.packDocsSql(),

@@ -22,6 +22,44 @@ class GraphSpec extends SparkSpec {
       "d" -> ((1L, 0L, 1L))))
   }
 
+  test("bfs: hand-checked layers on a path plus an unreachable pair") {
+    val e = edgesOf("a" -> "b", "b" -> "c", "c" -> "d", "e" -> "f")
+    val seeds = Seq("a").toDF("id")
+    val got = GraphAnalytics.bfsLayers(e, seeds).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // undirected hops from a; e/f unreachable and absent
+    assert(got == Map("a" -> 0L, "b" -> 1L, "c" -> 2L, "d" -> 3L))
+    // multi-source: first arrival wins from either seed
+    val multi = GraphAnalytics.bfsLayers(e, Seq("a", "d").toDF("id")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(multi == Map("a" -> 0L, "d" -> 0L, "b" -> 1L, "c" -> 1L))
+  }
+
+  test("bfs: exhausted round valve throws, never returns truncated distances") {
+    val e = edgesOf("a" -> "b", "b" -> "c", "c" -> "d")
+    val ex = intercept[IllegalStateException] {
+      GraphAnalytics.bfsLayersWithRounds(e, Seq("a").toDF("id"), maxRounds = 1)
+    }
+    assert(ex.getMessage.contains("maxRounds"))
+  }
+
+  test("bfs on the KG: full coverage from the region roots within the recorded depth") {
+    val e = queries.GraphQueries.kgEdges(spark, sf).persist()
+    val seeds = e.filter(col("dst").startsWith("r:")).select(col("dst").as("id"))
+    val (dist, rounds) = GraphAnalytics.bfsLayersWithRounds(e, seeds)
+    val reached = dist.count()
+    val verts = e.select(col("src").as("id"))
+      .unionAll(e.select(col("dst").as("id"))).distinct().count()
+    // the KG is one component reachable from the regions; eccentricity
+    // is 4 (region<-nation<-cust/supp<-order<-part/status), so the
+    // frontier drains in 5 rounds (the last proves emptiness)
+    assert(reached == verts, s"unreached vertices: ${verts - reached}")
+    assert(rounds <= 6, s"BFS frontier took $rounds rounds — structure changed")
+    val maxDist = dist.agg(max("dist")).collect().head.getLong(0)
+    assert(maxDist == 4L, s"KG eccentricity from regions drifted: $maxDist")
+    e.unpersist()
+  }
+
   test("degrees: one shuffle, no join, no global sort in the raw plan") {
     val plan = GraphAnalytics.degrees(
       queries.GraphQueries.kgEdges(spark, sf))

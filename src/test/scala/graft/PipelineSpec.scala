@@ -291,6 +291,58 @@ class PipelineSpec extends SparkSpec {
     assert(top2 == Seq(4L, 3L, 1L))
   }
 
+  test("bm25: exact fixed-point ladder on a hand corpus; saturation + length norm") {
+    import spark.implicits._
+    val crafted = Seq(
+      (1L, "apple banana cherry"),                       // dl=3, tf(apple)=1
+      (2L, "apple apple apple apple apple apple"),       // dl=6, tf=6 (saturates)
+      (3L, "apple banana cherry date elder fig grape"),  // dl=7, tf=1 (length-penalized)
+      (4L, "durian only")).toDF("doc_id", "text")
+    // pure-Scala replay of the EXACT ladder (the contract both engines run)
+    val sumDl = 3L + 6L + 7L + 2L; val n = 4L
+    val avgdlMilli = 1000L * sumDl / n
+    def tf1k(tf: Long, dl: Long) =
+      22000L * tf * avgdlMilli /
+        (10L * avgdlMilli * tf + 3L * avgdlMilli + 9000L * dl)
+    def w(tf: Long, dl: Long, df: Long) =
+      tf1k(tf, dl) * (2L * n - 2L * df + 1L) / (2L * df + 1L)
+    val got = Search.bm25Search(crafted, Seq("apple", "durian"), k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = Map(
+      1L -> w(1, 3, 3), 2L -> w(6, 6, 3), 3L -> w(1, 7, 3), 4L -> w(1, 2, 1))
+    assert(got.toMap == want, s"got ${got.toMap}, want $want")
+    // semantics: tf saturates (doc2 ≪ 6× doc1), rare term + short doc wins
+    assert(want(2L) < 6 * want(1L), "tf saturation missing")
+    assert(want(1L) > want(3L), "length normalization missing")
+    assert(got.head._1 == 4L, "rare-term doc should rank first")
+  }
+
+  test("bigram fluency: exact add-one ladder on a hand corpus; gibberish scores the floor") {
+    import spark.implicits._
+    val crafted = Seq(
+      (1L, "a b a b"),   // bigrams (a,b)x2 (b,a)x1
+      (2L, "c d"),       // (c,d)x1
+      (3L, "x")          // no bigram -> absent
+    ).toDF("doc_id", "text")
+    // corpus: c12(a,b)=2 (b,a)=1 (c,d)=1; c1: a=2 b=1 c=1; V=5 {a,b,c,d,x}
+    val got = BigramLm.fluency(crafted).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val pAB = 1000000L * 3 / (2 + 5)   // 428571
+    val pBA = 1000000L * 2 / (1 + 5)   // 333333
+    val pCD = 1000000L * 2 / (1 + 5)
+    assert(got == Map(
+      1L -> ((3L, (2 * pAB + pBA) / 3)),
+      2L -> ((1L, pCD))))
+    // cross-doc signal: text whose transitions recur corpus-wide scores
+    // above text of the same tokens in never-seen orders
+    val corpus = (1 to 20).map(i => (i.toLong, "the quick fox jumps high")) ++
+      Seq((99L, "fox the high jumps quick"))
+    val scored = BigramLm.fluency(corpus.toDF("doc_id", "text")).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(scored(1L) > 4 * scored(99L),
+      s"templated ${scored(1L)} should dwarf shuffled ${scored(99L)}")
+  }
+
   test("scrubDupSpans: removes exactly the covered positions, reassembles in order") {
     import spark.implicits._
     // two docs share the 4-gram "a b c d"; doc 3 is untouched
