@@ -480,13 +480,19 @@ object GraphAnalytics {
     * the structural cost figure for GraphSpec's invariant gates. */
   def bfsLayersWithRounds(edges: DataFrame, seeds: DataFrame,
       maxRounds: Int = 64): (DataFrame, Int) = {
+    // NO distinct on the doubled edge list: a duplicate (a,b) only
+    // re-proposes a candidate the frontier distinct dedups anyway, so
+    // correctness is unchanged and the 2|E| pre-shuffle is saved — the
+    // repartition below is the one |E|-sized movement of the whole run
     val und = edges.select(col("src").as("a"), col("dst").as("b"))
       .unionAll(edges.select(col("dst").as("a"), col("src").as("b")))
       .filter(col("a") =!= col("b"))
-      .distinct()
       .repartition(col("a"))
       .persist()
     und.count()
+    // dist stays a FLAT UNION of per-round checkpointed frontiers — each
+    // leaf is already truncated, so re-truncating the growing union every
+    // round would re-materialize O(|V|) rows x rounds for nothing
     var dist = seeds.select(col("id")).distinct()
       .withColumn("dist", lit(0L)).truncateLineage
     var frontier = dist.select("id")
@@ -501,12 +507,13 @@ object GraphAnalytics {
       val cand = und
         .join(frontier.withColumnRenamed("id", "a").hint("shuffle_hash"), Seq("a"))
         .select(col("b").as("id")).distinct()
-      val newFront = cand.join(dist, Seq("id"), "left_anti").truncateLineage
+      val newFront = cand.join(dist, Seq("id"), "left_anti")
+        .withColumn("dist", lit(round.toLong))
+        .truncateLineage
       if (newFront.isEmpty) done = true
       else {
-        dist = dist.unionAll(newFront.withColumn("dist", lit(round.toLong)))
-          .truncateLineage
-        frontier = newFront
+        dist = dist.unionAll(newFront)
+        frontier = newFront.select("id")
       }
     }
     und.unpersist()
