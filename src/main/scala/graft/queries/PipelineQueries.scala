@@ -197,7 +197,8 @@ object PipelineQueries {
     "search_keyword" -> Seq("doc_id"),
     "search_tfidf_topk" -> Seq("doc_id"),
     "search_bm25_topk" -> Seq("doc_id"),
-    "text_lm_fluency" -> Seq("doc_id"))
+    "text_lm_fluency" -> Seq("doc_id"),
+    "sample_dsir" -> Seq("doc_id"))
 
   /** The operator registrations as written — sorted only where the
     * operator itself has a semantic order. PlanSpec sweeps THESE plans
@@ -360,6 +361,8 @@ object PipelineQueries {
     "search_tfidf_topk" -> ((s, d) => Search.tfidfSearch(Tables.documents(s, d), searchTerms)),
     "search_bm25_topk" -> ((s, d) => Search.bm25Search(Tables.documents(s, d), searchTerms)),
     "text_lm_fluency" -> ((s, d) => BigramLm.fluency(Tables.documents(s, d))),
+    // DSIR selection: src1 plays the curated target domain
+    "sample_dsir" -> ((s, d) => ImportanceSampling.dsirTopK(Tables.documents(s, d), "src1")),
     "decontaminate" -> ((s, d) => Decontaminate.flagContaminated(Tables.documents(s, d))),
     "pack_sequences" -> ((s, d) => SequencePacking.packDocs(Tables.documents(s, d))),
     // --- partitioned sink + planning-time partition pruning ---
@@ -564,6 +567,7 @@ object PipelineQueries {
     "search_tfidf_topk" -> Search.tfidfSearchSql(searchTerms),
     "search_bm25_topk" -> Search.bm25SearchSql(searchTerms),
     "text_lm_fluency" -> BigramLm.fluencySql(),
+    "sample_dsir" -> ImportanceSampling.dsirTopKSql("src1"),
     "report_source_lang_lift" -> CorpusStats.sourceLangLiftSql,
     "decontaminate" -> Decontaminate.flagContaminatedSql(),
     "pack_sequences" -> SequencePacking.packDocsSql(),

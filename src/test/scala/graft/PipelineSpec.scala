@@ -343,6 +343,27 @@ class PipelineSpec extends SparkSpec {
       s"templated ${scored(1L)} should dwarf shuffled ${scored(99L)}")
   }
 
+  test("dsir: target-like docs outrank off-domain docs; tallies exact") {
+    import spark.implicits._
+    // target domain (src1) speaks alpha/beta; the raw pool speaks zeta
+    val crafted = (
+      (1 to 5).map(i => (i.toLong, "alpha beta alpha beta", "src1")) ++
+      (11 to 18).map(i => (i.toLong, "zeta zeta zeta zeta", "srcZ")) ++
+      Seq(
+        (100L, "alpha beta alpha", "srcZ"),  // target-like candidate
+        (101L, "zeta zeta zeta", "srcZ"))    // off-domain candidate
+    ).toDF("doc_id", "text", "source")
+    val got = ImportanceSampling.dsirTopK(crafted, "src1", k = 15)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(100L)._1 == 3L && got(101L)._1 == 3L, "n_grams miscounted")
+    assert(got(100L)._2 > 3 * got(101L)._2,
+      s"target-like ${got(100L)._2} should dominate off-domain ${got(101L)._2}")
+    // the src1 docs themselves score at the top of the ranking
+    val ranked = ImportanceSampling.dsirTopK(crafted, "src1", k = 5)
+      .collect().map(_.getLong(0)).toSet
+    assert(ranked == Set(1L, 2L, 3L, 4L, 5L), s"top-5 should be the target slice: $ranked")
+  }
+
   test("scrubDupSpans: removes exactly the covered positions, reassembles in order") {
     import spark.implicits._
     // two docs share the 4-gram "a b c d"; doc 3 is untouched

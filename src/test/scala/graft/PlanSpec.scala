@@ -172,6 +172,22 @@ class PlanSpec extends SparkSpec {
       Tables.documents(spark, sf), terms))
     assert(tf.contains("TakeOrderedAndProject"), s"top-k must be TakeOrdered:\n$tf")
     assert(!tf.contains("rangepartitioning"), s"no global sort in ranked search:\n$tf")
+    // BM25: same posting-list economics — heap top-k, no cartesian beyond
+    // the broadcast 1-row corpus stat
+    val bm = simplePlan(graft.operators.Search.bm25Search(
+      Tables.documents(spark, sf), terms))
+    assert(bm.contains("TakeOrderedAndProject"), s"bm25 top-k must be TakeOrdered:\n$bm")
+    assert(!bm.contains("rangepartitioning") && !bm.contains("CartesianProduct"),
+      s"bm25 must not globally sort or go cartesian:\n$bm")
+  }
+
+  test("dsir selection: B-row model broadcasts, heap top-k, no cartesian") {
+    val p = simplePlan(graft.operators.ImportanceSampling.dsirTopK(
+      Tables.documents(spark, sf), "src1"))
+    assert(p.contains("TakeOrderedAndProject"), s"selection cut must be TakeOrdered:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("rangepartitioning"),
+      s"dsir must not go cartesian or globally sort:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"the bucket model should broadcast:\n$p")
   }
 
   test("q34_latest_by_key: sortless bounded agg + broadcast fetch-back, no window") {
