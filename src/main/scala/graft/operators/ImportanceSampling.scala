@@ -25,6 +25,14 @@ import org.apache.spark.sql.functions._
   * (t_ppm <= 1e6, ratio <= 1e9) regardless of corpus size, so the ladder
   * never overflows at 100 TB totals.
   *
+  * The operator splits MODEL from SCORING — the serving seam: the bucket
+  * model is a maintained B-row asset trained once on the standing
+  * corpus ([[bucketModel]] materializes ALL B buckets, zero-count ones
+  * at the add-one floor, so scoring never meets an unseen bucket), and
+  * [[scoreAgainst]] is a per-doc function of (doc, model) alone — which
+  * is what lets the streaming twin chop arrivals into micro-batches
+  * without changing a single score.
+  *
   * Scale shape:
   *  - tokens hash into `buckets` cells via the engine-portable
   *    md5-derived key ([[Dedup.hash64Col]]) — the hashing trick keeps
@@ -39,43 +47,64 @@ import org.apache.spark.sql.functions._
   */
 object ImportanceSampling {
 
-  /** Top-k most target-like docs: (doc_id, n_grams, importance_milli).
-    * `targetSource` designates the curated slice whose token
-    * distribution the selection should match. */
-  def dsirTopK(docs: DataFrame, targetSource: String,
-      buckets: Int = 1024, k: Int = 100): DataFrame = {
-    val toks = docs.filter(col("text").isNotNull)
+  /** (doc_id, source, bucket) stream: one row per token occurrence. */
+  private def hashedToks(docs: DataFrame, buckets: Int): DataFrame =
+    docs.filter(col("text").isNotNull)
       .select(col("doc_id"), col("source"),
         explode(regexp_extract_all(lower(col("text")),
           lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).as("tok"))
       .select(col("doc_id"), col("source"),
         pmod(Dedup.hash64Col(col("tok")), lit(buckets.toLong)).as("bucket"))
-    val docTallies = toks.groupBy("doc_id", "bucket")
-      .agg(count(lit(1)).as("c"))
+
+  /** The standing B-row model: (bucket, ratio_milli) for EVERY bucket in
+    * [0, B) — zero-count buckets carry the add-one floor, so any future
+    * document scores without a missing-key case. `targetSource`
+    * designates the curated slice whose token distribution the selection
+    * should match. */
+  def bucketModel(docs: DataFrame, targetSource: String,
+      buckets: Int = 1024): DataFrame = {
+    val toks = hashedToks(docs, buckets)
     val raw = toks.groupBy("bucket").agg(count(lit(1)).as("r"))
     val tgt = toks.filter(col("source") === targetSource)
       .groupBy("bucket").agg(count(lit(1)).as("t"))
-    val totals = raw.agg(sum("r").as("rtot"))
-      .crossJoin(tgt.agg(sum("t").as("ttot")))
-    val model = raw.join(tgt, Seq("bucket"), "left")
-      .na.fill(0L, Seq("t"))
+    val totals = raw.agg(coalesce(sum("r"), lit(0L)).as("rtot"))
+      .crossJoin(tgt.agg(coalesce(sum("t"), lit(0L)).as("ttot")))
+    docs.sparkSession.range(buckets).select(col("id").as("bucket"))
+      .join(raw, Seq("bucket"), "left")
+      .join(tgt, Seq("bucket"), "left")
+      .na.fill(0L, Seq("r", "t"))
       .crossJoin(broadcast(totals))
       .select(col("bucket"),
         expr(s"(1000000 * (t + 1)) DIV (ttot + $buckets)").as("t_ppm"),
         expr(s"(1000000 * (r + 1)) DIV (rtot + $buckets)").as("r_ppm"))
       .select(col("bucket"),
         expr("(1000 * t_ppm) DIV greatest(r_ppm, 1)").as("ratio_milli"))
-    docTallies.join(broadcast(model), Seq("bucket"))
+  }
+
+  /** Score docs against a standing model: (doc_id, n_grams,
+    * importance_milli). Pure per-doc function of (doc, model) — the
+    * micro-batch-invariance contract the streaming twin relies on. */
+  def scoreAgainst(model: DataFrame, docs: DataFrame,
+      buckets: Int = 1024): DataFrame =
+    hashedToks(docs, buckets).groupBy("doc_id", "bucket")
+      .agg(count(lit(1)).as("c"))
+      .join(broadcast(model), Seq("bucket"))
       .groupBy("doc_id")
       .agg(sum("c").as("n_grams"),
         expr("SUM(c * ratio_milli) DIV SUM(c)").as("importance_milli"))
+
+  /** Top-k most target-like docs, model trained on the same corpus —
+    * the one-shot batch selection pass. */
+  def dsirTopK(docs: DataFrame, targetSource: String,
+      buckets: Int = 1024, k: Int = 100): DataFrame =
+    scoreAgainst(bucketModel(docs, targetSource, buckets), docs, buckets)
       .orderBy(col("importance_milli").desc, col("doc_id"))
       .limit(k)
-  }
 
-  /** DuckDB replay of [[dsirTopK]] — identical hash, buckets, ladder. */
-  def dsirTopKSql(targetSource: String, buckets: Int = 1024,
-      k: Int = 100): String = {
+  /** Shared CTE prelude: model over `modelPred` docs, scoring tallies
+    * over `scorePred` docs — identical hash, buckets, ladder. */
+  private def dsirCtes(targetSource: String, buckets: Int,
+      modelPred: String, scorePred: String): String = {
     val h = OracleSql.hex64Signed("md5(tok)")
     s"""WITH toks AS (
        |  SELECT doc_id, source,
@@ -84,25 +113,46 @@ object ImportanceSampling {
        |    SELECT doc_id, source, unnest(regexp_extract_all(lower(text),
        |      '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS tok
        |    FROM documents WHERE text IS NOT NULL)
-       |), dt AS (
-       |  SELECT doc_id, bucket, COUNT(*) AS c FROM toks GROUP BY doc_id, bucket
        |), raw AS (
-       |  SELECT bucket, COUNT(*) AS r FROM toks GROUP BY bucket
+       |  SELECT bucket, COUNT(*) AS r FROM toks WHERE $modelPred GROUP BY bucket
        |), tgt AS (
        |  SELECT bucket, COUNT(*) AS t FROM toks
-       |  WHERE source = '$targetSource' GROUP BY bucket
+       |  WHERE ($modelPred) AND source = '$targetSource' GROUP BY bucket
        |), totals AS (
-       |  SELECT (SELECT SUM(r) FROM raw) AS rtot, (SELECT SUM(t) FROM tgt) AS ttot
+       |  SELECT (SELECT COALESCE(SUM(r), 0) FROM raw) AS rtot,
+       |         (SELECT COALESCE(SUM(t), 0) FROM tgt) AS ttot
        |), model AS (
-       |  SELECT raw.bucket,
+       |  SELECT b.bucket,
        |    (1000 * ((1000000 * (COALESCE(tgt.t, 0) + 1)) // (ttot + $buckets))) //
-       |      greatest((1000000 * (raw.r + 1)) // (rtot + $buckets), 1) AS ratio_milli
-       |  FROM raw LEFT JOIN tgt ON raw.bucket = tgt.bucket CROSS JOIN totals
-       |)
-       |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_grams,
-       |  CAST(SUM(c * ratio_milli) // SUM(c) AS BIGINT) AS importance_milli
-       |FROM dt JOIN model USING (bucket)
-       |GROUP BY doc_id
-       |ORDER BY importance_milli DESC, doc_id LIMIT $k""".stripMargin
+       |      greatest((1000000 * (COALESCE(raw.r, 0) + 1)) // (rtot + $buckets), 1)
+       |      AS ratio_milli
+       |  FROM (SELECT range AS bucket FROM range(0, $buckets)) b
+       |  LEFT JOIN raw ON b.bucket = raw.bucket
+       |  LEFT JOIN tgt ON b.bucket = tgt.bucket
+       |  CROSS JOIN totals
+       |), dt AS (
+       |  SELECT doc_id, bucket, COUNT(*) AS c FROM toks
+       |  WHERE $scorePred GROUP BY doc_id, bucket
+       |), scored AS (
+       |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_grams,
+       |    CAST(SUM(c * ratio_milli) // SUM(c) AS BIGINT) AS importance_milli
+       |  FROM dt JOIN model USING (bucket)
+       |  GROUP BY doc_id
+       |)""".stripMargin
   }
+
+  /** DuckDB replay of [[dsirTopK]]. */
+  def dsirTopKSql(targetSource: String, buckets: Int = 1024,
+      k: Int = 100): String =
+    s"""${dsirCtes(targetSource, buckets, "TRUE", "TRUE")}
+       |SELECT doc_id, n_grams, importance_milli FROM scored
+       |ORDER BY importance_milli DESC, doc_id LIMIT $k""".stripMargin
+
+  /** DuckDB replay of the serving split: model on `modelPred` docs,
+    * scores for `scorePred` docs (the streaming twin's oracle). */
+  def dsirScoreSql(targetSource: String, modelPred: String,
+      scorePred: String, buckets: Int = 1024): String =
+    s"""${dsirCtes(targetSource, buckets, modelPred, scorePred)}
+       |SELECT doc_id, n_grams, importance_milli FROM scored
+       |ORDER BY doc_id""".stripMargin
 }

@@ -48,6 +48,8 @@ object StreamingQueries {
     "stream_txn_append" -> ((s, d) => EventStreams.streamingTxnAppend(s, d)),
     "stream_ann_probe" -> ((s, d) =>
       graft.streaming.CorpusStreams.streamingAnnProbe(s, d)),
+    "stream_dsir_score" -> ((s, d) =>
+      graft.streaming.CorpusStreams.streamingDsirScore(s, d)),
     "q11_sessionize" -> ((s, d) => EventStreams.sessionizeBatch(Tables.events(s, d))),
     "q12_asof_join" -> ((s, d) => AsOfJoin.errorToLastClick(Tables.events(s, d))),
     "q32_asof_forward" -> ((s, d) => AsOfJoin.errorToNextClick(Tables.events(s, d))),
@@ -151,6 +153,11 @@ object StreamingQueries {
     // shares ann_ivf_probe's oracle
     "stream_ann_probe" ->
       graft.streaming.CorpusStreams.streamingAnnProbeSql(),
+    // scores are per-doc functions of (doc, standing bucket model) — the
+    // model covers all B buckets, so micro-batch chopping is invisible
+    // and the stream shares the one-shot serving oracle
+    "stream_dsir_score" ->
+      graft.streaming.CorpusStreams.streamingDsirScoreSql(),
     "q11_sessionize" -> EventStreams.sessionizeBatchSql(),
     "q12_asof_join" -> AsOfJoin.errorToLastClickSql,
     // forward direction + tolerance: DuckDB's native forward ASOF is the

@@ -159,4 +159,71 @@ object CorpusStreams {
       iters: Int = 2): String =
     graft.operators.IvfAnn.topKAgainstSql(64, "vec_id % 10 = 7",
       nCells, nProbe, k, iters)
+
+  /** Streaming DSIR selection serving: arriving documents (doc_id % 10
+    * == 7) are scored per micro-batch against the STANDING corpus's
+    * bucket model — the admission-control shape of importance
+    * resampling at ingest time. The B-row model
+    * ([[graft.operators.ImportanceSampling.bucketModel]]) is trained
+    * once outside the stream on the corpus slice; every score is a pure
+    * per-doc function of (doc, model) — and the model materializes ALL
+    * B buckets, so an arrival token the corpus never saw still hits a
+    * model row (the add-one floor) — hence the micro-batched union
+    * equals the one-shot scoring of all arrivals and shares its DuckDB
+    * oracle exactly. */
+  def streamingDsirScore(spark: SparkSession, sfDir: String,
+      targetSource: String = "src1", buckets: Int = 1024): DataFrame = {
+    import graft.operators.ImportanceSampling
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"), col("source"))
+    val corpus = docs.filter(col("doc_id") % 10 =!= 7)
+    val arrivals = docs.filter(col("doc_id") % 10 === 7)
+
+    val target = Paths.get(sfDir, "documents.parquet").toAbsolutePath.normalize
+    val mtime = Files.getLastModifiedTime(target).toMillis
+    val key = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s"$target:$mtime:dsir:$targetSource:$buckets".getBytes("UTF-8"))
+      .take(8).map("%02x".format(_)).mkString
+    val base = Paths.get(sys.props("java.io.tmpdir"), s"graft_streamdsir_$key")
+    val (src, out, chk) = (base.resolve("src"), base.resolve("out"), base.resolve("chk"))
+    val done = base.resolve("_DONE")
+
+    if (!Files.exists(done)) {
+      // crash discipline: _DONE is the commit point, a half-state is wiped
+      StagedRuns.freshBase(base, done)
+      val model = ImportanceSampling.bucketModel(corpus, targetSource, buckets)
+        .persist()
+      model.count()
+      Files.createDirectories(src)
+      (0 until 4).foreach { i =>
+        arrivals.filter(pmod(col("doc_id"), lit(40)) === (7 + 10 * i))
+          .coalesce(1).write.mode("append").parquet(src.toString)
+      }
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("source", StringType)))
+      val q = spark.readStream
+        .schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src.toString)
+        .writeStream
+        .option("checkpointLocation", chk.toString)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          ImportanceSampling.scoreAgainst(model, batch, buckets)
+            .write.mode("append").parquet(out.toString)
+          ()
+        }
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      model.unpersist()
+      Files.writeString(done, "ok")
+    }
+    spark.read.parquet(out.toString).orderBy("doc_id")
+  }
+
+  def streamingDsirScoreSql(targetSource: String = "src1",
+      buckets: Int = 1024): String =
+    graft.operators.ImportanceSampling.dsirScoreSql(targetSource,
+      "doc_id % 10 <> 7", "doc_id % 10 = 7", buckets)
 }
