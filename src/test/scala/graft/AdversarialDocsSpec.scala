@@ -28,6 +28,24 @@ class AdversarialDocsSpec extends SparkSpec {
   }
   private lazy val docs = Tables.documents(spark, advSf)
 
+  test("bm25 / bigram fluency / dsir survive null-empty-unicode texts") {
+    import graft.operators.{BigramLm, ImportanceSampling, Search}
+    // no-throw over the whole fixture, and the null-text doc never scores
+    val bm = Search.bm25Search(docs, Seq("alpha", "omicron"), k = 1000)
+      .collect().map(_.getLong(0)).toSet
+    assert(!bm.contains(NullTextDoc), "null text cannot match a term")
+    assert(bm.contains(ExactDupA), "the planted alpha-rich doc must match")
+    val fl = BigramLm.fluency(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(!fl.contains(NullTextDoc), "null text has no bigrams")
+    assert(fl.get(RepetitionDoc).exists(_ >= 2L), "spam doc has bigrams")
+    val ds = ImportanceSampling.scoreAgainst(
+      ImportanceSampling.bucketModel(docs, "adv"), docs)
+      .collect().map(_.getLong(0)).toSet
+    assert(!ds.contains(NullTextDoc), "null text has no buckets to score")
+    assert(ds.contains(ExactDupA))
+  }
+
   test("exact dedup: planted pair collapses, trim-copy stays distinct") {
     val kept = Dedup.exact(docs)
       .select("keep_doc_id").collect().map(_.getLong(0)).toSet
