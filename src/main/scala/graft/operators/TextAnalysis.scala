@@ -55,6 +55,60 @@ object TextAnalysis {
       lit(1.0)), 6)
   }
 
+  /** Sentence-level quality stats — the C4/Gopher sentence filters
+    * (drop docs with too few sentences, out-of-band mean sentence
+    * length, or lines that don't end in terminal punctuation), as one
+    * NARROW zero-shuffle map:
+    *
+    *   sentences    = greedy runs `[^.!?]+[.!?]*` over lower(text),
+    *                  keeping only elements with a word character
+    *   n_sentences  = count
+    *   mean_words_milli = (1000 * total words) div n_sentences
+    *   terminal_ppm = (1e6 * sentences ending in .!?) div n_sentences
+    *
+    * Engine-portable by construction: the splitter avoids lookbehind
+    * (RE2 has none), the terminal test `[.!?]\s*$` absorbs trailing
+    * newlines before the anchor (Java's $-before-final-newline and
+    * RE2's end-of-text then agree), and both ratios are integer floor
+    * divisions. Docs with no sentence (null/empty/punctuation-only) are
+    * absent in both engines. */
+  def sentenceStats(docs: DataFrame): DataFrame =
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), expr(
+        "filter(regexp_extract_all(lower(text), '[^.!?]+[.!?]*', 0), " +
+          "s -> s rlike '[a-z0-9]')").as("sents"))
+      .where(size(col("sents")) > 0)
+      .select(col("doc_id"),
+        size(col("sents")).cast("long").as("n_sentences"),
+        expr("aggregate(sents, 0L, (acc, s) -> acc + " +
+          "size(regexp_extract_all(s, '[a-z]+|[0-9]+', 0)))").as("total_words"),
+        expr("aggregate(sents, 0L, (acc, s) -> acc + " +
+          "CASE WHEN s rlike '[.!?]\\\\s*$' THEN 1L ELSE 0L END)").as("n_terminal"))
+      .select(col("doc_id"), col("n_sentences"),
+        expr("(1000 * total_words) DIV n_sentences").as("mean_words_milli"),
+        expr("(1000000 * n_terminal) DIV n_sentences").as("terminal_ppm"))
+
+  /** DuckDB replay of [[sentenceStats]] — identical regexes and ladder. */
+  def sentenceStatsSql(docsTable: String = "documents"): String =
+    s"""WITH s AS (
+       |  SELECT doc_id, list_filter(regexp_extract_all(lower(text),
+       |    '[^.!?]+[.!?]*'), x -> regexp_matches(x, '[a-z0-9]')) AS sents
+       |  FROM $docsTable WHERE text IS NOT NULL
+       |), agg AS (
+       |  SELECT doc_id, CAST(len(sents) AS BIGINT) AS n_sentences,
+       |    CAST(list_sum(list_transform(sents,
+       |      x -> len(regexp_extract_all(x, '[a-z]+|[0-9]+')))) AS BIGINT)
+       |      AS total_words,
+       |    CAST(list_sum(list_transform(sents,
+       |      x -> CASE WHEN regexp_matches(x, '[.!?]\\s*$$') THEN 1 ELSE 0 END))
+       |      AS BIGINT) AS n_terminal
+       |  FROM s WHERE len(sents) > 0
+       |)
+       |SELECT doc_id, n_sentences,
+       |  CAST((1000 * total_words) // n_sentences AS BIGINT) AS mean_words_milli,
+       |  CAST((1000000 * n_terminal) // n_sentences AS BIGINT) AS terminal_ppm
+       |FROM agg ORDER BY doc_id""".stripMargin
+
   /** SQL spelling of [[qualityScoreExpr]]. */
   private[operators] val qualityScoreExprSql: String = {
     val stopList = enStopwords.map(s => s"'$s'").mkString("[", ", ", "]")

@@ -198,7 +198,8 @@ object PipelineQueries {
     "search_tfidf_topk" -> Seq("doc_id"),
     "search_bm25_topk" -> Seq("doc_id"),
     "text_lm_fluency" -> Seq("doc_id"),
-    "sample_dsir" -> Seq("doc_id"))
+    "sample_dsir" -> Seq("doc_id"),
+    "text_sentence_stats" -> Seq("doc_id"))
 
   /** The operator registrations as written — sorted only where the
     * operator itself has a semantic order. PlanSpec sweeps THESE plans
@@ -363,6 +364,7 @@ object PipelineQueries {
     "text_lm_fluency" -> ((s, d) => BigramLm.fluency(Tables.documents(s, d))),
     // DSIR selection: src1 plays the curated target domain
     "sample_dsir" -> ((s, d) => ImportanceSampling.dsirTopK(Tables.documents(s, d), "src1")),
+    "text_sentence_stats" -> ((s, d) => TextAnalysis.sentenceStats(Tables.documents(s, d))),
     "decontaminate" -> ((s, d) => Decontaminate.flagContaminated(Tables.documents(s, d))),
     "pack_sequences" -> ((s, d) => SequencePacking.packDocs(Tables.documents(s, d))),
     // --- partitioned sink + planning-time partition pruning ---
@@ -568,6 +570,7 @@ object PipelineQueries {
     "search_bm25_topk" -> Search.bm25SearchSql(searchTerms),
     "text_lm_fluency" -> BigramLm.fluencySql(),
     "sample_dsir" -> ImportanceSampling.dsirTopKSql("src1"),
+    "text_sentence_stats" -> TextAnalysis.sentenceStatsSql(),
     "report_source_lang_lift" -> CorpusStats.sourceLangLiftSql,
     "decontaminate" -> Decontaminate.flagContaminatedSql(),
     "pack_sequences" -> SequencePacking.packDocsSql(),

@@ -364,6 +364,23 @@ class PipelineSpec extends SparkSpec {
     assert(ranked == Set(1L, 2L, 3L, 4L, 5L), s"top-5 should be the target slice: $ranked")
   }
 
+  test("sentence stats: hand-checked counts; punctuation-only doc absent") {
+    import spark.implicits._
+    val crafted = Seq(
+      (1L, "Hello world. This is fine! Is it? trailing no punct"),
+      (2L, "..."),                    // no sentence -> absent
+      (3L, "One sentence only.\n"),   // trailing newline still terminal
+      (4L, "no punctuation at all")   // one non-terminal sentence
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.sentenceStats(crafted).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map(
+      // 4 sentences, 10 words, 3 terminal
+      1L -> ((4L, 1000L * 10 / 4, 1000000L * 3 / 4)),
+      3L -> ((1L, 3000L, 1000000L)),
+      4L -> ((1L, 4000L, 0L))))
+  }
+
   test("scrubDupSpans: removes exactly the covered positions, reassembles in order") {
     import spark.implicits._
     // two docs share the 4-gram "a b c d"; doc 3 is untouched
