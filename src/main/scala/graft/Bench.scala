@@ -165,7 +165,8 @@ object Bench {
     // stream_sessionize swung +37% on UNTOUCHED code).
     val variancePron = Seq(
       "graph_components", "graph_pagerank", "graph_kcore",
-      "graph_similar_suppliers", "graph_bfs_layers", "stream_interval_join",
+      "graph_similar_suppliers", "graph_bfs_layers", "graph_ppr",
+      "stream_interval_join",
       "stream_interval_join_outer", "stream_sessionize_ooo",
       "stream_sessionize", "stream_sessionize_native",
       "stream_features_pit_ooo", "stream_windowed_counts_append")

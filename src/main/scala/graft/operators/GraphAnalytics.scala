@@ -155,6 +155,139 @@ object GraphAnalytics {
     ranks
   }
 
+  /** Personalized (topic-sensitive) integer PageRank: teleportation —
+    * the (1-d) restart mass AND the dangling mass — lands ONLY on the
+    * `seeds` set instead of uniformly (Haveliwala 2002). The curation
+    * use is trust/topic propagation: rank sources by proximity to a
+    * trusted seed set, the TrustRank shape. Same fixed-point BIGINT
+    * ladder as [[pagerankInt]] (engine-identical division, order-free
+    * integer sums), so DuckDB replays every iteration hash-exactly:
+    *
+    *   r0(v)      = [v in S] * (scale div |S|)
+    *   r_{i+1}(v) = (dampNum * (contrib(v) + [v in S] * (dang_i div |S|)))
+    *                  div dampDen
+    *              + [v in S] * ((scale - (dampNum*scale) div dampDen) div |S|)
+    *
+    * Cost shape is pagerankInt's verbatim: edges partitioned once, only
+    * |V|-sized rank tables move per iteration, dangling mass a broadcast
+    * 1-row aggregate, lineage truncated per round. Output keeps only
+    * vertices with rank > 0 (mass reaches exactly the seed-reachable
+    * set; emitting structural zeros would just pad the table). */
+  def pprInt(edges: DataFrame, seeds: DataFrame, iters: Int = 5,
+      dampNum: Long = 85L, dampDen: Long = 100L,
+      scale: Long = 1000000000000L): DataFrame = {
+    val e = edges.repartition(col("src"))
+    val outDeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val edgesDeg = e.join(outDeg.hint("shuffle_hash"), "src").persist()
+    edgesDeg.count()
+    val verts = edgesDeg.select(col("src").as("id"))
+      .unionAll(edgesDeg.select(col("dst").as("id")))
+      .distinct().persist()
+    verts.count()
+    val seedSet = verts.join(seeds.select(col("id")).distinct(),
+        Seq("id"), "left_semi").persist()
+    val nS = seedSet.count()
+    require(nS > 0, "ppr over an empty seed set")
+    val basePerSeed = (scale - dampNum * scale / dampDen) / nS
+    val withOut = verts
+      .join(edgesDeg.select(col("src").as("id")).distinct(), Seq("id"), "left_semi")
+      .persist()
+    withOut.count()
+
+    var ranks = seedSet.withColumn("rank", lit(scale / nS)).truncateLineage
+    // the rank table grows from |seeds| toward the reachable cone — the
+    // broadcast decision tracks ITS size (a count on the just-truncated
+    // frame is a cached-block scan), not the seed count
+    var nRanks = ranks.count()
+    var i = 0
+    while (i < iters) {
+      val dangDf = ranks
+        .join(withOut.hint("shuffle_hash"), Seq("id"), "left_anti")
+        .agg(coalesce(sum("rank"), lit(0L)).as("dang"))
+      val rankSide =
+        if (nRanks <= BroadcastRanksMax) broadcast(ranks) else ranks.hint("shuffle_hash")
+      val contrib = edgesDeg
+        .join(rankSide, edgesDeg("src") === ranks("id"))
+        .select(col("dst"), expr("rank DIV outdeg").as("c"))
+        .groupBy("dst").agg(sum("c").as("contrib"))
+      // the carrier set is (new contributions) ∪ seeds — never all of
+      // verts, and not even the previous ranks: a previously-ranked
+      // vertex with no fresh contribution and no seed flag lands on
+      // rank 0 and is filtered below, so carrying it is pure overhead
+      val carriers = contrib.select(col("dst").as("id"))
+        .unionAll(seedSet.select("id"))
+        .distinct()
+      val isSeed = seedSet.withColumn("s", lit(1L))
+      val next = carriers
+        .join(contrib.hint("shuffle_hash"), carriers("id") === contrib("dst"), "left")
+        .join(isSeed.hint("shuffle_hash"), Seq("id"), "left")
+        .crossJoin(broadcast(dangDf))
+        .select(carriers("id"),
+          (expr(s"($dampNum * (COALESCE(contrib, CAST(0 AS BIGINT))" +
+            s" + COALESCE(s, CAST(0 AS BIGINT)) * (dang DIV $nS))) DIV $dampDen")
+            + expr(s"COALESCE(s, CAST(0 AS BIGINT)) * CAST($basePerSeed AS BIGINT)"))
+            .as("rank"))
+        .filter(col("rank") > 0)
+      ranks = next.truncateLineage
+      nRanks = ranks.count()
+      i += 1
+    }
+    edgesDeg.unpersist(); verts.unpersist(); withOut.unpersist()
+    seedSet.unpersist()
+    ranks
+  }
+
+  /** DuckDB replay of [[pprInt]] — identity ladder, seeds from
+    * `seedsSql` (may reference the `edges` CTE). Zero-rank vertices are
+    * absent on both sides (the carrier-set discipline). */
+  def pprIntSql(edgesSql: String, seedsSql: String, iters: Int = 5,
+      dampNum: Long = 85L, dampDen: Long = 100L,
+      scale: Long = 1000000000000L): String = {
+    val prelude =
+      s"""WITH edges AS MATERIALIZED ($edgesSql),
+         |outd AS MATERIALIZED (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+         |verts AS MATERIALIZED (
+         |  SELECT DISTINCT id FROM (
+         |    SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)
+         |), seeds AS MATERIALIZED (
+         |  SELECT DISTINCT v.id FROM verts v JOIN ($seedsSql) s ON v.id = s.id
+         |), ns AS MATERIALIZED (SELECT COUNT(*) AS n FROM seeds),
+         |r0 AS MATERIALIZED (
+         |  SELECT id, CAST($scale AS BIGINT) // (SELECT n FROM ns) AS rank
+         |  FROM seeds
+         |)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      val prev = s"r${i - 1}"
+      s"""d$i AS MATERIALIZED (
+         |  SELECT COALESCE(SUM(r.rank), CAST(0 AS BIGINT)) AS dang
+         |  FROM $prev r ANTI JOIN outd o ON r.id = o.src
+         |), c$i AS MATERIALIZED (
+         |  SELECT e.dst AS id, SUM(r.rank // o.outdeg) AS contrib
+         |  FROM edges e
+         |  JOIN $prev r ON e.src = r.id
+         |  JOIN outd o ON e.src = o.src
+         |  GROUP BY e.dst
+         |), r$i AS MATERIALIZED (
+         |  SELECT k.id,
+         |    ($dampNum * (COALESCE(c.contrib, CAST(0 AS BIGINT))
+         |      + (CASE WHEN s.id IS NULL THEN 0 ELSE 1 END)
+         |        * ((SELECT dang FROM d$i) // (SELECT n FROM ns)))) // $dampDen
+         |    + (CASE WHEN s.id IS NULL THEN 0 ELSE 1 END)
+         |      * ((CAST($scale AS BIGINT) - ($dampNum * CAST($scale AS BIGINT)) // $dampDen)
+         |          // (SELECT n FROM ns)) AS rank
+         |  FROM (
+         |    SELECT id FROM c$i UNION SELECT id FROM seeds
+         |  ) k
+         |  LEFT JOIN c$i c ON k.id = c.id
+         |  LEFT JOIN seeds s ON k.id = s.id
+         |)""".stripMargin
+    }
+    s"""$prelude,
+       |${steps.mkString(",\n")}
+       |SELECT id, CAST(rank AS BIGINT) AS rank FROM r$iters
+       |WHERE rank > 0 ORDER BY id""".stripMargin
+  }
+
   // ------------------------------------------------------------ triangles
   /** Per-vertex triangle counts over an UNDIRECTED graph given as a
     * canonical edge list `(a, b)` with `a < b`, distinct — clustering /

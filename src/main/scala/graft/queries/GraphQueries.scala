@@ -139,11 +139,29 @@ object GraphQueries {
     "graph_bfs_layers" -> ((s, d) => {
       val e = kgEdges(s, d)
       GraphAnalytics.bfsLayers(e, bfsSeeds(e))
+    }),
+    // trust propagation from a 1% trusted-order slice: the directed KG
+    // flows order->{customer,status,part}->supplier->nation->region, so
+    // personalized rank covers exactly the seed-reachable entity cone
+    "graph_ppr" -> ((s, d) => {
+      val e = kgEdges(s, d)
+      GraphAnalytics.pprInt(e, pprSeeds(e))
     }))
 
   /** BFS roots: the region vertices (dst-only in the directed KG). */
   private def bfsSeeds(edges: DataFrame): DataFrame =
     edges.filter(col("dst").startsWith("r:")).select(col("dst").as("id"))
+
+  /** PPR trust seeds: every 100th order vertex (orders are the KG's
+    * sources — mass can actually flow from them). */
+  private def pprSeeds(edges: DataFrame): DataFrame =
+    edges.filter(col("src").startsWith("o:") &&
+        expr("CAST(SUBSTRING(src, 3) AS BIGINT) % 100 = 0"))
+      .select(col("src").as("id"))
+
+  private val pprSeedsSql: String =
+    "SELECT DISTINCT src AS id FROM edges WHERE src LIKE 'o:%' " +
+      "AND CAST(SUBSTR(src, 3) AS BIGINT) % 100 = 0"
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     rawQueries.map { case (name, fn) =>
@@ -159,5 +177,6 @@ object GraphQueries {
       "SELECT l_suppkey AS src, l_partkey AS dst FROM lineitem"),
     "graph_kcore" -> GraphAnalytics.kcoreSql(kgEdgesSql),
     "graph_bfs_layers" -> GraphAnalytics.bfsLayersSql(kgEdgesSql,
-      "SELECT DISTINCT dst AS id FROM edges WHERE dst LIKE 'r:%'"))
+      "SELECT DISTINCT dst AS id FROM edges WHERE dst LIKE 'r:%'"),
+    "graph_ppr" -> GraphAnalytics.pprIntSql(kgEdgesSql, pprSeedsSql))
 }

@@ -92,6 +92,50 @@ class GraphSpec extends SparkSpec {
     rank
   }
 
+  /** Pure-Scala replay of pprInt's exact integer ladder. */
+  private def localPpr(edges: Seq[(String, String)], seeds: Set[String],
+      iters: Int, dampNum: Long = 85L, dampDen: Long = 100L,
+      scale: Long = 1000000000000L): Map[String, Long] = {
+    val verts = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val s = verts.filter(seeds.contains)
+    val nS = s.length.toLong
+    val outDeg = edges.groupBy(_._1).map { case (v, es) => v -> es.length.toLong }
+    val base = (scale - dampNum * scale / dampDen) / nS
+    var rank: Map[String, Long] = s.map(_ -> scale / nS).toMap
+    (1 to iters).foreach { _ =>
+      val dang = rank.collect { case (v, r) if !outDeg.contains(v) => r }.sum
+      val contrib = edges
+        .collect { case (u, v) if rank.contains(u) => v -> rank(u) / outDeg(u) }
+        .groupBy(_._1).map { case (v, cs) => v -> cs.map(_._2).sum }
+      val carriers = rank.keySet ++ contrib.keySet ++ s
+      rank = carriers.toSeq.map { v =>
+        val seedFlag = if (seeds.contains(v)) 1L else 0L
+        v -> (dampNum * (contrib.getOrElse(v, 0L) + seedFlag * (dang / nS)) / dampDen
+          + seedFlag * base)
+      }.filter(_._2 > 0).toMap
+    }
+    rank
+  }
+
+  test("ppr: matches the local integer replay; mass stays near the seeds") {
+    // a -> b -> c -> a cycle plus a far branch d -> e; seeds = {a}
+    val pairs = Seq("a" -> "b", "b" -> "c", "c" -> "a", "c" -> "d",
+      "d" -> "e", "x" -> "y")
+    val got = GraphAnalytics.pprInt(edgesOf(pairs: _*), Seq("a").toDF("id"), iters = 5)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = localPpr(pairs, Set("a"), iters = 5)
+    assert(got == want, s"spark=$got\nlocal=$want")
+    // personalization: the disconnected x/y component carries no rank
+    assert(!got.contains("x") && !got.contains("y"),
+      "rank leaked outside the seed-reachable cone")
+    // the seed outranks every distant vertex
+    assert(got("a") > got("e"), s"seed proximity inverted: $got")
+    // teleportation conserves total mass up to integer-floor dust
+    val total = got.values.sum
+    assert(total > 900000000000L && total <= 1000000000000L,
+      s"rank mass drifted: $total")
+  }
+
   test("pagerank: matches the local integer-arithmetic reference exactly") {
     // a graph with fan-in, a cycle, AND dangling vertices (c, f)
     val pairs = Seq("a" -> "b", "b" -> "c", "a" -> "c", "d" -> "a",
