@@ -166,6 +166,7 @@ object Bench {
     val variancePron = Seq(
       "graph_components", "graph_pagerank", "graph_kcore",
       "graph_similar_suppliers", "graph_bfs_layers", "graph_ppr",
+      "graph_communities",
       "stream_interval_join",
       "stream_interval_join_outer", "stream_sessionize_ooo",
       "stream_sessionize", "stream_sessionize_native",

@@ -653,6 +653,83 @@ object GraphAnalytics {
     (dist, round)
   }
 
+  // -------------------------------------------------- label propagation
+  /** Community detection by synchronous label propagation (Raghavan et
+    * al. 2007) over an undirected canonical edge list `(a, b)`, a < b —
+    * the cheap community pass of a curation pipeline (domain clusters in
+    * a link graph, topic groups in a co-occurrence graph). Each round
+    * every vertex adopts its neighbors' PLURALITY label with a total
+    * deterministic tie-break (max count, then min label), computed
+    * synchronously from the previous round's labels.
+    *
+    * Determinism contract: synchronous rounds + the total tie-break make
+    * every round a pure function of the previous one (asynchronous LPA
+    * is schedule-dependent — useless for a hash oracle), and `rounds` is
+    * FIXED (part of the operator's semantics, like pagerank's iteration
+    * count) because synchronous LPA need not converge — bipartite
+    * regions oscillate with period 2, so "run to fixpoint" is not
+    * well-defined. Labels are vertex ids, so the result is integer /
+    * string-exact and DuckDB replays the unrolled rounds hash-exactly.
+    *
+    * Scale shape: the doubled edge list is hash-partitioned by `a` once
+    * and persisted; a round is ONE join of the |V|-sized label table
+    * into that layout plus a (vertex, label) count aggregate and a
+    * per-vertex argmax — partitions bounded by vertex degree, counts
+    * map-side combinable, labels lineage-truncated per round. */
+  def labelPropagation(edges: DataFrame, rounds: Int = 4): DataFrame = {
+    val und = edges.select(col("a"), col("b"))
+      .unionAll(edges.select(col("b").as("a"), col("a").as("b")))
+      .repartition(col("a"))
+      .persist()
+    und.count()
+    var labels = und.select(col("a").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+      .truncateLineage
+    (1 to rounds).foreach { _ =>
+      val counts = und
+        .join(labels.withColumnRenamed("id", "a").hint("shuffle_hash"), Seq("a"))
+        .groupBy(col("b").as("id"), col("lbl"))
+        .agg(count(lit(1)).as("n"))
+      labels = counts
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("id")
+            .orderBy(col("n").desc, col("lbl"))))
+        .filter(col("rn") === 1)
+        .select(col("id"), col("lbl"))
+        .truncateLineage
+    }
+    und.unpersist()
+    labels.withColumnRenamed("lbl", "community")
+  }
+
+  /** DuckDB replay of [[labelPropagation]] — identical rounds, counts,
+    * and (n DESC, lbl ASC) argmax. */
+  def labelPropagationSql(edgesSql: String, rounds: Int = 4): String = {
+    val stepCtes = (1 to rounds).map { i =>
+      val prev = s"l${i - 1}"
+      s"""c$i AS MATERIALIZED (
+         |  SELECT u.b AS id, p.lbl, COUNT(*) AS n
+         |  FROM und u JOIN $prev p ON u.a = p.id
+         |  GROUP BY u.b, p.lbl
+         |),
+         |l$i AS MATERIALIZED (
+         |  SELECT id, lbl FROM (
+         |    SELECT id, lbl,
+         |      ROW_NUMBER() OVER (PARTITION BY id ORDER BY n DESC, lbl) AS rn
+         |    FROM c$i) WHERE rn = 1
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH edges AS MATERIALIZED ($edgesSql),
+       |und AS MATERIALIZED (
+       |  SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges
+       |),
+       |l0 AS MATERIALIZED (
+       |  SELECT DISTINCT a AS id, a AS lbl FROM und
+       |),
+       |$stepCtes
+       |SELECT id, lbl AS community FROM l$rounds ORDER BY id""".stripMargin
+  }
+
   /** DuckDB replay of [[bfsLayers]]: fixed-round frontier unroll with an
     * identity tail (the kcoreSql discipline — `rounds` is a replay
     * margin, and an unroll shorter than the true eccentricity mismatches

@@ -146,7 +146,11 @@ object GraphQueries {
     "graph_ppr" -> ((s, d) => {
       val e = kgEdges(s, d)
       GraphAnalytics.pprInt(e, pprSeeds(e))
-    }))
+    }),
+    // plurality-label communities on the triangle-rich co-part graph
+    // (the KG's typed star layers are community-free by construction)
+    "graph_communities" -> ((s, d) =>
+      GraphAnalytics.labelPropagation(coPartEdges(s, d))))
 
   /** BFS roots: the region vertices (dst-only in the directed KG). */
   private def bfsSeeds(edges: DataFrame): DataFrame =
@@ -178,5 +182,6 @@ object GraphQueries {
     "graph_kcore" -> GraphAnalytics.kcoreSql(kgEdgesSql),
     "graph_bfs_layers" -> GraphAnalytics.bfsLayersSql(kgEdgesSql,
       "SELECT DISTINCT dst AS id FROM edges WHERE dst LIKE 'r:%'"),
-    "graph_ppr" -> GraphAnalytics.pprIntSql(kgEdgesSql, pprSeedsSql))
+    "graph_ppr" -> GraphAnalytics.pprIntSql(kgEdgesSql, pprSeedsSql),
+    "graph_communities" -> GraphAnalytics.labelPropagationSql(coPartEdgesSql))
 }

@@ -136,6 +136,21 @@ class GraphSpec extends SparkSpec {
       s"rank mass drifted: $total")
   }
 
+  test("label propagation: two disjoint triangles settle on their min labels") {
+    import spark.implicits._
+    val e = Seq(("a", "b"), ("a", "c"), ("b", "c"),
+      ("d", "e"), ("d", "f"), ("e", "f")).toDF("a", "b")
+    val got = GraphAnalytics.labelPropagation(e).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    // synchronous plurality with (count DESC, label ASC) ties: each
+    // triangle converges to its lexicographically-smallest member
+    assert(got == Map("a" -> "a", "b" -> "a", "c" -> "a",
+      "d" -> "d", "e" -> "d", "f" -> "d"), s"got $got")
+    val again = GraphAnalytics.labelPropagation(e).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == again, "LPA not deterministic across runs")
+  }
+
   test("pagerank: matches the local integer-arithmetic reference exactly") {
     // a graph with fan-in, a cycle, AND dangling vertices (c, f)
     val pairs = Seq("a" -> "b", "b" -> "c", "a" -> "c", "d" -> "a",
