@@ -132,7 +132,8 @@ object Bench {
     val families: Seq[(String, Seq[String])] = Seq(
       "family_transe_fit_sec" -> Seq(
         "kg_encode", "transe_fit", "transe_fit_partitioned", "transe_eval",
-        "transe_eval_filtered", "transe_eval_partitioned", "transe_embeddings"),
+        "transe_eval_filtered", "transe_eval_partitioned", "transe_embeddings",
+        "transe_link_suggest"),
       "family_minhash_sec" -> Seq(
         "dedup_minhash_lsh", "dedup_components", "dedup_components_star",
         "dedup_retention", "pipeline_train_corpus", "sample_split_grouped"),

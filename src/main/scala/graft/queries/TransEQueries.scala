@@ -413,6 +413,17 @@ object TransEQueries {
     QuantizedEval.runFiltered(spark, dir, fit.model, test, encodedAll)
   }
 
+  /** Link-prediction SERVING: top-5 NOVEL tail suggestions for the 10
+    * lexicographically-first (h, l) query pairs of the quantized eval
+    * sample — known tails are excluded during the scan (the filtered
+    * protocol used generatively). Full hash oracle over the staged
+    * checkpoint ([[QuantizedEval.suggest]]). */
+  def transeLinkSuggest(spark: SparkSession, dir: String): DataFrame = {
+    val (fit, test) = fitted(spark, dir)
+    val (encodedAll, _, _, _, _) = encodedKg(spark, dir)
+    QuantizedEval.suggest(spark, dir, fit.model, test, encodedAll)
+  }
+
   // ----------------------------------------- transe_entity_embeddings
   /** Trained entity embeddings as a relational surface — the reference's
     * checkpoint (`utils.py:44-49`) as a queryable table. Export contract:
@@ -486,6 +497,7 @@ object TransEQueries {
     "transe_eval_partitioned" -> (transeEvalPartitioned _),
     "transe_eval_quantized" -> (transeEvalQuantized _),
     "transe_eval_quantized_filtered" -> (transeEvalQuantizedFiltered _),
+    "transe_link_suggest" -> (transeLinkSuggest _),
     "transe_relation_categories" -> (relationCategories _),
     "transe_embeddings" -> (transeEmbeddings _))
 
@@ -501,5 +513,7 @@ object TransEQueries {
     "transe_embeddings" -> transeEmbeddingsSql) ++
     QuantizedEval.oracleSqlOpt.map("transe_eval_quantized" -> _) ++
     QuantizedEval.oracleSqlFilteredOpt(kgEncodeSql)
-      .map("transe_eval_quantized_filtered" -> _)
+      .map("transe_eval_quantized_filtered" -> _) ++
+    QuantizedEval.oracleSqlSuggestOpt(kgEncodeSql)
+      .map("transe_link_suggest" -> _)
 }

@@ -178,6 +178,144 @@ object QuantizedEval {
     toRankDf(spark, corrected)
   }
 
+  /** LINK-PREDICTION SERVING over the quantized checkpoint: for the
+    * first `nQueries` distinct (h, l) pairs of the staged test sample
+    * (sorted — the deterministic query workload), the top-`k` tail
+    * SUGGESTIONS under the exact int64 distance, EXCLUDING every tail
+    * already known for that (h, l) in `known` (the filtered protocol
+    * turned into a recommender: suggestions are NOVEL candidate links,
+    * which is the actual product surface of a trained KG embedding —
+    * `README.md:13-15`'s h + l ≈ t used generatively instead of for
+    * ranking a held-out answer).
+    *
+    * Execution is the eval family's fused scan, not a join: entities
+    * stream once per partition against the broadcast query block
+    * (nQueries query vectors + their known-tail exclusion sets), each
+    * partition keeps a bounded per-query top-k, and only
+    * nQueries x k x partitions candidate rows leave the scan — the
+    * final exact top-k is a window over that tiny table. Integer
+    * distances + (dist, id) total order make the cut deterministic, so
+    * DuckDB replays it hash-exactly from the staged checkpoint. */
+  def suggest(spark: SparkSession, sfDir: String, model: TransEModel,
+      test: Dataset[Triple], known: Dataset[Triple],
+      nQueries: Int = 10, k: Int = 5): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val (_, sample, labQ, entities) = stage(spark, sfDir, model, test)
+    val l1 = model.params.distance == L1
+
+    val pairs: Seq[(Int, Int)] =
+      sample.map(tr => (tr.h, tr.l)).distinct.sorted.take(nQueries).toSeq
+    // h vectors for the query block (bounded: nQueries ids)
+    val hIds = pairs.map(_._1.toLong).distinct
+    val hv: Map[Long, Array[Long]] = entities
+      .join(broadcast(hIds.toDF("id")), "id")
+      .select(col("id").cast("long"), col("vec"))
+      .as[(Long, Array[Long])].collect().toMap
+    // per-query known-tail exclusion sets (bounded by (h, l) fanout)
+    val pairsDf = pairs.toDF("h", "l")
+    val knownTails: Map[(Int, Int), Set[Int]] = known.toDF()
+      .join(broadcast(pairsDf), Seq("h", "l"))
+      .groupBy("h", "l").agg(collect_set(col("t")).as("ts"))
+      .as[(Int, Int, Seq[Int])].collect()
+      .map { case (h, l, ts) => (h, l) -> ts.toSet }.toMap
+    // query block: (h, l, qv = h + l, exclusion set)
+    val queries: Array[(Int, Int, Array[Long], Set[Int])] = pairs.map {
+      case (h, l) =>
+        val q = hv(h.toLong).clone()
+        val lv = labQ(l)
+        var i = 0
+        while (i < q.length) { q(i) += lv(i); i += 1 }
+        (h, l, q, knownTails.getOrElse((h, l), Set.empty))
+    }.toArray
+    val bc = spark.sparkContext.broadcast(queries)
+
+    // fused scan: per partition, per query, a bounded insertion top-k
+    val partial = entities.select(col("id").cast("long"), col("vec"))
+      .as[(Long, Array[Long])]
+      .mapPartitions { it =>
+        val qs = bc.value
+        val nq = qs.length
+        val heapD = Array.fill(nq)(Array.fill(k)(Long.MaxValue))
+        val heapT = Array.fill(nq)(Array.fill(k)(Long.MaxValue))
+        it.foreach { case (id, vec) =>
+          var qi = 0
+          while (qi < nq) {
+            val (_, _, qv, excl) = qs(qi)
+            if (!excl.contains(id.toInt)) {
+              var d = 0L
+              var i = 0
+              while (i < qv.length) {
+                val x = qv(i) - vec(i)
+                d += (if (l1) math.abs(x) else x * x)
+                i += 1
+              }
+              // bounded insertion under the (dist, id) total order
+              val ds = heapD(qi); val ts = heapT(qi)
+              if (d < ds(k - 1) || (d == ds(k - 1) && id < ts(k - 1))) {
+                var p = k - 1
+                while (p > 0 && (d < ds(p - 1) ||
+                    (d == ds(p - 1) && id < ts(p - 1)))) {
+                  ds(p) = ds(p - 1); ts(p) = ts(p - 1); p -= 1
+                }
+                ds(p) = d; ts(p) = id
+              }
+            }
+            qi += 1
+          }
+        }
+        (0 until nq).iterator.flatMap { qi =>
+          val (h, l, _, _) = qs(qi)
+          (0 until k).iterator
+            .filter(i => heapT(qi)(i) != Long.MaxValue)
+            .map(i => (h.toLong, l.toLong, heapT(qi)(i), heapD(qi)(i)))
+        }
+      }
+      .toDF("h", "l", "t_suggest", "dist")
+    // exact global top-k over the nQueries x k x partitions candidates
+    partial
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("h", "l")
+          .orderBy(col("dist"), col("t_suggest"))))
+      .filter(col("rank") <= k)
+      .select(col("h"), col("l"), col("rank").cast("long").as("rank"),
+        col("t_suggest"), col("dist"))
+      .orderBy("h", "l", "rank")
+  }
+
+  /** DuckDB replay of [[suggest]]: the staged checkpoint scored by the
+    * brute-force spelling (cross join + anti join + window) — the
+    * readable semantic contract for the fused scan. None until a
+    * quantized query ran in this JVM (see [[oracleSqlOpt]]). */
+  def oracleSqlSuggestOpt(kgSql: String, nQueries: Int = 10,
+      k: Int = 5): Option[String] = lastDir.map { dir =>
+    val rng = s"range(1, ${lastDim + 1})"
+    def sq(e: String) = if (lastL1) s"abs($e)" else s"($e) * ($e)"
+    s"""WITH ent AS (SELECT id, vec FROM '$dir/entity/*.parquet'),
+       |lab AS (SELECT id, vec FROM '$dir/label/*.parquet'),
+       |test AS (SELECT h, l, t FROM '$dir/test/*.parquet'),
+       |kg AS (SELECT * FROM ($kgSql)),
+       |qp AS (SELECT DISTINCT h, l FROM test ORDER BY h, l LIMIT $nQueries),
+       |q AS (
+       |  SELECT qp.h, qp.l,
+       |    list_transform($rng, i -> eh.vec[i] + lv.vec[i]) AS qv
+       |  FROM qp JOIN ent eh ON qp.h = eh.id JOIN lab lv ON qp.l = lv.id
+       |), scored AS (
+       |  SELECT q.h, q.l, e.id AS t_suggest,
+       |    list_sum(list_transform($rng, i -> ${sq("q.qv[i] - e.vec[i]")})) AS dist
+       |  FROM q CROSS JOIN ent e
+       |  ANTI JOIN kg ON kg.h = q.h AND kg.l = q.l AND kg.t = e.id
+       |), ranked AS (
+       |  SELECT h, l, t_suggest, dist,
+       |    ROW_NUMBER() OVER (PARTITION BY h, l
+       |      ORDER BY dist, t_suggest) AS rank
+       |  FROM scored
+       |)
+       |SELECT CAST(h AS BIGINT) AS h, CAST(l AS BIGINT) AS l,
+       |  CAST(rank AS BIGINT) AS rank,
+       |  CAST(t_suggest AS BIGINT) AS t_suggest, CAST(dist AS BIGINT) AS dist
+       |FROM ranked WHERE rank <= $k ORDER BY h, l, rank""".stripMargin
+  }
+
   /** Strict-less rank counts in exact Long arithmetic over a distributed
     * (id, vec BIGINT[]) matrix — [[LinkPrediction.rankTriplesPartitioned]]
     * with the float kernel swapped for int64. Early exit stays exact:

@@ -300,6 +300,31 @@ class TransESpec extends SparkSpec {
     (0 until 20).foreach(i => assert(back(i).sameElements(m(i))))
   }
 
+  test("link suggestions exclude known tails, rank contiguously, beat brute force") {
+    import org.apache.spark.sql.functions.col
+    val dir = TestSession.sf
+    val got = graft.queries.TransEQueries.queries("transe_link_suggest")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got.nonEmpty)
+    // ranks are 1..k contiguous per (h, l), distances non-decreasing
+    got.groupBy(t => (t._1, t._2)).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._3)
+      assert(sorted.map(_._3).toSeq == (1L to sorted.length).toSeq)
+      assert(sorted.map(_._5).toSeq == sorted.map(_._5).sorted.toSeq,
+        "distance not monotone in rank")
+    }
+    // no suggestion is a known (h, l, t) triple — the novelty contract
+    val (encodedAll, _, _, _, _) =
+      graft.queries.TransEQueries.encodedKg(spark, dir)
+    val knownSet = encodedAll.toDF()
+      .select(col("h").cast("long"), col("l").cast("long"), col("t").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    got.foreach { case (h, l, _, t, _) =>
+      assert(!knownSet.contains((h, l, t)), s"suggested a KNOWN tail: ($h,$l,$t)")
+    }
+  }
+
   test("continual training: vocabulary extension keeps old ids and learns new entities") {
     import spark.implicits._
     // chain KG (the SyntheticKgSpec construction): OLD corpus covers
