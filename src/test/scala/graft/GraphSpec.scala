@@ -35,6 +35,35 @@ class GraphSpec extends SparkSpec {
     assert(multi == Map("a" -> 0L, "d" -> 0L, "b" -> 1L, "c" -> 1L))
   }
 
+  test("bfs: matches brute-force shortest hops on a random graph") {
+    // the triangles-spec discipline: the distributed operator vs a local
+    // reference on a seeded random graph (60 vertices, p≈0.05 keeps a
+    // mix of reachable and unreachable vertices)
+    val rnd = new scala.util.Random(1234)
+    val verts = (0 until 60).map(i => s"v$i")
+    val pairs = for {
+      a <- verts; b <- verts
+      if a < b && rnd.nextDouble() < 0.05
+    } yield (a, b)
+    val seedIds = Set("v0", "v7")
+    // local BFS over the undirected view
+    val adj = (pairs ++ pairs.map(p => (p._2, p._1)))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+    var dist = seedIds.map(_ -> 0L).toMap
+    var frontier = seedIds
+    var d = 0L
+    while (frontier.nonEmpty) {
+      d += 1
+      val next = frontier.flatMap(adj.getOrElse(_, Set.empty)) -- dist.keySet
+      next.foreach(v => dist += v -> d)
+      frontier = next
+    }
+    val got = GraphAnalytics.bfsLayers(
+      pairs.toDF("src", "dst"), seedIds.toSeq.toDF("id"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == dist, s"spark=$got\nlocal=$dist")
+  }
+
   test("bfs: exhausted round valve throws, never returns truncated distances") {
     val e = edgesOf("a" -> "b", "b" -> "c", "c" -> "d")
     val ex = intercept[IllegalStateException] {
@@ -149,6 +178,29 @@ class GraphSpec extends SparkSpec {
     val again = GraphAnalytics.labelPropagation(e).collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
     assert(got == again, "LPA not deterministic across runs")
+  }
+
+  test("label propagation: matches the local synchronous replay on a random graph") {
+    val rnd = new scala.util.Random(77)
+    val verts = (0 until 40).map(i => f"v$i%02d")
+    val pairs = (for {
+      a <- verts; b <- verts
+      if a < b && rnd.nextDouble() < 0.08
+    } yield (a, b)).distinct
+    // local synchronous plurality with (count DESC, label ASC) ties
+    val adj = (pairs ++ pairs.map(p => (p._2, p._1)))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2) }
+    var lbl: Map[String, String] = adj.keys.map(v => v -> v).toMap
+    (1 to 4).foreach { _ =>
+      lbl = adj.map { case (v, nbrs) =>
+        val counts = nbrs.map(lbl).groupBy(identity)
+          .map { case (l, xs) => (l, xs.size) }
+        v -> counts.toSeq.minBy { case (l, n) => (-n, l) }._1
+      }
+    }
+    val got = GraphAnalytics.labelPropagation(pairs.toDF("a", "b"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == lbl, s"spark=$got\nlocal=$lbl")
   }
 
   test("pagerank: matches the local integer-arithmetic reference exactly") {
