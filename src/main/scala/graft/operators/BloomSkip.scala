@@ -1,0 +1,161 @@
+package graft.operators
+
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** File-level BLOOM-FILTER skipping for point lookups by a key the
+  * layout is NOT ordered on — the index class zone maps cannot cover:
+  * [[ZoneMaps]] prunes ranges over the clustering column, but the
+  * canonical lakehouse lookup ("fetch order N from the fact table kept
+  * date-clustered for the analytics that dominate it") hits a key whose
+  * values are scattered across the date layout, so min/max admits
+  * everything. The answer (Delta/Iceberg bloom indexes) is a per-file
+  * Bloom filter over the lookup key:
+  *
+  *  - the table stays range-clustered on its PRIMARY column (order
+  *    date) — the index never disturbs the layout the scans want;
+  *  - one distributed pass builds the sidecar: per (file, key) the K
+  *    double-hashed bit positions (md5-derived, the repo's portable
+  *    hash family), distinct-folded into a (file, pos) parquet asset.
+  *    Bits are sized to keys-per-file (2^17 here for ~10k keys/file at
+  *    sf0.1, ~0.4 fill; production sizes by rows-per-file, which the
+  *    128 MB file budget bounds — ~1 MB of bitmap per file);
+  *  - a lookup computes its key's K positions and admits only files
+  *    whose index contains ALL K (plus any file ABSENT from the index —
+  *    skipping fails OPEN, the zone-map discipline); the residual
+  *    predicate stays on the scan, so a false positive costs one extra
+  *    file read and a false negative is impossible by construction
+  *    (every (file, key) pair in the data set its bits at build time).
+  *
+  * Since each order key lives in exactly one date-clustered file, a
+  * 5-key lookup admits <= 5 files (+ rare false positives) of the 16 —
+  * the BloomSkipSpec asserts real skipping and zero false negatives;
+  * the registered query's DuckDB oracle fetches the same rows straight
+  * off the raw orders table, so the index must be invisible to answers.
+  */
+object BloomSkip {
+
+  private val NFiles = 16
+  private val Bits = 1 << 17
+  private val K = 5
+
+  /** (h1, h2) Bloom hash pair from the md5-derived 64-bit key: h1 from
+    * the low half, h2 an ODD step from the high half so the double-hash
+    * walk (h1 + i*h2) mod 2^17 cycles the whole table. One expression
+    * tree shared by the build and the lookup (no hand-replicated bit
+    * surgery to drift apart). */
+  private def hashPair(df: DataFrame, key: org.apache.spark.sql.Column,
+      carry: Seq[org.apache.spark.sql.Column]): DataFrame =
+    df.select(carry :+ Dedup.hash64Col(key.cast("string")).as("h"): _*)
+      .select(carry :+
+        pmod(col("h"), lit(Bits.toLong)).as("h1") :+
+        (pmod(shiftright(col("h"), 32), lit(Bits.toLong)) * 2 + 1).as("h2"): _*)
+
+  private def positionsExpr =
+    expr(s"transform(sequence(0, ${K - 1}), i -> pmod(h1 + i * h2, $Bits))")
+
+  /** Staged layout + sidecar: orders range-clustered by o_orderdate
+    * under `<dir>/data`, the (file, pos) Bloom sidecar over o_orderkey
+    * under `<dir>/index`. */
+  private[graft] def stagedDir(spark: SparkSession, sfDir: String): String = {
+    val src = Paths.get(sfDir, "orders.parquet").toAbsolutePath.normalize
+    val key = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s"$src:${Files.getLastModifiedTime(src).toMillis}:bloom:v1"
+        .getBytes("UTF-8"))
+      .take(8).map("%02x".format(_)).mkString
+    val dir = Paths.get(sys.props("java.io.tmpdir"), s"graft_bloomskip_$key")
+    if (!Files.exists(dir.resolve("_DONE"))) {
+      Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"), col("o_orderdate"))
+        .repartitionByRange(NFiles, col("o_orderdate"), col("o_orderkey"))
+        .sortWithinPartitions("o_orderdate", "o_orderkey")
+        .write.mode("overwrite").parquet(s"$dir/data")
+      // sidecar build: one scan, distinct (file, key), K positions each
+      val perKey = spark.read.parquet(s"$dir/data")
+        .select(element_at(split(input_file_name(), "/"), -1).as("file"),
+          col("o_orderkey"))
+        .distinct()
+      hashPair(perKey, col("o_orderkey"), Seq(col("file")))
+        .select(col("file"), explode(positionsExpr).as("pos"))
+        .distinct()
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/index")
+      Files.writeString(dir.resolve("_DONE"), "ok")
+    }
+    dir.toString
+  }
+
+  /** The K positions of one key — the same expression tree as the
+    * sidecar build, evaluated on a 1-row frame. */
+  private[graft] def positionsOf(spark: SparkSession, key: Long): Seq[Long] = {
+    import spark.implicits._
+    hashPair(Seq(key).toDF("o_orderkey"), col("o_orderkey"), Seq.empty)
+      .select(explode(positionsExpr).as("pos"))
+      .collect().map(_.getLong(0)).toSeq
+  }
+
+  /** Point-lookup scan for `keys`: admit files whose sidecar contains
+    * ALL K positions of AT LEAST ONE key (fail-open for files absent
+    * from the sidecar). Returns (scan, admitted, total). */
+  def lookupScan(spark: SparkSession, sfDir: String,
+      keys: Seq[Long]): (DataFrame, Int, Int) = {
+    val dir = stagedDir(spark, sfDir)
+    val idx: Map[String, Set[Long]] = spark.read.parquet(s"$dir/index")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (f, ps) => f -> ps.map(_._2).toSet }
+    val allFiles = {
+      val s = Files.list(Paths.get(dir, "data"))
+      try s.iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(_.endsWith(".parquet")).toSeq.sorted
+      finally s.close()
+    }
+    val keyPositions = keys.map(positionsOf(spark, _))
+    val admitted = allFiles.filter { f =>
+      idx.get(f) match {
+        case None => true // fail open: an unindexed file must be read
+        case Some(bits) => keyPositions.exists(_.forall(bits.contains))
+      }
+    }
+    val scan =
+      if (admitted.isEmpty) spark.read.parquet(s"$dir/data").limit(0)
+      else spark.read.parquet(admitted.map(f => s"$dir/data/$f"): _*)
+    (scan.filter(col("o_orderkey").isin(keys: _*)),
+      admitted.size, allFiles.size)
+  }
+
+  /** Deterministic lookup workload: the 5 smallest order keys divisible
+    * by 193 (collected once — 5 values). */
+  private[graft] def workload(spark: SparkSession, sfDir: String): Seq[Long] =
+    Tables.orders(spark, sfDir)
+      .filter(col("o_orderkey") % 193 === 0)
+      .select(col("o_orderkey"))
+      .orderBy("o_orderkey").limit(5)
+      .collect().map(_.getLong(0)).toSeq
+
+  /** Registered query: fetch the workload's rows through the
+    * Bloom-admitted file set. */
+  def pointLookup(spark: SparkSession, sfDir: String): DataFrame = {
+    val keys = workload(spark, sfDir)
+    val (scan, _, _) = lookupScan(spark, sfDir, keys)
+    scan.select(col("o_orderkey"), col("o_custkey"),
+      col("o_orderstatus"), col("o_totalprice"))
+  }
+
+  /** Oracle: the same rows straight off the raw orders table. */
+  def pointLookupSql: String =
+    """WITH k AS (
+      |  SELECT o_orderkey FROM orders WHERE o_orderkey % 193 = 0
+      |  ORDER BY o_orderkey LIMIT 5
+      |)
+      |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+      |FROM orders JOIN k USING (o_orderkey)
+      |ORDER BY o_orderkey""".stripMargin
+}

@@ -199,7 +199,8 @@ object PipelineQueries {
     "search_bm25_topk" -> Seq("doc_id"),
     "text_lm_fluency" -> Seq("doc_id"),
     "sample_dsir" -> Seq("doc_id"),
-    "text_sentence_stats" -> Seq("doc_id"))
+    "text_sentence_stats" -> Seq("doc_id"),
+    "sink_bloom_skip" -> Seq("o_orderkey"))
 
   /** The operator registrations as written — sorted only where the
     * operator itself has a semantic order. PlanSpec sweeps THESE plans
@@ -365,6 +366,7 @@ object PipelineQueries {
     // DSIR selection: src1 plays the curated target domain
     "sample_dsir" -> ((s, d) => ImportanceSampling.dsirTopK(Tables.documents(s, d), "src1")),
     "text_sentence_stats" -> ((s, d) => TextAnalysis.sentenceStats(Tables.documents(s, d))),
+    "sink_bloom_skip" -> (BloomSkip.pointLookup _),
     "decontaminate" -> ((s, d) => Decontaminate.flagContaminated(Tables.documents(s, d))),
     "pack_sequences" -> ((s, d) => SequencePacking.packDocs(Tables.documents(s, d))),
     // --- partitioned sink + planning-time partition pruning ---
@@ -571,6 +573,7 @@ object PipelineQueries {
     "text_lm_fluency" -> BigramLm.fluencySql(),
     "sample_dsir" -> ImportanceSampling.dsirTopKSql("src1"),
     "text_sentence_stats" -> TextAnalysis.sentenceStatsSql(),
+    "sink_bloom_skip" -> BloomSkip.pointLookupSql,
     "report_source_lang_lift" -> CorpusStats.sourceLangLiftSql,
     "decontaminate" -> Decontaminate.flagContaminatedSql(),
     "pack_sequences" -> SequencePacking.packDocsSql(),

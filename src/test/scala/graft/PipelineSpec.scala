@@ -381,6 +381,29 @@ class PipelineSpec extends SparkSpec {
       4L -> ((1L, 4000L, 0L))))
   }
 
+  test("bloom skip: real file skipping, zero false negatives, fail-open admission") {
+    import graft.operators.BloomSkip
+    val keys = BloomSkip.workload(spark, sf)
+    assert(keys.length == 5)
+    // each key lives in ONE date-clustered file: <= 5 admitted of 16
+    val (scan, admitted, total) = BloomSkip.lookupScan(spark, sf, keys)
+    info(s"admitted $admitted of $total files for ${keys.length} keys")
+    assert(total == 16 && admitted < total, s"no skipping: $admitted/$total")
+    // the admitted set still answers exactly (novelty of the index is
+    // invisible): one row per key, matching the raw table
+    val got = scan.select("o_orderkey").collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == keys.sorted, s"bloom route lost rows: ${got.toSeq}")
+    // zero false negatives across a wider sample
+    val sample = Tables.orders(spark, sf)
+      .filter(col("o_orderkey") % 101 === 7).select("o_orderkey")
+      .orderBy("o_orderkey").limit(12)
+      .collect().map(_.getLong(0)).toSeq
+    val (scan2, _, _) = BloomSkip.lookupScan(spark, sf, sample)
+    val got2 = scan2.select("o_orderkey").collect().map(_.getLong(0)).sorted
+    assert(got2.toSeq == sample.sorted,
+      s"false negative: wanted ${sample.sorted}, got ${got2.toSeq}")
+  }
+
   test("scrubDupSpans: removes exactly the covered positions, reassembles in order") {
     import spark.implicits._
     // two docs share the 4-gram "a b c d"; doc 3 is untouched
