@@ -165,10 +165,13 @@ object TrainStream {
     val (spark, owned) = Args.session()
     import spark.implicits._
 
-    val oldRaw = opts.get("old") match {
-      case Some(path) => TripleReader.readTsv(spark, path)
-      case None => spark.emptyDataset[RawTriple] // resume-only invocation
-    }
+    // --old is required even on resume: the initial fit is skipped when
+    // committed state exists, but the experience-replay slice derives
+    // from the old corpus — a resume without it would warm-continue on
+    // the batches alone, silently dropping the forgetting protection and
+    // breaking the bit-identical-recovery contract ("re-run the SAME
+    // command" is the resume story, not a different one)
+    val oldRaw = TripleReader.readTsv(spark, opts.required("old"))
     // deterministic content-keyed replay slice (1 in replayRate):
     // splitmix64 over the triple's content hash, not hashCode (which is
     // JVM-stable but weakly mixed for short strings)

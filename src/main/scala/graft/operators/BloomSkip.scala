@@ -92,24 +92,44 @@ object BloomSkip {
     dir.toString
   }
 
-  /** The K positions of one key — the same expression tree as the
-    * sidecar build, evaluated on a 1-row frame. */
-  private[graft] def positionsOf(spark: SparkSession, key: Long): Seq[Long] = {
+  /** The K positions of EVERY key, one local job — the same expression
+    * tree as the sidecar build (no per-key job, no hand-replicated md5
+    * bit surgery to drift). */
+  private[graft] def positionsOfKeys(spark: SparkSession,
+      keys: Seq[Long]): Map[Long, Seq[Long]] = {
     import spark.implicits._
-    hashPair(Seq(key).toDF("o_orderkey"), col("o_orderkey"), Seq.empty)
-      .select(explode(positionsExpr).as("pos"))
-      .collect().map(_.getLong(0)).toSeq
+    hashPair(keys.toDF("o_orderkey").withColumn("k", col("o_orderkey")),
+        col("o_orderkey"), Seq(col("k")))
+      .select(col("k"), explode(positionsExpr).as("pos"))
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (k, rs) => k -> rs.map(_.getLong(1)).toSeq }
   }
 
   /** Point-lookup scan for `keys`: admit files whose sidecar contains
     * ALL K positions of AT LEAST ONE key (fail-open for files absent
-    * from the sidecar). Returns (scan, admitted, total). */
+    * from the sidecar). Returns (scan, admitted, total).
+    *
+    * The sidecar is PROBED, never collected whole: the lookup filters
+    * the (file, pos) asset to the looked-up positions (parquet
+    * predicate pushdown — at most files x keys x K rows return, not the
+    * full bitmap), plus one tiny distinct over the pruned `file` column
+    * for the fail-open census. */
   def lookupScan(spark: SparkSession, sfDir: String,
       keys: Seq[Long]): (DataFrame, Int, Int) = {
     val dir = stagedDir(spark, sfDir)
-    val idx: Map[String, Set[Long]] = spark.read.parquet(s"$dir/index")
+    val keyPositions: Map[Long, Seq[Long]] = positionsOfKeys(spark, keys)
+    val wanted = keyPositions.values.flatten.toSeq.distinct
+    val hits: Map[String, Set[Long]] = spark.read.parquet(s"$dir/index")
+      .filter(col("pos").isin(wanted: _*))
       .collect().map(r => (r.getString(0), r.getLong(1)))
       .groupBy(_._1).map { case (f, ps) => f -> ps.map(_._2).toSet }
+    // which files are indexed AT ALL (a file with zero matching
+    // positions must read as "indexed, nothing matched" — definite
+    // skip — not as unindexed fail-open)
+    val indexedFiles: Set[String] = spark.read.parquet(s"$dir/index")
+      .select("file").distinct()
+      .collect().map(_.getString(0)).toSet
     val allFiles = {
       val s = Files.list(Paths.get(dir, "data"))
       try s.iterator().asScala
@@ -117,11 +137,11 @@ object BloomSkip {
         .filter(_.endsWith(".parquet")).toSeq.sorted
       finally s.close()
     }
-    val keyPositions = keys.map(positionsOf(spark, _))
     val admitted = allFiles.filter { f =>
-      idx.get(f) match {
-        case None => true // fail open: an unindexed file must be read
-        case Some(bits) => keyPositions.exists(_.forall(bits.contains))
+      if (!indexedFiles.contains(f)) true // fail open: unindexed file
+      else {
+        val bits = hits.getOrElse(f, Set.empty)
+        keyPositions.values.exists(_.forall(bits.contains))
       }
     }
     val scan =

@@ -633,10 +633,6 @@ object GraphAnalytics {
     var done = frontier.isEmpty
     while (!done) {
       round += 1
-      if (round > maxRounds)
-        throw new IllegalStateException(
-          s"bfsLayers: frontier still non-empty after $maxRounds rounds — " +
-            "raise maxRounds; refusing to return truncated distances")
       val cand = und
         .join(frontier.withColumnRenamed("id", "a").hint("shuffle_hash"), Seq("a"))
         .select(col("b").as("id")).distinct()
@@ -645,6 +641,14 @@ object GraphAnalytics {
         .truncateLineage
       if (newFront.isEmpty) done = true
       else {
+        // the valve charges only PRODUCTIVE rounds: a run whose
+        // eccentricity equals maxRounds completes (its last round's
+        // emptiness proof is free), only a frontier that remains
+        // non-empty past the budget throws
+        if (round >= maxRounds)
+          throw new IllegalStateException(
+            s"bfsLayers: frontier still non-empty after $maxRounds rounds — " +
+              "raise maxRounds; refusing to return truncated distances")
         dist = dist.unionAll(newFront)
         frontier = newFront.select("id")
       }

@@ -63,17 +63,23 @@ object ImportanceSampling {
     * should match. */
   def bucketModel(docs: DataFrame, targetSource: String,
       buckets: Int = 1024): DataFrame = {
-    val toks = hashedToks(docs, buckets)
-    val raw = toks.groupBy("bucket").agg(count(lit(1)).as("r"))
-    val tgt = toks.filter(col("source") === targetSource)
-      .groupBy("bucket").agg(count(lit(1)).as("t"))
-    val totals = raw.agg(coalesce(sum("r"), lit(0L)).as("rtot"))
-      .crossJoin(tgt.agg(coalesce(sum("t"), lit(0L)).as("ttot")))
+    // ONE corpus pass: raw and target counts as a conditional agg over
+    // the same scan (not two groupBys whose lineages each rescan the
+    // corpus), totals as unpartitioned windows over the <= B-row joined
+    // frame (the repo's tiny-cells-table marginals pattern) — so no
+    // second corpus derivation and no persist is needed
+    val counts = hashedToks(docs, buckets)
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("r"),
+        count(when(col("source") === targetSource, 1)).as("t"))
+    val all = org.apache.spark.sql.expressions.Window
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
     docs.sparkSession.range(buckets).select(col("id").as("bucket"))
-      .join(raw, Seq("bucket"), "left")
-      .join(tgt, Seq("bucket"), "left")
+      .join(counts, Seq("bucket"), "left")
       .na.fill(0L, Seq("r", "t"))
-      .crossJoin(broadcast(totals))
+      .withColumn("rtot", sum("r").over(all))
+      .withColumn("ttot", sum("t").over(all))
       .select(col("bucket"),
         expr(s"(1000000 * (t + 1)) DIV (ttot + $buckets)").as("t_ppm"),
         expr(s"(1000000 * (r + 1)) DIV (rtot + $buckets)").as("r_ppm"))

@@ -185,8 +185,9 @@ object ZoneMaps {
       manifest.map { case (_, lo, hi) => (lo, hi) })
     if (clean && total > 1 && overlaps > (total - 1) / 2)
       throw new IllegalStateException(
-        s"zone map bands overlap at $overlaps/${total - 1} consecutive " +
-          "pairs — range clustering broken (random layout prunes nothing)")
+        s"zone map layout defect: $overlaps of ${total - 1} lo-sorted bands " +
+          "start inside the running max-hi of earlier bands — range " +
+          "clustering broken (random layout prunes nothing)")
     scan.groupBy("event_type")
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))

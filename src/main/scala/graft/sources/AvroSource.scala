@@ -678,11 +678,17 @@ final class AvroPartitionReader(path: String, full: StructType,
   // must fail LOUDLY here, not as an opaque ClassCastException deep in
   // row access). ADDITIVE EVOLUTION is allowed (the parquet
   // SchemaEvolution stance, applied to avro): a field the table schema
-  // carries but this (older-generation) file lacks decodes as null —
-  // but only when the merged table schema marked it nullable; a
-  // non-nullable field missing from a file is a name drift and fails.
-  // Shared fields must match on TYPE exactly. Fields the file has
-  // beyond the read schema are skipped by the resolver (pruning path).
+  // carries but this (older-generation) file lacks decodes as null when
+  // the schema marks it nullable. Under the DIRECTORY-merged schema that
+  // is every cross-generation absence by construction (mergeGenerations
+  // nullifies them), so — exactly like parquet mergeSchema — a RENAME
+  // reads as drop+add with null halves on both sides; that is the
+  // documented additive-evolution stance, not a detected error. The
+  // non-nullable missing-field guard below is live only for a CALLER-
+  // SUPPLIED read schema carrying non-nullable expectations, where it
+  // fails loudly instead of minting nulls the caller promised cannot
+  // exist. Shared fields must match on TYPE exactly. Fields the file
+  // has beyond the read schema are skipped by the resolver (pruning).
   private val (outIdxToExp: Array[Int], expSchemas: Array[Schema]) = {
     val fileFields = reader.getSchema.getFields.asScala.toSeq
     val fileTypes = fileFields.map { f =>

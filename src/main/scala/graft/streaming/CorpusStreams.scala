@@ -215,7 +215,9 @@ object CorpusStreams {
         }
         .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
         .start()
-      try q.processAllAvailable() finally q.stop()
+      // stop() is asynchronous — await termination before _DONE/cleanup,
+      // or a re-invocation's freshBase races the dying query's checkpoint
+      try q.processAllAvailable() finally { q.stop(); q.awaitTermination() }
       model.unpersist()
       Files.writeString(done, "ok")
     }

@@ -196,11 +196,19 @@ object VocabStreams {
       // deterministic 5% replay slice, fixed for the run
       val replay = withK.filter(col("bucket") < 9 && col("hv") % 20 === 0)
         .select($"h", $"l", $"t").as[RawTriple]
-      // durable per-stage state (base/state): a killed run resumes from
-      // the last committed stage instead of refitting the old corpus
+      // durable per-stage state in a SIBLING dir, outside freshBase's
+      // wipe path: absent _DONE the base (src/chk/out) is disposable and
+      // rebuilt, but committed SGD stages are exactly what a killed run
+      // must RESUME from — wiping them with the base would refit the old
+      // corpus from scratch and make every persistStage write dead
+      // weight. The fresh checkpoint re-delivers all files with the same
+      // deterministic batchIds (one file per trigger in forced-mtime
+      // order), and the committed-id guard skips the already-trained
+      // ones, so recovery stays exactly-once and bit-identical.
       val outcome = runContinualStream(spark, src.toString, chk.toString,
         oldRaw, replay, p, batchEpochs = 1,
-        stateDir = Some(base.resolve("state")))
+        stateDir = Some(Paths.get(sys.props("java.io.tmpdir"),
+          s"graft_contstream_${key}_state")))
       outcome.entities.unpersist(); outcome.labels.unpersist()
       outcome.stages
         .toDF("k", "n_entities", "n_labels", "n_new_entities",
