@@ -356,6 +356,37 @@ class GraphSpec extends SparkSpec {
       s"per-iteration shuffle records $perIter >= |E|=$nE — edges re-shuffled")
   }
 
+  test("ppr: an iteration moves CONE-sized tables, never |E| or even |V|") {
+    // the personalized twin of the pagerank record gate, with a tighter
+    // claim: per-iteration movement tracks the seed-REACHABLE cone
+    // (carriers = contributions ∪ seeds; zero-rank vertices never
+    // carried), so the budget is cone-shaped — a |V|-sized carrier
+    // regression (let alone an |E|-sized edge re-shuffle) blows it.
+    val edges = queries.GraphQueries.kgEdges(spark, sf).persist()
+    val nE = edges.count()
+    val seeds = edges.filter(col("src").startsWith("o:") &&
+        expr("CAST(SUBSTRING(src, 3) AS BIGINT) % 100 = 0"))
+      .select(col("src").as("id"))
+    // warm caches + measure the converged cone size
+    val cone = GraphAnalytics.pprInt(edges, seeds, iters = 6).count()
+    def run(iters: Int): Long =
+      probe3(GraphAnalytics.pprInt(edges, seeds, iters = iters).count())._3
+    val r2 = run(2)
+    val r6 = run(6)
+    val perIter = (r6 - r2) / 4.0
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    info(f"cone=$cone |E|=$nE perIter=$perIter%.0f shuffled records/iteration")
+    // cone-shaped budget, same structure as pagerank's |V| one: a few
+    // cone-sized tables + map-side partial fan-out + slack
+    val budget = 5.0 * cone + 2.0 * cone * math.min(parts, 8) / 8.0 + 2000
+    assert(perIter < budget,
+      s"per-iteration shuffle records $perIter exceed the cone-shaped " +
+        s"budget $budget (cone=$cone, |E|=$nE) — carriers grew past the cone")
+    assert(perIter < nE,
+      s"per-iteration shuffle records $perIter >= |E|=$nE — edges re-shuffled")
+    edges.unpersist()
+  }
+
   test("pagerank: final plan is iteration-free (lineage truncated to constant depth)") {
     val edges = queries.GraphQueries.kgEdges(spark, sf)
     def planSize(iters: Int): Int =
