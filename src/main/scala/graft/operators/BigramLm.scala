@@ -45,29 +45,57 @@ object BigramLm {
       regexp_extract_all(lower(col("text")),
         lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)).as("toks"))
 
-  /** Per-doc-occurrence bigram stream (doc_id, w1, w2). */
-  private def bigrams(docs: DataFrame): DataFrame =
+  /** Per-doc-occurrence successor stream (doc_id, w1, w2): one row per
+    * TOKEN occurrence, pairing it with the following token — NULL for the
+    * doc's last token (zip_with pads the shorter slice with nulls). The
+    * null-successor rows are what let the vocabulary size ride the same
+    * aggregate as the bigram tallies: every corpus token appears exactly
+    * once per occurrence as w1. */
+  private def pairs(docs: DataFrame): DataFrame =
     tokArrays(docs)
-      .where(size(col("toks")) >= 2)
+      .where(size(col("toks")) >= 1)
       .select(col("doc_id"), explode(expr(
-        "zip_with(slice(toks, 1, size(toks) - 1), " +
-          "slice(toks, 2, size(toks) - 1), " +
+        "zip_with(toks, slice(toks, 2, size(toks) - 1), " +
           "(x, y) -> struct(x AS w1, y AS w2))")).as("bg"))
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
 
-  /** (doc_id, n_bigrams, fluency_ppm) for every doc with >= 2 tokens. */
+  /** (doc_id, n_bigrams, fluency_ppm) for every doc with >= 2 tokens.
+    *
+    * SINGLE corpus pass (VERDICT r11 #1): the per-doc successor tallies
+    * `g` are aggregated ONCE and PERSISTED, and every downstream table is
+    * a rollup of that tally — `c12` re-groups g by (w1, w2), `c1` and the
+    * vocabulary size V re-group `c12` — so the parquet scan + the regexp
+    * tokenizer execute exactly once (PlanSpec's scan-count gate pins
+    * this). The cache (MEMORY_AND_DISK; per-doc DISTINCT successor
+    * pairs, well under token volume, spillable) is load-bearing rather
+    * than a nicety: plain exchange reuse cannot carry this shape, because
+    * the scoring join infers `w2 IS NOT NULL` null-filters into its
+    * branches while the vocabulary branch NEEDS the null-successor rows
+    * (a token whose every occurrence is doc-final only appears there) —
+    * the branches legitimately diverge below the exchange.
+    *
+    * Null-successor rows are dropped from scoring by JOIN semantics
+    * (equi-join keys never match NULL) and excluded from c1 by a
+    * conditional sum INSIDE the aggregate — no Filter whose placement the
+    * optimizer could shift. V rides as an unpartitioned window over the
+    * Zipf-sized per-w1 table (the tiny-cells-table marginals pattern):
+    * the row count of the w1 rollup IS the distinct-token count, since
+    * every corpus token occurs somewhere as w1. */
   def fluency(docs: DataFrame): DataFrame = {
-    val bg = bigrams(docs)
-    // per-doc tallies first: the model join probes distinct doc bigrams
-    val d12 = bg.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("n"))
-    val c12 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-    val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
-    val vocab = tokArrays(docs)
-      .select(explode(col("toks")).as("tok")).distinct()
-      .agg(count(lit(1)).as("v"))
-    d12.join(c12, Seq("w1", "w2"))
-      .join(c1, Seq("w1"))
-      .crossJoin(broadcast(vocab))
+    val g = pairs(docs).groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // corpus bigram counts; the (w1, NULL) groups never match the join
+    val c12 = g.groupBy("w1", "w2").agg(sum("n").as("c12"))
+    // bigram-LEFT occurrence count per w1 (null successors excluded by the
+    // conditional agg, not a Filter) + V = row count of this very table
+    val all = org.apache.spark.sql.expressions.Window
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val c1v = c12.groupBy("w1")
+      .agg(sum(when(col("w2").isNotNull, col("c12"))).as("c1"))
+      .withColumn("v", count(lit(1)).over(all))
+    g.join(c12, Seq("w1", "w2"))
+      .join(c1v, Seq("w1"))
       .withColumn("p_ppm", expr("(1000000 * (c12 + 1)) DIV (c1 + v)"))
       .groupBy("doc_id")
       .agg(sum("n").as("n_bigrams"),

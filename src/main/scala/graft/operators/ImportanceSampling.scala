@@ -65,17 +65,24 @@ object ImportanceSampling {
       buckets: Int = 1024): DataFrame = {
     // ONE corpus pass: raw and target counts as a conditional agg over
     // the same scan (not two groupBys whose lineages each rescan the
-    // corpus), totals as unpartitioned windows over the <= B-row joined
-    // frame (the repo's tiny-cells-table marginals pattern) — so no
-    // second corpus derivation and no persist is needed
+    // corpus)
     val counts = hashedToks(docs, buckets)
       .groupBy("bucket")
       .agg(count(lit(1)).as("r"),
         count(when(col("source") === targetSource, 1)).as("t"))
+    modelFromCounts(docs.sparkSession, counts, buckets)
+  }
+
+  /** The add-one ratio ladder over per-bucket (r, t) tallies: totals ride
+    * as unpartitioned windows over the <= B-row joined frame (the repo's
+    * tiny-cells-table marginals pattern) — so no second corpus
+    * derivation and no persist is needed. */
+  private def modelFromCounts(spark: org.apache.spark.sql.SparkSession,
+      counts: DataFrame, buckets: Int): DataFrame = {
     val all = org.apache.spark.sql.expressions.Window
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.unboundedFollowing)
-    docs.sparkSession.range(buckets).select(col("id").as("bucket"))
+    spark.range(buckets).select(col("id").as("bucket"))
       .join(counts, Seq("bucket"), "left")
       .na.fill(0L, Seq("r", "t"))
       .withColumn("rtot", sum("r").over(all))
@@ -100,12 +107,32 @@ object ImportanceSampling {
         expr("SUM(c * ratio_milli) DIV SUM(c)").as("importance_milli"))
 
   /** Top-k most target-like docs, model trained on the same corpus —
-    * the one-shot batch selection pass. */
+    * the one-shot batch selection pass.
+    *
+    * SINGLE corpus pass (VERDICT r11 #1): unlike the serving split
+    * (where model and scored docs genuinely differ), the batch form
+    * scores the training corpus itself, so the per-(doc, source, bucket)
+    * tally is aggregated ONCE and both the model's per-bucket (r, t)
+    * marginals and the per-doc scoring tallies are rollups of that same
+    * shuffled aggregate — the branches share the exchange byte-for-byte
+    * (no Filter in between, every branch consumes the full output), so
+    * ReusedExchange runs the scan + tokenizer once (PlanSpec gate). */
   def dsirTopK(docs: DataFrame, targetSource: String,
-      buckets: Int = 1024, k: Int = 100): DataFrame =
-    scoreAgainst(bucketModel(docs, targetSource, buckets), docs, buckets)
+      buckets: Int = 1024, k: Int = 100): DataFrame = {
+    val g = hashedToks(docs, buckets)
+      .groupBy("doc_id", "source", "bucket").agg(count(lit(1)).as("c"))
+    val counts = g.groupBy("bucket")
+      .agg(sum("c").as("r"),
+        sum(when(col("source") === targetSource, col("c")).otherwise(0L)).as("t"))
+    val model = modelFromCounts(docs.sparkSession, counts, buckets)
+    g.groupBy("doc_id", "bucket").agg(sum("c").as("c"))
+      .join(broadcast(model), Seq("bucket"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_grams"),
+        expr("SUM(c * ratio_milli) DIV SUM(c)").as("importance_milli"))
       .orderBy(col("importance_milli").desc, col("doc_id"))
       .limit(k)
+  }
 
   /** Shared CTE prelude: model over `modelPred` docs, scoring tallies
     * over `scorePred` docs — identical hash, buckets, ladder. */

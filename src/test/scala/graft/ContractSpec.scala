@@ -248,7 +248,6 @@ class ContractSpec extends SparkSpec with PerfProbing {
     "clf_quality_vocab",   // 1-row (n_pos, n_neg) label totals, same pattern
     "clf_quality_score",   // inherits clf_quality_vocab's totals join
     "search_bm25_topk",    // 1-row (n_docs, sum_dl) corpus stat, same pattern
-    "text_lm_fluency",     // 1-row vocabulary-size total, same pattern
     "sample_dsir",         // 1-row (rtot, ttot) distribution totals, same pattern
     "sketch_kmv_intersect") // group-pair self-join of the SKETCH table
                             // (rows = distinct groups, each a <=2 KB

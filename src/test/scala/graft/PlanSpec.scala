@@ -650,4 +650,43 @@ class PlanSpec extends SparkSpec {
       assert(rewritten(view.groupBy("g").agg(count(lit(1)).as("n"))))
     } finally graft.plans.SummaryRewrite.clear()
   }
+
+  test("text family: each registered corpus query scans documents ONCE") {
+    // VERDICT r11 #1: the "one corpus pass" claim becomes a checked
+    // invariant. Count FileSourceScanExec leaves over documents.parquet in
+    // the FINAL physical plan — AQE is disabled in a cloned session so
+    // executedPlan is the exchange-reuse-applied plan (duplicate subtrees
+    // appear as ReusedExchangeExec leaves, not second scans); cached
+    // subtrees (Search's persisted posting tally) are counted through
+    // their InMemoryRelation exactly once. A regression that forks the
+    // shared exchange (a Filter pushed below the tally aggregate, a
+    // column-pruning asymmetry between branch copies) shows up here as a
+    // second scan even though results stay correct.
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    def docScans(plan: SparkPlan): Int = {
+      val inline = plan.collect {
+        case f: FileSourceScanExec if f.relation.location.rootPaths
+          .exists(_.toString.contains("documents")) => 1
+      }.sum
+      val cached = plan.collect { case m: InMemoryTableScanExec =>
+        m.relation.cacheBuilder.cachedPlan
+      }.distinct.map(docScans).sum
+      inline + cached
+    }
+    val po = graft.queries.PipelineQueries
+    val gated = Seq("text_lm_fluency", "search_keyword", "search_tfidf_topk",
+      "search_bm25_topk", "sample_dsir", "text_sentence_stats")
+    gated.foreach { name =>
+      val df = po.rawQueries(name)(s2, sf)
+      val n = docScans(df.queryExecution.executedPlan)
+      assert(n <= 1, s"$name reads documents $n times — the corpus pass " +
+        "is no longer shared:\n" + df.queryExecution.executedPlan.toString)
+      assert(n == 1 || df.queryExecution.executedPlan.exists(
+        _.isInstanceOf[InMemoryTableScanExec]),
+        s"$name shows no documents scan at all — the gate went blind")
+    }
+  }
 }
