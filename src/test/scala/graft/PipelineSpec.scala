@@ -402,6 +402,38 @@ class PipelineSpec extends SparkSpec {
     val got2 = scan2.select("o_orderkey").collect().map(_.getLong(0)).sorted
     assert(got2.toSeq == sample.sorted,
       s"false negative: wanted ${sample.sorted}, got ${got2.toSeq}")
+
+    // admission is manifest-driven, not a bitmap census (VERDICT r11 #2):
+    // the build wrote one manifest row per indexed file, and the lookup's
+    // fail-open path collects only files MISSING from it
+    val dir = BloomSkip.stagedDir(spark, sf)
+    assert(spark.read.parquet(s"$dir/manifest").count() == total,
+      "manifest must carry exactly one row per indexed file")
+    // a file that lands out-of-band AFTER the index build must be
+    // admitted fail-open (and, carrying none of the looked-up keys,
+    // contribute no rows)
+    val stray = java.nio.file.Paths.get(dir, "data", "zz_unindexed.parquet")
+    // schema-identical empty slice of the staged layout — admitted
+    // fail-open, contributes no rows, can't skew the exact-answer check
+    spark.read.parquet(s"$dir/data").where(lit(false))
+      .coalesce(1).write.mode("overwrite").parquet(stray.toString + ".tmp")
+    val part = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(java.nio.file.Paths.get(stray.toString + ".tmp"))
+        .iterator().asScala.find(_.toString.endsWith(".parquet")).get
+    }
+    java.nio.file.Files.copy(part, stray)
+    try {
+      val (scan3, admitted3, total3) = BloomSkip.lookupScan(spark, sf, keys)
+      assert(total3 == total + 1 && admitted3 == admitted + 1,
+        s"stray file must be admitted fail-open: $admitted3/$total3")
+      assert(scan3.select("o_orderkey").collect().map(_.getLong(0)).sorted
+        .toSeq == keys.sorted, "stray admission changed the answer")
+    } finally {
+      java.nio.file.Files.deleteIfExists(stray)
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(stray.toString + ".tmp"))
+    }
   }
 
   test("scrubDupSpans: removes exactly the covered positions, reassembles in order") {
