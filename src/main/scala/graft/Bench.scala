@@ -139,6 +139,13 @@ object Bench {
         "dedup_retention", "pipeline_train_corpus", "sample_split_grouped"),
       "family_bpe_sec" -> Seq(
         "vocab_bpe_merges", "vocab_bpe_pieces", "tokenize_bpe"),
+      // the KG edge list / co-part graph are memoized per sfDir (VERDICT
+      // r11 #3): whichever consumer runs first pays the one-time build
+      "family_kg_graph_sec" -> Seq(
+        "graph_degrees", "graph_pagerank", "graph_kcore",
+        "graph_bfs_layers", "graph_ppr"),
+      "family_copart_graph_sec" -> Seq(
+        "graph_triangles", "graph_communities"),
       // staged streaming runs: the stream executes once per (file, mtime)
       // key; re-invocations read the completed sink
       "family_staged_streams_sec" -> Seq(

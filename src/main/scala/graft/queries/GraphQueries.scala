@@ -22,13 +22,35 @@ object GraphQueries {
   /** Distinct (src, dst) projection of the KG — multi-label parallel
     * edges collapse, so outdeg counts neighbors, not labels.
     *
-    * Built from the base tables directly rather than through
-    * [[TransEQueries.kgTriples]]: the triple builder's two inner lineitem
-    * DISTINCTs are subsumed by this projection's outer DISTINCT, so going
-    * direct turns three wide shuffles into ONE (measured 13 s → 4 s of
-    * the pagerank setup at sf0.1). The edge SET is identical — the oracle
+    * Built ONCE per sfDir and memoized (VERDICT r11 #3): five registered
+    * queries (degrees, pagerank, kcore, bfs_layers, ppr) consume the
+    * same edge set, and the 7-way union + DISTINCT over the fact tables
+    * is the expensive part — the cache makes the graph family's bench
+    * cost measure the operators, not five rebuilds of one edge list.
+    * Same liveness discipline as PipelineQueries.minhashPairs: an entry
+    * bound to a stopped SparkContext is discarded and rebuilt. At scale
+    * the persisted asset is |E| two-string rows — vertex-scale, not
+    * fact-table-scale. */
+  def kgEdges(s: SparkSession, d: String): DataFrame =
+    edgeCache.get(d)
+      .filter(!_.sparkSession.sparkContext.isStopped)
+      .getOrElse {
+        val v = buildKgEdges(s, d).persist()
+        v.count() // materialize so every consumer reads the cached edges
+        edgeCache.put(d, v)
+        v
+      }
+
+  private val edgeCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  /** The uncached build: going direct (not through
+    * [[TransEQueries.kgTriples]]) turns three wide shuffles into ONE —
+    * the triple builder's two inner lineitem DISTINCTs are subsumed by
+    * this projection's outer DISTINCT (measured 13 s → 4 s of the
+    * pagerank setup at sf0.1). The edge SET is identical — the oracle
     * (`SELECT DISTINCT h, t FROM kg`) pins that. */
-  def kgEdges(s: SparkSession, d: String): DataFrame = {
+  private def buildKgEdges(s: SparkSession, d: String): DataFrame = {
     def str(c: org.apache.spark.sql.Column) = c.cast("string")
     def branch(df: DataFrame, srcPre: String, src: String,
         dstPre: String, dst: String) =
@@ -76,7 +98,20 @@ object GraphQueries {
     * graph itself has real triangle structure (every 3+-item order is a
     * clique), unlike the star-schema KG whose typed layers are
     * triangle-free. */
-  def coPartEdges(s: SparkSession, d: String): DataFrame = {
+  def coPartEdges(s: SparkSession, d: String): DataFrame =
+    coPartCache.get(d)
+      .filter(!_.sparkSession.sparkContext.isStopped)
+      .getOrElse {
+        val v = buildCoPartEdges(s, d).persist()
+        v.count() // triangles + communities share one materialized build
+        coPartCache.put(d, v)
+        v
+      }
+
+  private val coPartCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  private def buildCoPartEdges(s: SparkSession, d: String): DataFrame = {
     // Deterministic 1-in-3 ORDER subsample (whole orders, so per-order
     // clique structure is preserved) — the coverage/bench proportioning
     // knob; the oracle applies the identical arithmetic filter.
