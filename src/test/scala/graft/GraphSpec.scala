@@ -387,6 +387,72 @@ class GraphSpec extends SparkSpec {
     edges.unpersist()
   }
 
+  test("bfs: a round moves frontier/|V|-sized tables, never |E|-sized rows") {
+    // VERDICT r11 #4: the per-round record gate bfs lacked (pagerank/ppr
+    // carry it; bfs relied on the brute-force equivalence gate alone).
+    // The one legitimate |E|-sized movement is the single und repartition
+    // at setup; each expansion round shuffles the frontier probe, the
+    // candidate-distinct partials and the anti-join against dist — all
+    // bounded by a few |V|-sized tables. An edge re-shuffle per round
+    // (lost co-partitioning, dropped persist) adds 2|E| per round and
+    // blows the budget immediately.
+    val edges = queries.GraphQueries.kgEdges(spark, sf).persist()
+    val nE = edges.count()
+    val nV = edges.select(col("src").as("id"))
+      .unionAll(edges.select(col("dst").as("id"))).distinct().count()
+    val seeds = edges.filter(col("dst").startsWith("r:"))
+      .select(col("dst").as("id"))
+    GraphAnalytics.bfsLayers(edges, seeds).count() // warm source caches
+    var rounds = 0
+    val recs = probe3 {
+      val (dist, r) = GraphAnalytics.bfsLayersWithRounds(edges, seeds)
+      rounds = r
+      dist.count()
+    }._3
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    // exclude the one-time doubled-edge repartition from the per-round figure
+    val perRound = (recs - 2.0 * nE) / rounds
+    info(f"|V|=$nV |E|=$nE rounds=$rounds perRound=$perRound%.0f shuffled records/round")
+    val budget = 4.0 * nV + 2.0 * nV * math.min(parts, 8) / 8.0 + 2000
+    assert(perRound < budget,
+      s"per-round shuffle records $perRound exceed the |V|-shaped budget " +
+        s"$budget (|V|=$nV, |E|=$nE) — an |E|-sized table is moving per round")
+    assert(perRound < nE,
+      s"per-round shuffle records $perRound >= |E|=$nE — edges re-shuffled")
+    edges.unpersist()
+  }
+
+  test("communities: a round moves label-table-sized records, edges shuffle once") {
+    // the label-propagation twin of the bfs gate: per extra round the
+    // shuffled increment is the |V|-sized label table probed into the
+    // once-partitioned und layout, the (vertex, neighbor-label) count
+    // partials (map-side combined, bounded by the distinct pair table)
+    // and the argmax window exchange — never the 2|E| doubled edge list.
+    val e = queries.GraphQueries.coPartEdges(spark, sf).persist()
+    val nE = e.count()
+    val nV = e.select(col("a").as("id"))
+      .unionAll(e.select(col("b").as("id"))).distinct().count()
+    GraphAnalytics.labelPropagation(e, rounds = 1).count() // warm caches
+    def run(r: Int): Long =
+      probe3(GraphAnalytics.labelPropagation(e, rounds = r).count())._3
+    val r2 = run(2)
+    val r6 = run(6)
+    val perRound = (r6 - r2) / 4.0
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    info(f"|V|=$nV |E|=$nE perRound=$perRound%.0f shuffled records/round")
+    // the (id, lbl) pair table is degree-bounded: <= 2|E| pairs in the
+    // worst round, ~|V| once labels coalesce — budget a few such tables
+    val budget = 3.0 * nV + 2.0 * nV * math.min(parts, 8) / 8.0 +
+      math.min(2.0 * nE, 4.0 * nV) + 2000
+    assert(perRound < budget,
+      s"per-round shuffle records $perRound exceed the label-table budget " +
+        s"$budget (|V|=$nV, |E|=$nE) — an edge-sized table is moving per round")
+    assert(perRound < 2.0 * nE + 2000,
+      s"per-round shuffle records $perRound >= 2|E|=${2 * nE} — the doubled " +
+        "edge list is re-shuffling per round")
+    e.unpersist()
+  }
+
   test("pagerank: final plan is iteration-free (lineage truncated to constant depth)") {
     val edges = queries.GraphQueries.kgEdges(spark, sf)
     def planSize(iters: Int): Int =
