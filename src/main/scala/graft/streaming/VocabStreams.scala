@@ -205,16 +205,20 @@ object VocabStreams {
       // deterministic batchIds (one file per trigger in forced-mtime
       // order), and the committed-id guard skips the already-trained
       // ones, so recovery stays exactly-once and bit-identical.
+      val stateDir = Paths.get(sys.props("java.io.tmpdir"),
+        s"graft_contstream_${key}_v${StateFormatVersion}_state")
       val outcome = runContinualStream(spark, src.toString, chk.toString,
-        oldRaw, replay, p, batchEpochs = 1,
-        stateDir = Some(Paths.get(sys.props("java.io.tmpdir"),
-          s"graft_contstream_${key}_state")))
+        oldRaw, replay, p, batchEpochs = 1, stateDir = Some(stateDir))
       outcome.entities.unpersist(); outcome.labels.unpersist()
       outcome.stages
         .toDF("k", "n_entities", "n_labels", "n_new_entities",
           "n_train_triples", "hinge_loss")
         .coalesce(1).write.mode("overwrite").parquet(out.toString)
       Files.writeString(done, "ok")
+      // committed SGD stages exist to RESUME a killed run; once _DONE
+      // commits the run can never resume again, so the sibling state dir
+      // is dead weight — drop it (ADVICE r11)
+      deleteRecursively(stateDir)
     }
     spark.read.parquet(out.toString).orderBy("k")
   }
@@ -240,6 +244,13 @@ object VocabStreams {
   // stage-then-move commit protocol as the txnAppend sink, so a crash
   // mid-persist never leaves a half-written state a restart could adopt.
   // id = -1 is the initial (pre-stream) fit.
+
+  /** Version of the persisted stage LAYOUT above — owned here, next to
+    * the writer, and folded into every state-dir key by callers: a
+    * format change bumps it and can never silently adopt a stale
+    * committed stage written in the old layout for an unchanged corpus
+    * (ADVICE r11). */
+  private[graft] val StateFormatVersion = 1
 
   private def stageDone(stateDir: java.nio.file.Path, id: Long) =
     stateDir.resolve(s"batch=$id").resolve("_DONE")
