@@ -32,8 +32,15 @@ object SimilaritySearch {
   /** Exact top-k cosine neighbors for each of `queryIds`. Output:
     * (query_id, rank, neighbor_id) — integer-only for oracle stability;
     * ties broken by neighbor_id (measured top-k gaps on testdata are
-    * ~2e-5, far above cross-engine float noise). */
-  def bruteForceTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int = 10): DataFrame = {
+    * ~2e-5, far above cross-engine float noise).
+    *
+    * `excludeQueries = true` (the registered ann_topk shape) removes ALL
+    * query vectors from the neighbor pool; `false` removes only the
+    * query itself — the ground-truth semantics the bucketed ANN methods
+    * use, which is what [[annRecallReport]] needs to compare against
+    * fairly. */
+  def bruteForceTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int = 10,
+      excludeQueries: Boolean = true): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val qset = queryIds.toSet
@@ -55,15 +62,17 @@ object SimilaritySearch {
         qid -> new java.util.PriorityQueue[Scored](k + 1, heapOrd)
       }
       it.foreach { case (vid, vec) =>
-        if (!qset.contains(vid)) {
+        if (!(excludeQueries && qset.contains(vid))) {
           var qi = 0
           while (qi < qs.length) {
             val (qid, qvec) = qs(qi)
-            val sim = Kernels.cosine(qvec, vec)
-            val heap = heaps(qi)._2
-            if (heap.size < k) heap.add(Scored(qid, vid, sim))
-            else if (heapOrd.compare(Scored(qid, vid, sim), heap.peek()) > 0) {
-              heap.poll(); heap.add(Scored(qid, vid, sim))
+            if (vid != qid) {
+              val sim = Kernels.cosine(qvec, vec)
+              val heap = heaps(qi)._2
+              if (heap.size < k) heap.add(Scored(qid, vid, sim))
+              else if (heapOrd.compare(Scored(qid, vid, sim), heap.peek()) > 0) {
+                heap.poll(); heap.add(Scored(qid, vid, sim))
+              }
             }
             qi += 1
           }
@@ -87,8 +96,11 @@ object SimilaritySearch {
   }
 
   /** DuckDB oracle for bruteForceTopK over the embeddings table. */
-  def bruteForceTopKSql(queryIds: Seq[Long], k: Int = 10): String = {
+  def bruteForceTopKSql(queryIds: Seq[Long], k: Int = 10,
+      excludeQueries: Boolean = true): String = {
     val ids = queryIds.mkString("(", ", ", ")")
+    val pool = if (excludeQueries) s"v.vec_id NOT IN $ids"
+      else "v.vec_id <> q.vec_id"
     s"""SELECT query_id, rank, neighbor_id FROM (
        |  SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
        |    ROW_NUMBER() OVER (
@@ -97,7 +109,7 @@ object SimilaritySearch {
        |                                      CAST(v.embedding AS DOUBLE[])) DESC,
        |               v.vec_id ASC) AS rank
        |  FROM embeddings q
-       |  JOIN embeddings v ON v.vec_id NOT IN $ids
+       |  JOIN embeddings v ON $pool
        |  WHERE q.vec_id IN $ids)
        |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
   }
@@ -379,4 +391,92 @@ object SimilaritySearch {
        |  JOIN vecs n ON n.vec_id = s.neighbor_id)
        |SELECT query_id, rank, neighbor_id FROM scored
        |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+
+  /** Recall@k observability for the bucketed ANN family (VERDICT r11
+    * #5): per query id and method, the ppm fraction of the EXACT top-k
+    * cosine neighbors that the approximate method recovered —
+    * `recall_ppm = 1e6 * |approx_k ∩ exact_k| div k`. A curation team
+    * tuning nProbe / bands / codebooks reads this instead of flying
+    * blind on hash-stable-but-possibly-bad candidates.
+    *
+    * Ground truth is [[bruteForceTopK]] with SELF-only exclusion
+    * (`excludeQueries = false`): the bucketed methods rank every
+    * non-self vector, so truth must too — the registered ann_topk's
+    * all-queries exclusion would misscore a method for correctly
+    * finding another query vector. All three methods run at their
+    * registered bench configs; ivfpq's top-k prefix at rank <= k is its
+    * ADC-ordered head. Integer-only output, fully DuckDB-replayable
+    * ([[annRecallReportSql]]) since both sides are deterministic.
+    *
+    * Scale shape: one pass per method (each already banded/bucketed,
+    * never all-pairs) plus the brute-force truth restricted to
+    * |queryIds| probes; the recall join moves |queryIds| * k id-rows. */
+  def annRecallReport(embeddings: DataFrame, queryIds: Seq[Long],
+      k: Int = 5, lshBitsPerTable: Int = 12): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val truth = bruteForceTopK(embeddings, queryIds, k, excludeQueries = false)
+      .select(col("query_id"), col("neighbor_id"))
+    val methods: Seq[(String, DataFrame)] = Seq(
+      "lsh" -> randomHyperplaneAnn(embeddings, bitsPerTable = lshBitsPerTable),
+      "ivf" -> IvfAnn.topK(embeddings),
+      "ivfpq" -> Quantization.ivfPqTopK(embeddings, queryIds))
+    val base = queryIds.toDF("query_id")
+    methods.map { case (name, approx) =>
+      val hits = approx
+        .filter(col("query_id").isin(queryIds: _*) && col("rank") <= k)
+        .select(col("query_id"), col("neighbor_id"))
+        .join(truth, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("hits"))
+      // zero-hit queries still get a row — the report's whole point is
+      // to surface them
+      base.join(hits, Seq("query_id"), "left")
+        .select(lit(name).as("method"), col("query_id"),
+          expr(s"1000000 * coalesce(hits, 0L) DIV $k").as("recall_ppm"))
+    }.reduce(_ unionAll _)
+  }
+
+  /** DuckDB replay of [[annRecallReport]]: each method's existing oracle
+    * SQL runs as a subquery (CTE scopes don't collide), intersected with
+    * the self-exclusion brute-force truth. */
+  def annRecallReportSql(queryIds: Seq[Long], k: Int = 5, dim: Int = 64,
+      lshBitsPerTable: Int = 12): String = {
+    val ids = queryIds.mkString("(", ", ", ")")
+    val arr = queryIds.mkString("[", ", ", "]")
+    def method(name: String, sql: String): String =
+      s"""m_$name AS (
+         |  SELECT query_id, neighbor_id FROM ($sql)
+         |  WHERE query_id IN $ids AND rank <= $k
+         |)""".stripMargin
+    s"""WITH truth AS (
+       |  SELECT query_id, neighbor_id
+       |  FROM (${bruteForceTopKSql(queryIds, k, excludeQueries = false)})
+       |),
+       |${method("lsh", annLshSql(dim, bitsPerTable = lshBitsPerTable))},
+       |${method("ivf", IvfAnn.topKSql(dim))},
+       |${method("ivfpq", Quantization.ivfPqTopKSql(queryIds, dim = dim))},
+       |q AS (SELECT CAST(unnest($arr) AS BIGINT) AS query_id),
+       |hits AS (
+       |  SELECT 'lsh' AS method, m.query_id, COUNT(*) AS hits
+       |  FROM m_lsh m JOIN truth t
+       |    ON m.query_id = t.query_id AND m.neighbor_id = t.neighbor_id
+       |  GROUP BY m.query_id
+       |  UNION ALL
+       |  SELECT 'ivf', m.query_id, COUNT(*)
+       |  FROM m_ivf m JOIN truth t
+       |    ON m.query_id = t.query_id AND m.neighbor_id = t.neighbor_id
+       |  GROUP BY m.query_id
+       |  UNION ALL
+       |  SELECT 'ivfpq', m.query_id, COUNT(*)
+       |  FROM m_ivfpq m JOIN truth t
+       |    ON m.query_id = t.query_id AND m.neighbor_id = t.neighbor_id
+       |  GROUP BY m.query_id
+       |)
+       |SELECT m.method AS method, q.query_id AS query_id,
+       |  CAST(1000000 * COALESCE(h.hits, 0) // $k AS BIGINT) AS recall_ppm
+       |FROM (VALUES ('lsh'), ('ivf'), ('ivfpq')) m(method)
+       |CROSS JOIN q
+       |LEFT JOIN hits h ON h.method = m.method AND h.query_id = q.query_id
+       |ORDER BY m.method, q.query_id""".stripMargin
+  }
 }

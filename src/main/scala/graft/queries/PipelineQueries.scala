@@ -200,6 +200,7 @@ object PipelineQueries {
     "text_lm_fluency" -> Seq("doc_id"),
     "sample_dsir" -> Seq("doc_id"),
     "text_sentence_stats" -> Seq("doc_id"),
+    "report_ann_recall" -> Seq("method", "query_id"),
     "sink_bloom_skip" -> Seq("o_orderkey"))
 
   /** The operator registrations as written — sorted only where the
@@ -284,6 +285,9 @@ object PipelineQueries {
     "ann_pq_codes" -> ((s, d) => Quantization.pqCodes(Tables.embeddings(s, d))),
     "ann_pq_topk" -> ((s, d) => Quantization.pqTopK(Tables.embeddings(s, d), annQueryIds)),
     "ann_ivfpq_topk" -> ((s, d) => Quantization.ivfPqTopK(Tables.embeddings(s, d), annQueryIds)),
+    // recall@k of the bucketed ANN methods vs exact ground truth
+    "report_ann_recall" -> ((s, d) =>
+      SimilaritySearch.annRecallReport(Tables.embeddings(s, d), annQueryIds)),
     // ADC shortlist + exact re-rank (FAISS refine): the production recall
     // recovery — `refine` exact scores per query instead of |corpus|
     "ann_pq_refine" -> ((s, d) => Quantization.pqTopK(Tables.embeddings(s, d), annQueryIds, refine = 100)),
@@ -518,6 +522,7 @@ object PipelineQueries {
     "ann_pq_codes" -> Quantization.pqCodesSql(),
     "ann_pq_topk" -> Quantization.pqTopKSql(annQueryIds),
     "ann_ivfpq_topk" -> Quantization.ivfPqTopKSql(annQueryIds),
+    "report_ann_recall" -> SimilaritySearch.annRecallReportSql(annQueryIds),
     "ann_pq_refine" -> Quantization.pqTopKSql(annQueryIds, refine = 100),
     "mm_decode_features" -> Multimodal.decodeFeaturesSql,
     "mm_frame_features" -> Multimodal.sampleFrameFeaturesSql(),

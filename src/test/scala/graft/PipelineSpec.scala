@@ -381,6 +381,29 @@ class PipelineSpec extends SparkSpec {
       4L -> ((1L, 4000L, 0L))))
   }
 
+  test("ann recall report: per-method floors hold at the bench configs") {
+    // VERDICT r11 #5: the ANN family is hash-oracled for DETERMINISM;
+    // this is the missing recall observability plus its floor. The floor
+    // is a REGRESSION gate, not a quality target: the synthetic
+    // embeddings are near-orthogonal background + planted near-dups, so
+    // bucketed methods at the registered bench configs genuinely recover
+    // only part of the exact top-5 (measured r12, sf0.001 and sf0.01
+    // alike: ivf ~0.59 mean, ivfpq ~0.20, lsh ~0.11 — tightening nProbe/
+    // bands is exactly the tuning loop this report serves). A
+    // candidate-generation breakage (wrong planes, empty probes, broken
+    // ADC) zeroes a method's mean and fails its floor immediately.
+    val r = SimilaritySearch.annRecallReport(
+        Tables.embeddings(spark, sf), (0L until 20L))
+      .groupBy("method").agg(avg("recall_ppm").as("mean_ppm"))
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    info(s"mean recall_ppm by method: $r")
+    assert(r.keySet == Set("lsh", "ivf", "ivfpq"))
+    assert(r("ivf") >= 450000, s"ivf recall regressed: $r")
+    assert(r("ivfpq") >= 120000, s"ivfpq recall regressed: $r")
+    assert(r("lsh") >= 60000, s"lsh recall regressed: $r")
+    assert(r.values.forall(v => v >= 0 && v <= 1000000))
+  }
+
   test("bloom skip: real file skipping, zero false negatives, fail-open admission") {
     import graft.operators.BloomSkip
     val keys = BloomSkip.workload(spark, sf)
