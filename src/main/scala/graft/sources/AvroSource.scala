@@ -64,6 +64,11 @@ import graft.Tables
   * convention), unrecognized logical annotations fall back to the
   * underlying type per the Avro spec, and any container codec the avro
   * core dispatches (deflate/snappy/null are writable too, round 11).
+  * The memberN mapping is BIDIRECTIONAL since r12: the sink writes a
+  * memberN one-of struct back as a true multi-branch Avro UNION
+  * (nullable wrap flattened per the no-nested-unions rule), so a
+  * foreign union survives a read-transform-write cycle as a union, not
+  * as a graft-private record shape.
   */
 object AvroSource {
 
@@ -95,26 +100,49 @@ object AvroSource {
     // landing-format case); element nullability via UNION like fields
     case ArrayType(et, containsNull) =>
       val elem = avroTypeOf(et, s"${path}_elem")
-      Schema.createArray(
-        if (containsNull)
-          Schema.createUnion(Schema.create(Schema.Type.NULL), elem)
-        else elem)
+      Schema.createArray(if (containsNull) nullableUnion(elem) else elem)
     // nested records: the remaining landing-format shape (event payloads
-    // with typed sub-objects); names path-derived for uniqueness
-    case st: StructType => toAvroSchema(st, path)
+    // with typed sub-objects); names path-derived for uniqueness. A
+    // memberN one-of struct writes as a true Avro UNION — the inverse of
+    // the read-side mapping, so foreign unions ROUND-TRIP through the
+    // sink (r12; the numeric widenings [int,long]->bigint stay one-way,
+    // the data is preserved at the wider type)
+    case st: StructType => oneOfBranches(st) match {
+      case Some(branches) =>
+        Schema.createUnion(branches.zipWithIndex.map { case (b, i) =>
+          avroTypeOf(b, s"${path}_member$i")
+        }.asJava)
+      case None => toAvroSchema(st, path)
+    }
     // maps: avro maps are string-keyed by spec — exactly the Spark
     // map<string, T> that tag/property bags land as
     case MapType(StringType, vt, valueContainsNull) =>
       val value = avroTypeOf(vt, s"${path}_value")
       Schema.createMap(
-        if (valueContainsNull)
-          Schema.createUnion(Schema.create(Schema.Type.NULL), value)
-        else value)
+        if (valueContainsNull) nullableUnion(value) else value)
     case MapType(kt, _, _) => throw new IllegalArgumentException(
       s"avro sink: map keys must be STRING (avro spec), got $kt")
     case other => throw new IllegalArgumentException(
       s"avro sink: unsupported Spark type $other")
   }
+
+  /** The one-of convention (shared with [[toSparkType]]'s union read
+    * mapping): a struct whose fields are exactly member0..memberN in
+    * order, N >= 1, is the Spark carrier of a multi-branch Avro union. */
+  private[sources] def oneOfBranches(st: StructType): Option[Seq[DataType]] =
+    if (st.length >= 2 && st.fields.zipWithIndex.forall {
+        case (f, i) => f.name == s"member$i" })
+      Some(st.fields.map(_.dataType).toSeq)
+    else None
+
+  /** Nullable wrap at the use site; FLATTENS when the base is already a
+    * union (Avro forbids nested unions — a nullable one-of field is
+    * UNION(null, b0, b1, ...), not UNION(null, UNION(...))). */
+  private def nullableUnion(base: Schema): Schema =
+    if (base.getType == Schema.Type.UNION)
+      Schema.createUnion(
+        (Schema.create(Schema.Type.NULL) +: base.getTypes.asScala.toSeq).asJava)
+    else Schema.createUnion(Schema.create(Schema.Type.NULL), base)
 
   def toAvroSchema(schema: StructType, name: String = "row"): Schema = {
     var fields = SchemaBuilder.record(name).namespace("graft").fields()
@@ -125,9 +153,7 @@ object AvroSource {
       }
       fields =
         if (f.nullable)
-          fields.name(f.name)
-            .`type`(Schema.createUnion(Schema.create(Schema.Type.NULL), base))
-            .withDefault(null)
+          fields.name(f.name).`type`(nullableUnion(base)).withDefault(null)
         else fields.name(f.name).`type`(base).noDefault()
     }
     fields.endRecord()
@@ -328,10 +354,24 @@ object AvroSource {
   private def fromExternal(v: Any, dt: DataType, s: Schema): AnyRef =
     if (v == null) null
     else {
-      val base =
+      val nonNull =
         if (s.getType == Schema.Type.UNION)
-          s.getTypes.asScala.find(_.getType != Schema.Type.NULL).get
-        else s
+          s.getTypes.asScala.filter(_.getType != Schema.Type.NULL).toSeq
+        else Seq(s)
+      // multi-branch union: the value is a one-of struct — encode its
+      // single set member as that branch's value (the generic writer
+      // resolves the branch from the JVM value / record name)
+      if (nonNull.size > 1) {
+        val st = dt.asInstanceOf[StructType]
+        val row = v.asInstanceOf[Row]
+        val set = (0 until st.length).filter(i => !row.isNullAt(i))
+        require(set.size == 1, "avro sink: one-of struct must have exactly " +
+          s"one memberN field set per row, got ${set.size} — a memberN-named " +
+          "struct is the union carrier convention")
+        return fromExternal(row.get(set.head), st.fields(set.head).dataType,
+          nonNull(set.head))
+      }
+      val base = nonNull.head
       dt match {
         case LongType | IntegerType | DoubleType | FloatType | BooleanType |
              StringType => v.asInstanceOf[AnyRef] // already the boxed/jvm form
