@@ -6,8 +6,8 @@ import org.apache.spark.sql.functions._
 /** End-to-end corpus cleaning — the operators composed the way a real
   * training-data pipeline chains them:
   *
-  *   quality gate -> PII scrub -> exact content dedup -> deterministic
-  *   sample
+  *   quality gate + sentence gate -> PII scrub -> exact content dedup ->
+  *   deterministic sample
   *
   * Everything stays one lazy DataFrame chain over ONE scan (the quality
   * score is a pure expression over `text`, so the gate is an inline
@@ -23,12 +23,27 @@ import org.apache.spark.sql.functions._
   */
 object CorpusPipeline {
 
-  /** Documents surviving the quality gate. The score is a pure function
-    * of `text`, so it is computed INLINE — no self-join, no second scan
-    * of the corpus (at 100 TB that join would double the read volume). */
+  // Fused sentence-gate knobs (VERDICT r11 #7): the sentence-level pass
+  // rides the SAME scan filter as the quality score. Defaults calibrated
+  // to the synthetic corpus — unpunctuated word-soup docs parse as one
+  // giant "sentence" with terminal_ppm 0, so the strict C4 thresholds
+  // (>= 3 sentences, mean <= 40 words, >= half terminal-punctuated)
+  // would reject 100%; report_filter_reasons' r6-r8 rows carry exactly
+  // those strict thresholds so the owner sees that before tightening
+  // these knobs on a real corpus.
+  private val MinSentences = 1L
+  private val MaxMeanWordsMilli = 60000L
+  private val MinTerminalPpm = 0L
+
+  /** Documents surviving the quality + sentence gates. Both are pure
+    * functions of `text`, so they are computed INLINE — no self-join, no
+    * second scan of the corpus (at 100 TB that join would double the
+    * read volume). */
   private def qualityKept(docs: DataFrame, minQuality: Double): DataFrame =
     docs.select(col("doc_id"), col("text"))
-      .filter(TextAnalysis.qualityScoreExpr >= minQuality)
+      .filter(TextAnalysis.qualityScoreExpr >= minQuality &&
+        TextAnalysis.sentenceGateExpr(MinSentences, MaxMeanWordsMilli,
+          MinTerminalPpm))
 
   /** Surviving documents after the full clean: (doc_id, content_md5),
     * where doc_id is the smallest id among exact duplicates of the
@@ -79,7 +94,10 @@ object CorpusPipeline {
     val oDedup = Observation()
     val observedIn = docs.select(col("doc_id"), col("text"))
       .observe(oIn, count(lit(1)).as("n"))
-    val kept = observedIn.filter(TextAnalysis.qualityScoreExpr >= minQuality)
+    val kept = observedIn
+      .filter(TextAnalysis.qualityScoreExpr >= minQuality &&
+        TextAnalysis.sentenceGateExpr(MinSentences, MaxMeanWordsMilli,
+          MinTerminalPpm))
       .observe(oKept, count(lit(1)).as("n"))
     val deduped = kept.select(col("doc_id"),
         md5(TextAnalysis.redactedText(col("text"))).as("content_md5"))
@@ -98,7 +116,9 @@ object CorpusPipeline {
 
   private def keptSql(minQuality: Double, sampleRate: Double): String =
     s"""kept AS (SELECT doc_id, text FROM documents
-       |         WHERE ${TextAnalysis.qualityScoreExprSql} >= $minQuality),
+       |         WHERE ${TextAnalysis.qualityScoreExprSql} >= $minQuality
+       |           AND ${TextAnalysis.sentenceGateSql(MinSentences,
+                       MaxMeanWordsMilli, MinTerminalPpm)}),
        |deduped AS (SELECT content_md5, MIN(doc_id) AS doc_id FROM (
        |    SELECT doc_id, md5(${TextAnalysis.redactedTextSql("text")}) AS content_md5
        |    FROM kept)
@@ -158,7 +178,9 @@ object CorpusPipeline {
     val u = Sampling.hashUnitSql("COALESCE(c.component_id, d.doc_id)", "gsplit")
     s"""WITH RECURSIVE ${DedupComponents.closureCteSql(pairsSql)},
        |kept AS (SELECT doc_id, text FROM documents
-       |         WHERE ${TextAnalysis.qualityScoreExprSql} >= $minQuality),
+       |         WHERE ${TextAnalysis.qualityScoreExprSql} >= $minQuality
+       |           AND ${TextAnalysis.sentenceGateSql(MinSentences,
+                       MaxMeanWordsMilli, MinTerminalPpm)}),
        |deduped AS (SELECT MIN(doc_id) AS doc_id FROM (
        |    SELECT doc_id, md5(${TextAnalysis.redactedTextSql("text")}) AS content_md5
        |    FROM kept)

@@ -109,6 +109,62 @@ object TextAnalysis {
        |  CAST((1000000 * n_terminal) // n_sentences AS BIGINT) AS terminal_ppm
        |FROM agg ORDER BY doc_id""".stripMargin
 
+  // --------------------------- sentence quantities as pure expressions
+  // (VERDICT r11 #7): the sentenceStats regexes/ladder as single column
+  // expressions over `text`, so the filter-rule report AND the fused
+  // cleaning gate consume them inline — no self-join, no second scan.
+  // Null text propagates null (the doc counts in no rule, the gate drops
+  // it); zero-sentence docs get NULL mean/terminal via the CASE guard
+  // (both engines agree) and are caught by the sentence-count rule.
+  private val sentsExprStr =
+    "filter(regexp_extract_all(lower(text), '[^.!?]+[.!?]*', 0), " +
+      "s -> s rlike '[a-z0-9]')"
+  private val nSentExprStr = s"size($sentsExprStr)"
+  private val meanWordsMilliExprStr =
+    s"CASE WHEN $nSentExprStr > 0 THEN (1000 * aggregate($sentsExprStr, 0L, " +
+      "(acc, s) -> acc + size(regexp_extract_all(s, '[a-z]+|[0-9]+', 0)))) " +
+      s"DIV $nSentExprStr END"
+  private val terminalPpmExprStr =
+    s"CASE WHEN $nSentExprStr > 0 THEN (1000000 * aggregate($sentsExprStr, " +
+      "0L, (acc, s) -> acc + CASE WHEN s rlike '[.!?]\\\\s*$' THEN 1L " +
+      s"ELSE 0L END)) DIV $nSentExprStr END"
+
+  /** The sentence-level KEEP predicate for the fused cleaning pipeline:
+    * at least `minSentences` real sentences, mean sentence length at
+    * most `maxMeanWordsMilli` (milli-words), terminal-punctuation rate
+    * at least `minTerminalPpm`. Defaults are calibrated to the synthetic
+    * corpus (unpunctuated word-soup docs: every doc is one "sentence"
+    * with terminal_ppm 0, so the C4 defaults would reject 100% — the
+    * r6-r8 rows of [[filterReasons]] carry the strict C4/Gopher
+    * thresholds precisely so a pipeline owner SEES that before
+    * committing to them). */
+  private[operators] def sentenceGateExpr(minSentences: Long,
+      maxMeanWordsMilli: Long, minTerminalPpm: Long): org.apache.spark.sql.Column =
+    expr(s"$nSentExprStr >= $minSentences AND " +
+      s"($meanWordsMilliExprStr) <= $maxMeanWordsMilli AND " +
+      s"($terminalPpmExprStr) >= $minTerminalPpm")
+
+  // DuckDB twins of the sentence quantities (sentenceStatsSql spellings)
+  private val sentsSqlStr =
+    "list_filter(regexp_extract_all(lower(text), '[^.!?]+[.!?]*'), " +
+      "x -> regexp_matches(x, '[a-z0-9]'))"
+  private val nSentSqlStr = s"len($sentsSqlStr)"
+  private val meanWordsMilliSqlStr =
+    s"CASE WHEN $nSentSqlStr > 0 THEN (1000 * list_sum(list_transform(" +
+      s"$sentsSqlStr, x -> len(regexp_extract_all(x, '[a-z]+|[0-9]+'))))) " +
+      s"// $nSentSqlStr END"
+  private val terminalPpmSqlStr =
+    s"CASE WHEN $nSentSqlStr > 0 THEN (1000000 * list_sum(list_transform(" +
+      s"$sentsSqlStr, x -> CASE WHEN regexp_matches(x, '[.!?]\\s*$$') " +
+      s"THEN 1 ELSE 0 END))) // $nSentSqlStr END"
+
+  /** SQL spelling of [[sentenceGateExpr]]. */
+  private[operators] def sentenceGateSql(minSentences: Long,
+      maxMeanWordsMilli: Long, minTerminalPpm: Long): String =
+    s"($nSentSqlStr >= $minSentences AND " +
+      s"($meanWordsMilliSqlStr) <= $maxMeanWordsMilli AND " +
+      s"($terminalPpmSqlStr) >= $minTerminalPpm)"
+
   /** SQL spelling of [[qualityScoreExpr]]. */
   private[operators] val qualityScoreExprSql: String = {
     val stopList = enStopwords.map(s => s"'$s'").mkString("[", ", ", "]")
@@ -187,7 +243,15 @@ object TextAnalysis {
       "r2_too_many_words" -> (nWords > 1000),
       "r3_word_len_outlier" -> (meanLen < 2.0 || meanLen > 12.0),
       "r4_low_stopword" -> (stopRatio < 0.05),
-      "r5_low_alpha" -> (alphaRatio < 0.8))
+      "r5_low_alpha" -> (alphaRatio < 0.8),
+      // sentence-level rules (r12) at the STRICT C4/Gopher thresholds —
+      // deliberately stricter than the fused gate's defaults, so the
+      // report shows what committing to them would reject (on the
+      // unpunctuated synthetic corpus: everything)
+      "r6_too_few_sentences" -> expr(s"$nSentExprStr < 3"),
+      "r7_sentence_len_outlier" ->
+        expr(s"($meanWordsMilliExprStr) NOT BETWEEN 3000 AND 40000"),
+      "r8_low_terminal_punct" -> expr(s"($terminalPpmExprStr) < 500000"))
     val passAll = "r0_pass_all" -> !rules.map(_._2).reduce(_ || _)
     val flagged = (passAll +: rules).map { case (n, c) => sum(c.cast("long")).as(n) }
     val agg = docs.agg(flagged.head, flagged.tail: _*)
@@ -204,18 +268,27 @@ object TextAnalysis {
        |    ROUND(CAST(length(text) AS DOUBLE) / $nWords, 6) AS mean_word_len,
        |    ROUND(CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
        |        w -> list_contains($stopList, lower(w)))) AS DOUBLE) / $nWords, 6) AS stop_ratio,
-       |    ROUND(CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS DOUBLE) / $nWords, 6) AS alpha_ratio
+       |    ROUND(CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS DOUBLE) / $nWords, 6) AS alpha_ratio,
+       |    $nSentSqlStr AS n_sent,
+       |    $meanWordsMilliSqlStr AS mean_words_milli,
+       |    $terminalPpmSqlStr AS terminal_ppm
        |  FROM documents),
        |r AS (SELECT n_words < 10 AS r1, n_words > 1000 AS r2,
        |    mean_word_len < 2.0 OR mean_word_len > 12.0 AS r3,
-       |    stop_ratio < 0.05 AS r4, alpha_ratio < 0.8 AS r5 FROM f)
+       |    stop_ratio < 0.05 AS r4, alpha_ratio < 0.8 AS r5,
+       |    n_sent < 3 AS r6,
+       |    mean_words_milli NOT BETWEEN 3000 AND 40000 AS r7,
+       |    terminal_ppm < 500000 AS r8 FROM f)
        |SELECT 'r0_pass_all' AS rule,
-       |    CAST(COUNT(*) FILTER (WHERE NOT (r1 OR r2 OR r3 OR r4 OR r5)) AS BIGINT) AS n_docs FROM r
+       |    CAST(COUNT(*) FILTER (WHERE NOT (r1 OR r2 OR r3 OR r4 OR r5 OR r6 OR r7 OR r8)) AS BIGINT) AS n_docs FROM r
        |UNION ALL SELECT 'r1_too_few_words', CAST(COUNT(*) FILTER (WHERE r1) AS BIGINT) FROM r
        |UNION ALL SELECT 'r2_too_many_words', CAST(COUNT(*) FILTER (WHERE r2) AS BIGINT) FROM r
        |UNION ALL SELECT 'r3_word_len_outlier', CAST(COUNT(*) FILTER (WHERE r3) AS BIGINT) FROM r
        |UNION ALL SELECT 'r4_low_stopword', CAST(COUNT(*) FILTER (WHERE r4) AS BIGINT) FROM r
        |UNION ALL SELECT 'r5_low_alpha', CAST(COUNT(*) FILTER (WHERE r5) AS BIGINT) FROM r
+       |UNION ALL SELECT 'r6_too_few_sentences', CAST(COUNT(*) FILTER (WHERE r6) AS BIGINT) FROM r
+       |UNION ALL SELECT 'r7_sentence_len_outlier', CAST(COUNT(*) FILTER (WHERE r7) AS BIGINT) FROM r
+       |UNION ALL SELECT 'r8_low_terminal_punct', CAST(COUNT(*) FILTER (WHERE r8) AS BIGINT) FROM r
        |ORDER BY rule""".stripMargin
   }
 

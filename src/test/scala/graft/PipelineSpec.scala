@@ -1495,6 +1495,7 @@ class PipelineSpec extends SparkSpec {
       BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     val stop = TextAnalysis.enStopwords.toSet
     var (r0, r1, r2, r3, r4, r5) = (0L, 0L, 0L, 0L, 0L, 0L)
+    var (r6, r7, r8) = (0L, 0L, 0L)
     texts.foreach { t =>
       val words = t.trim.split("\\s+")
       val n = words.length
@@ -1502,18 +1503,35 @@ class PipelineSpec extends SparkSpec {
       val stopRatio = round6(words.count(w =>
         stop(w.toLowerCase(java.util.Locale.ROOT))).toDouble / n)
       val alpha = round6("[A-Za-z]+".r.findAllIn(t).size.toDouble / n)
+      // sentence ladder (r12): the sentenceStats regexes, recomputed here
+      val sents = "[^.!?]+[.!?]*".r
+        .findAllIn(t.toLowerCase(java.util.Locale.ROOT)).toSeq
+        .filter(s => "[a-z0-9]".r.findFirstIn(s).isDefined)
+      val nSent = sents.length
+      val meanMilli: Option[Long] = if (nSent == 0) None else Some(
+        1000L * sents.map(s =>
+          "[a-z]+|[0-9]+".r.findAllIn(s).size.toLong).sum / nSent)
+      val termPpm: Option[Long] = if (nSent == 0) None else Some(
+        1000000L * sents.count(s =>
+          "[.!?]\\s*$".r.findFirstIn(s).isDefined) / nSent)
       val f1 = n < 10; val f2 = n > 1000
       val f3 = meanLen < 2.0 || meanLen > 12.0
       val f4 = stopRatio < 0.05; val f5 = alpha < 0.8
+      val f6 = nSent < 3
+      val f7 = meanMilli.exists(m => m < 3000 || m > 40000)
+      val f8 = termPpm.exists(_ < 500000)
       if (f1) r1 += 1; if (f2) r2 += 1; if (f3) r3 += 1
       if (f4) r4 += 1; if (f5) r5 += 1
-      if (!(f1 || f2 || f3 || f4 || f5)) r0 += 1
+      if (f6) r6 += 1; if (f7) r7 += 1; if (f8) r8 += 1
+      if (!(f1 || f2 || f3 || f4 || f5 || f6 || f7 || f8)) r0 += 1
     }
     val out = TextAnalysis.filterReasons(docs).collect()
       .map(r => r.getString(0) -> r.getAs[Long]("n_docs")).toMap
     assert(out == Map(
       "r0_pass_all" -> r0, "r1_too_few_words" -> r1, "r2_too_many_words" -> r2,
-      "r3_word_len_outlier" -> r3, "r4_low_stopword" -> r4, "r5_low_alpha" -> r5))
+      "r3_word_len_outlier" -> r3, "r4_low_stopword" -> r4, "r5_low_alpha" -> r5,
+      "r6_too_few_sentences" -> r6, "r7_sentence_len_outlier" -> r7,
+      "r8_low_terminal_punct" -> r8))
   }
 
   test("curriculum: stage follows decile; deciles agree with token-budget report; order replays") {
