@@ -132,6 +132,53 @@ object Search {
        |ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
   }
 
+  /** Docs containing the exact token PHRASE — adjacent positions in
+    * tokenizer order — with the occurrence count (overlapping matches
+    * each count). The exact-substring lookup of a contamination audit
+    * ("which documents contain this benchmark sentence verbatim") where
+    * the conjunctive AND of [[keywordSearch]] is too weak.
+    *
+    * INDEX-sided like the other searches: positional postings are
+    * filtered to the phrase's terms BEFORE any shuffle — the one corpus
+    * scan fills a persisted (doc_id, start) posting cache sized
+    * |phrase-term postings|, and adjacency is an m-way equi-join on
+    * (doc_id, pos - offset), the search-engine positional-index plan (at
+    * 100 TB the same joins probe a standing positional postings table,
+    * touching |terms| buckets, never the corpus). Position sets are
+    * distinct per term by construction, so the joins are at most 1:1 per
+    * start and the per-doc count is exact. */
+  def phraseSearch(docs: DataFrame, phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty)
+    val postings = docs.select(col("doc_id"),
+        posexplode(regexp_extract_all(lower(col("text")),
+          lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).as(Seq("pos", "tok")))
+      .filter(col("tok").isin(phrase.distinct: _*))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def term(k: Int): DataFrame =
+      postings.filter(col("tok") === phrase(k))
+        .select(col("doc_id"), (col("pos") - k).as("start"))
+    phrase.indices.map(term).reduce(_.join(_, Seq("doc_id", "start")))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_matches"))
+  }
+
+  /** DuckDB replay of [[phraseSearch]] — the list-slice spelling over
+    * the same tokenizer (equality of the m-length slice at each start). */
+  def phraseSearchSql(phrase: Seq[String]): String = {
+    val m = phrase.length
+    val arr = phrase.map(sqlTerm).mkString("[", ", ", "]")
+    s"""WITH arr AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text),
+       |    '[a-z]+|[0-9]+|[^a-z0-9\\s]') AS toks
+       |  FROM documents WHERE text IS NOT NULL
+       |), counted AS (
+       |  SELECT doc_id, CAST(len(list_filter(range(1, len(toks) - $m + 2),
+       |    i -> toks[i:i+${m - 1}] = $arr)) AS BIGINT) AS n_matches
+       |  FROM arr WHERE len(toks) >= $m
+       |)
+       |SELECT doc_id, n_matches FROM counted WHERE n_matches > 0
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Top-k docs under exact-rational Okapi BM25 (k1 = 6/5, b = 3/4;
     * Robertson & Zaragoza 2009) — tf saturation AND length normalization,
     * the two things the integer tf-idf above deliberately lacks. The one

@@ -23,6 +23,10 @@ object PipelineQueries {
     * docs) and the ranked query's idf weights differ across terms. */
   val searchTerms: Seq[String] = Seq("spark", "vector", "dup")
 
+  /** Phrase for the positional lookup: a bigram the generator emits
+    * (~50 corpus occurrences at sf0.01). */
+  val phraseTerms: Seq[String] = Seq("table", "hash")
+
   /** The profile_columns registration body, exposed for PlanSpec. */
   def profileColumnsOrders(s: SparkSession, d: String): DataFrame =
     Profiling.profileColumns(Tables.orders(s, d), ordersProfileCols)
@@ -195,6 +199,7 @@ object PipelineQueries {
     "sample_split_grouped" -> Seq("doc_id"),
     "report_type_drift" -> Seq("event_type"),
     "search_keyword" -> Seq("doc_id"),
+    "search_phrase" -> Seq("doc_id"),
     "search_tfidf_topk" -> Seq("doc_id"),
     "search_bm25_topk" -> Seq("doc_id"),
     "text_lm_fluency" -> Seq("doc_id"),
@@ -364,6 +369,8 @@ object PipelineQueries {
     "report_type_drift" -> ((s, d) => EventAnalytics.typeDrift(Tables.events(s, d))),
     // lexical retrieval: conjunctive term lookup + integer tf-idf ranking
     "search_keyword" -> ((s, d) => Search.keywordSearch(Tables.documents(s, d), searchTerms)),
+    // exact adjacent-token phrase lookup (contamination-audit primitive)
+    "search_phrase" -> ((s, d) => Search.phraseSearch(Tables.documents(s, d), phraseTerms)),
     "search_tfidf_topk" -> ((s, d) => Search.tfidfSearch(Tables.documents(s, d), searchTerms)),
     "search_bm25_topk" -> ((s, d) => Search.bm25Search(Tables.documents(s, d), searchTerms)),
     "text_lm_fluency" -> ((s, d) => BigramLm.fluency(Tables.documents(s, d))),
@@ -573,6 +580,7 @@ object PipelineQueries {
       s"SELECT doc_a, doc_b FROM (${Dedup.ngramJaccardSql(maxDocFreq = None)})"),
     "report_type_drift" -> EventAnalytics.typeDriftSql(),
     "search_keyword" -> Search.keywordSearchSql(searchTerms),
+    "search_phrase" -> Search.phraseSearchSql(phraseTerms),
     "search_tfidf_topk" -> Search.tfidfSearchSql(searchTerms),
     "search_bm25_topk" -> Search.bm25SearchSql(searchTerms),
     "text_lm_fluency" -> BigramLm.fluencySql(),

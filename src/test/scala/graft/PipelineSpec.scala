@@ -291,6 +291,30 @@ class PipelineSpec extends SparkSpec {
     assert(top2 == Seq(4L, 3L, 1L))
   }
 
+  test("phrase search: exact adjacency, overlaps counted, punctuation breaks") {
+    import spark.implicits._
+    val crafted = Seq(
+      (1L, "alpha beta gamma"),          // 1 match at position 0
+      (2L, "alpha beta alpha beta"),     // 2 matches
+      (3L, "beta alpha"),                // reversed — no match
+      (4L, "alpha, beta"),               // comma token between — no match
+      (5L, "alpha beta beta alpha beta") // 2 matches (positions 0, 3)
+    ).toDF("doc_id", "text")
+    val got = Search.phraseSearch(crafted, Seq("alpha", "beta")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 2L, 5L -> 2L), s"got $got")
+    // overlapping occurrences each count; repeated-term phrases work
+    val rep = Seq((1L, "x x x x")).toDF("doc_id", "text")
+    val got2 = Search.phraseSearch(rep, Seq("x", "x")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2 == Map(1L -> 3L), s"got $got2")
+    // a 3-token phrase spanning a punctuation token matches exactly
+    val punct = Seq((1L, "run ! stop"), (2L, "run stop")).toDF("doc_id", "text")
+    val got3 = Search.phraseSearch(punct, Seq("run", "!", "stop")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got3 == Map(1L -> 1L), s"got $got3")
+  }
+
   test("bm25: exact fixed-point ladder on a hand corpus; saturation + length norm") {
     import spark.implicits._
     val crafted = Seq(

@@ -677,8 +677,9 @@ class PlanSpec extends SparkSpec {
       inline + cached
     }
     val po = graft.queries.PipelineQueries
-    val gated = Seq("text_lm_fluency", "search_keyword", "search_tfidf_topk",
-      "search_bm25_topk", "sample_dsir", "text_sentence_stats")
+    val gated = Seq("text_lm_fluency", "search_keyword", "search_phrase",
+      "search_tfidf_topk", "search_bm25_topk", "sample_dsir",
+      "text_sentence_stats")
     gated.foreach { name =>
       val df = po.rawQueries(name)(s2, sf)
       val n = docScans(df.queryExecution.executedPlan)
