@@ -500,7 +500,11 @@ object TextAnalysis {
       .otherwise(transform(
         sequence(lit(0), size(words) - 2),
         i => concat_ws(" ", slice(words, i + 1, lit(2)))))
+    // persisted: the corpus-frequency branch and the coverage probe both
+    // consume the bigram stream — unpersisted lineage re-runs the scan +
+    // explode per branch (r12 scan audit)
     val docBg = docs.select(col("doc_id"), explode(bigrams).as("bg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val frequent = docBg.groupBy("bg").agg(count(lit(1)).as("c"))
       .filter(col("c") >= minCount)
       .select(col("bg"), lit(1L).as("is_freq"))
@@ -623,11 +627,16 @@ object TextAnalysis {
       i => concat_ws(" ", slice(words, i + 1, lit(k))))
     // gram minting skips null text (the null-skipping greatest would
     // otherwise mint a '' gram and inflate the '' doc-frequency by one
-    // relative to the oracle's NULL-propagating replay)
+    // relative to the oracle's NULL-propagating replay). Persisted: the
+    // doc-frequency branch and the covered-position probe both consume
+    // it, and unpersisted lineage would re-run the scan + gram explode
+    // per branch (the r12 scan-audit shape) — token-scale id/hash rows,
+    // spillable, nothing like corpus text volume.
     val positional = docs.filter(col("text").isNotNull)
       .select(col("doc_id"), posexplode(grams).as(Seq("pos", "gram")))
       .select(col("doc_id"), col("pos"),
         Dedup.hash64Col(col("gram")).as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val base = docs.select(col("doc_id"), size(words).cast("long").as("n_toks"))
 
     val dupGrams = positional.groupBy("h")
@@ -670,11 +679,15 @@ object TextAnalysis {
       i => concat_ws(" ", slice(words, i + 1, lit(k))))
     // gram minting skips null text (the null-skipping greatest would
     // otherwise mint a '' gram and inflate the '' doc-frequency by one
-    // relative to the oracle's NULL-propagating replay)
+    // relative to the oracle's NULL-propagating replay). Persisted for
+    // the same two-consumer reason as dupSpanCoverage's — and since the
+    // plan is IDENTICAL, the cache manager shares one materialization
+    // when both queries run in a session.
     val positional = docs.filter(col("text").isNotNull)
       .select(col("doc_id"), posexplode(grams).as(Seq("pos", "gram")))
       .select(col("doc_id"), col("pos"),
         Dedup.hash64Col(col("gram")).as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val base = docs.select(col("doc_id"), size(words).cast("long").as("n_toks"))
 
     val dupGrams = positional.groupBy("h")
