@@ -151,7 +151,8 @@ object Bench {
       "family_staged_streams_sec" -> Seq(
         "stream_dedup_incremental", "stream_txn_append", "stream_ann_probe",
         "stream_restart_dedup", "stream_upsert", "stream_vocab_growth",
-        "stream_continual_train", "stream_dsir_score"))
+        "stream_continual_train", "stream_dsir_score",
+        "stream_decontaminate"))
     val memoized = families.flatMap(_._2)
       .filter(n => results.exists(_._1 == n)).sorted
     val familyCosts: Seq[(String, Double)] = families.map { case (fam, members) =>

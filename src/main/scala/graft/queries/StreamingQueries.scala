@@ -50,6 +50,8 @@ object StreamingQueries {
       graft.streaming.CorpusStreams.streamingAnnProbe(s, d)),
     "stream_dsir_score" -> ((s, d) =>
       graft.streaming.CorpusStreams.streamingDsirScore(s, d)),
+    "stream_decontaminate" -> ((s, d) =>
+      graft.streaming.CorpusStreams.streamingDecontaminate(s, d)),
     "q11_sessionize" -> ((s, d) => EventStreams.sessionizeBatch(Tables.events(s, d))),
     "q12_asof_join" -> ((s, d) => AsOfJoin.errorToLastClick(Tables.events(s, d))),
     "q32_asof_forward" -> ((s, d) => AsOfJoin.errorToNextClick(Tables.events(s, d))),
@@ -158,6 +160,13 @@ object StreamingQueries {
     // and the stream shares the one-shot serving oracle
     "stream_dsir_score" ->
       graft.streaming.CorpusStreams.streamingDsirScoreSql(),
+    // verdicts are per-doc functions of (doc, standing eval-gram set) —
+    // arrivals never compare to each other — so the micro-batched union
+    // equals the one-shot probe and shares the batch ladder's oracle
+    // restricted to the arrival slice (all-verdicts form: an ingest
+    // gate decides every doc)
+    "stream_decontaminate" ->
+      graft.streaming.CorpusStreams.streamingDecontaminateSql(),
     "q11_sessionize" -> EventStreams.sessionizeBatchSql(),
     "q12_asof_join" -> AsOfJoin.errorToLastClickSql,
     // forward direction + tolerance: DuckDB's native forward ASOF is the

@@ -228,4 +228,75 @@ object CorpusStreams {
       buckets: Int = 1024): String =
     graft.operators.ImportanceSampling.dsirScoreSql(targetSource,
       "doc_id % 10 <> 7", "doc_id % 10 = 7", buckets)
+
+  /** Streaming decontamination monitor: arriving training documents
+    * (the doc_id % 10 == 7 slice of the train split) are checked per
+    * micro-batch against the STANDING eval-set gram asset — benchmark
+    * hygiene at ingest time, before a contaminated doc ever lands in a
+    * training shard. The distinct eval-gram set
+    * ([[graft.operators.Decontaminate.evalGramSet]]) is built once
+    * outside the stream and broadcasts into every probe; each verdict is
+    * a pure per-doc function of (doc, gram set) — arrivals are never
+    * compared to each other — so the micro-batched union equals the
+    * one-shot batch probe exactly and the stream shares the batch
+    * ladder's oracle restricted to the arrival slice. Output is the
+    * ADMISSION table — one verdict row per arrival, clean docs at
+    * n_shared_grams = 0 (an ingest gate must decide every doc, not just
+    * report the hits). At 100 TB this is the
+    * admission-control shape: |batch shingles| x broadcast-set lookup
+    * per batch, corpus never rescanned. */
+  def streamingDecontaminate(spark: SparkSession, sfDir: String,
+      n: Int = 8, evalRate: Double = 0.05): DataFrame = {
+    import graft.operators.Decontaminate
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+    val (evalDocs, train) = Decontaminate.evalSplit(docs, evalRate)
+    val arrivals = train.filter(col("doc_id") % 10 === 7)
+
+    val target = Paths.get(sfDir, "documents.parquet").toAbsolutePath.normalize
+    val mtime = Files.getLastModifiedTime(target).toMillis
+    val key = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s"$target:$mtime:decon:$n:$evalRate".getBytes("UTF-8"))
+      .take(8).map("%02x".format(_)).mkString
+    val base = Paths.get(sys.props("java.io.tmpdir"), s"graft_streamdecon_$key")
+    val (src, out, chk) = (base.resolve("src"), base.resolve("out"), base.resolve("chk"))
+    val done = base.resolve("_DONE")
+
+    if (!Files.exists(done)) {
+      // crash discipline: _DONE is the commit point, a half-state is wiped
+      StagedRuns.freshBase(base, done)
+      val grams = Decontaminate.evalGramSet(evalDocs, n).persist()
+      grams.count()
+      Files.createDirectories(src)
+      (0 until 4).foreach { i =>
+        arrivals.filter(pmod(col("doc_id"), lit(40)) === (7 + 10 * i))
+          .coalesce(1).write.mode("append").parquet(src.toString)
+      }
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType)))
+      val q = spark.readStream
+        .schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src.toString)
+        .writeStream
+        .option("checkpointLocation", chk.toString)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          Decontaminate.probeGrams(grams, batch, n, keepClean = true)
+            .write.mode("append").parquet(out.toString)
+          ()
+        }
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+        .start()
+      // stop() is asynchronous — await termination before _DONE/cleanup,
+      // or a re-invocation's freshBase races the dying query's checkpoint
+      try q.processAllAvailable() finally { q.stop(); q.awaitTermination() }
+      grams.unpersist()
+      Files.writeString(done, "ok")
+    }
+    spark.read.parquet(out.toString).orderBy("doc_id")
+  }
+
+  def streamingDecontaminateSql(n: Int = 8, evalRate: Double = 0.05): String =
+    graft.operators.Decontaminate.verdictsSql(n, evalRate,
+      trainPred = "doc_id % 10 = 7")
 }

@@ -616,6 +616,29 @@ class StreamingSpec extends SparkSpec {
       s"stream/batch DSIR divergence: ${streamed.length} vs ${oneShot.length} rows")
   }
 
+  test("streaming decontamination equals the one-shot admission verdicts") {
+    // verdicts are per-doc functions of (doc, standing eval-gram set) —
+    // arrivals never compare to each other — so micro-batch chopping
+    // must be invisible; the stream must also emit a CLEAN verdict row
+    // (zero) for every uncontaminated arrival, not just report hits
+    import graft.operators.Decontaminate
+    val streamed = graft.streaming.CorpusStreams
+      .streamingDecontaminate(spark, sf)
+      .collect().map(_.toString).sorted
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val (evalDocs, train) = Decontaminate.evalSplit(docs)
+    val arrivals = train.filter(col("doc_id") % 10 === 7)
+    val oneShot = Decontaminate.probeGrams(
+        Decontaminate.evalGramSet(evalDocs), arrivals, keepClean = true)
+      .collect().map(_.toString).sorted
+    assert(streamed.nonEmpty)
+    assert(streamed.sameElements(oneShot),
+      s"stream/batch decontamination divergence: ${streamed.length} vs " +
+        s"${oneShot.length} rows")
+    assert(streamed.length.toLong == arrivals.count(),
+      "every arrival must receive a verdict row")
+  }
+
   test("structural state gate: interval-join state stays watermark-bounded") {
     // the streaming twin of the graph family's record-count gates
     // (VERDICT r9 #2): interval-join seconds are throttle-dominated, so
