@@ -56,15 +56,26 @@ object GraphQueries {
         dstPre: String, dst: String) =
       df.select(concat(lit(srcPre), str(col(src))).as("src"),
         concat(lit(dstPre), str(col(dst))).as("dst"))
+    // one scan per fact table (r12, mirrors kgTriples): orders and
+    // lineitem each explode both their edge types off a single read —
+    // the outer DISTINCT subsumes everything downstream unchanged
+    val orderEdges = Tables.orders(s, d).select(explode(array(
+        struct(concat(lit("o:"), str(col("o_orderkey"))).as("src"),
+          concat(lit("c:"), str(col("o_custkey"))).as("dst")),
+        struct(concat(lit("o:"), str(col("o_orderkey"))).as("src"),
+          concat(lit("st:"), col("o_orderstatus")).as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    val liEdges = Tables.lineitem(s, d).select(explode(array(
+        struct(concat(lit("o:"), str(col("l_orderkey"))).as("src"),
+          concat(lit("p:"), str(col("l_partkey"))).as("dst")),
+        struct(concat(lit("p:"), str(col("l_partkey"))).as("src"),
+          concat(lit("s:"), str(col("l_suppkey"))).as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
     branch(Tables.customer(s, d), "c:", "c_custkey", "n:", "c_nationkey")
       .unionAll(branch(Tables.supplier(s, d), "s:", "s_suppkey", "n:", "s_nationkey"))
       .unionAll(branch(Tables.nation(s, d), "n:", "n_nationkey", "r:", "n_regionkey"))
-      .unionAll(branch(Tables.orders(s, d), "o:", "o_orderkey", "c:", "o_custkey"))
-      .unionAll(Tables.orders(s, d).select(
-        concat(lit("o:"), str(col("o_orderkey"))).as("src"),
-        concat(lit("st:"), col("o_orderstatus")).as("dst")))
-      .unionAll(branch(Tables.lineitem(s, d), "o:", "l_orderkey", "p:", "l_partkey"))
-      .unionAll(branch(Tables.lineitem(s, d), "p:", "l_partkey", "s:", "l_suppkey"))
+      .unionAll(orderEdges)
+      .unionAll(liEdges)
       .distinct()
   }
 

@@ -45,24 +45,31 @@ object TransEQueries {
       concat(lit("n:"), s(col("n_nationkey"))).as("h"),
       lit("in_region").as("l"),
       concat(lit("r:"), s(col("n_regionkey"))).as("t"))
-    val placed = Tables.orders(spark, dir).select(
-      concat(lit("o:"), s(col("o_orderkey"))).as("h"),
-      lit("placed_by").as("l"),
-      concat(lit("c:"), s(col("o_custkey"))).as("t"))
-    val status = Tables.orders(spark, dir).select(
-      concat(lit("o:"), s(col("o_orderkey"))).as("h"),
-      lit("has_status").as("l"),
-      concat(lit("st:"), s(col("o_orderstatus"))).as("t"))
-    val contains = Tables.lineitem(spark, dir).select(
-      concat(lit("o:"), s(col("l_orderkey"))).as("h"),
-      lit("contains").as("l"),
-      concat(lit("p:"), s(col("l_partkey"))).as("t")).distinct()
-    val suppliedBy = Tables.lineitem(spark, dir).select(
-      concat(lit("p:"), s(col("l_partkey"))).as("h"),
-      lit("supplied_by").as("l"),
-      concat(lit("s:"), s(col("l_suppkey"))).as("t")).distinct()
-    customer.union(supplier).union(nation).union(placed).union(status)
-      .union(contains).union(suppliedBy)
+    // ONE scan per fact table (r12): each orders row explodes into its
+    // placed_by + has_status triples, each lineitem row into contains +
+    // supplied_by — the two-branch union spelling scanned the biggest
+    // tables twice. The lineitem DISTINCT is joint across both edge
+    // types, which equals the per-type distincts exactly (the label
+    // column differs, so cross-type rows can never collide) and turns
+    // two distinct shuffles into one.
+    val orderEdges = Tables.orders(spark, dir).select(explode(array(
+        struct(concat(lit("o:"), s(col("o_orderkey"))).as("h"),
+          lit("placed_by").as("l"),
+          concat(lit("c:"), s(col("o_custkey"))).as("t")),
+        struct(concat(lit("o:"), s(col("o_orderkey"))).as("h"),
+          lit("has_status").as("l"),
+          concat(lit("st:"), s(col("o_orderstatus"))).as("t")))).as("e"))
+      .select(col("e.h").as("h"), col("e.l").as("l"), col("e.t").as("t"))
+    val liEdges = Tables.lineitem(spark, dir).select(explode(array(
+        struct(concat(lit("o:"), s(col("l_orderkey"))).as("h"),
+          lit("contains").as("l"),
+          concat(lit("p:"), s(col("l_partkey"))).as("t")),
+        struct(concat(lit("p:"), s(col("l_partkey"))).as("h"),
+          lit("supplied_by").as("l"),
+          concat(lit("s:"), s(col("l_suppkey"))).as("t")))).as("e"))
+      .select(col("e.h").as("h"), col("e.l").as("l"), col("e.t").as("t"))
+      .distinct()
+    customer.union(supplier).union(nation).union(orderEdges).union(liEdges)
   }
 
   def kgTriplesSorted(spark: SparkSession, dir: String): DataFrame =
