@@ -49,22 +49,37 @@ object QualityClassifier {
   private def decile = least(
     floor(TextAnalysis.qualityScoreExpr * 10).cast("long"), lit(9L))
 
+  /** ONE corpus pass for the whole classifier (r12): per doc, the
+    * teacher decile and the distinct lowered tokens (null row for docs
+    * with no tokens via explode_outer, so every doc survives to the
+    * verdict join), persisted — training's label totals + dfs AND
+    * scoring's probe all derive from this tally, where the previous
+    * spelling re-scanned the corpus per branch (4 scans for clfScore).
+    * Token-scale (doc_id, decile, tok) rows, spillable. */
+  private def enrichedTokens(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), decile.as("teacher_decile"),
+        explode_outer(array_distinct(
+          transform(TextAnalysis.wsTokens, lower _))).as("tok"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
   /** Distinct (doc_id, tok, label) over labeled docs; label +1/-1. */
-  private def labeledDocTokens(docs: DataFrame): DataFrame =
-    docs.withColumn("dec", decile)
+  private def labeledDocTokens(enriched: DataFrame): DataFrame =
+    enriched
       .withColumn("label",
-        when(col("dec") >= PosDecile, lit(1))
-          .when(col("dec") <= NegDecile, lit(-1)))
+        when(col("teacher_decile") >= PosDecile, lit(1))
+          .when(col("teacher_decile") <= NegDecile, lit(-1)))
       .filter(col("label").isNotNull)
-      .select(col("doc_id"), col("label"),
-        explode(array_distinct(transform(TextAnalysis.wsTokens, lower _))).as("tok"))
-      .filter(col("tok") =!= "")
+      .select(col("doc_id"), col("label"), col("tok"))
+      .filter(col("tok").isNotNull && col("tok") =!= "")
 
   /** The learned model: (tok, df_pos, df_neg, vote), vote in {-1, 0, 1},
     * MinDf-thresholded, plus the label totals replicated on every row
     * (n_pos, n_neg) so the artifact is self-describing. */
-  def clfVocab(docs: DataFrame): DataFrame = {
-    val lab = labeledDocTokens(docs)
+  def clfVocab(docs: DataFrame): DataFrame =
+    clfVocabFrom(enrichedTokens(docs))
+
+  private def clfVocabFrom(enriched: DataFrame): DataFrame = {
+    val lab = labeledDocTokens(enriched)
     val totals = lab.select(col("doc_id"), col("label")).distinct()
       .agg(sum(when(col("label") === 1, 1).otherwise(0)).as("n_pos"),
         sum(when(col("label") === -1, 1).otherwise(0)).as("n_neg"))
@@ -84,16 +99,16 @@ object QualityClassifier {
     * doc's distinct known tokens, verdict = score >= 0, with the teacher
     * decile alongside so agreement is auditable downstream. */
   def clfScore(docs: DataFrame): DataFrame = {
-    val votes = clfVocab(docs).select(col("tok"), col("vote"))
-    val docToks = docs
-      .select(col("doc_id"),
-        explode(array_distinct(transform(TextAnalysis.wsTokens, lower _))).as("tok"))
-      .filter(col("tok") =!= "")
+    val enriched = enrichedTokens(docs)
+    val votes = clfVocabFrom(enriched).select(col("tok"), col("vote"))
+    val docToks = enriched.select(col("doc_id"), col("tok"))
+      .filter(col("tok").isNotNull && col("tok") =!= "")
     docToks.join(votes, Seq("tok"))
       .groupBy("doc_id")
       .agg(sum(col("vote")).cast("long").as("score"),
         count(lit(1)).as("n_voting"))
-      .join(docs.select(col("doc_id"), decile.as("teacher_decile")),
+      .join(enriched.groupBy("doc_id")
+          .agg(max("teacher_decile").as("teacher_decile")),
         Seq("doc_id"), "right")
       .na.fill(0L, Seq("score", "n_voting"))
       .select(col("doc_id"), col("score"), col("n_voting"),

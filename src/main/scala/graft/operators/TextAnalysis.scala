@@ -500,23 +500,23 @@ object TextAnalysis {
       .otherwise(transform(
         sequence(lit(0), size(words) - 2),
         i => concat_ws(" ", slice(words, i + 1, lit(2)))))
-    // persisted: the corpus-frequency branch and the coverage probe both
-    // consume the bigram stream — unpersisted lineage re-runs the scan +
-    // explode per branch (r12 scan audit)
-    val docBg = docs.select(col("doc_id"), explode(bigrams).as("bg"))
+    // ONE corpus pass (r12): the bigram stream is persisted (the
+    // corpus-frequency branch and the coverage probe both consume it —
+    // unpersisted lineage re-ran the scan + explode per branch), and
+    // zero-bigram docs ride as explode_outer null rows so the final
+    // per-doc rollup keeps them (coverage 0/0) without a second
+    // documents scan. Null bigram rows never equi-join `frequent` and
+    // count(col) skips them, so the tallies are unchanged.
+    val docBg = docs.select(col("doc_id"), explode_outer(bigrams).as("bg"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val frequent = docBg.groupBy("bg").agg(count(lit(1)).as("c"))
       .filter(col("c") >= minCount)
       .select(col("bg"), lit(1L).as("is_freq"))
-    val covered = docBg.join(frequent, Seq("bg"), "left")
+    docBg.join(frequent, Seq("bg"), "left")
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_bigrams"),
+      .agg(count(col("bg")).as("n_bigrams"),
         sum(coalesce(col("is_freq"), lit(0L))).as("n_frequent"))
-    // docs with < 2 words have zero bigrams; keep them (coverage 0/0)
-    docs.select(col("doc_id"))
-      .join(covered, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+      .select(col("doc_id"), col("n_bigrams"),
         coalesce(col("n_frequent"), lit(0L)).as("n_frequent"))
   }
 
@@ -625,36 +625,47 @@ object TextAnalysis {
     val grams = transform(
       sequence(lit(0), greatest(size(words) - k, lit(0))),
       i => concat_ws(" ", slice(words, i + 1, lit(k))))
-    // gram minting skips null text (the null-skipping greatest would
-    // otherwise mint a '' gram and inflate the '' doc-frequency by one
-    // relative to the oracle's NULL-propagating replay). Persisted: the
-    // doc-frequency branch and the covered-position probe both consume
-    // it, and unpersisted lineage would re-run the scan + gram explode
-    // per branch (the r12 scan-audit shape) — token-scale id/hash rows,
-    // spillable, nothing like corpus text volume.
-    val positional = docs.filter(col("text").isNotNull)
-      .select(col("doc_id"), posexplode(grams).as(Seq("pos", "gram")))
-      .select(col("doc_id"), col("pos"),
+    // ONE corpus pass (r12): a persisted tally carries n_toks alongside
+    // every positional gram hash, with an explode_outer null row keeping
+    // gramless docs (null text mints no gram — its whole gram array is
+    // NULL, so the null-skipping greatest can't inflate the '' doc
+    // frequency; a null h never equi-joins). The doc-frequency branch,
+    // the covered-position probe AND the per-doc base all read this
+    // tally — token-scale id/hash rows, spillable.
+    // the explicit null-text guard is LOAD-BEARING: without it the
+    // null-skipping greatest mints a '' gram for NULL text (sequence
+    // collapses to [0]) and inflates the '' doc-frequency by one
+    // relative to the oracle's NULL-propagating replay
+    val tally = docs
+      .select(col("doc_id"), size(words).cast("long").as("n_toks"),
+        posexplode_outer(when(col("text").isNotNull, grams))
+          .as(Seq("pos", "gram")))
+      .select(col("doc_id"), col("n_toks"), col("pos"),
         Dedup.hash64Col(col("gram")).as("h"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val base = docs.select(col("doc_id"), size(words).cast("long").as("n_toks"))
+    val base = tally.groupBy("doc_id").agg(max("n_toks").as("n_toks"))
 
-    val dupGrams = positional.groupBy("h")
+    val dupGrams = tally.groupBy("h")
       .agg(countDistinct(col("doc_id")).as("df"))
       .filter(col("df") >= 2)
       .select("h")
-    val coveredPos = positional.join(dupGrams, Seq("h"))
+    val coveredPos = tally.join(dupGrams, Seq("h"))
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("p"))
       .distinct()
-    val covered = coveredPos.join(base, Seq("doc_id"))
-      .filter(col("p") < col("n_toks"))
-      .groupBy("doc_id").agg(count(lit(1)).as("covered"))
+    // positions past the doc end occur only in the sub-k-doc whole-doc
+    // gram case (positions {0..k-1} from gram 0), where the in-range
+    // count is exactly n_toks — so the old `p < n_toks` clip equals
+    // least(count, n_toks), no second base reference needed
+    val covered = coveredPos
+      .groupBy("doc_id").agg(count(lit(1)).as("covered_raw"))
 
     base.join(covered, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_toks"),
-        coalesce(col("covered"), lit(0L)).as("covered_positions"),
-        expr("coalesce(covered, 0) * 1000000 DIV n_toks").as("coverage_ppm"))
+        least(coalesce(col("covered_raw"), lit(0L)), col("n_toks"))
+          .as("covered_positions"),
+        expr("least(coalesce(covered_raw, 0), n_toks) * 1000000 DIV n_toks")
+          .as("coverage_ppm"))
   }
 
   /** The REMOVAL transform [[dupSpanCoverage]] only measures: drop every
@@ -677,30 +688,41 @@ object TextAnalysis {
     val grams = transform(
       sequence(lit(0), greatest(size(words) - k, lit(0))),
       i => concat_ws(" ", slice(words, i + 1, lit(k))))
-    // gram minting skips null text (the null-skipping greatest would
-    // otherwise mint a '' gram and inflate the '' doc-frequency by one
-    // relative to the oracle's NULL-propagating replay). Persisted for
-    // the same two-consumer reason as dupSpanCoverage's — and since the
-    // plan is IDENTICAL, the cache manager shares one materialization
-    // when both queries run in a session.
-    val positional = docs.filter(col("text").isNotNull)
-      .select(col("doc_id"), posexplode(grams).as(Seq("pos", "gram")))
-      .select(col("doc_id"), col("pos"),
-        Dedup.hash64Col(col("gram")).as("h"))
+    // ONE corpus pass (r12): the tally zips each token position with the
+    // hash of the gram STARTING there (null past the last gram start —
+    // zip_with pads the shorter gram-hash array), carries n_toks, and is
+    // persisted; doc frequencies, the covered-position probe, the token
+    // reassembly stream AND the per-doc base all read it. Null text
+    // mints no gram (whole arrays NULL; explode_outer keeps the doc as a
+    // single null row for the base rollup, which the token/gram branches
+    // drop — so the '' doc-frequency is never inflated, same contract as
+    // before).
+    // explicit null-text guard, same reason as dupSpanCoverage's: the
+    // null-skipping greatest would mint a '' gram for NULL text (the
+    // null words array already nulls the zip, but the guard keeps the
+    // contract independent of zip_with's propagation behavior)
+    val ghArr = transform(grams, g => Dedup.hash64Col(g))
+    val zipped = when(col("text").isNotNull, zip_with(words, ghArr,
+      (t, h) => struct(t.as("tok"), h.as("gh"))))
+    val tally = docs
+      .select(col("doc_id"), size(words).cast("long").as("n_toks"),
+        posexplode_outer(zipped).as(Seq("p", "z")))
+      .select(col("doc_id"), col("n_toks"), col("p"),
+        col("z.tok").as("tok"), col("z.gh").as("h"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val base = docs.select(col("doc_id"), size(words).cast("long").as("n_toks"))
+    val base = tally.groupBy("doc_id").agg(max("n_toks").as("n_toks"))
 
-    val dupGrams = positional.groupBy("h")
+    val dupGrams = tally.groupBy("h")
       .agg(countDistinct(col("doc_id")).as("df"))
       .filter(col("df") >= 2)
       .select("h")
-    val coveredPos = positional.join(dupGrams, Seq("h"))
+    val coveredPos = tally.join(dupGrams, Seq("h"))
       .select(col("doc_id"),
-        explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("p"))
+        explode(sequence(col("p"), col("p") + lit(k - 1))).as("p"))
       .distinct()
 
-    val toks = docs
-      .select(col("doc_id"), posexplode(words).as(Seq("p", "tok")))
+    val toks = tally.filter(col("tok").isNotNull)
+      .select(col("doc_id"), col("p"), col("tok"))
     val kept = toks.join(coveredPos, Seq("doc_id", "p"), "left_anti")
       .groupBy("doc_id")
       .agg(

@@ -679,7 +679,8 @@ class PlanSpec extends SparkSpec {
     val po = graft.queries.PipelineQueries
     val gated = Seq("text_lm_fluency", "search_keyword", "search_phrase",
       "search_tfidf_topk", "search_bm25_topk", "sample_dsir",
-      "text_sentence_stats")
+      "text_sentence_stats", "clf_quality_vocab", "clf_quality_score",
+      "text_bigram_coverage", "text_dup_span_coverage", "text_scrub_dup_spans")
     gated.foreach { name =>
       val df = po.rawQueries(name)(s2, sf)
       val n = docScans(df.queryExecution.executedPlan)
