@@ -127,11 +127,16 @@ object EventAnalytics {
     * only full-data shuffle is the first groupBy; everything after runs
     * on the small dense grid. */
   def gapFillDaily(events: DataFrame, bucketSec: Long = 86400L): DataFrame = {
+    // persisted: the span derivation and the back-join both consume the
+    // reduced (user, day) table — unpersisted lineage re-ran the events
+    // scan + aggregate per branch (r12 scan audit); |users| x timeline
+    // rows, nothing like event volume
     val counts = events
       .select(col("user_id"),
         expr(s"unix_micros(ts) DIV 1000000 DIV $bucketSec").as("day_id"))
       .groupBy("user_id", "day_id")
       .agg(count(lit(1)).as("n_events"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val axis = counts.groupBy("user_id")
       .agg(min("day_id").as("d0"), max("day_id").as("d1"))
       .select(col("user_id"),
@@ -306,10 +311,14 @@ object EventAnalytics {
     */
   def activeUsers7d(events: DataFrame, windowDays: Int = 7,
       bucketSec: Long = 86400L): DataFrame = {
+    // persisted: the max-day bound and the window explode both consume
+    // the distinct activity table — unpersisted lineage re-ran the
+    // events scan + distinct per branch (r12 scan audit)
     val act = events
       .select(col("user_id"),
         expr(s"unix_micros(ts) DIV 1000000 DIV $bucketSec").as("day_id"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val maxDay = act.select(max("day_id").as("max_day"))
     act
       .select(col("user_id"),
