@@ -91,8 +91,13 @@ object Sampling {
     * order in any engine), so the DuckDB oracle replays membership
     * bit-for-bit. */
   def mixSources(docs: DataFrame, salt: String = "mix"): DataFrame = {
+    // persisted: the per-source totals chain and the membership filter
+    // both consume the token-count table — unpersisted lineage re-ran
+    // the corpus scan + tokenize per branch (r12 scan audit); three
+    // small columns per doc, spillable
     val tok = docs.select(col("doc_id"), col("source"),
       size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tot = tok.groupBy("source").agg(sum("n_tokens").as("t_src"))
     val tmin = tot.agg(min("t_src").as("t_min"))
     tok.join(broadcast(tot), Seq("source"))
@@ -130,8 +135,10 @@ object Sampling {
     * Scale shape identical to [[mixSources]]: tiny per-source totals
     * broadcast back, narrow codegen'd filter, corpus never shuffled. */
   def mixSourcesTemperature(docs: DataFrame, salt: String = "mixt"): DataFrame = {
+    // same persisted-tally discipline as mixSources
     val tok = docs.select(col("doc_id"), col("source"),
       size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tot = tok.groupBy("source").agg(sum("n_tokens").as("t_src"))
     val tmin = tot.agg(min("t_src").as("t_min"))
     tok.join(broadcast(tot), Seq("source"))
