@@ -673,16 +673,25 @@ object Dedup {
       sequence(lit(0), (nPars - 1).cast("int")),
       c => concat_ws(" ", slice(words, c * parWords + 1, lit(parWords))))
 
-    val positional = docs
-      .select(col("doc_id"), posexplode(pars).as(Seq("pos", "par")))
-      .select(col("doc_id"), col("pos"), col("par"), hash64Col(col("par")).as("h"))
-    val base = docs.select(col("doc_id"), nPars.as("n_pars"))
+    // ONE corpus pass (r12, the dup-span tally discipline): n_pars rides
+    // the persisted positional chunk tally, explode_outer keeps
+    // chunkless (null-text) docs as a null row for the base rollup —
+    // null chunks never group-join (h null) and are filtered out of the
+    // reassembly side explicitly (an anti join KEEPS null keys).
+    val tally = docs
+      .select(col("doc_id"), nPars.as("n_pars"),
+        posexplode_outer(pars).as(Seq("pos", "par")))
+      .select(col("doc_id"), col("n_pars"), col("pos"), col("par"),
+        hash64Col(col("par")).as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val base = tally.groupBy("doc_id").agg(max("n_pars").as("n_pars"))
 
-    val dup = positional.groupBy("h")
+    val dup = tally.groupBy("h")
       .agg(countDistinct(col("doc_id")).as("df"))
       .filter(col("df") > maxDf)
       .select("h")
-    val kept = positional.join(dup, Seq("h"), "left_anti")
+    val kept = tally.where(col("par").isNotNull)
+      .join(dup, Seq("h"), "left_anti")
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_kept"),

@@ -131,12 +131,16 @@ object VocabBuild {
   def tfidfTopTerms(docs: DataFrame, k: Int = 5, minCount: Long = 5L): DataFrame = {
     graft.functions.VectorFunctions.ensureRegistered(docs.sparkSession)
     val v = vocab(docs, minCount).select(col("token"), col("token_id"))
+    // persisted: the df rollup and the scoring join both consume the
+    // vocab-joined tf table — unpersisted lineage re-ran the corpus
+    // tokenize per branch (r12 scan audit); posting-sized rows
     val tf = docs
       .select(col("doc_id"), explode(regexp_extract_all(lower(col("text")),
         lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).as("token"))
       .groupBy("doc_id", "token")
       .agg(count(lit(1)).as("tf"))
       .join(broadcast(v), Seq("token"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val df = tf.groupBy("token_id").agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     tf.join(df, Seq("token_id"))
