@@ -405,6 +405,39 @@ class PipelineSpec extends SparkSpec {
       4L -> ((1L, 4000L, 0L))))
   }
 
+  test("ivf recall: monotone in nProbe; probing all cells IS exact") {
+    // the tuning loop report_ann_recall serves, proven as a property:
+    // probes are the nProbe NEAREST cells, so candidates(nProbe=8) ⊇
+    // candidates(nProbe=4), and the top-k of a candidate SUPERSET can
+    // only gain exact-top-k members (ranking is by true cosine — an
+    // exact top-k member present among candidates always makes the cut).
+    // Hence per-query recall is monotone, and nProbe = nCells ranks
+    // every non-self vector — recall exactly 1.
+    val emb = Tables.embeddings(spark, sf)
+    val qids = (0L until 20L)
+    val truth = SimilaritySearch
+      .bruteForceTopK(emb, qids, k = 5, excludeQueries = false)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    def recallOf(nProbe: Int): Map[Long, Int] = {
+      val got = IvfAnn.topK(emb, nCells = 16, nProbe = nProbe)
+        .filter(col("query_id").isin(qids: _*))
+        .collect().map(r => (r.getLong(0), r.getLong(2)))
+      qids.map(q => q -> got.count(p => p._1 == q && truth((q, p._2)))).toMap
+    }
+    val r4 = recallOf(4)
+    val r8 = recallOf(8)
+    val r16 = recallOf(16)
+    info(s"mean hits@5 of 5: nProbe=4 ${r4.values.sum / 20.0}, " +
+      s"8 ${r8.values.sum / 20.0}, 16 ${r16.values.sum / 20.0}")
+    qids.foreach { q =>
+      assert(r4(q) <= r8(q) && r8(q) <= r16(q),
+        s"recall not monotone in nProbe for query $q: " +
+          s"${r4(q)}/${r8(q)}/${r16(q)}")
+    }
+    assert(qids.forall(q => r16(q) == 5),
+      s"nProbe = nCells must recover the exact top-5: $r16")
+  }
+
   test("ann recall report: per-method floors hold at the bench configs") {
     // VERDICT r11 #5: the ANN family is hash-oracled for DETERMINISM;
     // this is the missing recall observability plus its floor. The floor
