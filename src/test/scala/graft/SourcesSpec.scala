@@ -441,6 +441,35 @@ class SourcesSpec extends SparkSpec {
       e.getCause != null && s"${e.getCause.getMessage}".contains("one-of"))
   }
 
+  test("avro sink generations: an evolved writer's files merge null-filled") {
+    // the sink side of the schema-evolution story: OUR OWN containers
+    // written over a producer's lifetime (old schema + a later writer
+    // with an extra column, different codecs) must merge exactly like
+    // the foreign-fixture generations — additive union, old files
+    // null-filling the new field
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_avro_gen").toString
+    graft.sources.AvroSource.write(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "s"), dir, "snappy")
+    val tmp2 = Files.createTempDirectory("graft_avro_gen2").toString
+    graft.sources.AvroSource.write(
+      Seq((3L, "c", 30L)).toDF("id", "s", "extra"), tmp2, "deflate")
+    new java.io.File(tmp2).listFiles()
+      .filter(_.getName.endsWith(".avro")).zipWithIndex
+      .foreach { case (f, i) =>
+        Files.copy(f.toPath,
+          java.nio.file.Paths.get(dir, f"gen2-$i%03d.avro"))
+      }
+    val back = spark.read
+      .format(classOf[graft.sources.AvroSource].getName).load(dir)
+    assert(back.schema("extra").nullable,
+      "field absent from a generation must merge nullable")
+    val rows = back.orderBy("id").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(rows(0).isNullAt(2) && rows(1).isNullAt(2))
+    assert(rows(2).getLong(2) == 30L)
+  }
+
   test("avro codecs: snappy and uncompressed containers read back exactly") {
     import spark.implicits._
     val df = (1L to 500L).map(i => (i, s"doc_$i", i * 1.5)).toDF("id", "s", "v")
