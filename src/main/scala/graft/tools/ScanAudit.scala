@@ -12,6 +12,11 @@ import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
   * scanned N > 1 times in one plan is an N-fold read amplification at
   * 100 TB — the shape VERDICT r11 #1 banned for the text family.
   *
+  * The remaining intentional MULTI classes (semantic self-joins / two
+  * distinct slices; persist-then-release pipelines whose final plan
+  * shows lineage the run never re-executed; the deliberate lazy-funnel
+  * teaching twin) are catalogued in SCALE.md §Read-amplification audit.
+  *
   * Usage: runMain graft.tools.ScanAudit [sfDir]
   */
 object ScanAudit {
