@@ -107,6 +107,70 @@ object CorpusStats {
        |    AS BIGINT) AS lift_ppm
        |FROM cells ORDER BY source, lang""".stripMargin
 
+  /** Embedding-space drift monitor: per label (class/cluster), the L1
+    * distance between the quantized per-dimension centroid of the
+    * STANDING slice (vec_id % 10 != 7, the corpus) and of the ARRIVAL
+    * slice (% 10 == 7) — the representation-shift check a vector feed
+    * needs (a model/featurizer version bump or upstream distribution
+    * change moves class centroids long before any per-vector check
+    * fires). The vector twin of report_type_drift's categorical test.
+    *
+    * Integer contract (the repo's quantized-vector discipline): each
+    * coordinate quantizes as floor((x + 16) * 2^20) — the +16 shift
+    * keeps every sum NON-NEGATIVE so Spark's truncating DIV equals
+    * DuckDB's floor `//`, and it cancels EXACTLY in the mean difference
+    * (floor((S + nK)/n) = K + floor(S/n) for integer K). Per-dim means
+    * are floor-divided sums, drift is the BIGINT sum of |mean diffs|.
+    *
+    * Scale shape: one embeddings pass; the posexplode fans out dim-fold
+    * but map-side combine collapses to (label, dim) cells per partition,
+    * so the one shuffle moves |labels| x dim x partitions tiny rows; the
+    * per-label rollup is |labels| x dim input. Labels with an empty
+    * slice are reported with drift NULL rather than dropped (a class
+    * that STOPPED arriving is exactly what the monitor must surface). */
+  def embeddingDrift(emb: DataFrame, scaleBits: Int = 20,
+      offset: Long = 16L): DataFrame = {
+    val scale = 1L << scaleBits
+    val cells = emb
+      .select(col("label").cast("long").as("label"),
+        (col("vec_id") % 10 === 7).as("is_arr"),
+        posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("label"), col("is_arr"), col("dim"),
+        floor((col("x").cast("double") + offset) * scale).cast("long").as("qx"))
+      .groupBy("label", "dim")
+      .agg(sum(when(!col("is_arr"), col("qx"))).as("s_ref"),
+        sum(when(col("is_arr"), col("qx"))).as("s_arr"),
+        sum(when(!col("is_arr"), 1L).otherwise(0L)).as("n_ref"),
+        sum(when(col("is_arr"), 1L).otherwise(0L)).as("n_arr"))
+    cells.groupBy("label")
+      .agg(max("n_ref").as("n_ref"), max("n_arr").as("n_arr"),
+        sum(abs(expr("s_ref DIV n_ref") - expr("s_arr DIV n_arr")))
+          .as("l1_drift"))
+  }
+
+  def embeddingDriftSql(dim: Int = 64, scaleBits: Int = 20,
+      offset: Long = 16L): String = {
+    val scale = 1L << scaleBits
+    s"""WITH q AS (
+       |  SELECT CAST(label AS BIGINT) AS label, vec_id % 10 = 7 AS is_arr,
+       |    CAST(i.i AS BIGINT) AS dim,
+       |    CAST(floor((CAST(embedding[CAST(i.i + 1 AS INTEGER)] AS DOUBLE)
+       |      + $offset) * $scale) AS BIGINT) AS qx
+       |  FROM embeddings, range($dim) AS i(i)
+       |), cells AS (
+       |  SELECT label, dim,
+       |    SUM(CASE WHEN NOT is_arr THEN qx END) AS s_ref,
+       |    SUM(CASE WHEN is_arr THEN qx END) AS s_arr,
+       |    COUNT(*) FILTER (WHERE NOT is_arr) AS n_ref,
+       |    COUNT(*) FILTER (WHERE is_arr) AS n_arr
+       |  FROM q GROUP BY label, dim
+       |)
+       |SELECT label, CAST(MAX(n_ref) AS BIGINT) AS n_ref,
+       |  CAST(MAX(n_arr) AS BIGINT) AS n_arr,
+       |  CAST(SUM(ABS(s_ref // n_ref - s_arr // n_arr)) AS BIGINT) AS l1_drift
+       |FROM cells GROUP BY label ORDER BY label""".stripMargin
+  }
+
   def lengthQuantilesSql(qs: Seq[Int] = Seq(25, 50, 75, 90, 99)): String =
     s"""WITH hist AS (SELECT lang, n_chars, COUNT(*) AS cnt
        |              FROM documents GROUP BY lang, n_chars),

@@ -138,6 +138,7 @@ object PipelineQueries {
     "sink_zonemap_skip" -> Seq("event_type"),
     "source_quarantine" -> Seq("status"),
     "embed_validate" -> Seq("vec_id"),
+    "report_embedding_drift" -> Seq("label"),
     "embed_hash_vectors" -> Seq("doc_id", "bucket"),
     "dedup_hashvec" -> Seq("doc_a", "doc_b"),
     "ann_topk" -> Seq("query_id", "rank"),
@@ -293,6 +294,9 @@ object PipelineQueries {
     // recall@k of the bucketed ANN methods vs exact ground truth
     "report_ann_recall" -> ((s, d) =>
       SimilaritySearch.annRecallReport(Tables.embeddings(s, d), annQueryIds)),
+    // per-class centroid shift between standing corpus and arrival slice
+    "report_embedding_drift" -> ((s, d) =>
+      CorpusStats.embeddingDrift(Tables.embeddings(s, d))),
     // ADC shortlist + exact re-rank (FAISS refine): the production recall
     // recovery — `refine` exact scores per query instead of |corpus|
     "ann_pq_refine" -> ((s, d) => Quantization.pqTopK(Tables.embeddings(s, d), annQueryIds, refine = 100)),
@@ -530,6 +534,7 @@ object PipelineQueries {
     "ann_pq_topk" -> Quantization.pqTopKSql(annQueryIds),
     "ann_ivfpq_topk" -> Quantization.ivfPqTopKSql(annQueryIds),
     "report_ann_recall" -> SimilaritySearch.annRecallReportSql(annQueryIds),
+    "report_embedding_drift" -> CorpusStats.embeddingDriftSql(),
     "ann_pq_refine" -> Quantization.pqTopKSql(annQueryIds, refine = 100),
     "mm_decode_features" -> Multimodal.decodeFeaturesSql,
     "mm_frame_features" -> Multimodal.sampleFrameFeaturesSql(),

@@ -405,6 +405,29 @@ class PipelineSpec extends SparkSpec {
       4L -> ((1L, 4000L, 0L))))
   }
 
+  test("embedding drift: zero on identical slices, detects a planted shift") {
+    import spark.implicits._
+    // label 0: arrival slice identical to the standing slice -> exact 0;
+    // label 1: arrivals shifted +0.5 in dim 0 -> drift ~ 0.5 * 2^20
+    def v(x0: Double): Array[Float] =
+      (x0 +: Seq.fill(63)(0.25)).map(_.toFloat).toArray
+    val emb = Seq(
+      (1L, v(0.1), 0), (2L, v(0.3), 0),   // ref, label 0
+      (7L, v(0.1), 0), (17L, v(0.3), 0),  // arr, label 0 — same mean
+      (3L, v(0.1), 1), (4L, v(0.3), 1),   // ref, label 1
+      (27L, v(0.6), 1), (37L, v(0.8), 1)  // arr, label 1 — dim0 +0.5
+    ).toDF("vec_id", "embedding", "label")
+    val got = CorpusStats.embeddingDrift(emb).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got(0L) == ((2L, 2L, 0L)), s"identical slices must drift 0: $got")
+    val (nR, nA, d) = got(1L)
+    assert(nR == 2 && nA == 2)
+    val expected = (0.5 * (1L << 20)).toLong
+    assert(math.abs(d - expected) <= 2,
+      s"planted +0.5 dim-0 shift: drift $d vs ~$expected")
+  }
+
   test("ivf recall: monotone in nProbe; probing all cells IS exact") {
     // the tuning loop report_ann_recall serves, proven as a property:
     // probes are the nProbe NEAREST cells, so candidates(nProbe=8) ⊇
