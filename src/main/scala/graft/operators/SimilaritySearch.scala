@@ -415,12 +415,18 @@ object SimilaritySearch {
       k: Int = 5, lshBitsPerTable: Int = 12): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val truth = bruteForceTopK(embeddings, queryIds, k, excludeQueries = false)
+    // the report composes FOUR independent pipelines (truth + three
+    // methods), each of which would re-read the vector table several
+    // times through its own lineage — persist the input once (r12 scan
+    // audit; a report that re-reads the vectors 8x is its own finding)
+    val emb = embeddings
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val truth = bruteForceTopK(emb, queryIds, k, excludeQueries = false)
       .select(col("query_id"), col("neighbor_id"))
     val methods: Seq[(String, DataFrame)] = Seq(
-      "lsh" -> randomHyperplaneAnn(embeddings, bitsPerTable = lshBitsPerTable),
-      "ivf" -> IvfAnn.topK(embeddings),
-      "ivfpq" -> Quantization.ivfPqTopK(embeddings, queryIds))
+      "lsh" -> randomHyperplaneAnn(emb, bitsPerTable = lshBitsPerTable),
+      "ivf" -> IvfAnn.topK(emb),
+      "ivfpq" -> Quantization.ivfPqTopK(emb, queryIds))
     val base = queryIds.toDF("query_id")
     methods.map { case (name, approx) =>
       val hits = approx
