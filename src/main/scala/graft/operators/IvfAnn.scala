@@ -356,8 +356,8 @@ object IvfAnn {
     * same integer Lloyd rounds (unrolled), same probes, exact cosine
     * ranking of the same candidates. */
   def topKSql(dim: Int, nCells: Int = 16, nProbe: Int = 4, k: Int = 5,
-      iters: Int = 2): String = {
-    s"""WITH ${assignCtesSql(dim, nCells, iters)},
+      iters: Int = 2, src: String = "embeddings"): String = {
+    s"""WITH ${assignCtesSql(dim, nCells, iters, src = src)},
        |probes AS (SELECT vec_id AS query_id, c AS cell FROM (
        |    SELECT vec_id, c, ROW_NUMBER() OVER (
        |      PARTITION BY vec_id ORDER BY dist, c) AS rn FROM dF)

@@ -433,14 +433,14 @@ object Quantization {
     * (query, neighbor) grouping sums exactly m LUT rows. */
   def ivfPqTopKSql(queryIds: Seq[Long], dim: Int = 64, nCells: Int = 16,
       nProbe: Int = 4, m: Int = 8, nCellsPq: Int = 16, iters: Int = 2,
-      k: Int = 10, refine: Int = 0): String = {
+      k: Int = 10, refine: Int = 0, src: String = "embeddings"): String = {
     require(dim % m == 0)
     val sub = dim / m
     val ids = queryIds.mkString(", ")
-    val coarse = IvfAnn.assignCtesSql(dim, nCells, iters)
+    val coarse = IvfAnn.assignCtesSql(dim, nCells, iters, src = src)
     val pqCtes = (0 until m)
       .map(s => IvfAnn.assignCtesSql(sub, nCellsPq, iters,
-        offset = s * sub, prefix = s"p${s}_"))
+        offset = s * sub, prefix = s"p${s}_", src = src))
       .mkString(",\n")
     val codeArms = (0 until m)
       .map(s => s"SELECT vec_id, $s AS subspace, cell AS code FROM p${s}_assigned")

@@ -97,7 +97,7 @@ object SimilaritySearch {
 
   /** DuckDB oracle for bruteForceTopK over the embeddings table. */
   def bruteForceTopKSql(queryIds: Seq[Long], k: Int = 10,
-      excludeQueries: Boolean = true): String = {
+      excludeQueries: Boolean = true, src: String = "embeddings"): String = {
     val ids = queryIds.mkString("(", ", ", ")")
     val pool = if (excludeQueries) s"v.vec_id NOT IN $ids"
       else "v.vec_id <> q.vec_id"
@@ -108,8 +108,8 @@ object SimilaritySearch {
        |      ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
        |                                      CAST(v.embedding AS DOUBLE[])) DESC,
        |               v.vec_id ASC) AS rank
-       |  FROM embeddings q
-       |  JOIN embeddings v ON $pool
+       |  FROM $src q
+       |  JOIN $src v ON $pool
        |  WHERE q.vec_id IN $ids)
        |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
   }
@@ -294,6 +294,37 @@ object SimilaritySearch {
     out
   }
 
+  /** Unpersist `caches` when an action whose analyzed plan CONTAINS
+    * `result`'s completes — for operators whose construction runs eager
+    * bounded collects over the cached input (ANN centroid training,
+    * query-vector fetches): those early actions also contain the cached
+    * subtree, so [[unpersistAfterFirstAction]] would release the cache
+    * before the composed query ever runs. One-shot. */
+  private[operators] def unpersistAfterActionOn(result: DataFrame,
+      caches: Seq[DataFrame]): Unit = {
+    val spark = result.sparkSession
+    val target = result.queryExecution.analyzed
+    val lm = spark.listenerManager
+    lm.register(new org.apache.spark.sql.util.QueryExecutionListener {
+      private val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+      private def maybe(qe: org.apache.spark.sql.execution.QueryExecution): Unit = {
+        val hit =
+          try qe.analyzed.exists(p => p.sameResult(target))
+          catch { case _: Exception => false }
+        if (hit && fired.compareAndSet(false, true)) {
+          caches.foreach(_.unpersist(blocking = false))
+          lm.unregister(this)
+        }
+      }
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        maybe(qe)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit =
+        maybe(qe)
+    })
+  }
+
   /** Unpersist `cached` as soon as ANY completed DataFrame action's
     * analyzed plan contains its subtree (by `sameResult`) — i.e. the
     * first materialization of a plan derived from it. One-shot: fires
@@ -375,8 +406,8 @@ object SimilaritySearch {
     * same md5-derived planes, same integer sign test, same multiprobe
     * candidate join, exact cosine ranking on candidates. */
   def annLshSql(dim: Int, nTables: Int = 8, bitsPerTable: Int = 16,
-      k: Int = 5, seed: Long = 42L): String =
-    s"""WITH vecs AS (SELECT vec_id, embedding AS v FROM embeddings),
+      k: Int = 5, seed: Long = 42L, src: String = "embeddings"): String =
+    s"""WITH vecs AS (SELECT vec_id, embedding AS v FROM $src),
        |${OracleSql.lshCandidatesSql(dim, nTables, bitsPerTable, seed, center = false)},
        |sym AS (SELECT vec_a AS query_id, vec_b AS neighbor_id FROM cands
        |        UNION ALL SELECT vec_b, vec_a FROM cands),
@@ -411,35 +442,106 @@ object SimilaritySearch {
     * Scale shape: one pass per method (each already banded/bucketed,
     * never all-pairs) plus the brute-force truth restricted to
     * |queryIds| probes; the recall join moves |queryIds| * k id-rows. */
+  /** Per-element noise amplitudes (2^-20 units) of the five planted
+    * neighbors per query — cosine(planted_j, query) ≈ 0.999, 0.995,
+    * 0.983, 0.961, 0.923 for unit-norm dim-64 vectors (noise norm =
+    * a * sqrt(dim/3)). A graded ladder, so the report measures graceful
+    * degradation, not one operating point. */
+  private[operators] val PlantAmps: Seq[Long] =
+    Seq(10486L, 23069L, 41943L, 65011L, 94372L)
+
+  /** Planted ids start here — far above any fixture vec_id. */
+  private[operators] val PlantIdBase = 1000000L
+
+  /** md5-uniform in [0, 2^32) for planted-noise element (qid, j, i) —
+    * the planeValue discipline, replayed in SQL by OracleSql.hexVal. */
+  private[graft] def plantU(qid: Long, j: Int, i: Int): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"plant:$qid:$j:$i".getBytes("UTF-8"))
+      .take(4).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex, 16)
+  }
+
+  /** Deterministic planted near-neighbors of the query vectors, BIT-EXACT
+    * across engines: element j of planted (qid, j) is
+    * `(floor(q_i * 2^20) + (u * S_j) div 2^31 - S_j) / 2^20` — all-integer
+    * up to the final division, and the integer numerator stays < 2^21, so
+    * the float result is exactly representable and Spark and DuckDB agree
+    * to the bit (u = md5-uniform in [0, 2^32); operands non-negative, so
+    * truncating and flooring division coincide). */
+  private def plantedNeighbors(embeddings: DataFrame,
+      queryIds: Seq[Long]): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val qs: Seq[(Long, Array[Float])] = embeddings
+      .filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().toSeq
+    val rows = qs.flatMap { case (qid, v) =>
+      PlantAmps.zipWithIndex.map { case (s, j) =>
+        val p = new Array[Float](v.length)
+        var i = 0
+        while (i < v.length) {
+          val base = math.floor(v(i).toDouble * QuantScale).toLong
+          val noise = (plantU(qid, j, i) * s) / 2147483648L - s
+          p(i) = ((base + noise) / QuantScale).toFloat
+          i += 1
+        }
+        (PlantIdBase + qid * PlantAmps.length + j, p)
+      }
+    }
+    rows.toDF("vec_id", "embedding")
+  }
+
   def annRecallReport(embeddings: DataFrame, queryIds: Seq[Long],
       k: Int = 5, lshBitsPerTable: Int = 12): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    // the report composes FOUR independent pipelines (truth + three
-    // methods), each of which would re-read the vector table several
-    // times through its own lineage — persist the input once (r12 scan
-    // audit; a report that re-reads the vectors 8x is its own finding)
-    val emb = embeddings
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val truth = bruteForceTopK(emb, queryIds, k, excludeQueries = false)
-      .select(col("query_id"), col("neighbor_id"))
-    val methods: Seq[(String, DataFrame)] = Seq(
-      "lsh" -> randomHyperplaneAnn(emb, bitsPerTable = lshBitsPerTable),
-      "ivf" -> IvfAnn.topK(emb),
-      "ivfpq" -> Quantization.ivfPqTopK(emb, queryIds))
     val base = queryIds.toDF("query_id")
-    methods.map { case (name, approx) =>
-      val hits = approx
-        .filter(col("query_id").isin(queryIds: _*) && col("rank") <= k)
+    // each slice composes FOUR independent pipelines (truth + three
+    // methods), each of which would re-read the vector table several
+    // times through its own lineage — persist the slice corpus once and
+    // release BOTH caches when the composed report's action completes
+    // (ADVICE r12: the r12 spelling cached the input for the session
+    // lifetime; first-action release would fire on the eager centroid /
+    // query-vector collects inside construction)
+    val caches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def slice(name: String, corpus: DataFrame): DataFrame = {
+      val c = corpus.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      caches += c
+      val truth = bruteForceTopK(c, queryIds, k, excludeQueries = false)
         .select(col("query_id"), col("neighbor_id"))
-        .join(truth, Seq("query_id", "neighbor_id"), "left_semi")
-        .groupBy("query_id").agg(count(lit(1)).as("hits"))
-      // zero-hit queries still get a row — the report's whole point is
-      // to surface them
-      base.join(hits, Seq("query_id"), "left")
-        .select(lit(name).as("method"), col("query_id"),
-          expr(s"1000000 * coalesce(hits, 0L) DIV $k").as("recall_ppm"))
-    }.reduce(_ unionAll _)
+      val methods: Seq[(String, DataFrame)] = Seq(
+        "lsh" -> randomHyperplaneAnn(c, bitsPerTable = lshBitsPerTable),
+        "ivf" -> IvfAnn.topK(c),
+        "ivfpq" -> Quantization.ivfPqTopK(c, queryIds))
+      methods.map { case (m, approx) =>
+        val hits = approx
+          .filter(col("query_id").isin(queryIds: _*) && col("rank") <= k)
+          .select(col("query_id"), col("neighbor_id"))
+          .join(truth, Seq("query_id", "neighbor_id"), "left_semi")
+          .groupBy("query_id").agg(count(lit(1)).as("hits"))
+        // zero-hit queries still get a row — the report's whole point is
+        // to surface them
+        base.join(hits, Seq("query_id"), "left")
+          .select(lit(m).as("method"), lit(name).as("slice"), col("query_id"),
+            expr(s"1000000 * coalesce(hits, 0L) DIV $k").as("recall_ppm"))
+      }.reduce(_ unionAll _)
+    }
+    // TWO slices (VERDICT r12 #1): `background` is the honest number on
+    // the raw fixture — whose exact top-5 are best-of-random vectors at
+    // cosine 0.26-0.49, intrinsically unrecoverable by bucketed methods
+    // at any scale-honest config — and `planted` measures recall WHERE
+    // NEAR NEIGHBORS EXIST (five deterministic perturbed copies of each
+    // query at cosine 0.92-0.999, the regime a near-dup/curation user
+    // actually operates in). The regression floors gate the planted
+    // slice; the background slice is observability, not a target.
+    val corpus = embeddings.select("vec_id", "embedding")
+    val out = slice("background", corpus)
+      .unionAll(slice("planted",
+        corpus.unionAll(plantedNeighbors(embeddings, queryIds))))
+    unpersistAfterActionOn(out, caches.toSeq)
+    out
   }
 
   /** DuckDB replay of [[annRecallReport]]: each method's existing oracle
@@ -449,40 +551,68 @@ object SimilaritySearch {
       lshBitsPerTable: Int = 12): String = {
     val ids = queryIds.mkString("(", ", ", ")")
     val arr = queryIds.mkString("[", ", ", "]")
-    def method(name: String, sql: String): String =
-      s"""m_$name AS (
+    val nj = PlantAmps.length
+    val ampCase = PlantAmps.zipWithIndex
+      .map { case (a, j) => s"WHEN $j THEN $a" }.mkString(" ")
+    val uExpr = OracleSql.hexVal(
+      "md5('plant:' || CAST(q.vec_id AS VARCHAR) || ':' || " +
+        "CAST(rj.j AS VARCHAR) || ':' || CAST(ri.i AS VARCHAR))", 1, 8)
+    // one method CTE per (slice, method), the slice's source table
+    // threaded through each method SQL's `src` parameter
+    def method(slice: String, name: String, sql: String): String =
+      s"""m_${slice}_$name AS (
          |  SELECT query_id, neighbor_id FROM ($sql)
          |  WHERE query_id IN $ids AND rank <= $k
          |)""".stripMargin
-    s"""WITH truth AS (
-       |  SELECT query_id, neighbor_id
-       |  FROM (${bruteForceTopKSql(queryIds, k, excludeQueries = false)})
+    def sliceCtes(slice: String, src: String): String =
+      s"""t_$slice AS (
+         |  SELECT query_id, neighbor_id
+         |  FROM (${bruteForceTopKSql(queryIds, k, excludeQueries = false, src = src)})
+         |),
+         |${method(slice, "lsh", annLshSql(dim, bitsPerTable = lshBitsPerTable, src = src))},
+         |${method(slice, "ivf", IvfAnn.topKSql(dim, src = src))},
+         |${method(slice, "ivfpq", Quantization.ivfPqTopKSql(queryIds, dim = dim, src = src))}""".stripMargin
+    def hitArms(slice: String): String = Seq("lsh", "ivf", "ivfpq").map { m =>
+      s"""  SELECT '$m' AS method, '$slice' AS slice, x.query_id, COUNT(*) AS hits
+         |  FROM m_${slice}_$m x JOIN t_$slice t
+         |    ON x.query_id = t.query_id AND x.neighbor_id = t.neighbor_id
+         |  GROUP BY x.query_id""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH plant_elems AS (
+       |  SELECT q.vec_id AS qid, CAST(rj.j AS BIGINT) AS j,
+       |    CAST(ri.i AS BIGINT) AS i,
+       |    CAST(floor(CAST(q.embedding[CAST(ri.i + 1 AS INTEGER)] AS DOUBLE)
+       |           * 1048576.0) AS BIGINT)
+       |      + ((($uExpr) * (CASE rj.j $ampCase END)) // 2147483648)
+       |      - (CASE rj.j $ampCase END) AS pint
+       |  FROM embeddings q, range($nj) AS rj(j), range($dim) AS ri(i)
+       |  WHERE q.vec_id IN $ids
        |),
-       |${method("lsh", annLshSql(dim, bitsPerTable = lshBitsPerTable))},
-       |${method("ivf", IvfAnn.topKSql(dim))},
-       |${method("ivfpq", Quantization.ivfPqTopKSql(queryIds, dim = dim))},
+       |planted AS (
+       |  SELECT $PlantIdBase + qid * $nj + j AS vec_id,
+       |    list(CAST(pint / 1048576.0 AS FLOAT) ORDER BY i) AS embedding
+       |  FROM plant_elems GROUP BY qid, j
+       |),
+       |aug AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  UNION ALL SELECT vec_id, embedding FROM planted
+       |),
+       |${sliceCtes("background", "embeddings")},
+       |${sliceCtes("planted", "aug")},
        |q AS (SELECT CAST(unnest($arr) AS BIGINT) AS query_id),
        |hits AS (
-       |  SELECT 'lsh' AS method, m.query_id, COUNT(*) AS hits
-       |  FROM m_lsh m JOIN truth t
-       |    ON m.query_id = t.query_id AND m.neighbor_id = t.neighbor_id
-       |  GROUP BY m.query_id
+       |${hitArms("background")}
        |  UNION ALL
-       |  SELECT 'ivf', m.query_id, COUNT(*)
-       |  FROM m_ivf m JOIN truth t
-       |    ON m.query_id = t.query_id AND m.neighbor_id = t.neighbor_id
-       |  GROUP BY m.query_id
-       |  UNION ALL
-       |  SELECT 'ivfpq', m.query_id, COUNT(*)
-       |  FROM m_ivfpq m JOIN truth t
-       |    ON m.query_id = t.query_id AND m.neighbor_id = t.neighbor_id
-       |  GROUP BY m.query_id
+       |${hitArms("planted")}
        |)
-       |SELECT m.method AS method, q.query_id AS query_id,
+       |SELECT m.method AS method, m.slice AS slice, q.query_id AS query_id,
        |  CAST(1000000 * COALESCE(h.hits, 0) // $k AS BIGINT) AS recall_ppm
-       |FROM (VALUES ('lsh'), ('ivf'), ('ivfpq')) m(method)
+       |FROM (VALUES ('lsh', 'background'), ('ivf', 'background'),
+       |             ('ivfpq', 'background'), ('lsh', 'planted'),
+       |             ('ivf', 'planted'), ('ivfpq', 'planted')) m(method, slice)
        |CROSS JOIN q
-       |LEFT JOIN hits h ON h.method = m.method AND h.query_id = q.query_id
-       |ORDER BY m.method, q.query_id""".stripMargin
+       |LEFT JOIN hits h ON h.method = m.method AND h.slice = m.slice
+       |  AND h.query_id = q.query_id
+       |ORDER BY m.method, m.slice, q.query_id""".stripMargin
   }
 }
