@@ -32,6 +32,9 @@ object Verify {
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
+        // release query-scoped tallies (ADVICE r12 #1) — memoized
+        // cross-query caches are not registered and survive
+        CacheScope.releaseAll()
       }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
@@ -64,11 +67,12 @@ object Verify {
       "transe_eval_filtered" -> ("transe_eval_quantized_filtered (hash-" +
         "oracled twin) + ContractSpec.goldenEvalFiltered"),
       "transe_eval_partitioned" -> ("transe_eval_quantized + ContractSpec " +
-        "exact-equality gate vs transe_eval"),
-      "stream_continual_train" -> ("StreamingSpec continual-trainer gate " +
-        "(chain-KG twin: old ids verbatim, old rows carried, new region " +
-        "learned, old region not forgotten) + TransESpec continual " +
-        "contract + stream_vocab_growth (hash-oracled dictionary twin)"))
+        "exact-equality gate vs transe_eval"))
+    // stream_continual_train left this map in r13: its integer stage
+    // surface carries a full relational oracle now; the float hinge
+    // loss it projects away stays gated by StreamingSpec's
+    // continual-contract twin and the trained checkpoint by the
+    // hash-oracled stream_continual_eval.
     Files.writeString(Paths.get(s"$outDir/gating.json"),
       gating.map { case (k, v) => s"${q(k)}: {${q("gated_by")}: ${q(v)}}" }
         .mkString("{", ",", "}"))

@@ -41,10 +41,18 @@ object StreamingQueries {
       graft.streaming.CorpusStreams.streamingIncrementalDedup(s, d)),
     "stream_vocab_growth" -> ((s, d) =>
       graft.streaming.VocabStreams.streamingVocabGrowth(s, d)),
-    // rows-only (SGD floats — SQL cannot train); behavioral gate in
-    // StreamingSpec's continual-contract twin, pointer in gating.json
+    // the INTEGER stage surface (sizes, deltas, training counts) is
+    // hash-oracled via the vocab-growth relational chain; the float
+    // hinge loss stays out of the registered projection (SQL cannot
+    // train) and is gated in StreamingSpec's continual-contract twin
     "stream_continual_train" -> ((s, d) =>
-      graft.streaming.VocabStreams.streamingContinualTrain(s, d)),
+      graft.streaming.VocabStreams.streamingContinualTrain(s, d)
+        .select("k", "n_entities", "n_labels", "n_new_entities",
+          "n_train_triples")),
+    // ...but the trained CHECKPOINT is hash-oracled: integer-quantized
+    // ranks over the continually-trained model (VERDICT r12 #4)
+    "stream_continual_eval" -> ((s, d) =>
+      graft.streaming.VocabStreams.streamingContinualEval(s, d)),
     "stream_txn_append" -> ((s, d) => EventStreams.streamingTxnAppend(s, d)),
     "stream_ann_probe" -> ((s, d) =>
       graft.streaming.CorpusStreams.streamingAnnProbe(s, d)),
@@ -58,7 +66,13 @@ object StreamingQueries {
     "q16_range_join" -> ((s, d) => RangeJoin.concurrentSessions(Tables.events(s, d))),
     "q16_range_join_auto" -> ((s, d) => RangeJoin.concurrentSessionsAuto(Tables.events(s, d))))
 
-  val oracles: Map[String, String] = Map(
+  /** A `def`: stream_continual_eval's oracle embeds the staging dir of
+    * the checkpoint the query actually ranked (set at run time — the
+    * QuantizedEval volatile discipline). */
+  def oracles: Map[String, String] = staticOracles ++
+    graft.streaming.VocabStreams.continualEvalOracleOpt
+
+  private val staticOracles: Map[String, String] = Map(
     "stream_windowed_counts" -> EventStreams.windowedCountsSql,
     // Append mode with watermark eviction (the production unbounded
     // spelling): the far-future sentinels close every real window before
@@ -167,6 +181,12 @@ object StreamingQueries {
     // gate decides every doc)
     "stream_decontaminate" ->
       graft.streaming.CorpusStreams.streamingDecontaminateSql(),
+    // integer stage metrics of the continual trainer: dictionary growth
+    // replayed by the vocab-growth CTE chain, per-stage training counts
+    // as relational aggregates over the content-defined batching (the
+    // registered query projects the float hinge loss away)
+    "stream_continual_train" ->
+      graft.streaming.VocabStreams.streamingContinualTrainSql,
     "q11_sessionize" -> EventStreams.sessionizeBatchSql(),
     "q12_asof_join" -> AsOfJoin.errorToLastClickSql,
     // forward direction + tolerance: DuckDB's native forward ASOF is the

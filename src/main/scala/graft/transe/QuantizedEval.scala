@@ -68,16 +68,15 @@ object QuantizedEval {
     * returns (stagingDir, sample, labQ, entity DF read BACK from the
     * staged parquet — proving the matrix DuckDB sees is the matrix the
     * ranks came from). */
-  private def stage(spark: SparkSession, sfDir: String, model: TransEModel,
-      test: Dataset[Triple]): (String, Array[Triple], Array[Array[Long]],
-      org.apache.spark.sql.DataFrame) = {
+  /** Quantize + write (entity, label, test) parquet under an EXPLICIT
+    * dir — the staging core shared by the registered eval family (via
+    * [[stage]]) and the continual-trainer eval (VERDICT r12 #4), which
+    * stages into the continual stream's own committed base. */
+  private[graft] def stageAt(spark: SparkSession, dir: String,
+      model: TransEModel, sample: Array[Triple]): Unit = {
     import spark.implicits._
     val entQ = quantize(model.entity)
     val labQ = quantize(model.label)
-    val sample: Array[Triple] =
-      test.orderBy("h", "l", "t").limit(SampleN).collect()
-
-    val dir = stagedDir(sfDir)
     spark.sparkContext
       .parallelize(entQ.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toIndexedSeq)
       .toDF("id", "vec").write.mode("overwrite").parquet(s"$dir/entity")
@@ -86,13 +85,23 @@ object QuantizedEval {
       .toDF("id", "vec").coalesce(1).write.mode("overwrite").parquet(s"$dir/label")
     sample.toSeq.toDF("h", "l", "t")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/test")
+  }
+
+  private def stage(spark: SparkSession, sfDir: String, model: TransEModel,
+      test: Dataset[Triple]): (String, Array[Triple], Array[Array[Long]],
+      org.apache.spark.sql.DataFrame) = {
+    val labQ = quantize(model.label)
+    val sample: Array[Triple] =
+      test.orderBy("h", "l", "t").limit(SampleN).collect()
+    val dir = stagedDir(sfDir)
+    stageAt(spark, dir, model, sample)
     lastDir = Some(dir)
     lastDim = model.params.dim
     lastL1 = model.params.distance == L1
     (dir, sample, labQ, spark.read.parquet(s"$dir/entity"))
   }
 
-  private def toRankDf(spark: SparkSession,
+  private[graft] def toRankDf(spark: SparkSession,
       ranks: Seq[(Triple, Long, Long)]): DataFrame = {
     import spark.implicits._
     ranks.map { case (tr, rh, rt) => (tr.h.toLong, tr.l.toLong, tr.t.toLong, rh, rt) }
@@ -416,10 +425,16 @@ object QuantizedEval {
     * checkpoint from some earlier run (ADVICE r9 #3). */
   def oracleSqlOpt: Option[String] = lastDir.map(oracleSqlAt)
 
-  private def oracleSqlAt(dir: String): String = {
-    val k = lastDim
+  private def oracleSqlAt(dir: String): String =
+    oracleSqlFor(dir, lastDim, lastL1)
+
+  /** The raw-rank replay for an EXPLICIT (dir, dim, distance) — usable
+    * by any caller that staged a quantized checkpoint via [[stageAt]]
+    * without going through the registered eval family's volatiles. */
+  private[graft] def oracleSqlFor(dir: String, dim: Int, l1: Boolean): String = {
+    val k = dim
     val rng = s"range(1, ${k + 1})"
-    def sq(e: String) = if (lastL1) s"abs($e)" else s"($e) * ($e)"
+    def sq(e: String) = if (l1) s"abs($e)" else s"($e) * ($e)"
     s"""WITH ent AS (SELECT id, vec FROM '$dir/entity/*.parquet'),
        |lab AS (SELECT id, vec FROM '$dir/label/*.parquet'),
        |test AS (SELECT h, l, t FROM '$dir/test/*.parquet'),

@@ -28,18 +28,22 @@ class ContractSpec extends SparkSpec with PerfProbing {
     assert(orphans.isEmpty, s"oracles without queries: $orphans")
   }
 
-  test("the rows-only set is exactly the six SGD training metrics") {
+  test("the rows-only set is exactly the five SGD training metrics") {
     // embed_pca_project's oracle is DYNAMIC (trained-literal SQL,
     // published once a model trains in this JVM) — train first so the
     // assertion sees the steady-state oracle surface. Same for the two
-    // quantized-eval oracles, whose SQL embeds the staging dir of the
-    // checkpoint the query just ranked (None until that run happens).
+    // quantized-eval oracles and the continual-eval oracle, whose SQL
+    // embeds the staging dir of the checkpoint the query just ranked
+    // (None until that run happens).
     graft.operators.Pca.project(Tables.embeddings(spark, sf)).count()
     graft.queries.TransEQueries.transeEvalQuantized(spark, sf).count()
+    graft.streaming.VocabStreams.streamingContinualEval(spark, sf).count()
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    // r13: stream_continual_train's integer stage surface gained a full
+    // relational oracle (hinge_loss projected away) — only the five
+    // intrinsically-float SGD metrics remain rows-only
     assert(rowsOnly == Set("transe_eval", "transe_eval_partitioned",
-      "transe_eval_filtered", "transe_fit", "transe_fit_partitioned",
-      "stream_continual_train"),
+      "transe_eval_filtered", "transe_fit", "transe_fit_partitioned"),
       s"unexpected rows-only queries: $rowsOnly")
   }
 
