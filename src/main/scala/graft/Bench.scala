@@ -97,11 +97,16 @@ object Bench {
     val samples: Seq[Seq[(String, Option[Double])]] = (1 to passes).map { _ =>
       named.map { case (name, fn) =>
         val t0 = System.nanoTime()
-        name -> (try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+        val r = name -> (try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
         catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}"); None
         })
+        // release query-scoped tallies OUTSIDE the timer (ADVICE r12 #1):
+        // a 3-pass sweep over 210 queries otherwise accumulates every
+        // per-query cache for the session lifetime
+        CacheScope.releaseAll()
+        r
       }
     }
     val results = named.map { case (name, _) =>
@@ -146,6 +151,11 @@ object Bench {
         "graph_bfs_layers", "graph_ppr"),
       "family_copart_graph_sec" -> Seq(
         "graph_triangles", "graph_communities"),
+      // the standing postings asset builds once per corpus mtime;
+      // whichever search query runs first pays the one-time index build
+      "family_search_postings_sec" -> Seq(
+        "search_keyword", "search_phrase", "search_tfidf_topk",
+        "search_bm25_topk"),
       // staged streaming runs: the stream executes once per (file, mtime)
       // key; re-invocations read the completed sink
       "family_staged_streams_sec" -> Seq(
@@ -183,6 +193,25 @@ object Bench {
       .filter(n => results.exists(_._1 == n)).sorted
     val failed = results.collect { case (n, (mn, _)) if mn < 0 => n }
     val nonMemoized = results.filterNot { case (n, _) => memoized.contains(n) }
+    // Per-query SPREAD for the variance-marked set (VERDICT r12 #2): the
+    // headline min alone cannot distinguish a real regression from the
+    // sandbox throttle lottery — r11->r12 the staged-stream cluster
+    // "regressed" 10-25% with no code change and nothing in the output
+    // could adjudicate it. Publishing min/mean/max per marked query makes
+    // the round-over-round comparison self-describing: a drifted MIN with
+    // a tight spread is a regression; a drifted mean under a wide spread
+    // is the lottery.
+    val varianceDetail: String = {
+      val entries = variancePron.map { n =>
+        val secs = samples.flatMap(_.collectFirst { case (`n`, Some(s)) => s })
+        val (mn, mx, mean) =
+          if (secs.isEmpty) (-1.0, -1.0, -1.0)
+          else (secs.min, secs.max, secs.sum / secs.length)
+        "\"" + n + "\":" +
+          s"""{"min":${r3(mn)},"mean":${r3(mean)},"max":${r3(mx)}}"""
+      }
+      entries.mkString("{", ",", "}")
+    }
     val qs = obj(nonMemoized.map { case (n, (mn, _)) => n -> mn } ++ headline)
     val qsMean = obj(nonMemoized.map { case (n, (_, mean)) => n -> mean })
     val total = results.map(_._2._1).filter(_ >= 0).sum
@@ -194,7 +223,7 @@ object Bench {
       "\"transe_epoch_sec_spread\"],\"advisory_gate\":" +
       "\"ContractSpec: an epoch adds jobs-constant, shuffle-free work\""
     val full =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"queries_mean":$qsMean,"families":$fams,"failed":${arr(failed)},"memoized":${arr(memoized)},"variance_prone":${arr(variancePron)},$note,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"queries_mean":$qsMean,"families":$fams,"failed":${arr(failed)},"memoized":${arr(memoized)},"variance_prone":${arr(variancePron)},"variance_detail":$varianceDetail,$note,"sf":"$sfDir"}"""
     // The full line (170+ queries) exceeds the driver's 2 KB stdout-tail
     // capture, which is why BENCH_r4-r6 recorded parsed:null. Persist the
     // full sweep to a repo file, print it for the log, then END stdout

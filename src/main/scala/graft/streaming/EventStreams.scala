@@ -287,6 +287,20 @@ object EventStreams {
     * PREVIOUS invocations are dropped first — each pins its full result
     * set in driver memory, and the harness consumes every result before
     * starting the next query. */
+  /** State-partition count for the finite replay runs. Profiled r13
+    * (tools/StreamProfile, sf0.1 interval-join-outer): with the session's
+    * 32 shuffle partitions, EVERY micro-batch pays a per-partition
+    * state-store load/commit across all stateful operators — the three
+    * ~empty sentinel/trailing batches cost 10.6 s of the query's 17 s,
+    * and aggregate state commitMs was 67 s. At 8 partitions the same
+    * run is 7.3 s wall (commitMs 3 s) with bit-identical output (state
+    * hash-partitioning is invisible to results; the oracles pin it).
+    * Production sizing: state partitions follow STATE VOLUME (target
+    * rows-per-store), not CPU count — these replays hold < 10^5 state
+    * rows, where 8 stores is already more than enough parallelism. */
+  private val StateParts =
+    sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "8")
+
   private def runToCompletion(df: DataFrame, mode: OutputMode): DataFrame = {
     val spark = df.sparkSession
     var prev = liveSinks.poll()
@@ -302,6 +316,12 @@ object EventStreams {
         spark.sparkContext.addSparkListener(p)
         Some(p)
       } else None
+    // shuffle-partition override is read at STREAM START and baked into
+    // the run's state layout; the first batch is planned ASYNCHRONOUSLY
+    // after start(), so the restore waits for the drained run (the
+    // sink's batch read-back below runs under the restored conf)
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", StateParts)
     val q = df.writeStream
       .format("memory")
       .queryName(name)
@@ -309,6 +329,7 @@ object EventStreams {
       .start()
     try {
       q.processAllAvailable()
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
       // state observability for tests (RocksDB/HDFS provider parity):
       // peak stateful-operator rows across the run's micro-batches
       val st = q.recentProgress.flatMap(_.stateOperators).map(_.numRowsTotal)
@@ -335,6 +356,7 @@ object EventStreams {
       }
     } finally {
       q.stop()
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
       shuffleProbe.foreach(spark.sparkContext.removeSparkListener(_))
     }
     spark.table(name)
