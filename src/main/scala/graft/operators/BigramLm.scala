@@ -84,6 +84,7 @@ object BigramLm {
   def fluency(docs: DataFrame): DataFrame = {
     val g = pairs(docs).groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("n"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheScope.register)
     // corpus bigram counts; the (w1, NULL) groups never match the join
     val c12 = g.groupBy("w1", "w2").agg(sum("n").as("c12"))
     // bigram-LEFT occurrence count per w1 (null successors excluded by the

@@ -684,6 +684,7 @@ object Dedup {
       .select(col("doc_id"), col("n_pars"), col("pos"), col("par"),
         hash64Col(col("par")).as("h"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheScope.register)
     val base = tally.groupBy("doc_id").agg(max("n_pars").as("n_pars"))
 
     val dup = tally.groupBy("h")

@@ -137,6 +137,7 @@ object EventAnalytics {
       .groupBy("user_id", "day_id")
       .agg(count(lit(1)).as("n_events"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheScope.register)
     val axis = counts.groupBy("user_id")
       .agg(min("day_id").as("d0"), max("day_id").as("d1"))
       .select(col("user_id"),
@@ -319,6 +320,7 @@ object EventAnalytics {
         expr(s"unix_micros(ts) DIV 1000000 DIV $bucketSec").as("day_id"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheScope.register)
     val maxDay = act.select(max("day_id").as("max_day"))
     act
       .select(col("user_id"),

@@ -123,7 +123,7 @@ object IncrementalDedup {
         when(col("dup_exact_of").isNotNull, "exact")
           .when(col("near_of").isNotNull, "near")
           .otherwise("keep"))
-      .persist()
+      .persist().transform(graft.CacheScope.register)
     out.count() // materialize, then release the batch shingles
     bSh.unpersist()
     out

@@ -419,7 +419,7 @@ object Multimodal {
     // persisted: the guard count plus both sides of the pair join would
     // otherwise re-run the full decode (the dominant cost) 3x; left to
     // LRU (small: n x 8 floats)
-    val feats = featureEmbeddings(assets).persist()
+    val feats = featureEmbeddings(assets).persist().transform(graft.CacheScope.register)
     SimilaritySearch.cosineNearDupExact(feats, tau)
       .select(col("vec_a").as("asset_a"), col("vec_b").as("asset_b"))
   }
@@ -453,7 +453,7 @@ object Multimodal {
     // persisted: dim lookup, centering mean, bucket build, and both
     // verify join sides all read the decoded features — uncached that is
     // ~5 full decode passes; left to LRU (small: n x 8 floats)
-    val feats = featureEmbeddings(assets).persist()
+    val feats = featureEmbeddings(assets).persist().transform(graft.CacheScope.register)
     SimilaritySearch.cosineNearDupLsh(feats, tau, center = true)
       .select(col("vec_a").as("asset_a"), col("vec_b").as("asset_b"))
   }

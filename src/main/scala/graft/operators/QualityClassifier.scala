@@ -61,6 +61,7 @@ object QualityClassifier {
         explode_outer(array_distinct(
           transform(TextAnalysis.wsTokens, lower _))).as("tok"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheScope.register)
 
   /** Distinct (doc_id, tok, label) over labeled docs; label +1/-1. */
   private def labeledDocTokens(enriched: DataFrame): DataFrame =

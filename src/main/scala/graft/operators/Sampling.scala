@@ -98,6 +98,7 @@ object Sampling {
     val tok = docs.select(col("doc_id"), col("source"),
       size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheScope.register)
     val tot = tok.groupBy("source").agg(sum("n_tokens").as("t_src"))
     val tmin = tot.agg(min("t_src").as("t_min"))
     tok.join(broadcast(tot), Seq("source"))
@@ -139,6 +140,7 @@ object Sampling {
     val tok = docs.select(col("doc_id"), col("source"),
       size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheScope.register)
     val tot = tok.groupBy("source").agg(sum("n_tokens").as("t_src"))
     val tmin = tot.agg(min("t_src").as("t_min"))
     tok.join(broadcast(tot), Seq("source"))

@@ -158,7 +158,7 @@ object Sketches {
     * once, and the salt expansion touches only distinct tokens. */
   def cmsTopK(docs: DataFrame, k: Int = 20): DataFrame = {
     val candidates = tokens(docs).groupBy("tok").agg(count(lit(1)).as("exact_count"))
-      .persist() // read by the grid build and the estimation join
+      .persist().transform(graft.CacheScope.register) // read by the grid build and the estimation join
     val salts = explode(array((0 until CmsDepth).map(lit): _*)).as("s")
 
     val counters = candidates.select(col("tok"), col("exact_count"), salts)

@@ -509,6 +509,7 @@ object TextAnalysis {
     // count(col) skips them, so the tallies are unchanged.
     val docBg = docs.select(col("doc_id"), explode_outer(bigrams).as("bg"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheScope.register)
     val frequent = docBg.groupBy("bg").agg(count(lit(1)).as("c"))
       .filter(col("c") >= minCount)
       .select(col("bg"), lit(1L).as("is_freq"))
@@ -643,6 +644,7 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_toks"), col("pos"),
         Dedup.hash64Col(col("gram")).as("h"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheScope.register)
     val base = tally.groupBy("doc_id").agg(max("n_toks").as("n_toks"))
 
     val dupGrams = tally.groupBy("h")
@@ -710,6 +712,7 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_toks"), col("p"),
         col("z.tok").as("tok"), col("z.gh").as("h"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheScope.register)
     val base = tally.groupBy("doc_id").agg(max("n_toks").as("n_toks"))
 
     val dupGrams = tally.groupBy("h")

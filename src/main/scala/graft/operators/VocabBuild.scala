@@ -141,6 +141,7 @@ object VocabBuild {
       .agg(count(lit(1)).as("tf"))
       .join(broadcast(v), Seq("token"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheScope.register)
     val df = tf.groupBy("token_id").agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     tf.join(df, Seq("token_id"))

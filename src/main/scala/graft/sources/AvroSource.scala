@@ -293,6 +293,34 @@ object AvroSource {
     * on the codec name in the container header. */
   def write(df: DataFrame, dir: String, codec: String): Unit = {
     val schema = df.schema
+    // one-of invariant validated UP FRONT (ADVICE r12 #3): a memberN
+    // struct row with 0 or 2+ members set used to abort a TASK deep in
+    // the write — a data-dependent failure that leaves a half-written
+    // dir. One column-pruned pass over just the union columns (cheap
+    // relative to the full-row write pass) fails fast with row counts
+    // per offending column instead.
+    val oneOfCols = schema.fields.collect {
+      case f if f.dataType.isInstanceOf[StructType] &&
+        oneOfBranches(f.dataType.asInstanceOf[StructType]).isDefined => f
+    }
+    if (oneOfCols.nonEmpty) {
+      import org.apache.spark.sql.functions.{col, count, lit, when}
+      val checks = oneOfCols.map { f =>
+        val st = f.dataType.asInstanceOf[StructType]
+        val nSet = st.fields.map(m =>
+          when(col(f.name).getField(m.name).isNotNull, 1).otherwise(0))
+          .reduce(_ + _)
+        count(when(col(f.name).isNotNull && nSet =!= 1, lit(1)))
+      }
+      val bad = df.agg(checks.head, checks.drop(1): _*).collect().head
+      oneOfCols.zipWithIndex.foreach { case (f, i) =>
+        require(bad.getLong(i) == 0L,
+          s"avro sink: one-of column '${f.name}' has ${bad.getLong(i)} " +
+            "row(s) with 0 or 2+ memberN fields set — a memberN-named " +
+            "struct is the union carrier convention and must have exactly " +
+            "one member per row")
+      }
+    }
     val avroJson = toAvroSchema(schema).toString // Schema isn't Serializable
     val d = Paths.get(dir)
     if (Files.exists(d)) { // overwrite: clear previous parts

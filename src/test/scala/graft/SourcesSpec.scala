@@ -430,15 +430,20 @@ class SourcesSpec extends SparkSpec {
     assert(rows(1).getStruct(1).isNullAt(0) &&
       rows(1).getStruct(1).getLong(1) == 99L)
     assert(rows(2).isNullAt(1))
-    // a one-of row with BOTH branches set is a contract violation — loud
+    // a one-of row with BOTH branches set is a contract violation — loud,
+    // and since r13 (ADVICE r12 #3) it fails FAST on the driver (up-front
+    // pruned-column validation pass) instead of aborting a write task
+    // after part files already landed
+    val badDir = Files.createTempDirectory("graft_avro_oneof_bad")
     val bad = Seq((1L, "x", 2L)).toDF("id", "s", "l")
       .selectExpr("id", "named_struct('member0', s, 'member1', l) AS mix")
-    val e = intercept[org.apache.spark.SparkException] {
-      graft.sources.AvroSource.write(bad,
-        Files.createTempDirectory("graft_avro_oneof_bad").toString, "null")
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.AvroSource.write(bad, badDir.toString, "null")
     }
-    assert(e.getMessage.contains("one-of") ||
-      e.getCause != null && s"${e.getCause.getMessage}".contains("one-of"))
+    assert(e.getMessage.contains("one-of"))
+    // fail-fast means no partial output was ever written
+    assert(!Files.list(badDir).iterator().hasNext,
+      "up-front validation must reject BEFORE any part file lands")
   }
 
   test("avro sink generations: an evolved writer's files merge null-filled") {
