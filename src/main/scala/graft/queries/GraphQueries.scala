@@ -34,6 +34,11 @@ object GraphQueries {
   def kgEdges(s: SparkSession, d: String): DataFrame =
     edgeCache.get(d)
       .filter(!_.sparkSession.sparkContext.isStopped)
+      // session identity, not just context liveness (ADVICE r12 #2): a
+      // caller passing a DIFFERENT live session (e.g. an AQE-off clone)
+      // must not receive a DataFrame bound to the original session —
+      // its conf overrides would silently not apply
+      .filter(_.sparkSession eq s)
       .getOrElse {
         val v = buildKgEdges(s, d).persist()
         v.count() // materialize so every consumer reads the cached edges
@@ -112,6 +117,7 @@ object GraphQueries {
   def coPartEdges(s: SparkSession, d: String): DataFrame =
     coPartCache.get(d)
       .filter(!_.sparkSession.sparkContext.isStopped)
+      .filter(_.sparkSession eq s) // ADVICE r12 #2: session identity
       .getOrElse {
         val v = buildCoPartEdges(s, d).persist()
         v.count() // triangles + communities share one materialized build

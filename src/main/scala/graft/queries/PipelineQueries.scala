@@ -92,6 +92,7 @@ object PipelineQueries {
   private def minhashPairs(s: SparkSession, d: String): DataFrame =
     minhashCache.get(d)
       .filter(!_.sparkSession.sparkContext.isStopped)
+      .filter(_.sparkSession eq s) // ADVICE r12 #2: session identity
       .getOrElse {
         val v = Dedup.minhashLsh(Tables.documents(s, d)).persist()
         v.count() // materialize so every consumer reads the cached pairs
@@ -206,7 +207,7 @@ object PipelineQueries {
     "text_lm_fluency" -> Seq("doc_id"),
     "sample_dsir" -> Seq("doc_id"),
     "text_sentence_stats" -> Seq("doc_id"),
-    "report_ann_recall" -> Seq("method", "query_id"),
+    "report_ann_recall" -> Seq("method", "slice", "query_id"),
     "sink_bloom_skip" -> Seq("o_orderkey"))
 
   /** The operator registrations as written — sorted only where the
@@ -372,11 +373,15 @@ object PipelineQueries {
     // two-sample event-mix drift across a time boundary, integer scores
     "report_type_drift" -> ((s, d) => EventAnalytics.typeDrift(Tables.events(s, d))),
     // lexical retrieval: conjunctive term lookup + integer tf-idf ranking
-    "search_keyword" -> ((s, d) => Search.keywordSearch(Tables.documents(s, d), searchTerms)),
+    // the search family probes the STANDING postings asset (VERDICT r12
+    // #3): one corpus scan at stage-build time, zero at query time — the
+    // single-scan direct spellings remain as the teaching twins and are
+    // result-equality-gated against these in SearchSpec
+    "search_keyword" -> ((s, d) => Search.keywordSearchStaged(s, d, searchTerms)),
     // exact adjacent-token phrase lookup (contamination-audit primitive)
-    "search_phrase" -> ((s, d) => Search.phraseSearch(Tables.documents(s, d), phraseTerms)),
-    "search_tfidf_topk" -> ((s, d) => Search.tfidfSearch(Tables.documents(s, d), searchTerms)),
-    "search_bm25_topk" -> ((s, d) => Search.bm25Search(Tables.documents(s, d), searchTerms)),
+    "search_phrase" -> ((s, d) => Search.phraseSearchStaged(s, d, phraseTerms)),
+    "search_tfidf_topk" -> ((s, d) => Search.tfidfSearchStaged(s, d, searchTerms)),
+    "search_bm25_topk" -> ((s, d) => Search.bm25SearchStaged(s, d, searchTerms)),
     "text_lm_fluency" -> ((s, d) => BigramLm.fluency(Tables.documents(s, d))),
     // DSIR selection: src1 plays the curated target domain
     "sample_dsir" -> ((s, d) => ImportanceSampling.dsirTopK(Tables.documents(s, d), "src1")),

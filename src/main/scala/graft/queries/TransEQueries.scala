@@ -171,6 +171,7 @@ object TransEQueries {
     import spark.implicits._
     arrivalCache.get(dir)
       .filter(!_.sparkSession.sparkContext.isStopped)
+      .filter(_.sparkSession eq spark) // ADVICE r12 #2: session identity
       .getOrElse {
         val d = kgTriples(spark, dir).filter(contentBucket >= 9)
           .as[RawTriple].persist()
@@ -259,6 +260,7 @@ object TransEQueries {
       org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame, Int, Int) =
     encodeCache.get(dir)
       .filter(!_._1.sparkSession.sparkContext.isStopped)
+      .filter(_._1.sparkSession eq spark) // ADVICE r12 #2: session identity
       .getOrElse {
         import spark.implicits._
         val raw = kgTriples(spark, dir).as[RawTriple]
@@ -273,6 +275,7 @@ object TransEQueries {
   def fitted(spark: SparkSession, dir: String): (Fitted, Dataset[Triple]) =
     cache.get(dir)
       .filter(!_._2.sparkSession.sparkContext.isStopped)
+      .filter(_._2.sparkSession eq spark) // ADVICE r12 #2: session identity
       .getOrElse(fitAndCache(spark, dir))
 
   /** Held-out split (placed_by edges of orderkey % 17 == 0) over the

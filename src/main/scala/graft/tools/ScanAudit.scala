@@ -20,6 +20,33 @@ import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
   * Usage: runMain graft.tools.ScanAudit [sfDir]
   */
 object ScanAudit {
+
+  def tableOf(path: String): String = {
+    val base = path.replaceAll(".*/", "")
+    val m = ".*/([a-z_]+)\\.parquet.*".r
+    path match { case m(t) => t; case _ => base }
+  }
+
+  /** Source-table name per scan leaf, cache-aware (cached subtrees
+    * counted through their InMemoryRelation exactly once). Shared with
+    * PlanSpec's repo-wide scan-count gate. */
+  def scans(plan: SparkPlan): Seq[String] = {
+    val inline = plan.collect {
+      case f: FileSourceScanExec =>
+        f.relation.location.rootPaths.map(p => tableOf(p.toString))
+    }.flatten
+    val cached = plan.collect { case m: InMemoryTableScanExec =>
+      m.relation.cacheBuilder.cachedPlan
+    }.distinct.flatMap(scans)
+    inline ++ cached
+  }
+
+  /** Base-table multi-scan counts for one query plan: table -> scan
+    * count, restricted to counts > 1. */
+  def multiScans(plan: SparkPlan): Map[String, Int] =
+    scans(plan).groupBy(identity).view.mapValues(_.size)
+      .filter(_._2 > 1).toMap
+
   def main(args: Array[String]): Unit = {
     val sf = args.headOption.getOrElse("/root/testdata/sf0.001")
     val spark = graft.GraftKryo.configure(SparkSession.builder()
@@ -32,29 +59,10 @@ object ScanAudit {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    def tableOf(path: String): String = {
-      val base = path.replaceAll(".*/", "")
-      val m = ".*/([a-z_]+)\\.parquet.*".r
-      path match { case m(t) => t; case _ => base }
-    }
-
-    def scans(plan: SparkPlan): Seq[String] = {
-      val inline = plan.collect {
-        case f: FileSourceScanExec =>
-          f.relation.location.rootPaths.map(p => tableOf(p.toString))
-      }.flatten
-      val cached = plan.collect { case m: InMemoryTableScanExec =>
-        m.relation.cacheBuilder.cachedPlan
-      }.distinct.flatMap(scans)
-      inline ++ cached
-    }
-
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         val df = fn(spark, sf)
-        val counts = scans(df.queryExecution.executedPlan)
-          .groupBy(identity).view.mapValues(_.size)
-          .filter(_._2 > 1).toMap
+        val counts = multiScans(df.queryExecution.executedPlan)
         if (counts.nonEmpty)
           println(s"MULTI $name ${counts.toSeq.sortBy(_._1).mkString(", ")}")
       } catch {

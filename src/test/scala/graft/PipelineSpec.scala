@@ -315,6 +315,26 @@ class PipelineSpec extends SparkSpec {
     assert(got3 == Map(1L -> 1L), s"got $got3")
   }
 
+  test("search: staged postings probe equals the direct single-scan spelling") {
+    // VERDICT r12 #3: the registered search queries probe the standing
+    // token-bucketed postings asset; the direct spellings remain the
+    // semantic contract. Row-set equality on the real fixture pins the
+    // staged plans to the contract for all four query shapes.
+    val docs = Tables.documents(spark, sf)
+    val terms = PipelineQueries.searchTerms
+    val phrase = PipelineQueries.phraseTerms
+    def rows(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+      df.collect().map(_.toSeq.toList: Seq[Any]).toSet
+    assert(rows(Search.keywordSearchStaged(spark, sf, terms)) ==
+      rows(Search.keywordSearch(docs, terms)), "keyword staged != direct")
+    assert(rows(Search.tfidfSearchStaged(spark, sf, terms)) ==
+      rows(Search.tfidfSearch(docs, terms)), "tfidf staged != direct")
+    assert(rows(Search.bm25SearchStaged(spark, sf, terms)) ==
+      rows(Search.bm25Search(docs, terms)), "bm25 staged != direct")
+    assert(rows(Search.phraseSearchStaged(spark, sf, phrase)) ==
+      rows(Search.phraseSearch(docs, phrase)), "phrase staged != direct")
+  }
+
   test("bm25: exact fixed-point ladder on a hand corpus; saturation + length norm") {
     import spark.implicits._
     val crafted = Seq(
@@ -472,15 +492,30 @@ class PipelineSpec extends SparkSpec {
     // bands is exactly the tuning loop this report serves). A
     // candidate-generation breakage (wrong planes, empty probes, broken
     // ADC) zeroes a method's mean and fails its floor immediately.
+    // VERDICT r12 #1: the report now carries TWO slices — `background`
+    // (the raw fixture, whose exact top-5 are best-of-random vectors at
+    // cosine 0.26-0.49: intrinsically hostile to bucketed methods, floors
+    // are regression gates only) and `planted` (five deterministic
+    // perturbed copies of each query at cosine 0.92-0.999 — the regime a
+    // curation user operates in, where the floors are QUALITY gates: a
+    // method that can't recover a 0.95-cosine neighbor is misconfigured).
     val r = SimilaritySearch.annRecallReport(
         Tables.embeddings(spark, sf), (0L until 20L))
-      .groupBy("method").agg(avg("recall_ppm").as("mean_ppm"))
-      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
-    info(s"mean recall_ppm by method: $r")
-    assert(r.keySet == Set("lsh", "ivf", "ivfpq"))
-    assert(r("ivf") >= 450000, s"ivf recall regressed: $r")
-    assert(r("ivfpq") >= 120000, s"ivfpq recall regressed: $r")
-    assert(r("lsh") >= 60000, s"lsh recall regressed: $r")
+      .groupBy("method", "slice").agg(avg("recall_ppm").as("mean_ppm"))
+      .collect()
+      .map(x => (x.getString(0), x.getString(1)) -> x.getDouble(2)).toMap
+    info(s"mean recall_ppm by (method, slice): $r")
+    assert(r.keySet == (for {
+      m <- Set("lsh", "ivf", "ivfpq"); s <- Set("background", "planted")
+    } yield (m, s)))
+    assert(r(("ivf", "background")) >= 450000, s"ivf background recall regressed: $r")
+    assert(r(("ivfpq", "background")) >= 120000, s"ivfpq background recall regressed: $r")
+    assert(r(("lsh", "background")) >= 60000, s"lsh background recall regressed: $r")
+    // measured 1.0 for all three methods at both sf0.001 and sf0.01
+    // (r13); 0.9 floors leave headroom for fixture regeneration only
+    assert(r(("ivf", "planted")) >= 900000, s"ivf planted recall below target: $r")
+    assert(r(("ivfpq", "planted")) >= 900000, s"ivfpq planted recall below target: $r")
+    assert(r(("lsh", "planted")) >= 900000, s"lsh planted recall below target: $r")
     assert(r.values.forall(v => v >= 0 && v <= 1000000))
   }
 
@@ -488,6 +523,11 @@ class PipelineSpec extends SparkSpec {
     import graft.operators.BloomSkip
     val keys = BloomSkip.workload(spark, sf)
     assert(keys.length == 5)
+    // hygiene (ADVICE r12 #4): if a previous JVM died between the
+    // stray-file copy below and its finally block, the leftover would
+    // skew every admitted/total count in this run — clear it up front
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(
+      BloomSkip.stagedDir(spark, sf), "data", "zz_unindexed.parquet"))
     // each key lives in ONE date-clustered file: <= 5 admitted of 16
     val (scan, admitted, total) = BloomSkip.lookupScan(spark, sf, keys)
     info(s"admitted $admitted of $total files for ${keys.length} keys")
