@@ -80,4 +80,33 @@ class AdversarialEmbeddingsSpec extends SparkSpec {
       s"twin not ranked first: $best")
     ok.unpersist()
   }
+
+  test("embedding drift monitor: injected centroid shift moves the metric by a pinned amount; absent classes report NULL") {
+    // VERDICT r12 #7: the monitor is hash-green on the standing fixture,
+    // but nothing proved an actual shift MOVES it. Crafted fixture with
+    // exactly representable values so the expected drift is pinned to the
+    // integer (reference slice: vec_id % 10 != 7; arrival: == 7):
+    //  - label 0: arrival == reference            -> l1_drift == 0
+    //  - label 1: arrival = reference + 0.25/dim  -> 64 * 0.25 * 2^20
+    //  - label 2: reference only (class stopped)  -> l1_drift NULL
+    //  - label 3: arrival only (class appeared)   -> l1_drift NULL
+    def const(x: Float): Array[Float] = Array.fill(Dim)(x)
+    val fix = Seq(
+      (1L, const(0.5f), 0),              // label 0 reference
+      (7L, const(0.5f), 0),              // label 0 arrival (identical)
+      (2L, const(0.25f), 1),             // label 1 reference
+      (17L, const(0.5f), 1),             // label 1 arrival (+0.25 per dim)
+      (3L, const(0.125f), 2),            // label 2 reference only
+      (27L, const(0.125f), 3))           // label 3 arrival only
+      .toDF("vec_id", "embedding", "label")
+    val got = graft.operators.CorpusStats.embeddingDrift(fix)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    val expectedShift = Dim.toLong * (1L << 20) / 4 // 64 dims * 0.25 * 2^20
+    assert(got(0L) == Some(0L), s"identical slices must report zero drift: $got")
+    assert(got(1L) == Some(expectedShift),
+      s"expected pinned drift $expectedShift for the shifted class: $got")
+    assert(got(2L).isEmpty, s"stopped class must surface as NULL, not drop: $got")
+    assert(got(3L).isEmpty, s"new class must surface as NULL, not drop: $got")
+  }
 }
