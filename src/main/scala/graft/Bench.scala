@@ -163,7 +163,12 @@ object Bench {
         "stream_restart_dedup", "stream_upsert", "stream_vocab_growth",
         "stream_continual_train", "stream_dsir_score",
         "stream_decontaminate"))
-    val memoized = families.flatMap(_._2)
+    // the search family's members do REAL probe work every pass (only
+    // the one-time index build is shared), so unlike the trained/staged
+    // families they KEEP their per-query entries — min-of-3 lands on the
+    // warm probe cost while the family sum still captures the build
+    val reportBoth = Set("family_search_postings_sec")
+    val memoized = families.filterNot(f => reportBoth(f._1)).flatMap(_._2)
       .filter(n => results.exists(_._1 == n)).sorted
     val familyCosts: Seq[(String, Double)] = families.map { case (fam, members) =>
       val present = members.filter(n => results.exists(_._1 == n))

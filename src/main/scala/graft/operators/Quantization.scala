@@ -180,10 +180,11 @@ object Quantization {
     * a full-dim quantized CTE for every (query, shortlisted neighbor)
     * pair, re-ranked to k. Expects a `ranked` CTE with
     * (query_id, neighbor_id, rank). */
-  private def refineSqlTail(dim: Int, refine: Int, k: Int): String =
+  private def refineSqlTail(dim: Int, refine: Int, k: Int,
+      src: String = "embeddings"): String =
     s"""qvf AS (SELECT vec_id, CAST(ri.i AS INTEGER) AS i,
        |    CAST(floor(CAST(embedding[CAST(ri.i + 1 AS INTEGER)] AS DOUBLE) * 1048576.0) AS BIGINT) AS q
-       |  FROM embeddings, range($dim) AS ri(i)),
+       |  FROM $src, range($dim) AS ri(i)),
        |exact AS (
        |  SELECT r.query_id, r.neighbor_id,
        |    CAST(SUM((a.q - b.q) * (a.q - b.q)) AS BIGINT) AS l2_qsq
@@ -474,7 +475,7 @@ object Quantization {
           s"""
              |SELECT query_id, rank, neighbor_id, adc_qsq FROM ranked
              |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
-        else s",\n${refineSqlTail(dim, refine, k)}"}""".stripMargin
+        else s",\n${refineSqlTail(dim, refine, k, src)}"}""".stripMargin
   }
 
   /** DuckDB replay of [[pqCodes]]: m prefixed copies of the IVF

@@ -97,7 +97,7 @@ object Search {
   private[graft] def stagedDir(spark: SparkSession, sfDir: String): String = {
     val src = Paths.get(sfDir, "documents.parquet").toAbsolutePath.normalize
     val key = java.security.MessageDigest.getInstance("SHA-256")
-      .digest(s"$src:${Files.getLastModifiedTime(src).toMillis}:postings:v1"
+      .digest(s"$src:${Files.getLastModifiedTime(src).toMillis}:postings:v2"
         .getBytes("UTF-8"))
       .take(8).map("%02x".format(_)).mkString
     val dir = Paths.get(sys.props("java.io.tmpdir"), s"graft_postings_$key")
@@ -115,9 +115,11 @@ object Search {
         .repartition(col("bucket"))
         .write.mode("overwrite").partitionBy("bucket")
         .parquet(dir.resolve("postings").toString)
-      val doclen = toks.select(col("doc_id"),
-        coalesce(size(col("toks")), lit(0)).cast("long").as("dl"))
-      doclen.coalesce(1).write.mode("overwrite")
+      // doclen is corpus-cardinality (one row per doc) — written at the
+      // build's parallelism, never coalesced (only the 1-row stats are)
+      toks.select(col("doc_id"),
+          coalesce(size(col("toks")), lit(0)).cast("long").as("dl"))
+        .write.mode("overwrite")
         .parquet(dir.resolve("doclen").toString)
       toks.unpersist()
       // corpus constants roll up from the committed doclen table (not a
@@ -176,6 +178,10 @@ object Search {
     val tf = probePostings(spark, dir, terms)
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // listener releases on the query's action; the registry is the
+      // backstop for plan-only construction (PlanSpec builds these
+      // probes without ever executing them)
+      .transform(graft.CacheScope.register)
     SimilaritySearch.unpersistAfterFirstAction(tf)
     val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
     val nDocs = spark.read.parquet(s"$dir/stats").select("n_docs")
@@ -200,6 +206,10 @@ object Search {
     val tf = probePostings(spark, dir, terms)
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // listener releases on the query's action; the registry is the
+      // backstop for plan-only construction (PlanSpec builds these
+      // probes without ever executing them)
+      .transform(graft.CacheScope.register)
     SimilaritySearch.unpersistAfterFirstAction(tf)
     val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
     val dl = spark.read.parquet(s"$dir/doclen")
@@ -227,6 +237,7 @@ object Search {
     val dir = stagedDir(spark, sfDir)
     val postings = probePostings(spark, dir, phrase.distinct)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheScope.register)
     SimilaritySearch.unpersistAfterFirstAction(postings)
     def term(k: Int): DataFrame =
       postings.filter(col("tok") === phrase(k))

@@ -507,7 +507,10 @@ object SimilaritySearch {
     // query-vector collects inside construction)
     val caches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     def slice(name: String, corpus: DataFrame): DataFrame = {
-      val c = corpus.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // the action listener releases after the report runs; the registry
+      // is the backstop when the report is only ever PLANNED
+      val c = graft.CacheScope.register(
+        corpus.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       caches += c
       val truth = bruteForceTopK(c, queryIds, k, excludeQueries = false)
         .select(col("query_id"), col("neighbor_id"))

@@ -42,7 +42,9 @@ object GraphQueries {
       .getOrElse {
         val v = buildKgEdges(s, d).persist()
         v.count() // materialize so every consumer reads the cached edges
-        edgeCache.put(d, v)
+        // evict-and-release: replacing another session's entry must not
+        // leak its persisted blocks (sessions share one BlockManager)
+        edgeCache.put(d, v).foreach(_.unpersist(blocking = false))
         v
       }
 
@@ -121,7 +123,7 @@ object GraphQueries {
       .getOrElse {
         val v = buildCoPartEdges(s, d).persist()
         v.count() // triangles + communities share one materialized build
-        coPartCache.put(d, v)
+        coPartCache.put(d, v).foreach(_.unpersist(blocking = false))
         v
       }
 

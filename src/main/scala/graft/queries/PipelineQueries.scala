@@ -96,7 +96,7 @@ object PipelineQueries {
       .getOrElse {
         val v = Dedup.minhashLsh(Tables.documents(s, d)).persist()
         v.count() // materialize so every consumer reads the cached pairs
-        minhashCache.put(d, v)
+        minhashCache.put(d, v).foreach(_.unpersist(blocking = false))
         v
       }
 

@@ -176,7 +176,7 @@ object TransEQueries {
         val d = kgTriples(spark, dir).filter(contentBucket >= 9)
           .as[RawTriple].persist()
         d.count()
-        arrivalCache.put(dir, d)
+        arrivalCache.put(dir, d).foreach(_.unpersist(blocking = false))
         d
       }
   }
@@ -266,7 +266,7 @@ object TransEQueries {
         val raw = kgTriples(spark, dir).as[RawTriple]
         val (enc, ents, labs) = DictionaryEncoder.encodeAll(raw)
         val v = (enc.persist(), ents, labs, ents.count().toInt, labs.count().toInt)
-        encodeCache.put(dir, v)
+        encodeCache.put(dir, v).foreach(_._1.unpersist(blocking = false))
         v
       }
 

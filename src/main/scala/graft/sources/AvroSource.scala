@@ -298,7 +298,13 @@ object AvroSource {
     // the write — a data-dependent failure that leaves a half-written
     // dir. One column-pruned pass over just the union columns (cheap
     // relative to the full-row write pass) fails fast with row counts
-    // per offending column instead.
+    // per offending column instead. Trade-offs, deliberately: the
+    // upstream lineage executes once more (only the SOURCE scan prunes;
+    // callers with an expensive lineage should persist before the sink,
+    // the usual Spark contract), and a NON-deterministic upstream could
+    // pass validation yet produce a violating row in the write pass —
+    // which the task-level require below still catches (the same
+    // re-evaluation hazard task retries always had for such inputs).
     val oneOfCols = schema.fields.collect {
       case f if f.dataType.isInstanceOf[StructType] &&
         oneOfBranches(f.dataType.asInstanceOf[StructType]).isDefined => f

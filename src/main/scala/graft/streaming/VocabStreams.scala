@@ -145,7 +145,7 @@ object VocabStreams {
     * content-defined batches), memoized on disk like the growth query. */
   def streamingContinualTrain(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    import graft.transe.{RawTriple, TransEParams, L2Squared}
+    import graft.transe.RawTriple
 
     val base = contStreamBase(sfDir)
     val (src, out, chk) =
@@ -183,8 +183,7 @@ object VocabStreams {
       // old corpus: dictionaries + initial fit (seeded, small budget —
       // the query proves the continual PLUMBING; learning quality is
       // gated on the analytic chain KG in StreamingSpec)
-      val p = TransEParams(epochs = 2, batches = 2, margin = 1.0f,
-        lr = 0.05f, dim = 32, distance = L2Squared, seed = 42L)
+      val p = ContTrainParams
       val oldRaw = withK.filter(col("bucket") < 9)
         .select($"h", $"l", $"t").as[RawTriple]
       // deterministic 5% replay slice, fixed for the run
@@ -244,6 +243,14 @@ object VocabStreams {
     Paths.get(sys.props("java.io.tmpdir"), s"graft_contstream_$key")
   }
 
+  /** The registered continual run's hyperparameters — the SINGLE source
+    * the trainer, the eval ranks and the eval oracle all read, so a
+    * dim/distance change can never silently desynchronize the oracle's
+    * replay ladder from the staged matrices. */
+  private val ContTrainParams = graft.transe.TransEParams(epochs = 2,
+    batches = 2, margin = 1.0f, lr = 0.05f, dim = 32,
+    distance = graft.transe.L2Squared, seed = 42L)
+
   @volatile private var lastContEvalDir: Option[String] = None
 
   /** Oracle SQL for [[streamingContinualEval]] — None until the query
@@ -253,7 +260,8 @@ object VocabStreams {
     * than pointing DuckDB at a stale path). */
   def continualEvalOracleOpt: Option[(String, String)] =
     lastContEvalDir.map(d => "stream_continual_eval" ->
-      graft.transe.QuantizedEval.oracleSqlFor(d, dim = 32, l1 = false))
+      graft.transe.QuantizedEval.oracleSqlFor(d, dim = ContTrainParams.dim,
+        l1 = ContTrainParams.distance == graft.transe.L1))
 
   /** DuckDB-replayable link-prediction ranks over the CONTINUALLY
     * trained checkpoint (VERDICT r12 #4): the integer-quantized eval
@@ -279,7 +287,8 @@ object VocabStreams {
       .sortBy(t => (t.h, t.l, t.t))
     lastContEvalDir = Some(dir)
     QuantizedEval.toRankDf(spark,
-      QuantizedEval.rankQuantized(entities, labQ, sample, l1 = false))
+      QuantizedEval.rankQuantized(entities, labQ, sample,
+        l1 = ContTrainParams.distance == graft.transe.L1))
   }
 
   /** Final state of a continual-training stream run: per-stage metric

@@ -73,7 +73,8 @@ object QuantizedEval {
     * [[stage]]) and the continual-trainer eval (VERDICT r12 #4), which
     * stages into the continual stream's own committed base. */
   private[graft] def stageAt(spark: SparkSession, dir: String,
-      model: TransEModel, sample: Array[Triple]): Unit = {
+      model: TransEModel,
+      sample: Array[Triple]): (Array[Array[Long]], Array[Array[Long]]) = {
     import spark.implicits._
     val entQ = quantize(model.entity)
     val labQ = quantize(model.label)
@@ -85,16 +86,16 @@ object QuantizedEval {
       .toDF("id", "vec").coalesce(1).write.mode("overwrite").parquet(s"$dir/label")
     sample.toSeq.toDF("h", "l", "t")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/test")
+    (entQ, labQ)
   }
 
   private def stage(spark: SparkSession, sfDir: String, model: TransEModel,
       test: Dataset[Triple]): (String, Array[Triple], Array[Array[Long]],
       org.apache.spark.sql.DataFrame) = {
-    val labQ = quantize(model.label)
     val sample: Array[Triple] =
       test.orderBy("h", "l", "t").limit(SampleN).collect()
     val dir = stagedDir(sfDir)
-    stageAt(spark, dir, model, sample)
+    val (_, labQ) = stageAt(spark, dir, model, sample)
     lastDir = Some(dir)
     lastDim = model.params.dim
     lastL1 = model.params.distance == L1

@@ -717,6 +717,10 @@ class PlanSpec extends SparkSpec {
         s"$name probe plan does not read the staged postings asset:\n" +
           df.queryExecution.executedPlan.toString)
     }
+    // plan-only construction persists probe tallies whose action-keyed
+    // release listeners never fire — drain the registry the way the
+    // harness does between queries
+    graft.CacheScope.releaseAll()
   }
 
   test("repo-wide: every registered batch query scans each base table at most once") {
@@ -791,5 +795,6 @@ class PlanSpec extends SparkSpec {
     }
     assert(offenders.isEmpty,
       s"queries with un-whitelisted repeated base-table scans: $offenders")
+    graft.CacheScope.releaseAll()
   }
 }
