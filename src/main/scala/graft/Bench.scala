@@ -151,6 +151,13 @@ object Bench {
         "graph_bfs_layers", "graph_ppr"),
       "family_copart_graph_sec" -> Seq(
         "graph_triangles", "graph_communities"),
+      // the dup-span zip tally / classifier token tally are memoized per
+      // sfDir (VERDICT r13 #2/#3): whichever pair member runs first pays
+      // the shared corpus tokenize
+      "family_dup_span_sec" -> Seq(
+        "text_scrub_dup_spans", "text_dup_span_coverage"),
+      "family_clf_quality_sec" -> Seq(
+        "clf_quality_vocab", "clf_quality_score"),
       // the standing postings asset builds once per corpus mtime;
       // whichever search query runs first pays the one-time index build
       "family_search_postings_sec" -> Seq(
@@ -206,6 +213,17 @@ object Bench {
     // the round-over-round comparison self-describing: a drifted MIN with
     // a tight spread is a regression; a drifted mean under a wide spread
     // is the lottery.
+    // Per-PASS seconds (VERDICT r13 #1): min/mean/max alone cannot
+    // separate a one-time memo build from the throttle lottery from a
+    // regression — r13's graph_ppr spanned 7.9-48.0 s with all three
+    // indistinguishable. The passes array is ORDERED (pass 1 first), so
+    // a memoized family's one-time build reads as a pass-1-only spike on
+    // whichever member the sweep order ran first, a throttle window as a
+    // single inflated pass at a random index, and a regression as a
+    // uniformly shifted floor.
+    def passesArr(n: String): String =
+      samples.map(_.collectFirst { case (`n`, Some(s)) => r3(s) }
+        .getOrElse(-1.0)).mkString("[", ",", "]")
     val varianceDetail: String = {
       val entries = variancePron.map { n =>
         val secs = samples.flatMap(_.collectFirst { case (`n`, Some(s)) => s })
@@ -213,10 +231,16 @@ object Bench {
           if (secs.isEmpty) (-1.0, -1.0, -1.0)
           else (secs.min, secs.max, secs.sum / secs.length)
         "\"" + n + "\":" +
-          s"""{"min":${r3(mn)},"mean":${r3(mean)},"max":${r3(mx)}}"""
+          s"""{"min":${r3(mn)},"mean":${r3(mean)},"max":${r3(mx)},"passes":${passesArr(n)}}"""
       }
       entries.mkString("{", ",", "}")
     }
+    // every memoized-family member's per-pass seconds, so the family
+    // sums above are attributable to the member that paid the build
+    val memoizedDetail: String = families.flatMap(_._2).distinct.sorted
+      .filter(n => results.exists(_._1 == n))
+      .map(n => "\"" + n + "\":" + passesArr(n))
+      .mkString("{", ",", "}")
     val qs = obj(nonMemoized.map { case (n, (mn, _)) => n -> mn } ++ headline)
     val qsMean = obj(nonMemoized.map { case (n, (_, mean)) => n -> mean })
     val total = results.map(_._2._1).filter(_ >= 0).sum
@@ -228,7 +252,7 @@ object Bench {
       "\"transe_epoch_sec_spread\"],\"advisory_gate\":" +
       "\"ContractSpec: an epoch adds jobs-constant, shuffle-free work\""
     val full =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"queries_mean":$qsMean,"families":$fams,"failed":${arr(failed)},"memoized":${arr(memoized)},"variance_prone":${arr(variancePron)},"variance_detail":$varianceDetail,$note,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"queries_mean":$qsMean,"families":$fams,"failed":${arr(failed)},"memoized":${arr(memoized)},"memoized_detail":$memoizedDetail,"variance_prone":${arr(variancePron)},"variance_detail":$varianceDetail,$note,"sf":"$sfDir"}"""
     // The full line (170+ queries) exceeds the driver's 2 KB stdout-tail
     // capture, which is why BENCH_r4-r6 recorded parsed:null. Persist the
     // full sweep to a repo file, print it for the log, then END stdout

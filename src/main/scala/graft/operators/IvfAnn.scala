@@ -222,7 +222,8 @@ object IvfAnn {
       nProbe: Int = 4, k: Int = 5, iters: Int = 2): DataFrame = {
     val centroids = trainCentroids(corpus, nCells, iters)
     val assigned = assign(corpus, centroids).persist()
-    val out = probeAssigned(assigned, centroids, queries, nProbe, k).persist()
+    val out = graft.CacheScope.register(
+      probeAssigned(assigned, centroids, queries, nProbe, k).persist())
     out.count() // materialize, then drop the cell-assignment cache
     assigned.unpersist()
     SimilaritySearch.unpersistAfterFirstAction(out)

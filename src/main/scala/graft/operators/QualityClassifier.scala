@@ -49,17 +49,23 @@ object QualityClassifier {
   private def decile = least(
     floor(TextAnalysis.qualityScoreExpr * 10).cast("long"), lit(9L))
 
-  /** ONE corpus pass for the whole classifier (r12): per doc, the
-    * teacher decile and the distinct lowered tokens (null row for docs
-    * with no tokens via explode_outer, so every doc survives to the
-    * verdict join), persisted — training's label totals + dfs AND
-    * scoring's probe all derive from this tally, where the previous
-    * spelling re-scanned the corpus per branch (4 scans for clfScore).
-    * Token-scale (doc_id, decile, tok) rows, spillable. */
-  private def enrichedTokens(docs: DataFrame): DataFrame =
+  /** ONE corpus pass for the whole classifier FAMILY (r12; memoized
+    * across the pair per VERDICT r13 #3): per doc, the teacher decile
+    * and the distinct lowered tokens (null row for docs with no tokens
+    * via explode_outer, so every doc survives to the verdict join) —
+    * training's label totals + dfs AND scoring's probe all derive from
+    * this tally, where the pre-r12 spelling re-scanned the corpus per
+    * branch (4 scans for clfScore). Token-scale (doc_id, decile, tok)
+    * rows, spillable. The registration layer memoizes ONE persisted copy
+    * per sfDir (PipelineQueries.clfEnriched) shared by clf_quality_vocab
+    * AND clf_quality_score; direct calls get a query-scoped persist. */
+  private[graft] def enrichedTokensPlan(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), decile.as("teacher_decile"),
-        explode_outer(array_distinct(
-          transform(TextAnalysis.wsTokens, lower _))).as("tok"))
+      explode_outer(array_distinct(
+        transform(TextAnalysis.wsTokens, lower _))).as("tok"))
+
+  private def enrichedTokens(docs: DataFrame): DataFrame =
+    enrichedTokensPlan(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       .transform(graft.CacheScope.register)
 
@@ -79,7 +85,8 @@ object QualityClassifier {
   def clfVocab(docs: DataFrame): DataFrame =
     clfVocabFrom(enrichedTokens(docs))
 
-  private def clfVocabFrom(enriched: DataFrame): DataFrame = {
+  /** [[clfVocab]] over a prebuilt [[enrichedTokensPlan]] tally. */
+  private[graft] def clfVocabFrom(enriched: DataFrame): DataFrame = {
     val lab = labeledDocTokens(enriched)
     val totals = lab.select(col("doc_id"), col("label")).distinct()
       .agg(sum(when(col("label") === 1, 1).otherwise(0)).as("n_pos"),
@@ -99,8 +106,11 @@ object QualityClassifier {
   /** Apply the model to EVERY doc (labeled or not): vote sum over the
     * doc's distinct known tokens, verdict = score >= 0, with the teacher
     * decile alongside so agreement is auditable downstream. */
-  def clfScore(docs: DataFrame): DataFrame = {
-    val enriched = enrichedTokens(docs)
+  def clfScore(docs: DataFrame): DataFrame =
+    clfScoreFrom(enrichedTokens(docs))
+
+  /** [[clfScore]] over a prebuilt [[enrichedTokensPlan]] tally. */
+  private[graft] def clfScoreFrom(enriched: DataFrame): DataFrame = {
     val votes = clfVocabFrom(enriched).select(col("tok"), col("vote"))
     val docToks = enriched.select(col("doc_id"), col("tok"))
       .filter(col("tok").isNotNull && col("tok") =!= "")

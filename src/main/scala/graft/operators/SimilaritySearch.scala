@@ -282,7 +282,10 @@ object SimilaritySearch {
     // ANN call). A caller that materializes a derived plan twice
     // recomputes the (id, int, int) bucket rows the second time — cheap
     // relative to leaking the cache.
-    val buckets = hyperplaneBuckets(embeddings, nTables, bitsPerTable, seed, center).persist()
+    // registry as the drain-race backstop: releaseAll unregisters
+    // unfired listeners, so the cache itself must also be drainable
+    val buckets = graft.CacheScope.register(
+      hyperplaneBuckets(embeddings, nTables, bitsPerTable, seed, center).persist())
     unpersistAfterFirstAction(buckets)
     val probed = if (multiprobe) probeExpand(buckets, bitsPerTable) else buckets
     val l = probed.select(col("vec_id").as("vec_a"), col("table_idx"), col("sig"))
@@ -305,7 +308,7 @@ object SimilaritySearch {
     val spark = result.sparkSession
     val target = result.queryExecution.analyzed
     val lm = spark.listenerManager
-    lm.register(new org.apache.spark.sql.util.QueryExecutionListener {
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
       private val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
       private def maybe(qe: org.apache.spark.sql.execution.QueryExecution): Unit = {
         val hit =
@@ -322,7 +325,13 @@ object SimilaritySearch {
       override def onFailure(funcName: String,
           qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit =
         maybe(qe)
-    })
+    }
+    lm.register(listener)
+    // a construction that is only ever PLANNED never runs the target
+    // action — the harness drain unregisters the leaked listener, which
+    // otherwise re-checks sameResult against every later action's plan
+    // (ADVICE r13)
+    graft.CacheScope.registerListener(lm, listener)
   }
 
   /** Unpersist `cached` as soon as ANY completed DataFrame action's
@@ -334,7 +343,7 @@ object SimilaritySearch {
     val spark = cached.sparkSession
     val target = cached.queryExecution.analyzed
     val lm = spark.listenerManager
-    lm.register(new org.apache.spark.sql.util.QueryExecutionListener {
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
       private val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
       private def maybe(qe: org.apache.spark.sql.execution.QueryExecution): Unit = {
         val hit =
@@ -351,7 +360,10 @@ object SimilaritySearch {
       override def onFailure(funcName: String,
           qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit =
         maybe(qe)
-    })
+    }
+    lm.register(listener)
+    // harness-drain backstop for plan-only constructions (ADVICE r13)
+    graft.CacheScope.registerListener(lm, listener)
   }
 
   /** Near-duplicate pairs at threshold `tau` via LSH candidates + exact
@@ -473,6 +485,15 @@ object SimilaritySearch {
       queryIds: Seq[Long]): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
+    // planted ids must sit ABOVE every fixture id: a fixture whose
+    // vec_ids reached PlantIdBase would silently collide planted rows
+    // with real vectors — both engines would agree, keeping the oracle
+    // green while the planted slice's meaning corrupts (ADVICE r13).
+    // One column-pruned max over the id column; fails loudly instead.
+    val maxId = embeddings.agg(max(col("vec_id"))).head.getLong(0)
+    require(maxId < PlantIdBase,
+      s"fixture vec_id $maxId >= planted-id base $PlantIdBase — " +
+        "planted neighbors would collide with real vectors")
     val qs: Seq[(Long, Array[Float])] = embeddings
       .filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id"), col("embedding"))

@@ -621,39 +621,69 @@ object TextAnalysis {
     * joins back by hash (AQE broadcasts it while it fits); the k-fold
     * position explode is confined to DUPLICATED grams, then distinct
     * per (doc, position) — bounded by doc length. */
-  def dupSpanCoverage(docs: DataFrame, k: Int = 8): DataFrame = {
+  def dupSpanCoverage(docs: DataFrame, k: Int = 8): DataFrame =
+    dupSpanCoverageFrom(queryScopedDupSpanTally(docs, k), k)
+
+  /** The dup-span FAMILY's one shared corpus tally (VERDICT r13 #2):
+    * per token position p, the token there and the 64-bit hash of the
+    * word k-gram STARTING there (null past the last gram start —
+    * zip_with pads the shorter gram-hash array), with n_toks carried on
+    * every row. Both family members derive entirely from this table:
+    * [[dupSpanCoverageFrom]] reads only the gram-start rows (h non-null)
+    * plus the per-doc base; [[scrubDupSpansFrom]] additionally streams
+    * the tokens back out for reassembly. The registration layer memoizes
+    * ONE persisted copy per sfDir (PipelineQueries.dupSpanTally), so the
+    * corpus is tokenized once for the pair instead of once per query.
+    *
+    * Null-text contract (LOAD-BEARING): null text mints no gram — the
+    * whole zipped array is NULL and explode_outer keeps the doc as a
+    * single null row for the base rollup, which the token/gram branches
+    * drop (a null h never equi-joins) — so the '' doc-frequency is never
+    * inflated relative to the oracle's NULL-propagating replay. The
+    * explicit isNotNull guard keeps that independent of zip_with's
+    * propagation behavior (the null-skipping greatest would otherwise
+    * mint a '' gram for NULL text: sequence collapses to [0]).
+    *
+    * Scale shape: a narrow codegen'd per-row zip + explode — token-scale
+    * (id, long, long, tok, hash) rows, spillable; every downstream
+    * shuffle (doc frequency, covered positions, reassembly) is keyed on
+    * hash or (doc, pos), never on text. */
+  private[graft] def dupSpanTallyPlan(docs: DataFrame, k: Int = 8): DataFrame = {
     val words = split(trim(col("text")), "\\s+")
     val grams = transform(
       sequence(lit(0), greatest(size(words) - k, lit(0))),
       i => concat_ws(" ", slice(words, i + 1, lit(k))))
-    // ONE corpus pass (r12): a persisted tally carries n_toks alongside
-    // every positional gram hash, with an explode_outer null row keeping
-    // gramless docs (null text mints no gram — its whole gram array is
-    // NULL, so the null-skipping greatest can't inflate the '' doc
-    // frequency; a null h never equi-joins). The doc-frequency branch,
-    // the covered-position probe AND the per-doc base all read this
-    // tally — token-scale id/hash rows, spillable.
-    // the explicit null-text guard is LOAD-BEARING: without it the
-    // null-skipping greatest mints a '' gram for NULL text (sequence
-    // collapses to [0]) and inflates the '' doc-frequency by one
-    // relative to the oracle's NULL-propagating replay
-    val tally = docs
+    val ghArr = transform(grams, g => Dedup.hash64Col(g))
+    val zipped = when(col("text").isNotNull, zip_with(words, ghArr,
+      (t, h) => struct(t.as("tok"), h.as("gh"))))
+    docs
       .select(col("doc_id"), size(words).cast("long").as("n_toks"),
-        posexplode_outer(when(col("text").isNotNull, grams))
-          .as(Seq("pos", "gram")))
-      .select(col("doc_id"), col("n_toks"), col("pos"),
-        Dedup.hash64Col(col("gram")).as("h"))
+        posexplode_outer(zipped).as(Seq("p", "z")))
+      .select(col("doc_id"), col("n_toks"), col("p"),
+        col("z.tok").as("tok"), col("z.gh").as("h"))
+  }
+
+  /** Direct-call form (specs, ad-hoc): a query-scoped persisted tally,
+    * released by the harness between queries. */
+  private def queryScopedDupSpanTally(docs: DataFrame, k: Int): DataFrame =
+    dupSpanTallyPlan(docs, k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       .transform(graft.CacheScope.register)
+
+  /** [[dupSpanCoverage]] over a prebuilt [[dupSpanTallyPlan]] tally. */
+  private[graft] def dupSpanCoverageFrom(tally: DataFrame, k: Int = 8): DataFrame = {
     val base = tally.groupBy("doc_id").agg(max("n_toks").as("n_toks"))
 
+    // gram-start rows are exactly the h-non-null rows; the null-h group
+    // (positions past the last gram start, null-text docs) survives the
+    // grouping but can never equi-join back
     val dupGrams = tally.groupBy("h")
       .agg(countDistinct(col("doc_id")).as("df"))
       .filter(col("df") >= 2)
       .select("h")
     val coveredPos = tally.join(dupGrams, Seq("h"))
       .select(col("doc_id"),
-        explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("p"))
+        explode(sequence(col("p"), col("p") + lit(k - 1))).as("cp"))
       .distinct()
     // positions past the doc end occur only in the sub-k-doc whole-doc
     // gram case (positions {0..k-1} from gram 0), where the in-range
@@ -685,34 +715,11 @@ object TextAnalysis {
     * confined to duplicated grams), then one anti equi-join on
     * (doc, position) and a per-doc sort_array reassembly — per-doc
     * bounded, never a corpus-wide sort. */
-  def scrubDupSpans(docs: DataFrame, k: Int = 8): DataFrame = {
-    val words = split(trim(col("text")), "\\s+")
-    val grams = transform(
-      sequence(lit(0), greatest(size(words) - k, lit(0))),
-      i => concat_ws(" ", slice(words, i + 1, lit(k))))
-    // ONE corpus pass (r12): the tally zips each token position with the
-    // hash of the gram STARTING there (null past the last gram start —
-    // zip_with pads the shorter gram-hash array), carries n_toks, and is
-    // persisted; doc frequencies, the covered-position probe, the token
-    // reassembly stream AND the per-doc base all read it. Null text
-    // mints no gram (whole arrays NULL; explode_outer keeps the doc as a
-    // single null row for the base rollup, which the token/gram branches
-    // drop — so the '' doc-frequency is never inflated, same contract as
-    // before).
-    // explicit null-text guard, same reason as dupSpanCoverage's: the
-    // null-skipping greatest would mint a '' gram for NULL text (the
-    // null words array already nulls the zip, but the guard keeps the
-    // contract independent of zip_with's propagation behavior)
-    val ghArr = transform(grams, g => Dedup.hash64Col(g))
-    val zipped = when(col("text").isNotNull, zip_with(words, ghArr,
-      (t, h) => struct(t.as("tok"), h.as("gh"))))
-    val tally = docs
-      .select(col("doc_id"), size(words).cast("long").as("n_toks"),
-        posexplode_outer(zipped).as(Seq("p", "z")))
-      .select(col("doc_id"), col("n_toks"), col("p"),
-        col("z.tok").as("tok"), col("z.gh").as("h"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      .transform(graft.CacheScope.register)
+  def scrubDupSpans(docs: DataFrame, k: Int = 8): DataFrame =
+    scrubDupSpansFrom(queryScopedDupSpanTally(docs, k), k)
+
+  /** [[scrubDupSpans]] over a prebuilt [[dupSpanTallyPlan]] tally. */
+  private[graft] def scrubDupSpansFrom(tally: DataFrame, k: Int = 8): DataFrame = {
     val base = tally.groupBy("doc_id").agg(max("n_toks").as("n_toks"))
 
     val dupGrams = tally.groupBy("h")

@@ -130,13 +130,15 @@ object TextVectorize {
   def hashVecNearDup(docs: DataFrame, dim: Int = 64,
       tau: Double = 0.9): DataFrame = {
     val vecs = denseVectors(docs, dim).persist()
-    val out = SimilaritySearch.cosineNearDupExact(vecs, tau)
-      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
-      .persist()
+    val out = graft.CacheScope.register(
+      SimilaritySearch.cosineNearDupExact(vecs, tau)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+        .persist())
     out.count()
     vecs.unpersist()
     // release the (materialized) result cache on the CALLER's first
-    // action — a pinned-forever block per invocation otherwise
+    // action — a pinned-forever block per invocation otherwise (the
+    // registry doubles as the drain-race backstop)
     SimilaritySearch.unpersistAfterFirstAction(out)
     out
   }

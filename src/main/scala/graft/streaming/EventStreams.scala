@@ -322,11 +322,21 @@ object EventStreams {
     // sink's batch read-back below runs under the restored conf)
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", StateParts)
-    val q = df.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode(mode)
-      .start()
+    // start() can throw synchronously (bad source dir, analysis error) —
+    // restore the conf and drop the probe listener on that path too
+    // (ADVICE r13: a failed start previously left the session's shuffle
+    // partitions at the streaming override for its remaining lifetime)
+    val q = try {
+      df.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .start()
+    } catch { case e: Throwable =>
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      shuffleProbe.foreach(spark.sparkContext.removeSparkListener(_))
+      throw e
+    }
     try {
       q.processAllAvailable()
       spark.conf.set("spark.sql.shuffle.partitions", prevParts)
