@@ -7,6 +7,80 @@ import java.nio.file.{Files, Paths}
   * Optional third arg (local iteration only; the driver passes two): a
   * comma-separated query-name filter. */
 object Verify {
+  /** The dump loop, extracted so CacheScopeSpec can pin its contract:
+    * every query's registered caches (and unfired release listeners) are
+    * drained BETWEEN dumps — a full 211-query sweep must not accumulate
+    * dead disk blocks (VERDICT r13 #7). */
+  private[graft] def dumpQueries(spark: SparkSession, sfDir: String,
+      outDir: String, only: Option[Set[String]]): Unit = {
+    new java.io.File(outDir).mkdirs()
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
+        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        catch { case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        }
+        // release query-scoped tallies (ADVICE r12 #1) — memoized
+        // cross-query caches are not registered and survive
+        CacheScope.releaseAll()
+      }
+  }
+
+  /** Executable shape checks for the 5 intrinsically-float queries whose
+    * oracle rows are `no_oracle` (VERDICT r13 #6): SQL cannot train and
+    * float metrics don't hash cross-engine, but the DUMPED rows still
+    * obey hard contracts a driver-visible artifact can gate — the fit
+    * queries' loss trajectory must decrease inside a tolerance band
+    * (golden-curve max observed per-epoch up-tick is +3.4%; net decrease
+    * 75%), and the eval queries' metrics row must be a single row with
+    * ranks >= 1 and a monotone hits ladder in [0,1]. Read back from the
+    * dumped parquet so the checked bytes are exactly what the driver
+    * sees. Results land in `outDir/behavioral.json` and failures print
+    * loudly; the bit-level gates stay in ContractSpec's golden curves. */
+  private[graft] def behavioralChecks(spark: SparkSession, outDir: String,
+      only: Option[Set[String]]): Seq[(String, (Boolean, String))] = {
+    def check(name: String)(f: org.apache.spark.sql.DataFrame => (Boolean, String))
+        : Option[(String, (Boolean, String))] =
+      if (!only.forall(_.contains(name))) None
+      else Some(name -> (
+        try f(spark.read.parquet(s"$outDir/$name"))
+        catch { case e: Throwable => (false, s"unreadable dump: ${e.getMessage}") }))
+    val fits = Seq("transe_fit", "transe_fit_partitioned").flatMap(n => check(n) { df =>
+      val rows = df.select("epoch", "hinge_loss").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+      val losses = rows.map(_._2)
+      val epochsOk = rows.map(_._1).sameElements(rows.indices.map(_.toLong))
+      val finiteOk = losses.forall(l => java.lang.Double.isFinite(l) && l > 0)
+      val bandOk = losses.toSeq.sliding(2).forall {
+        case Seq(a, b) => b <= a * 1.05
+        case _ => true
+      }
+      val netOk = losses.length >= 2 && losses.last <= losses.head * 0.5
+      (epochsOk && finiteOk && bandOk && netOk,
+        s"epochs=${rows.length} first=${losses.headOption.getOrElse(-1.0)} " +
+          s"last=${losses.lastOption.getOrElse(-1.0)}; contract: contiguous " +
+          "epochs, finite positive losses, per-epoch up-tick <= 5%, net " +
+          "decrease >= 50%")
+    })
+    val evals = Seq("transe_eval", "transe_eval_filtered",
+        "transe_eval_partitioned").flatMap(n => check(n) { df =>
+      val r = df.collect()
+      val ok = r.length == 1 && {
+        val row = r(0)
+        def d(c: String) = row.getDouble(row.fieldIndex(c))
+        d("mean_rank") >= 1 && d("mean_rank_head") >= 1 &&
+          d("mean_rank_tail") >= 1 &&
+          d("hits_at_1") >= 0 && d("hits_at_1") <= d("hits_at_3") &&
+          d("hits_at_3") <= d("hits_at_10") && d("hits_at_10") <= 1
+      }
+      (ok, s"rows=${r.length}; contract: one metrics row, ranks >= 1, " +
+        "hits ladder monotone within [0,1]")
+    })
+    fits ++ evals
+  }
+
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
     val only: Option[Set[String]] =
@@ -23,19 +97,7 @@ object Verify {
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
-        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
-        catch { case e: Throwable =>
-          System.err.println(s"[verify] $name failed: ${e.getMessage}")
-        }
-        // release query-scoped tallies (ADVICE r12 #1) — memoized
-        // cross-query caches are not registered and survive
-        CacheScope.releaseAll()
-      }
+    dumpQueries(spark, sfDir, outDir, only)
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -55,19 +117,24 @@ object Verify {
     // train; float ranks don't hash cross-engine), not unchecked: each is
     // gated elsewhere. Emitted beside the oracle file so the scoreboard's
     // `no_oracle` rows carry a driver-visible pointer to their gate
-    // (VERDICT r9 #6).
+    // (VERDICT r9 #6). Since r14 each also carries an EXECUTABLE shape
+    // check run against this very dump — behavioral.json below.
     val gating = Map(
       "transe_fit" -> ("ContractSpec.goldenLossCurve (fixed-seed 30-epoch " +
-        "loss recording, sf0.001) + ContractSpec.goldenFb15kShapeLoss"),
+        "loss recording, sf0.001) + ContractSpec.goldenFb15kShapeLoss + " +
+        "behavioral.json loss-trajectory check on this dump"),
       "transe_fit_partitioned" -> ("ContractSpec golden gate: bit-equal to " +
-        "transe_fit's goldenLossCurve (same float ops, same order)"),
+        "transe_fit's goldenLossCurve (same float ops, same order) + " +
+        "behavioral.json loss-trajectory check on this dump"),
       "transe_eval" -> ("transe_eval_quantized (hash-oracled exact-int64 " +
         "twin) + TransESpec float-vs-quantized tolerance gate + " +
-        "ContractSpec.goldenEval"),
+        "ContractSpec.goldenEval + behavioral.json metrics-shape check"),
       "transe_eval_filtered" -> ("transe_eval_quantized_filtered (hash-" +
-        "oracled twin) + ContractSpec.goldenEvalFiltered"),
+        "oracled twin) + ContractSpec.goldenEvalFiltered + " +
+        "behavioral.json metrics-shape check"),
       "transe_eval_partitioned" -> ("transe_eval_quantized + ContractSpec " +
-        "exact-equality gate vs transe_eval"))
+        "exact-equality gate vs transe_eval + behavioral.json " +
+        "metrics-shape check"))
     // stream_continual_train left this map in r13: its integer stage
     // surface carries a full relational oracle now; the float hinge
     // loss it projects away stays gated by StreamingSpec's
@@ -76,6 +143,14 @@ object Verify {
     Files.writeString(Paths.get(s"$outDir/gating.json"),
       gating.map { case (k, v) => s"${q(k)}: {${q("gated_by")}: ${q(v)}}" }
         .mkString("{", ",", "}"))
+    val checks = behavioralChecks(spark, outDir, only)
+    Files.writeString(Paths.get(s"$outDir/behavioral.json"),
+      checks.map { case (n, (ok, detail)) =>
+        s"${q(n)}: {${q("pass")}: $ok, ${q("detail")}: ${q(detail)}}"
+      }.mkString("{", ",", "}"))
+    checks.collect { case (n, (false, detail)) =>
+      System.err.println(s"[verify] BEHAVIORAL FAIL $n: $detail")
+    }
     spark.stop()
   }
 }

@@ -163,12 +163,19 @@ object IvfAnn {
     * Output: (query_id, rank, neighbor_id) — integer-only, hash-oracled
     * by [[topKSql]]. */
   def topK(embeddings: DataFrame, nCells: Int = 16, nProbe: Int = 4,
-      k: Int = 5, iters: Int = 2): DataFrame = {
+      k: Int = 5, iters: Int = 2,
+      restrictQueries: Option[Seq[Long]] = None): DataFrame = {
     val spark = embeddings.sparkSession
     val centroids = trainCentroids(embeddings, nCells, iters)
     val assigned = assign(embeddings, centroids).persist()
 
-    val probes = probeCells(embeddings, centroids, nProbe)
+    // probe restriction (r14): centroids still train on the FULL corpus
+    // (identical index), but a |q|-query recall probe only routes those
+    // queries — per-query cell sets and ranks are untouched, so the kept
+    // rows are bit-identical to the unrestricted pipeline
+    val probeSrc = restrictQueries.map(ids =>
+      embeddings.filter(col("vec_id").isin(ids: _*))).getOrElse(embeddings)
+    val probes = probeCells(probeSrc, centroids, nProbe)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         col("cell"))
 

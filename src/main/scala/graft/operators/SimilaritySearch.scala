@@ -273,7 +273,8 @@ object SimilaritySearch {
     * and near-dup paths. */
   private def lshCandidates(embeddings: DataFrame, nTables: Int,
       bitsPerTable: Int, seed: Long, multiprobe: Boolean,
-      center: Boolean = false): DataFrame = {
+      center: Boolean = false,
+      restrictTo: Option[Seq[Long]] = None): DataFrame = {
     // persisted (read by both join sides). An EAGER unpersist would
     // require materializing the result here, hiding the candidate join
     // from plan assertions — instead the cache is released by a one-shot
@@ -290,11 +291,27 @@ object SimilaritySearch {
     val probed = if (multiprobe) probeExpand(buckets, bitsPerTable) else buckets
     val l = probed.select(col("vec_id").as("vec_a"), col("table_idx"), col("sig"))
     val r = buckets.select(col("vec_id").as("vec_b"), col("table_idx"), col("sig"))
-    val out = l.join(r, Seq("table_idx", "sig"))
-      .filter(col("vec_a") < col("vec_b"))
-      .select("vec_a", "vec_b")
-      .distinct()
-    out
+    // probe restriction (r14): a recall probe over |q| queries only needs
+    // the pairs TOUCHING those queries. A candidate pair (a < b) survives
+    // the unrestricted pipeline iff the PROBED side is a and the plain
+    // side is b, so the restricted set is exactly
+    //   probed(a in q) x plain(all)  UNION  probed(all) x plain(b in q)
+    // — and each arm has one |q|-sized side, so the corpus-pair shuffle
+    // join collapses to two broadcast joins (at 100 TB: bucket lookups
+    // for |q| probes, never a corpus self-join). A kept query's candidate
+    // set is untouched, so its ranks are bit-identical.
+    val restricted = restrictTo match {
+      case Some(ids) =>
+        val lIds = l.filter(col("vec_a").isin(ids: _*))
+        val rIds = r.filter(col("vec_b").isin(ids: _*))
+        broadcast(lIds).join(r, Seq("table_idx", "sig"))
+          .unionAll(l.join(broadcast(rIds), Seq("table_idx", "sig")))
+          .filter(col("vec_a") < col("vec_b"))
+      case None =>
+        l.join(r, Seq("table_idx", "sig"))
+          .filter(col("vec_a") < col("vec_b"))
+    }
+    restricted.select("vec_a", "vec_b").distinct()
   }
 
   /** Unpersist `caches` when an action whose analyzed plan CONTAINS
@@ -397,12 +414,18 @@ object SimilaritySearch {
     * oracle recomputes the SAME candidates, not the exact answer. */
   def randomHyperplaneAnn(embeddings: DataFrame, nTables: Int = 8,
       bitsPerTable: Int = 16, k: Int = 5, seed: Long = 42L,
-      multiprobe: Boolean = true): DataFrame = {
+      multiprobe: Boolean = true,
+      restrictQueries: Option[Seq[Long]] = None): DataFrame = {
     val spark = embeddings.sparkSession
-    val cands = lshCandidates(embeddings, nTables, bitsPerTable, seed, multiprobe)
+    val cands = lshCandidates(embeddings, nTables, bitsPerTable, seed,
+      multiprobe, restrictTo = restrictQueries)
     // near-dup candidates are (a < b); ANN ranks per query, so mirror
-    val sym = cands.union(cands.select(col("vec_b").as("vec_a"), col("vec_a").as("vec_b")))
+    val sym0 = cands.union(cands.select(col("vec_b").as("vec_a"), col("vec_a").as("vec_b")))
       .select(col("vec_a").as("query_id"), col("vec_b").as("neighbor_id"))
+    // per-query ranks don't depend on other queries, so the probe-set
+    // restriction below the window is row-identical for the kept queries
+    val sym = restrictQueries.map(ids =>
+      sym0.filter(col("query_id").isin(ids: _*))).getOrElse(sym0)
     val vq = embeddings.select(col("vec_id").as("query_id"), col("embedding").as("emb_a"))
     val vn = embeddings.select(col("vec_id").as("neighbor_id"), col("embedding").as("emb_b"))
     val w = Window.partitionBy("query_id")
@@ -515,7 +538,65 @@ object SimilaritySearch {
   }
 
   def annRecallReport(embeddings: DataFrame, queryIds: Seq[Long],
-      k: Int = 5, lshBitsPerTable: Int = 12): DataFrame = {
+      k: Int = 5, lshBitsPerTable: Int = 12): DataFrame =
+    recallReport(embeddings, queryIds, k, lshBitsPerTable,
+      (_, c) => bruteForceTopK(c, queryIds, k, excludeQueries = false)
+        .select(col("query_id"), col("neighbor_id")))
+
+  /** Standing exact-truth asset for the recall report (VERDICT r13 #4):
+    * the brute-force top-k truth of both slices is fully deterministic
+    * per (fixture path + mtime, queryIds, k) — recomputing two exact
+    * 20-probe corpus scans inside every report run is pure waste. Built
+    * ONCE under a `_DONE`-committed dir (the Search.stagedDir staging
+    * discipline: content-keyed tmp dir, commit marker written after the
+    * parquet lands, concurrent/re-runs read the committed asset) and
+    * probed by the registered report. At 100 TB the truth table is
+    * |slices| * |queryIds| * k id-rows — KBs, while the brute scans it
+    * replaces are full-corpus. */
+  private[graft] def truthStagedDir(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String, queryIds: Seq[Long], k: Int): String = {
+    import java.nio.file.{Files, Paths}
+    val src = Paths.get(sfDir, "embeddings.parquet").toAbsolutePath.normalize
+    val key = java.security.MessageDigest.getInstance("SHA-256")
+      .digest((s"$src:${Files.getLastModifiedTime(src).toMillis}:anntruth:" +
+        s"k=$k:q=${queryIds.mkString(",")}:v1").getBytes("UTF-8"))
+      .take(8).map("%02x".format(_)).mkString
+    val dir = Paths.get(sys.props("java.io.tmpdir"), s"graft_anntruth_$key")
+    if (!Files.exists(dir.resolve("_DONE"))) {
+      val emb = graft.Tables.embeddings(spark, sfDir)
+        .select("vec_id", "embedding")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .transform(graft.CacheScope.register)
+      val bg = bruteForceTopK(emb, queryIds, k, excludeQueries = false)
+        .select(lit("background").as("slice"),
+          col("query_id"), col("neighbor_id"))
+      val pl = bruteForceTopK(emb.unionAll(plantedNeighbors(emb, queryIds)),
+          queryIds, k, excludeQueries = false)
+        .select(lit("planted").as("slice"), col("query_id"), col("neighbor_id"))
+      bg.unionAll(pl).coalesce(1).write.mode("overwrite")
+        .parquet(dir.resolve("truth").toString)
+      Files.writeString(dir.resolve("_DONE"), "ok")
+    }
+    dir.toString
+  }
+
+  /** [[annRecallReport]] probing the staged exact-truth asset — identical
+    * rows (the truth is the same deterministic table), but the report's
+    * run cost drops to the three bucketed methods per slice. */
+  def annRecallReportStaged(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String, queryIds: Seq[Long], k: Int = 5,
+      lshBitsPerTable: Int = 12): DataFrame = {
+    val dir = truthStagedDir(spark, sfDir, queryIds, k)
+    val truthAll = spark.read.parquet(s"$dir/truth")
+    recallReport(graft.Tables.embeddings(spark, sfDir), queryIds, k,
+      lshBitsPerTable,
+      (slice, _) => truthAll.filter(col("slice") === slice)
+        .select("query_id", "neighbor_id"))
+  }
+
+  private def recallReport(embeddings: DataFrame, queryIds: Seq[Long],
+      k: Int, lshBitsPerTable: Int,
+      truthFor: (String, DataFrame) => DataFrame): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val base = queryIds.toDF("query_id")
@@ -533,11 +614,15 @@ object SimilaritySearch {
       val c = graft.CacheScope.register(
         corpus.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       caches += c
-      val truth = bruteForceTopK(c, queryIds, k, excludeQueries = false)
-        .select(col("query_id"), col("neighbor_id"))
+      val truth = truthFor(name, c)
       val methods: Seq[(String, DataFrame)] = Seq(
-        "lsh" -> randomHyperplaneAnn(c, bitsPerTable = lshBitsPerTable),
-        "ivf" -> IvfAnn.topK(c),
+        // the report reads ONLY the probe queries' neighbor lists, so
+        // each method runs probe-restricted (r14): indexes (planes,
+        // centroids, codebooks) still build on the full slice, rows for
+        // the probe set are bit-identical to the unrestricted pipelines
+        "lsh" -> randomHyperplaneAnn(c, bitsPerTable = lshBitsPerTable,
+          restrictQueries = Some(queryIds)),
+        "ivf" -> IvfAnn.topK(c, restrictQueries = Some(queryIds)),
         "ivfpq" -> Quantization.ivfPqTopK(c, queryIds))
       methods.map { case (m, approx) =>
         val hits = approx

@@ -40,11 +40,16 @@ object GraphQueries {
       // its conf overrides would silently not apply
       .filter(_.sparkSession eq s)
       .getOrElse {
+        // evict BEFORE persisting the replacement (r14): sessions share
+        // one CacheManager, so unpersisting the old entry AFTER the new
+        // persist drops the new (sameResult) cache entry with it and the
+        // "memoized" edges silently revert to raw lineage; evicting
+        // first both releases the stale blocks and keeps the new cache
+        edgeCache.remove(d).foreach(o =>
+          try o.unpersist(blocking = false) catch { case _: Throwable => () })
         val v = buildKgEdges(s, d).persist()
         v.count() // materialize so every consumer reads the cached edges
-        // evict-and-release: replacing another session's entry must not
-        // leak its persisted blocks (sessions share one BlockManager)
-        edgeCache.put(d, v).foreach(_.unpersist(blocking = false))
+        edgeCache.put(d, v)
         v
       }
 
@@ -121,9 +126,12 @@ object GraphQueries {
       .filter(!_.sparkSession.sparkContext.isStopped)
       .filter(_.sparkSession eq s) // ADVICE r12 #2: session identity
       .getOrElse {
+        // evict-before-build — see kgEdges
+        coPartCache.remove(d).foreach(o =>
+          try o.unpersist(blocking = false) catch { case _: Throwable => () })
         val v = buildCoPartEdges(s, d).persist()
         v.count() // triangles + communities share one materialized build
-        coPartCache.put(d, v).foreach(_.unpersist(blocking = false))
+        coPartCache.put(d, v)
         v
       }
 

@@ -94,9 +94,15 @@ object PipelineQueries {
       .filter(!_.sparkSession.sparkContext.isStopped)
       .filter(_.sparkSession eq s) // ADVICE r12 #2: session identity
       .getOrElse {
+        // evict BEFORE persisting the replacement: sessions share one
+        // CacheManager, and unpersisting the old entry AFTER the new
+        // persist drops the new (sameResult) cache entry with it — the
+        // "memoized" frame silently reverts to raw lineage (r14)
+        minhashCache.remove(d).foreach(o =>
+          try o.unpersist(blocking = false) catch { case _: Throwable => () })
         val v = Dedup.minhashLsh(Tables.documents(s, d)).persist()
         v.count() // materialize so every consumer reads the cached pairs
-        minhashCache.put(d, v).foreach(_.unpersist(blocking = false))
+        minhashCache.put(d, v)
         v
       }
 
@@ -113,9 +119,12 @@ object PipelineQueries {
       .filter(!_.sparkSession.sparkContext.isStopped)
       .filter(_.sparkSession eq s)
       .getOrElse {
+        // evict-before-build — see minhashPairs
+        dupSpanCache.remove(d).foreach(o =>
+          try o.unpersist(blocking = false) catch { case _: Throwable => () })
         val v = TextAnalysis.dupSpanTallyPlan(Tables.documents(s, d)).persist()
         v.count() // materialize so every consumer reads the cached tally
-        dupSpanCache.put(d, v).foreach(_.unpersist(blocking = false))
+        dupSpanCache.put(d, v)
         v
       }
 
@@ -131,10 +140,13 @@ object PipelineQueries {
       .filter(!_.sparkSession.sparkContext.isStopped)
       .filter(_.sparkSession eq s)
       .getOrElse {
+        // evict-before-build — see minhashPairs
+        clfEnrichedCache.remove(d).foreach(o =>
+          try o.unpersist(blocking = false) catch { case _: Throwable => () })
         val v = QualityClassifier.enrichedTokensPlan(Tables.documents(s, d))
           .persist()
         v.count()
-        clfEnrichedCache.put(d, v).foreach(_.unpersist(blocking = false))
+        clfEnrichedCache.put(d, v)
         v
       }
 
@@ -332,7 +344,7 @@ object PipelineQueries {
     "ann_ivfpq_topk" -> ((s, d) => Quantization.ivfPqTopK(Tables.embeddings(s, d), annQueryIds)),
     // recall@k of the bucketed ANN methods vs exact ground truth
     "report_ann_recall" -> ((s, d) =>
-      SimilaritySearch.annRecallReport(Tables.embeddings(s, d), annQueryIds)),
+      SimilaritySearch.annRecallReportStaged(s, d, annQueryIds)),
     // per-class centroid shift between standing corpus and arrival slice
     "report_embedding_drift" -> ((s, d) =>
       CorpusStats.embeddingDrift(Tables.embeddings(s, d))),
@@ -437,7 +449,7 @@ object PipelineQueries {
     "sink_compact" -> (Compaction.roundTripAgg _),
     "sink_bucketed_join" -> ((s, d) => BucketedSink.bucketedJoin(s, d)),
     // --- tokenizer vocabulary with dense ids ---
-    "vocab_build" -> ((s, d) => VocabBuild.vocab(Tables.documents(s, d))),
+    "vocab_build" -> ((s, d) => VocabBuild.vocabStaged(s, d)),
     // typo-pair detection: deletion-neighborhood candidates + exact verify
     "vocab_fuzzy_pairs" -> ((s, d) => FuzzyVocab.fuzzyPairs(Tables.documents(s, d))),
     // tokenizer health: per-slice OOV occurrence rate vs the trained vocab
@@ -449,10 +461,10 @@ object PipelineQueries {
       Bpe.pieces(Tables.documents(s, d), bpeMerges(s, d))),
     "tokenize_bpe" -> ((s, d) =>
       Bpe.tokenizeBpe(Tables.documents(s, d), bpeMerges(s, d))),
-    "tokenize_corpus" -> ((s, d) => VocabBuild.tokenize(Tables.documents(s, d))),
+    "tokenize_corpus" -> ((s, d) => VocabBuild.tokenizeStaged(s, d)),
     // per-doc top-k salient terms: integer tf-idf over the dense-id
     // vocab, ranked by the native topk_pairs aggregate
-    "text_tfidf_topterms" -> ((s, d) => VocabBuild.tfidfTopTerms(Tables.documents(s, d))),
+    "text_tfidf_topterms" -> ((s, d) => VocabBuild.tfidfTopTermsStaged(s, d)),
     // --- JSONL source round-trip (explicit schema, FAILFAST) ---
     "source_jsonl" -> ((s, d) => graft.sources.JsonLines.roundTripAgg(s, d)),
     // --- CSV source round-trip (same contract, shared oracle) ---

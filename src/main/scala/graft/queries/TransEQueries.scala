@@ -173,10 +173,15 @@ object TransEQueries {
       .filter(!_.sparkSession.sparkContext.isStopped)
       .filter(_.sparkSession eq spark) // ADVICE r12 #2: session identity
       .getOrElse {
+        // evict BEFORE persisting the replacement: sessions share one
+        // CacheManager, so unpersisting the old entry AFTER the new
+        // persist drops the new (sameResult) cache entry with it (r14)
+        arrivalCache.remove(dir).foreach(o =>
+          try o.unpersist(blocking = false) catch { case _: Throwable => () })
         val d = kgTriples(spark, dir).filter(contentBucket >= 9)
           .as[RawTriple].persist()
         d.count()
-        arrivalCache.put(dir, d).foreach(_.unpersist(blocking = false))
+        arrivalCache.put(dir, d)
         d
       }
   }
@@ -263,10 +268,13 @@ object TransEQueries {
       .filter(_._1.sparkSession eq spark) // ADVICE r12 #2: session identity
       .getOrElse {
         import spark.implicits._
+        // evict-before-build — see arrivingSlice
+        encodeCache.remove(dir).foreach(o =>
+          try o._1.unpersist(blocking = false) catch { case _: Throwable => () })
         val raw = kgTriples(spark, dir).as[RawTriple]
         val (enc, ents, labs) = DictionaryEncoder.encodeAll(raw)
         val v = (enc.persist(), ents, labs, ents.count().toInt, labs.count().toInt)
-        encodeCache.put(dir, v).foreach(_._1.unpersist(blocking = false))
+        encodeCache.put(dir, v)
         v
       }
 

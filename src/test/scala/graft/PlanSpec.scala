@@ -707,15 +707,42 @@ class PlanSpec extends SparkSpec {
       }.distinct.map(postingsScans).sum
       inline + cached
     }
-    stagedSearch.foreach { name =>
+    // text_tfidf_topterms, tokenize_corpus and vocab_build joined the
+    // postings-asset consumers (VERDICT r13 #5 + r14): their tf/df/vocab
+    // rollups and the apply stream are pure postings aggregations.
+    // vocab_build's postings read hides behind the eager lineage
+    // truncation (the id-assignment RDD dance), so only the
+    // zero-corpus-scan half is assertable on its final plan.
+    (stagedSearch ++ Seq("text_tfidf_topterms", "tokenize_corpus",
+        "vocab_build")).foreach { name =>
       val df = po.rawQueries(name)(s2, sf)
       val n = docScans(df.queryExecution.executedPlan)
       assert(n == 0, s"$name probe plan scans the documents corpus $n " +
         "times — the standing postings asset is being bypassed:\n" +
         df.queryExecution.executedPlan.toString)
-      assert(postingsScans(df.queryExecution.executedPlan) >= 1,
+      assert(name == "vocab_build" ||
+        postingsScans(df.queryExecution.executedPlan) >= 1,
         s"$name probe plan does not read the staged postings asset:\n" +
           df.queryExecution.executedPlan.toString)
+    }
+    // the ANN recall report probes the STAGED exact-truth asset (VERDICT
+    // r13 #4): its plan must read the committed truth table instead of
+    // recomputing the two brute-force corpus scans per run
+    locally {
+      val df = po.rawQueries("report_ann_recall")(s2, sf)
+      def truthScans(plan: SparkPlan): Int = {
+        val inline = plan.collect {
+          case f: FileSourceScanExec if f.relation.location.rootPaths
+            .exists(_.toString.contains("graft_anntruth_")) => 1
+        }.sum
+        val cached = plan.collect { case m: InMemoryTableScanExec =>
+          m.relation.cacheBuilder.cachedPlan
+        }.distinct.map(truthScans).sum
+        inline + cached
+      }
+      assert(truthScans(df.queryExecution.executedPlan) >= 2,
+        "report_ann_recall does not probe the staged exact-truth asset " +
+          "for both slices:\n" + df.queryExecution.executedPlan.toString)
     }
     // plan-only construction persists probe tallies whose action-keyed
     // release listeners never fire — drain the registry the way the
@@ -766,7 +793,6 @@ class PlanSpec extends SparkSpec {
       "dedup_hashvec" -> "bucket-build + verify slices",
       "dedup_incremental" -> "standing index + arrival slice",
       "mm_feature_near_dup_lsh" -> "bucket-build + verify slices",
-      "text_tfidf_topterms" -> "df rollup + per-doc tf (different cols)",
       "tokenize_bpe" -> "vocab-train slice + apply slice",
       "sink_upsert" -> "snapshot + derived change batch (three slices)",
       "transe_eval_filtered" -> "ranked sample + known-competitor fetch",
