@@ -519,6 +519,53 @@ class PipelineSpec extends SparkSpec {
     assert(r.values.forall(v => v >= 0 && v <= 1000000))
   }
 
+  test("ann probe restriction: restricted method rows are bit-identical") {
+    // r14: the recall report runs each method probe-restricted (indexes
+    // build on the full slice, only the routing/ranking is confined to
+    // the probe set). The claim the report rides on is ROW identity: a
+    // restricted run's rows for the kept queries equal the unrestricted
+    // run's, because per-query candidate sets and ranks never depend on
+    // other queries.
+    import graft.operators.{IvfAnn, SimilaritySearch}
+    val emb = Tables.embeddings(spark, sf)
+    val ids = (0L until 20L)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val lshFull = rows(SimilaritySearch
+      .randomHyperplaneAnn(emb, bitsPerTable = 12)
+      .filter(org.apache.spark.sql.functions.col("query_id").isin(ids: _*)))
+    val lshRestricted = rows(SimilaritySearch
+      .randomHyperplaneAnn(emb, bitsPerTable = 12, restrictQueries = Some(ids)))
+    assert(lshRestricted == lshFull,
+      "restricted LSH rows diverge from the unrestricted pipeline")
+    val ivfFull = rows(IvfAnn.topK(emb)
+      .filter(org.apache.spark.sql.functions.col("query_id").isin(ids: _*)))
+    val ivfRestricted = rows(IvfAnn.topK(emb, restrictQueries = Some(ids)))
+    assert(ivfRestricted == ivfFull,
+      "restricted IVF rows diverge from the unrestricted pipeline")
+    CacheScope.releaseAll()
+  }
+
+  test("verify behavioral checks: reject a rising loss curve, accept the dumped one") {
+    // r14 (VERDICT r13 #6): the fit family's no_oracle rows carry an
+    // executable trajectory check in Verify — pin both verdicts: a
+    // fabricated NON-decreasing curve fails, a fabricated golden-shaped
+    // curve passes.
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft_behav").toString
+    def dump(losses: Seq[Double]): Unit =
+      losses.zipWithIndex
+        .map { case (l, e) => (e.toLong, l, 10L, 3L, 100L) }
+        .toDF("epoch", "hinge_loss", "n_entities", "n_labels", "n_train")
+        .coalesce(1).write.mode("overwrite").parquet(s"$out/transe_fit")
+    dump(Seq.tabulate(30)(i => 1000.0 + i * 50.0)) // rising: must fail
+    val bad = Verify.behavioralChecks(spark, out, Some(Set("transe_fit"))).toMap
+    assert(!bad("transe_fit")._1, s"rising curve passed: ${bad("transe_fit")}")
+    dump(Seq.tabulate(30)(i => 6500.0 * math.pow(0.95, i))) // decreasing
+    val good = Verify.behavioralChecks(spark, out, Some(Set("transe_fit"))).toMap
+    assert(good("transe_fit")._1, s"decreasing curve failed: ${good("transe_fit")}")
+  }
+
   test("bloom skip: real file skipping, zero false negatives, fail-open admission") {
     import graft.operators.BloomSkip
     val keys = BloomSkip.workload(spark, sf)
