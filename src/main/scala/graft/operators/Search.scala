@@ -94,15 +94,24 @@ object Search {
 
   private val NBuckets = 64
 
-  private[graft] def stagedDir(spark: SparkSession, sfDir: String): String = {
+  private[graft] def stagedDir(spark: SparkSession, sfDir: String): String =
+    stagedDirSlice(spark, sfDir, None)
+
+  /** [[stagedDir]] over a PREDICATE-SLICED corpus — the base half of the
+    * streaming index-maintenance twin (the standing index covers the
+    * already-ingested corpus; arrivals append a delta). The predicate is
+    * part of the staging key, so slices never collide with the full
+    * asset. */
+  private[graft] def stagedDirSlice(spark: SparkSession, sfDir: String,
+      pred: Option[String]): String = {
     val src = Paths.get(sfDir, "documents.parquet").toAbsolutePath.normalize
     val key = java.security.MessageDigest.getInstance("SHA-256")
-      .digest(s"$src:${Files.getLastModifiedTime(src).toMillis}:postings:v2"
-        .getBytes("UTF-8"))
+      .digest((s"$src:${Files.getLastModifiedTime(src).toMillis}:postings:v2" +
+        pred.fold("")(p => s":slice=$p")).getBytes("UTF-8"))
       .take(8).map("%02x".format(_)).mkString
     val dir = Paths.get(sys.props("java.io.tmpdir"), s"graft_postings_$key")
     if (!Files.exists(dir.resolve("_DONE"))) {
-      val toks = graft.Tables.documents(spark, sfDir)
+      val toks = pred.foldLeft(graft.Tables.documents(spark, sfDir))(_.filter(_))
         .select(col("doc_id"),
           regexp_extract_all(lower(col("text")),
             lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)).as("toks"))
@@ -152,6 +161,49 @@ object Search {
       .filter(col("bucket").isin(bucketsOf(spark, terms): _*) &&
         col("tok").isin(terms: _*))
       .select("doc_id", "pos", "tok")
+
+  /** Postings rows of a document batch under the EXACT expression tree
+    * the standing-asset build uses (tokenizer + bucket hash shared by
+    * construction, not by convention) — the streaming index-maintenance
+    * delta producer: each arrival micro-batch appends its own postings,
+    * token-bucketed like the base, and the corpus is never rescanned. */
+  private[graft] def postingsOf(batch: DataFrame): DataFrame =
+    batch.select(col("doc_id"),
+        posexplode(regexp_extract_all(lower(col("text")),
+          lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).as(Seq("pos", "tok")))
+      .withColumn("bucket", pmod(xxhash64(col("tok")), lit(NBuckets.toLong)))
+
+  /** Conjunctive keyword search over a MAINTAINED index: the standing
+    * base postings UNION a streamed delta dir — both probed with the
+    * same |terms| bucket pruning + pushed tok equality. Because postings
+    * are a pure per-document function, base ∪ delta equals the
+    * from-scratch index over (corpus ∪ arrivals) row-for-row, which is
+    * what lets the streaming twin share [[keywordSearchSql]] verbatim. */
+  private[graft] def keywordSearchMaintained(spark: SparkSession,
+      baseDir: String, deltaDir: String, terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty)
+    val bs = bucketsOf(spark, terms)
+    val deltaSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("pos",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("tok",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("bucket",
+        org.apache.spark.sql.types.LongType)))
+    def probe(df: DataFrame): DataFrame =
+      df.filter(col("bucket").isin(bs: _*) && col("tok").isin(terms: _*))
+        .select("doc_id", "tok")
+    // explicit schema on the delta: an all-null-text arrival stream
+    // writes no files, and schema inference over an empty dir would fail
+    probe(spark.read.parquet(s"$baseDir/postings"))
+      .unionAll(probe(spark.read.schema(deltaSchema).parquet(deltaDir)))
+      .distinct()
+      .groupBy("doc_id").agg(count(lit(1)).as("n_matched"))
+      .filter(col("n_matched") === terms.length)
+      .select("doc_id")
+  }
 
   /** [[keywordSearch]] over the standing postings asset — identical
     * result, zero corpus scans at probe time. */

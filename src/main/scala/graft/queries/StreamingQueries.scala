@@ -60,6 +60,9 @@ object StreamingQueries {
       graft.streaming.CorpusStreams.streamingDsirScore(s, d)),
     "stream_decontaminate" -> ((s, d) =>
       graft.streaming.CorpusStreams.streamingDecontaminate(s, d)),
+    "stream_search_maintained" -> ((s, d) =>
+      graft.streaming.CorpusStreams.streamingSearchMaintained(s, d,
+        PipelineQueries.searchTerms)),
     "q11_sessionize" -> ((s, d) => EventStreams.sessionizeBatch(Tables.events(s, d))),
     "q12_asof_join" -> ((s, d) => AsOfJoin.errorToLastClick(Tables.events(s, d))),
     "q32_asof_forward" -> ((s, d) => AsOfJoin.errorToNextClick(Tables.events(s, d))),
@@ -155,6 +158,12 @@ object StreamingQueries {
     // union equals the one-shot batch probe and shares its oracle
     "stream_dedup_incremental" ->
       graft.streaming.CorpusStreams.streamingIncrementalDedupSql(),
+    // postings are a pure per-document function, so the streamed delta
+    // union the sliced base equals the from-scratch index — the oracle
+    // is the batch conjunctive search over the FULL documents table
+    "stream_search_maintained" ->
+      graft.streaming.CorpusStreams.streamingSearchMaintainedSql(
+        PipelineQueries.searchTerms),
     // id assignment DEPENDS on arrival order here (unlike the probes
     // above): the stream pins a deterministic content-defined batch
     // sequence and the oracle replays it as a fixed CTE chain

@@ -299,4 +299,80 @@ object CorpusStreams {
   def streamingDecontaminateSql(n: Int = 8, evalRate: Double = 0.05): String =
     graft.operators.Decontaminate.verdictsSql(n, evalRate,
       trainPred = "doc_id % 10 = 7")
+
+  /** Streaming MAINTENANCE of the standing search index (r14): the
+    * token-bucketed positional-postings asset covers the already-ingested
+    * corpus (doc_id % 10 != 7); arriving documents stream in four
+    * micro-batches, and each batch appends ITS OWN postings — produced by
+    * the exact expression tree the base build uses
+    * ([[graft.operators.Search.postingsOf]]) and partitioned into the
+    * same token buckets — to a delta dir. The corpus is never rescanned
+    * and arrival cost is |batch tokens|, independent of corpus size and
+    * of how arrivals were chopped into batches (postings are a pure
+    * per-document function, so base UNION delta equals the from-scratch
+    * index over corpus ∪ arrivals row-for-row).
+    *
+    * The registered result PROVES the maintained index: a conjunctive
+    * keyword search probed over base ∪ delta (bucket-pruned on both
+    * sides) must equal the batch search over the FULL documents table —
+    * the stream shares [[graft.operators.Search.keywordSearchSql]]
+    * verbatim. This is the 100 TB ingest economics for lexical search:
+    * index once, append forever, queries prune to |terms| buckets of
+    * base + delta. */
+  def streamingSearchMaintained(spark: SparkSession, sfDir: String,
+      terms: Seq[String]): DataFrame = {
+    import graft.operators.Search
+    val baseDir = Search.stagedDirSlice(spark, sfDir, Some("doc_id % 10 != 7"))
+    val arrivals = graft.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 10 === 7)
+      .select(col("doc_id"), col("text"))
+
+    val target = Paths.get(sfDir, "documents.parquet").toAbsolutePath.normalize
+    val mtime = Files.getLastModifiedTime(target).toMillis
+    val key = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s"$target:$mtime:searchmaint:v1".getBytes("UTF-8"))
+      .take(8).map("%02x".format(_)).mkString
+    val base = Paths.get(sys.props("java.io.tmpdir"), s"graft_streamsearch_$key")
+    val (src, delta, chk) =
+      (base.resolve("src"), base.resolve("delta"), base.resolve("chk"))
+    val done = base.resolve("_DONE")
+
+    if (!Files.exists(done)) {
+      // crash discipline: _DONE is the commit point, a half-state is wiped
+      StagedRuns.freshBase(base, done)
+      Files.createDirectories(src)
+      Files.createDirectories(delta)
+      (0 until 4).foreach { i =>
+        arrivals.filter(pmod(col("doc_id"), lit(40)) === (7 + 10 * i))
+          .coalesce(1).write.mode("append").parquet(src.toString)
+      }
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType)))
+      val q = spark.readStream
+        .schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src.toString)
+        .writeStream
+        .option("checkpointLocation", chk.toString)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          Search.postingsOf(batch)
+            .write.mode("append").partitionBy("bucket")
+            .parquet(delta.toString)
+          ()
+        }
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+        .start()
+      // stop() is asynchronous — await termination before _DONE/cleanup,
+      // or a re-invocation's freshBase races the dying query's checkpoint
+      try q.processAllAvailable() finally { q.stop(); q.awaitTermination() }
+      Files.writeString(done, "ok")
+    }
+    Search.keywordSearchMaintained(spark, baseDir, delta.toString, terms)
+      .orderBy("doc_id")
+  }
+
+  /** The maintained index equals the from-scratch one, so the oracle is
+    * the batch conjunctive search over the FULL documents table. */
+  def streamingSearchMaintainedSql(terms: Seq[String]): String =
+    graft.operators.Search.keywordSearchSql(terms)
 }
