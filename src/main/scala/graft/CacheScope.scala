@@ -35,9 +35,11 @@ import org.apache.spark.sql.util.{ExecutionListenerManager, QueryExecutionListen
   * releaseAll unregisters them; a listener that already fired and
   * self-unregistered is skipped harmlessly.
   *
-  * Releasing is idempotent and never eager: a registered cache is only
-  * unpersisted between queries, so it can never vanish mid-plan the way
-  * a mistimed listener release can.
+  * Releasing is idempotent and never eager: [[releaseAll]] only runs
+  * between queries, so harness drains can never strike mid-plan the way
+  * a mistimed listener release can. (The cap drain CAN strike mid-query
+  * if one query registers more than [[MaxLive]] caches — observed max is
+  * ~12, and an early release is recompute-correct, only suboptimal.)
   */
 object CacheScope {
   /** Max retained entries outside harness drains — far above any single

@@ -191,8 +191,12 @@ object IvfAnn {
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col("neighbor_id"))
       .persist()
+      // registry + listener release, like topKAgainst: the materialized
+      // result cache must not pin blocks for the session lifetime
+      .transform(graft.CacheScope.register)
     out.count() // materialize, then drop the cell-assignment cache
     assigned.unpersist()
+    SimilaritySearch.unpersistAfterFirstAction(out)
     out
   }
 

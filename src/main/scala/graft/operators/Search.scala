@@ -105,10 +105,9 @@ object Search {
   private[graft] def stagedDirSlice(spark: SparkSession, sfDir: String,
       pred: Option[String]): String = {
     val src = Paths.get(sfDir, "documents.parquet").toAbsolutePath.normalize
-    val key = java.security.MessageDigest.getInstance("SHA-256")
-      .digest((s"$src:${Files.getLastModifiedTime(src).toMillis}:postings:v2" +
-        pred.fold("")(p => s":slice=$p")).getBytes("UTF-8"))
-      .take(8).map("%02x".format(_)).mkString
+    val key = graft.streaming.StagedRuns.contentKey(
+      s"$src:${Files.getLastModifiedTime(src).toMillis}:postings:v2" +
+        pred.fold("")(p => s":slice=$p"))
     val dir = Paths.get(sys.props("java.io.tmpdir"), s"graft_postings_$key")
     if (!Files.exists(dir.resolve("_DONE"))) {
       val toks = pred.foldLeft(graft.Tables.documents(spark, sfDir))(_.filter(_))

@@ -513,10 +513,14 @@ object SimilaritySearch {
     // with real vectors — both engines would agree, keeping the oracle
     // green while the planted slice's meaning corrupts (ADVICE r13).
     // One column-pruned max over the id column; fails loudly instead.
-    val maxId = embeddings.agg(max(col("vec_id"))).head.getLong(0)
-    require(maxId < PlantIdBase,
-      s"fixture vec_id $maxId >= planted-id base $PlantIdBase — " +
-        "planted neighbors would collide with real vectors")
+    // (null max = empty fixture = nothing to collide with.)
+    val maxIdRow = embeddings.agg(max(col("vec_id"))).head
+    if (!maxIdRow.isNullAt(0)) {
+      val maxId = maxIdRow.getLong(0)
+      require(maxId < PlantIdBase,
+        s"fixture vec_id $maxId >= planted-id base $PlantIdBase — " +
+          "planted neighbors would collide with real vectors")
+    }
     val qs: Seq[(Long, Array[Float])] = embeddings
       .filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id"), col("embedding"))
@@ -557,10 +561,9 @@ object SimilaritySearch {
       sfDir: String, queryIds: Seq[Long], k: Int): String = {
     import java.nio.file.{Files, Paths}
     val src = Paths.get(sfDir, "embeddings.parquet").toAbsolutePath.normalize
-    val key = java.security.MessageDigest.getInstance("SHA-256")
-      .digest((s"$src:${Files.getLastModifiedTime(src).toMillis}:anntruth:" +
-        s"k=$k:q=${queryIds.mkString(",")}:v1").getBytes("UTF-8"))
-      .take(8).map("%02x".format(_)).mkString
+    val key = graft.streaming.StagedRuns.contentKey(
+      s"$src:${Files.getLastModifiedTime(src).toMillis}:anntruth:" +
+        s"k=$k:q=${queryIds.mkString(",")}:v1")
     val dir = Paths.get(sys.props("java.io.tmpdir"), s"graft_anntruth_$key")
     if (!Files.exists(dir.resolve("_DONE"))) {
       val emb = graft.Tables.embeddings(spark, sfDir)

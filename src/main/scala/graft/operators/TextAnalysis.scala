@@ -622,7 +622,14 @@ object TextAnalysis {
     * position explode is confined to DUPLICATED grams, then distinct
     * per (doc, position) — bounded by doc length. */
   def dupSpanCoverage(docs: DataFrame, k: Int = 8): DataFrame =
-    dupSpanCoverageFrom(queryScopedDupSpanTally(docs, k), k)
+    // coverage never reads the token column — drop it before the
+    // query-scoped persist so the direct-call cache stays gram-hash-sized
+    // (the memoized registration path keeps the full tally because the
+    // scrub twin shares it)
+    dupSpanCoverageFrom(
+      dupSpanTallyPlan(docs, k).drop("tok")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .transform(graft.CacheScope.register), k)
 
   /** The dup-span FAMILY's one shared corpus tally (VERDICT r13 #2):
     * per token position p, the token there and the 64-bit hash of the

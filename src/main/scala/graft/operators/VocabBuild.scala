@@ -75,12 +75,19 @@ object VocabBuild {
     * assignment, exactly like the corpus-scanning spelling. */
   def vocabStaged(spark: org.apache.spark.sql.SparkSession, sfDir: String,
       minCount: Long = 5L): DataFrame =
-    vocabFromCounts(
-      spark.read.parquet(s"${Search.stagedDir(spark, sfDir)}/postings")
-        .select(col("tok").as("token"))
-        .groupBy("token")
-        .agg(count(lit(1)).as("freq"))
-        .filter(col("freq") >= minCount))
+    vocabFromCounts(vocabStagedCounts(spark, sfDir, minCount))
+
+  /** The pre-truncation counts half of [[vocabStaged]], exposed because
+    * the FINAL vocab plan hides its read behind the eager id-assignment
+    * truncation — the plan gate asserts zero-corpus-scan on THIS surface,
+    * where a regression re-introducing the corpus tokenize is visible. */
+  private[graft] def vocabStagedCounts(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String, minCount: Long = 5L): DataFrame =
+    spark.read.parquet(s"${Search.stagedDir(spark, sfDir)}/postings")
+      .select(col("tok").as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("freq"))
+      .filter(col("freq") >= minCount)
 
   /** Tokenize the corpus against a built vocabulary — the apply step:
     * every document becomes (doc_id, pos, token_id) rows, out-of-vocab

@@ -53,9 +53,7 @@ object CorpusStreams {
     // evidence; re-invocations read the completed sink
     val target = Paths.get(sfDir, "documents.parquet").toAbsolutePath.normalize
     val mtime = Files.getLastModifiedTime(target).toMillis
-    val key = java.security.MessageDigest.getInstance("SHA-256")
-      .digest(s"$target:$mtime:$n:$tau:$maxDocFreq".getBytes("UTF-8"))
-      .take(8).map("%02x".format(_)).mkString
+    val key = StagedRuns.contentKey(s"$target:$mtime:$n:$tau:$maxDocFreq")
     val base = Paths.get(sys.props("java.io.tmpdir"), s"graft_streamdedup_$key")
     val (src, out, chk) = (base.resolve("src"), base.resolve("out"), base.resolve("chk"))
     val done = base.resolve("_DONE")
@@ -255,9 +253,7 @@ object CorpusStreams {
 
     val target = Paths.get(sfDir, "documents.parquet").toAbsolutePath.normalize
     val mtime = Files.getLastModifiedTime(target).toMillis
-    val key = java.security.MessageDigest.getInstance("SHA-256")
-      .digest(s"$target:$mtime:decon:$n:$evalRate".getBytes("UTF-8"))
-      .take(8).map("%02x".format(_)).mkString
+    val key = StagedRuns.contentKey(s"$target:$mtime:decon:$n:$evalRate")
     val base = Paths.get(sys.props("java.io.tmpdir"), s"graft_streamdecon_$key")
     val (src, out, chk) = (base.resolve("src"), base.resolve("out"), base.resolve("chk"))
     val done = base.resolve("_DONE")
@@ -319,6 +315,16 @@ object CorpusStreams {
     * verbatim. This is the 100 TB ingest economics for lexical search:
     * index once, append forever, queries prune to |terms| buckets of
     * base + delta. */
+  /** Staged base dir of [[streamingSearchMaintained]]'s memoized run —
+    * ONE derivation shared by the producer and any spec that re-enters
+    * the committed dirs (key drift would silently split them). */
+  private[graft] def searchMaintainedBase(sfDir: String): java.nio.file.Path = {
+    val target = Paths.get(sfDir, "documents.parquet").toAbsolutePath.normalize
+    val mtime = Files.getLastModifiedTime(target).toMillis
+    Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_streamsearch_${StagedRuns.contentKey(s"$target:$mtime:searchmaint:v1")}")
+  }
+
   def streamingSearchMaintained(spark: SparkSession, sfDir: String,
       terms: Seq[String]): DataFrame = {
     import graft.operators.Search
@@ -327,12 +333,7 @@ object CorpusStreams {
       .filter(col("doc_id") % 10 === 7)
       .select(col("doc_id"), col("text"))
 
-    val target = Paths.get(sfDir, "documents.parquet").toAbsolutePath.normalize
-    val mtime = Files.getLastModifiedTime(target).toMillis
-    val key = java.security.MessageDigest.getInstance("SHA-256")
-      .digest(s"$target:$mtime:searchmaint:v1".getBytes("UTF-8"))
-      .take(8).map("%02x".format(_)).mkString
-    val base = Paths.get(sys.props("java.io.tmpdir"), s"graft_streamsearch_$key")
+    val base = searchMaintainedBase(sfDir)
     val (src, delta, chk) =
       (base.resolve("src"), base.resolve("delta"), base.resolve("chk"))
     val done = base.resolve("_DONE")

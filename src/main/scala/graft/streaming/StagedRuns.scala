@@ -13,6 +13,15 @@ import java.nio.file.{Files, Path}
   * before it must be disposable. */
 object StagedRuns {
 
+  /** Content key for staged assets/runs: SHA-256 of the raw key string,
+    * first 8 bytes as hex — ONE recipe for every staging site, so a key
+    * change (a new field, a version bump) can't drift between a producer
+    * and a spec that re-derives its dir. */
+  def contentKey(raw: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(raw.getBytes("UTF-8"))
+      .take(8).map("%02x".format(_)).mkString
+
   /** Prepare `base` for a (re-)run: if the completion marker is absent,
     * remove any half-written remains, then ensure the dir exists. */
   def freshBase(base: Path, done: Path): Unit = {

@@ -707,23 +707,33 @@ class PlanSpec extends SparkSpec {
       }.distinct.map(postingsScans).sum
       inline + cached
     }
-    // text_tfidf_topterms, tokenize_corpus and vocab_build joined the
-    // postings-asset consumers (VERDICT r13 #5 + r14): their tf/df/vocab
-    // rollups and the apply stream are pure postings aggregations.
-    // vocab_build's postings read hides behind the eager lineage
-    // truncation (the id-assignment RDD dance), so only the
-    // zero-corpus-scan half is assertable on its final plan.
-    (stagedSearch ++ Seq("text_tfidf_topterms", "tokenize_corpus",
-        "vocab_build")).foreach { name =>
-      val df = po.rawQueries(name)(s2, sf)
-      val n = docScans(df.queryExecution.executedPlan)
-      assert(n == 0, s"$name probe plan scans the documents corpus $n " +
-        "times — the standing postings asset is being bypassed:\n" +
-        df.queryExecution.executedPlan.toString)
-      assert(name == "vocab_build" ||
-        postingsScans(df.queryExecution.executedPlan) >= 1,
-        s"$name probe plan does not read the staged postings asset:\n" +
+    // text_tfidf_topterms and tokenize_corpus joined the postings-asset
+    // consumers (VERDICT r13 #5 + r14): their tf/df/vocab rollups and
+    // the apply stream are pure postings aggregations
+    (stagedSearch ++ Seq("text_tfidf_topterms", "tokenize_corpus"))
+      .foreach { name =>
+        val df = po.rawQueries(name)(s2, sf)
+        val n = docScans(df.queryExecution.executedPlan)
+        assert(n == 0, s"$name probe plan scans the documents corpus $n " +
+          "times — the standing postings asset is being bypassed:\n" +
           df.queryExecution.executedPlan.toString)
+        assert(postingsScans(df.queryExecution.executedPlan) >= 1,
+          s"$name probe plan does not read the staged postings asset:\n" +
+            df.queryExecution.executedPlan.toString)
+      }
+    // vocab_build's FINAL plan hides its read behind the eager
+    // id-assignment truncation (always an RDD conversion — asserting on
+    // it would be vacuous), so its gate runs on the pre-truncation
+    // counts surface, where a regression re-introducing the corpus
+    // tokenize is actually visible
+    locally {
+      val counts = graft.operators.VocabBuild.vocabStagedCounts(s2, sf)
+      val p = counts.queryExecution.executedPlan
+      assert(docScans(p) == 0,
+        "vocab_build counts scan the documents corpus — the standing " +
+          s"postings asset is being bypassed:\n$p")
+      assert(postingsScans(p) >= 1,
+        s"vocab_build counts do not read the staged postings asset:\n$p")
     }
     // the ANN recall report probes the STAGED exact-truth asset (VERDICT
     // r13 #4): its plan must read the committed truth table instead of

@@ -667,15 +667,10 @@ class StreamingSpec extends SparkSpec {
       "no arrival doc in the maintained search result — delta not probed")
     // bucket pruning reaches BOTH sides: every postings scan in the probe
     // plan carries a partition filter on the bucket column (the delta dir
-    // is the committed one of the memoized run above, re-derived by key)
-    val target = java.nio.file.Paths.get(sf, "documents.parquet")
-      .toAbsolutePath.normalize
-    val mtime = java.nio.file.Files.getLastModifiedTime(target).toMillis
-    val key = java.security.MessageDigest.getInstance("SHA-256")
-      .digest(s"$target:$mtime:searchmaint:v1".getBytes("UTF-8"))
-      .take(8).map("%02x".format(_)).mkString
-    val deltaDir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-      s"graft_streamsearch_$key").resolve("delta").toString
+    // is the committed one of the memoized run above — derivation shared
+    // with the producer, so the key cannot drift)
+    val deltaDir = graft.streaming.CorpusStreams.searchMaintainedBase(sf)
+      .resolve("delta").toString
     // AQE-off clone for the plan walk (the PlanSpec discipline —
     // AdaptiveSparkPlan hides its scans from collect until execution)
     val s2 = spark.newSession()
