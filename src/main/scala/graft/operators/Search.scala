@@ -92,7 +92,7 @@ object Search {
   // change. The build itself is ONE corpus scan producing all three
   // tables.
 
-  private val NBuckets = 64
+  private[graft] val NBuckets = 64
 
   private[graft] def stagedDir(spark: SparkSession, sfDir: String): String =
     stagedDirSlice(spark, sfDir, None)
@@ -141,15 +141,22 @@ object Search {
     dir.toString
   }
 
-  /** Bucket ids of `terms` under the SAME expression tree the build used
-    * (one local job — the BloomSkip.positionsOfKeys discipline: no
-    * hand-replicated hash to drift). */
-  private def bucketsOf(spark: SparkSession, terms: Seq[String]): Seq[Long] = {
-    import spark.implicits._
-    terms.toDF("tok")
-      .select(pmod(xxhash64(col("tok")), lit(NBuckets.toLong)))
-      .collect().map(_.getLong(0)).toSeq.distinct
-  }
+  /** Bucket ids of `terms`, computed DRIVER-LOCALLY by invoking the very
+    * interpreter Spark's `xxhash64` expression evaluates
+    * ([[org.apache.spark.sql.catalyst.expressions.XxHash64Function]],
+    * seed 42) — not a hand-replicated hash that could drift from the
+    * build, and not a per-probe Spark job either (VERDICT r13 flagged
+    * the \|terms\|-row collect: milliseconds each, but a per-query tax
+    * at high probe rates). PipelineSpec pins local == expression over a
+    * corpus-shaped vocabulary, so an upstream hash change fails a test
+    * instead of silently emptying every probe. */
+  private[graft] def bucketsOf(terms: Seq[String]): Seq[Long] =
+    terms.map { t =>
+      val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+        .hash(org.apache.spark.unsafe.types.UTF8String.fromString(t),
+          org.apache.spark.sql.types.StringType, 42L)
+      ((h % NBuckets) + NBuckets) % NBuckets
+    }.distinct
 
   /** Term-filtered postings probe: |terms| bucket directories pruned at
     * planning time, tok equality pushed into the parquet scan — the
@@ -157,7 +164,7 @@ object Search {
   private def probePostings(spark: SparkSession, dir: String,
       terms: Seq[String]): DataFrame =
     spark.read.parquet(s"$dir/postings")
-      .filter(col("bucket").isin(bucketsOf(spark, terms): _*) &&
+      .filter(col("bucket").isin(bucketsOf(terms): _*) &&
         col("tok").isin(terms: _*))
       .select("doc_id", "pos", "tok")
 
@@ -181,7 +188,7 @@ object Search {
   private[graft] def keywordSearchMaintained(spark: SparkSession,
       baseDir: String, deltaDir: String, terms: Seq[String]): DataFrame = {
     require(terms.nonEmpty)
-    val bs = bucketsOf(spark, terms)
+    val bs = bucketsOf(terms)
     val deltaSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("doc_id",
         org.apache.spark.sql.types.LongType),

@@ -335,6 +335,30 @@ class PipelineSpec extends SparkSpec {
       rows(Search.phraseSearch(docs, phrase)), "phrase staged != direct")
   }
 
+  test("search: driver-local bucket ids equal the build's xxhash64 expression") {
+    // bucketsOf computes bucket ids locally (XxHash64Function, seed 42 —
+    // the interpreter behind Spark's xxhash64 expression) so probes pay
+    // no per-query Spark job; this pins local == expression over a
+    // corpus-shaped vocabulary, so an upstream hash-behavior change
+    // would fail HERE instead of silently emptying every probe.
+    import spark.implicits._
+    val vocab = Tables.documents(spark, sf)
+      .select(explode(regexp_extract_all(lower(col("text")),
+        lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).as("tok"))
+      .distinct().limit(500)
+      .as[String].collect().toSeq ++
+      Seq("", "a", "Ω≠ascii", "tab\ttok", "0042", "naïve")
+    val viaExpr = vocab.toDF("tok")
+      .select(col("tok"),
+        pmod(xxhash64(col("tok")), lit(Search.NBuckets.toLong)).as("b"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    vocab.foreach { t =>
+      val local = Search.bucketsOf(Seq(t))
+      assert(local == Seq(viaExpr(t)),
+        s"bucket drift for term '$t': local $local vs expression ${viaExpr(t)}")
+    }
+  }
+
   test("bm25: exact fixed-point ladder on a hand corpus; saturation + length norm") {
     import spark.implicits._
     val crafted = Seq(
