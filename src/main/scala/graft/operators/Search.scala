@@ -179,17 +179,41 @@ object Search {
           lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).as(Seq("pos", "tok")))
       .withColumn("bucket", pmod(xxhash64(col("tok")), lit(NBuckets.toLong)))
 
+  /** Doclen rows of a document batch — the STATISTICS half of the delta
+    * producer, same expression tree as the base build's doclen table
+    * (null-text docs ride with dl = 0, preserving n_docs semantics).
+    * Appending these per micro-batch is what lets the RANKED searches
+    * (BM25's length normalization and idf need dl, n_docs, sum_dl over
+    * base ∪ arrivals) serve from the maintained index with corpus
+    * statistics that are exactly the from-scratch ones: both stats are
+    * pure additive aggregates of doclen rows. */
+  private[graft] def doclenOf(batch: DataFrame): DataFrame =
+    batch.select(col("doc_id"),
+      coalesce(size(regexp_extract_all(lower(col("text")),
+        lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))), lit(0))
+        .cast("long").as("dl"))
+
+  /** Doclen schema of a streamed delta dir, explicit for the empty-dir
+    * case (schema inference over zero files fails). */
+  private[graft] val DeltaDoclenSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("dl",
+        org.apache.spark.sql.types.LongType)))
+
   /** Conjunctive keyword search over a MAINTAINED index: the standing
     * base postings UNION a streamed delta dir — both probed with the
     * same |terms| bucket pruning + pushed tok equality. Because postings
     * are a pure per-document function, base ∪ delta equals the
     * from-scratch index over (corpus ∪ arrivals) row-for-row, which is
     * what lets the streaming twin share [[keywordSearchSql]] verbatim. */
-  private[graft] def keywordSearchMaintained(spark: SparkSession,
-      baseDir: String, deltaDir: String, terms: Seq[String]): DataFrame = {
-    require(terms.nonEmpty)
-    val bs = bucketsOf(terms)
-    val deltaSchema = org.apache.spark.sql.types.StructType(Seq(
+  /** Postings schema of a streamed DELTA dir, stated explicitly: an
+    * all-null-text arrival stream writes no files, and schema inference
+    * over an empty dir would fail. Shared by the maintained probe and
+    * the compactor so the two reads cannot drift. */
+  private[graft] val DeltaPostingsSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("doc_id",
         org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("pos",
@@ -198,14 +222,76 @@ object Search {
         org.apache.spark.sql.types.StringType),
       org.apache.spark.sql.types.StructField("bucket",
         org.apache.spark.sql.types.LongType)))
+
+  private[graft] def keywordSearchMaintained(spark: SparkSession,
+      baseDir: String, deltaDir: String, terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty)
+    val bs = bucketsOf(terms)
     def probe(df: DataFrame): DataFrame =
       df.filter(col("bucket").isin(bs: _*) && col("tok").isin(terms: _*))
         .select("doc_id", "tok")
-    // explicit schema on the delta: an all-null-text arrival stream
-    // writes no files, and schema inference over an empty dir would fail
     probe(spark.read.parquet(s"$baseDir/postings"))
-      .unionAll(probe(spark.read.schema(deltaSchema).parquet(deltaDir)))
+      .unionAll(probe(spark.read.schema(DeltaPostingsSchema)
+        .parquet(deltaDir)))
       .distinct()
+      .groupBy("doc_id").agg(count(lit(1)).as("n_matched"))
+      .filter(col("n_matched") === terms.length)
+      .select("doc_id")
+  }
+
+  /** LSM-style merge of a maintained index: base postings ∪ streamed
+    * delta rewritten as ONE bucket-partitioned postings table under
+    * `outDir`. This is the maintenance step "append forever" demands at
+    * 100 TB — the delta accretes one small file per (micro-batch x
+    * bucket), so probe cost grows with file count and every query unions
+    * two sources; compaction folds the accreted delta back into the
+    * base's layout in one pass over index rows (never the corpus text).
+    * The `repartition(NBuckets, bucket)` bounds output files at ONE per
+    * bucket: postings volume per bucket is 1/64 of the index and a
+    * bucket never splits across tasks, so file sizes stay uniform as the
+    * corpus grows (at larger scale, raise NBuckets at build time — the
+    * probe shape is unchanged). Because both inputs are already the
+    * index (pure per-document rows), the merged table equals the
+    * from-scratch build over corpus ∪ arrivals row-for-row. */
+  private[graft] def compactPostings(spark: SparkSession, baseDir: String,
+      deltaDir: String, outDir: String): Unit =
+    spark.read.parquet(s"$baseDir/postings")
+      .select("doc_id", "pos", "tok", "bucket")
+      .unionByName(spark.read.schema(DeltaPostingsSchema).parquet(deltaDir)
+        .select("doc_id", "pos", "tok", "bucket"))
+      .repartition(NBuckets, col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$outDir/postings")
+
+  /** FULL-asset compaction: postings ([[compactPostings]]) plus the
+    * statistics tables — doclen (base ∪ delta, written at build
+    * parallelism) and the 1-row corpus stats re-rolled from the merged
+    * doclen (the base build's own derivation, not a second corpus
+    * pass). The result dir is INTERCHANGEABLE with the standing corpus
+    * asset: every staged probe spelling (keyword / phrase / tf-idf /
+    * BM25) runs against it unchanged. */
+  private[graft] def compactIndex(spark: SparkSession, baseDir: String,
+      deltaDir: String, deltaDoclenDir: String, outDir: String): Unit = {
+    compactPostings(spark, baseDir, deltaDir, outDir)
+    spark.read.parquet(s"$baseDir/doclen")
+      .unionByName(
+        spark.read.schema(DeltaDoclenSchema).parquet(deltaDoclenDir))
+      .write.mode("overwrite").parquet(s"$outDir/doclen")
+    spark.read.parquet(s"$outDir/doclen")
+      .agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$outDir/stats")
+  }
+
+  /** Conjunctive keyword search over a COMPACTED index dir — the exact
+    * staged-probe shape ([[keywordSearchStaged]]'s body) pointed at the
+    * merged single-source asset: |terms| bucket dirs pruned at planning,
+    * tok equality pushed to parquet, no delta union. */
+  private[graft] def keywordSearchCompacted(spark: SparkSession,
+      compactedDir: String, terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty)
+    probePostings(spark, compactedDir, terms)
+      .select("doc_id", "tok").distinct()
       .groupBy("doc_id").agg(count(lit(1)).as("n_matched"))
       .filter(col("n_matched") === terms.length)
       .select("doc_id")
@@ -257,21 +343,70 @@ object Search {
     * posting-sized equi-join), the corpus constants broadcast from the
     * staged 1-row stats. */
   def bm25SearchStaged(spark: SparkSession, sfDir: String,
+      terms: Seq[String], k: Int = 10): DataFrame =
+    bm25SearchOver(spark, stagedDir(spark, sfDir), terms, k)
+
+  /** [[bm25Search]] over ANY full index asset dir (postings + doclen +
+    * stats) — the staged corpus asset or a compacted maintained one:
+    * full-asset interchangeability is the point of compacting doclen
+    * and stats alongside the postings. */
+  private[graft] def bm25SearchOver(spark: SparkSession, dir: String,
       terms: Seq[String], k: Int = 10): DataFrame = {
     require(terms.nonEmpty)
-    val dir = stagedDir(spark, sfDir)
     // same one-probe discipline as tfidfSearchStaged
     val tf = probePostings(spark, dir, terms)
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    bm25Ladder(tf, spark.read.parquet(s"$dir/doclen"),
+      spark.read.parquet(s"$dir/stats"), k)
+  }
+
+  /** [[bm25Search]] over a MAINTAINED index: tf probes base ∪ delta
+    * postings, dl unions base ∪ delta doclen, and the corpus constants
+    * are the base's committed 1-row stats PLUS the delta doclen rollup —
+    * n_docs and sum_dl are pure additive aggregates of doclen rows, so
+    * the maintained statistics equal the from-scratch ones exactly and
+    * the ranked scores carry the same full-documents oracle. This is
+    * the claim keyword maintenance alone doesn't make: the index's
+    * STATISTICS stay serving-correct as documents arrive. */
+  private[graft] def bm25SearchMaintained(spark: SparkSession,
+      baseDir: String, deltaDir: String, deltaDoclenDir: String,
+      terms: Seq[String], k: Int = 10): DataFrame = {
+    require(terms.nonEmpty)
+    val bs = bucketsOf(terms)
+    def probe(df: DataFrame): DataFrame =
+      df.filter(col("bucket").isin(bs: _*) && col("tok").isin(terms: _*))
+        .select("doc_id", "pos", "tok")
+    val tf = probe(spark.read.parquet(s"$baseDir/postings"))
+      .unionAll(probe(spark.read.schema(DeltaPostingsSchema)
+        .parquet(deltaDir)))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val deltaDl = spark.read.schema(DeltaDoclenSchema).parquet(deltaDoclenDir)
+    val dl = spark.read.parquet(s"$baseDir/doclen").unionByName(deltaDl)
+    // an empty delta sums to null — coalesce keeps the base constants
+    val stats = spark.read.parquet(s"$baseDir/stats")
+      .unionByName(deltaDl.agg(
+        count(lit(1)).as("n_docs"),
+        coalesce(sum("dl"), lit(0L)).as("sum_dl")))
+      .agg(sum("n_docs").as("n_docs"), sum("sum_dl").as("sum_dl"))
+    bm25Ladder(tf, dl, stats, k)
+  }
+
+  /** The shared exact-rational BM25 scoring ladder over an already-built
+    * per-(doc, term) tf tally, a doclen table, and 1-row corpus stats —
+    * identical fixed-point arithmetic for every probe spelling, so the
+    * staged / maintained / compacted variants cannot drift. */
+  private def bm25Ladder(tfRaw: DataFrame, dl: DataFrame,
+      stats: DataFrame, k: Int): DataFrame = {
+    // tf feeds both the df rollup and the scoring join — persist the
+    // posting-sized tally so the index buckets are probed ONCE; the
+    // listener releases on the query's action, the registry is the
+    // backstop for plan-only construction (PlanSpec builds these
+    // probes without ever executing them)
+    val tf = tfRaw
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // listener releases on the query's action; the registry is the
-      // backstop for plan-only construction (PlanSpec builds these
-      // probes without ever executing them)
       .transform(graft.CacheScope.register)
     SimilaritySearch.unpersistAfterFirstAction(tf)
     val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
-    val dl = spark.read.parquet(s"$dir/doclen")
-    val stats = spark.read.parquet(s"$dir/stats")
     tf.join(broadcast(df), Seq("tok"))
       .join(dl, Seq("doc_id"))
       .crossJoin(broadcast(stats))
@@ -290,9 +425,15 @@ object Search {
   /** [[phraseSearch]] over the standing postings asset — the positional
     * m-way equi-join probing |phrase-terms| buckets, never the corpus. */
   def phraseSearchStaged(spark: SparkSession, sfDir: String,
+      phrase: Seq[String]): DataFrame =
+    phraseSearchOver(spark, stagedDir(spark, sfDir), phrase)
+
+  /** [[phraseSearch]] over ANY full index asset dir — positional
+    * adjacency needs exact per-token positions, which is what makes this
+    * probe the position-preservation witness for compacted assets. */
+  private[graft] def phraseSearchOver(spark: SparkSession, dir: String,
       phrase: Seq[String]): DataFrame = {
     require(phrase.nonEmpty)
-    val dir = stagedDir(spark, sfDir)
     val postings = probePostings(spark, dir, phrase.distinct)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       .transform(graft.CacheScope.register)

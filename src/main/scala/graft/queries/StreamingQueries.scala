@@ -63,6 +63,15 @@ object StreamingQueries {
     "stream_search_maintained" -> ((s, d) =>
       graft.streaming.CorpusStreams.streamingSearchMaintained(s, d,
         PipelineQueries.searchTerms)),
+    "stream_search_compacted" -> ((s, d) =>
+      graft.streaming.CorpusStreams.streamingSearchCompacted(s, d,
+        PipelineQueries.searchTerms)),
+    "stream_search_bm25_maintained" -> ((s, d) =>
+      graft.streaming.CorpusStreams.streamingSearchBm25Maintained(s, d,
+        PipelineQueries.searchTerms)),
+    "stream_search_bm25_compacted" -> ((s, d) =>
+      graft.streaming.CorpusStreams.streamingSearchBm25Compacted(s, d,
+        PipelineQueries.searchTerms)),
     "q11_sessionize" -> ((s, d) => EventStreams.sessionizeBatch(Tables.events(s, d))),
     "q12_asof_join" -> ((s, d) => AsOfJoin.errorToLastClick(Tables.events(s, d))),
     "q32_asof_forward" -> ((s, d) => AsOfJoin.errorToNextClick(Tables.events(s, d))),
@@ -164,6 +173,20 @@ object StreamingQueries {
     "stream_search_maintained" ->
       graft.streaming.CorpusStreams.streamingSearchMaintainedSql(
         PipelineQueries.searchTerms),
+    // compaction is a layout rewrite, not a semantics change: the merged
+    // single-source index answers with the same rows, so the compacted
+    // probe shares the identical full-documents oracle
+    "stream_search_compacted" ->
+      graft.streaming.CorpusStreams.streamingSearchMaintainedSql(
+        PipelineQueries.searchTerms),
+    // ranked retrieval over the maintained/compacted index: BM25's
+    // scores depend on EVERY doc's length and the corpus constants, so
+    // serving from maintained statistics must equal the from-scratch
+    // full-documents ladder — the identical oracle the batch query uses
+    "stream_search_bm25_maintained" ->
+      graft.operators.Search.bm25SearchSql(PipelineQueries.searchTerms),
+    "stream_search_bm25_compacted" ->
+      graft.operators.Search.bm25SearchSql(PipelineQueries.searchTerms),
     // id assignment DEPENDS on arrival order here (unlike the probes
     // above): the stream pins a deterministic content-defined batch
     // sequence and the oracle replays it as a fixed CTE chain

@@ -322,13 +322,28 @@ object CorpusStreams {
     val target = Paths.get(sfDir, "documents.parquet").toAbsolutePath.normalize
     val mtime = Files.getLastModifiedTime(target).toMillis
     Paths.get(sys.props("java.io.tmpdir"),
-      s"graft_streamsearch_${StagedRuns.contentKey(s"$target:$mtime:searchmaint:v1")}")
+      s"graft_streamsearch_${StagedRuns.contentKey(s"$target:$mtime:searchmaint:v2")}")
   }
 
   def streamingSearchMaintained(spark: SparkSession, sfDir: String,
       terms: Seq[String]): DataFrame = {
     import graft.operators.Search
     val baseDir = Search.stagedDirSlice(spark, sfDir, Some("doc_id % 10 != 7"))
+    val delta = ensureSearchMaintainedRun(spark, sfDir)
+    Search.keywordSearchMaintained(spark, baseDir, delta.toString, terms)
+      .orderBy("doc_id")
+  }
+
+  /** Ensure [[streamingSearchMaintained]]'s memoized streaming run has
+    * executed (arrivals chopped into four micro-batches, each appending
+    * its own postings AND its own doclen rows — the statistics half the
+    * ranked searches need); returns the committed delta path (postings;
+    * doclen rows live in the sibling `delta_dl`). Factored out so the
+    * ranked and compaction steps can demand the same run without
+    * re-deriving any of its dirs. */
+  private def ensureSearchMaintainedRun(spark: SparkSession,
+      sfDir: String): java.nio.file.Path = {
+    import graft.operators.Search
     val arrivals = graft.Tables.documents(spark, sfDir)
       .filter(col("doc_id") % 10 === 7)
       .select(col("doc_id"), col("text"))
@@ -336,6 +351,7 @@ object CorpusStreams {
     val base = searchMaintainedBase(sfDir)
     val (src, delta, chk) =
       (base.resolve("src"), base.resolve("delta"), base.resolve("chk"))
+    val deltaDl = base.resolve("delta_dl")
     val done = base.resolve("_DONE")
 
     if (!Files.exists(done)) {
@@ -343,6 +359,7 @@ object CorpusStreams {
       StagedRuns.freshBase(base, done)
       Files.createDirectories(src)
       Files.createDirectories(delta)
+      Files.createDirectories(deltaDl)
       (0 until 4).foreach { i =>
         arrivals.filter(pmod(col("doc_id"), lit(40)) === (7 + 10 * i))
           .coalesce(1).write.mode("append").parquet(src.toString)
@@ -359,6 +376,12 @@ object CorpusStreams {
           Search.postingsOf(batch)
             .write.mode("append").partitionBy("bucket")
             .parquet(delta.toString)
+          // the STATISTICS delta: one narrow doclen row per arrival doc
+          // (null-text docs ride with dl = 0, like the base build) — at
+          // 100 TB this is what keeps BM25's n_docs/sum_dl/dl exact
+          // without ever rescanning the corpus
+          Search.doclenOf(batch)
+            .write.mode("append").parquet(deltaDl.toString)
           ()
         }
         .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
@@ -368,8 +391,86 @@ object CorpusStreams {
       try q.processAllAvailable() finally { q.stop(); q.awaitTermination() }
       Files.writeString(done, "ok")
     }
-    Search.keywordSearchMaintained(spark, baseDir, delta.toString, terms)
+    delta
+  }
+
+  /** RANKED retrieval over the maintained index — exact BM25 with
+    * MAINTAINED corpus statistics: tf probes base ∪ delta postings, dl
+    * unions base ∪ delta doclen, and n_docs/sum_dl are the base's
+    * committed stats plus the delta rollup (pure additive aggregates,
+    * so they equal the from-scratch constants exactly). The claim
+    * keyword maintenance alone doesn't make: length normalization and
+    * idf stay serving-correct as documents arrive, pinned by sharing
+    * [[graft.operators.Search.bm25SearchSql]]'s full-documents oracle
+    * verbatim. */
+  def streamingSearchBm25Maintained(spark: SparkSession, sfDir: String,
+      terms: Seq[String], k: Int = 10): DataFrame = {
+    import graft.operators.Search
+    val baseDir = Search.stagedDirSlice(spark, sfDir, Some("doc_id % 10 != 7"))
+    val delta = ensureSearchMaintainedRun(spark, sfDir)
+    val deltaDl = searchMaintainedBase(sfDir).resolve("delta_dl")
+    // presentation order at the registration boundary, matching the
+    // batch twin search_bm25_topk's oracleOrder (the top-k cut itself is
+    // the ladder's (score DESC, doc_id) order)
+    Search.bm25SearchMaintained(spark, baseDir, delta.toString,
+      deltaDl.toString, terms, k).orderBy("doc_id")
+  }
+
+  /** RANKED retrieval over the COMPACTED full asset: after
+    * [[streamingSearchCompacted]]'s merge (which folds doclen and stats
+    * alongside the postings), the compacted dir is interchangeable with
+    * the standing corpus asset — this query runs the plain staged BM25
+    * probe against it, proving the fold preserved the statistics
+    * (scores depend on every doc's dl and the corpus constants, so a
+    * lost doclen row or a stale stats table breaks the shared oracle). */
+  def streamingSearchBm25Compacted(spark: SparkSession, sfDir: String,
+      terms: Seq[String], k: Int = 10): DataFrame = {
+    import graft.operators.Search
+    val cdir = ensureSearchCompacted(spark, sfDir)
+    Search.bm25SearchOver(spark, cdir.toString, terms, k).orderBy("doc_id")
+  }
+
+  /** COMPACTION of the maintained index — the lifecycle step "append
+    * forever" eventually demands: the streamed delta (one small file per
+    * micro-batch x bucket) is folded back into the base's
+    * bucket-partitioned layout, producing a single-source postings asset
+    * under its own `_DONE`-committed dir. The merge reads only index
+    * rows (never the corpus text), writes exactly one file per bucket,
+    * and — because postings are a pure per-document function — the
+    * compacted table equals the from-scratch index over corpus ∪
+    * arrivals row-for-row. The registered probe is the conjunctive
+    * search over the compacted asset alone (no base∪delta union), so it
+    * shares [[graft.operators.Search.keywordSearchSql]] verbatim, like
+    * the maintained twin; StreamingSpec pins compacted == maintained ==
+    * direct, the single-source plan shape, and the one-file-per-bucket
+    * layout bound. */
+  def streamingSearchCompacted(spark: SparkSession, sfDir: String,
+      terms: Seq[String]): DataFrame = {
+    import graft.operators.Search
+    val cdir = ensureSearchCompacted(spark, sfDir)
+    Search.keywordSearchCompacted(spark, cdir.toString, terms)
       .orderBy("doc_id")
+  }
+
+  /** Ensure the FULL-asset compaction of the maintained run has been
+    * committed (postings + doclen + stats folded —
+    * [[graft.operators.Search.compactIndex]]); returns the compacted
+    * dir, interchangeable with the standing corpus asset. */
+  private def ensureSearchCompacted(spark: SparkSession,
+      sfDir: String): java.nio.file.Path = {
+    import graft.operators.Search
+    val baseDir = Search.stagedDirSlice(spark, sfDir, Some("doc_id % 10 != 7"))
+    val delta = ensureSearchMaintainedRun(spark, sfDir)
+    val deltaDl = searchMaintainedBase(sfDir).resolve("delta_dl")
+    val cdir = searchMaintainedBase(sfDir).resolve("compacted")
+    val cdone = cdir.resolve("_DONE")
+    if (!Files.exists(cdone)) {
+      StagedRuns.freshBase(cdir, cdone)
+      Search.compactIndex(spark, baseDir, delta.toString,
+        deltaDl.toString, cdir.toString)
+      Files.writeString(cdone, "ok")
+    }
+    cdir
   }
 
   /** The maintained index equals the from-scratch one, so the oracle is

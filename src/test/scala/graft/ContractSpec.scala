@@ -252,6 +252,8 @@ class ContractSpec extends SparkSpec with PerfProbing {
     "clf_quality_vocab",   // 1-row (n_pos, n_neg) label totals, same pattern
     "clf_quality_score",   // inherits clf_quality_vocab's totals join
     "search_bm25_topk",    // 1-row (n_docs, sum_dl) corpus stat, same pattern
+    "stream_search_bm25_maintained", // same 1-row stat (base + delta rollup)
+    "stream_search_bm25_compacted",  // same 1-row stat from the folded asset
     "sample_dsir",         // 1-row (rtot, ttot) distribution totals, same pattern
     "sketch_kmv_intersect") // group-pair self-join of the SKETCH table
                             // (rows = distinct groups, each a <=2 KB

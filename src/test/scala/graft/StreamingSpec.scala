@@ -687,6 +687,98 @@ class StreamingSpec extends SparkSpec {
       s"postings scan without bucket partition pruning:\n$f"))
   }
 
+  test("search-index compaction: single-source probe, bounded layout") {
+    // r14: the compacted index is a LAYOUT rewrite, not a semantics
+    // change — the merged single-source asset must answer exactly like
+    // the maintained base∪delta probe and the direct full-corpus search
+    import graft.operators.Search
+    import graft.queries.PipelineQueries
+    val docs = Tables.documents(spark, sf)
+    val terms = PipelineQueries.searchTerms
+    val compacted = graft.streaming.CorpusStreams
+      .streamingSearchCompacted(spark, sf, terms)
+      .collect().map(_.getLong(0)).toSeq
+    assert(compacted.nonEmpty)
+    assert(compacted == Search.keywordSearch(docs, terms)
+      .collect().map(_.getLong(0)).sorted.toSeq,
+      "compacted-index search diverges from the full-corpus search")
+    // arrival docs survive the merge (delta content folded in, not lost)
+    val single = graft.streaming.CorpusStreams
+      .streamingSearchCompacted(spark, sf, Seq("scan"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(single.exists(_ % 10 == 7),
+      "no arrival doc in the compacted search result — delta lost in merge")
+    // the probe is SINGLE-source: every file scan reads the compacted
+    // dir (no base, no delta, no corpus), each bucket-pruned
+    val cdir = graft.streaming.CorpusStreams.searchMaintainedBase(sf)
+      .resolve("compacted")
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    val plan = Search.keywordSearchCompacted(s2, cdir.toString, terms)
+      .queryExecution.executedPlan
+    val scans = plan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty, s"no file scans in compacted probe:\n$plan")
+    scans.foreach { f =>
+      assert(f.relation.location.rootPaths.forall(
+        _.toString.contains("compacted")),
+        s"compacted probe reads outside the compacted asset:\n$f")
+      assert(f.partitionFilters.exists(_.references.exists(_.name == "bucket")),
+        s"compacted scan without bucket partition pruning:\n$f")
+    }
+    // layout bound: compaction writes exactly ONE parquet file per
+    // bucket dir (the repartition-by-bucket contract — file counts must
+    // not grow with how arrivals were chopped into micro-batches)
+    import scala.jdk.CollectionConverters._
+    val bucketDirs = java.nio.file.Files.list(cdir.resolve("postings"))
+      .iterator().asScala.filter(p =>
+        p.getFileName.toString.startsWith("bucket=")).toSeq
+    assert(bucketDirs.nonEmpty, "no bucket dirs in compacted postings")
+    bucketDirs.foreach { b =>
+      val files = java.nio.file.Files.list(b).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+      assert(files.length == 1,
+        s"bucket dir $b holds ${files.length} files — compaction must " +
+          "bound layout at one file per bucket")
+    }
+  }
+
+  test("maintained statistics: ranked retrieval equals the from-scratch ladder") {
+    // r14: BM25 scores depend on EVERY doc's length and the corpus
+    // constants (n_docs, sum_dl) — serving them from the maintained
+    // index (base stats + additive delta rollup) and from the compacted
+    // full asset must reproduce the direct full-corpus ladder EXACTLY,
+    // scores included; a lost delta doclen row or a stale stats table
+    // shifts avgdl/idf and breaks this, so the equality is the
+    // statistics-maintenance proof, not just a row-set check
+    import graft.operators.Search
+    import graft.queries.PipelineQueries
+    val docs = Tables.documents(spark, sf)
+    val terms = PipelineQueries.searchTerms
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    val direct = rows(Search.bm25Search(docs, terms))
+    assert(direct.nonEmpty)
+    assert(rows(graft.streaming.CorpusStreams
+        .streamingSearchBm25Maintained(spark, sf, terms)) == direct,
+      "maintained-index BM25 diverges from the from-scratch ladder")
+    assert(rows(graft.streaming.CorpusStreams
+        .streamingSearchBm25Compacted(spark, sf, terms)) == direct,
+      "compacted-asset BM25 diverges from the from-scratch ladder")
+    // positions survive the merge: the compacted asset answers PHRASE
+    // queries (adjacency needs exact per-token positions) identically
+    // to the direct positional spelling
+    val cdir = graft.streaming.CorpusStreams.searchMaintainedBase(sf)
+      .resolve("compacted")
+    val phrase = PipelineQueries.phraseTerms
+    assert(Search.phraseSearchOver(spark, cdir.toString, phrase)
+        .collect().map(_.toSeq.toList).toSet ==
+      Search.phraseSearch(docs, phrase)
+        .collect().map(_.toSeq.toList).toSet,
+      "compacted-asset phrase search diverges — positions lost in merge")
+  }
+
   test("structural state gate: interval-join state stays watermark-bounded") {
     // the streaming twin of the graph family's record-count gates
     // (VERDICT r9 #2): interval-join seconds are throttle-dominated, so
