@@ -202,12 +202,6 @@ object Search {
       org.apache.spark.sql.types.StructField("dl",
         org.apache.spark.sql.types.LongType)))
 
-  /** Conjunctive keyword search over a MAINTAINED index: the standing
-    * base postings UNION a streamed delta dir — both probed with the
-    * same |terms| bucket pruning + pushed tok equality. Because postings
-    * are a pure per-document function, base ∪ delta equals the
-    * from-scratch index over (corpus ∪ arrivals) row-for-row, which is
-    * what lets the streaming twin share [[keywordSearchSql]] verbatim. */
   /** Postings schema of a streamed DELTA dir, stated explicitly: an
     * all-null-text arrival stream writes no files, and schema inference
     * over an empty dir would fail. Shared by the maintained probe and
@@ -223,17 +217,38 @@ object Search {
       org.apache.spark.sql.types.StructField("bucket",
         org.apache.spark.sql.types.LongType)))
 
-  private[graft] def keywordSearchMaintained(spark: SparkSession,
-      baseDir: String, deltaDir: String, terms: Seq[String]): DataFrame = {
-    require(terms.nonEmpty)
+  /** Bucket-pruned (doc_id, pos, tok) probe of a MAINTAINED index —
+    * base postings UNION the streamed delta, ONE shared spelling so the
+    * keyword and ranked maintained paths cannot drift. The `.distinct()`
+    * is the at-least-once armor: postings rows are content-determined
+    * per document (a replayed delta append re-writes the SAME
+    * (doc_id, pos, tok) rows), so full-row dedup restores exactly-once
+    * probe semantics under duplicate appends — it is how the maintained
+    * index stays correct when a sink retries, not just when the staged
+    * lifecycle's wipe-on-half-state discipline holds. */
+  private def probeMaintained(spark: SparkSession, baseDir: String,
+      deltaDir: String, terms: Seq[String]): DataFrame = {
     val bs = bucketsOf(terms)
     def probe(df: DataFrame): DataFrame =
       df.filter(col("bucket").isin(bs: _*) && col("tok").isin(terms: _*))
-        .select("doc_id", "tok")
+        .select("doc_id", "pos", "tok")
     probe(spark.read.parquet(s"$baseDir/postings"))
       .unionAll(probe(spark.read.schema(DeltaPostingsSchema)
         .parquet(deltaDir)))
       .distinct()
+  }
+
+  /** Conjunctive keyword search over a MAINTAINED index: the standing
+    * base postings UNION a streamed delta dir — both probed with the
+    * same |terms| bucket pruning + pushed tok equality. Because postings
+    * are a pure per-document function, base ∪ delta equals the
+    * from-scratch index over (corpus ∪ arrivals) row-for-row, which is
+    * what lets the streaming twin share [[keywordSearchSql]] verbatim. */
+  private[graft] def keywordSearchMaintained(spark: SparkSession,
+      baseDir: String, deltaDir: String, terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty)
+    probeMaintained(spark, baseDir, deltaDir, terms)
+      .select("doc_id", "tok").distinct()
       .groupBy("doc_id").agg(count(lit(1)).as("n_matched"))
       .filter(col("n_matched") === terms.length)
       .select("doc_id")
@@ -259,7 +274,12 @@ object Search {
       .select("doc_id", "pos", "tok", "bucket")
       .unionByName(spark.read.schema(DeltaPostingsSchema).parquet(deltaDir)
         .select("doc_id", "pos", "tok", "bucket"))
+      // at-least-once armor, same as the maintained probes: postings
+      // rows are content-determined per doc, so full-row dedup makes the
+      // compacted asset immune to a replayed delta append (the dedup
+      // shuffle is keyed by bucket, co-partitioned with the write)
       .repartition(NBuckets, col("bucket"))
+      .dropDuplicates("doc_id", "pos", "tok", "bucket")
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$outDir/postings")
 
@@ -283,14 +303,13 @@ object Search {
       .parquet(s"$outDir/stats")
   }
 
-  /** Conjunctive keyword search over a COMPACTED index dir — the exact
-    * staged-probe shape ([[keywordSearchStaged]]'s body) pointed at the
-    * merged single-source asset: |terms| bucket dirs pruned at planning,
-    * tok equality pushed to parquet, no delta union. */
-  private[graft] def keywordSearchCompacted(spark: SparkSession,
-      compactedDir: String, terms: Seq[String]): DataFrame = {
+  /** [[keywordSearch]] over ANY full index asset dir — the standing
+    * corpus asset or a compacted maintained one: |terms| bucket dirs
+    * pruned at planning, tok equality pushed to parquet. */
+  private[graft] def keywordSearchOver(spark: SparkSession,
+      dir: String, terms: Seq[String]): DataFrame = {
     require(terms.nonEmpty)
-    probePostings(spark, compactedDir, terms)
+    probePostings(spark, dir, terms)
       .select("doc_id", "tok").distinct()
       .groupBy("doc_id").agg(count(lit(1)).as("n_matched"))
       .filter(col("n_matched") === terms.length)
@@ -300,22 +319,22 @@ object Search {
   /** [[keywordSearch]] over the standing postings asset — identical
     * result, zero corpus scans at probe time. */
   def keywordSearchStaged(spark: SparkSession, sfDir: String,
-      terms: Seq[String]): DataFrame = {
-    require(terms.nonEmpty)
-    val dir = stagedDir(spark, sfDir)
-    probePostings(spark, dir, terms)
-      .select("doc_id", "tok").distinct()
-      .groupBy("doc_id").agg(count(lit(1)).as("n_matched"))
-      .filter(col("n_matched") === terms.length)
-      .select("doc_id")
-  }
+      terms: Seq[String]): DataFrame =
+    keywordSearchOver(spark, stagedDir(spark, sfDir), terms)
 
   /** [[tfidfSearch]] over the standing postings asset — identical
     * integer scores; n_docs reads from the staged corpus stats. */
   def tfidfSearchStaged(spark: SparkSession, sfDir: String,
+      terms: Seq[String], k: Int = 10): DataFrame =
+    tfidfSearchOver(spark, stagedDir(spark, sfDir), terms, k)
+
+  /** [[tfidfSearch]] over ANY full index asset dir — with
+    * [[keywordSearchOver]] / [[phraseSearchOver]] / [[bm25SearchOver]]
+    * this completes the set: every staged probe spelling runs against a
+    * compacted asset unchanged. */
+  private[graft] def tfidfSearchOver(spark: SparkSession, dir: String,
       terms: Seq[String], k: Int = 10): DataFrame = {
     require(terms.nonEmpty)
-    val dir = stagedDir(spark, sfDir)
     // tf feeds both the df rollup and the scoring join — persist the
     // posting-sized tally so the index buckets are probed ONCE, released
     // when the query's action completes
@@ -372,15 +391,17 @@ object Search {
       baseDir: String, deltaDir: String, deltaDoclenDir: String,
       terms: Seq[String], k: Int = 10): DataFrame = {
     require(terms.nonEmpty)
-    val bs = bucketsOf(terms)
-    def probe(df: DataFrame): DataFrame =
-      df.filter(col("bucket").isin(bs: _*) && col("tok").isin(terms: _*))
-        .select("doc_id", "pos", "tok")
-    val tf = probe(spark.read.parquet(s"$baseDir/postings"))
-      .unionAll(probe(spark.read.schema(DeltaPostingsSchema)
-        .parquet(deltaDir)))
+    // tf counts distinct (doc_id, pos, tok) rows — positions make
+    // occurrences unique, so probeMaintained's full-row dedup keeps tf
+    // exact under a replayed delta append
+    val tf = probeMaintained(spark, baseDir, deltaDir, terms)
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    // doclen rows are content-determined per doc (dl is a pure function
+    // of the text), so doc_id-dedup is the same at-least-once armor for
+    // the statistics half: a replayed append cannot double-count
+    // n_docs/sum_dl or fan out the dl equi-join
     val deltaDl = spark.read.schema(DeltaDoclenSchema).parquet(deltaDoclenDir)
+      .dropDuplicates("doc_id")
     val dl = spark.read.parquet(s"$baseDir/doclen").unionByName(deltaDl)
     // an empty delta sums to null — coalesce keeps the base constants
     val stats = spark.read.parquet(s"$baseDir/stats")

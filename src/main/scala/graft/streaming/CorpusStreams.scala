@@ -322,14 +322,14 @@ object CorpusStreams {
     val target = Paths.get(sfDir, "documents.parquet").toAbsolutePath.normalize
     val mtime = Files.getLastModifiedTime(target).toMillis
     Paths.get(sys.props("java.io.tmpdir"),
-      s"graft_streamsearch_${StagedRuns.contentKey(s"$target:$mtime:searchmaint:v2")}")
+      s"graft_streamsearch_${StagedRuns.contentKey(s"$target:$mtime:searchmaint:v3")}")
   }
 
   def streamingSearchMaintained(spark: SparkSession, sfDir: String,
       terms: Seq[String]): DataFrame = {
     import graft.operators.Search
     val baseDir = Search.stagedDirSlice(spark, sfDir, Some("doc_id % 10 != 7"))
-    val delta = ensureSearchMaintainedRun(spark, sfDir)
+    val (delta, _) = ensureSearchMaintainedRun(spark, sfDir)
     Search.keywordSearchMaintained(spark, baseDir, delta.toString, terms)
       .orderBy("doc_id")
   }
@@ -337,12 +337,11 @@ object CorpusStreams {
   /** Ensure [[streamingSearchMaintained]]'s memoized streaming run has
     * executed (arrivals chopped into four micro-batches, each appending
     * its own postings AND its own doclen rows — the statistics half the
-    * ranked searches need); returns the committed delta path (postings;
-    * doclen rows live in the sibling `delta_dl`). Factored out so the
-    * ranked and compaction steps can demand the same run without
-    * re-deriving any of its dirs. */
+    * ranked searches need); returns BOTH committed delta paths
+    * (postings, doclen) so the ranked and compaction steps never
+    * re-derive any of the run's dirs. */
   private def ensureSearchMaintainedRun(spark: SparkSession,
-      sfDir: String): java.nio.file.Path = {
+      sfDir: String): (java.nio.file.Path, java.nio.file.Path) = {
     import graft.operators.Search
     val arrivals = graft.Tables.documents(spark, sfDir)
       .filter(col("doc_id") % 10 === 7)
@@ -391,7 +390,7 @@ object CorpusStreams {
       try q.processAllAvailable() finally { q.stop(); q.awaitTermination() }
       Files.writeString(done, "ok")
     }
-    delta
+    (delta, deltaDl)
   }
 
   /** RANKED retrieval over the maintained index — exact BM25 with
@@ -407,8 +406,7 @@ object CorpusStreams {
       terms: Seq[String], k: Int = 10): DataFrame = {
     import graft.operators.Search
     val baseDir = Search.stagedDirSlice(spark, sfDir, Some("doc_id % 10 != 7"))
-    val delta = ensureSearchMaintainedRun(spark, sfDir)
-    val deltaDl = searchMaintainedBase(sfDir).resolve("delta_dl")
+    val (delta, deltaDl) = ensureSearchMaintainedRun(spark, sfDir)
     // presentation order at the registration boundary, matching the
     // batch twin search_bm25_topk's oracleOrder (the top-k cut itself is
     // the ladder's (score DESC, doc_id) order)
@@ -448,7 +446,7 @@ object CorpusStreams {
       terms: Seq[String]): DataFrame = {
     import graft.operators.Search
     val cdir = ensureSearchCompacted(spark, sfDir)
-    Search.keywordSearchCompacted(spark, cdir.toString, terms)
+    Search.keywordSearchOver(spark, cdir.toString, terms)
       .orderBy("doc_id")
   }
 
@@ -460,8 +458,7 @@ object CorpusStreams {
       sfDir: String): java.nio.file.Path = {
     import graft.operators.Search
     val baseDir = Search.stagedDirSlice(spark, sfDir, Some("doc_id % 10 != 7"))
-    val delta = ensureSearchMaintainedRun(spark, sfDir)
-    val deltaDl = searchMaintainedBase(sfDir).resolve("delta_dl")
+    val (delta, deltaDl) = ensureSearchMaintainedRun(spark, sfDir)
     val cdir = searchMaintainedBase(sfDir).resolve("compacted")
     val cdone = cdir.resolve("_DONE")
     if (!Files.exists(cdone)) {

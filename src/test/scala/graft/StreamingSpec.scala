@@ -714,7 +714,7 @@ class StreamingSpec extends SparkSpec {
       .resolve("compacted")
     val s2 = spark.newSession()
     s2.conf.set("spark.sql.adaptive.enabled", "false")
-    val plan = Search.keywordSearchCompacted(s2, cdir.toString, terms)
+    val plan = Search.keywordSearchOver(s2, cdir.toString, terms)
       .queryExecution.executedPlan
     val scans = plan.collect {
       case f: org.apache.spark.sql.execution.FileSourceScanExec => f
@@ -731,13 +731,16 @@ class StreamingSpec extends SparkSpec {
     // bucket dir (the repartition-by-bucket contract — file counts must
     // not grow with how arrivals were chopped into micro-batches)
     import scala.jdk.CollectionConverters._
-    val bucketDirs = java.nio.file.Files.list(cdir.resolve("postings"))
-      .iterator().asScala.filter(p =>
-        p.getFileName.toString.startsWith("bucket=")).toSeq
+    // Files.list holds a directory handle until closed — drain eagerly
+    // under Using so 64+ bucket listings don't accumulate open handles
+    def ls(dir: java.nio.file.Path): Seq[java.nio.file.Path] =
+      scala.util.Using.resource(java.nio.file.Files.list(dir))(
+        _.iterator().asScala.toList)
+    val bucketDirs = ls(cdir.resolve("postings"))
+      .filter(_.getFileName.toString.startsWith("bucket="))
     assert(bucketDirs.nonEmpty, "no bucket dirs in compacted postings")
     bucketDirs.foreach { b =>
-      val files = java.nio.file.Files.list(b).iterator().asScala
-        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+      val files = ls(b).filter(_.getFileName.toString.endsWith(".parquet"))
       assert(files.length == 1,
         s"bucket dir $b holds ${files.length} files — compaction must " +
           "bound layout at one file per bucket")
