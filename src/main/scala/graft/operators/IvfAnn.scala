@@ -273,6 +273,57 @@ object IvfAnn {
        |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
   }
 
+  /** DuckDB replay of the MAINTAINED-index probe: centroids train on the
+    * `trainPred` base slice ONLY (the frozen quantizer — arriving
+    * vectors must not reshape the cells they land in), arrivals
+    * (`arrivalPred`) are assigned to those final centroids exactly like
+    * the streamed ingest does, and queries (`queryPred`) rank base ∪
+    * arrival candidates — the vector-ingest twin of [[topKAgainstSql]].
+    * Same determinism contract: integer Lloyd, integer assignment
+    * distances, (sim DESC, neighbor_id) rank ties. */
+  def topKMaintainedSql(dim: Int, trainPred: String, arrivalPred: String,
+      queryPred: String, nCells: Int = 16, nProbe: Int = 4, k: Int = 5,
+      iters: Int = 2): String = {
+    s"""WITH corpus_src AS (SELECT * FROM embeddings WHERE ($trainPred)),
+       |${assignCtesSql(dim, nCells, iters, src = "corpus_src")},
+       |arrv AS (SELECT vec_id, embedding AS v FROM embeddings WHERE ($arrivalPred)),
+       |arrqv AS (SELECT vec_id, CAST(ri.i AS INTEGER) AS i,
+       |    CAST(floor(CAST(v[CAST(ri.i + 1 AS INTEGER)] AS DOUBLE) * 1048576.0) AS BIGINT) AS q
+       |  FROM arrv, range($dim) AS ri(i)),
+       |arrd AS (SELECT arrqv.vec_id, c.c, SUM((arrqv.q - c.cv) * (arrqv.q - c.cv)) AS dist
+       |  FROM arrqv JOIN c$iters c USING (i) GROUP BY arrqv.vec_id, c.c),
+       |arrassigned AS (SELECT vec_id, c AS cell FROM (
+       |    SELECT vec_id, c, ROW_NUMBER() OVER (
+       |      PARTITION BY vec_id ORDER BY dist, c) AS rn FROM arrd)
+       |  WHERE rn = 1),
+       |assigned_all AS (SELECT vec_id, cell FROM assigned
+       |  UNION ALL SELECT vec_id, cell FROM arrassigned),
+       |allvecs AS (SELECT vec_id, v FROM vecs UNION ALL
+       |  SELECT vec_id, v FROM arrv),
+       |aq AS (SELECT vec_id, embedding AS v FROM embeddings WHERE $queryPred),
+       |aqv AS (SELECT vec_id, CAST(ri.i AS INTEGER) AS i,
+       |    CAST(floor(CAST(v[CAST(ri.i + 1 AS INTEGER)] AS DOUBLE) * 1048576.0) AS BIGINT) AS q
+       |  FROM aq, range($dim) AS ri(i)),
+       |adF AS (SELECT aqv.vec_id, c.c, SUM((aqv.q - c.cv) * (aqv.q - c.cv)) AS dist
+       |  FROM aqv JOIN c$iters c USING (i) GROUP BY aqv.vec_id, c.c),
+       |probes AS (SELECT vec_id AS query_id, c AS cell FROM (
+       |    SELECT vec_id, c, ROW_NUMBER() OVER (
+       |      PARTITION BY vec_id ORDER BY dist, c) AS rn FROM adF)
+       |  WHERE rn <= $nProbe),
+       |scored AS (
+       |  SELECT p.query_id, a.vec_id AS neighbor_id, ROW_NUMBER() OVER (
+       |      PARTITION BY p.query_id
+       |      ORDER BY list_cosine_similarity(CAST(q.v AS DOUBLE[]),
+       |                                      CAST(n.v AS DOUBLE[])) DESC,
+       |               a.vec_id ASC) AS rank
+       |  FROM probes p
+       |  JOIN assigned_all a ON a.cell = p.cell AND a.vec_id <> p.query_id
+       |  JOIN aq q ON q.vec_id = p.query_id
+       |  JOIN allvecs n ON n.vec_id = a.vec_id)
+       |SELECT query_id, rank, neighbor_id FROM scored
+       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
   /** K-means clustering as a first-class operator (the quantizer exposed
     * directly — corpus organization, topic bucketing, SemDeDup's cell
     * step): each vector's cluster, its EXACT integer squared distance to

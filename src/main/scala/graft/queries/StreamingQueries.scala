@@ -72,6 +72,8 @@ object StreamingQueries {
     "stream_search_bm25_compacted" -> ((s, d) =>
       graft.streaming.CorpusStreams.streamingSearchBm25Compacted(s, d,
         PipelineQueries.searchTerms)),
+    "stream_ann_maintained" -> ((s, d) =>
+      graft.streaming.CorpusStreams.streamingAnnMaintained(s, d)),
     "q11_sessionize" -> ((s, d) => EventStreams.sessionizeBatch(Tables.events(s, d))),
     "q12_asof_join" -> ((s, d) => AsOfJoin.errorToLastClick(Tables.events(s, d))),
     "q32_asof_forward" -> ((s, d) => AsOfJoin.errorToNextClick(Tables.events(s, d))),
@@ -187,6 +189,12 @@ object StreamingQueries {
       graft.operators.Search.bm25SearchSql(PipelineQueries.searchTerms),
     "stream_search_bm25_compacted" ->
       graft.operators.Search.bm25SearchSql(PipelineQueries.searchTerms),
+    // vector-ingest maintenance: frozen base quantizer, arrivals
+    // assigned per micro-batch, queries rank base ∪ delta — assignment
+    // to fixed centroids is a pure per-vector function, so the oracle
+    // replays the whole maintained index from the three slices
+    "stream_ann_maintained" ->
+      graft.streaming.CorpusStreams.streamingAnnMaintainedSql(),
     // id assignment DEPENDS on arrival order here (unlike the probes
     // above): the stream pins a deterministic content-defined batch
     // sequence and the oracle replays it as a fixed CTE chain

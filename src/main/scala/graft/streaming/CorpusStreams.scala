@@ -158,6 +158,96 @@ object CorpusStreams {
     graft.operators.IvfAnn.topKAgainstSql(64, "vec_id % 10 = 7",
       nCells, nProbe, k, iters)
 
+  /** Streaming vector INGEST maintenance — the ANN counterpart of the
+    * search family's [[streamingSearchMaintained]], closing the standing
+    * assets' symmetry: every corpus-version asset (postings, IVF index)
+    * now has an append path. The FROZEN base quantizer (centroids
+    * trained on the base slice only — arriving vectors must not reshape
+    * the cells they land in, the FAISS add-after-train contract) assigns
+    * each arriving micro-batch to its nearest cell and appends the
+    * (vec_id, embedding, cell) rows to a cell-partitioned delta dir;
+    * the base assignment is staged ONCE next to it. Assignment to fixed
+    * centroids is a pure per-vector function, so base ∪ delta equals
+    * the one-shot assignment over base ∪ arrivals row-for-row and the
+    * registered probe (a held-out query slice ranking the maintained
+    * index) carries a full DuckDB oracle
+    * ([[graft.operators.IvfAnn.topKMaintainedSql]]). At 100 TB: ingest
+    * cost is |batch| x nCells centroid distances — independent of index
+    * size — and probes prune to nProbe cell partitions of base + delta,
+    * the same economics as the token-bucketed postings probes. */
+  def streamingAnnMaintained(spark: SparkSession, sfDir: String,
+      nCells: Int = 16, nProbe: Int = 4, k: Int = 5, iters: Int = 2): DataFrame = {
+    import graft.operators.IvfAnn
+    val emb = graft.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    val baseSlice = emb.filter(col("vec_id") % 10 =!= 7 &&
+      col("vec_id") % 10 =!= 5)
+    val arrivals = emb.filter(col("vec_id") % 10 === 5)
+    val queries = emb.filter(col("vec_id") % 10 === 7)
+
+    val target = Paths.get(sfDir, "embeddings.parquet").toAbsolutePath.normalize
+    val mtime = Files.getLastModifiedTime(target).toMillis
+    val base = Paths.get(sys.props("java.io.tmpdir"), "graft_annmaint_" +
+      StagedRuns.contentKey(s"$target:$mtime:annmaint:$nCells:$nProbe:$k:$iters:v1"))
+    val (src, baseIdx, delta, chk) = (base.resolve("src"),
+      base.resolve("base_idx"), base.resolve("delta"), base.resolve("chk"))
+    val done = base.resolve("_DONE")
+
+    // the frozen quantizer: deterministic integer Lloyd over the base
+    // slice, memoized by ModelStaging — identical on build and probe
+    val centroids = IvfAnn.trainCentroids(baseSlice, nCells, iters)
+
+    if (!Files.exists(done)) {
+      // crash discipline: _DONE is the commit point, a half-state is wiped
+      StagedRuns.freshBase(base, done)
+      // stage the base assignment once — the standing cell index,
+      // partitioned by cell so probes prune to nProbe dirs
+      IvfAnn.assign(baseSlice, centroids)
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(baseIdx.toString)
+      Files.createDirectories(src)
+      (0 until 4).foreach { i =>
+        arrivals.filter(pmod(col("vec_id"), lit(40)) === (5 + 10 * i))
+          .coalesce(1).write.mode("append").parquet(src.toString)
+      }
+      val q = spark.readStream
+        .schema(arrivals.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src.toString)
+        .writeStream
+        .option("checkpointLocation", chk.toString)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          // ingest = |batch| x nCells integer distances, index untouched
+          IvfAnn.assign(batch, centroids)
+            .write.mode("append").partitionBy("cell")
+            .parquet(delta.toString)
+          ()
+        }
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+        .start()
+      try q.processAllAvailable() finally { q.stop(); q.awaitTermination() }
+      Files.writeString(done, "ok")
+    }
+    val deltaSchema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType)),
+      StructField("cell", org.apache.spark.sql.types.IntegerType)))
+    val assignedAll = spark.read.parquet(baseIdx.toString)
+      .select("vec_id", "embedding", "cell")
+      .unionByName(spark.read.schema(deltaSchema).parquet(delta.toString)
+        .select("vec_id", "embedding", "cell"))
+    IvfAnn.probeAssigned(assignedAll, centroids, queries, nProbe, k)
+      .orderBy("query_id", "rank")
+  }
+
+  def streamingAnnMaintainedSql(nCells: Int = 16, nProbe: Int = 4,
+      k: Int = 5, iters: Int = 2): String =
+    graft.operators.IvfAnn.topKMaintainedSql(64,
+      "vec_id % 10 NOT IN (5, 7)", "vec_id % 10 = 5", "vec_id % 10 = 7",
+      nCells, nProbe, k, iters)
+
   /** Streaming DSIR selection serving: arriving documents (doc_id % 10
     * == 7) are scored per micro-batch against the STANDING corpus's
     * bucket model — the admission-control shape of importance

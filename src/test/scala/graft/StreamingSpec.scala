@@ -747,6 +747,38 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming ANN ingest equals the one-shot frozen-quantizer index") {
+    // r14: the vector twin of search-index maintenance — the FROZEN
+    // base quantizer assigns each arriving micro-batch to its nearest
+    // cell (ingest cost |batch| x nCells, index untouched); assignment
+    // to fixed centroids is a pure per-vector function, so base ∪ delta
+    // must equal the one-shot assignment over base ∪ arrivals and the
+    // held-out queries must rank identically — micro-batch chopping
+    // invisible by construction
+    import graft.operators.IvfAnn
+    val emb = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    val baseSlice = emb.filter(col("vec_id") % 10 =!= 7 &&
+      col("vec_id") % 10 =!= 5)
+    val arrivals = emb.filter(col("vec_id") % 10 === 5)
+    val queries = emb.filter(col("vec_id") % 10 === 7)
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val streamed = rows(
+      graft.streaming.CorpusStreams.streamingAnnMaintained(spark, sf))
+    assert(streamed.nonEmpty)
+    val cents = IvfAnn.trainCentroids(baseSlice, 16, 2)
+    val oneShot = rows(IvfAnn.probeAssigned(
+        IvfAnn.assign(baseSlice.unionByName(arrivals), cents),
+        cents, queries, 4, 5)
+      .orderBy("query_id", "rank"))
+    assert(streamed == oneShot,
+      "maintained ANN index diverges from the one-shot frozen-quantizer twin")
+    // arrivals actually LAND in served results (else the delta union
+    // could be silently empty and the equality above vacuous for it)
+    assert(streamed.exists(_._3 % 10 == 5),
+      "no arrival vector in any top-k — delta not probed")
+  }
+
   test("maintained statistics: ranked retrieval equals the from-scratch ladder") {
     // r14: BM25 scores depend on EVERY doc's length and the corpus
     // constants (n_docs, sum_dl) — serving them from the maintained
