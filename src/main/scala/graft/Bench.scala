@@ -171,7 +171,8 @@ object Bench {
         "stream_continual_train", "stream_dsir_score",
         "stream_decontaminate", "stream_search_maintained",
         "stream_search_compacted", "stream_search_bm25_maintained",
-        "stream_search_bm25_compacted", "stream_ann_maintained"))
+        "stream_search_bm25_compacted", "stream_ann_maintained",
+        "stream_search_tombstoned", "stream_search_purged"))
     // the search family's members do REAL probe work every pass (only
     // the one-time index build is shared), so unlike the trained/staged
     // families they KEEP their per-query entries — min-of-3 lands on the

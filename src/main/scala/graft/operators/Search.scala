@@ -254,6 +254,71 @@ object Search {
       .select("doc_id")
   }
 
+  /** Tombstone schema of a streamed delete-request dir — one doc_id per
+    * takedown; explicit for the empty-dir case (a corpus with no
+    * deletion requests is the common state). */
+  private[graft] val TombstoneSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType)))
+
+  /** Conjunctive search over a maintained index UNDER DELETION: streamed
+    * tombstones (takedown / opt-out requests — the data-governance path
+    * a training-corpus index must have) are anti-joined out of the
+    * base ∪ delta probe BEFORE matching, so a deleted document stops
+    * being served the moment its tombstone lands, without touching the
+    * index files. The anti join runs on the probe's candidate rows
+    * (|terms| posting lists), not the index — deletion costs nothing at
+    * probe time beyond a tombstone-set lookup. Physical erasure is the
+    * compaction step's job ([[purgeIndex]]). */
+  private[graft] def keywordSearchTombstoned(spark: SparkSession,
+      baseDir: String, deltaDir: String, tombDir: String,
+      terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty)
+    val tombs = spark.read.schema(TombstoneSchema).parquet(tombDir)
+      .dropDuplicates("doc_id")
+    probeMaintained(spark, baseDir, deltaDir, terms)
+      .join(tombs, Seq("doc_id"), "left_anti")
+      .select("doc_id", "tok").distinct()
+      .groupBy("doc_id").agg(count(lit(1)).as("n_matched"))
+      .filter(col("n_matched") === terms.length)
+      .select("doc_id")
+  }
+
+  /** PURGE compaction: [[compactIndex]] minus tombstoned documents —
+    * the physical-erasure half of deletion (anti-join on doc_id applied
+    * to postings AND doclen before the fold; stats re-roll from the
+    * purged doclen, so n_docs/sum_dl/avgdl forget the deleted docs
+    * too). After the purge the asset contains NO trace of a tombstoned
+    * document — the takedown-compliance claim a logical filter can't
+    * make — and remains fully interchangeable with the standing corpus
+    * asset for every probe spelling. */
+  private[graft] def purgeIndex(spark: SparkSession, baseDir: String,
+      deltaDir: String, deltaDoclenDir: String, tombDir: String,
+      outDir: String): Unit = {
+    val tombs = spark.read.schema(TombstoneSchema).parquet(tombDir)
+      .dropDuplicates("doc_id")
+    spark.read.parquet(s"$baseDir/postings")
+      .select("doc_id", "pos", "tok", "bucket")
+      .unionByName(spark.read.schema(DeltaPostingsSchema).parquet(deltaDir)
+        .select("doc_id", "pos", "tok", "bucket"))
+      .join(tombs, Seq("doc_id"), "left_anti")
+      .repartition(NBuckets, col("bucket"))
+      .dropDuplicates("doc_id", "pos", "tok", "bucket")
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$outDir/postings")
+    spark.read.parquet(s"$baseDir/doclen")
+      .unionByName(
+        spark.read.schema(DeltaDoclenSchema).parquet(deltaDoclenDir))
+      .join(tombs, Seq("doc_id"), "left_anti")
+      .dropDuplicates("doc_id")
+      .write.mode("overwrite").parquet(s"$outDir/doclen")
+    spark.read.parquet(s"$outDir/doclen")
+      .agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$outDir/stats")
+  }
+
   /** LSM-style merge of a maintained index: base postings ∪ streamed
     * delta rewritten as ONE bucket-partitioned postings table under
     * `outDir`. This is the maintenance step "append forever" demands at
@@ -296,6 +361,10 @@ object Search {
     spark.read.parquet(s"$baseDir/doclen")
       .unionByName(
         spark.read.schema(DeltaDoclenSchema).parquet(deltaDoclenDir))
+      // same at-least-once armor as the maintained BM25 probe: dl is a
+      // pure function of the text, so doc_id-dedup makes the folded
+      // statistics immune to a replayed doclen append
+      .dropDuplicates("doc_id")
       .write.mode("overwrite").parquet(s"$outDir/doclen")
     spark.read.parquet(s"$outDir/doclen")
       .agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
@@ -480,13 +549,19 @@ object Search {
       .select("doc_id")
   }
 
-  def keywordSearchSql(terms: Seq[String]): String = {
+  /** DuckDB replay of the conjunctive search; `docPred` optionally
+    * restricts the corpus — the oracle surface for the TOMBSTONED and
+    * PURGED maintained-index probes, whose results must equal the
+    * from-scratch search over the corpus minus the deleted docs. */
+  def keywordSearchSql(terms: Seq[String],
+      docPred: Option[String] = None): String = {
     val list = sqlTermList(terms)
+    val where = docPred.fold("")(p => s" WHERE ($p)")
     s"""WITH tok AS (
        |  SELECT DISTINCT doc_id, tok FROM (
        |    SELECT doc_id, unnest(regexp_extract_all(lower(text),
        |      '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS tok
-       |    FROM documents)
+       |    FROM documents$where)
        |  WHERE tok IN ($list)
        |)
        |SELECT doc_id FROM tok GROUP BY doc_id

@@ -74,6 +74,12 @@ object StreamingQueries {
         PipelineQueries.searchTerms)),
     "stream_ann_maintained" -> ((s, d) =>
       graft.streaming.CorpusStreams.streamingAnnMaintained(s, d)),
+    "stream_search_tombstoned" -> ((s, d) =>
+      graft.streaming.CorpusStreams.streamingSearchTombstoned(s, d,
+        PipelineQueries.searchTerms)),
+    "stream_search_purged" -> ((s, d) =>
+      graft.streaming.CorpusStreams.streamingSearchPurged(s, d,
+        PipelineQueries.searchTerms)),
     "q11_sessionize" -> ((s, d) => EventStreams.sessionizeBatch(Tables.events(s, d))),
     "q12_asof_join" -> ((s, d) => AsOfJoin.errorToLastClick(Tables.events(s, d))),
     "q32_asof_forward" -> ((s, d) => AsOfJoin.errorToNextClick(Tables.events(s, d))),
@@ -195,6 +201,15 @@ object StreamingQueries {
     // replays the whole maintained index from the three slices
     "stream_ann_maintained" ->
       graft.streaming.CorpusStreams.streamingAnnMaintainedSql(),
+    // deletion: logically-tombstoned and physically-purged probes must
+    // both equal the from-scratch search over documents minus the
+    // takedown slice — one oracle for both halves of the claim
+    "stream_search_tombstoned" ->
+      graft.streaming.CorpusStreams.streamingSearchDeletedSql(
+        PipelineQueries.searchTerms),
+    "stream_search_purged" ->
+      graft.streaming.CorpusStreams.streamingSearchDeletedSql(
+        PipelineQueries.searchTerms),
     // id assignment DEPENDS on arrival order here (unlike the probes
     // above): the stream pins a deterministic content-defined batch
     // sequence and the oracle replays it as a fixed CTE chain

@@ -412,26 +412,33 @@ object CorpusStreams {
     val target = Paths.get(sfDir, "documents.parquet").toAbsolutePath.normalize
     val mtime = Files.getLastModifiedTime(target).toMillis
     Paths.get(sys.props("java.io.tmpdir"),
-      s"graft_streamsearch_${StagedRuns.contentKey(s"$target:$mtime:searchmaint:v3")}")
+      s"graft_streamsearch_${StagedRuns.contentKey(s"$target:$mtime:searchmaint:v4")}")
   }
 
   def streamingSearchMaintained(spark: SparkSession, sfDir: String,
       terms: Seq[String]): DataFrame = {
     import graft.operators.Search
     val baseDir = Search.stagedDirSlice(spark, sfDir, Some("doc_id % 10 != 7"))
-    val (delta, _) = ensureSearchMaintainedRun(spark, sfDir)
-    Search.keywordSearchMaintained(spark, baseDir, delta.toString, terms)
+    val run = ensureSearchMaintainedRun(spark, sfDir)
+    Search.keywordSearchMaintained(spark, baseDir, run.delta.toString, terms)
       .orderBy("doc_id")
   }
 
+  /** The committed dirs of one maintained-index streaming run — handed
+    * out by [[ensureSearchMaintainedRun]] so no consumer ever re-derives
+    * a path (drift would silently split producer and probe). */
+  private case class MaintainedRun(delta: java.nio.file.Path,
+      deltaDl: java.nio.file.Path, tombs: java.nio.file.Path)
+
   /** Ensure [[streamingSearchMaintained]]'s memoized streaming run has
-    * executed (arrivals chopped into four micro-batches, each appending
-    * its own postings AND its own doclen rows — the statistics half the
-    * ranked searches need); returns BOTH committed delta paths
-    * (postings, doclen) so the ranked and compaction steps never
-    * re-derive any of the run's dirs. */
+    * executed: arrivals chopped into four micro-batches, each appending
+    * its own postings AND its own doclen rows (the statistics half the
+    * ranked searches need), then a SECOND stream of four delete-request
+    * micro-batches (takedowns for base docs with doc_id % 20 == 2)
+    * appending tombstones — the data-governance half. Returns all three
+    * committed delta paths. */
   private def ensureSearchMaintainedRun(spark: SparkSession,
-      sfDir: String): (java.nio.file.Path, java.nio.file.Path) = {
+      sfDir: String): MaintainedRun = {
     import graft.operators.Search
     val arrivals = graft.Tables.documents(spark, sfDir)
       .filter(col("doc_id") % 10 === 7)
@@ -441,6 +448,8 @@ object CorpusStreams {
     val (src, delta, chk) =
       (base.resolve("src"), base.resolve("delta"), base.resolve("chk"))
     val deltaDl = base.resolve("delta_dl")
+    val (srcTomb, tomb, chkTomb) = (base.resolve("src_tomb"),
+      base.resolve("tomb"), base.resolve("chk_tomb"))
     val done = base.resolve("_DONE")
 
     if (!Files.exists(done)) {
@@ -478,9 +487,35 @@ object CorpusStreams {
       // stop() is asynchronous — await termination before _DONE/cleanup,
       // or a re-invocation's freshBase races the dying query's checkpoint
       try q.processAllAvailable() finally { q.stop(); q.awaitTermination() }
+      // the DELETION stream: takedown requests (doc_id only) arrive in
+      // four micro-batches of their own, each appended as tombstones —
+      // logical deletion is a probe-time anti join, physical erasure is
+      // the purge compaction's job
+      val tombstones = graft.Tables.documents(spark, sfDir)
+        .filter(col("doc_id") % 20 === 2)
+        .select(col("doc_id"))
+      Files.createDirectories(srcTomb)
+      Files.createDirectories(tomb)
+      (0 until 4).foreach { i =>
+        tombstones.filter(pmod(col("doc_id"), lit(80)) === (2 + 20 * i))
+          .coalesce(1).write.mode("append").parquet(srcTomb.toString)
+      }
+      val q2 = spark.readStream
+        .schema(graft.operators.Search.TombstoneSchema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(srcTomb.toString)
+        .writeStream
+        .option("checkpointLocation", chkTomb.toString)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(tomb.toString)
+          ()
+        }
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+        .start()
+      try q2.processAllAvailable() finally { q2.stop(); q2.awaitTermination() }
       Files.writeString(done, "ok")
     }
-    (delta, deltaDl)
+    MaintainedRun(delta, deltaDl, tomb)
   }
 
   /** RANKED retrieval over the maintained index — exact BM25 with
@@ -496,12 +531,12 @@ object CorpusStreams {
       terms: Seq[String], k: Int = 10): DataFrame = {
     import graft.operators.Search
     val baseDir = Search.stagedDirSlice(spark, sfDir, Some("doc_id % 10 != 7"))
-    val (delta, deltaDl) = ensureSearchMaintainedRun(spark, sfDir)
+    val run = ensureSearchMaintainedRun(spark, sfDir)
     // presentation order at the registration boundary, matching the
     // batch twin search_bm25_topk's oracleOrder (the top-k cut itself is
     // the ladder's (score DESC, doc_id) order)
-    Search.bm25SearchMaintained(spark, baseDir, delta.toString,
-      deltaDl.toString, terms, k).orderBy("doc_id")
+    Search.bm25SearchMaintained(spark, baseDir, run.delta.toString,
+      run.deltaDl.toString, terms, k).orderBy("doc_id")
   }
 
   /** RANKED retrieval over the COMPACTED full asset: after
@@ -548,17 +583,71 @@ object CorpusStreams {
       sfDir: String): java.nio.file.Path = {
     import graft.operators.Search
     val baseDir = Search.stagedDirSlice(spark, sfDir, Some("doc_id % 10 != 7"))
-    val (delta, deltaDl) = ensureSearchMaintainedRun(spark, sfDir)
+    val run = ensureSearchMaintainedRun(spark, sfDir)
     val cdir = searchMaintainedBase(sfDir).resolve("compacted")
     val cdone = cdir.resolve("_DONE")
     if (!Files.exists(cdone)) {
       StagedRuns.freshBase(cdir, cdone)
-      Search.compactIndex(spark, baseDir, delta.toString,
-        deltaDl.toString, cdir.toString)
+      Search.compactIndex(spark, baseDir, run.delta.toString,
+        run.deltaDl.toString, cdir.toString)
       Files.writeString(cdone, "ok")
     }
     cdir
   }
+
+  /** Maintained-index search UNDER DELETION: streamed takedown requests
+    * (tombstones) are anti-joined out of the base ∪ delta probe, so a
+    * deleted document stops being served the moment its tombstone lands
+    * — no index rewrite on the serving path. The oracle is the
+    * from-scratch search over the corpus MINUS the tombstoned docs,
+    * which is exactly what logical deletion must equal. */
+  def streamingSearchTombstoned(spark: SparkSession, sfDir: String,
+      terms: Seq[String]): DataFrame = {
+    import graft.operators.Search
+    val baseDir = Search.stagedDirSlice(spark, sfDir, Some("doc_id % 10 != 7"))
+    val run = ensureSearchMaintainedRun(spark, sfDir)
+    Search.keywordSearchTombstoned(spark, baseDir, run.delta.toString,
+      run.tombs.toString, terms).orderBy("doc_id")
+  }
+
+  /** Search over the PURGED asset — the physical-erasure half of
+    * deletion: purge compaction folds base ∪ delta minus tombstones
+    * (postings, doclen AND the re-rolled stats all forget the deleted
+    * docs), so the committed asset contains no trace of a tombstoned
+    * document; the probe is the plain staged spelling and shares the
+    * tombstoned oracle. StreamingSpec asserts the physical absence —
+    * the takedown-compliance claim a probe-time filter can't make. */
+  def streamingSearchPurged(spark: SparkSession, sfDir: String,
+      terms: Seq[String]): DataFrame = {
+    import graft.operators.Search
+    val cdir = ensureSearchPurged(spark, sfDir)
+    Search.keywordSearchOver(spark, cdir.toString, terms)
+      .orderBy("doc_id")
+  }
+
+  /** Ensure the purge compaction of the maintained run has been
+    * committed; returns the purged full-asset dir. */
+  private[graft] def ensureSearchPurged(spark: SparkSession,
+      sfDir: String): java.nio.file.Path = {
+    import graft.operators.Search
+    val baseDir = Search.stagedDirSlice(spark, sfDir, Some("doc_id % 10 != 7"))
+    val run = ensureSearchMaintainedRun(spark, sfDir)
+    val pdir = searchMaintainedBase(sfDir).resolve("purged")
+    val pdone = pdir.resolve("_DONE")
+    if (!Files.exists(pdone)) {
+      StagedRuns.freshBase(pdir, pdone)
+      Search.purgeIndex(spark, baseDir, run.delta.toString,
+        run.deltaDl.toString, run.tombs.toString, pdir.toString)
+      Files.writeString(pdone, "ok")
+    }
+    pdir
+  }
+
+  /** Shared oracle of the deletion pair: the batch conjunctive search
+    * over documents minus the takedown slice. */
+  def streamingSearchDeletedSql(terms: Seq[String]): String =
+    graft.operators.Search.keywordSearchSql(terms,
+      Some("NOT (doc_id % 20 = 2)"))
 
   /** The maintained index equals the from-scratch one, so the oracle is
     * the batch conjunctive search over the FULL documents table. */

@@ -747,6 +747,55 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("deletion: tombstoned probe and purged asset forget takedown docs") {
+    // r14: the data-governance half of the index lifecycle — takedown
+    // requests stream in as tombstones; the LOGICAL claim is that a
+    // tombstoned doc stops being served immediately (anti join at probe
+    // time), the PHYSICAL claim is that purge compaction leaves no
+    // trace of it in the committed asset; both probes must equal the
+    // from-scratch search over documents minus the takedown slice
+    import graft.operators.Search
+    import graft.queries.PipelineQueries
+    val docs = Tables.documents(spark, sf)
+    val kept = docs.filter(!(col("doc_id") % 20 === 2))
+    val terms = PipelineQueries.searchTerms
+    def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.collect().map(_.getLong(0)).sorted.toSeq
+    val direct = ids(Search.keywordSearch(kept, terms))
+    assert(direct.nonEmpty)
+    assert(ids(graft.streaming.CorpusStreams
+        .streamingSearchTombstoned(spark, sf, terms)) == direct,
+      "tombstoned probe diverges from the search over kept docs")
+    assert(ids(graft.streaming.CorpusStreams
+        .streamingSearchPurged(spark, sf, terms)) == direct,
+      "purged-asset probe diverges from the search over kept docs")
+    // non-vacuity + physical erasure, independent of term luck: the
+    // takedown slice is nonempty, the purged doclen forgot EXACTLY that
+    // many docs, the purged postings contain NO tombstoned doc_id, and
+    // the purged stats re-rolled from the purged doclen
+    val tombIds = docs.filter(col("doc_id") % 20 === 2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(tombIds.nonEmpty, "takedown slice empty — deletion untested")
+    val pdir = graft.streaming.CorpusStreams.ensureSearchPurged(spark, sf)
+    val pDoclen = spark.read.parquet(s"$pdir/doclen")
+    assert(pDoclen.count() == docs.count() - tombIds.size,
+      "purged doclen count does not reflect the takedowns")
+    val survivors = spark.read.parquet(s"$pdir/postings")
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(survivors.intersect(tombIds).isEmpty,
+      "tombstoned doc_ids physically present in the purged postings")
+    val pStats = spark.read.parquet(s"$pdir/stats").head
+    assert(pStats.getLong(0) == docs.count() - tombIds.size,
+      "purged stats n_docs not re-rolled from the purged doclen")
+    // the ranked ladder serves correctly from the purged statistics
+    // (scores depend on n_docs/sum_dl/dl — a stale stat breaks this)
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(rows(Search.bm25SearchOver(spark, pdir.toString, terms)) ==
+      rows(Search.bm25Search(kept, terms)),
+      "purged-asset BM25 diverges from the ladder over kept docs")
+  }
+
   test("streaming ANN ingest equals the one-shot frozen-quantizer index") {
     // r14: the vector twin of search-index maintenance — the FROZEN
     // base quantizer assigns each arriving micro-batch to its nearest
