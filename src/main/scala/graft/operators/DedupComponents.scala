@@ -63,6 +63,13 @@ object DedupComponents {
   case object MinLabel extends Strategy
   case object LargeSmallStar extends Strategy
 
+  /** Below this vertex count the per-round label table broadcasts
+    * (~16 B/vertex -> <= ~80 MB); above it the rounds fall back to a
+    * shuffle-hash join into the dst-partitioned checkpointed edge layout,
+    * where only the |V|-sized labels move. Mirrors
+    * [[GraphAnalytics.BroadcastRanksMax]]. */
+  private val BroadcastLabelsMax = 5000000L
+
   /** Components of the undirected pair graph. `pairs` must have long
     * columns doc_a, doc_b.
     *
@@ -119,15 +126,30 @@ object DedupComponents {
 
   private def componentsMinLabel(pairs: DataFrame, maxRounds: Int): DataFrame = {
     // eager localCheckpoint: materialized AND plan-truncated — both sides
-    // of every per-round join are flat scans of checkpointed partitions
+    // of every per-round join are flat scans of checkpointed partitions.
+    // HASH-PARTITIONED BY dst BEFORE the checkpoint (r14): the per-round
+    // expansion joins `labels` into the edge table on dst every round, and
+    // the un-laid-out edge list previously re-exchanged (and re-sorted,
+    // under SMJ) all 2|E| rows per round. LogicalRDD preserves the
+    // checkpointed partitioning, so with the |V|-sized labels as the
+    // hinted hash-build side each round now moves ONLY labels — the
+    // pagerank/BFS edge-layout discipline applied to min-label.
     val edges = pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .repartition(col("dst"))
       .truncateLineage
 
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .truncateLineage
+    // |V| is CONSTANT across rounds (every vertex keeps a label row), so
+    // the broadcast decision is made once. Checkpointed tables carry no
+    // size statistics — without the explicit broadcast the planner can
+    // never auto-broadcast the label table, and every round paid a full
+    // 2|E| exchange+sort (r14; the pagerankInt BroadcastRanksMax
+    // discipline applied to min-label).
+    val nVerts = labels.count()
 
     var round = 0
     var converged = false
@@ -135,8 +157,12 @@ object DedupComponents {
       // neighbor rows carry prev = MaxValue; the (unique-per-id) labels row
       // carries prev = its current label, so min(prev) is the old label and
       // the convergence count needs no join against the previous round
+      val labelsByDst = labels.select(col("id").as("dst"), col("label"))
+      val labelSide =
+        if (nVerts <= BroadcastLabelsMax) broadcast(labelsByDst)
+        else labelsByDst.hint("shuffle_hash")
       val viaNeighbor = edges
-        .join(labels.select(col("id").as("dst"), col("label")), "dst")
+        .join(labelSide, "dst")
         .select(col("src").as("id"), col("label"),
           lit(Long.MaxValue).as("prev"))
       val next = viaNeighbor

@@ -93,20 +93,47 @@ object GraphAnalytics {
     * shuffle-hash, where only the |V|-sized rank table shuffles. */
   val BroadcastRanksMax = 5000000L
 
+  /** kcore broadcasts its per-round survivor set while the surviving edge
+    * count stays under this cap (|keep| <= 2|E|; string vertex ids make
+    * the hashed relation ~100 B/entry, so 1M edges bounds the broadcast
+    * near ~200 MB worst-case). Above it the peel falls back to SMJ. */
+  val BroadcastKeepMaxEdges = 1000000L
+
+  /** BFS broadcasts its frontier / visited-set sides while they stay
+    * under this row cap (string vertex ids, ~100 B/hashed entry ->
+    * ~200 MB worst case); above it the joins fall back to the
+    * shuffle-hash (frontier) / SMJ (anti-join) paths unchanged. */
+  val BroadcastIdsMax = 2000000L
+
+  /** The degree-joined, src-partitioned edge layout both rank-propagation
+    * operators iterate over: edges partitioned by src ONCE; outdeg and
+    * the deg-join computed on that layout with zero further exchanges
+    * (the groupBy's clustering requirement is satisfied by the
+    * repartition, and the shuffle-hash join reuses the same exchange on
+    * both subtrees). Exposed so the query layer can build + persist it
+    * ONCE and share it across pagerank AND ppr (the kgEdges memo
+    * discipline one level up — r14: the two registered queries each
+    * rebuilt the identical layout from the same cached edge list). */
+  def degreeLayout(edges: DataFrame): DataFrame = {
+    val e = edges.repartition(col("src"))
+    val outDeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    e.join(outDeg.hint("shuffle_hash"), "src")
+  }
+
   def pagerankInt(edges: DataFrame, iters: Int = 5,
       dampNum: Long = 85L, dampDen: Long = 100L,
       scale: Long = 1000000000000L): DataFrame = {
-
-    // Partition edges by src ONCE; outdeg and the deg-join are computed
-    // on that layout with zero further exchanges (the groupBy's clustering
-    // requirement is satisfied by the repartition, and the shuffle-hash
-    // join reuses the same exchange on both subtrees), and every
-    // iteration's rank join then reuses the cached layout.
-    val e = edges.repartition(col("src"))
-    val outDeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    val edgesDeg = e.join(outDeg.hint("shuffle_hash"), "src")
-      .persist()
+    val edgesDeg = degreeLayout(edges).persist()
     edgesDeg.count()
+    try pagerankOnLayout(edgesDeg, iters, dampNum, dampDen, scale)
+    finally edgesDeg.unpersist()
+  }
+
+  /** [[pagerankInt]] over a pre-built, already-persisted [[degreeLayout]]
+    * (not unpersisted here — the layout's owner releases it). */
+  def pagerankOnLayout(edgesDeg: DataFrame, iters: Int = 5,
+      dampNum: Long = 85L, dampDen: Long = 100L,
+      scale: Long = 1000000000000L): DataFrame = {
     // verts derive from the PERSISTED edge table, not the raw edges
     // lineage — the raw pipeline must run once, not twice
     val verts = edgesDeg.select(col("src").as("id"))
@@ -117,19 +144,26 @@ object GraphAnalytics {
     require(n > 0, "pagerank over an empty graph")
     val basePerNode = (scale - dampNum * scale / dampDen) / n
 
-    // vertices WITH out-edges, computed ONCE from the persisted edge
-    // table; per-iteration anti-join against it isolates dangling mass
-    val withOut = verts
-      .join(edgesDeg.select(col("src").as("id")).distinct(), Seq("id"), "left_semi")
+    // vertices flagged has_out ONCE from the persisted edge table. The
+    // flag RIDES IN THE RANK TABLE (r14) so each iteration's
+    // dangling-mass aggregate is a narrow filter+sum over the
+    // just-checkpointed ranks — the previous spelling anti-joined the
+    // |V|-sized rank table against a withOut set every iteration, a
+    // per-iteration |V| shuffle that bought one bit per vertex the rank
+    // table can simply carry (+8 B/row through the broadcast/checkpoint).
+    val vertsF = verts
+      .join(edgesDeg.select(col("src").as("id")).distinct()
+        .withColumn("has_out", lit(1L)), Seq("id"), "left")
+      .select(col("id"), coalesce(col("has_out"), lit(0L)).as("has_out"))
       .persist()
-    withOut.count()
+    vertsF.count()
+    verts.unpersist()
 
-    var ranks = verts.withColumn("rank", lit(scale / n)).truncateLineage
+    var ranks = vertsF.withColumn("rank", lit(scale / n)).truncateLineage
     var i = 0
     while (i < iters) {
       // 1-row dangling-mass aggregate, broadcast into the update expr
-      val dangDf = ranks
-        .join(withOut.hint("shuffle_hash"), Seq("id"), "left_anti")
+      val dangDf = ranks.filter(col("has_out") === 0L)
         .agg(coalesce(sum("rank"), lit(0L)).as("dang"))
       val rankSide =
         if (n <= BroadcastRanksMax) broadcast(ranks) else ranks.hint("shuffle_hash")
@@ -139,20 +173,18 @@ object GraphAnalytics {
         // Spark's truncating DIV equal DuckDB's floor `//`
         .select(col("dst"), expr("rank DIV outdeg").as("c"))
         .groupBy("dst").agg(sum("c").as("contrib"))
-      val next = verts
-        .join(contrib.hint("shuffle_hash"), verts("id") === contrib("dst"), "left")
+      val next = vertsF
+        .join(contrib.hint("shuffle_hash"), vertsF("id") === contrib("dst"), "left")
         .crossJoin(broadcast(dangDf))
-        .select(verts("id"),
+        .select(vertsF("id"), vertsF("has_out"),
           (lit(basePerNode) + expr(
             s"($dampNum * (COALESCE(contrib, CAST(0 AS BIGINT)) + dang DIV $n)) DIV $dampDen"
           )).as("rank"))
       ranks = next.truncateLineage // truncate the iteration lineage
       i += 1
     }
-    edgesDeg.unpersist()
-    verts.unpersist()
-    withOut.unpersist()
-    ranks
+    vertsF.unpersist()
+    ranks.select("id", "rank")
   }
 
   /** Personalized (topic-sensitive) integer PageRank: teleportation —
@@ -176,10 +208,17 @@ object GraphAnalytics {
   def pprInt(edges: DataFrame, seeds: DataFrame, iters: Int = 5,
       dampNum: Long = 85L, dampDen: Long = 100L,
       scale: Long = 1000000000000L): DataFrame = {
-    val e = edges.repartition(col("src"))
-    val outDeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    val edgesDeg = e.join(outDeg.hint("shuffle_hash"), "src").persist()
+    val edgesDeg = degreeLayout(edges).persist()
     edgesDeg.count()
+    try pprOnLayout(edgesDeg, seeds, iters, dampNum, dampDen, scale)
+    finally edgesDeg.unpersist()
+  }
+
+  /** [[pprInt]] over a pre-built, already-persisted [[degreeLayout]]
+    * (not unpersisted here — the layout's owner releases it). */
+  def pprOnLayout(edgesDeg: DataFrame, seeds: DataFrame, iters: Int = 5,
+      dampNum: Long = 85L, dampDen: Long = 100L,
+      scale: Long = 1000000000000L): DataFrame = {
     val verts = edgesDeg.select(col("src").as("id"))
       .unionAll(edgesDeg.select(col("dst").as("id")))
       .distinct().persist()
@@ -189,20 +228,28 @@ object GraphAnalytics {
     val nS = seedSet.count()
     require(nS > 0, "ppr over an empty seed set")
     val basePerSeed = (scale - dampNum * scale / dampDen) / nS
-    val withOut = verts
-      .join(edgesDeg.select(col("src").as("id")).distinct(), Seq("id"), "left_semi")
+    // out-edge flag table, built ONCE (r14): the flag rides in the rank
+    // table (attached to each round's carriers below), so the per-round
+    // dangling-mass aggregate is a narrow filter+sum instead of an
+    // anti-join shuffle of the whole rank table — the pagerankInt
+    // discipline. Every rank-table id is a vertex, so flagging against
+    // the distinct out-src set equals the old verts∩srcs anti-join.
+    val outIds = edgesDeg.select(col("src").as("id")).distinct()
+      .withColumn("has_out", lit(1L))
       .persist()
-    withOut.count()
+    outIds.count()
 
-    var ranks = seedSet.withColumn("rank", lit(scale / nS)).truncateLineage
+    var ranks = seedSet
+      .join(outIds.hint("shuffle_hash"), Seq("id"), "left")
+      .select(col("id"), coalesce(col("has_out"), lit(0L)).as("has_out"))
+      .withColumn("rank", lit(scale / nS)).truncateLineage
     // the rank table grows from |seeds| toward the reachable cone — the
     // broadcast decision tracks ITS size (a count on the just-truncated
     // frame is a cached-block scan), not the seed count
     var nRanks = ranks.count()
     var i = 0
     while (i < iters) {
-      val dangDf = ranks
-        .join(withOut.hint("shuffle_hash"), Seq("id"), "left_anti")
+      val dangDf = ranks.filter(col("has_out") === 0L)
         .agg(coalesce(sum("rank"), lit(0L)).as("dang"))
       val rankSide =
         if (nRanks <= BroadcastRanksMax) broadcast(ranks) else ranks.hint("shuffle_hash")
@@ -221,8 +268,10 @@ object GraphAnalytics {
       val next = carriers
         .join(contrib.hint("shuffle_hash"), carriers("id") === contrib("dst"), "left")
         .join(isSeed.hint("shuffle_hash"), Seq("id"), "left")
+        .join(outIds.hint("shuffle_hash"), Seq("id"), "left")
         .crossJoin(broadcast(dangDf))
         .select(carriers("id"),
+          coalesce(col("has_out"), lit(0L)).as("has_out"),
           (expr(s"($dampNum * (COALESCE(contrib, CAST(0 AS BIGINT))" +
             s" + COALESCE(s, CAST(0 AS BIGINT)) * (dang DIV $nS))) DIV $dampDen")
             + expr(s"COALESCE(s, CAST(0 AS BIGINT)) * CAST($basePerSeed AS BIGINT)"))
@@ -232,9 +281,9 @@ object GraphAnalytics {
       nRanks = ranks.count()
       i += 1
     }
-    edgesDeg.unpersist(); verts.unpersist(); withOut.unpersist()
+    verts.unpersist(); outIds.unpersist()
     seedSet.unpersist()
-    ranks
+    ranks.select("id", "rank")
   }
 
   /** DuckDB replay of [[pprInt]] — identity ladder, seeds from
@@ -454,8 +503,14 @@ object GraphAnalytics {
     * Determinism: ties break on neighbor id; integer arithmetic only. */
   def neighborSimilarity(edges: DataFrame, topK: Int = 5,
       maxFanout: Int = 100): DataFrame = {
-    val e = edges.select(col("src"), col("dst")).distinct()
-    val postings = e.groupBy("dst")
+    // NO pre-distinct (r14): collect_set dedups srcs per dst itself, so
+    // the former `.distinct()` was a full |E| exchange that bought
+    // nothing — the postings aggregate is the one |E|-sized shuffle of
+    // the operator, and its partial (map-side) sets already shrink
+    // duplicate (src, dst) rows before they move. Fanout cap, degrees,
+    // and pairs all derive from the deduped postings, so output is
+    // row-identical (the oracle pins it).
+    val postings = edges.select(col("src"), col("dst")).groupBy("dst")
       .agg(sort_array(collect_set(col("src"))).as("srcs"))
       .filter(size(col("srcs")) <= maxFanout)
     val pairs = postings.select(explode(flatten(expr(
@@ -562,9 +617,21 @@ object GraphAnalytics {
         .unionAll(e.select(col("b").as("id")))
         .groupBy("id").agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k).select("id")
+      // survivor set broadcast when the edge set is small enough to bound
+      // it (r14): checkpointed tables carry no size statistics, so the
+      // planner defaulted both semi-joins to SMJ — TWO full |E|
+      // exchange+sorts per peel round (AQE's late BHJ conversion still
+      // pays the map-side shuffle write). |keep| <= 2|E|, so the edge
+      // count the loop already tracks bounds the broadcast safely; both
+      // semi-joins share one broadcast (ReuseExchange — identical
+      // subtree), and above the cap the SMJ path is unchanged.
+      def keepSide(as: String) = {
+        val r = keep.withColumnRenamed("id", as)
+        if (nEdges <= BroadcastKeepMaxEdges) broadcast(r) else r
+      }
       val next = e
-        .join(keep.withColumnRenamed("id", "a"), Seq("a"), "left_semi")
-        .join(keep.withColumnRenamed("id", "b"), Seq("b"), "left_semi")
+        .join(keepSide("a"), Seq("a"), "left_semi")
+        .join(keepSide("b"), Seq("b"), "left_semi")
         .truncateLineage
       val n = next.count()
       // the count is free on the just-materialized checkpoint; a round
@@ -609,37 +676,67 @@ object GraphAnalytics {
   def bfsLayers(edges: DataFrame, seeds: DataFrame,
       maxRounds: Int = 64): DataFrame = bfsLayersWithRounds(edges, seeds, maxRounds)._1
 
+  /** The doubled (undirected), a-partitioned edge layout BFS expands
+    * over. NO distinct on the doubled list: a duplicate (a,b) only
+    * re-proposes a candidate the frontier distinct dedups anyway, so
+    * correctness is unchanged and the 2|E| pre-shuffle is saved — the
+    * repartition is the one |E|-sized movement of the whole run.
+    * Exposed (r14) so the query layer can build + persist it once per
+    * sfDir instead of per invocation. */
+  def undirectedLayout(edges: DataFrame): DataFrame =
+    edges.select(col("src").as("a"), col("dst").as("b"))
+      .unionAll(edges.select(col("dst").as("a"), col("src").as("b")))
+      .filter(col("a") =!= col("b"))
+      .repartition(col("a"))
+
   /** [[bfsLayers]] plus the number of expansion rounds actually run —
     * the structural cost figure for GraphSpec's invariant gates. */
   def bfsLayersWithRounds(edges: DataFrame, seeds: DataFrame,
       maxRounds: Int = 64): (DataFrame, Int) = {
-    // NO distinct on the doubled edge list: a duplicate (a,b) only
-    // re-proposes a candidate the frontier distinct dedups anyway, so
-    // correctness is unchanged and the 2|E| pre-shuffle is saved — the
-    // repartition below is the one |E|-sized movement of the whole run
-    val und = edges.select(col("src").as("a"), col("dst").as("b"))
-      .unionAll(edges.select(col("dst").as("a"), col("src").as("b")))
-      .filter(col("a") =!= col("b"))
-      .repartition(col("a"))
-      .persist()
+    val und = undirectedLayout(edges).persist()
     und.count()
+    try bfsOnLayout(und, seeds, maxRounds)
+    finally und.unpersist()
+  }
+
+  /** BFS over a pre-built, already-persisted [[undirectedLayout]] (not
+    * unpersisted here — the layout's owner releases it). */
+  def bfsOnLayout(und: DataFrame, seeds: DataFrame,
+      maxRounds: Int = 64): (DataFrame, Int) = {
     // dist stays a FLAT UNION of per-round checkpointed frontiers — each
     // leaf is already truncated, so re-truncating the growing union every
     // round would re-materialize O(|V|) rows x rounds for nothing
     var dist = seeds.select(col("id")).distinct()
       .withColumn("dist", lit(0L)).truncateLineage
     var frontier = dist.select("id")
+    // row counts of the checkpointed frames are free-ish (cached-block
+    // scans) and drive the broadcast decisions below: checkpointed
+    // frames carry no size statistics, so without the explicit
+    // broadcast the planner SMJ'd the anti-join — two extra
+    // exchange+sorts per round over tables this loop knows are small
+    var nDist = dist.count()
+    var nFrontier = nDist
     var round = 0
-    var done = frontier.isEmpty
+    var done = nFrontier == 0
     while (!done) {
       round += 1
+      // frontier side broadcast when small: the pre-partitioned edge
+      // layout is then untouched (no exchange on either side); above the
+      // cap the shuffle-hash hint still moves only the frontier
+      val fSide = frontier.withColumnRenamed("id", "a")
+      val frontierSide =
+        if (nFrontier <= BroadcastIdsMax) broadcast(fSide)
+        else fSide.hint("shuffle_hash")
       val cand = und
-        .join(frontier.withColumnRenamed("id", "a").hint("shuffle_hash"), Seq("a"))
+        .join(frontierSide, Seq("a"))
         .select(col("b").as("id")).distinct()
-      val newFront = cand.join(dist, Seq("id"), "left_anti")
+      val distSide =
+        if (nDist <= BroadcastIdsMax) broadcast(dist) else dist
+      val newFront = cand.join(distSide, Seq("id"), "left_anti")
         .withColumn("dist", lit(round.toLong))
         .truncateLineage
-      if (newFront.isEmpty) done = true
+      val nNew = newFront.count()
+      if (nNew == 0) done = true
       else {
         // the valve charges only PRODUCTIVE rounds: a run whose
         // eccentricity equals maxRounds completes (its last round's
@@ -650,10 +747,11 @@ object GraphAnalytics {
             s"bfsLayers: frontier still non-empty after $maxRounds rounds — " +
               "raise maxRounds; refusing to return truncated distances")
         dist = dist.unionAll(newFront)
+        nDist += nNew
         frontier = newFront.select("id")
+        nFrontier = nNew
       }
     }
-    und.unpersist()
     (dist, round)
   }
 
@@ -694,12 +792,16 @@ object GraphAnalytics {
         .join(labels.withColumnRenamed("id", "a").hint("shuffle_hash"), Seq("a"))
         .groupBy(col("b").as("id"), col("lbl"))
         .agg(count(lit(1)).as("n"))
+      // plurality argmax as a HASH AGGREGATE, not a sort-window (r14):
+      // min(struct(-n, lbl)) is lexicographic — largest count first,
+      // smallest label on ties — exactly row_number(n DESC, lbl ASC) = 1,
+      // but with map-side partial aggregation and no per-round full sort
+      // of the (id, lbl, n) table (n <= degree <= |V|, so -n never
+      // overflows). Output pinned identical by the unrolled DuckDB oracle.
       labels = counts
-        .withColumn("rn", row_number().over(
-          org.apache.spark.sql.expressions.Window.partitionBy("id")
-            .orderBy(col("n").desc, col("lbl"))))
-        .filter(col("rn") === 1)
-        .select(col("id"), col("lbl"))
+        .groupBy("id")
+        .agg(min(struct((-col("n")).as("neg_n"), col("lbl"))).as("m"))
+        .select(col("id"), col("m.lbl").as("lbl"))
         .truncateLineage
     }
     und.unpersist()
