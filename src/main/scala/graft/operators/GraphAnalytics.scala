@@ -260,17 +260,17 @@ object GraphAnalytics {
       // the carrier set is (new contributions) ∪ seeds — never all of
       // verts, and not even the previous ranks: a previously-ranked
       // vertex with no fresh contribution and no seed flag lands on
-      // rank 0 and is filtered below, so carrying it is pure overhead
-      val carriers = contrib.select(col("dst").as("id"))
-        .unionAll(seedSet.select("id"))
-        .distinct()
+      // rank 0 and is filtered below, so carrying it is pure overhead.
+      // The carrier set IS the key set of a FULL OUTER join of the two
+      // sides (r14): one join replaces the former unionAll + distinct
+      // exchange + two re-joins of the same tables — row set and values
+      // are identical by construction (the using-join coalesces the key).
       val isSeed = seedSet.withColumn("s", lit(1L))
-      val next = carriers
-        .join(contrib.hint("shuffle_hash"), carriers("id") === contrib("dst"), "left")
-        .join(isSeed.hint("shuffle_hash"), Seq("id"), "left")
+      val next = contrib.select(col("dst").as("id"), col("contrib"))
+        .join(isSeed.hint("shuffle_hash"), Seq("id"), "full_outer")
         .join(outIds.hint("shuffle_hash"), Seq("id"), "left")
         .crossJoin(broadcast(dangDf))
-        .select(carriers("id"),
+        .select(col("id"),
           coalesce(col("has_out"), lit(0L)).as("has_out"),
           (expr(s"($dampNum * (COALESCE(contrib, CAST(0 AS BIGINT))" +
             s" + COALESCE(s, CAST(0 AS BIGINT)) * (dang DIV $nS))) DIV $dampDen")
