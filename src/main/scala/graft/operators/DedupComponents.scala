@@ -83,9 +83,13 @@ object DedupComponents {
     * the threshold covers the common case while the iterative path
     * remains the 100 TB contract. `localThreshold = 0` disables the
     * fallback (used by the diameter-proof tests). */
+  /** Default [[components]] `localThreshold`, shared with callers that
+    * run the hybrid branch themselves over a memoized layout. */
+  val DefaultLocalThreshold = 100000
+
   def components(pairs: DataFrame, maxRounds: Int = 50,
       strategy: Strategy = MinLabel,
-      localThreshold: Int = 100000): DataFrame = {
+      localThreshold: Int = DefaultLocalThreshold): DataFrame = {
     if (localThreshold > 0 &&
         pairs.limit(localThreshold + 1).count() <= localThreshold)
       componentsLocal(pairs)
@@ -124,22 +128,31 @@ object DedupComponents {
       .toDF("doc_id", "component_id", "component_size")
   }
 
-  private def componentsMinLabel(pairs: DataFrame, maxRounds: Int): DataFrame = {
+  private def componentsMinLabel(pairs: DataFrame, maxRounds: Int): DataFrame =
     // eager localCheckpoint: materialized AND plan-truncated — both sides
     // of every per-round join are flat scans of checkpointed partitions.
-    // HASH-PARTITIONED BY dst BEFORE the checkpoint (r14): the per-round
-    // expansion joins `labels` into the edge table on dst every round, and
-    // the un-laid-out edge list previously re-exchanged (and re-sorted,
-    // under SMJ) all 2|E| rows per round. LogicalRDD preserves the
-    // checkpointed partitioning, so with the |V|-sized labels as the
-    // hinted hash-build side each round now moves ONLY labels — the
-    // pagerank/BFS edge-layout discipline applied to min-label.
-    val edges = pairs
+    componentsMinLabelOnLayout(minLabelLayout(pairs).truncateLineage, maxRounds)
+
+  /** The doubled, dst-hash-partitioned edge layout the min-label rounds
+    * iterate over (r14): the per-round expansion joins `labels` into the
+    * edge table on dst every round, and an un-laid-out edge list
+    * re-exchanged (and re-sorted, under SMJ) all 2|E| rows per round.
+    * LogicalRDD/InMemoryRelation preserve the partitioning, so with the
+    * |V|-sized labels as the broadcast/hinted hash-build side each round
+    * moves ONLY labels — the pagerank/BFS edge-layout discipline applied
+    * to min-label. Split out so the query layer can build + persist it
+    * once per data dir instead of per invocation. */
+  private[graft] def minLabelLayout(pairs: DataFrame): DataFrame =
+    pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .repartition(col("dst"))
-      .truncateLineage
 
+  /** [[componentsMinLabel]] over a pre-built, already-materialized
+    * [[minLabelLayout]] (checkpointed or persisted — the caller owns its
+    * lifecycle; nothing here unpersists it). */
+  private[graft] def componentsMinLabelOnLayout(edges: DataFrame,
+      maxRounds: Int): DataFrame = {
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .truncateLineage

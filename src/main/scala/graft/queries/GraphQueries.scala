@@ -96,6 +96,109 @@ object GraphQueries {
   private val undLayoutCache =
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 
+  /** Triangle counting's degree-ordered orientation of the co-part
+    * graph — its one-time layout step (two degree tallies + the orient
+    * join), built once per sfDir (r14) — same discipline as
+    * [[kgDegreeLayout]]. At scale the persisted asset is |E| long
+    * pairs. */
+  def coPartOrientedLayout(s: SparkSession, d: String): DataFrame =
+    oriLayoutCache.get(d)
+      .filter(!_.sparkSession.sparkContext.isStopped)
+      .filter(_.sparkSession eq s)
+      .getOrElse {
+        oriLayoutCache.remove(d).foreach(o =>
+          try o.unpersist(blocking = false) catch { case _: Throwable => () })
+        val v = GraphAnalytics.orientedLayout(coPartEdges(s, d)).persist()
+        v.count()
+        oriLayoutCache.put(d, v)
+        v
+      }
+
+  private val oriLayoutCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  /** LPA's doubled, a-partitioned layout of the co-part graph, built
+    * once per sfDir (r14) — same discipline as [[kgUndirectedLayout]]. */
+  def coPartDoubledLayout(s: SparkSession, d: String): DataFrame =
+    dblLayoutCache.get(d)
+      .filter(!_.sparkSession.sparkContext.isStopped)
+      .filter(_.sparkSession eq s)
+      .getOrElse {
+        dblLayoutCache.remove(d).foreach(o =>
+          try o.unpersist(blocking = false) catch { case _: Throwable => () })
+        val v = GraphAnalytics.doubledLayout(coPartEdges(s, d)).persist()
+        v.count()
+        dblLayoutCache.put(d, v)
+        v
+      }
+
+  private val dblLayoutCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  /** kcore's canonical (a < b, distinct) undirected edge set, built once
+    * per sfDir (r14) — the per-invocation |E|-sized distinct was the
+    * operator's one-time setup re-paid every pass. Same discipline as
+    * [[kgDegreeLayout]]. */
+  def kgCanonicalEdges(s: SparkSession, d: String): DataFrame =
+    canonCache.get(d)
+      .filter(!_.sparkSession.sparkContext.isStopped)
+      .filter(_.sparkSession eq s)
+      .getOrElse {
+        canonCache.remove(d).foreach(o =>
+          try o.unpersist(blocking = false) catch { case _: Throwable => () })
+        val v = GraphAnalytics.canonicalEdges(kgEdges(s, d)).persist()
+        v.count()
+        canonCache.put(d, v)
+        v
+      }
+
+  private val canonCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  /** The distinct encoded (doc_a, doc_b) pair set graph_components
+    * labels, built once per sfDir (r14) — each invocation re-ran the
+    * |E|-sized distinct over the memoized encode. */
+  def kgComponentPairs(s: SparkSession, d: String): DataFrame =
+    pairsCache.get(d)
+      .filter(!_.sparkSession.sparkContext.isStopped)
+      .filter(_.sparkSession eq s)
+      .getOrElse {
+        pairsCache.remove(d).foreach(o =>
+          try o.unpersist(blocking = false) catch { case _: Throwable => () })
+        val (enc, _, _, _, _) = TransEQueries.encodedKg(s, d)
+        val v = enc.toDF()
+          .select(col("h").cast("long").as("doc_a"),
+            col("t").cast("long").as("doc_b"))
+          .distinct().persist()
+        v.count()
+        pairsCache.put(d, v)
+        v
+      }
+
+  private val pairsCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  /** The doubled, dst-partitioned min-label layout over
+    * [[kgComponentPairs]], built once per sfDir (r14) — the distributed
+    * components path re-doubled + re-exchanged + re-checkpointed it per
+    * invocation. */
+  def kgPairLayout(s: SparkSession, d: String): DataFrame =
+    pairLayoutCache.get(d)
+      .filter(!_.sparkSession.sparkContext.isStopped)
+      .filter(_.sparkSession eq s)
+      .getOrElse {
+        pairLayoutCache.remove(d).foreach(o =>
+          try o.unpersist(blocking = false) catch { case _: Throwable => () })
+        val v = graft.operators.DedupComponents
+          .minLabelLayout(kgComponentPairs(s, d)).persist()
+        v.count()
+        pairLayoutCache.put(d, v)
+        v
+      }
+
+  private val pairLayoutCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
   /** The uncached build: going direct (not through
     * [[TransEQueries.kgTriples]]) turns three wide shuffles into ONE —
     * the triple builder's two inner lineitem DISTINCTs are subsumed by
@@ -145,11 +248,18 @@ object GraphQueries {
     * behavior is separately exercised on the shattered near-dup graph by
     * dedup_components.) */
   def kgComponents(s: SparkSession, d: String): DataFrame = {
-    val (enc, _, _, _, _) = TransEQueries.encodedKg(s, d)
-    val pairs = enc.toDF()
-      .select(col("h").cast("long").as("doc_a"), col("t").cast("long").as("doc_b"))
-      .distinct()
-    graft.operators.DedupComponents.components(pairs)
+    // the hybrid local/distributed branch of DedupComponents.components,
+    // run HERE so the distributed path iterates over the memoized
+    // [[kgPairLayout]] instead of rebuilding it per invocation (r14);
+    // output contract identical (property-pinned + the DuckDB oracle)
+    val pairs = kgComponentPairs(s, d)
+    val th = graft.operators.DedupComponents.DefaultLocalThreshold
+    val labeled =
+      if (pairs.limit(th + 1).count() <= th)
+        graft.operators.DedupComponents.components(pairs)
+      else graft.operators.DedupComponents
+        .componentsMinLabelOnLayout(kgPairLayout(s, d), maxRounds = 50)
+    labeled
       .select(col("doc_id").as("id"), col("component_id"), col("component_size"))
   }
 
@@ -229,14 +339,16 @@ object GraphQueries {
     "graph_pagerank" -> ((s, d) =>
       GraphAnalytics.pagerankOnLayout(kgDegreeLayout(s, d))),
     "graph_components" -> (kgComponents _),
-    "graph_triangles" -> ((s, d) => GraphAnalytics.triangleCounts(coPartEdges(s, d))),
+    "graph_triangles" -> ((s, d) =>
+      GraphAnalytics.triangleCountsOnOriented(coPartOrientedLayout(s, d))),
     // supplier-similarity by shared parts: the bipartite projection
     // (supplier -> part via lineitem) through the inverted-index Jaccard
     "graph_similar_suppliers" -> ((s, d) =>
       GraphAnalytics.neighborSimilarity(Tables.lineitem(s, d)
         .select(col("l_suppkey").as("src"), col("l_partkey").as("dst")))),
     // density filter: 6-round peel to the 4-core of the KG
-    "graph_kcore" -> ((s, d) => GraphAnalytics.kcore(kgEdges(s, d))),
+    "graph_kcore" -> ((s, d) =>
+      GraphAnalytics.kcoreOnCanonical(kgCanonicalEdges(s, d))._1),
     // hop distance from the 5 region roots — the whole KG is within 4
     // undirected hops (region<-nation<-cust/supp<-order<-part/status)
     "graph_bfs_layers" -> ((s, d) => {
@@ -253,7 +365,7 @@ object GraphQueries {
     // plurality-label communities on the triangle-rich co-part graph
     // (the KG's typed star layers are community-free by construction)
     "graph_communities" -> ((s, d) =>
-      GraphAnalytics.labelPropagation(coPartEdges(s, d))))
+      GraphAnalytics.labelPropagationOnLayout(coPartDoubledLayout(s, d))))
 
   /** BFS roots: the region vertices (dst-only in the directed KG). */
   private def bfsSeeds(edges: DataFrame): DataFrame =

@@ -577,6 +577,29 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("memoized layout paths match the plain entry points (kcore, components)") {
+    // the r14 query-layer split: graph_kcore iterates from a memoized
+    // canonical edge set and graph_components from a memoized min-label
+    // layout — both must be row-identical to the un-split entry points
+    // (which the DuckDB oracles pin at the registered-query level)
+    val edges = graft.queries.GraphQueries.kgEdges(spark, sf)
+    val viaCanon = GraphAnalytics.kcoreOnCanonical(
+        graft.queries.GraphQueries.kgCanonicalEdges(spark, sf))._1
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val plain = GraphAnalytics.kcore(edges).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(viaCanon == plain)
+
+    val pairs = graft.queries.GraphQueries.kgComponentPairs(spark, sf)
+    val viaLayout = operators.DedupComponents.componentsMinLabelOnLayout(
+        graft.queries.GraphQueries.kgPairLayout(spark, sf), maxRounds = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // localThreshold = 0 forces the distributed min-label entry point
+    val viaEntry = operators.DedupComponents.components(pairs, localThreshold = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaLayout == viaEntry)
+  }
+
   test("kg pagerank: nation/region sinks accumulate rank above the median") {
     val ranks = GraphAnalytics.pagerankInt(
         queries.GraphQueries.kgEdges(spark, sf), iters = 5)
