@@ -528,13 +528,24 @@ object GraphAnalytics {
     val postings = edges.select(col("src"), col("dst")).groupBy("dst")
       .agg(sort_array(collect_set(col("src"))).as("srcs"))
       .filter(size(col("srcs")) <= maxFanout)
-    val pairs = postings.select(explode(flatten(expr(
-        "transform(srcs, (x, i) -> transform(slice(srcs, i + 2, size(srcs)), " +
+    // ONE pair-generate + ONE aggregate serve pairs AND degrees (r14):
+    // the slice starts AT the element (i + 1, 1-based) instead of after
+    // it, so each posting also emits its (x, x) self-pair exactly once
+    // (srcs is a set) — count(a = b rows) IS the capped degree d(a), and
+    // the former separate deg explode/aggregate (a 2nd postings build +
+    // |E| exchange) disappears. The counts table is persisted because it
+    // is read three ways below (deg twice + both pair orientations);
+    // without it each read re-ran the postings build from the raw edges
+    // (4 scans / 4 collect_set aggregates in the r13 plan).
+    val counts = graft.CacheScope.register(postings.select(explode(flatten(expr(
+        "transform(srcs, (x, i) -> transform(slice(srcs, i + 1, size(srcs)), " +
           "y -> struct(x AS a, y AS b)))"))).as("p"))
       .groupBy(col("p.a").as("a"), col("p.b").as("b"))
       .agg(count(lit(1)).as("common"))
-    val deg = postings.select(explode(col("srcs")).as("id"))
-      .groupBy("id").agg(count(lit(1)).as("d"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val pairs = counts.filter(col("a") =!= col("b"))
+    val deg = counts.filter(col("a") === col("b"))
+      .select(col("a").as("id"), col("common").as("d"))
     val oriented = pairs.unionAll(
       pairs.select(col("b").as("a"), col("a").as("b"), col("common")))
     val scored = oriented
